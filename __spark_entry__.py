@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship full k-means fit on sf0.001;
+``queries``/``oracle_sql`` expose every implemented operator from
+SURVEY.md §2 (plus north-star extensions) with DuckDB oracle twins.
+Implementation lives in ``kmeans_mapreduce_spark.queries``.
 """
 
 from __future__ import annotations
@@ -15,24 +14,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full Lloyd's fit (seeded init → iterate → converge) on
+    the sf0.001 lineitem-derived point set; returns final centroids."""
+    from kmeans_mapreduce_spark.queries import q_kmeans_fit
+
+    return q_kmeans_fit(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kmeans_mapreduce_spark.queries import core_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(core_queries())
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from kmeans_mapreduce_spark.queries import core_oracle_sql
+
+    return dict(core_oracle_sql())

@@ -1,0 +1,91 @@
+"""Benchmark harness — one JSON line to stdout (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
+``local[$SPARK_GRAFT_CPUS]``. Protocol per BASELINE.md §3: seeds fixed,
+k-means iteration count fixed (10, tol=0 → no early exit) so runs are
+comparable across rounds; B2 (MLlib KMeans, same data/k/iters) is
+measured alongside as the bar our engine must stay within 2× of.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from kmeans_mapreduce_spark.session import get_spark
+    from kmeans_mapreduce_spark.operators import kmeans as km
+    from kmeans_mapreduce_spark.operators.mllib import fit_mllib_2d
+    from kmeans_mapreduce_spark.sources.derive import points_2d
+
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
+        return out
+
+    pts = points_2d(spark, sf_dir)
+    # warm the JVM + parquet footer cache so per-query numbers measure
+    # the queries, not session startup
+    timed("warmup_count", lambda: pts.count())
+
+    res = timed(
+        "kmeans_fit10",
+        lambda: km.fit(pts, k=8, max_iter=10, tol=0.0, seed=42),
+    )
+    extra["engine_wssse"] = res.wssse_history[-1]
+
+    ml = timed(
+        "mllib_fit10",
+        lambda: fit_mllib_2d(pts, k=8, max_iter=10, seed=42, tol=0.0),
+    )
+    extra["mllib_wssse"] = ml.wssse
+
+    # single-pass operators
+    timed(
+        "kmeans_assign",
+        lambda: km.assign(
+            pts, [(0, 20.0, 10.0), (1, 40.0, 25.0), (2, 60.0, 40.0), (3, 90.0, 15.0)]
+        ).count(),
+    )
+
+    # extension queries (added as implemented) — each runs at sf_dir
+    from kmeans_mapreduce_spark import queries as Q
+
+    for name in [
+        n
+        for n in Q.extension_queries()
+        if n in Q.BENCH_EXTENSION_QUERIES
+    ]:
+        fn = Q.extension_queries()[name]
+        timed(name, lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                **extra,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

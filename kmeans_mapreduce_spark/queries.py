@@ -1,0 +1,294 @@
+"""Query registry — the driver contract behind ``__spark_entry__.py``.
+
+Every operator from SURVEY §2 exposes a ``queries()`` entry (PySpark
+DataFrame builder) and, where ANSI-SQL-expressible, an ``oracle_sql()``
+twin that DuckDB runs on the same parquet tables. Both sides are
+generated from the SAME Python constants (centroid literals, rounding
+digits, thresholds) so they cannot drift.
+
+Float discipline (FIXTURES.md): per-row arithmetic on identical inputs
+is bit-identical across engines (same IEEE-754 op sequence — we use
+``*`` not ``pow``), so row-level results are compared unrounded;
+aggregates (AVG/SUM) differ by summation order, so both sides round —
+6 decimals for means, 2 for large sums.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators import kmeans as km
+from kmeans_mapreduce_spark.sources.derive import POINTS_2D_SQL, points_2d
+
+# ---------------------------------------------------------------------------
+# Shared constants (single source of truth for Spark AND oracle SQL)
+# ---------------------------------------------------------------------------
+
+# Fixed K=4 init inside the data bounding box (x≈0.9..110, y≈1..50 for the
+# lineitem-derived point set) — fixing init removes all randomness from
+# oracle comparisons (FIXTURES.md F2).
+K4_CENTERS: list[tuple[int, float, float]] = [
+    (0, 20.0, 10.0),
+    (1, 40.0, 25.0),
+    (2, 60.0, 40.0),
+    (3, 90.0, 15.0),
+]
+
+# F5-style repair probe: cid 2 is unreachable → must be detected empty.
+K3_FAR_CENTERS: list[tuple[int, float, float]] = [
+    (0, 30.0, 15.0),
+    (1, 70.0, 35.0),
+    (2, 10000.0, 10000.0),
+]
+
+MEAN_DIGITS = 6  # rounding for AVG-derived values
+SUM_DIGITS = 2  # rounding for big SUMs (wssse)
+
+
+def _cents_values_sql(centers: list[tuple[int, float, float]]) -> str:
+    """VALUES list with explicit DOUBLE casts (DuckDB would otherwise
+    type 20.0 as DECIMAL and do decimal arithmetic ≠ Spark's double)."""
+    rows = ", ".join(
+        f"({cid}, CAST({cx!r} AS DOUBLE), CAST({cy!r} AS DOUBLE))"
+        for cid, cx, cy in centers
+    )
+    return f"(VALUES {rows})"
+
+
+def _d2_exprs(center_sqls: list[tuple[str, str, str]]) -> list[str]:
+    """Per-centroid squared-distance expressions over columns x, y."""
+    return [
+        f"(x - {cx}) * (x - {cx}) + (y - {cy}) * (y - {cy})"
+        for _, cx, cy in center_sqls
+    ]
+
+
+def _argmin_select_sql(center_sqls: list[tuple[str, str, str]]) -> str:
+    """Per-row arg-min as CASE/LEAST — no window, no cross join.
+
+    First-wins tie-break (strict ``<`` scan, reference mapper.py:43)
+    falls out of the CASE order with ``<=`` comparisons. Per-row form is
+    duplicate-row-safe, unlike a window over point_id.
+    """
+    n = len(center_sqls)
+    d = [f"d{i}" for i in range(n)]
+    whens = []
+    for i in range(n - 1):
+        conds = " AND ".join(f"{d[i]} <= {d[j]}" for j in range(i + 1, n))
+        whens.append(f"WHEN {conds} THEN {center_sqls[i][0]}")
+    case = f"CASE {' '.join(whens)} ELSE {center_sqls[n - 1][0]} END"
+    least = f"LEAST({', '.join(d)})"
+    return case, least
+
+
+def _assign_sql(centers: list[tuple[int, float, float]]) -> str:
+    """Shared CTE prefix: pts → per-row distances → CASE arg-min.
+
+    The oracle uses scalar CASE/LEAST; the engine uses a narrow
+    array_min expression — same semantics, independently derived plans
+    (that asymmetry is the point of an oracle).
+    """
+    center_sqls = [
+        (str(cid), f"CAST({cx!r} AS DOUBLE)", f"CAST({cy!r} AS DOUBLE)")
+        for cid, cx, cy in centers
+    ]
+    d2 = _d2_exprs(center_sqls)
+    dists = ", ".join(f"{e} AS d{i}" for i, e in enumerate(d2))
+    case, least = _argmin_select_sql(center_sqls)
+    return f"""
+WITH pts AS ({POINTS_2D_SQL}),
+cents(cid, cx, cy) AS {_cents_values_sql(centers)},
+dists AS (
+  SELECT point_id, x, y, {dists} FROM pts
+),
+assigned AS (
+  SELECT point_id, x, y,
+         CAST({case} AS INTEGER) AS cid,
+         {least} AS min_d2
+  FROM dists
+)
+"""
+
+
+def _loop2_sql() -> str:
+    """Two unrolled Lloyd iterations: iteration-2 centroids are scalar
+    subqueries over the iteration-1 means (rounded to MEAN_DIGITS, same
+    as the Spark side rounds before re-entering the loop)."""
+    prefix = _assign_sql(K4_CENTERS)
+    # iteration-2 centroid references: scalar subqueries against c1
+    it2 = [
+        (
+            str(cid),
+            f"(SELECT cx FROM c1 WHERE cid = {cid})",
+            f"(SELECT cy FROM c1 WHERE cid = {cid})",
+        )
+        for cid, _, _ in K4_CENTERS
+    ]
+    d2 = _d2_exprs(it2)
+    dists = ", ".join(f"{e} AS d{i}" for i, e in enumerate(d2))
+    case, least = _argmin_select_sql(it2)
+    return f"""{prefix},
+c1 AS (
+  SELECT cid, ROUND(AVG(x), {MEAN_DIGITS}) AS cx, ROUND(AVG(y), {MEAN_DIGITS}) AS cy
+  FROM assigned GROUP BY cid
+),
+dists2 AS (
+  SELECT point_id, x, y, {dists} FROM pts
+),
+assigned2 AS (
+  SELECT point_id, x, y, CAST({case} AS INTEGER) AS cid FROM dists2
+)
+SELECT cid, ROUND(AVG(x), {MEAN_DIGITS}) AS cx,
+       ROUND(AVG(y), {MEAN_DIGITS}) AS cy, COUNT(*) AS n
+FROM assigned2 GROUP BY cid
+"""
+
+
+# ---------------------------------------------------------------------------
+# Query implementations (Spark side)
+# ---------------------------------------------------------------------------
+
+def q_points_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 — schema'd point source (the derivation itself)."""
+    return points_2d(spark, sf_dir)
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O6 — nearest-centroid assignment, narrow argmin form."""
+    return km.assign(points_2d(spark, sf_dir), K4_CENTERS).select(
+        "point_id", "cid", "min_d2"
+    )
+
+
+def q_kmeans_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O8 — per-cluster mean + count (partial+final hash agg)."""
+    assigned = km.assign(points_2d(spark, sf_dir), K4_CENTERS)
+    return km.recompute(assigned).select(
+        "cid",
+        F.round("cx", MEAN_DIGITS).alias("cx"),
+        F.round("cy", MEAN_DIGITS).alias("cy"),
+        "n",
+    )
+
+
+def q_kmeans_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O9 — global bounding box (min/max are exact: no rounding)."""
+    return km.bbox(points_2d(spark, sf_dir))
+
+
+def q_kmeans_wssse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O10 — clustering objective, reusing O6 (no input rescan)."""
+    assigned = km.assign(points_2d(spark, sf_dir), K4_CENTERS)
+    return km.wssse(assigned).select(F.round("wssse", SUM_DIGITS).alias("wssse"))
+
+
+def q_kmeans_repair_empty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O12 — empty-cluster detection via anti-join (F5 probe)."""
+    pts = points_2d(spark, sf_dir)
+    stats = km.recompute(km.assign(pts, K3_FAR_CENTERS))
+    expected = spark.createDataFrame(
+        [(c,) for c, _, _ in K3_FAR_CENTERS], "cid INT"
+    )
+    return km.empty_clusters(expected, stats)
+
+
+def q_kmeans_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 — two unrolled Lloyd iterations (the loop, oracle-checkable).
+
+    Centroids are rounded to MEAN_DIGITS *between* iterations on both
+    sides, making second-iteration inputs bit-identical across engines
+    (otherwise summation-order noise could flip boundary points).
+    """
+    pts = points_2d(spark, sf_dir).cache()
+    it1 = (
+        km.recompute(km.assign(pts, K4_CENTERS))
+        .select(
+            "cid",
+            F.round("cx", MEAN_DIGITS).alias("cx"),
+            F.round("cy", MEAN_DIGITS).alias("cy"),
+        )
+        .collect()
+    )
+    centers1 = [(r["cid"], r["cx"], r["cy"]) for r in it1]
+    out = km.recompute(km.assign(pts, centers1)).select(
+        "cid",
+        F.round("cx", MEAN_DIGITS).alias("cx"),
+        F.round("cy", MEAN_DIGITS).alias("cy"),
+        "n",
+    )
+    return out
+
+
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11+O13 — full engine fit (seeded init, repair, convergence).
+
+    Seeded randomness is driver-side → not SQL-expressible; rows-only
+    check (driver records the weaker gate; property tests in tests/
+    cover the invariants)."""
+    res = km.fit(points_2d(spark, sf_dir), k=8, max_iter=10, tol=0.5, seed=42)
+    rows = [
+        (cid, float(cx), float(cy), len(res.wssse_history), res.converged)
+        for cid, cx, cy in res.centers
+    ]
+    return spark.createDataFrame(
+        rows, "cid INT, cx DOUBLE, cy DOUBLE, iterations INT, converged BOOLEAN"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL (DuckDB side) — generated from the same constants
+# ---------------------------------------------------------------------------
+
+# Extension registry (north-star operators) — filled in by
+# kmeans_mapreduce_spark.extensions as they are implemented.
+BENCH_EXTENSION_QUERIES: set[str] = set()
+
+
+def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {}
+
+
+def extension_oracle_sql() -> dict[str, str]:
+    return {}
+
+
+def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "points_source": q_points_source,
+        "kmeans_assign": q_kmeans_assign,
+        "kmeans_recompute": q_kmeans_recompute,
+        "kmeans_bbox": q_kmeans_bbox,
+        "kmeans_wssse": q_kmeans_wssse,
+        "kmeans_repair_empty": q_kmeans_repair_empty,
+        "kmeans_loop2": q_kmeans_loop2,
+        "kmeans_fit": q_kmeans_fit,
+    }
+
+
+def core_oracle_sql() -> dict[str, str]:
+    a4 = _assign_sql(K4_CENTERS)
+    a3 = _assign_sql(K3_FAR_CENTERS)
+    loop2 = _loop2_sql()
+    return {
+        "points_source": POINTS_2D_SQL,
+        "kmeans_assign": a4 + "SELECT point_id, cid, min_d2 FROM assigned",
+        "kmeans_recompute": a4
+        + f"""SELECT cid, ROUND(AVG(x), {MEAN_DIGITS}) AS cx,
+       ROUND(AVG(y), {MEAN_DIGITS}) AS cy, COUNT(*) AS n
+FROM assigned GROUP BY cid""",
+        "kmeans_bbox": f"""
+WITH pts AS ({POINTS_2D_SQL})
+SELECT MIN(x) AS min_x, MAX(x) AS max_x, MIN(y) AS min_y, MAX(y) AS max_y
+FROM pts""",
+        "kmeans_wssse": a4
+        + f"SELECT ROUND(SUM(min_d2), {SUM_DIGITS}) AS wssse FROM assigned",
+        "kmeans_repair_empty": a3
+        + """SELECT CAST(c.cid AS INTEGER) AS cid
+FROM cents c
+WHERE c.cid NOT IN (SELECT DISTINCT cid FROM assigned)""",
+        "kmeans_loop2": loop2,
+        # kmeans_fit: seeded driver-side randomness → rows-only check.
+    }

@@ -1,0 +1,124 @@
+"""Golden micro-fixtures (FIXTURES.md F4/F5) + operator unit tests.
+
+Hand-computed expectations: values chosen to be exact in binary floating
+point, so comparisons are exact (no tolerance needed).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kmeans_mapreduce_spark.operators import kmeans as km
+from kmeans_mapreduce_spark.schema import POINTS_2D
+
+F4_POINTS = [
+    (0, 0.0, 0.0),
+    (1, 0.0, 2.0),
+    (2, 2.0, 0.0),
+    (3, 2.0, 2.0),
+    (4, 10.0, 10.0),
+    (5, 10.0, 12.0),
+    (6, 12.0, 10.0),
+    (7, 12.0, 12.0),
+]
+F4_CENTERS = [(0, 1.0, 1.0), (1, 11.0, 11.0)]
+
+
+@pytest.fixture(scope="module")
+def f4(spark):
+    return spark.createDataFrame(F4_POINTS, POINTS_2D)
+
+
+def test_assign_golden(f4):
+    rows = {r["point_id"]: r for r in km.assign(f4, F4_CENTERS).collect()}
+    for pid in range(4):
+        assert rows[pid]["cid"] == 0
+    for pid in range(4, 8):
+        assert rows[pid]["cid"] == 1
+    assert all(r["min_d2"] == 2.0 for r in rows.values())
+
+
+def test_assign_tiebreak_lowest_cid(spark, f4):
+    # (6,6) is exactly equidistant (50.0) from both centroids →
+    # must go to cid 0 (strict `<` first-wins, reference mapper.py:43).
+    extra = spark.createDataFrame([(99, 6.0, 6.0)], POINTS_2D)
+    row = km.assign(extra, F4_CENTERS).collect()[0]
+    assert row["cid"] == 0
+    assert row["min_d2"] == 50.0
+
+
+def test_assign_df_matches_assign(spark, f4):
+    cents = spark.createDataFrame(
+        [(c, x, y) for c, x, y in F4_CENTERS], "cid INT, cx DOUBLE, cy DOUBLE"
+    )
+    a = {(r["point_id"], r["cid"], r["min_d2"]) for r in km.assign(f4, F4_CENTERS).collect()}
+    b = {(r["point_id"], r["cid"], r["min_d2"]) for r in km.assign_df(f4, cents).collect()}
+    assert a == b
+
+
+def test_recompute_golden(f4):
+    assigned = km.assign(f4, F4_CENTERS)
+    stats = {r["cid"]: r for r in km.recompute(assigned).collect()}
+    assert stats[0]["cx"] == 1.0 and stats[0]["cy"] == 1.0 and stats[0]["n"] == 4
+    assert stats[1]["cx"] == 11.0 and stats[1]["cy"] == 11.0 and stats[1]["n"] == 4
+
+
+def test_wssse_golden(f4):
+    assigned = km.assign(f4, F4_CENTERS)
+    assert km.wssse(assigned).collect()[0]["wssse"] == 16.0
+
+
+def test_bbox_golden(f4):
+    b = km.bbox(f4).collect()[0]
+    assert (b["min_x"], b["max_x"], b["min_y"], b["max_y"]) == (0.0, 12.0, 0.0, 12.0)
+
+
+def test_empty_cluster_repair_policies(spark, f4):
+    # F5: K=3 with an unreachable centroid → exactly K centroids out.
+    centers3 = F4_CENTERS + [(2, 1000.0, 1000.0)]
+    means, sizes, _ = km.lloyd_step(f4, centers3)
+    assert 2 not in means
+    import random
+
+    reseeded = km.repair_empty(centers3, means, (0, 12, 0, 12), random.Random(0), "reseed")
+    kept = km.repair_empty(centers3, means, (0, 12, 0, 12), random.Random(0), "keep")
+    assert [c[0] for c in reseeded] == [0, 1, 2]
+    assert kept[2] == (2, 1000.0, 1000.0)
+    r2 = reseeded[2]
+    assert 0 <= r2[1] <= 12 and 0 <= r2[2] <= 12
+
+
+def test_empty_clusters_df(spark, f4):
+    from pyspark.sql import functions as F
+
+    expected = spark.range(3).select(F.col("id").cast("int").alias("cid"))
+    stats = km.recompute(km.assign(f4, F4_CENTERS + [(2, 1000.0, 1000.0)]))
+    empties = km.empty_clusters(expected, stats).collect()
+    assert [r["cid"] for r in empties] == [2]
+
+
+def test_fit_converges_and_is_fixpoint(f4):
+    res = km.fit(f4, k=2, max_iter=10, tol=1e-9, init_centers=F4_CENTERS)
+    # F4 init is already the fixpoint: converges immediately, WSSSE 16.
+    assert res.converged
+    assert res.wssse_history[0] == 16.0
+    assert sorted(res.centers) == [(0, 1.0, 1.0), (1, 11.0, 11.0)]
+
+
+def test_fit_wssse_nonincreasing(spark, sf_dir):
+    from kmeans_mapreduce_spark.sources.derive import points_2d
+
+    pts = points_2d(spark, sf_dir)
+    res = km.fit(pts, k=4, max_iter=6, tol=0.0, seed=42)
+    hist = res.wssse_history
+    assert len(hist) >= 2
+    for prev, cur in zip(hist, hist[1:]):
+        assert cur <= prev * (1 + 1e-9)
+
+
+def test_fit_always_k_centers(spark, sf_dir):
+    from kmeans_mapreduce_spark.sources.derive import points_2d
+
+    pts = points_2d(spark, sf_dir)
+    res = km.fit(pts, k=8, max_iter=3, tol=0.5, seed=7)
+    assert sorted(c[0] for c in res.centers) == list(range(8))
