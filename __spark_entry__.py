@@ -22,12 +22,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from kmeans_mapreduce_spark.queries import core_queries
+    from kmeans_mapreduce_spark.queries import core_queries, extension_queries
 
-    return dict(core_queries())
+    return {**core_queries(), **extension_queries()}
 
 
 def oracle_sql() -> dict[str, str]:
-    from kmeans_mapreduce_spark.queries import core_oracle_sql
+    from kmeans_mapreduce_spark.queries import core_oracle_sql, extension_oracle_sql
 
-    return dict(core_oracle_sql())
+    return {**core_oracle_sql(), **extension_oracle_sql()}

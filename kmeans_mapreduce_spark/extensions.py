@@ -1,0 +1,498 @@
+"""North-star extension query registry + DuckDB oracle twins.
+
+Same contract as ``queries.py``: every Spark query and its oracle SQL
+are generated from the SAME Python constants (stopword lists, seeds,
+thresholds, LSH planes), so the two sides cannot drift. Float
+discipline: exact-integer ratios compare unrounded; float sums round
+to 6 (small magnitudes) or 2 (big sums) on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions.hashing import h64_sql
+from kmeans_mapreduce_spark.functions.text import LANG_MARKERS, STOPWORDS
+from kmeans_mapreduce_spark.operators import dedup as dd
+from kmeans_mapreduce_spark.operators import events as ev
+from kmeans_mapreduce_spark.operators import kmeans_nd as knd
+from kmeans_mapreduce_spark.operators import multimodal as mm
+from kmeans_mapreduce_spark.operators import similarity as sim
+from kmeans_mapreduce_spark.operators import textops as tx
+from kmeans_mapreduce_spark.sources.loaders import load_table
+
+# thresholds / params shared by both engines (calibrated against the
+# corpus: shingle-Jaccard between unrelated docs ≈ 0.002, planted
+# near-dups ≈ 0.99; within-label embedding cosine max ≈ 0.45)
+JACCARD_LSH_THRESHOLD = 0.2
+JACCARD_BLOCK_THRESHOLD = 0.05
+EMBED_COSINE_THRESHOLD = 0.35
+TOPK_QUERY_IDS = [0, 1, 2, 3, 4, 5, 6, 7]
+TOPK_K = 5
+ANN_K = 3
+ND_CENTROID_IDS = [0, 1, 2, 3]
+EMB_DIM = 64
+
+
+def _sql_str_list(items: list[str]) -> str:
+    inner = ", ".join("'" + s.replace("'", "''") + "'" for s in items)
+    return f"[{inner}]"
+
+
+# ---------------------------------------------------------------------------
+# Spark-side queries
+# ---------------------------------------------------------------------------
+
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.quality(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.langid(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"), JACCARD_LSH_THRESHOLD
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), JACCARD_BLOCK_THRESHOLD
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.embedding_near_dup(
+        load_table(spark, sf_dir, "embeddings"), EMBED_COSINE_THRESHOLD
+    )
+
+
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.cosine_topk(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, TOPK_K
+    )
+
+
+def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_ann_topk(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, ANN_K
+    )
+
+
+def q_kmeans_nd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = (
+        emb.filter(F.col("vec_id").isin(ND_CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centers = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cents
+    ]
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("vec"),
+    )
+    out = knd.assign_nd_expr(pts, centers)
+    return out.select("point_id", "cid", F.round("min_d2", 6).alias("min_d2"))
+
+
+def q_kmeans_nd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("vec"),
+    )
+    centers, history, sizes = knd.fit_nd(pts, k=4, max_iter=3, tol=0.0)
+    rows = [
+        (cid, sizes.get(cid, 0), float(sum(x * x for x in v)) ** 0.5)
+        for cid, v in centers
+    ]
+    return spark.createDataFrame(rows, "cid INT, n LONG, center_norm DOUBLE")
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return mm.media_meta(media)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
+    out = mm.extract_features(media)
+    return out.select(
+        "media_id", "kind", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"), "decoded"
+    )
+
+
+def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.window_agg(load_table(spark, sf_dir, "events"))
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.sessionize(load_table(spark, sf_dir, "events"))
+
+
+def q_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kmeans_mapreduce_spark.operators.mllib import fit_mllib_2d
+    from kmeans_mapreduce_spark.sources.derive import points_2d
+
+    res = fit_mllib_2d(points_2d(spark, sf_dir), k=4, max_iter=5, seed=42)
+    rows = [(c, x, y, res.cluster_sizes[c]) for c, x, y in res.centers]
+    return spark.createDataFrame(rows, "cid INT, cx DOUBLE, cy DOUBLE, n LONG")
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL twins
+# ---------------------------------------------------------------------------
+
+def _toks_cte(distinct: bool = False, lower: bool = False) -> str:
+    src = "lower(text)" if lower else "text"
+    expr = f"string_split({src}, ' ')"
+    if distinct:
+        expr = f"list_distinct({expr})"
+    return f"SELECT doc_id, {expr} AS toks FROM documents"
+
+
+# Word-3-gram set with short-doc fallback — twin of dedup.shingle_set.
+SHINGLE_EXPR = (
+    "list_distinct(CASE WHEN len(w) >= 3 THEN "
+    "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+    "ELSE w END)"
+)
+
+
+def _shingle_cte() -> str:
+    return (
+        "SELECT doc_id, "
+        + SHINGLE_EXPR
+        + " AS toks FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)"
+    )
+
+
+def _langid_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    hits = ", ".join(
+        f"len(list_filter(toks, x -> list_contains({_sql_str_list(LANG_MARKERS[lang])}, x)))"
+        f"::BIGINT AS h_{lang}"
+        for lang in langs
+    )
+    whens = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"h_{lang} >= h_{other}" for other in langs[i + 1 :])
+        whens.append(f"WHEN {conds} THEN '{lang}'")
+    case = f"CASE {' '.join(whens)} ELSE '{langs[-1]}' END"
+    greatest = f"GREATEST({', '.join('h_' + lang for lang in langs)})"
+    return f"""
+WITH t AS ({_toks_cte(lower=True)}),
+m AS (SELECT doc_id, {hits} FROM t)
+SELECT doc_id, {case} AS pred_lang, {greatest} AS marker_hits FROM m
+"""
+
+
+def _minhash_cte() -> str:
+    """CTE 's': (doc_id, j, minhash) — shared by sig and pairs."""
+    tok_hash = h64_sql("j::VARCHAR || ':' || tok")
+    return f"""
+t AS ({_shingle_cte()}),
+x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+seeds AS (SELECT unnest(range(0, {dd.NUM_HASHES})) AS j),
+s AS (
+  SELECT doc_id, j, MIN({tok_hash}) AS minhash
+  FROM x CROSS JOIN seeds GROUP BY doc_id, j
+)"""
+
+
+def _jaccard_expr(a: str, b: str) -> str:
+    inter = f"len(list_intersect({a}, {b}))::DOUBLE"
+    return f"{inter} / (len({a}) + len({b}) - {inter})"
+
+
+def _minhash_pairs_sql() -> str:
+    band_item = "j::VARCHAR || ':' || minhash::VARCHAR"
+    return f"""
+WITH {_minhash_cte()},
+b AS (
+  SELECT doc_id, (j // {dd.ROWS_PER_BAND})::INTEGER AS band_id,
+         {h64_sql(f"string_agg({band_item}, ',' ORDER BY {band_item})")} AS band_hash
+  FROM s GROUP BY doc_id, j // {dd.ROWS_PER_BAND}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM b a JOIN b c
+    ON a.band_id = c.band_id AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+),
+ts AS (SELECT doc_id, toks AS s FROM t),
+verified AS (
+  SELECT doc_a, doc_b, ROUND({_jaccard_expr('x.s', 'y.s')}, 6) AS jaccard
+  FROM cand JOIN ts x ON x.doc_id = doc_a JOIN ts y ON y.doc_id = doc_b
+)
+SELECT * FROM verified WHERE jaccard >= {JACCARD_LSH_THRESHOLD}
+"""
+
+
+def _simhash_sql() -> str:
+    return f"""
+WITH t AS ({_toks_cte(distinct=True)}),
+x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+h AS (SELECT doc_id, {h64_sql('tok')} AS hv FROM x),
+bitpos AS (SELECT unnest(range(0, 32)) AS b),
+bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM h CROSS JOIN bitpos GROUP BY doc_id, b
+)
+SELECT doc_id,
+       SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def _dvec_cte() -> str:
+    return (
+        "e AS (SELECT vec_id, label, "
+        "list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"i -> {a}[i] * {b}[i]))"
+    )
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return (
+        f"{_dot_sql(a, b)} / "
+        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+    )
+
+
+def _embedding_near_dup_sql() -> str:
+    return f"""
+WITH {_dvec_cte()},
+p AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND({_cosine_sql('a.v', 'b.v')}, 6) AS cosine
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT * FROM p WHERE cosine >= {EMBED_COSINE_THRESHOLD}
+"""
+
+
+def _topk_sql(k: int, bucketed: bool) -> str:
+    ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
+    planes = sim.plane_signs()
+    if bucketed:
+        projs = []
+        for p, signs in enumerate(planes):
+            arr = "[" + ", ".join(f"CAST({s} AS DOUBLE)" for s in signs) + "]"
+            projs.append(
+                f"CASE WHEN {_dot_sql('v', arr)} > 0 "
+                f"THEN {2 ** p}::BIGINT ELSE 0::BIGINT END"
+            )
+        bucket = " + ".join(projs)
+        extra = f", ({bucket}) AS bucket"
+        joincond = "e.bucket = q.bucket AND e.vec_id != q.query_id"
+        base = f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+e AS (SELECT vec_id, v{extra} FROM e0),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_cosine_sql('q.qv', 'e.v')}, 6) AS cosine
+  FROM e JOIN q ON {joincond}
+)"""
+    else:
+        base = f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_cosine_sql('q.qv', 'e.v')}, 6) AS cosine
+  FROM e JOIN q ON e.vec_id != q.query_id
+)"""
+    return (
+        base
+        + f""",
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, cosine
+FROM ranked WHERE rank <= {k}
+"""
+    )
+
+
+def _kmeans_nd_assign_sql() -> str:
+    """Cross join embeddings × the K centroid rows (centroids ARE data
+    here: vec_id ∈ ND_CENTROID_IDS), per-pair list distance, then
+    window argmin — vec_id is unique so the window is safe. Subqueries
+    can't appear inside DuckDB lambdas, hence the join shape."""
+    ids = ", ".join(str(c) for c in ND_CENTROID_IDS)
+    d2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v FROM e WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT e.vec_id AS point_id, c.cid, {d2} AS d2
+  FROM e CROSS JOIN c
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY point_id ORDER BY d2, cid) AS rn
+  FROM scored
+)
+SELECT point_id, CAST(cid AS INTEGER) AS cid, ROUND(d2, 6) AS min_d2
+FROM ranked WHERE rn = 1
+"""
+
+
+def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "text_tokens": q_text_tokens,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_dedup_minhash_sig,
+        "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_embedding": q_dedup_embedding,
+        "similarity_topk": q_similarity_topk,
+        "similarity_ann_lsh": q_similarity_ann_lsh,
+        "kmeans_nd_assign": q_kmeans_nd_assign,
+        "kmeans_nd_fit": q_kmeans_nd_fit,
+        "multimodal_meta": q_multimodal_meta,
+        "multimodal_features": q_multimodal_features,
+        "events_window_agg": q_events_window_agg,
+        "events_sessionize": q_events_sessionize,
+        "kmeans_mllib": q_kmeans_mllib,
+    }
+
+
+def extension_oracle_sql() -> dict[str, str]:
+    sw = _sql_str_list(STOPWORDS)
+    quality_sql = f"""
+WITH t AS ({_toks_cte()}),
+m AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS atl,
+         len(list_filter(toks, x -> list_contains({sw}, x)))::DOUBLE / len(toks) AS swr,
+         len(list_distinct(toks))::DOUBLE / len(toks) AS ttr
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       ROUND(atl, 6) AS avg_token_len,
+       ROUND(swr, 6) AS stopword_ratio,
+       ROUND(ttr, 6) AS type_token_ratio,
+       ROUND(CAST(0.4 AS DOUBLE) * LEAST(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+             + CAST(0.3 AS DOUBLE) * swr + CAST(0.3 AS DOUBLE) * ttr, 6) AS quality_score
+FROM m
+"""
+    return {
+        "text_tokens": (
+            "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
+            "length(text)::BIGINT AS n_chars FROM documents"
+        ),
+        "text_quality": quality_sql,
+        "text_langid": _langid_sql(),
+        "text_fingerprint": (
+            f"SELECT doc_id, {h64_sql('lower(trim(text))')} AS fingerprint "
+            "FROM documents"
+        ),
+        "dedup_exact": f"""
+SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY {h64_sql('lower(trim(text))')}""",
+        "dedup_minhash_sig": f"""
+WITH {_minhash_cte()}
+SELECT doc_id, j::INTEGER AS h_idx, minhash FROM s""",
+        "dedup_minhash_pairs": _minhash_pairs_sql(),
+        "dedup_ngram_jaccard": f"""
+WITH d AS (
+  SELECT doc_id, lang, (n_chars // 100)::INTEGER AS len_bucket,
+         {SHINGLE_EXPR} AS s
+  FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
+),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         ROUND({_jaccard_expr('a.s', 'b.s')}, 6) AS jaccard
+  FROM d a JOIN d b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+)
+SELECT * FROM p WHERE jaccard >= {JACCARD_BLOCK_THRESHOLD}""",
+        "dedup_simhash": _simhash_sql(),
+        "dedup_embedding": _embedding_near_dup_sql(),
+        "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
+        "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
+        "kmeans_nd_assign": _kmeans_nd_assign_sql(),
+        "multimodal_meta": """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind,
+       octet_length(from_hex(md5(text)))::BIGINT AS n_bytes,
+       (doc_id % 64 + 64)::INTEGER AS width,
+       (doc_id % 48 + 48)::INTEGER AS height
+FROM documents""",
+        "events_window_agg": f"""
+SELECT (epoch_ns(ts) // 1000000000 // {ev.WINDOW_SEC} * {ev.WINDOW_SEC})::BIGINT AS window_start,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM events GROUP BY 1, 2""",
+        "events_sessionize": f"""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER w > {ev.SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts_sec, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )::BIGINT AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx,
+       MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM sessions GROUP BY user_id, session_idx""",
+        # rows-only (no SQL-expressible oracle): dedup via driver's weaker
+        # gate — kmeans_nd_fit (iterative numpy path), multimodal_features
+        # (mapInPandas binary plumbing), kmeans_mllib (MLlib RNG).
+    }

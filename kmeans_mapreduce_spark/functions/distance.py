@@ -78,5 +78,9 @@ def norm_nd(a: Column) -> Column:
 
 
 def cosine_sim(a: Column, b: Column) -> Column:
-    """Cosine similarity between two ``array<double>`` columns."""
-    return dot_nd(a, b) / (norm_nd(a) * norm_nd(b))
+    """Cosine similarity between two ``array<double>`` columns.
+
+    ``try_divide`` → NULL for zero-norm vectors (ANSI mode would error);
+    callers filtering ``cosine >= t`` drop such rows, the right
+    semantics for degenerate embeddings at scale."""
+    return F.try_divide(dot_nd(a, b), norm_nd(a) * norm_nd(b))

@@ -1,0 +1,42 @@
+"""Portable deterministic hashing — identical in Spark and DuckDB.
+
+The LLM-pipeline operators (minhash, simhash, LSH, fingerprints) need a
+hash both engines compute bit-identically so the DuckDB oracle can
+replay them. Engine-native hashes differ (Spark murmur3/xxhash64 vs
+DuckDB's internal), so we standardize on **md5 hex → first 15 nibbles →
+int64** (60 bits, always non-negative, fits BIGINT):
+
+- Spark:  ``conv(substring(md5(s), 1, 15), 16, 10)::long``
+- DuckDB: ``('0x' || substr(md5(s), 1, 15))::BIGINT``
+
+Seeded variants prefix the payload with ``{seed}:``. md5 here is a
+*fingerprint*, not security. At cluster scale this stays JVM-side
+(Catalyst ``Md5``/``Conv`` expressions inside codegen, no Python).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_NIBBLES = 15
+HASH_SPACE = 16 ** HASH_NIBBLES  # 2^60
+
+
+def h64(col: Column) -> Column:
+    """60-bit non-negative hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, HASH_NIBBLES), 16, 10).cast("long")
+
+
+def h64_seeded(col: Column, seed: int) -> Column:
+    """Seeded variant: independent hash family member per seed."""
+    return h64(F.concat_ws(":", F.lit(str(seed)), col))
+
+
+def h64_sql(expr: str) -> str:
+    """DuckDB twin of :func:`h64`."""
+    return f"('0x' || substr(md5({expr}), 1, {HASH_NIBBLES}))::BIGINT"
+
+
+def h64_seeded_sql(expr: str, seed: int) -> str:
+    return h64_sql(f"'{seed}' || ':' || {expr}")

@@ -1,0 +1,71 @@
+"""Text-analysis column expressions (north-star extension).
+
+All JVM-side Catalyst expressions (split/transform/aggregate) — no
+Python UDFs on the hot path. Each has an SQL twin in
+``kmeans_mapreduce_spark.extensions`` for the DuckDB oracle; keep them
+in lockstep.
+
+Tokenization contract: documents in this corpus are single-space
+separated (verified: no doubled/leading/trailing whitespace), so
+``split(text, ' ')`` is exact and cheap; a regex tokenizer would also
+work but costs more and is harder to mirror exactly in two engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. The corpus vocabulary is synthetic English-ish tokens; the
+# heuristic is the operator under test, not a linguistics claim.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of"],
+    "de": ["der", "die", "das", "und"],
+    "es": ["el", "la", "los", "de"],
+    "fr": ["le", "la", "les", "et"],
+    "zh": ["de", "le", "he", "shi"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def n_tokens(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-grams as strings: concat of n consecutive tokens.
+
+    Empty array when the doc has < n tokens (sequence guard).
+    """
+    size = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1)))
+    return F.when(size < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        )
+    )
+
+
+def stopword_ratio(toks: Column) -> Column:
+    hits = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    return hits / F.size(toks)
+
+
+def type_token_ratio(toks: Column) -> Column:
+    return F.size(F.array_distinct(toks)) / F.size(toks)
+
+
+def avg_token_len(toks: Column) -> Column:
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
+    )
+    return total / F.size(toks)

@@ -1,0 +1,232 @@
+"""Deduplication operators (north-star): exact, MinHash+LSH, SimHash,
+n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the point of each shape at 100 TB):
+
+- **exact**: hash-groupBy on the content key — one shuffle keyed by a
+  64-bit fingerprint, never by the raw text (shuffle bytes ∝ keys, not
+  documents).
+- **minhash/LSH**: signatures are a narrow expression per document
+  (no explode-shuffle); the only shuffle is the band-bucket self-join,
+  whose key (band_id, band_hash) is uniform by construction — no skew.
+  Candidate verification (true Jaccard) touches only colliding pairs.
+- **simhash**: one explode + one partial-aggregated groupBy per doc;
+  near-dup = Hamming distance on 64-bit ints, a cheap bucketed join.
+- **embedding cosine**: blocked self-join (here by label as the coarse
+  quantizer) so the pair space is |block|² not N².
+
+All hashes are md5-portable (functions.hashing) so the DuckDB oracle
+replays every stage bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions.distance import cosine_sim
+from kmeans_mapreduce_spark.functions.hashing import h64, h64_seeded
+from kmeans_mapreduce_spark.functions.text import shingles, tokens
+
+NUM_HASHES = 12  # minhash signature length
+BANDS = 4  # LSH bands (rows per band = NUM_HASHES // BANDS = 3)
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SHINGLE_N = 3  # word n-gram size for near-dup sets
+
+
+def shingle_set(text_col):
+    """Distinct word-3-gram set; docs shorter than n words fall back to
+    their token set (so the set is never empty and minhash never NULL).
+
+    Near-dup semantics use shingles, not unigram token sets: in a
+    small-vocabulary corpus every long document contains most words
+    (token-set Jaccard ≈ 0.9 between unrelated docs), while 3-gram
+    overlap stays near zero except for genuinely copied text."""
+    toks = tokens(text_col)
+    sh = shingles(toks, SHINGLE_N)
+    return F.array_distinct(F.when(F.size(sh) > 0, sh).otherwise(toks))
+
+
+def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:
+    """Exact dedup: keeper = min doc_id per identical content.
+
+    Groups on the 60-bit fingerprint of the content (shuffle carries a
+    long, not the document); md5-collision risk is acceptable for
+    dedup semantics and keeps the oracle portable.
+    """
+    fp = h64(F.lower(F.trim(F.col(key)))).alias("fp")
+    return (
+        docs.select(fp, "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("keep_doc_id", "n_copies")
+    )
+
+
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """MinHash signature per document over its word-3-gram *set*.
+
+    sig[j] = min over shingles s of h64(j || ':' || s). Computed as one
+    narrow expression (transform over seeds × array_min over shingles):
+    no explode, no shuffle — each doc is one row in, num_hashes values
+    out. Long format (doc_id, h_idx, minhash) for oracle friendliness.
+    """
+    toks = shingle_set(F.col("text"))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.array_min(
+            F.transform(toks, lambda t: h64(F.concat_ws(":", j.cast("string"), t)))
+        ),
+    )
+    return docs.select("doc_id", F.posexplode(sig).alias("h_idx", "minhash"))
+
+
+def lsh_bands(signatures: DataFrame, bands: int = BANDS) -> DataFrame:
+    """Fold a long-format signature into (doc_id, band_id, band_hash).
+
+    band_hash = h64 of the concatenated minhash values in the band —
+    uniform join key, no skew."""
+    rows = NUM_HASHES // bands
+    return (
+        signatures.withColumn("band_id", (F.col("h_idx") / rows).cast("int"))
+        .groupBy("doc_id", "band_id")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.concat_ws(
+                            ":",
+                            F.col("h_idx").cast("string"),
+                            F.col("minhash").cast("string"),
+                        )
+                    )
+                ),
+            ).alias("band_key")
+        )
+        .select("doc_id", "band_id", h64(F.col("band_key")).alias("band_hash"))
+    )
+
+
+def candidate_pairs(bands_df: DataFrame) -> DataFrame:
+    """LSH candidates: pairs sharing any band bucket (distinct)."""
+    a = bands_df.alias("a")
+    b = bands_df.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame, pairs: DataFrame, threshold: float, digits: int = 6
+) -> DataFrame:
+    """Verify candidate pairs with true shingle-set Jaccard ≥ threshold
+    (the quantity the minhash signature estimates)."""
+    toksets = docs.select("doc_id", shingle_set(F.col("text")).alias("s"))
+    j = (
+        pairs.join(toksets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
+        .join(toksets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
+        .withColumn("inter", F.size(F.array_intersect("sa", "sb")).cast("double"))
+        .withColumn("uni", (F.size("sa") + F.size("sb") - F.col("inter")).cast("double"))
+        .withColumn("jaccard", F.round(F.col("inter") / F.col("uni"), digits))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline."""
+    sigs = minhash_signatures(docs)
+    cands = candidate_pairs(lsh_bands(sigs))
+    return jaccard_pairs(docs, cands, threshold)
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.05, digits: int = 6
+) -> DataFrame:
+    """Blocked n-gram Jaccard near-dup (no LSH): block on (lang,
+    n_chars bucket) — a cheap deterministic blocker — then true word-
+    3-gram Jaccard within blocks. The blocked self-join is the scale-
+    path skeleton; swap the blocker for LSH bands at higher N."""
+    d = docs.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+        shingle_set(F.col("text")).alias("s"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    )
+    inter = F.size(F.array_intersect(F.col("a.s"), F.col("b.s"))).cast("double")
+    uni = (F.size(F.col("a.s")) + F.size(F.col("b.s")) - inter).cast("double")
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter / uni, digits).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+    """SimHash document sketch over token hashes.
+
+    Per doc: for each bit b, sum ±1 over tokens by whether bit b of
+    h64(token) is set; simhash bit b = 1 iff the sum > 0. Exact integer
+    arithmetic end-to-end → oracle matches without rounding. One
+    explode + one partially-aggregated groupBy (bit counters combine
+    map-side, so the shuffle is O(docs), not O(tokens))."""
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
+    ).withColumn("h", h64(F.col("t")))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    sums = tok.groupBy("doc_id").agg(*aggs)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim + bit
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+def embedding_near_dup(
+    emb: DataFrame, threshold: float = 0.9, digits: int = 6
+) -> DataFrame:
+    """Embedding-cosine near-dup: pairs within the same coarse block
+    (label — stands in for an IVF cell) with cosine ≥ threshold."""
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("v"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    sim = F.round(cosine_sim(F.col("a.v"), F.col("b.v")), digits)
+    return (
+        pairs.select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

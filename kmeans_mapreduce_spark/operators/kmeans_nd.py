@@ -1,0 +1,139 @@
+"""n-D k-means over array<double> columns (SURVEY §7 Phase 4 / FIXTURES F6).
+
+Two assignment paths, chosen by K×dim:
+
+- **expression path** (small K·dim): unrolled per-centroid distance
+  expressions + array_min argmin — narrow, codegen'd, zero Python.
+  Same shape as the 2-D engine.
+- **pandas path** (large K·dim): ``mapInPandas`` with one numpy
+  matmul per Arrow batch — ``|points|×dim @ dim×K`` — the vectorized
+  scale path (this is how you do 768-dim × K=1000 on 100 TB; a
+  per-row expression tree would explode). Partial per-batch centroid
+  sums are emitted from the same pass, so the shuffle carries
+  O(batches×K) rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
+
+NDCenter = tuple[int, list[float]]
+
+
+def assign_nd_expr(points: DataFrame, centers: list[NDCenter]) -> DataFrame:
+    """Expression-path assignment: (point_id, cid, min_d2).
+
+    ``points`` must have columns (point_id, vec: array<double>).
+    Tie-break: lowest cid (lexicographic struct min), as in 2-D."""
+    cands = [
+        F.struct(
+            sq_dist_nd(
+                F.col("vec"), F.array(*[F.lit(float(x)) for x in cvec])
+            ).alias("d2"),
+            F.lit(int(cid)).cast("int").alias("cid"),
+        )
+        for cid, cvec in centers
+    ]
+    best = F.array_min(F.array(*cands))
+    return points.select(
+        "point_id", best["cid"].alias("cid"), best["d2"].alias("min_d2")
+    )
+
+
+def _assign_batches(centers_arr: np.ndarray):
+    """Build a mapInPandas function: per Arrow batch, vectorized
+    nearest-centroid via one matmul; emits per-batch partial sums."""
+    k, dim = centers_arr.shape
+    sq_c = (centers_arr ** 2).sum(axis=1)  # K
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["vec"].to_numpy())  # N×dim
+            # argmin_c |x|² − 2x·c + |c|² (|x|² constant per row)
+            scores = -2.0 * (x @ centers_arr.T) + sq_c  # N×K
+            cid = scores.argmin(axis=1)
+            d2 = (x ** 2).sum(axis=1) + scores[np.arange(len(x)), cid]
+            out = []
+            for c in np.unique(cid):
+                mask = cid == c
+                out.append(
+                    {
+                        "cid": int(c),
+                        "n": int(mask.sum()),
+                        "sse": float(d2[mask].sum()),
+                        "vsum": x[mask].sum(axis=0).tolist(),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return fn
+
+
+def lloyd_step_nd(
+    points: DataFrame, centers: list[NDCenter]
+) -> tuple[dict[int, list[float]], dict[int, int], float]:
+    """One n-D Lloyd iteration: mapInPandas partial sums → tiny final
+    reduce on the driver (K × num_batches rows — same contract as the
+    2-D ``lloyd_step``, with numpy doing the distance math)."""
+    order = sorted(centers)
+    centers_arr = np.array([c for _, c in order], dtype=np.float64)
+    cid_of_row = {i: cid for i, (cid, _) in enumerate(order)}
+    dim = centers_arr.shape[1]
+    partials = points.select("point_id", "vec").mapInPandas(
+        _assign_batches(centers_arr),
+        schema=f"cid INT, n LONG, sse DOUBLE, vsum ARRAY<DOUBLE>",
+    )
+    rows = partials.collect()
+    sums: dict[int, np.ndarray] = {}
+    counts: dict[int, int] = {}
+    sse = 0.0
+    for r in rows:
+        c = cid_of_row[r["cid"]]
+        sums[c] = sums.get(c, np.zeros(dim)) + np.array(r["vsum"])
+        counts[c] = counts.get(c, 0) + r["n"]
+        sse += r["sse"]
+    means = {c: (sums[c] / counts[c]).tolist() for c in sums}
+    return means, counts, sse
+
+
+def fit_nd(
+    points: DataFrame,
+    k: int,
+    max_iter: int = 10,
+    tol: float = 1e-4,
+    seed: int = 42,
+    init_centers: list[NDCenter] | None = None,
+):
+    """n-D Lloyd loop. Init: first k points by point_id (deterministic)
+    unless explicit centers are given. Returns (centers, wssse_history,
+    sizes)."""
+    pts = points.select("point_id", "vec").cache()
+    try:
+        if init_centers is None:
+            first = pts.orderBy("point_id").limit(k).collect()
+            centers = [(i, list(r["vec"])) for i, r in enumerate(first)]
+        else:
+            centers = [(int(c), [float(x) for x in v]) for c, v in init_centers]
+        history: list[float] = []
+        sizes: dict[int, int] = {}
+        for _ in range(max_iter):
+            means, sizes, sse = lloyd_step_nd(pts, centers)
+            history.append(sse)
+            centers = [
+                (cid, means.get(cid, cvec)) for cid, cvec in centers
+            ]  # empty clusters keep previous center (sequential-kmeans.py:46-48 policy)
+            if len(history) >= 2 and abs(history[-2] - history[-1]) < tol:
+                break
+        return centers, history, sizes
+    finally:
+        pts.unpersist()

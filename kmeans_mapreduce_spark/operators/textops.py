@@ -1,0 +1,97 @@
+"""Text-analysis operators over the documents table (north-star).
+
+The reference has zero string processing (SURVEY §2.2: only float
+parse/format); these are the training-data-pipeline extensions mandated
+by BASELINE.json. All hot-path expressions are Catalyst built-ins
+(split/filter/aggregate/transform) inside whole-stage codegen — at
+100 TB these run as pure narrow map stages over parquet scans with
+column pruning down to (doc_id, text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions.hashing import h64
+from kmeans_mapreduce_spark.functions.text import (
+    LANG_MARKERS,
+    avg_token_len,
+    n_tokens,
+    stopword_ratio,
+    tokens,
+    type_token_ratio,
+)
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + char length per document."""
+    return docs.select(
+        "doc_id",
+        n_tokens(F.col("text")).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+def quality(docs: DataFrame, digits: int = 6) -> DataFrame:
+    """Quality scoring: length/stopword/diversity heuristics.
+
+    score = 0.4·min(n_tokens/100, 1) + 0.3·stopword_ratio
+          + 0.3·type_token_ratio — a deterministic, oracle-checkable
+    stand-in for classifier-based quality filters.
+    """
+    toks = tokens(F.col("text"))
+    nt = F.size(toks).cast("double")
+    sw = stopword_ratio(toks)
+    ttr = type_token_ratio(toks)
+    score = (
+        F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * sw
+        + F.lit(0.3) * ttr
+    )
+    return docs.select(
+        "doc_id",
+        nt.cast("long").alias("n_tokens"),
+        F.round(avg_token_len(toks), digits).alias("avg_token_len"),
+        F.round(sw, digits).alias("stopword_ratio"),
+        F.round(ttr, digits).alias("type_token_ratio"),
+        F.round(score, digits).alias("quality_score"),
+    )
+
+
+def _lang_hits(toks: Column, lang: str) -> Column:
+    markers = LANG_MARKERS[lang]
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def langid(docs: DataFrame) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language marker-word hits.
+
+    Ties break to the first language in sorted order (deterministic, so
+    the DuckDB oracle can replay it with a CASE chain).
+    """
+    toks = tokens(F.lower(F.col("text")))
+    langs = sorted(LANG_MARKERS)
+    cands = [
+        F.struct(
+            _lang_hits(toks, lang).alias("hits"),
+            F.lit(-i).alias("neg_rank"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ]
+    best = F.array_max(F.array(*cands))
+    return docs.select(
+        "doc_id",
+        best["lang"].alias("pred_lang"),
+        best["hits"].cast("long").alias("marker_hits"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: 60-bit content hash of normalized text
+    (md5-based so the oracle reproduces it bit-for-bit)."""
+    return docs.select(
+        "doc_id",
+        h64(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    )

@@ -242,17 +242,28 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle SQL (DuckDB side) — generated from the same constants
 # ---------------------------------------------------------------------------
 
-# Extension registry (north-star operators) — filled in by
-# kmeans_mapreduce_spark.extensions as they are implemented.
-BENCH_EXTENSION_QUERIES: set[str] = set()
+# Extension registry (north-star operators) — heavier ones also run in
+# bench.py at sf0.1.
+BENCH_EXTENSION_QUERIES: set[str] = {
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_embedding",
+    "similarity_topk",
+    "text_quality",
+    "events_sessionize",
+}
 
 
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {}
+    from kmeans_mapreduce_spark.extensions import extension_queries as _eq
+
+    return _eq()
 
 
 def extension_oracle_sql() -> dict[str, str]:
-    return {}
+    from kmeans_mapreduce_spark.extensions import extension_oracle_sql as _eo
+
+    return _eo()
 
 
 def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -57,6 +57,10 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Parquet scans: keep column pruning + predicate pushdown hot.
         .config("spark.sql.parquet.filterPushdown", "true")
+        # The events table stores TIMESTAMP(NANOS) which Spark 4 rejects
+        # by default; read as raw nanosecond longs (floor-divide to get
+        # epoch seconds — matches DuckDB's epoch_ns(ts)//1e9).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Driver-side collect of K centroids per iteration is tiny; keep
         # result size guard at default. UI off for test speed.
         .config("spark.ui.showConsoleProgress", "false")

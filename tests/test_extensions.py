@@ -1,0 +1,101 @@
+"""Behavioral tests for the north-star operators (dedup actually
+detects planted duplicates, similarity finds the planted neighbor,
+multimodal plumbing round-trips binary, etc.). Oracle equivalence is
+covered separately by tools/check_oracle.py / test_oracle_pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators import dedup as dd
+from kmeans_mapreduce_spark.operators import multimodal as mm
+from kmeans_mapreduce_spark.operators import similarity as sim
+from kmeans_mapreduce_spark.operators import textops as tx
+
+DOCS_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s", 44),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s", 44),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy cat", "en", "s", 42),  # near dup of 0
+        (3, "completely different words about spark engines here", "en", "s", 51),
+        (4, "der die das und der die das und der die", "de", "s", 39),
+    ]
+    return spark.createDataFrame(rows, DOCS_SCHEMA)
+
+
+def test_dedup_exact_detects_planted(docs):
+    out = {r["keep_doc_id"]: r["n_copies"] for r in dd.dedup_exact(docs).collect()}
+    assert out[0] == 2  # doc 1 collapsed into doc 0
+    assert 1 not in out
+    assert out[3] == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in dd.minhash_lsh_dedup(docs, 0.5).collect()}
+    assert (0, 1) in pairs  # identical docs always collide
+    # near-dup (0,2): token-set jaccard = 8/12 ≈ 0.67 ≥ 0.5; LSH may or
+    # may not bucket it, but identical signatures guarantee (0,1).
+
+
+def test_jaccard_pairs_values(docs, spark):
+    pairs = spark.createDataFrame([(0, 2)], "doc_a LONG, doc_b LONG")
+    out = dd.jaccard_pairs(docs, pairs, threshold=0.0).collect()
+    assert len(out) == 1
+    # word-3-gram sets: doc0 has 7 shingles, doc2 has 7; they share the
+    # first 4 ("the quick brown" … "fox jumps over"), diverging at
+    # "jumps over the|a". inter=4, union=10 → jaccard 0.4
+    assert out[0]["jaccard"] == pytest.approx(0.4, abs=1e-9)
+
+
+def test_simhash_identical_docs_equal(docs):
+    out = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    assert out[0] == out[1]
+    assert out[0] != out[3]
+
+
+def test_langid_markers(docs):
+    out = {r["doc_id"]: r["pred_lang"] for r in tx.langid(docs).collect()}
+    assert out[4] == "de"
+    assert out[0] == "en"
+
+
+def test_quality_score_range(docs):
+    for r in tx.quality(docs).collect():
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["n_tokens"] > 0
+
+
+def test_similarity_topk_planted(spark):
+    # vec 0 and vec 9 identical direction → top neighbor of 0 must be 9
+    import math
+
+    def vec(seed, dim=8):
+        return [math.sin(seed * (i + 1)) for i in range(dim)]
+
+    # seeds start at 1: vec(0) would be the all-zero vector (sin(0)=0)
+    rows = [(i, [float(x) for x in vec(i + 1)], 0) for i in range(9)]
+    rows.append((9, [2.0 * x for x in vec(1)], 0))  # scaled copy of vec 0
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    out = sim.cosine_topk(emb, [0], k=1).collect()
+    assert out[0]["neighbor_id"] == 9
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_multimodal_plumbing(docs):
+    media = mm.media_from_documents(docs)
+    feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
+    assert len(feats) == 5
+    for r in feats.values():
+        assert r["n_bytes"] == 16  # md5 digest payload
+        assert 0.0 <= r["byte_mean"] <= 255.0
+        assert r["decoded"]
+
+
+def test_multimodal_decode_stub_raises():
+    with pytest.raises(NotImplementedError):
+        mm._decode_stub("hologram", b"\x00")
