@@ -14,7 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kmeans_mapreduce_spark.functions.hashing import h64_sql
+from kmeans_mapreduce_spark.functions.hashing import MINHASH_P, h64_sql, hash_family
 from kmeans_mapreduce_spark.functions.text import LANG_MARKERS, STOPWORDS
 from kmeans_mapreduce_spark.operators import dedup as dd
 from kmeans_mapreduce_spark.operators import events as ev
@@ -215,15 +215,24 @@ SELECT doc_id, {case} AS pred_lang, {greatest} AS marker_hits FROM m
 
 
 def _minhash_cte() -> str:
-    """CTE 's': (doc_id, j, minhash) — shared by sig and pairs."""
-    tok_hash = h64_sql("j::VARCHAR || ':' || tok")
+    """CTE 's': (doc_id, j, minhash) — shared by sig and pairs.
+
+    Twin of dedup.minhash_signatures: one md5 base hash per shingle,
+    family member j = (a_j·h + b_j) mod P (same constants, same int64
+    arithmetic)."""
+    fam_a, fam_b = hash_family(dd.NUM_HASHES)
+    seed_rows = ", ".join(
+        f"({j}, {fam_a[j]}::BIGINT, {fam_b[j]}::BIGINT)"
+        for j in range(dd.NUM_HASHES)
+    )
     return f"""
 t AS ({_shingle_cte()}),
 x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-seeds AS (SELECT unnest(range(0, {dd.NUM_HASHES})) AS j),
+hx AS (SELECT doc_id, {h64_sql('tok')} % {MINHASH_P} AS h FROM x),
+seeds(j, a, b) AS (VALUES {seed_rows}),
 s AS (
-  SELECT doc_id, j, MIN({tok_hash}) AS minhash
-  FROM x CROSS JOIN seeds GROUP BY doc_id, j
+  SELECT doc_id, j, MIN((a * h + b) % {MINHASH_P}) AS minhash
+  FROM hx CROSS JOIN seeds GROUP BY doc_id, j
 )"""
 
 

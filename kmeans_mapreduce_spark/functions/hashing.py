@@ -22,6 +22,25 @@ from pyspark.sql import functions as F
 HASH_NIBBLES = 15
 HASH_SPACE = 16 ** HASH_NIBBLES  # 2^60
 
+# Universal-hash family for minhash: member j is (a_j*h + b_j) mod P
+# over the md5-derived base hash h — ONE md5 per input, the family
+# members are integer multiply-add (Carter–Wegman). P = 2^31−1 (prime)
+# keeps a*h + b < 2^62: no int64 overflow in Spark or DuckDB.
+MINHASH_P = 2_147_483_647
+
+
+def hash_family(n: int, p: int = MINHASH_P) -> tuple[list[int], list[int]]:
+    """Deterministic (a, b) parameter lists — a fixed LCG walk, so both
+    engines (and every test run) see identical constants."""
+    x = 0x9E3779B97F4A7C15
+    a, b = [], []
+    for _ in range(n):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a.append(x % (p - 1) + 1)
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b.append(x % p)
+    return a, b
+
 
 def h64(col: Column) -> Column:
     """60-bit non-negative hash of a string column."""

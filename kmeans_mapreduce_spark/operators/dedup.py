@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.distance import cosine_sim
-from kmeans_mapreduce_spark.functions.hashing import h64, h64_seeded
+from kmeans_mapreduce_spark.functions.hashing import MINHASH_P, h64, hash_family
 from kmeans_mapreduce_spark.functions.text import shingles, tokens
 
 NUM_HASHES = 12  # minhash signature length
@@ -66,19 +66,32 @@ def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
     """MinHash signature per document over its word-3-gram *set*.
 
-    sig[j] = min over shingles s of h64(j || ':' || s). Computed as one
-    narrow expression (transform over seeds × array_min over shingles):
-    no explode, no shuffle — each doc is one row in, num_hashes values
-    out. Long format (doc_id, h_idx, minhash) for oracle friendliness.
+    sig[j] = min over shingles s of (a_j·h64(s) + b_j) mod P — the
+    Carter–Wegman universal family over ONE md5 base hash per shingle.
+    Two projections: (1) base-hash array per doc (md5 evaluated once
+    per shingle — a separate projection so Catalyst cannot inline the
+    expensive expression into each family member), (2) num_hashes
+    integer multiply-add-mod array_mins. No explode, no shuffle: each
+    doc is one row in, num_hashes values out. Long format
+    (doc_id, h_idx, minhash) for oracle friendliness.
     """
-    toks = shingle_set(F.col("text"))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda j: F.array_min(
-            F.transform(toks, lambda t: h64(F.concat_ws(":", j.cast("string"), t)))
-        ),
+    fam_a, fam_b = hash_family(num_hashes)
+    base = docs.select(
+        "doc_id",
+        F.transform(
+            shingle_set(F.col("text")), lambda t: h64(t) % MINHASH_P
+        ).alias("bh"),
     )
-    return docs.select("doc_id", F.posexplode(sig).alias("h_idx", "minhash"))
+    def member(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("bh"), member(fam_a[j], fam_b[j])))
+            for j in range(num_hashes)
+        ]
+    )
+    return base.select("doc_id", F.posexplode(sig).alias("h_idx", "minhash"))
 
 
 def lsh_bands(signatures: DataFrame, bands: int = BANDS) -> DataFrame:
