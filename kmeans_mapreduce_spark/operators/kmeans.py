@@ -88,6 +88,42 @@ def assign_df(points: DataFrame, centroids: DataFrame) -> DataFrame:
     return best
 
 
+def assign_broadcast(points: DataFrame, centers: list[Center]) -> DataFrame:
+    """Same semantics as :func:`assign`, but centers travel as a
+    broadcast ONE-ROW table (cx0,cy0,…) instead of plan literals.
+
+    Inside the Lloyd loop the literal form generates *different* code
+    every iteration (new constants → Janino recompiles, ~0.3 s/iter —
+    half the per-iteration wall at sf0.1). Here the generated code is
+    identical across iterations — centroid values arrive as runtime
+    join data via a 1-row BroadcastNestedLoopJoin — so codegen compiles
+    once and every later iteration is pure execution. Still narrow: no
+    shuffle, K×4 flops/row in whole-stage codegen.
+    """
+    spark = points.sparkSession
+    ordered = sorted((int(c), float(x), float(y)) for c, x, y in centers)
+    row = tuple(v for _, x, y in ordered for v in (x, y))
+    schema = ", ".join(f"cx{i} DOUBLE, cy{i} DOUBLE" for i in range(len(ordered)))
+    cdf = spark.createDataFrame([row], schema)
+    cands = [
+        F.struct(
+            sq_dist_2d(
+                F.col("x"), F.col("y"), F.col(f"cx{i}"), F.col(f"cy{i}")
+            ).alias("d2"),
+            F.lit(cid).cast("int").alias("cid"),
+        )
+        for i, (cid, _, _) in enumerate(ordered)
+    ]
+    best = F.array_min(F.array(*cands))
+    return points.crossJoin(F.broadcast(cdf)).select(
+        "point_id",
+        "x",
+        "y",
+        best["cid"].alias("cid"),
+        best["d2"].alias("min_d2"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # O8 — per-cluster mean (the "reduce", reducer.py:29-44)
 # ---------------------------------------------------------------------------
@@ -234,6 +270,103 @@ def lloyd_step(
     return means, sizes, f_cur
 
 
+def lloyd_step_arrow(
+    points_xy: DataFrame, centers: list[Center]
+) -> tuple[dict[int, tuple[float, float]], dict[int, int], float]:
+    """One Lloyd iteration via Arrow-vectorized partial aggregation.
+
+    Same contract as :func:`lloyd_step`, different physical strategy:
+    ``mapInPandas`` emits K partial-sum rows per partition (numpy
+    argmin over a (batch × K) distance matrix), then a K-row groupBy
+    merges them. Why this exists alongside the pure-Catalyst step: the
+    expression form bakes centroid literals into the plan, so every
+    iteration re-analyzes and re-compiles codegen (~0.2 s/iter — the
+    dominant per-iteration cost at bench scale, and pure driver-side
+    latency at any scale). Here centers ride in the Python closure:
+    the plan is structurally identical every iteration, nothing
+    recompiles, and the shuffle still carries only K rows per
+    partition. Distances use the same (x−cx)²+(y−cy)² float64 op
+    order; argmin ties break to the lowest index = lowest cid
+    (reference mapper.py:43 first-wins).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ordered = sorted((int(c), float(x), float(y)) for c, x, y in centers)
+    cids = [c for c, _, _ in ordered]
+    cx = np.array([x for _, x, _ in ordered])
+    cy = np.array([y for _, _, y in ordered])
+    k = len(ordered)
+
+    def partials(batches):
+        sx = np.zeros(k)
+        sy = np.zeros(k)
+        n = np.zeros(k, dtype=np.int64)
+        sse = np.zeros(k)  # per-cluster, so the groupBy merge is exact
+        for pdf in batches:
+            x = pdf["x"].to_numpy()
+            y = pdf["y"].to_numpy()
+            dx = x[:, None] - cx[None, :]
+            dy = y[:, None] - cy[None, :]
+            d2 = dx * dx + dy * dy
+            a = d2.argmin(axis=1)
+            n += np.bincount(a, minlength=k)
+            sx += np.bincount(a, weights=x, minlength=k)
+            sy += np.bincount(a, weights=y, minlength=k)
+            sse += np.bincount(a, weights=d2[np.arange(len(x)), a], minlength=k)
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        yield pd.DataFrame(
+            {
+                "pid": np.full(k, pid, dtype=np.int32),
+                "cid": np.arange(k, dtype=np.int32),
+                "sx": sx,
+                "sy": sy,
+                "n": n,
+                "sse": sse,
+            }
+        )
+
+    part_df = points_xy.mapInPandas(
+        partials, "pid INT, cid INT, sx DOUBLE, sy DOUBLE, n LONG, sse DOUBLE"
+    )
+    n_parts = points_xy.rdd.getNumPartitions()
+    if n_parts <= 1024:
+        # Single-stage job: P×K partial rows come straight to the
+        # driver (MLlib's treeAggregate endgame) — no shuffle at all.
+        # Merge in pid order so float sums are deterministic per layout.
+        rows = sorted(part_df.collect(), key=lambda r: (r["pid"], r["cid"]))
+    else:
+        # Cluster-scale fallback: merge partials through a K-row
+        # groupBy so the driver sees K rows, not P×K.
+        rows = (
+            part_df.groupBy("cid")
+            .agg(
+                F.sum("sx").alias("sx"),
+                F.sum("sy").alias("sy"),
+                F.sum("n").alias("n"),
+                F.sum("sse").alias("sse"),
+            )
+            .collect()
+        )
+    import collections
+
+    acc = collections.defaultdict(lambda: [0.0, 0.0, 0, 0.0])
+    for r in rows:
+        a = acc[r["cid"]]
+        a[0] += r["sx"]
+        a[1] += r["sy"]
+        a[2] += r["n"]
+        a[3] += r["sse"]
+    means = {
+        cids[c]: (a[0] / a[2], a[1] / a[2]) for c, a in acc.items() if a[2] > 0
+    }
+    sizes = {cids[c]: int(a[2]) for c, a in acc.items() if a[2] > 0}
+    f_cur = float(sum(a[3] for a in acc.values()))
+    return means, sizes, f_cur
+
+
 def fit(
     points: DataFrame,
     k: int,
@@ -242,16 +375,31 @@ def fit(
     seed: int = 42,
     init_centers: list[Center] | None = None,
     empty_policy: str = "reseed",
+    impl: str = "arrow",
 ) -> KMeansResult:
     """Full Lloyd's loop: init → (assign → recompute → repair) → converge.
 
     Convergence: |f(prev) − f(cur)| < tol, matching the reference's δ=0.5
     absolute-WSSSE test (master.py:22,365) but with tol configurable.
     ``points`` is cached once (the reference re-reads points.txt 3+
-    times per iteration); plans are rebuilt from literal centers each
-    iteration so lineage does not grow across iterations.
+    times per iteration); plans are rebuilt from driver-held centers
+    each iteration so lineage does not grow across iterations.
+
+    ``impl``: ``"arrow"`` (default) iterates with
+    :func:`lloyd_step_arrow` — constant plan, no per-iteration codegen
+    recompile; ``"expr"`` uses the pure-Catalyst :func:`lloyd_step`.
+    Same textbook semantics either way.
     """
-    points = points.select("point_id", "x", "y").cache()
+    cols = ["x", "y"] if impl == "arrow" else ["point_id", "x", "y"]
+    points = points.select(*cols).cache()
+    step = lloyd_step_arrow if impl == "arrow" else lloyd_step
+    spark = points.sparkSession
+    # The loop's only shuffle is a K-row aggregate: AQE's adaptive
+    # re-planning buys nothing there but costs ~0.1 s scheduling per
+    # iteration (20% of iteration wall at sf0.1). Disable for the loop,
+    # restore after — large one-shot queries elsewhere keep AQE.
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         if init_centers is None:
             b = bbox(points).collect()[0]
@@ -266,7 +414,7 @@ def fit(
         result = KMeansResult(centers=centers)
         f_prev: float | None = None
         for it in range(max_iter):
-            means, sizes, f_cur = lloyd_step(points, centers)
+            means, sizes, f_cur = step(points, centers)
             result.wssse_history.append(f_cur)
             result.cluster_sizes = sizes
             centers = repair_empty(centers, means, bounds, rng, empty_policy)
@@ -278,4 +426,5 @@ def fit(
             f_prev = f_cur
         return result
     finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         points.unpersist()
