@@ -303,11 +303,16 @@ def _cosine_sql(a: str, b: str) -> str:
 
 
 def _embedding_near_dup_sql() -> str:
+    """Twin of dedup.embedding_near_dup: normalize once, one dot per
+    pair — identical op order so 6-digit rounding matches."""
     return f"""
-WITH {_dvec_cte()},
+WITH e0 AS (SELECT vec_id, label,
+            list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
+e1 AS (SELECT vec_id, label, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM e0),
+e AS (SELECT vec_id, label, list_transform(v0, x -> x / nrm) AS v FROM e1),
 p AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         ROUND({_cosine_sql('a.v', 'b.v')}, 6) AS cosine
+         ROUND({_dot_sql('a.v', 'b.v')}, 6) AS cosine
   FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT * FROM p WHERE cosine >= {EMBED_COSINE_THRESHOLD}

