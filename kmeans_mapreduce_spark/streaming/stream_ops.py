@@ -39,17 +39,103 @@ def score_stream(
     )
 
 
-def stream_window_counts(stream: DataFrame, watermark_sec: int = 600) -> DataFrame:
+def stream_window_counts(
+    stream: DataFrame, watermark_sec: int | None = 600
+) -> DataFrame:
     """Tumbling event-time window counts with watermark (bounded state;
     late rows beyond the watermark are dropped, the streaming analog of
-    operators.events.window_agg)."""
+    operators.events.window_agg).
+
+    ``watermark_sec=None`` skips the watermark for complete-output-mode
+    runs (tests compare the full streaming result to the batch twin);
+    production append-mode streams must keep one, or state never
+    evicts."""
     with_ts = stream.withColumn(
         "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
-    ).withWatermark("event_time", f"{watermark_sec} seconds")
+    )
+    if watermark_sec is not None:
+        with_ts = with_ts.withWatermark("event_time", f"{watermark_sec} seconds")
     return with_ts.groupBy(
         F.window("event_time", f"{WINDOW_SEC} seconds").alias("w"),
         "event_type",
     ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
+
+
+def stream_sessionize(stream: DataFrame, gap_sec: int | None = None) -> DataFrame:
+    """Custom stateful streaming operator: gap-based sessionization via
+    ``applyInPandasWithState`` — the streaming twin of
+    operators.events.sessionize.
+
+    State per user: the open session (start, last_ts, n, value_sum).
+    Each micro-batch folds its events (ts-sorted) into the open
+    session; sessions whose gap exceeds ``gap_sec`` are CLOSED and
+    emitted; the trailing open session stays in the state store across
+    batches (restart-safe via checkpoint). At scale the state store is
+    keyed by user — uniform hash, no skew — and each micro-batch
+    shuffles only that batch's rows.
+
+    Output: closed sessions only (user_id, session_start, session_end,
+    n_events, value_sum). The open tail per user is observable once a
+    later event closes it — identical semantics to a session window
+    with no allowed lateness.
+    """
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.operators.events import SESSION_GAP_SEC
+
+    gap = SESSION_GAP_SEC if gap_sec is None else gap_sec
+    out_schema = (
+        "user_id BIGINT, session_start BIGINT, session_end BIGINT, "
+        "n_events BIGINT, value_sum DOUBLE"
+    )
+    state_schema = (
+        "session_start BIGINT, last_ts BIGINT, n_events BIGINT, value_sum DOUBLE"
+    )
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        if state.exists:
+            s0, last, n, vs = state.get
+        else:
+            s0 = last = None
+            n, vs = 0, 0.0
+        closed = []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_sec", "event_id"], kind="mergesort")
+        for ts, val in zip(batch["ts_sec"], batch["value"]):
+            ts = int(ts)
+            if last is None:
+                s0, last, n, vs = ts, ts, 1, float(val)
+            elif ts - last > gap:
+                closed.append((user_id, s0, last, n, vs))
+                s0, last, n, vs = ts, ts, 1, float(val)
+            else:
+                n += 1
+                vs += float(val)
+                last = ts
+        if last is not None:
+            state.update((s0, last, n, vs))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=[
+                    "user_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "value_sum",
+                ],
+            )
+
+    e = stream.select(
+        "user_id",
+        F.expr("ts div 1000000000").alias("ts_sec"),
+        "event_id",
+        "value",
+    )
+    return e.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
 
 
 def run_stream_to_memory(

@@ -1,0 +1,49 @@
+"""Source/sink tests (SURVEY §2.1 O1/O4/O5): reference-format CSV scan,
+partitioned sink layout, delete-then-rewrite centroid sink semantics."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators import kmeans as km
+from kmeans_mapreduce_spark.schema import POINTS_2D
+from kmeans_mapreduce_spark.sources import loaders
+
+
+def test_read_points_csv_reference_format(spark, tmp_path):
+    # the reference's exact on-disk format: one "x,y" line per point
+    # (/root/reference/master.py:286-288)
+    p = tmp_path / "points.txt"
+    p.write_text("1.5,2.5\n-3.0,4.25\n0.0,0.0\n")
+    df = loaders.read_points_csv(spark, str(p))
+    rows = df.orderBy("x").collect()
+    assert len({r["point_id"] for r in rows}) == 3  # ids unique (the contract)
+    assert {(r["x"], r["y"]) for r in rows} == {(1.5, 2.5), (-3.0, 4.25), (0.0, 0.0)}
+
+
+def test_write_centroids_overwrite_keeps_latest_generation(spark, tmp_path):
+    path = str(tmp_path / "centroids")
+    gen1 = spark.createDataFrame([(0, 1.0, 1.0), (1, 2.0, 2.0)], "cid INT, cx DOUBLE, cy DOUBLE")
+    gen2 = spark.createDataFrame([(0, 9.0, 9.0), (1, 8.0, 8.0)], "cid INT, cx DOUBLE, cy DOUBLE")
+    loaders.write_centroids(gen1, path)
+    loaders.write_centroids(gen2, path)
+    back = {r["cid"]: (r["cx"], r["cy"]) for r in spark.read.parquet(path).collect()}
+    # overwrite ≡ the reference's delete-then-rewrite (master.py:90-95):
+    # only the latest generation survives
+    assert back == {0: (9.0, 9.0), 1: (8.0, 8.0)}
+
+
+def test_write_partitioned_layout(spark, tmp_path):
+    path = str(tmp_path / "assigned")
+    pts = spark.createDataFrame(
+        [(i, float(i), float(i)) for i in range(8)], POINTS_2D
+    )
+    assigned = km.assign(pts, [(0, 0.0, 0.0), (1, 7.0, 7.0)])
+    loaders.write_partitioned(assigned, path, key="cid")
+    dirs = {d for d in os.listdir(path) if d.startswith("cid=")}
+    assert dirs == {"cid=0", "cid=1"}
+    back = spark.read.parquet(path)
+    assert back.count() == 8
+    assert back.filter(F.col("cid") == 0).count() == 4
