@@ -35,6 +35,7 @@ TOPK_K = 5
 ANN_K = 3
 ND_CENTROID_IDS = [0, 1, 2, 3]
 EMB_DIM = 64
+IVF_NPROBE = 2
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -101,6 +102,16 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, ANN_K
+    )
+
+
+def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_ann_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        ND_CENTROID_IDS,
+        TOPK_QUERY_IDS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
     )
 
 
@@ -365,6 +376,54 @@ FROM ranked WHERE rank <= {k}
     )
 
 
+def _ivf_ann_sql() -> str:
+    """Twin of similarity.ivf_ann_topk: cell = argmin raw-d2 over the
+    fixed centroid rows (tie→lowest cell), probes = nprobe nearest
+    cells per query, re-rank = normalized dot (same op order as
+    embedding_near_dup)."""
+    cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
+    qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
+    d2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v0[i] - c.cvec[i]) * (e0.v0[i] - c.cvec[i])))"
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
+c AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cell, v0 AS cvec
+  FROM e0 WHERE vec_id IN ({cids})
+),
+sc AS (SELECT e0.vec_id, c.cell, {d2} AS d2 FROM e0 CROSS JOIN c),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM sc
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM sc WHERE vec_id IN ({qids})
+  ) WHERE rn <= {IVF_NPROBE}
+),
+e1 AS (SELECT vec_id, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM e0),
+e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS nv FROM e1),
+cand AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id
+  FROM probes p JOIN cells n ON n.cell = p.cell AND n.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id, ROUND({_dot_sql('q.nv', 'x.nv')}, 6) AS cosine
+  FROM cand JOIN e q ON q.vec_id = cand.query_id JOIN e x ON x.vec_id = cand.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def _kmeans_nd_assign_sql() -> str:
     """Cross join embeddings × the K centroid rows (centroids ARE data
     here: vec_id ∈ ND_CENTROID_IDS), per-pair list distance, then
@@ -405,6 +464,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
+        "similarity_ann_ivf": q_similarity_ann_ivf,
         "kmeans_nd_assign": q_kmeans_nd_assign,
         "kmeans_nd_fit": q_kmeans_nd_fit,
         "multimodal_meta": q_multimodal_meta,
@@ -470,6 +530,7 @@ SELECT * FROM p WHERE jaccard >= {JACCARD_BLOCK_THRESHOLD}""",
         "dedup_embedding": _embedding_near_dup_sql(),
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
+        "similarity_ann_ivf": _ivf_ann_sql(),
         "kmeans_nd_assign": _kmeans_nd_assign_sql(),
         "multimodal_meta": """
 SELECT doc_id AS media_id,

@@ -15,11 +15,12 @@ per-key top-k.
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kmeans_mapreduce_spark.functions.distance import cosine_sim, dot_nd
+from kmeans_mapreduce_spark.functions.distance import cosine_sim, dot_nd, sq_dist_nd
 
 NUM_PLANES = 8
 DIM = 64
@@ -63,6 +64,111 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def ivf_ann_topk(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """IVF-style ANN: coarse quantize → probe nprobe cells → exact
+    cosine re-rank. The scale path for embedding search (this is the
+    same shape FAISS IVF-Flat distributes): cell assignment is the
+    k-means engine's own nearest-centroid operator, the candidate join
+    is an equi-join on cell id, and each query touches ~nprobe/K of the
+    corpus instead of all of it.
+
+    Cells come from FIXED centroid rows (``centroid_ids`` index the
+    corpus itself) so the whole pipeline is deterministic and
+    SQL-expressible — swap in ``kmeans_nd.fit_nd`` centers for a
+    trained quantizer. Cell id = rank of the centroid's vec_id in
+    sorted order. Assignment uses raw-vector squared distance
+    (tie→lowest cell); re-rank uses normalized-dot cosine (rounded,
+    neighbor_id tiebreak).
+    """
+    spark = emb.sparkSession
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    cents_rows = (
+        e0.filter(F.col("vec_id").isin(centroid_ids))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centers = [(i, list(r["v0"])) for i, r in enumerate(cents_rows)]
+
+    # ONE corpus pass: cell (argmin raw-d2, tie→lowest cell) AND the
+    # normalized vector, in a single projection chain — the probe-side
+    # joins below are all broadcasts, so this scan is the whole cost.
+    cands = [
+        F.struct(
+            sq_dist_nd(
+                F.col("v0"), F.array(*[F.lit(float(x)) for x in cvec])
+            ).alias("d2"),
+            F.lit(cid).cast("int").alias("cid"),
+        )
+        for cid, cvec in centers
+    ]
+    best = F.array_min(F.array(*cands))
+    df = (
+        e0.withColumn("nrm", F.sqrt(dot_nd(F.col("v0"), F.col("v0"))))
+        .select(
+            "vec_id",
+            best["cid"].alias("cell"),
+            F.transform(F.col("v0"), lambda x: x / F.col("nrm")).alias("nv"),
+        )
+        # INDEX BUILD BARRIER. Without it, the join's derived
+        # isnotnull(cell) predicate is pushed down as a DataFilter
+        # containing the whole K×dim argmin tree (evaluated once in the
+        # filter, again in the project), and under AQE the replicated
+        # tree blows planning/execution up ~8×. localCheckpoint
+        # materializes (vec_id, cell, nv) and truncates lineage — the
+        # probe joins below see a plain scan. This mirrors real IVF:
+        # the quantized index is BUILT once and persisted (at cluster
+        # scale: written to parquet bucketed by cell), then queried.
+        .localCheckpoint(eager=False)
+    )
+
+    # probe list per query: Q×K distances on the driver (exact same
+    # sequential float op order as the distributed/oracle form — Q and
+    # K are both tiny, this is metadata math, not data math)
+    qrows = {
+        r["vec_id"]: list(r["v0"])
+        for r in e0.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    probe_rows = []
+    qn_rows = []
+    for qid in sorted(qrows):
+        qv = qrows[qid]
+        ranked = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cvec)), cid)
+            for cid, cvec in centers
+        )
+        probe_rows += [(qid, cid) for _, cid in ranked[:nprobe]]
+        # normalized query vector, same sequential op order as df's nv
+        # — shipping it as a literal keeps df's (large) expression tree
+        # out of the plan a second time
+        nrm = math.sqrt(sum(x * x for x in qv))
+        qn_rows.append((qid, [x / nrm for x in qv]))
+    probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
+    qn = spark.createDataFrame(qn_rows, "query_id LONG, qnv ARRAY<DOUBLE>")
+    cand = (
+        df.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qn), "query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(dot_nd(F.col("qnv"), F.col("nv")), digits).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)

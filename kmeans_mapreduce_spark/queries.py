@@ -249,6 +249,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "dedup_simhash",
     "dedup_embedding",
     "similarity_topk",
+    "similarity_ann_ivf",
     "text_quality",
     "events_sessionize",
 }

@@ -49,6 +49,23 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # local mode = driver IS the executor: the default 1g heap GC-
+        # thrashes under 32 task threads + cached inputs (observed as
+        # intermittent 40s stop-the-world pauses mid-bench). Size it
+        # like an executor. Applied at JVM launch; no-op on getOrCreate
+        # of an existing session.
+        .config(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+        )
+        .config("spark.driver.maxResultSize", "4g")
+        # Whole-stage codegen emits one class per distinct plan; long
+        # sessions (iterative fits, many-query benches) overflow the
+        # JVM's default 240m code cache, HotSpot stops JIT-compiling,
+        # and later queries run interpreted (measured 8-10x slowdowns).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -86,6 +86,23 @@ def test_similarity_topk_planted(spark):
     assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
 
 
+def test_ivf_ann_finds_planted_neighbor(spark):
+    import math
+
+    def vec(seed, dim=8):
+        return [math.sin(seed * (i + 1)) for i in range(dim)]
+
+    # corpus of 12; vec 11 is a scaled copy of vec 5 → IVF must place
+    # them in the same cell (same direction ⇒ same nearest centroid
+    # unless cells are pathological) and return 11 as 5's top neighbor.
+    rows = [(i, [float(x) for x in vec(i + 1)], 0) for i in range(11)]
+    rows.append((11, [3.0 * x for x in vec(6)], 0))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    out = sim.ivf_ann_topk(emb, centroid_ids=[0, 5], query_ids=[5], k=1, nprobe=1).collect()
+    assert out[0]["neighbor_id"] == 11
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
+
+
 def test_multimodal_plumbing(docs):
     media = mm.media_from_documents(docs)
     feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
