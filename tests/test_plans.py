@@ -1,0 +1,70 @@
+"""Plan-property regression tests: the scale contract, asserted.
+
+Each test pins a physical-plan property that makes an operator viable
+at 100 TB — column pruning reaching the parquet scan, dimension joins
+broadcasting instead of shuffling, no accidental cartesian products,
+narrow (shuffle-free) assignment. A change that silently breaks one of
+these still passes value-correctness tests; these catch it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark import plans
+from kmeans_mapreduce_spark.operators import dedup as dd
+from kmeans_mapreduce_spark.operators import kmeans as km
+from kmeans_mapreduce_spark.sources.derive import points_2d
+from kmeans_mapreduce_spark.sources.loaders import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_points_scan_prunes_columns(spark):
+    # lineitem has 16 columns; the point derivation needs 5
+    cols = plans.scan_columns(points_2d(spark, SF))
+    assert set(cols) == {
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_extendedprice",
+        "l_quantity",
+    }
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = load_table(spark, SF, "documents").filter(F.col("doc_id") < 10).select("doc_id")
+    assert plans.has_pushed_filters(df)
+    assert plans.scan_columns(df) == ["doc_id"]
+
+
+def test_assign_is_narrow_no_join_no_shuffle(spark):
+    df = km.assign(points_2d(spark, SF), [(0, 1.0, 1.0), (1, 9.0, 9.0)])
+    plan = plans.explain_str(df)
+    assert "Join" not in plan
+    assert "Exchange" not in plan  # pure map: scan → project
+
+
+def test_assign_df_broadcasts_centroids(spark):
+    cents = spark.createDataFrame(
+        [(0, 1.0, 1.0), (1, 9.0, 9.0)], "cid INT, cx DOUBLE, cy DOUBLE"
+    )
+    df = km.assign_df(points_2d(spark, SF), cents)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df)
+
+
+def test_minhash_candidates_join_is_not_cartesian(spark):
+    docs = load_table(spark, SF, "documents")
+    cands = dd.candidate_pairs(dd.lsh_bands(dd.minhash_signatures(docs)))
+    assert not plans.has_cartesian(cands)
+
+
+def test_recompute_has_partial_aggregation(spark):
+    df = km.recompute(km.assign(points_2d(spark, SF), [(0, 1.0, 1.0)]))
+    plan = plans.explain_str(df)
+    # partial+final HashAggregate pair = map-side combine the reference
+    # lacks (its shuffle carries every point, mapper.py:53-74)
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_avg" in plan or "partial_average" in plan.lower()
