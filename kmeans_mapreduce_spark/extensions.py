@@ -36,6 +36,8 @@ ANN_K = 3
 ND_CENTROID_IDS = [0, 1, 2, 3]
 EMB_DIM = 64
 IVF_NPROBE = 2
+TFIDF_K = 3
+TOPCUST_K = 3
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -61,6 +63,33 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.revenue_by_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+    )
+
+
+def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.top_customers_per_nation(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        k=TOPCUST_K,
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -456,6 +485,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
+        "text_tfidf": q_text_tfidf,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "join_top_customers": q_join_top_customers,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -506,6 +538,48 @@ FROM m
             f"SELECT doc_id, {h64_sql('lower(trim(text))')} AS fingerprint "
             "FROM documents"
         ),
+        "text_tfidf": f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tok GROUP BY term),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln((SELECT COUNT(*) FROM documents)::DOUBLE / df.df), 6) AS tfidf
+  FROM tf JOIN df ON tf.term = df.term
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, rank::INTEGER AS rank, tfidf FROM ranked WHERE rank <= {TFIDF_K}""",
+        "join_revenue_by_nation": """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name""",
+        "join_top_customers": f"""
+WITH per_cust AS (
+  SELECT o.o_custkey, ROUND(SUM(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)), 2) AS revenue
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+),
+named AS (
+  SELECT n.n_name, p.o_custkey AS custkey, p.revenue
+  FROM per_cust p
+  JOIN customer c ON p.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY revenue DESC, custkey) AS rank
+  FROM named
+)
+SELECT n_name, custkey, rank::INTEGER AS rank, revenue FROM ranked WHERE rank <= {TOPCUST_K}""",
         "dedup_exact": f"""
 SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY {h64_sql('lower(trim(text))')}""",

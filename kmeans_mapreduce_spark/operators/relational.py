@@ -1,0 +1,93 @@
+"""Relational analytics over the warehouse tables (north-star breadth).
+
+The reference has NO join operator (SURVEY §2.2) — its only join-shaped
+computation is the point×centroid argmin. A production data pipeline
+built around this engine needs the classic shapes; these implement them
+with explicit scale strategy:
+
+- **fact ⋈ dims**: dimensions (nation, customer) broadcast — the fact
+  table (lineitem) never shuffles for the join, only for the final
+  grouped aggregate, which is partial+final combined.
+- **top-k per group**: window row_number after a grouped pre-aggregate,
+  so the window input is |groups|, not |fact rows|.
+
+Both are DuckDB-oracle-checked (extensions.py) and plan-asserted
+(tests/test_plans.py: broadcast, no cartesian).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+REVENUE = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
+    "rev"
+)
+
+
+def revenue_by_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    digits: int = 2,
+) -> DataFrame:
+    """Σ extendedprice·(1−discount) per customer nation.
+
+    Join order: fact → orders (fact-fact equi-join on orderkey) →
+    broadcast customer → broadcast nation. The grouped sum is
+    partial-aggregated map-side; the only wide shuffle is orderkey."""
+    li = lineitem.select("l_orderkey", REVENUE)
+    o = orders.select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum("rev"), digits).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def top_customers_per_nation(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    k: int = 3,
+    digits: int = 2,
+) -> DataFrame:
+    """Top-k customers by revenue within each nation.
+
+    Pre-aggregate revenue per customer FIRST (shrinks the window input
+    from |lineitem| to |customers|), then rank within nation. Revenue
+    is rounded before ranking so order is reproducible across engines;
+    ties break by c_custkey."""
+    li = lineitem.select("l_orderkey", REVENUE)
+    o = orders.select("o_orderkey", "o_custkey")
+    c = customer.select("c_custkey", "c_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    per_cust = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("rev"), digits).alias("revenue"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(
+        F.desc("revenue"), F.asc("c_custkey")
+    )
+    return (
+        per_cust.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "n_name",
+            F.col("c_custkey").alias("custkey"),
+            F.col("rank").cast("int").alias("rank"),
+            "revenue",
+        )
+    )

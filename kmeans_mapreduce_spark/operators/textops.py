@@ -10,6 +10,8 @@ column pruning down to (doc_id, text).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -94,4 +96,40 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id",
         h64(F.lower(F.trim(F.col("text")))).alias("fingerprint"),
+    )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 3, digits: int = 6) -> DataFrame:
+    """TF-IDF: top-k terms per document.
+
+    tf = term count within the doc; idf = ln(N / df) with N = corpus
+    size (driver-collected integer literal — deterministic) and
+    df = distinct-document frequency. Scale shape: one explode, a
+    (doc, term) partial-aggregated count, a term-keyed df aggregate
+    joined back (term dictionary ≪ corpus, broadcastable at real
+    scale), window top-k over |doc × distinct-term| rows. Rounded
+    before ranking; ties break lexicographically by term.
+    """
+    from pyspark.sql import Window
+
+    n_docs = docs.count()  # tiny driver scalar, exact integer
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), digits
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term", F.col("rank").cast("int").alias("rank"), "tfidf")
     )

@@ -61,6 +61,23 @@ def test_minhash_candidates_join_is_not_cartesian(spark):
     assert not plans.has_cartesian(cands)
 
 
+def test_revenue_join_broadcasts_dimensions(spark):
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    df = rel.revenue_by_nation(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "nation"),
+    )
+    plan = plans.explain_str(df)
+    assert not plans.has_cartesian(df)
+    # customer and nation must build broadcast hash relations
+    assert plan.count("BroadcastHashJoin") >= 2
+    # grouped sum partially aggregates map-side
+    assert plan.count("HashAggregate") >= 2
+
+
 def test_recompute_has_partial_aggregation(spark):
     df = km.recompute(km.assign(points_2d(spark, SF), [(0, 1.0, 1.0)]))
     plan = plans.explain_str(df)
