@@ -38,6 +38,7 @@ EMB_DIM = 64
 IVF_NPROBE = 2
 TFIDF_K = 3
 TOPCUST_K = 3
+ANTI_MIN_QTY = 45.0
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -89,6 +90,26 @@ def q_join_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "customer"),
         load_table(spark, sf_dir, "nation"),
         k=TOPCUST_K,
+    )
+
+
+def q_join_parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.parts_never_ordered(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+        min_qty=ANTI_MIN_QTY,
+    )
+
+
+def q_join_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.suppliers_per_region(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
     )
 
 
@@ -488,6 +509,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tfidf": q_text_tfidf,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "join_top_customers": q_join_top_customers,
+        "join_parts_never_ordered": q_join_parts_never_ordered,
+        "join_suppliers_per_region": q_join_suppliers_per_region,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -580,6 +603,18 @@ ranked AS (
   FROM named
 )
 SELECT n_name, custkey, rank::INTEGER AS rank, revenue FROM ranked WHERE rank <= {TOPCUST_K}""",
+        "join_parts_never_ordered": f"""
+SELECT p.p_partkey FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_partkey = p.p_partkey AND l.l_quantity > {ANTI_MIN_QTY}
+)""",
+        "join_suppliers_per_region": """
+SELECT r.r_name, COUNT(*) AS n_suppliers
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name""",
         "dedup_exact": f"""
 SELECT MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
 FROM documents GROUP BY {h64_sql('lower(trim(text))')}""",

@@ -91,3 +91,36 @@ def top_customers_per_nation(
             "revenue",
         )
     )
+
+
+def parts_never_ordered(
+    part: DataFrame, lineitem: DataFrame, min_qty: float = 45.0
+) -> DataFrame:
+    """Anti-join: parts with no high-quantity (> min_qty) lineitem.
+
+    The quantity predicate filters the build side BEFORE the anti-join
+    (pushed to the lineitem scan), so the join probes a shrunken key
+    set; no NOT-IN NULL traps, no cartesian. (Unfiltered, the synthetic
+    data references every part — the filter keeps the check
+    non-vacuous.)"""
+    return part.select("p_partkey").join(
+        lineitem.filter(F.col("l_quantity") > min_qty).select("l_partkey"),
+        F.col("p_partkey") == F.col("l_partkey"),
+        "left_anti",
+    )
+
+
+def suppliers_per_region(
+    supplier: DataFrame, nation: DataFrame, region: DataFrame
+) -> DataFrame:
+    """Region rollup: supplier count per region name (two broadcast
+    dimension hops: supplier → nation → region)."""
+    s = supplier.select("s_suppkey", "s_nationkey")
+    n = nation.select("n_nationkey", "n_regionkey")
+    r = region.select("r_regionkey", "r_name")
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
