@@ -191,6 +191,89 @@ def init_random(
     ]
 
 
+def init_kmeans_parallel(
+    points: DataFrame,
+    k: int,
+    seed: int = 42,
+    rounds: int = 5,
+    oversample: int | None = None,
+) -> list[Center]:
+    """k-means|| init (Bahmani et al., VLDB 2012) — the scale-correct
+    seeding the reference lacks (its uniform-box init needs many Lloyd
+    iterations to recover from bad seeds; D²-sampling starts near the
+    final solution).
+
+    Each round: score every point against the current candidate set
+    (narrow literal-argmin map — no shuffle), Σd² via one aggregate,
+    then sample points with probability min(1, l·d²/φ) using a seeded
+    per-round ``rand``. Candidates (≈ rounds·l total, driver-tiny) are
+    weighted by their nearest-point counts and reduced to k with a
+    deterministic weighted Lloyd on the driver. O(rounds) passes over
+    the data, exactly like MLlib's implementation of the same paper.
+    """
+    import numpy as np
+
+    l = oversample or 2 * k
+    pts = points.select("x", "y")
+    rng = random.Random(seed)
+    frac = min(1.0, 100.0 / max(pts.count(), 1))
+    first = pts.sample(False, frac, seed).limit(1).collect()
+    if not first:
+        first = pts.limit(1).collect()
+    cands: list[tuple[float, float]] = [(first[0]["x"], first[0]["y"])]
+
+    for r in range(rounds):
+        lit_centers = [(i, cx, cy) for i, (cx, cy) in enumerate(cands)]
+        best = nearest_centroid_2d(F.col("x"), F.col("y"), lit_centers)
+        scored = pts.select("x", "y", best["d2"].alias("d2"))
+        phi = scored.agg(F.sum("d2").alias("phi")).collect()[0]["phi"]
+        if not phi or phi <= 0:
+            break  # every point coincides with a candidate
+        new = (
+            scored.filter(
+                F.rand(seed + 1000 + r) < (F.lit(float(l)) * F.col("d2") / F.lit(float(phi)))
+            )
+            .select("x", "y")
+            .collect()
+        )
+        cands.extend((row["x"], row["y"]) for row in new)
+
+    # weights: how many points each candidate wins
+    lit_centers = [(i, cx, cy) for i, (cx, cy) in enumerate(cands)]
+    best = nearest_centroid_2d(F.col("x"), F.col("y"), lit_centers)
+    wrows = pts.select(best["cid"].alias("cid")).groupBy("cid").count().collect()
+    weights = np.zeros(len(cands))
+    for row in wrows:
+        weights[row["cid"]] = row["count"]
+
+    # driver-side weighted Lloyd to reduce candidates → k (deterministic)
+    arr = np.array(cands)
+    if len(cands) <= k:
+        out = [(i, float(x), float(y)) for i, (x, y) in enumerate(cands)]
+        while len(out) < k:  # degenerate corpus: pad with jittered copies
+            i = len(out)
+            x, y = cands[i % len(cands)]
+            out.append((i, x + rng.uniform(-1e-6, 1e-6), y + rng.uniform(-1e-6, 1e-6)))
+        return out
+    # seed with the k heaviest candidates, then a few weighted-Lloyd steps
+    top = np.argsort(-weights, kind="stable")[:k]
+    centers = arr[top].copy()
+    for _ in range(20):
+        d2 = ((arr[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        moved = 0.0
+        for j in range(k):
+            m = a == j
+            w = weights[m]
+            if w.sum() > 0:
+                nc = (arr[m] * w[:, None]).sum(axis=0) / w.sum()
+                moved += float(((nc - centers[j]) ** 2).sum())
+                centers[j] = nc
+        if moved < 1e-12:
+            break
+    return [(i, float(cx), float(cy)) for i, (cx, cy) in enumerate(centers)]
+
+
 # ---------------------------------------------------------------------------
 # O12 — empty-cluster repair (master.py:265-271 / sequential-kmeans.py:46-48)
 # ---------------------------------------------------------------------------
@@ -376,6 +459,7 @@ def fit(
     init_centers: list[Center] | None = None,
     empty_policy: str = "reseed",
     impl: str = "arrow",
+    init: str = "random",
 ) -> KMeansResult:
     """Full Lloyd's loop: init → (assign → recompute → repair) → converge.
 
@@ -404,7 +488,10 @@ def fit(
         if init_centers is None:
             b = bbox(points).collect()[0]
             bounds = (b["min_x"], b["max_x"], b["min_y"], b["max_y"])
-            centers = init_random(k, bounds, seed)
+            if init == "k-means||":
+                centers = init_kmeans_parallel(points, k, seed)
+            else:
+                centers = init_random(k, bounds, seed)
         else:
             b = bbox(points).collect()[0]
             bounds = (b["min_x"], b["max_x"], b["min_y"], b["max_y"])

@@ -222,6 +222,23 @@ def q_kmeans_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_kmeans_fit_kmpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 variant — k-means|| (Bahmani) D²-sampling init + Lloyd loop.
+
+    Sampling uses distributed seeded rand → rows-only check (like
+    kmeans_fit); the property test asserts it beats random init."""
+    res = km.fit(
+        points_2d(spark, sf_dir), k=8, max_iter=5, tol=0.5, seed=42, init="k-means||"
+    )
+    rows = [
+        (cid, float(cx), float(cy), len(res.wssse_history), res.converged)
+        for cid, cx, cy in res.centers
+    ]
+    return spark.createDataFrame(
+        rows, "cid INT, cx DOUBLE, cy DOUBLE, iterations INT, converged BOOLEAN"
+    )
+
+
 def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11+O13 — full engine fit (seeded init, repair, convergence).
 
@@ -277,6 +294,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_repair_empty": q_kmeans_repair_empty,
         "kmeans_loop2": q_kmeans_loop2,
         "kmeans_fit": q_kmeans_fit,
+        "kmeans_fit_kmpp": q_kmeans_fit_kmpp,
     }
 
 

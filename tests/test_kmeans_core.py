@@ -116,6 +116,17 @@ def test_fit_wssse_nonincreasing(spark, sf_dir):
         assert cur <= prev * (1 + 1e-9)
 
 
+def test_kmeans_parallel_init_beats_random_first_iteration(spark, sf_dir):
+    from kmeans_mapreduce_spark.sources.derive import points_2d
+
+    pts = points_2d(spark, sf_dir)
+    rnd = km.fit(pts, k=4, max_iter=2, tol=0.0, seed=42)
+    kmpp = km.fit(pts, k=4, max_iter=2, tol=0.0, seed=42, init="k-means||")
+    assert sorted(c[0] for c in kmpp.centers) == [0, 1, 2, 3]
+    # D²-sampled seeds start far closer to the optimum than uniform-box
+    assert kmpp.wssse_history[0] < rnd.wssse_history[0]
+
+
 def test_fit_always_k_centers(spark, sf_dir):
     from kmeans_mapreduce_spark.sources.derive import points_2d
 
