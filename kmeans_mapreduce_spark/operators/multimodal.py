@@ -90,3 +90,81 @@ def media_meta(media: DataFrame) -> DataFrame:
     """Typed-metadata projection (oracle-checkable: no binary in the
     output, so the DuckDB twin reproduces it arithmetically)."""
     return media.select("media_id", "kind", "n_bytes", "width", "height")
+
+
+RESIZE_SCHEMA = (
+    "media_id LONG, kind STRING, out_width INT, out_height INT, n_bytes LONG"
+)
+
+FRAME_SCHEMA = "media_id LONG, frame_idx INT, frame_bytes BINARY"
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Image resize over binary payloads — narrow mapInPandas pass.
+
+    Real plumbing (kind filter pushed to the scan, Arrow batches,
+    per-row binary handling); the pixel work itself needs an image
+    codec this container lacks, so the 'resize' deterministically
+    truncates/pads the payload to width·height/256 bytes — swap the
+    body for PIL `Image.resize` on a real cluster, the plan is
+    unchanged."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = max(1, width * height // 256)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            resized = [
+                (bytes(p) * (target // max(len(bytes(p)), 1) + 1))[:target]
+                for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "out_width": width,
+                    "out_height": height,
+                    "n_bytes": [len(r) for r in resized],
+                }
+            )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "kind", "payload")
+        .mapInPandas(fn, schema=RESIZE_SCHEMA)
+    )
+
+
+def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """Video frame sampling: one output row per sampled 'frame'.
+
+    Demonstrates the 1→N multimodal fan-out shape (mapInPandas emitting
+    multiple rows per input). Frames are deterministic 4-byte slices of
+    the payload standing in for decoded frames — swap for pyav/ffmpeg
+    keyframe extraction in production; schema, batching, and the
+    explode-like output contract stay identical."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_bytes = [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                blob = bytes(p)
+                n_frames = max(len(blob) // 4, 1)
+                for i in range(0, n_frames, every_n):
+                    out_ids.append(mid)
+                    out_idx.append(i)
+                    out_bytes.append(blob[i * 4 : i * 4 + 4] or blob[:4])
+            if out_ids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": out_ids,
+                        "frame_idx": out_idx,
+                        "frame_bytes": out_bytes,
+                    }
+                )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(fn, schema=FRAME_SCHEMA)
+    )

@@ -113,6 +113,21 @@ def test_multimodal_plumbing(docs):
         assert r["decoded"]
 
 
+def test_multimodal_resize_and_frame_sample(docs):
+    media = mm.media_from_documents(docs)
+    resized = mm.resize_images(media, 32, 32).collect()
+    assert len(resized) == sum(1 for r in media.collect() if r["kind"] == "image")
+    assert all(r["n_bytes"] == 32 * 32 // 256 for r in resized)
+    frames = mm.sample_frames(media, every_n=2).collect()
+    vids = [r["media_id"] for r in media.collect() if r["kind"] == "video"]
+    assert {f["media_id"] for f in frames} == set(vids)
+    # 16-byte payload → 4 frames → sampled every 2 → 2 per video
+    assert all(
+        sum(1 for f in frames if f["media_id"] == v) == 2 for v in vids
+    )
+    assert all(len(f["frame_bytes"]) == 4 for f in frames)
+
+
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         mm._decode_stub("hologram", b"\x00")
