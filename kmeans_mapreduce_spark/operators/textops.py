@@ -72,7 +72,10 @@ def langid(docs: DataFrame) -> DataFrame:
     Ties break to the first language in sorted order (deterministic, so
     the DuckDB oracle can replay it with a CASE chain).
     """
-    toks = tokens(F.lower(F.col("text")))
+    # stage the token array through a projection: 5 language filters
+    # share ONE materialized split instead of re-evaluating it (HOFs
+    # are interpreted; see functions/text.shingles PERF note)
+    toks = F.col("__toks")
     langs = sorted(LANG_MARKERS)
     cands = [
         F.struct(
@@ -83,7 +86,7 @@ def langid(docs: DataFrame) -> DataFrame:
         for i, lang in enumerate(langs)
     ]
     best = F.array_max(F.array(*cands))
-    return docs.select(
+    return docs.withColumn("__toks", tokens(F.lower(F.col("text")))).select(
         "doc_id",
         best["lang"].alias("pred_lang"),
         best["hits"].cast("long").alias("marker_hits"),
