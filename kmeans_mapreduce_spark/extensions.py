@@ -39,6 +39,7 @@ IVF_NPROBE = 2
 TFIDF_K = 3
 TOPCUST_K = 3
 ANTI_MIN_QTY = 45.0
+CLEAN_MIN_QUALITY = 0.5
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -110,6 +111,47 @@ def q_join_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "nation"),
         load_table(spark, sf_dir, "region"),
+    )
+
+
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition: quality-filter → exact-dedup keepers → per-language
+    stats. The operators compose as DataFrames — one chained plan, not
+    three jobs; Catalyst pushes the quality predicate below the dedup
+    groupBy's shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality(docs).filter(F.col("quality_score") >= CLEAN_MIN_QUALITY)
+    keepers = dd.dedup_exact(docs).select(
+        F.col("keep_doc_id").alias("doc_id")
+    )
+    clean = q.join(keepers, "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return clean.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("quality_score"), 6).alias("avg_quality"),
+    )
+
+
+def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-set rollup: per (event_type, hour) with hour subtotals
+    and a grand total — the multi-granularity aggregate a reporting
+    pipeline runs; one shuffle, grouping-set expansion map-side."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "hour", F.expr("ts div 1000000000 div 3600")
+    )
+    return (
+        e.rollup("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hour"), F.lit(-1)).alias("hour"),
+            "n_events",
+            "value_sum",
+        )
     )
 
 
@@ -511,6 +553,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_top_customers": q_join_top_customers,
         "join_parts_never_ordered": q_join_parts_never_ordered,
         "join_suppliers_per_region": q_join_suppliers_per_region,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "events_rollup": q_events_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -530,9 +574,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def extension_oracle_sql() -> dict[str, str]:
+def _quality_sql() -> str:
     sw = _sql_str_list(STOPWORDS)
-    quality_sql = f"""
+    return f"""
 WITH t AS ({_toks_cte()}),
 m AS (
   SELECT doc_id,
@@ -550,12 +594,40 @@ SELECT doc_id, n_tokens,
              + CAST(0.3 AS DOUBLE) * swr + CAST(0.3 AS DOUBLE) * ttr, 6) AS quality_score
 FROM m
 """
+
+
+def extension_oracle_sql() -> dict[str, str]:
+    quality_sql = _quality_sql()
     return {
         "text_tokens": (
             "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
             "length(text)::BIGINT AS n_chars FROM documents"
         ),
         "text_quality": quality_sql,
+        "pipeline_clean_corpus": f"""
+WITH qual AS ({quality_sql}),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM documents
+  GROUP BY {h64_sql('lower(trim(text))')}
+),
+clean AS (
+  SELECT q.doc_id, q.quality_score, d.lang
+  FROM qual q
+  JOIN keep k ON q.doc_id = k.doc_id
+  JOIN documents d ON d.doc_id = q.doc_id
+  WHERE q.quality_score >= {CLEAN_MIN_QUALITY}
+)
+SELECT lang, COUNT(*) AS n_docs, ROUND(AVG(quality_score), 6) AS avg_quality
+FROM clean GROUP BY lang""",
+        "events_rollup": f"""
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(hour, -1) AS hour,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM (
+  SELECT event_type, (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS hour, value
+  FROM events
+)
+GROUP BY ROLLUP(event_type, hour)""",
         "text_langid": _langid_sql(),
         "text_fingerprint": (
             f"SELECT doc_id, {h64_sql('lower(trim(text))')} AS fingerprint "

@@ -269,6 +269,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "similarity_ann_ivf",
     "text_quality",
     "events_sessionize",
+    "join_revenue_by_nation",
+    "pipeline_clean_corpus",
 }
 
 
