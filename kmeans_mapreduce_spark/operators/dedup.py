@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kmeans_mapreduce_spark.functions.distance import cosine_sim, dot_nd, norm_nd
+from kmeans_mapreduce_spark.functions.distance import dot_nd, norm_nd
 from kmeans_mapreduce_spark.functions.hashing import MINHASH_P, h64, hash_family
 from kmeans_mapreduce_spark.functions.text import shingles, tokens
 

@@ -10,8 +10,6 @@ column pruning down to (doc_id, text).
 
 from __future__ import annotations
 
-import math
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
