@@ -50,12 +50,14 @@ def main() -> int:
     res = timed(
         "kmeans_fit10",
         lambda: km.fit(pts, k=8, max_iter=10, tol=0.0, seed=42),
+        repeat=2,
     )
     extra["engine_wssse"] = res.wssse_history[-1]
 
     ml = timed(
         "mllib_fit10",
         lambda: fit_mllib_2d(pts, k=8, max_iter=10, seed=42, tol=0.0),
+        repeat=2,
     )
     extra["mllib_wssse"] = ml.wssse
 

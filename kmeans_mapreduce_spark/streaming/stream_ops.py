@@ -138,6 +138,55 @@ def stream_sessionize(stream: DataFrame, gap_sec: int | None = None) -> DataFram
     )
 
 
+def stream_dedup_exact(stream: DataFrame) -> DataFrame:
+    """Stateful streaming exact-dedup: emit each document fingerprint's
+    FIRST occurrence, drop every later duplicate — across micro-batches
+    (the streaming twin of operators.dedup.dedup_exact, and the shape a
+    continuous ingestion pipeline needs).
+
+    State is keyed by the 60-bit content fingerprint: the state store
+    holds one small record per distinct document ever seen (at scale:
+    RocksDB state backend + TTL for bounded retention). Each batch
+    shuffles only its own rows, partitioned by fingerprint — uniform
+    keys by construction.
+
+    Output: (fp, doc_id, n_dupes_so_far) rows, one per batch in which
+    the fingerprint appeared (first row per fp is the keeper; later
+    rows report the running duplicate count for observability).
+    """
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.functions.hashing import h64
+
+    out_schema = "fp LONG, keep_doc_id LONG, n_copies BIGINT, is_new BOOLEAN"
+    state_schema = "keep_doc_id LONG, n_copies BIGINT"
+
+    def fn(key, pdfs, state):
+        fp = key[0]
+        if state.exists:
+            keep, n = state.get
+            new = False
+        else:
+            keep, n = None, 0
+            new = True
+        for pdf in pdfs:
+            for d in sorted(int(x) for x in pdf["doc_id"]):
+                if keep is None:
+                    keep = d
+                n += 1
+        state.update((keep, n))
+        yield pd.DataFrame(
+            {"fp": [fp], "keep_doc_id": [keep], "n_copies": [n], "is_new": [new]}
+        )
+
+    fps = stream.select(
+        h64(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id"
+    )
+    return fps.groupBy("fp").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, mode: str = "append"
 ) -> None:

@@ -81,6 +81,30 @@ def test_stream_scoring_stateless(spark, events_dir, schema):
     assert all(r["min_d2"] >= 0 for r in rows)
 
 
+def test_stream_dedup_exact_across_batches(spark, tmp_path_factory):
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("docs_stream"))
+    # batch 0: docs 0,1 (1 is a dup of 0); batch 1: doc 2 dups 0 again
+    pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["hello world", "hello world"]}
+    ).to_parquet(f"{out}/00.parquet")
+    pd.DataFrame({"doc_id": [2], "text": ["hello world"]}).to_parquet(
+        f"{out}/01.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    so.run_stream_to_memory(so.stream_dedup_exact(stream), "dedup_stream", "update")
+    rows = spark.table("dedup_stream").collect()
+    # one fp, two batches → two rows; keeper pinned to doc 0 in BOTH,
+    # count carries 2 → 3 across the batch boundary
+    assert [(r["keep_doc_id"], r["n_copies"], r["is_new"]) for r in
+            sorted(rows, key=lambda r: r["n_copies"])] == [(0, 2, True), (0, 3, False)]
+
+
 def test_stream_sessionize_carries_state_across_batches(spark, events_dir, schema):
     stream = so.events_stream(spark, events_dir, schema)
     sess = so.stream_sessionize(stream)
