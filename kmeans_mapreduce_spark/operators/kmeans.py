@@ -475,7 +475,18 @@ def fit(
     Same textbook semantics either way.
     """
     cols = ["x", "y"] if impl == "arrow" else ["point_id", "x", "y"]
-    points = points.select(*cols).cache()
+    points = points.select(*cols)
+    # Each Lloyd pass pays a fixed per-partition cost (task launch;
+    # for the Arrow loop, a Python-worker Arrow round trip ~tens of ms).
+    # An over-partitioned input (many small files, unions) multiplies
+    # that by every iteration: measured 16x-replicated sf0.1 at 304
+    # partitions ran 1.5x above linear until coalesced. Normalize once
+    # before caching — one shuffle, amortized over all iterations.
+    spark_ctx = points.sparkSession.sparkContext
+    target = spark_ctx.defaultParallelism * 2
+    if points.rdd.getNumPartitions() > 4 * target:
+        points = points.repartition(target)
+    points = points.cache()
     step = lloyd_step_arrow if impl == "arrow" else lloyd_step
     spark = points.sparkSession
     # The loop's only shuffle is a K-row aggregate: AQE's adaptive

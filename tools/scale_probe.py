@@ -1,0 +1,100 @@
+"""Scale probe — empirical check that the engine's plans scale the way
+the design claims (SURVEY §8 / README "Scale design").
+
+Replicates the sf0.1 point set in-memory (union of jittered copies, so
+cardinality grows but the distribution doesn't collapse) and measures
+per-iteration Lloyd wall at 1×/4×/16×; then probes the n-D matmul path
+at growing K×dim. A near-linear data slope and sub-linear K·dim slope
+are the pass criteria — superlinear growth means a shuffle or driver
+bottleneck crept in.
+
+Usage: python tools/scale_probe.py [sf_dir]   (writes one JSON line)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.operators import kmeans as km
+    from kmeans_mapreduce_spark.operators import kmeans_nd as knd
+    from kmeans_mapreduce_spark.session import get_spark
+    from kmeans_mapreduce_spark.sources.derive import points_2d
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    spark = get_spark("scale-probe")
+    out: dict[str, object] = {"sf_dir": sf_dir}
+
+    base = points_2d(spark, sf_dir)
+    n0 = base.count()
+
+    # --- data scaling: per-iteration Lloyd wall at 1x / 4x / 16x ------
+    centers = km.init_random(8, (1.0, 110.0, 1.0, 50.0), 42)
+    for factor in (1, 4, 16):
+        df = base
+        for i in range(factor - 1):
+            df = df.union(
+                base.select(
+                    "point_id",
+                    (F.col("x") + F.lit(0.001 * (i + 1))).alias("x"),
+                    (F.col("y") + F.lit(0.001 * (i + 1))).alias("y"),
+                )
+            )
+        df = df.select("x", "y")
+        # same partition normalization fit() applies before its loop
+        target = spark.sparkContext.defaultParallelism * 2
+        if df.rdd.getNumPartitions() > 4 * target:
+            df = df.repartition(target)
+        df = df.cache()
+        df.count()  # materialize
+        km.lloyd_step_arrow(df, centers)  # warm codegen+workers
+        times = []
+        for _ in range(3):
+            t = time.time()
+            km.lloyd_step_arrow(df, centers)
+            times.append(time.time() - t)
+        out[f"lloyd_iter_sec_{factor}x"] = round(min(times), 3)
+        out[f"rows_{factor}x"] = n0 * factor
+        df.unpersist()
+
+    s1 = out["lloyd_iter_sec_1x"]
+    s16 = out["lloyd_iter_sec_16x"]
+    out["lloyd_16x_slope"] = round(s16 / s1 / 16.0, 3)  # 1.0 = perfectly linear
+
+    # --- K x dim scaling: n-D matmul assignment -----------------------
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("vec"),
+    ).cache()
+    pts.count()
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    for k in (8, 64):
+        centers_nd = [(i, rng.normal(size=64).tolist()) for i in range(k)]
+        knd.lloyd_step_nd(pts, centers_nd)  # warm
+        t = time.time()
+        knd.lloyd_step_nd(pts, centers_nd)
+        out[f"nd_iter_sec_k{k}"] = round(time.time() - t, 3)
+    out["nd_k8_to_k64_ratio"] = round(
+        out["nd_iter_sec_k64"] / max(out["nd_iter_sec_k8"], 1e-9), 2
+    )
+    pts.unpersist()
+
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
