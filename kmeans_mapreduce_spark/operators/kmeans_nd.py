@@ -50,31 +50,40 @@ def assign_nd_expr(points: DataFrame, centers: list[NDCenter]) -> DataFrame:
 
 def _assign_batches(centers_arr: np.ndarray):
     """Build a mapInPandas function: per Arrow batch, vectorized
-    nearest-centroid via one matmul; emits per-batch partial sums."""
+    nearest-centroid via one matmul; accumulates across the partition's
+    batches and emits ONE K-row partial frame per partition — the
+    driver sees O(partitions × K) rows regardless of N (yielding per
+    10k-row Arrow batch instead would send N/10k × K rows up)."""
     k, dim = centers_arr.shape
     sq_c = (centers_arr ** 2).sum(axis=1)  # K
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_acc = np.zeros(k, dtype=np.int64)
+        sse_acc = np.zeros(k)
+        vsum_acc = np.zeros((k, dim))
+        seen = False
         for pdf in batches:
             if not len(pdf):
                 continue
+            seen = True
             x = np.stack(pdf["vec"].to_numpy())  # N×dim
             # argmin_c |x|² − 2x·c + |c|² (|x|² constant per row)
             scores = -2.0 * (x @ centers_arr.T) + sq_c  # N×K
             cid = scores.argmin(axis=1)
             d2 = (x ** 2).sum(axis=1) + scores[np.arange(len(x)), cid]
-            out = []
-            for c in np.unique(cid):
-                mask = cid == c
-                out.append(
-                    {
-                        "cid": int(c),
-                        "n": int(mask.sum()),
-                        "sse": float(d2[mask].sum()),
-                        "vsum": x[mask].sum(axis=0).tolist(),
-                    }
-                )
-            yield pd.DataFrame(out)
+            n_acc += np.bincount(cid, minlength=k)
+            sse_acc += np.bincount(cid, weights=d2, minlength=k)
+            np.add.at(vsum_acc, cid, x)
+        if seen:
+            live = n_acc > 0
+            yield pd.DataFrame(
+                {
+                    "cid": np.arange(k, dtype=np.int32)[live],
+                    "n": n_acc[live],
+                    "sse": sse_acc[live],
+                    "vsum": [v.tolist() for v in vsum_acc[live]],
+                }
+            )
 
     return fn
 
