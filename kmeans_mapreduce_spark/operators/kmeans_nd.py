@@ -126,7 +126,13 @@ def fit_nd(
     """n-D Lloyd loop. Init: first k points by point_id (deterministic)
     unless explicit centers are given. Returns (centers, wssse_history,
     sizes)."""
-    pts = points.select("point_id", "vec").cache()
+    pts = points.select("point_id", "vec")
+    # same per-partition fixed-cost normalization as the 2-D fit
+    sc = pts.sparkSession.sparkContext
+    target = sc.defaultParallelism * 2
+    if pts.rdd.getNumPartitions() > 4 * target:
+        pts = pts.repartition(target)
+    pts = pts.cache()
     try:
         if init_centers is None:
             first = pts.orderBy("point_id").limit(k).collect()
