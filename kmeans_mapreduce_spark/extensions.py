@@ -14,6 +14,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
 from kmeans_mapreduce_spark.functions.hashing import MINHASH_P, h64_sql, hash_family
 from kmeans_mapreduce_spark.functions.text import LANG_MARKERS, STOPWORDS
 from kmeans_mapreduce_spark.operators import dedup as dd
@@ -223,6 +224,59 @@ def q_kmeans_nd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = knd.assign_nd_expr(pts, centers)
     return out.select("point_id", "cid", F.round("min_d2", 6).alias("min_d2"))
+
+
+def q_kmeans_nd_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled n-D Lloyd iterations, oracle-checkable (the n-D
+    analog of kmeans_loop2): assign to the fixed centroid rows →
+    per-dimension means ROUNDED to 6 digits (so iteration-2 inputs are
+    bit-identical across engines) → reassign → means again. Output in
+    long format (cid, dim_idx, c_val, n)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("vec"),
+    )
+    cents = (
+        pts.filter(F.col("vec_id").isin(ND_CENTROID_IDS)).orderBy("vec_id").collect()
+    )
+    centers = [(i, list(r["vec"])) for i, r in enumerate(cents)]
+
+    def assign_with_vec(centers_):
+        cands = [
+            F.struct(
+                sq_dist_nd(
+                    F.col("vec"), F.array(*[F.lit(float(x)) for x in cvec])
+                ).alias("d2"),
+                F.lit(int(cid)).cast("int").alias("cid"),
+            )
+            for cid, cvec in centers_
+        ]
+        best = F.array_min(F.array(*cands))
+        return pts.select("vec", best["cid"].alias("cid"))
+
+    mean_aggs = [
+        F.round(F.avg(F.col("vec").getItem(i)), 6).alias(f"c{i}")
+        for i in range(EMB_DIM)
+    ]
+    it1 = (
+        assign_with_vec(centers).groupBy("cid").agg(*mean_aggs).collect()
+    )
+    centers1 = [
+        (r["cid"], [r[f"c{i}"] for i in range(EMB_DIM)]) for r in it1
+    ]
+    stats2 = (
+        assign_with_vec(centers1)
+        .groupBy("cid")
+        .agg(*mean_aggs, F.count(F.lit(1)).alias("n"))
+    )
+    return stats2.select(
+        "cid",
+        F.posexplode(F.array(*[F.col(f"c{i}") for i in range(EMB_DIM)])).alias(
+            "dim_idx", "c_val"
+        ),
+        "n",
+    )
 
 
 def q_kmeans_nd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,6 +570,52 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def _kmeans_nd_loop2_sql() -> str:
+    """Twin of q_kmeans_nd_loop2. Iteration-1 per-dimension means are
+    ROUNDed to 6 before feeding iteration 2, so second-iteration
+    distances are computed from bit-identical centers on both sides."""
+    cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
+    d2_0 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v[i] - c0.cv[i]) * (e0.v[i] - c0.cv[i])))"
+    )
+    d2_1 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v[i] - c1.cv[i]) * (e0.v[i] - c1.cv[i])))"
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid, v AS cv
+  FROM e0 WHERE vec_id IN ({cids})
+),
+d1 AS (SELECT e0.vec_id, e0.v, c0.cid, {d2_0} AS d2 FROM e0 CROSS JOIN c0),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, i, ROUND(AVG(v[i]), 6) AS c_val
+  FROM a1 CROSS JOIN range(1, {EMB_DIM + 1}) t(i) GROUP BY cid, i
+),
+c1 AS (SELECT cid, list(c_val ORDER BY i) AS cv FROM m1 GROUP BY cid),
+d2x AS (SELECT e0.vec_id, e0.v, c1.cid, {d2_1} AS d2 FROM e0 CROSS JOIN c1),
+a2 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2x
+  ) WHERE rn = 1
+),
+n2 AS (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid),
+m2 AS (
+  SELECT cid, i, ROUND(AVG(v[i]), 6) AS c_val
+  FROM a2 CROSS JOIN range(1, {EMB_DIM + 1}) t(i) GROUP BY cid, i
+)
+SELECT m2.cid, (m2.i - 1)::INTEGER AS dim_idx, m2.c_val, n2.n
+FROM m2 JOIN n2 ON m2.cid = n2.cid
+"""
+
+
 def _kmeans_nd_assign_sql() -> str:
     """Cross join embeddings × the K centroid rows (centroids ARE data
     here: vec_id ∈ ND_CENTROID_IDS), per-pair list distance, then
@@ -565,6 +665,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "kmeans_nd_assign": q_kmeans_nd_assign,
+        "kmeans_nd_loop2": q_kmeans_nd_loop2,
         "kmeans_nd_fit": q_kmeans_nd_fit,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
@@ -713,6 +814,7 @@ SELECT * FROM p WHERE jaccard >= {JACCARD_BLOCK_THRESHOLD}""",
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
         "similarity_ann_ivf": _ivf_ann_sql(),
         "kmeans_nd_assign": _kmeans_nd_assign_sql(),
+        "kmeans_nd_loop2": _kmeans_nd_loop2_sql(),
         "multimodal_meta": """
 SELECT doc_id AS media_id,
        CASE WHEN doc_id % 3 = 0 THEN 'image'
