@@ -18,7 +18,14 @@ from kmeans_mapreduce_spark.schema import POINTS_2D_CSV
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver-generated parquet table (TESTDATA.md)."""
+    """Load one driver-generated parquet table (TESTDATA.md).
+
+    ``events.parquet`` carries TIMESTAMP(NANOS), which vanilla Spark
+    rejects with [PARQUET_TYPE_ILLEGAL]. The nanos-as-long conf is
+    runtime-settable, so set it here rather than only in our own session
+    factory — callers may hand us a SparkSession we didn't build.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
