@@ -85,8 +85,9 @@ def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
-    """MinHash signature per document over its word-3-gram *set*.
+def minhash_signature_array(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(doc_id, sig ARRAY<BIGINT>) — MinHash signature per document over
+    its word-3-gram *set*.
 
     sig[j] = min over shingles s of (a_j·h64(s) + b_j) mod P — the
     Carter–Wegman universal family over ONE md5 base hash per shingle.
@@ -94,8 +95,7 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
     per shingle — a separate projection so Catalyst cannot inline the
     expensive expression into each family member), (2) num_hashes
     integer multiply-add-mod array_mins. No explode, no shuffle: each
-    doc is one row in, num_hashes values out. Long format
-    (doc_id, h_idx, minhash) for oracle friendliness.
+    doc is one row in, num_hashes values out.
     """
     fam_a, fam_b = hash_family(num_hashes)
     base = (
@@ -114,15 +114,69 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFra
             for j in range(num_hashes)
         ]
     )
-    return base.select("doc_id", F.posexplode(sig).alias("h_idx", "minhash"))
+    return base.select("doc_id", sig.alias("sig"))
 
 
-def lsh_bands(signatures: DataFrame, bands: int = BANDS) -> DataFrame:
-    """Fold a long-format signature into (doc_id, band_id, band_hash).
+def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Long format (doc_id, h_idx, minhash) — the oracle-friendly view
+    of :func:`minhash_signature_array` (posexplode is narrow)."""
+    return minhash_signature_array(docs, num_hashes).select(
+        "doc_id", F.posexplode("sig").alias("h_idx", "minhash")
+    )
 
-    band_hash = h64 of the concatenated minhash values in the band —
-    uniform join key, no skew."""
-    rows = NUM_HASHES // bands
+
+def _band_items(sig, band_id: int, rows: int):
+    """The band's "h_idx:minhash" items, lexicographically sorted —
+    byte-identical to the long-format ``string_agg ORDER BY`` twin."""
+    items = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(band_id * rows + r)),
+                F.element_at(sig, band_id * rows + r + 1).cast("string"),
+            )
+            for r in range(rows)
+        ]
+    )
+    return F.concat_ws(",", F.array_sort(items))
+
+
+def lsh_bands_from_array(
+    sig_arr: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) straight from the signature array —
+    a narrow projection + explode, NO shuffle (the long-format path
+    re-aggregated the exploded signature, paying a groupBy exchange of
+    O(docs × num_hashes) rows for nothing). band_hash = h64 of the
+    band's sorted "h_idx:minhash" items — uniform join key, no skew."""
+    rows = num_hashes // bands
+    per_band = F.array(
+        *[
+            F.struct(
+                F.lit(b).cast("int").alias("band_id"),
+                h64(_band_items(F.col("sig"), b, rows)).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return (
+        sig_arr.select("doc_id", F.explode(per_band).alias("bb"))
+        .select("doc_id", "bb.band_id", "bb.band_hash")
+    )
+
+
+def lsh_bands(
+    signatures: DataFrame, bands: int = BANDS, num_hashes: int = NUM_HASHES
+) -> DataFrame:
+    """Fold a LONG-format signature into (doc_id, band_id, band_hash).
+
+    Kept for callers that start from the long format; pays a groupBy
+    shuffle the array path avoids — inside pipelines prefer
+    :func:`lsh_bands_from_array`. ``num_hashes`` must mirror the value
+    passed to :func:`minhash_signatures` (rows per band is derived from
+    it, not from the module default).
+    """
+    rows = num_hashes // bands
     return (
         signatures.withColumn("band_id", (F.col("h_idx") / rows).cast("int"))
         .groupBy("doc_id", "band_id")
@@ -179,9 +233,10 @@ def jaccard_pairs(
 def minhash_lsh_dedup(
     docs: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
-    """Full MinHash→LSH→verify near-dup pipeline."""
-    sigs = minhash_signatures(docs)
-    cands = candidate_pairs(lsh_bands(sigs))
+    """Full MinHash→LSH→verify near-dup pipeline. Bands come straight
+    from the signature array (no re-aggregation shuffle); the only
+    exchanges left are the band-bucket self-join and the verify join."""
+    cands = candidate_pairs(lsh_bands_from_array(minhash_signature_array(docs)))
     return jaccard_pairs(docs, cands, threshold)
 
 

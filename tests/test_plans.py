@@ -61,6 +61,25 @@ def test_minhash_candidates_join_is_not_cartesian(spark):
     assert not plans.has_cartesian(cands)
 
 
+def test_lsh_bands_from_array_is_shuffle_free(spark):
+    # the long-format path pays a groupBy exchange to rebuild bands;
+    # the array path must be a pure projection + explode
+    docs = load_table(spark, SF, "documents")
+    arr_plan = plans.explain_str(dd.lsh_bands_from_array(dd.minhash_signature_array(docs)))
+    assert "Exchange" not in arr_plan
+    long_plan = plans.explain_str(dd.lsh_bands(dd.minhash_signatures(docs)))
+    assert long_plan.count("Exchange") >= 1
+
+
+def test_lsh_band_paths_agree(spark):
+    # identical (doc_id, band_id, band_hash) from both physical forms
+    docs = load_table(spark, SF, "documents").limit(50)
+    arr = dd.lsh_bands_from_array(dd.minhash_signature_array(docs))
+    long = dd.lsh_bands(dd.minhash_signatures(docs))
+    assert arr.exceptAll(long).count() == 0
+    assert long.exceptAll(arr).count() == 0
+
+
 def test_revenue_join_broadcasts_dimensions(spark):
     from kmeans_mapreduce_spark.operators import relational as rel
 
