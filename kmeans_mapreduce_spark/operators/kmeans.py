@@ -460,6 +460,7 @@ def fit(
     empty_policy: str = "reseed",
     impl: str = "arrow",
     init: str = "random",
+    round_digits: int | None = None,
 ) -> KMeansResult:
     """Full Lloyd's loop: init → (assign → recompute → repair) → converge.
 
@@ -473,6 +474,13 @@ def fit(
     :func:`lloyd_step_arrow` — constant plan, no per-iteration codegen
     recompile; ``"expr"`` uses the pure-Catalyst :func:`lloyd_step`.
     Same textbook semantics either way.
+
+    ``round_digits``: round each iteration's means to this many decimals
+    before they become the next generation's centers. With a fixed init
+    and ``tol=0.0`` this makes the WHOLE loop deterministic across
+    engines (rounding absorbs float summation-order noise), which is how
+    the ``kmeans_fit_fixed`` query puts ``fit`` itself — repair path
+    included — under the DuckDB hash gate.
     """
     cols = ["x", "y"] if impl == "arrow" else ["point_id", "x", "y"]
     points = points.select(*cols)
@@ -513,6 +521,11 @@ def fit(
         f_prev: float | None = None
         for it in range(max_iter):
             means, sizes, f_cur = step(points, centers)
+            if round_digits is not None:
+                means = {
+                    c: (round(mx, round_digits), round(my, round_digits))
+                    for c, (mx, my) in means.items()
+                }
             result.wssse_history.append(f_cur)
             result.cluster_sizes = sizes
             centers = repair_empty(centers, means, bounds, rng, empty_policy)

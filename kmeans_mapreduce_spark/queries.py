@@ -113,38 +113,50 @@ assigned AS (
 """
 
 
-def _loop2_sql() -> str:
-    """Two unrolled Lloyd iterations: iteration-2 centroids are scalar
-    subqueries over the iteration-1 means (rounded to MEAN_DIGITS, same
-    as the Spark side rounds before re-entering the loop)."""
-    prefix = _assign_sql(K4_CENTERS)
-    # iteration-2 centroid references: scalar subqueries against c1
-    it2 = [
-        (
-            str(cid),
-            f"(SELECT cx FROM c1 WHERE cid = {cid})",
-            f"(SELECT cy FROM c1 WHERE cid = {cid})",
-        )
-        for cid, _, _ in K4_CENTERS
-    ]
-    d2 = _d2_exprs(it2)
-    dists = ", ".join(f"{e} AS d{i}" for i, e in enumerate(d2))
-    case, least = _argmin_select_sql(it2)
-    return f"""{prefix},
-c1 AS (
+def _unrolled_loop_sql(n_iters: int) -> str:
+    """``n_iters`` unrolled Lloyd iterations: each generation's centroids
+    are scalar subqueries over the previous generation's means (rounded
+    to MEAN_DIGITS, same as the Spark side rounds between iterations).
+
+    COALESCE guard: if a cluster went empty, its scalar subquery is
+    NULL; coalescing to 1e300 makes its distance effectively infinite so
+    it can never win a point — the cid then vanishes from the final
+    GROUP BY and the gate fails LOUDLY on row count, instead of NULL
+    CASE conditions silently falling through to the ELSE centroid while
+    the engine keeps the old center."""
+    parts = [_assign_sql(K4_CENTERS)]
+    prev = "assigned"
+    for i in range(1, n_iters):
+        parts.append(f""",
+c{i} AS (
   SELECT cid, ROUND(AVG(x), {MEAN_DIGITS}) AS cx, ROUND(AVG(y), {MEAN_DIGITS}) AS cy
-  FROM assigned GROUP BY cid
-),
-dists2 AS (
+  FROM {prev} GROUP BY cid
+)""")
+        it_n = [
+            (
+                str(cid),
+                f"COALESCE((SELECT cx FROM c{i} WHERE cid = {cid}), 1e300)",
+                f"COALESCE((SELECT cy FROM c{i} WHERE cid = {cid}), 1e300)",
+            )
+            for cid, _, _ in K4_CENTERS
+        ]
+        d2 = _d2_exprs(it_n)
+        dists = ", ".join(f"{e} AS d{j}" for j, e in enumerate(d2))
+        case, least = _argmin_select_sql(it_n)
+        parts.append(f""",
+dists{i + 1} AS (
   SELECT point_id, x, y, {dists} FROM pts
 ),
-assigned2 AS (
-  SELECT point_id, x, y, CAST({case} AS INTEGER) AS cid FROM dists2
-)
+assigned{i + 1} AS (
+  SELECT point_id, x, y, CAST({case} AS INTEGER) AS cid FROM dists{i + 1}
+)""")
+        prev = f"assigned{i + 1}"
+    parts.append(f"""
 SELECT cid, ROUND(AVG(x), {MEAN_DIGITS}) AS cx,
        ROUND(AVG(y), {MEAN_DIGITS}) AS cy, COUNT(*) AS n
-FROM assigned2 GROUP BY cid
-"""
+FROM {prev} GROUP BY cid
+""")
+    return "".join(parts)
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +234,31 @@ def q_kmeans_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_kmeans_fit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O13 under the hash gate: the REAL ``fit`` driver loop — Arrow
+    partial-agg step, repair path, convergence bookkeeping — made
+    deterministic (fixed init, exactly 3 iterations via ``tol=0.0``,
+    ``keep`` repair, per-iteration MEAN_DIGITS rounding) so the
+    3-iteration unrolled SQL twin reproduces it value-for-value.
+    ``kmeans_loop2`` proves the *pattern* for 2 hand-unrolled steps;
+    this proves ``fit`` itself."""
+    res = km.fit(
+        points_2d(spark, sf_dir),
+        k=4,
+        max_iter=3,
+        tol=0.0,
+        seed=0,
+        init_centers=K4_CENTERS,
+        empty_policy="keep",
+        round_digits=MEAN_DIGITS,
+    )
+    rows = [
+        (cid, float(cx), float(cy), int(res.cluster_sizes.get(cid, 0)))
+        for cid, cx, cy in res.centers
+    ]
+    return spark.createDataFrame(rows, "cid INT, cx DOUBLE, cy DOUBLE, n BIGINT")
+
+
 def q_kmeans_fit_kmpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11 variant — k-means|| (Bahmani) D²-sampling init + Lloyd loop.
 
@@ -295,6 +332,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_wssse": q_kmeans_wssse,
         "kmeans_repair_empty": q_kmeans_repair_empty,
         "kmeans_loop2": q_kmeans_loop2,
+        "kmeans_fit_fixed": q_kmeans_fit_fixed,
         "kmeans_fit": q_kmeans_fit,
         "kmeans_fit_kmpp": q_kmeans_fit_kmpp,
     }
@@ -303,7 +341,6 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def core_oracle_sql() -> dict[str, str]:
     a4 = _assign_sql(K4_CENTERS)
     a3 = _assign_sql(K3_FAR_CENTERS)
-    loop2 = _loop2_sql()
     return {
         "points_source": POINTS_2D_SQL,
         "kmeans_assign": a4 + "SELECT point_id, cid, min_d2 FROM assigned",
@@ -321,6 +358,7 @@ FROM pts""",
         + """SELECT CAST(c.cid AS INTEGER) AS cid
 FROM cents c
 WHERE c.cid NOT IN (SELECT DISTINCT cid FROM assigned)""",
-        "kmeans_loop2": loop2,
+        "kmeans_loop2": _unrolled_loop_sql(2),
+        "kmeans_fit_fixed": _unrolled_loop_sql(3),
         # kmeans_fit: seeded driver-side randomness → rows-only check.
     }
