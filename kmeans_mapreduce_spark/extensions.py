@@ -850,7 +850,27 @@ SELECT user_id, session_idx,
        MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
 FROM sessions GROUP BY user_id, session_idx""",
+        # byte_mean of the synthetic md5 payload, replayed from the hex
+        # string (DuckDB cannot subscript BLOBs): byte j = 16*hex[2j] +
+        # hex[2j+1]; the sum is a small exact integer so /16.0 is
+        # bit-identical to the engine's numpy mean over digest bytes
+        "multimodal_features": """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         md5(text) AS hx
+  FROM documents
+)
+SELECT media_id, kind, 16::BIGINT AS n_bytes,
+       ROUND(CAST(list_sum(list_transform(range(0, 32),
+         j -> (strpos('0123456789abcdef', substr(hx, CAST(j AS INTEGER) + 1, 1)) - 1)
+              * (CASE WHEN j % 2 = 0 THEN 16 ELSE 1 END))) AS DOUBLE) / 16.0, 6)
+         AS byte_mean,
+       TRUE AS decoded
+FROM m""",
         # rows-only (no SQL-expressible oracle): dedup via driver's weaker
-        # gate — kmeans_nd_fit (iterative numpy path), multimodal_features
-        # (mapInPandas binary plumbing), kmeans_mllib (MLlib RNG).
+        # gate — kmeans_nd_fit (iterative numpy path), kmeans_mllib
+        # (MLlib RNG).
     }

@@ -64,6 +64,8 @@ def extract_features(media: DataFrame) -> DataFrame:
     features) with a deterministic fake feature (mean byte value)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -71,12 +73,17 @@ def extract_features(media: DataFrame) -> DataFrame:
                 _decode_stub(k, bytes(p))
                 for k, p in zip(pdf["kind"], pdf["payload"])
             ]
+            # byte values are small exact integers in float64, so the
+            # numpy mean is bit-identical to a sequential sum / len
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": [len(p) for p in payloads],
-                    "byte_mean": [sum(p) / len(p) if len(p) else 0.0 for p in payloads],
+                    "byte_mean": [
+                        float(np.frombuffer(p, dtype=np.uint8).mean()) if len(p) else 0.0
+                        for p in payloads
+                    ],
                     "decoded": True,
                 }
             )
