@@ -801,13 +801,33 @@ WITH d AS (
          {SHINGLE_EXPR} AS s
   FROM (SELECT doc_id, lang, n_chars, string_split(text, ' ') AS w FROM documents)
 ),
-p AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         ROUND({_jaccard_expr('a.s', 'b.s')}, 6) AS jaccard
-  FROM d a JOIN d b
-    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.doc_id < b.doc_id
+post AS (
+  SELECT doc_id, lang, len_bucket, unnest(s) AS sh FROM d
+),
+hot AS (
+  SELECT lang, len_bucket, sh FROM post
+  GROUP BY lang, len_bucket, sh HAVING COUNT(*) > {dd.NGRAM_DF_CAP}
+),
+capped AS (
+  SELECT p.* FROM post p
+  LEFT JOIN hot h
+    ON h.lang = p.lang AND h.len_bucket = p.len_bucket AND h.sh = p.sh
+  WHERE h.sh IS NULL
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM capped a JOIN capped b
+    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.sh = b.sh
+   AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, len(s) AS sz FROM d),
+j AS (
+  SELECT doc_a, doc_b,
+         ROUND(inter::DOUBLE / (x.sz + y.sz - inter)::DOUBLE, 6) AS jaccard
+  FROM shared JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
 )
-SELECT * FROM p WHERE jaccard >= {JACCARD_BLOCK_THRESHOLD}""",
+SELECT * FROM j WHERE jaccard >= {JACCARD_BLOCK_THRESHOLD}""",
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_near_dup_sql(),
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),

@@ -31,6 +31,7 @@ NUM_HASHES = 12  # minhash signature length
 BANDS = 4  # LSH bands (rows per band = NUM_HASHES // BANDS = 3)
 ROWS_PER_BAND = NUM_HASHES // BANDS
 SHINGLE_N = 3  # word n-gram size for near-dup sets
+NGRAM_DF_CAP = 100  # posting-list document-frequency cap (skew guard)
 
 
 def shingle_set(text_col):
@@ -149,6 +150,10 @@ def lsh_bands_from_array(
     re-aggregated the exploded signature, paying a groupBy exchange of
     O(docs × num_hashes) rows for nothing). band_hash = h64 of the
     band's sorted "h_idx:minhash" items — uniform join key, no skew."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows = num_hashes // bands
     per_band = F.array(
         *[
@@ -176,6 +181,10 @@ def lsh_bands(
     passed to :func:`minhash_signatures` (rows per band is derived from
     it, not from the module default).
     """
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows = num_hashes // bands
     return (
         signatures.withColumn("band_id", (F.col("h_idx") / rows).cast("int"))
@@ -241,19 +250,33 @@ def minhash_lsh_dedup(
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.05, digits: int = 6
+    docs: DataFrame,
+    threshold: float = 0.05,
+    digits: int = 6,
+    df_cap: int | None = NGRAM_DF_CAP,
 ) -> DataFrame:
     """n-gram Jaccard near-dup via an INVERTED INDEX (no LSH): explode
     each doc's shingle set, equi-join on (block, shingle) to count
     shared shingles per candidate pair, then Jaccard from
     |A∩B| = shared and |A∪B| = |A|+|B|−shared.
 
-    Scale shape: the shuffle is keyed by shingle (uniform; a stopword-
-    like shingle can skew — cap with a posting-list length filter at
-    higher N), pairs that share nothing are never materialized, and
-    there is no per-pair array intersection. Blocking on (lang,
-    n_chars/100) bounds the posting-join fan-out. 5× faster than the
-    blocked array_intersect form at sf0.1 and the right plan at 100 TB.
+    Scale shape: the shuffle is keyed by shingle; a stopword-like
+    shingle appearing in d docs would fan out O(d²) join rows, so
+    postings whose per-(lang, len_bucket, shingle) document frequency
+    exceeds ``df_cap`` are DROPPED before the self-join (the standard
+    df-cap trick: a shingle shared by >cap docs carries almost no
+    near-dup signal, and dropping it only lowers |A∩B| marginally).
+    The hot-key set is tiny by construction (few shingles can exceed
+    the cap), so the drop is a broadcast anti-join — the df aggregate
+    is map-side combined, shuffle O(distinct shingles). Pairs that
+    share nothing are never materialized and there is no per-pair
+    array intersection. Blocking on (lang, n_chars/100) bounds the
+    posting-join fan-out. 5× faster than the blocked array_intersect
+    form at sf0.1 and the right plan at 100 TB.
+
+    Union sizes |A|, |B| stay the FULL (uncapped) shingle-set sizes on
+    both engines, so the capped Jaccard is a deterministic, mirrored
+    statistic: inter_capped / (|A| + |B| − inter_capped).
     """
     d = with_shingle_set(
         docs.select("doc_id", "lang", "n_chars", "text")
@@ -267,6 +290,16 @@ def ngram_jaccard_pairs(
     post = d.select(
         "doc_id", "lang", "len_bucket", F.explode("s").alias("sh")
     )
+    if df_cap is not None:
+        hot = (
+            post.groupBy("lang", "len_bucket", "sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("lang", "len_bucket", "sh")
+        )
+        post = post.join(
+            F.broadcast(hot), ["lang", "len_bucket", "sh"], "left_anti"
+        )
     a, b = post.alias("a"), post.alias("b")
     shared = (
         a.join(
@@ -378,7 +411,10 @@ def embedding_near_dup(
             hi = min(lo + chunk, n)
             G = Vn[lo:hi] @ Vn.T  # GEMM prefilter tile
             ci, cj = np.nonzero(G >= cut)
-            keep = ci + lo < cj  # upper triangle: vec_a < vec_b
+            # id-based upper triangle (not positional): duplicate
+            # vec_id values must not emit self-pairs the id-ordered
+            # join form / DuckDB twin would exclude
+            keep = ids[ci + lo] < ids[cj]
             out_a.append(ci[keep] + lo)
             out_b.append(cj[keep])
         ii = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)

@@ -37,6 +37,23 @@ from kmeans_mapreduce_spark.functions.distance import nearest_centroid_2d, sq_di
 Center = tuple[int, float, float]  # (cid, cx, cy)
 
 
+def round_half_up(x: float, digits: int) -> float:
+    """HALF_UP decimal rounding of a double — the same semantics as
+    Spark's ``F.round`` (BigDecimal HALF_UP over the shortest decimal
+    repr) and DuckDB's ``ROUND`` (half away from zero). Python's
+    built-in ``round`` is half-to-even, which diverges on exact
+    representable half-ties (dyadic values like x.0078125); driver-side
+    means that re-enter the oracle-gated loop must round identically
+    to both engines."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal(1).scaleb(-digits), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # O6 — nearest-centroid assignment (the "map", mapper.py:35-51)
 # ---------------------------------------------------------------------------
@@ -523,7 +540,10 @@ def fit(
             means, sizes, f_cur = step(points, centers)
             if round_digits is not None:
                 means = {
-                    c: (round(mx, round_digits), round(my, round_digits))
+                    c: (
+                        round_half_up(mx, round_digits),
+                        round_half_up(my, round_digits),
+                    )
                     for c, (mx, my) in means.items()
                 }
             result.wssse_history.append(f_cur)

@@ -104,16 +104,22 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, digits: int = 6) -> DataFrame:
     """TF-IDF: top-k terms per document.
 
     tf = term count within the doc; idf = ln(N / df) with N = corpus
-    size (driver-collected integer literal — deterministic) and
-    df = distinct-document frequency. Scale shape: one explode, a
-    (doc, term) partial-aggregated count, a term-keyed df aggregate
-    joined back (term dictionary ≪ corpus, broadcastable at real
-    scale), window top-k over |doc × distinct-term| rows. Rounded
+    size and df = distinct-document frequency. Scale shape: one
+    explode, a (doc, term) partial-aggregated count, a term-keyed df
+    aggregate joined back (term dictionary ≪ corpus, broadcastable at
+    real scale), window top-k over |doc × distinct-term| rows. Rounded
     before ranking; ties break lexicographically by term.
+
+    N rides in the SAME plan as a cross-joined broadcast 1-row count
+    aggregate (count(1) over a zero-column scan) — no driver-side
+    ``docs.count()`` pre-job, so the whole query is one Spark job and
+    at 100 TB there is no extra full pass just to fetch an integer.
     """
     from pyspark.sql import Window
 
-    n_docs = docs.count()  # tiny driver scalar, exact integer
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("__n_docs")
+    )
     tok = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
     )
@@ -121,12 +127,16 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, digits: int = 6) -> DataFrame:
     df_ = tok.groupBy("term").agg(
         F.countDistinct("doc_id").cast("double").alias("df")
     )
-    scored = tf.join(df_, "term").select(
-        "doc_id",
-        "term",
-        F.round(
-            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), digits
-        ).alias("tfidf"),
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_docs") / F.col("df")), digits
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (

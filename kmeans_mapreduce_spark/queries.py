@@ -302,9 +302,11 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "dedup_minhash_pairs",
     "dedup_simhash",
     "dedup_embedding",
+    "dedup_ngram_jaccard",
     "similarity_topk",
     "similarity_ann_ivf",
     "text_quality",
+    "text_tfidf",
     "events_sessionize",
     "join_revenue_by_nation",
     "pipeline_clean_corpus",

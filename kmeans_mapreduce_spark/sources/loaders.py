@@ -23,9 +23,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.parquet`` carries TIMESTAMP(NANOS), which vanilla Spark
     rejects with [PARQUET_TYPE_ILLEGAL]. The nanos-as-long conf is
     runtime-settable, so set it here rather than only in our own session
-    factory — callers may hand us a SparkSession we didn't build.
+    factory — callers may hand us a SparkSession we didn't build. It is
+    scoped to the one table that needs it (events) instead of mutating
+    the caller's session conf on every load.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

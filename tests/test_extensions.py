@@ -52,6 +52,33 @@ def test_jaccard_pairs_values(docs, spark):
     assert out[0]["jaccard"] == pytest.approx(0.4, abs=1e-9)
 
 
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
+    """A stopword-like shingle planted in 220 docs (one block) must NOT
+    fan out quadratically: with the df cap it is dropped from the
+    postings, so the self-join materializes zero pairs instead of
+    220·219/2 ≈ 24k. With the cap disabled the quadratic blowup is
+    real — the pairs reappear."""
+    rows = [
+        (i, f"alpha beta gamma u{i} v{i} w{i}", "en", "s", 50)
+        for i in range(220)
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    # every doc pair shares exactly the hot shingle "alpha beta gamma";
+    # sets have 4 shingles each → pair jaccard = 1/7 ≈ 0.143 uncapped
+    capped = dd.ngram_jaccard_pairs(docs, threshold=0.05, df_cap=100)
+    assert capped.count() == 0
+    uncapped = dd.ngram_jaccard_pairs(docs, threshold=0.05, df_cap=None)
+    assert uncapped.count() == 220 * 219 // 2
+
+
+def test_ngram_jaccard_df_cap_keeps_cold_pairs(docs):
+    """The cap only drops postings above the df threshold — with all
+    dfs below it, results are identical to the uncapped form."""
+    with_cap = sorted(map(tuple, dd.ngram_jaccard_pairs(docs, 0.05, df_cap=100).collect()))
+    no_cap = sorted(map(tuple, dd.ngram_jaccard_pairs(docs, 0.05, df_cap=None).collect()))
+    assert with_cap == no_cap and len(with_cap) > 0
+
+
 def test_simhash_identical_docs_equal(docs):
     out = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
     assert out[0] == out[1]
