@@ -354,83 +354,192 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return sums.select("doc_id", sim.alias("simhash"))
 
 
+EMBED_BLOCK_ROW_CAP = 8192  # tile oversized cosine blocks above this
+
+
+def tiled_blocks(emb: DataFrame, row_cap: int) -> DataFrame:
+    """Split oversized near-dup blocks into PAIR-COMPLETE tile groups.
+
+    A block (label) with ``bn`` rows is hashed into
+    m = ceil(bn/row_cap) tiles; each row lands in tile
+    t = crc32(vec_id) mod m and is replicated into every tile-pair
+    group that contains t: (a, t) for a < t and (t, b) for b ≥ t — so
+    every unordered row pair within the block appears in EXACTLY one
+    group (ta, tb), ta ≤ tb. Replication factor is m (1 for normal
+    blocks: the single group (0,0) reproduces the untiled layout).
+
+    This is the exact blocked self-join: unlike re-quantizing the cell
+    (which loses cross-subcell pairs), tiling preserves the full pair
+    space while bounding every task's GEMM to ~row_cap² and turning
+    one straggler block into m(m+1)/2 parallel tasks. Block counts
+    come from a one-column aggregate scan (parquet prunes to `label`)
+    broadcast back — quantizer metadata, not a data shuffle.
+    """
+    counts = emb.groupBy("label").agg(F.count(F.lit(1)).alias("__bn"))
+    t = F.col("__t")
+    tiles = F.sequence(F.lit(0), F.col("__m") - 1)
+    below = F.transform(
+        F.filter(tiles, lambda a: a < t),
+        lambda a: F.struct(a.cast("int").alias("ta"), t.alias("tb")),
+    )
+    above = F.transform(
+        F.filter(tiles, lambda b: b >= t),
+        lambda b: F.struct(t.alias("ta"), b.cast("int").alias("tb")),
+    )
+    return (
+        emb.select("vec_id", "label", "embedding")
+        .join(F.broadcast(counts), "label")
+        .withColumn(
+            "__m", F.ceil(F.col("__bn") / F.lit(float(row_cap))).cast("int")
+        )
+        .withColumn(
+            "__t",
+            F.pmod(F.crc32(F.col("vec_id").cast("string")), F.col("__m")).cast(
+                "int"
+            ),
+        )
+        .select(
+            "label",
+            "vec_id",
+            "embedding",
+            "__t",
+            F.explode(F.concat(below, above)).alias("__g"),
+        )
+        .select(
+            "label",
+            "vec_id",
+            "embedding",
+            "__t",
+            F.col("__g.ta").alias("ta"),
+            F.col("__g.tb").alias("tb"),
+        )
+    )
+
+
 def embedding_near_dup(
-    emb: DataFrame, threshold: float = 0.9, digits: int = 6
+    emb: DataFrame,
+    threshold: float = 0.9,
+    digits: int = 6,
+    row_cap: int = EMBED_BLOCK_ROW_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-dup: pairs within the same coarse block
     (label — stands in for an IVF cell) with cosine ≥ threshold.
 
-    Physical plan: ONE shuffle keyed by block, then a numpy GEMM per
-    block inside ``applyInPandas`` — normalize each vector once,
-    ``block @ block.T``, threshold. The O(|block|²) pair space never
-    materializes as Spark rows; it lives as a float64 matrix tile in
-    the worker. This is the FAISS-flat shape and ~30× faster than a
-    per-pair Catalyst dot, whose higher-order functions (``aggregate``/
-    ``zip_with``) are interpreted, never codegen'd.
+    Physical plan: ONE shuffle keyed by (block, tile-pair), then a
+    numpy GEMM per group inside ``applyInPandas`` — normalize each
+    vector once, ``A @ B.T``, threshold. The O(|block|²) pair space
+    never materializes as Spark rows; it lives as a float64 matrix
+    tile in the worker. This is the FAISS-flat shape and ~30× faster
+    than a per-pair Catalyst dot, whose higher-order functions
+    (``aggregate``/``zip_with``) are interpreted, never codegen'd.
+
+    Skew: oversized blocks are split by :func:`tiled_blocks` into
+    pair-complete tile groups of ≤ ~row_cap rows per side, so one hot
+    label becomes m(m+1)/2 bounded parallel tasks instead of a
+    straggler with an unbounded GEMM. Normal-sized blocks pay nothing
+    (m = 1 → one group, no replication).
 
     Oracle parity: GEMM changes float summation order, so it is used
     only as a PREFILTER (with a margin far wider than the ~1e-14 GEMM
     error). Pairs that might survive 6-digit rounding are recomputed
     with the exact sequential fold order of ``F.aggregate`` / DuckDB
-    ``list_sum`` — the emitted doubles are bit-identical to the pure-
-    Catalyst form, so ``ROUND(x, 6)`` matches the oracle everywhere.
+    ``list_sum`` — and both normalization and the pair dot are
+    row-local / commutative, so the emitted doubles are bit-identical
+    no matter which tile group computed them.
 
-    At 100 TB: block = IVF cell, bounded by the quantizer (re-quantize
-    oversized cells); the GEMM is chunked row-wise so worker memory is
-    O(chunk × |block|), not O(|block|²)."""
+    The GEMM is chunked row-wise so worker memory is O(chunk × rows),
+    never O(rows²)."""
     import numpy as np
     import pandas as pd
 
     # round(x, digits) >= threshold  iff  x >= threshold - 0.5*10^-digits
     # (HALF_UP); widen by 1e-9 to swallow GEMM vs sequential-fold noise.
     cut = threshold - 0.5 * 10 ** (-digits) - 1e-9
-    chunk = 4096
+    chunk = 2048
 
-    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
-            {
-                "vec_a": np.array([], dtype=np.int64),
-                "vec_b": np.array([], dtype=np.int64),
-                "dot": np.array([], dtype=np.float64),
-            }
-        )
-        if len(pdf) < 2:
-            return empty
-        pdf = pdf.sort_values("vec_id")
-        ids = pdf["vec_id"].to_numpy()
-        V = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-        n, dim = V.shape
+    def _normalize(V: np.ndarray) -> np.ndarray:
         # sequential sum of squares — same fold order as F.aggregate
-        acc = np.zeros(n)
-        for d in range(dim):
+        acc = np.zeros(len(V))
+        for d in range(V.shape[1]):
             acc += V[:, d] * V[:, d]
         with np.errstate(divide="ignore", invalid="ignore"):
-            Vn = V / np.sqrt(acc)[:, None]
+            return V / np.sqrt(acc)[:, None]
+
+    def _exact_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        # exact recompute for survivors, sequential fold order
+        dots = np.zeros(len(A))
+        for d in range(A.shape[1]):
+            dots += A[:, d] * B[:, d]
+        return dots
+
+    empty = pd.DataFrame(
+        {
+            "vec_a": np.array([], dtype=np.int64),
+            "vec_b": np.array([], dtype=np.int64),
+            "dot": np.array([], dtype=np.float64),
+        }
+    )
+
+    def block_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        ta, tb = int(pdf["ta"].iat[0]), int(pdf["tb"].iat[0])
+        if ta == tb:
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            Vn = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+            out_a, out_b = [], []
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                G = Vn[lo:hi] @ Vn.T  # GEMM prefilter tile
+                ci, cj = np.nonzero(G >= cut)
+                # id-based upper triangle (not positional): duplicate
+                # vec_id values must not emit self-pairs the id-ordered
+                # join form / DuckDB twin would exclude
+                keep = ids[ci + lo] < ids[cj]
+                out_a.append(ci[keep] + lo)
+                out_b.append(cj[keep])
+            ii = np.concatenate(out_a)
+            jj = np.concatenate(out_b)
+            if not len(ii):
+                return empty
+            dots = _exact_dots(Vn[ii], Vn[jj])
+            return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj], "dot": dots})
+        # cross-tile group: every (row in ta) × (row in tb) pair,
+        # oriented by id afterwards (same vec_id → same tile, so
+        # cross-tile id collisions cannot happen)
+        a_pdf = pdf[pdf["__t"] == ta].sort_values("vec_id")
+        b_pdf = pdf[pdf["__t"] == tb].sort_values("vec_id")
+        if not len(a_pdf) or not len(b_pdf):
+            return empty
+        ids_a = a_pdf["vec_id"].to_numpy()
+        ids_b = b_pdf["vec_id"].to_numpy()
+        An = _normalize(np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64))
+        Bn = _normalize(np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64))
         out_a, out_b = [], []
-        for lo in range(0, n, chunk):
-            hi = min(lo + chunk, n)
-            G = Vn[lo:hi] @ Vn.T  # GEMM prefilter tile
+        for lo in range(0, len(ids_a), chunk):
+            hi = min(lo + chunk, len(ids_a))
+            G = An[lo:hi] @ Bn.T
             ci, cj = np.nonzero(G >= cut)
-            # id-based upper triangle (not positional): duplicate
-            # vec_id values must not emit self-pairs the id-ordered
-            # join form / DuckDB twin would exclude
-            keep = ids[ci + lo] < ids[cj]
-            out_a.append(ci[keep] + lo)
-            out_b.append(cj[keep])
-        ii = np.concatenate(out_a) if out_a else np.array([], dtype=np.int64)
-        jj = np.concatenate(out_b) if out_b else np.array([], dtype=np.int64)
+            out_a.append(ci + lo)
+            out_b.append(cj)
+        ii = np.concatenate(out_a)
+        jj = np.concatenate(out_b)
         if not len(ii):
             return empty
-        # exact recompute for survivors, sequential fold order
-        A, B = Vn[ii], Vn[jj]
-        dots = np.zeros(len(ii))
-        for d in range(dim):
-            dots += A[:, d] * B[:, d]
-        return pd.DataFrame({"vec_a": ids[ii], "vec_b": ids[jj], "dot": dots})
+        dots = _exact_dots(An[ii], Bn[jj])
+        ia, ib = ids_a[ii], ids_b[jj]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ia, ib),
+                "vec_b": np.maximum(ia, ib),
+                "dot": dots,
+            }
+        )
 
     pairs = (
-        emb.select("vec_id", "label", "embedding")
-        .groupBy("label")
+        tiled_blocks(emb, row_cap)
+        .groupBy("label", "ta", "tb")
         .applyInPandas(block_pairs, "vec_a long, vec_b long, dot double")
     )
     return pairs.select(

@@ -208,6 +208,47 @@ def init_random(
     ]
 
 
+def kmpp_scores(points: DataFrame, cands: list[tuple[float, float]]) -> DataFrame:
+    """One k-means|| round's D²-scoring: distance of every point to its
+    nearest current candidate — the quantity Bahmani's sampling weights
+    by. A narrow literal-argmin map (no shuffle); shared by the
+    :func:`init_kmeans_parallel` loop and the oracle-gated
+    ``kmeans_kmpp_round1`` query so the gated math IS the init's math."""
+    lit_centers = [(i, cx, cy) for i, (cx, cy) in enumerate(cands)]
+    best = nearest_centroid_2d(F.col("x"), F.col("y"), lit_centers)
+    return points.select("*", best["d2"].alias("d2"))
+
+
+def kmpp_round_probs(
+    points: DataFrame,
+    cands: list[tuple[float, float]],
+    l: int,
+    phi_digits: int = 2,
+    prob_digits: int = 6,
+) -> DataFrame:
+    """The deterministic half of one k-means|| sampling round: per-point
+    d² and the sampling probability min(1, l·d²/φ), as ONE plan — φ is
+    a cross-joined broadcast 1-row sum, rounded to ``phi_digits`` so
+    both engines divide by a bit-identical scalar. Everything up to the
+    seeded coin-flip is SQL-expressible; this is what the oracle gates
+    (the flip itself stays rows-only by declared contract)."""
+    scored = kmpp_scores(points, cands)
+    phi = scored.agg(F.round(F.sum("d2"), phi_digits).alias("__phi"))
+    return (
+        scored.crossJoin(F.broadcast(phi))
+        .select(
+            "*",
+            F.round(
+                F.least(
+                    F.lit(1.0), F.lit(float(l)) * F.col("d2") / F.col("__phi")
+                ),
+                prob_digits,
+            ).alias("prob"),
+        )
+        .drop("__phi")
+    )
+
+
 def init_kmeans_parallel(
     points: DataFrame,
     k: int,
@@ -240,9 +281,7 @@ def init_kmeans_parallel(
     cands: list[tuple[float, float]] = [(first[0]["x"], first[0]["y"])]
 
     for r in range(rounds):
-        lit_centers = [(i, cx, cy) for i, (cx, cy) in enumerate(cands)]
-        best = nearest_centroid_2d(F.col("x"), F.col("y"), lit_centers)
-        scored = pts.select("x", "y", best["d2"].alias("d2"))
+        scored = kmpp_scores(pts, cands)
         phi = scored.agg(F.sum("d2").alias("phi")).collect()[0]["phi"]
         if not phi or phi <= 0:
             break  # every point coincides with a candidate

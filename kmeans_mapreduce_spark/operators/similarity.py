@@ -8,8 +8,9 @@ broadcast (tiny), the corpus side stays partitioned — the join is a
 broadcast hash join, no corpus shuffle. The window top-k uses
 ``row_number`` partitioned by query id, which AQE executes after a
 shuffle keyed by query — Q keys, bounded by the (small) query count;
-for large Q swap in a groupBy + ``slice(sort_array(collect_list))``
-per-key top-k.
+above SMALL_Q queries :func:`cosine_topk` switches to the
+:func:`grouped_topk` hash-aggregate form
+(``slice(array_sort(collect_list), 1, k)`` per key).
 """
 
 from __future__ import annotations
@@ -24,6 +25,7 @@ from kmeans_mapreduce_spark.functions.distance import cosine_sim, dot_nd, sq_dis
 
 NUM_PLANES = 8
 DIM = 64
+SMALL_Q = 64  # window top-k below this many queries; grouped form above
 
 
 def plane_signs(num_planes: int = NUM_PLANES, dim: int = DIM) -> list[list[int]]:
@@ -44,23 +46,24 @@ def _as_double_vec(col):
     return F.transform(col, lambda v: v.cast("double"))
 
 
-def cosine_topk(
-    emb: DataFrame, query_ids: list[int], k: int = 5, digits: int = 6
-) -> DataFrame:
-    """Brute-force cosine top-k: every query vs the full corpus.
-
-    Output: (query_id, neighbor_id, rank, cosine). Ranking happens on
-    the *rounded* similarity with neighbor_id as tiebreak, so the order
-    is reproducible across engines despite float-sum noise."""
+def _brute_scored(emb: DataFrame, query_ids: list[int], digits: int) -> DataFrame:
+    """(query_id, neighbor_id, cosine): every query × the full corpus,
+    query side broadcast — shared by both physical top-k forms."""
     e = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v"))
     q = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    scored = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+    return e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine_sim(F.col("qv"), F.col("v")), digits).alias("cosine"),
     )
+
+
+def window_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Small-Q top-k: ``row_number`` over a window keyed by query — one
+    shuffle with Q keys. Fine while Q is small; at large Q the grouped
+    form below avoids per-key sort state in the window operator."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -69,6 +72,68 @@ def cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def grouped_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Large-Q top-k: ``groupBy(query_id)`` +
+    ``slice(array_sort(collect_list(struct)), 1, k)`` — a hash
+    aggregate instead of a sort-based window. The aggregation combines
+    partially map-side (partial lists merge before the exchange), and
+    the reducer keeps one array per key rather than sort-buffering the
+    whole partition the way the window operator does; posexplode of the
+    k-slice re-derives rank. Ordering is identical to the window form:
+    ascending (−cosine, neighbor_id) ≡ (cosine DESC, neighbor_id ASC)
+    on the rounded value, so both forms return the same rows."""
+    top = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("cosine")).alias("neg"),
+                    F.col("neighbor_id").alias("nid"),
+                    F.col("cosine").alias("cos"),
+                )
+            )
+        ),
+        1,
+        k,
+    )
+    return (
+        scored.groupBy("query_id")
+        .agg(top.alias("top"))
+        .select("query_id", F.posexplode("top").alias("pos", "t"))
+        .select(
+            "query_id",
+            F.col("t.nid").alias("neighbor_id"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+            F.col("t.cos").alias("cosine"),
+        )
+    )
+
+
+def cosine_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    digits: int = 6,
+    form: str = "auto",
+) -> DataFrame:
+    """Brute-force cosine top-k: every query vs the full corpus.
+
+    Output: (query_id, neighbor_id, rank, cosine). Ranking happens on
+    the *rounded* similarity with neighbor_id as tiebreak, so the order
+    is reproducible across engines despite float-sum noise.
+
+    ``form``: ``"window"`` / ``"grouped"`` force a physical top-k
+    strategy; ``"auto"`` picks the window form for < SMALL_Q queries
+    and the grouped hash-aggregate form above that."""
+    scored = _brute_scored(emb, query_ids, digits)
+    if form == "auto":
+        form = "window" if len(query_ids) < SMALL_Q else "grouped"
+    if form == "window":
+        return window_topk(scored, k)
+    if form == "grouped":
+        return grouped_topk(scored, k)
+    raise ValueError(f"unknown form: {form!r}")
 
 
 def ivf_ann_topk(

@@ -46,6 +46,7 @@ K3_FAR_CENTERS: list[tuple[int, float, float]] = [
 
 MEAN_DIGITS = 6  # rounding for AVG-derived values
 SUM_DIGITS = 2  # rounding for big SUMs (wssse)
+KMPP_L = 16  # k-means|| oversampling factor (2k for the k=8 fit)
 
 
 def _cents_values_sql(centers: list[tuple[int, float, float]]) -> str:
@@ -259,6 +260,23 @@ def q_kmeans_fit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "cid INT, cx DOUBLE, cy DOUBLE, n BIGINT")
 
 
+def q_kmeans_kmpp_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 under the hash gate: the deterministic scoring math of one
+    k-means|| round (``init_kmeans_parallel``'s D² pass) — from a FIXED
+    first center, per-point d² and the sampling probability
+    min(1, l·d²/φ). The only part of k-means|| the gate can't replay is
+    the seeded coin-flip; this pins everything upstream of it."""
+    first = [(K4_CENTERS[0][1], K4_CENTERS[0][2])]
+    out = km.kmpp_round_probs(
+        points_2d(spark, sf_dir),
+        first,
+        l=KMPP_L,
+        phi_digits=SUM_DIGITS,
+        prob_digits=MEAN_DIGITS,
+    )
+    return out.select("point_id", "d2", "prob")
+
+
 def q_kmeans_fit_kmpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11 variant — k-means|| (Bahmani) D²-sampling init + Lloyd loop.
 
@@ -335,6 +353,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_repair_empty": q_kmeans_repair_empty,
         "kmeans_loop2": q_kmeans_loop2,
         "kmeans_fit_fixed": q_kmeans_fit_fixed,
+        "kmeans_kmpp_round1": q_kmeans_kmpp_round1,
         "kmeans_fit": q_kmeans_fit,
         "kmeans_fit_kmpp": q_kmeans_fit_kmpp,
     }
@@ -362,5 +381,25 @@ FROM cents c
 WHERE c.cid NOT IN (SELECT DISTINCT cid FROM assigned)""",
         "kmeans_loop2": _unrolled_loop_sql(2),
         "kmeans_fit_fixed": _unrolled_loop_sql(3),
-        # kmeans_fit: seeded driver-side randomness → rows-only check.
+        "kmeans_kmpp_round1": _kmpp_round1_sql(),
+        # kmeans_fit / kmeans_fit_kmpp: seeded randomness → rows-only.
     }
+
+
+def _kmpp_round1_sql() -> str:
+    """Twin of q_kmeans_kmpp_round1: d² to the fixed first center,
+    φ = ROUND(SUM(d²), 2) so both engines divide by a bit-identical
+    scalar, prob = ROUND(LEAST(1, l·d²/φ), 6)."""
+    cx = f"CAST({K4_CENTERS[0][1]!r} AS DOUBLE)"
+    cy = f"CAST({K4_CENTERS[0][2]!r} AS DOUBLE)"
+    return f"""
+WITH pts AS ({POINTS_2D_SQL}),
+sc AS (
+  SELECT point_id,
+         (x - {cx}) * (x - {cx}) + (y - {cy}) * (y - {cy}) AS d2
+  FROM pts
+),
+phi AS (SELECT ROUND(SUM(d2), {SUM_DIGITS}) AS phi FROM sc)
+SELECT point_id, d2,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST({float(KMPP_L)!r} AS DOUBLE) * d2 / phi), {MEAN_DIGITS}) AS prob
+FROM sc CROSS JOIN phi"""

@@ -79,6 +79,40 @@ def test_ngram_jaccard_df_cap_keeps_cold_pairs(docs):
     assert with_cap == no_cap and len(with_cap) > 0
 
 
+def test_embedding_near_dup_tiled_skew_bounded(spark):
+    """One label holding 80% of the rows must not become one unbounded
+    GEMM task: with row_cap=100 the 800-row block tiles into
+    pair-complete groups of bounded size, and the output is identical
+    to the single-block path (tiling is exact, not approximate)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(1000):
+        label = 0 if i < 800 else (i % 4) + 1
+        rows.append((i, label, [float(x) for x in rng.normal(size=8)]))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, label INT, embedding ARRAY<FLOAT>"
+    )
+    sizes = [
+        r["count"]
+        for r in dd.tiled_blocks(emb, row_cap=100)
+        .groupBy("label", "ta", "tb")
+        .count()
+        .collect()
+    ]
+    # pair budget per task: ≤ ~(1.5·cap) rows a side → GEMM ≤ ~2.3·cap²
+    assert max(sizes) <= 3 * 100
+    tiled = sorted(
+        map(tuple, dd.embedding_near_dup(emb, 0.5, row_cap=100).collect())
+    )
+    single = sorted(
+        map(tuple, dd.embedding_near_dup(emb, 0.5, row_cap=10**9).collect())
+    )
+    assert tiled == single
+    assert len(tiled) > 0
+
+
 def test_simhash_identical_docs_equal(docs):
     out = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
     assert out[0] == out[1]

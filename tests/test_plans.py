@@ -104,3 +104,29 @@ def test_recompute_has_partial_aggregation(spark):
     # lacks (its shuffle carries every point, mapper.py:53-74)
     assert plan.count("HashAggregate") >= 2
     assert "partial_avg" in plan or "partial_average" in plan.lower()
+
+
+def test_topk_forms_agree_and_dispatch(spark):
+    """The window and grouped top-k forms return identical rows, and
+    auto-dispatch picks window for small Q / grouped (no Window exec,
+    partial-aggregated) for large Q."""
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    emb = load_table(spark, SF, "embeddings")
+    qids = [0, 1, 2, 3]
+    winf = sim.cosine_topk(emb, qids, k=3, form="window")
+    grpf = sim.cosine_topk(emb, qids, k=3, form="grouped")
+    assert winf.exceptAll(grpf).count() == 0
+    assert grpf.exceptAll(winf).count() == 0
+
+    win_plan = plans.explain_str(winf)
+    grp_plan = plans.explain_str(grpf)
+    assert "Window" in win_plan
+    assert "Window" not in grp_plan
+    assert grp_plan.count("ObjectHashAggregate") >= 2  # partial collect_list
+
+    auto_small = plans.explain_str(sim.cosine_topk(emb, qids, k=3))
+    assert "Window" in auto_small
+    many = list(range(sim.SMALL_Q + 1))
+    auto_large = plans.explain_str(sim.cosine_topk(emb, many, k=3))
+    assert "Window" not in auto_large
