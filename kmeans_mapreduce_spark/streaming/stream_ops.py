@@ -61,7 +61,11 @@ def stream_window_counts(
     ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
 
 
-def stream_sessionize(stream: DataFrame, gap_sec: int | None = None) -> DataFrame:
+def stream_sessionize(
+    stream: DataFrame,
+    gap_sec: int | None = None,
+    watermark_sec: int | None = None,
+) -> DataFrame:
     """Custom stateful streaming operator: gap-based sessionization via
     ``applyInPandasWithState`` — the streaming twin of
     operators.events.sessionize.
@@ -74,10 +78,17 @@ def stream_sessionize(stream: DataFrame, gap_sec: int | None = None) -> DataFram
     keyed by user — uniform hash, no skew — and each micro-batch
     shuffles only that batch's rows.
 
+    ``watermark_sec`` enables IDLE EVICTION via ``EventTimeTimeout``:
+    each update arms a timeout at event-time ``last_ts + gap``; when
+    the watermark passes it with no new data for the user, the open
+    session is flushed as closed and its state removed. Without it a
+    user who goes quiet forever would pin state forever — the classic
+    unbounded-state leak in a production session stream.
+
     Output: closed sessions only (user_id, session_start, session_end,
-    n_events, value_sum). The open tail per user is observable once a
-    later event closes it — identical semantics to a session window
-    with no allowed lateness.
+    n_events, value_sum). With eviction on, a quiet user's last session
+    emits once the watermark passes its gap; without it, only a later
+    event closes it.
     """
     import pandas as pd
 
@@ -91,9 +102,24 @@ def stream_sessionize(stream: DataFrame, gap_sec: int | None = None) -> DataFram
     state_schema = (
         "session_start BIGINT, last_ts BIGINT, n_events BIGINT, value_sum DOUBLE"
     )
+    evict = watermark_sec is not None
 
     def fn(key, pdfs, state):
         user_id = key[0]
+        if evict and state.hasTimedOut:
+            s0, last, n, vs = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [(user_id, s0, last, n, vs)],
+                columns=[
+                    "user_id",
+                    "session_start",
+                    "session_end",
+                    "n_events",
+                    "value_sum",
+                ],
+            )
+            return
         if state.exists:
             s0, last, n, vs = state.get
         else:
@@ -115,6 +141,12 @@ def stream_sessionize(stream: DataFrame, gap_sec: int | None = None) -> DataFram
                 last = ts
         if last is not None:
             state.update((s0, last, n, vs))
+            if evict:
+                # arm the idle flush at event-time last+gap; clamp above
+                # the current watermark (Spark rejects stale timestamps)
+                state.setTimeoutTimestamp(
+                    max((last + gap) * 1000, state.getCurrentWatermarkMs() + 1)
+                )
         if closed:
             yield pd.DataFrame(
                 closed,
@@ -127,14 +159,26 @@ def stream_sessionize(stream: DataFrame, gap_sec: int | None = None) -> DataFram
                 ],
             )
 
-    e = stream.select(
+    cols = [
         "user_id",
         F.expr("ts div 1000000000").alias("ts_sec"),
         "event_id",
         "value",
-    )
+    ]
+    if evict:
+        e = (
+            stream.withColumn(
+                "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
+            )
+            .withWatermark("event_time", f"{watermark_sec} seconds")
+            .select(*cols, "event_time")
+        )
+        timeout = "EventTimeTimeout"
+    else:
+        e = stream.select(*cols)
+        timeout = "NoTimeout"
     return e.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "update", "NoTimeout"
+        fn, out_schema, state_schema, "update", timeout
     )
 
 

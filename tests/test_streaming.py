@@ -105,6 +105,124 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path_factory):
             sorted(rows, key=lambda r: r["n_copies"])] == [(0, 2, True), (0, 3, False)]
 
 
+def test_stream_window_counts_append_mode_drops_late(spark, tmp_path_factory):
+    """Production append-mode path: 3 micro-batches, a real watermark,
+    a late row behind it. The late row must be DROPPED (window [0,300)
+    emits without it), closed windows must match the batch twin on the
+    non-late subset, and the still-open tail window must not emit."""
+    import pandas as pd
+
+    W = ev.WINDOW_SEC  # 300
+    out = str(tmp_path_factory.mktemp("late_stream"))
+    S = 1_000_000_000
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "ts": [r[0] * S for r in rows],
+                "event_type": [r[1] for r in rows],
+                "value": [float(r[2]) for r in rows],
+            }
+        ).to_parquet(f"{out}/{name}.parquet")
+
+    # Spark propagates TWO watermarks per stateful op: eviction uses the
+    # current batch's, the late-row filter uses the PREVIOUS batch's —
+    # so a late row is only dropped once it arrives ≥2 batches after the
+    # event that advanced the watermark past it.
+    # b0: two rows in w[0,300); 1000 advances the watermark to 700
+    write("00", [(10, "a", 1.0), (20, "a", 2.0), (1000, "a", 4.0)])
+    # b1: evicts w[0,300) (emits WITHOUT any late row); 2500 advances
+    #     the watermark to 2200
+    write("01", [(1100, "a", 8.0), (2500, "a", 16.0)])
+    # b2: ts=50 is LATE (late-filter watermark 700 > window end 300) →
+    #     DROPPED; w[900,1200) evicts; w[3000,3300) stays open
+    write("02", [(50, "a", 100.0), (3000, "a", 32.0)])
+
+    stream = (
+        spark.readStream.schema("ts LONG, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    agg = so.stream_window_counts(stream, watermark_sec=W)
+    so.run_stream_to_memory(agg, "late_win", mode="append")
+    rows = spark.table("late_win").collect()
+    emitted = [
+        (int(r["w"]["start"].timestamp()), r["n_events"], r["value_sum"])
+        for r in rows
+    ]
+    got = {w: (n, v) for w, n, v in emitted}
+    # batch twin over the NON-LATE subset
+    batch = spark.createDataFrame(
+        [(10 * S, "a", 1.0), (20 * S, "a", 2.0), (1000 * S, "a", 4.0),
+         (1100 * S, "a", 8.0), (2500 * S, "a", 16.0), (3000 * S, "a", 32.0)],
+        "ts LONG, event_type STRING, value DOUBLE",
+    )
+    want = {
+        r["window_start"]: (r["n_events"], r["value_sum"])
+        for r in ev.window_agg(batch).collect()
+    }
+    # w[0,300) emitted EXACTLY once, without the late row — a dropped
+    # late row can neither join the window nor re-create evicted state
+    assert [e for e in emitted if e[0] == 0] == [(0, 2, 3.0)]
+    assert got[900] == want[900] == (2, 12.0)
+    # the tail window never closed → never emitted in append mode
+    assert 3000 not in got
+    # and everything that DID emit agrees with the batch twin
+    assert all(got[w] == want[w] for w in got)
+
+
+def test_stream_sessionize_timeout_evicts_idle_user(spark, tmp_path_factory):
+    """EventTimeTimeout eviction: a user who goes quiet must have their
+    open session flushed once the watermark passes last_ts + gap — not
+    pinned in the state store forever."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("sess_timeout"))
+    S = 1_000_000_000
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] * S for r in rows],
+                "event_id": [r[2] for r in rows],
+                "value": [float(r[3]) for r in rows],
+            }
+        ).to_parquet(f"{out}/{name}.parquet")
+
+    # times start at 1000 (not 0: the initial watermark is epoch 0 and
+    # the late-event filter is inclusive, so ts=0 rows would be dropped)
+    # b0: user 1 events at 1000,1010; user 2 at 1000. gap=60, delay=10.
+    write("00", [(1, 1000, 0, 1.0), (1, 1010, 1, 2.0), (2, 1000, 2, 4.0)])
+    # b1: user 2 at 6985 → closes their first session by gap; advances
+    #     the watermark to 6975, far past user 1's timeout at 1070
+    write("01", [(2, 6985, 3, 8.0)])
+    # b2: user 3 at 7000 — the batch in which user 1's timeout fires
+    #     (u2's new timeout 7045 and u3's 7060 stay above the final
+    #     watermark 6990, so neither flushes — deterministic output)
+    write("02", [(3, 7000, 4, 16.0)])
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, ts LONG, event_id LONG, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    sess = so.stream_sessionize(stream, gap_sec=60, watermark_sec=10)
+    so.run_stream_to_memory(sess, "sess_timeout", mode="update")
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]): r[
+            "value_sum"
+        ]
+        for r in spark.table("sess_timeout").collect()
+    }
+    assert got == {
+        (1, 1000, 1010, 2): 3.0,  # flushed by timeout, not by an event
+        (2, 1000, 1000, 1): 4.0,  # closed normally by the 6985 event
+    }
+
+
 def test_stream_sessionize_carries_state_across_batches(spark, events_dir, schema):
     stream = so.events_stream(spark, events_dir, schema)
     sess = so.stream_sessionize(stream)
