@@ -41,6 +41,13 @@ TFIDF_K = 3
 TOPCUST_K = 3
 ANTI_MIN_QTY = 45.0
 CLEAN_MIN_QUALITY = 0.5
+ASOF_LEFT_TYPE = "click"
+ASOF_RIGHT_TYPE = "purchase"
+RANGE_HORIZON_SEC = 3600
+SETOP_VALUE_THRESHOLD = 150.0
+SAMPLE_RATES = {"en": 0.5, "de": 0.25}
+SAMPLE_DEFAULT_RATE = 0.1
+QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.9)
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -70,6 +77,27 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible hash-bucket stratified sample (per-lang rates):
+    the auditable, retry-stable way to subsample a training corpus —
+    a narrow filter, zero shuffle, no RNG state."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    return sp.hash_sample_stratified(
+        load_table(spark, sf_dir, "documents"), SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+    ).select("doc_id", "lang")
+
+
+def q_text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact token-count quantiles (corpus length profile
+    for truncation/packing budgets)."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    return sp.token_quantiles(
+        load_table(spark, sf_dir, "documents"), QUANTILE_PROBS
+    )
 
 
 def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -293,6 +321,38 @@ def q_kmeans_nd_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "cid INT, n LONG, center_norm DOUBLE")
 
 
+def q_kmeans_nd_fit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-D ``fit_nd`` under the hash gate (the n-D analog of
+    kmeans_fit_fixed): fixed init from the ND_CENTROID_IDS rows,
+    exactly 2 iterations (tol=0.0), per-iteration HALF_UP rounding to
+    6 digits — so the unrolled 2-iteration DuckDB twin reproduces the
+    REAL driver loop (numpy matmul partials, keep-policy repair,
+    convergence bookkeeping) value-for-value. Output long format
+    (cid, dim_idx, c_val, n)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("vec"),
+    )
+    cents = (
+        pts.filter(F.col("point_id").isin(ND_CENTROID_IDS))
+        .orderBy("point_id")
+        .collect()
+    )
+    init = [(i, list(r["vec"])) for i, r in enumerate(cents)]
+    centers, _history, sizes = knd.fit_nd(
+        pts, k=4, max_iter=2, tol=0.0, init_centers=init, round_digits=6
+    )
+    rows = [
+        (cid, i, float(v[i]), int(sizes.get(cid, 0)))
+        for cid, v in centers
+        for i in range(EMB_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "cid INT, dim_idx INT, c_val DOUBLE, n BIGINT"
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
     return mm.media_meta(media)
@@ -304,6 +364,74 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id", "kind", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"), "decoded"
     )
+
+
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's latest purchase
+    state at-or-before it (union + running last over one user-keyed
+    window — no join operator; DuckDB twin uses native ASOF JOIN)."""
+    return ev.asof_latest(
+        load_table(spark, sf_dir, "events"), ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE
+    )
+
+
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join: purchases within an hour of each click,
+    bucketed equi-join (each left row probes 2 buckets) vs DuckDB's
+    native inequality join."""
+    return ev.range_join_counts(
+        load_table(spark, sf_dir, "events"),
+        ASOF_LEFT_TYPE,
+        ASOF_RIGHT_TYPE,
+        RANGE_HORIZON_SEC,
+    )
+
+
+def q_events_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, hour): all four grouping combinations in
+    one shuffle (rollup's sibling; grouping-set expansion map-side)."""
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "hour", F.expr("ts div 1000000000 div 3600")
+    )
+    return (
+        e.cube("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hour"), F.lit(-1)).alias("hour"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def q_events_users_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: users with a big purchase AND a big error event."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("value") > SETOP_VALUE_THRESHOLD)
+    ).select("user_id")
+    b = e.filter(
+        (F.col("event_type") == "error")
+        & (F.col("value") > SETOP_VALUE_THRESHOLD)
+    ).select("user_id")
+    return a.intersect(b)
+
+
+def q_events_users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): users who clicked but never made a big
+    purchase."""
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == ASOF_LEFT_TYPE).select("user_id")
+    b = e.filter(
+        (F.col("event_type") == ASOF_RIGHT_TYPE)
+        & (F.col("value") > SETOP_VALUE_THRESHOLD)
+    ).select("user_id")
+    return a.subtract(b)
 
 
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -649,6 +777,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
         "text_tfidf": q_text_tfidf,
+        "text_token_quantiles": q_text_token_quantiles,
+        "corpus_sample_stratified": q_corpus_sample_stratified,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "join_top_customers": q_join_top_customers,
         "join_parts_never_ordered": q_join_parts_never_ordered,
@@ -667,12 +797,45 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_nd_assign": q_kmeans_nd_assign,
         "kmeans_nd_loop2": q_kmeans_nd_loop2,
         "kmeans_nd_fit": q_kmeans_nd_fit,
+        "kmeans_nd_fit_fixed": q_kmeans_nd_fit_fixed,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
+        "events_cube": q_events_cube,
+        "events_users_intersect": q_events_users_intersect,
+        "events_users_except": q_events_users_except,
         "kmeans_mllib": q_kmeans_mllib,
     }
+
+
+def _sample_sql() -> str:
+    """Twin of sampling.hash_sample_stratified — same salted h64 bucket,
+    same integer thresholds, generated from the same rate constants."""
+    from kmeans_mapreduce_spark.operators.sampling import SAMPLE_BUCKETS, SAMPLE_SALT
+
+    whens = " ".join(
+        f"WHEN '{stratum}' THEN {int(rate * SAMPLE_BUCKETS)}"
+        for stratum, rate in sorted(SAMPLE_RATES.items())
+    )
+    case = f"CASE lang {whens} ELSE {int(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END"
+    bucket = h64_sql(f"'{SAMPLE_SALT}:' || doc_id::VARCHAR")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {bucket} % {SAMPLE_BUCKETS} < {case}"""
+
+
+def _token_quantiles_sql() -> str:
+    """Twin of sampling.token_quantiles — quantile_cont shares Spark
+    percentile's type-7 linear-interpolation definition."""
+    probs = "[" + ", ".join(f"CAST({p!r} AS DOUBLE)" for p in QUANTILE_PROBS) + "]"
+    return f"""
+WITH t AS (SELECT lang, len(string_split(text, ' '))::DOUBLE AS nt FROM documents),
+q AS (SELECT lang, quantile_cont(nt, {probs}) AS qs FROM t GROUP BY lang)
+SELECT lang, (i - 1)::INTEGER AS q_idx, ROUND(qs[i], 6) AS q_value
+FROM q CROSS JOIN range(1, {len(QUANTILE_PROBS) + 1}) r(i)"""
 
 
 def _quality_sql() -> str:
@@ -750,6 +913,8 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, rank::INTEGER AS rank, tfidf FROM ranked WHERE rank <= {TFIDF_K}""",
+        "corpus_sample_stratified": _sample_sql(),
+        "text_token_quantiles": _token_quantiles_sql(),
         "join_revenue_by_nation": """
 SELECT n.n_name,
        ROUND(SUM(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)), 2) AS revenue,
@@ -844,6 +1009,56 @@ SELECT doc_id AS media_id,
        (doc_id % 64 + 64)::INTEGER AS width,
        (doc_id % 48 + 48)::INTEGER AS height
 FROM documents""",
+        "events_asof_join": f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+l AS (SELECT user_id, event_id, ts_sec FROM e WHERE event_type = '{ASOF_LEFT_TYPE}'),
+r AS (
+  SELECT user_id, ts_sec, MAX(value) AS r_value
+  FROM e WHERE event_type = '{ASOF_RIGHT_TYPE}' GROUP BY user_id, ts_sec
+)
+SELECT l.user_id, l.event_id, l.ts_sec,
+       r.ts_sec AS asof_ts, r.r_value AS asof_value
+FROM l ASOF JOIN r
+  ON l.user_id = r.user_id AND l.ts_sec >= r.ts_sec""",
+        "events_range_join": f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+l AS (SELECT user_id, event_id, ts_sec FROM e WHERE event_type = '{ASOF_LEFT_TYPE}'),
+r AS (SELECT user_id, ts_sec AS r_ts, value FROM e WHERE event_type = '{ASOF_RIGHT_TYPE}')
+SELECT l.user_id, l.event_id, l.ts_sec,
+       COUNT(*) AS n_right, ROUND(SUM(r.value), 2) AS right_value_sum
+FROM l JOIN r
+  ON r.user_id = l.user_id
+ AND r.r_ts >= l.ts_sec AND r.r_ts < l.ts_sec + {RANGE_HORIZON_SEC}
+GROUP BY l.user_id, l.event_id, l.ts_sec""",
+        "events_cube": """
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(hour, -1) AS hour,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM (
+  SELECT event_type, (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS hour, value
+  FROM events
+)
+GROUP BY CUBE(event_type, hour)""",
+        "events_users_intersect": f"""
+SELECT user_id FROM events
+WHERE event_type = 'purchase' AND value > CAST({SETOP_VALUE_THRESHOLD!r} AS DOUBLE)
+INTERSECT
+SELECT user_id FROM events
+WHERE event_type = 'error' AND value > CAST({SETOP_VALUE_THRESHOLD!r} AS DOUBLE)""",
+        "events_users_except": f"""
+SELECT user_id FROM events WHERE event_type = '{ASOF_LEFT_TYPE}'
+EXCEPT
+SELECT user_id FROM events
+WHERE event_type = '{ASOF_RIGHT_TYPE}' AND value > CAST({SETOP_VALUE_THRESHOLD!r} AS DOUBLE)""",
+        "kmeans_nd_fit_fixed": _kmeans_nd_loop2_sql(),
         "events_window_agg": f"""
 SELECT (epoch_ns(ts) // 1000000000 // {ev.WINDOW_SEC} * {ev.WINDOW_SEC})::BIGINT AS window_start,
        event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum

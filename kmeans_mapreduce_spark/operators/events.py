@@ -66,3 +66,125 @@ def sessionize(events: DataFrame, digits: int = 2) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), digits).alias("value_sum"),
     )
+
+
+def asof_latest(
+    events: DataFrame, left_type: str, right_type: str
+) -> DataFrame:
+    """AS-OF join: each left-type event matched to the LATEST right-type
+    state at-or-before its timestamp, per user (the time-series join
+    Spark lacks natively — e.g. "price as of each trade").
+
+    Distributed shape: union both sides with a side marker and take a
+    running ``last(ignorenulls)`` of the right-side attributes over one
+    window keyed by user and ordered by (ts, side) — right rows sort
+    before left rows at equal timestamps, giving inclusive
+    at-or-before. ONE shuffle keyed by user; no per-row range scan, no
+    join explosion, no join operator at all (plan-asserted). The right
+    side is first reduced to one state row per (user, second) via
+    MAX(value), so equal-timestamp ties are deterministic on both
+    engines. The DuckDB twin is the independently-implemented native
+    ``ASOF JOIN``.
+
+    Output (inner semantics): left events with at least one prior state
+    — (user_id, event_id, ts_sec, asof_ts, asof_value).
+    """
+    e = with_epoch_seconds(events).select(
+        "user_id", "event_id", "event_type", "value", "ts_sec"
+    )
+    left = e.filter(F.col("event_type") == left_type)
+    right = (
+        e.filter(F.col("event_type") == right_type)
+        .groupBy("user_id", "ts_sec")
+        .agg(F.max("value").alias("r_value"))
+    )
+    u = left.select(
+        "user_id",
+        "ts_sec",
+        F.lit(1).alias("__side"),
+        "event_id",
+        F.lit(None).cast("double").alias("r_value"),
+    ).unionByName(
+        right.select(
+            "user_id",
+            "ts_sec",
+            F.lit(0).alias("__side"),
+            F.lit(None).cast("long").alias("event_id"),
+            "r_value",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_value", F.last("r_value", ignorenulls=True).over(w))
+        .withColumn(
+            "asof_ts",
+            F.last(
+                F.when(F.col("__side") == 0, F.col("ts_sec")), ignorenulls=True
+            ).over(w),
+        )
+        .filter((F.col("__side") == 1) & F.col("asof_value").isNotNull())
+        .select("user_id", "event_id", "ts_sec", "asof_ts", "asof_value")
+    )
+
+
+def range_join_counts(
+    events: DataFrame,
+    left_type: str,
+    right_type: str,
+    horizon_sec: int,
+    digits: int = 2,
+) -> DataFrame:
+    """Bounded RANGE join: for each left-type event, aggregate the
+    right-type events of the same user in [ts, ts + horizon) — e.g.
+    "purchases within an hour of each click".
+
+    Distributed shape: bucket both sides by ``ts div horizon`` and
+    equi-join on (user, bucket), with each left row probing its own
+    bucket and the next (a half-open window of width == bucket size
+    spans at most two buckets). The theta condition is then a cheap
+    residual filter on equi-join matches — never a cartesian or
+    broadcast-nested-loop explosion (plan-asserted). The DuckDB twin
+    runs its native inequality range join, an independent algorithm.
+
+    Output (inner semantics): left events with ≥1 right match —
+    (user_id, event_id, ts_sec, n_right, right_value_sum).
+    """
+    e = with_epoch_seconds(events)
+    left = (
+        e.filter(F.col("event_type") == left_type)
+        .select("user_id", "event_id", "ts_sec")
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.expr(f"ts_sec div {horizon_sec}"),
+                    F.expr(f"ts_sec div {horizon_sec} + 1"),
+                )
+            ),
+        )
+    )
+    right = (
+        e.filter(F.col("event_type") == right_type)
+        .select(
+            "user_id",
+            F.col("ts_sec").alias("r_ts"),
+            F.col("value").alias("r_value"),
+        )
+        .withColumn("bucket", F.expr(f"r_ts div {horizon_sec}"))
+    )
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .filter(
+            (F.col("r_ts") >= F.col("ts_sec"))
+            & (F.col("r_ts") < F.col("ts_sec") + horizon_sec)
+        )
+        .groupBy("user_id", "event_id", "ts_sec")
+        .agg(
+            F.count(F.lit(1)).alias("n_right"),
+            F.round(F.sum("r_value"), digits).alias("right_value_sum"),
+        )
+    )

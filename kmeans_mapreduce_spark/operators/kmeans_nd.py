@@ -122,10 +122,19 @@ def fit_nd(
     tol: float = 1e-4,
     seed: int = 42,
     init_centers: list[NDCenter] | None = None,
+    round_digits: int | None = None,
 ):
     """n-D Lloyd loop. Init: first k points by point_id (deterministic)
     unless explicit centers are given. Returns (centers, wssse_history,
-    sizes)."""
+    sizes).
+
+    ``round_digits``: round each iteration's per-dimension means
+    (HALF_UP, like ``F.round``/DuckDB) before they become the next
+    generation's centers — with fixed init and ``tol=0.0`` this makes
+    the whole loop deterministic across engines, which is how
+    ``kmeans_nd_fit_fixed`` puts ``fit_nd`` itself under the DuckDB
+    hash gate (mirroring the 2-D ``kmeans_fit_fixed``)."""
+    from kmeans_mapreduce_spark.operators.kmeans import round_half_up
     pts = points.select("point_id", "vec")
     # same per-partition fixed-cost normalization as the 2-D fit
     sc = pts.sparkSession.sparkContext
@@ -143,6 +152,11 @@ def fit_nd(
         sizes: dict[int, int] = {}
         for _ in range(max_iter):
             means, sizes, sse = lloyd_step_nd(pts, centers)
+            if round_digits is not None:
+                means = {
+                    c: [round_half_up(x, round_digits) for x in v]
+                    for c, v in means.items()
+                }
             history.append(sse)
             centers = [
                 (cid, means.get(cid, cvec)) for cid, cvec in centers

@@ -1,0 +1,92 @@
+"""Reproducible corpus sampling + distribution statistics (north-star
+training-data-pipeline operators; the reference has no sampling at all
+— its only randomness is centroid init, SURVEY §2.1 O11).
+
+Hash-based stratified sampling is the scale-correct way to subsample a
+100 TB corpus: membership is a pure function of the row key (no RNG
+state, no per-partition seed coupling, stable across reruns and task
+retries — ``F.rand`` sampling is none of those), the predicate is a
+narrow map evaluated inside the scan stage with zero shuffle, and the
+per-stratum rate is a literal CASE chain. The same definition runs
+verbatim in the DuckDB oracle because the hash is the portable md5-
+based ``h64``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions.hashing import h64
+from kmeans_mapreduce_spark.functions.text import n_tokens
+
+SAMPLE_BUCKETS = 10_000  # rate resolution: 1 bucket = 0.01%
+SAMPLE_SALT = "sample"  # decorrelates the sample hash from other h64 uses
+
+
+def sample_bucket(doc_id: Column, salt: str = SAMPLE_SALT) -> Column:
+    """Uniform bucket in [0, SAMPLE_BUCKETS) from the salted row key."""
+    return F.pmod(
+        h64(F.concat_ws(":", F.lit(salt), doc_id.cast("string"))),
+        F.lit(SAMPLE_BUCKETS),
+    )
+
+
+def hash_sample_stratified(
+    docs: DataFrame,
+    rates: dict[str, float],
+    default_rate: float,
+    stratum_col: str = "lang",
+) -> DataFrame:
+    """Deterministic stratified sample: keep a row iff its hash bucket
+    falls under its stratum's threshold. Rates are per-stratum keep
+    fractions (e.g. ``{"en": 0.5}`` with ``default_rate=0.1`` keeps
+    ~50% of English docs and ~10% of everything else).
+
+    Plan shape: scan → narrow filter. No shuffle, no RNG, no driver
+    state; re-running on the same data always returns the same rows
+    (what a training-data pipeline needs for auditable subsampling).
+    """
+    threshold = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    for stratum, rate in sorted(rates.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS))
+        ).otherwise(threshold)
+    return docs.filter(sample_bucket(F.col("doc_id")) < threshold)
+
+
+def token_quantiles(
+    docs: DataFrame, probs: tuple[float, ...], digits: int = 6
+) -> DataFrame:
+    """Per-language exact token-count quantiles (linear interpolation,
+    the shared type-7 definition of Spark ``percentile`` and DuckDB
+    ``quantile_cont``) — the corpus length-distribution profile a
+    pipeline uses to pick truncation/packing budgets.
+
+    Exact order statistics are deterministic (no summation-order noise;
+    only the interpolation arithmetic needs rounding), so the oracle
+    matches at 6 digits. One shuffle keyed by stratum; at real scale
+    swap in ``approx_percentile`` for the sketch-merge form (excluded
+    from the oracle gate by design — sketches are engine-specific).
+
+    Output long format: (lang, q_idx, q_value).
+    """
+    g = (
+        docs.select(
+            "lang", n_tokens(F.col("text")).cast("double").alias("nt")
+        )
+        .groupBy("lang")
+        .agg(
+            F.percentile(F.col("nt"), F.array(*[F.lit(p) for p in probs])).alias(
+                "qs"
+            )
+        )
+    )
+    return g.select(
+        "lang",
+        F.posexplode("qs").alias("q_idx", "qv"),
+    ).select(
+        "lang",
+        F.col("q_idx").cast("int").alias("q_idx"),
+        F.round(F.col("qv"), digits).alias("q_value"),
+    )

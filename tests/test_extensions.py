@@ -192,3 +192,57 @@ def test_multimodal_resize_and_frame_sample(docs):
 def test_multimodal_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         mm._decode_stub("hologram", b"\x00")
+
+
+def test_asof_latest_semantics(spark):
+    """Crafted case: inclusive at-or-before match, latest state wins,
+    no-prior-state rows dropped, equal-ts right dupes deterministic."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = [
+        # (event_id, ts, user, type, value)
+        (0, 100 * S, 1, "price", 10.0),
+        (1, 100 * S, 1, "price", 12.0),   # same-second dup: MAX wins
+        (2, 100 * S, 1, "trade", 0.0),    # equal ts → inclusive match 12.0
+        (3, 150 * S, 1, "trade", 0.0),    # latest prior = 12.0
+        (4, 200 * S, 1, "price", 20.0),
+        (5, 250 * S, 1, "trade", 0.0),    # latest prior = 20.0
+        (6, 50 * S, 2, "trade", 0.0),     # no prior state → dropped
+        (7, 60 * S, 2, "price", 5.0),
+        (8, 70 * S, 2, "trade", 0.0),     # matches 5.0
+    ]
+    e = spark.createDataFrame(
+        [(i, ts, u, t, v, "") for i, ts, u, t, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        r["event_id"]: (r["asof_ts"], r["asof_value"])
+        for r in ev.asof_latest(e, "trade", "price").collect()
+    }
+    assert got == {2: (100, 12.0), 3: (100, 12.0), 5: (200, 20.0), 8: (60, 5.0)}
+
+
+def test_range_join_counts_semantics(spark):
+    """Half-open [ts, ts+h): boundary rows excluded, cross-bucket
+    matches found, left rows with no match dropped."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = [
+        (0, 100 * S, 1, "click", 0.0),
+        (1, 100 * S, 1, "buy", 1.0),     # at ts → included
+        (2, 150 * S, 1, "buy", 2.0),     # in window
+        (3, 160 * S, 1, "buy", 4.0),     # in window (next bucket probe)
+        (4, 200 * S, 1, "buy", 8.0),     # ts+h boundary → EXCLUDED
+        (5, 300 * S, 2, "click", 0.0),   # no matches → dropped
+    ]
+    e = spark.createDataFrame(
+        [(i, ts, u, t, v, "") for i, ts, u, t, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = [
+        (r["event_id"], r["n_right"], r["right_value_sum"])
+        for r in ev.range_join_counts(e, "click", "buy", 100).collect()
+    ]
+    assert got == [(0, 3, 7.0)]

@@ -130,3 +130,42 @@ def test_topk_forms_agree_and_dispatch(spark):
     many = list(range(sim.SMALL_Q + 1))
     auto_large = plans.explain_str(sim.cosine_topk(emb, many, k=3))
     assert "Window" not in auto_large
+
+
+def test_asof_join_is_join_free(spark):
+    """The as-of operator is a union + one user-keyed window — there
+    must be NO join operator (the naive per-row range-scan join is the
+    plan this operator exists to avoid)."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    df = ev.asof_latest(load_table(spark, SF, "events"), "click", "purchase")
+    plan = plans.explain_str(df)
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_bucketed_equi_join(spark):
+    """The bounded range join must execute as an equi-join on
+    (user, bucket) with a residual filter — never a cartesian or
+    broadcast-nested-loop theta join."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    df = ev.range_join_counts(load_table(spark, SF, "events"), "click", "purchase", 3600)
+    plan = plans.explain_str(df)
+    assert not plans.has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hash_sample_is_narrow_and_deterministic(spark):
+    """Hash-bucket sampling must be a pure narrow filter (no shuffle,
+    no rand) and return the identical row set on re-execution."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    docs = load_table(spark, SF, "documents")
+    s = sp.hash_sample_stratified(docs, {"en": 0.5}, 0.1)
+    plan = plans.explain_str(s)
+    assert "Exchange" not in plan
+    assert "rand" not in plan.lower()
+    a = sorted(r["doc_id"] for r in s.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in s.select("doc_id").collect())
+    assert a == b and len(a) > 0
