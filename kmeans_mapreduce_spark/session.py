@@ -64,7 +64,19 @@ def get_spark(
         # and later queries run interpreted (measured 8-10x slowdowns).
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing "
+            "-Dderby.stream.error.file=/tmp/spark-graft-derby.log",
+        )
+        # Catalog state (bucketed-table metadata for the co-located
+        # join sink) lives outside the repo tree; saveAsTable would
+        # otherwise drop metastore_db/ + spark-warehouse/ into cwd.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-graft-warehouse"),
+        )
+        .config(
+            "javax.jdo.option.ConnectionURL",
+            "jdbc:derby:;databaseName=/tmp/spark-graft-metastore;create=true",
         )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")

@@ -54,6 +54,28 @@ def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+DOCUMENTS_DDL = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """O1 breadth — JSONL document source (the interchange format
+    training corpora actually ship in). Schema is EXPLICIT: schema
+    inference on JSON is a full extra pass over the data at 100 TB, and
+    a silent type lottery besides; FAILFAST surfaces corrupt lines
+    instead of nulling them."""
+    return (
+        spark.read.schema(DOCUMENTS_DDL)
+        .option("mode", "FAILFAST")
+        .json(path)
+    )
+
+
+def write_documents_jsonl(docs: DataFrame, path: str) -> None:
+    """JSONL document sink (one JSON object per line, gzip-able,
+    splittable when uncompressed — the corpus interchange format)."""
+    docs.write.mode("overwrite").json(path)
+
+
 def write_centroids(centroids: DataFrame, path: str, fmt: str = "parquet") -> None:
     """O5 — centroid sink. The reference deletes and rewrites
     ``centroids.txt`` every iteration so only the latest generation
@@ -75,3 +97,29 @@ def write_partitioned(df: DataFrame, path: str, key: str = "cid") -> None:
     (``reducer.py:59-139``).
     """
     df.write.mode("overwrite").partitionBy(key).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    buckets: int,
+    path: str | None = None,
+) -> None:
+    """O4 at cluster scale: hash-BUCKETED parquet sink.
+
+    ``partitionBy`` gives one directory per key value (fine for low-
+    cardinality keys like cid); bucketing hashes a high-cardinality key
+    into a fixed number of files per partition and records the layout
+    in the catalog, so a later join or aggregation on the bucket key
+    reads both sides ALREADY co-partitioned — the 100 TB join strategy
+    that removes the shuffle entirely (asserted in
+    ``tests/test_sources.py``: two tables bucketed 8×8 on the same key
+    sort-merge-join with zero Exchange). This is the declarative
+    replacement for the reference's fixed mod-R file layout, which was
+    exactly a hand-rolled 1-level bucket scheme (``mapper.py:65``).
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, key)
+    if path is not None:
+        w = w.option("path", path)
+    w.sortBy(key).saveAsTable(table)

@@ -133,3 +133,38 @@ def test_fit_always_k_centers(spark, sf_dir):
     pts = points_2d(spark, sf_dir)
     res = km.fit(pts, k=8, max_iter=3, tol=0.5, seed=7)
     assert sorted(c[0] for c in res.centers) == list(range(8))
+
+
+def test_round_half_up_matches_both_engines(spark):
+    """Driver-side mean rounding must agree with Spark F.round and
+    DuckDB ROUND everywhere — including exactly-representable decimal
+    half-ties (dyadic values like 1.0078125), where Python's built-in
+    round() (half-to-even) diverges."""
+    import random as rnd
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.operators.kmeans import round_half_up
+
+    vals = [
+        1.0078125, -1.0078125, 33.0078125,  # dyadic 7-digit half-ties
+        2.5e-6, -2.5e-6, 0.9999995, -0.9999995, 0.0, 123.456789499,
+    ]
+    r = rnd.Random(0)
+    vals += [r.uniform(-1000, 1000) for _ in range(200)]
+    # built-in round() must actually diverge on the planted ties
+    assert round(1.0078125, 6) != round_half_up(1.0078125, 6)
+
+    py = [round_half_up(v, 6) for v in vals]
+    con = duckdb.connect()
+    duck = [
+        con.execute("SELECT ROUND(CAST(? AS DOUBLE), 6)", [v]).fetchone()[0]
+        for v in vals
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i INT, v DOUBLE"
+    ).select("i", F.round("v", 6).alias("r"))
+    sp = [row["r"] for row in df.orderBy("i").collect()]
+    assert py == duck
+    assert py == sp

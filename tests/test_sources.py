@@ -47,3 +47,55 @@ def test_write_partitioned_layout(spark, tmp_path):
     back = spark.read.parquet(path)
     assert back.count() == 8
     assert back.filter(F.col("cid") == 0).count() == 4
+
+
+def test_write_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed 8x8 on the same key must sort-merge-join
+    with ZERO exchanges — the co-located 100 TB join layout."""
+    from kmeans_mapreduce_spark import plans
+
+    a = spark.createDataFrame(
+        [(i, float(i)) for i in range(1000)], "k LONG, va DOUBLE"
+    )
+    b = spark.createDataFrame(
+        [(i, float(i * 2)) for i in range(0, 1000, 2)], "k LONG, vb DOUBLE"
+    )
+    loaders.write_bucketed(a, "bt_a", "k", 8, path=str(tmp_path / "bt_a"))
+    loaders.write_bucketed(b, "bt_b", "k", 8, path=str(tmp_path / "bt_b"))
+    # tiny test tables would broadcast (which disables bucketed scans);
+    # force the shuffle-join path a 100 TB join would take so the plan
+    # shows what bucketing buys: a sort-merge join with NO exchange
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "k")
+        plan = plans.explain_str(joined)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 500
+        got = {r["k"]: r["vb"] for r in joined.collect()}
+        assert got[4] == 8.0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_documents_jsonl_roundtrip(spark, tmp_path):
+    """JSONL source/sink roundtrip: schema'd read (no inference pass),
+    values and types survive, and the parquet-sourced operators run
+    unchanged on a JSONL-sourced frame."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_jsonl")
+    loaders.write_documents_jsonl(docs, path)
+    back = loaders.read_documents_jsonl(spark, path)
+    assert back.schema == docs.select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    ).schema
+    assert back.count() == docs.count()
+    a = sorted(r["fingerprint"] for r in tx.fingerprint(docs).collect())
+    b = sorted(r["fingerprint"] for r in tx.fingerprint(back).collect())
+    assert a == b
