@@ -48,6 +48,8 @@ SETOP_VALUE_THRESHOLD = 150.0
 SAMPLE_RATES = {"en": 0.5, "de": 0.25}
 SAMPLE_DEFAULT_RATE = 0.1
 QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.9)
+MEDIA_CENTROID_IDS = [0, 1, 2, 3]
+MEDIA_DIM = 16  # md5 digest bytes → 16-dim stand-in embedding
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -434,6 +436,29 @@ def q_events_users_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.subtract(b)
 
 
+def q_pipeline_media_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal capstone composition: binary payloads → embedding
+    vectors (mapInPandas encoder plumbing) → n-D nearest-centroid
+    assignment (the k-means engine's own operator) → per-cluster
+    stats. One chained plan; the DuckDB twin rebuilds the 16-byte
+    'embedding' from md5 hex arithmetic and replays the argmin."""
+    media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
+    emb = mm.media_embedding(media)
+    cents = (
+        emb.filter(F.col("media_id").isin(MEDIA_CENTROID_IDS))
+        .orderBy("media_id")
+        .collect()
+    )
+    centers = [(i, list(r["vec"])) for i, r in enumerate(cents)]
+    assigned = knd.assign_nd_expr(
+        emb.select(F.col("media_id").alias("point_id"), "vec"), centers
+    )
+    return assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.round(F.avg("min_d2"), 2).alias("avg_d2"),
+    )
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.window_agg(load_table(spark, sf_dir, "events"))
 
@@ -800,6 +825,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_nd_fit_fixed": q_kmeans_nd_fit_fixed,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "pipeline_media_cluster": q_pipeline_media_cluster,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_asof_join": q_events_asof_join,
@@ -809,6 +835,42 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_users_except": q_events_users_except,
         "kmeans_mllib": q_kmeans_mllib,
     }
+
+
+def _media_cluster_sql() -> str:
+    """Twin of q_pipeline_media_cluster: rebuild the byte 'embedding'
+    from md5 hex (byte j = 16·hex[2j] + hex[2j+1] — same trick as the
+    multimodal_features twin), then replay the argmin assignment and
+    per-cluster aggregate. cid = rank of media_id among the sorted
+    centroid ids = the media_id itself for ids 0..3. Byte arithmetic
+    is exact integers in doubles, so d2 is bit-identical and only the
+    AVG needs rounding."""
+    cids = ", ".join(str(c) for c in MEDIA_CENTROID_IDS)
+    byte_expr = (
+        "(strpos('0123456789abcdef', substr(hx, 2 * CAST(j AS INTEGER) + 1, 1)) - 1) * 16 + "
+        "(strpos('0123456789abcdef', substr(hx, 2 * CAST(j AS INTEGER) + 2, 1)) - 1)"
+    )
+    d2 = (
+        f"list_sum(list_transform(range(1, {MEDIA_DIM + 1}), "
+        "i -> (v.vec[i] - c.vec[i]) * (v.vec[i] - c.vec[i])))"
+    )
+    return f"""
+WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+v AS (
+  SELECT media_id,
+         list_transform(range(0, {MEDIA_DIM}), j -> ({byte_expr})::DOUBLE) AS vec
+  FROM m
+),
+c AS (SELECT media_id AS cid0, vec FROM v WHERE media_id IN ({cids})),
+d AS (SELECT v.media_id, c.cid0, {d2} AS d2 FROM v CROSS JOIN c),
+a AS (
+  SELECT media_id, cid0 AS cid, d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY media_id ORDER BY d2, cid0) AS rn
+    FROM d
+  ) WHERE rn = 1
+)
+SELECT CAST(cid AS INTEGER) AS cid, COUNT(*) AS n_media, ROUND(AVG(d2), 2) AS avg_d2
+FROM a GROUP BY cid"""
 
 
 def _sample_sql() -> str:
@@ -1059,6 +1121,7 @@ EXCEPT
 SELECT user_id FROM events
 WHERE event_type = '{ASOF_RIGHT_TYPE}' AND value > CAST({SETOP_VALUE_THRESHOLD!r} AS DOUBLE)""",
         "kmeans_nd_fit_fixed": _kmeans_nd_loop2_sql(),
+        "pipeline_media_cluster": _media_cluster_sql(),
         "events_window_agg": f"""
 SELECT (epoch_ns(ts) // 1000000000 // {ev.WINDOW_SEC} * {ev.WINDOW_SEC})::BIGINT AS window_start,
        event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum

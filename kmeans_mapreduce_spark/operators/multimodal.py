@@ -57,6 +57,33 @@ def _decode_stub(kind: str, payload: bytes):
     return payload  # identity 'decode' for the synthetic format
 
 
+def media_embedding(media: DataFrame) -> DataFrame:
+    """Payload bytes → dense float vector (one dimension per byte) —
+    the deterministic stand-in for a real encoder model, with the REAL
+    plumbing a GPU-batched embedder needs: binary column in, Arrow
+    batch iteration, ``array<double>`` column out, narrow map (no
+    shuffle). Swap the byte loop for a model forward pass and nothing
+    else changes. Output: (media_id, vec ARRAY<DOUBLE>)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "vec": [
+                        [float(b) for b in _decode_stub(k, bytes(p))]
+                        for k, p in zip(pdf["kind"], pdf["payload"])
+                    ],
+                }
+            )
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        fn, "media_id LONG, vec ARRAY<DOUBLE>"
+    )
+
+
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads.
 
