@@ -250,3 +250,44 @@ def test_stream_sessionize_carries_state_across_batches(spark, events_dir, schem
     }
     assert got == want
     assert len(got) > 0  # the fixture really produces closed sessions
+
+
+def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path_factory):
+    """The cross-batch dedup state must behave identically on the
+    RocksDB state-store provider — the backend a production deployment
+    uses for state larger than executor heap (the docstring's scale
+    claim, actually exercised)."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("docs_rocks"))
+    pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["hello world", "hello world"]}
+    ).to_parquet(f"{out}/00.parquet")
+    pd.DataFrame({"doc_id": [2], "text": ["hello world"]}).to_parquet(
+        f"{out}/01.parquet"
+    )
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        so.run_stream_to_memory(
+            so.stream_dedup_exact(stream), "dedup_rocks", "update"
+        )
+        rows = spark.table("dedup_rocks").collect()
+        assert [
+            (r["keep_doc_id"], r["n_copies"], r["is_new"])
+            for r in sorted(rows, key=lambda r: r["n_copies"])
+        ] == [(0, 2, True), (0, 3, False)]
+    finally:
+        if prev is None:
+            spark.conf.unset(prov)
+        else:
+            spark.conf.set(prov, prev)
