@@ -50,6 +50,7 @@ SAMPLE_DEFAULT_RATE = 0.1
 QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.9)
 MEDIA_CENTROID_IDS = [0, 1, 2, 3]
 MEDIA_DIM = 16  # md5 digest bytes → 16-dim stand-in embedding
+TOP_QUALITY_K = 10
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -90,6 +91,20 @@ def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.hash_sample_stratified(
         load_table(spark, sf_dir, "documents"), SAMPLE_RATES, SAMPLE_DEFAULT_RATE
     ).select("doc_id", "lang")
+
+
+def q_text_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ORDER BY + LIMIT (the §2.2 'sorts/limits' gap): top-K
+    docs by quality score. Spark executes this as TakeOrderedAndProject
+    (plan-asserted) — per-partition top-K heaps merged on the driver,
+    never a full global sort-shuffle; ties broken by doc_id so the K
+    rows are deterministic across engines."""
+    q = tx.quality(load_table(spark, sf_dir, "documents"))
+    return (
+        q.select("doc_id", "quality_score")
+        .orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        .limit(TOP_QUALITY_K)
+    )
 
 
 def q_text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -803,6 +818,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_tfidf": q_text_tfidf,
         "text_token_quantiles": q_text_token_quantiles,
+        "text_top_quality": q_text_top_quality,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "join_top_customers": q_join_top_customers,
@@ -977,6 +993,11 @@ ranked AS (
 SELECT doc_id, term, rank::INTEGER AS rank, tfidf FROM ranked WHERE rank <= {TFIDF_K}""",
         "corpus_sample_stratified": _sample_sql(),
         "text_token_quantiles": _token_quantiles_sql(),
+        "text_top_quality": f"""
+WITH q AS ({_quality_sql()})
+SELECT doc_id, quality_score FROM q
+ORDER BY quality_score DESC, doc_id
+LIMIT {TOP_QUALITY_K}""",
         "join_revenue_by_nation": """
 SELECT n.n_name,
        ROUND(SUM(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)), 2) AS revenue,

@@ -169,3 +169,12 @@ def test_hash_sample_is_narrow_and_deterministic(spark):
     a = sorted(r["doc_id"] for r in s.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in s.select("doc_id").collect())
     assert a == b and len(a) > 0
+
+
+def test_global_topk_is_take_ordered_not_full_sort(spark):
+    """ORDER BY + LIMIT must run as TakeOrderedAndProject (per-partition
+    top-K heaps, driver merge) — not a full global sort-shuffle."""
+    from kmeans_mapreduce_spark.extensions import q_text_top_quality
+
+    plan = plans.explain_str(q_text_top_quality(spark, SF))
+    assert "TakeOrderedAndProject" in plan
