@@ -86,36 +86,85 @@ def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:
     )
 
 
-def minhash_signature_array(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+def minhash_signature_array(
+    docs: DataFrame, num_hashes: int = NUM_HASHES, impl: str = "pandas"
+) -> DataFrame:
     """(doc_id, sig ARRAY<BIGINT>) — MinHash signature per document over
     its word-3-gram *set*.
 
     sig[j] = min over shingles s of (a_j·h64(s) + b_j) mod P — the
     Carter–Wegman universal family over ONE md5 base hash per shingle.
-    Two projections: (1) base-hash array per doc (md5 evaluated once
-    per shingle — a separate projection so Catalyst cannot inline the
-    expensive expression into each family member), (2) num_hashes
-    integer multiply-add-mod array_mins. No explode, no shuffle: each
-    doc is one row in, num_hashes values out.
-    """
-    fam_a, fam_b = hash_family(num_hashes)
-    base = (
-        with_shingle_set(docs.select("doc_id", "text"))
-        .select(
-            "doc_id",
-            F.transform(F.col("s"), lambda t: h64(t) % MINHASH_P).alias("bh"),
-        )
-    )
-    def member(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
+    Both physical forms are narrow maps (no explode, no shuffle: each
+    doc is one row in, num_hashes values out) and emit bit-identical
+    signatures (asserted in tests/test_plans.py):
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("bh"), member(fam_a[j], fam_b[j])))
-            for j in range(num_hashes)
-        ]
+    - ``"pandas"`` (default): Arrow-batched builder — Python md5 per
+      shingle + one numpy (shingles × num_hashes) multiply-add-mod.
+      ~2× faster than the expression form at sf0.1 (interpreted HOF
+      per-element overhead dominates there; all int64 arithmetic fits
+      without overflow since P < 2^31 bounds every product < 2^62).
+    - ``"expr"``: pure Catalyst — base-hash array projection staged so
+      md5 evaluates once per shingle, then num_hashes array_mins.
+    """
+    if impl == "expr":
+        fam_a, fam_b = hash_family(num_hashes)
+        base = (
+            with_shingle_set(docs.select("doc_id", "text"))
+            .select(
+                "doc_id",
+                F.transform(F.col("s"), lambda t: h64(t) % MINHASH_P).alias("bh"),
+            )
+        )
+
+        def member(a: int, b: int):
+            return lambda h: (h * F.lit(a) + F.lit(b)) % MINHASH_P
+
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("bh"), member(fam_a[j], fam_b[j])))
+                for j in range(num_hashes)
+            ]
+        )
+        return base.select("doc_id", sig.alias("sig"))
+    if impl != "pandas":
+        raise ValueError(f"unknown impl: {impl!r}")
+
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    fam_a, fam_b = hash_family(num_hashes)
+
+    def build(batches):
+        A = np.array(fam_a, dtype=np.int64)[None, :]
+        B = np.array(fam_b, dtype=np.int64)[None, :]
+        for pdf in batches:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                w = text.split(" ")
+                if len(w) >= SHINGLE_N:
+                    sh = {
+                        " ".join(w[i : i + SHINGLE_N])
+                        for i in range(len(w) - SHINGLE_N + 1)
+                    }
+                else:
+                    sh = set(w)
+                h = np.array(
+                    [
+                        int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+                        % MINHASH_P
+                        for s in sh
+                    ],
+                    dtype=np.int64,
+                )[:, None]
+                ids.append(doc_id)
+                sigs.append(((h * A + B) % MINHASH_P).min(axis=0).tolist())
+            yield pd.DataFrame({"doc_id": ids, "sig": sigs})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id LONG, sig ARRAY<BIGINT>"
     )
-    return base.select("doc_id", sig.alias("sig"))
 
 
 def minhash_signatures(docs: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:

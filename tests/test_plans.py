@@ -178,3 +178,12 @@ def test_global_topk_is_take_ordered_not_full_sort(spark):
 
     plan = plans.explain_str(q_text_top_quality(spark, SF))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_signature_forms_agree(spark):
+    """The pandas and Catalyst signature builders must emit bit-identical
+    signatures (same md5 base hash, same int64 family arithmetic)."""
+    docs = load_table(spark, SF, "documents").limit(100)
+    a = {r["doc_id"]: list(r["sig"]) for r in dd.minhash_signature_array(docs, impl="pandas").collect()}
+    b = {r["doc_id"]: list(r["sig"]) for r in dd.minhash_signature_array(docs, impl="expr").collect()}
+    assert a == b and len(a) == 100
