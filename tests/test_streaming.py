@@ -291,3 +291,58 @@ def test_stream_dedup_on_rocksdb_state_store(spark, tmp_path_factory):
             spark.conf.unset(prov)
         else:
             spark.conf.set(prov, prev)
+
+
+def test_stream_dedup_state_survives_restart(spark, tmp_path_factory):
+    """Checkpointed state must survive a full query stop/restart: the
+    duplicate count continues from the persisted state store, not from
+    zero — the recovery contract a production ingestion stream relies
+    on."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("docs_restart"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+    sink = str(tmp_path_factory.mktemp("sink")) + "/rows"
+
+    def run_available():
+        # memory sink can't recover from a checkpoint; foreachBatch +
+        # parquet append is the restartable-sink shape
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        q = (
+            so.stream_dedup_exact(stream)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # run 1: two duplicate docs → state records (keep=0, n=2)
+    pd.DataFrame(
+        {"doc_id": [0, 1], "text": ["hello world", "hello world"]}
+    ).to_parquet(f"{out}/00.parquet")
+    run_available()
+    first = [
+        (r["keep_doc_id"], r["n_copies"], r["is_new"])
+        for r in spark.read.parquet(sink).collect()
+    ]
+    assert first == [(0, 2, True)]
+
+    # stop everything, add a third duplicate, restart from the SAME
+    # checkpoint: count must continue 2 → 3 with the original keeper
+    pd.DataFrame({"doc_id": [2], "text": ["hello world"]}).to_parquet(
+        f"{out}/01.parquet"
+    )
+    run_available()
+    rows = sorted(
+        (r["keep_doc_id"], r["n_copies"], r["is_new"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert rows == [(0, 2, True), (0, 3, False)]  # state carried over
