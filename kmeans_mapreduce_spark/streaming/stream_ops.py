@@ -231,6 +231,55 @@ def stream_dedup_exact(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_minhash_lsh_candidates(stream: DataFrame) -> DataFrame:
+    """Cross-batch STREAMING near-dup candidates — the continuous-
+    ingestion face of the batch MinHash→LSH pipeline (same signature
+    builder, same band hashing, so a doc collides with the same
+    buckets whether it arrives in batch or stream).
+
+    Shape: minhash signatures are a narrow Arrow pass, band explosion a
+    narrow projection (both stateless); the only stateful step keys the
+    state store by (band_id, band_hash) — uniform md5-derived keys, so
+    state spreads evenly — holding the doc_ids previously seen in that
+    bucket. Each arriving doc emits a candidate pair against every doc
+    already in its bucket, across all past micro-batches. State per
+    bucket stays tiny for the same reason batch LSH buckets do; at
+    scale add TTL/RocksDB exactly like :func:`stream_dedup_exact`.
+
+    Output: (doc_a, doc_b) candidate pairs (doc_a < doc_b), possibly
+    repeated across bands/batches — downstream verification (true-
+    Jaccard join, as in batch ``jaccard_pairs``) deduplicates, same as
+    the batch pipeline's ``distinct``.
+    """
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.operators.dedup import (
+        lsh_bands_from_array,
+        minhash_signature_array,
+    )
+
+    bands = lsh_bands_from_array(minhash_signature_array(stream))
+    out_schema = "doc_a LONG, doc_b LONG"
+    state_schema = "doc_ids ARRAY<LONG>"
+
+    def fn(key, pdfs, state):
+        seen = list(state.get[0]) if state.exists else []
+        new_ids = sorted({int(x) for pdf in pdfs for x in pdf["doc_id"]})
+        pairs = []
+        for d in new_ids:
+            for s in seen:
+                if s != d:
+                    pairs.append((min(s, d), max(s, d)))
+            seen.append(d)
+        state.update((seen,))
+        if pairs:
+            yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])
+
+    return bands.groupBy("band_id", "band_hash").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, mode: str = "append"
 ) -> None:

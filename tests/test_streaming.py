@@ -346,3 +346,48 @@ def test_stream_dedup_state_survives_restart(spark, tmp_path_factory):
         for r in spark.read.parquet(sink).collect()
     )
     assert rows == [(0, 2, True), (0, 3, False)]  # state carried over
+
+
+def test_stream_lsh_candidates_match_batch_across_batches(spark, tmp_path_factory):
+    """Streaming LSH near-dup candidates must equal the batch pipeline's
+    candidate set even when the colliding docs arrive in DIFFERENT
+    micro-batches (the cross-batch state is the whole point)."""
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    docs = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+        (2, "the quick brown fox jumps over a lazy cat"),    # near dup
+        (3, "completely different words about spark engines here"),
+        (4, "der die das und der die das und der die"),
+    ]
+    out = str(tmp_path_factory.mktemp("lsh_stream"))
+    # split so the identical pair (0,1) straddles the batch boundary
+    pd.DataFrame([d for d in docs if d[0] in (0, 3)],
+                 columns=["doc_id", "text"]).to_parquet(f"{out}/00.parquet")
+    pd.DataFrame([d for d in docs if d[0] in (1, 2, 4)],
+                 columns=["doc_id", "text"]).to_parquet(f"{out}/01.parquet")
+
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    so.run_stream_to_memory(
+        so.stream_minhash_lsh_candidates(stream), "lsh_cands", "update"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in spark.table("lsh_cands").collect()
+    }
+
+    batch_docs = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    want = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.candidate_pairs(
+            dd.lsh_bands_from_array(dd.minhash_signature_array(batch_docs))
+        ).collect()
+    }
+    assert got == want
+    assert (0, 1) in got  # the cross-batch identical pair was found
