@@ -73,7 +73,9 @@ def asof_latest(
 ) -> DataFrame:
     """AS-OF join: each left-type event matched to the LATEST right-type
     state at-or-before its timestamp, per user (the time-series join
-    Spark lacks natively — e.g. "price as of each trade").
+    Spark lacks natively — e.g. "price as of each trade"; the reference
+    has NO join operator of any kind, SURVEY §2.2, so this whole family
+    is north-star surface).
 
     Distributed shape: union both sides with a side marker and take a
     running ``last(ignorenulls)`` of the right-side attributes over one

@@ -93,6 +93,38 @@ def top_customers_per_nation(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Large×large equi-join with MANUAL key salting for pathological
+    skew — the fallback when neither side broadcasts and AQE's skew
+    split can't help (it only splits oversized *partitions*; a single
+    hot KEY still lands every matching row pair on one task).
+
+    Left rows get a salt in [0, salt) derived from a per-row id; right
+    rows are replicated once per salt value. The join key becomes
+    (key, salt), spreading one hot key over ``salt`` tasks. WHICH salt
+    a left row gets is irrelevant to the result (the right side exists
+    under every salt), so retry non-determinism of the row id cannot
+    change the output — identical to the unsalted join, test-asserted.
+    Cost: right side ×salt replication — use when the right side is
+    the smaller (but still unbroadcastable) side and a known hot key
+    exists; prefer AQE for garden-variety partition skew.
+    """
+    salt_col = F.pmod(
+        F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(salt)
+    ).cast("int")
+    l_salted = left.withColumn("__salt", salt_col)
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return l_salted.join(r_salted, [key, "__salt"], how).drop("__salt")
+
+
 def parts_never_ordered(
     part: DataFrame, lineitem: DataFrame, min_qty: float = 45.0
 ) -> DataFrame:

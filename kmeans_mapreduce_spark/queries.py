@@ -326,8 +326,10 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "text_quality",
     "text_tfidf",
     "events_sessionize",
+    "events_asof_join",
     "join_revenue_by_nation",
     "pipeline_clean_corpus",
+    "pipeline_media_cluster",
 }
 
 

@@ -187,3 +187,22 @@ def test_minhash_signature_forms_agree(spark):
     a = {r["doc_id"]: list(r["sig"]) for r in dd.minhash_signature_array(docs, impl="pandas").collect()}
     b = {r["doc_id"]: list(r["sig"]) for r in dd.minhash_signature_array(docs, impl="expr").collect()}
     assert a == b and len(a) == 100
+
+
+def test_salted_join_matches_unsalted(spark):
+    """Salting must not change the join result — one hot key (80% of
+    the left side) spread across salt buckets still produces exactly
+    the unsalted output, including duplicate right-side matches."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    left = spark.createDataFrame(
+        [(0 if i < 800 else i % 50, i) for i in range(1000)], "k LONG, lv LONG"
+    )
+    right = spark.createDataFrame(
+        [(k, k * 10) for k in range(50)] + [(0, -1)], "k LONG, rv LONG"
+    )
+    salted = sorted(
+        map(tuple, rel.salted_join(left, right, "k", salt=8).collect())
+    )
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    assert salted == plain and len(plain) > 1000  # hot key matched twice
