@@ -231,6 +231,77 @@ def stream_dedup_exact(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_kmeans_minibatch(
+    stream: DataFrame,
+    centers: list[tuple[int, float, float]],
+    checkpoint_dir: str,
+    decay: float = 1.0,
+):
+    """STREAMING mini-batch k-means (Bottou–Bengio style): every
+    micro-batch assigns its points to the current centers (the same
+    Arrow partial-sum pass the batch Lloyd loop uses) and moves each
+    center to the weighted mean of its history and the batch — the
+    continuous model-maintenance loop a production clustering service
+    runs.
+
+    Physical shape: ``foreachBatch`` → one job per micro-batch emitting
+    K partial rows per partition; centers live on the DRIVER (exactly
+    like the batch ``fit`` and MLlib), so there is no single-key state
+    bottleneck — the state store is never involved and each batch's
+    cost is one narrow pass + a K-row merge. ``decay=1.0`` keeps full
+    history (counts accumulate); ``decay<1`` forgets old batches
+    exponentially (non-stationary streams).
+
+    Returns (query, state) — ``state.centers`` / ``state.counts``
+    update as batches commit; stop the query to freeze the model.
+    """
+    from kmeans_mapreduce_spark.operators.kmeans import lloyd_step_arrow
+
+    class _State:
+        def __init__(self):
+            self.centers = [(int(c), float(x), float(y)) for c, x, y in centers]
+            self.counts = {int(c): 0.0 for c, _, _ in centers}
+            self.batches = 0
+
+    state = _State()
+
+    def update(batch_df, _bid):
+        if not batch_df.take(1):
+            return
+        means, sizes, _sse = lloyd_step_arrow(
+            batch_df.select("x", "y"), state.centers
+        )
+        new_centers = []
+        for cid, cx, cy in state.centers:
+            if cid in means:
+                n_old = state.counts[cid] * decay
+                n_new = sizes[cid]
+                tot = n_old + n_new
+                mx, my = means[cid]
+                new_centers.append(
+                    (
+                        cid,
+                        (cx * n_old + mx * n_new) / tot,
+                        (cy * n_old + my * n_new) / tot,
+                    )
+                )
+                state.counts[cid] = tot
+            else:
+                new_centers.append((cid, cx, cy))
+                state.counts[cid] = state.counts[cid] * decay
+        state.centers = new_centers
+        state.batches += 1
+
+    q = (
+        stream.writeStream.foreachBatch(update)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, state
+
+
 def stream_minhash_lsh_candidates(stream: DataFrame) -> DataFrame:
     """Cross-batch STREAMING near-dup candidates — the continuous-
     ingestion face of the batch MinHash→LSH pipeline (same signature

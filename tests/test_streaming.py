@@ -391,3 +391,45 @@ def test_stream_lsh_candidates_match_batch_across_batches(spark, tmp_path_factor
     }
     assert got == want
     assert (0, 1) in got  # the cross-batch identical pair was found
+
+
+def test_stream_kmeans_minibatch_converges_toward_batch_centers(
+    spark, tmp_path_factory
+):
+    """Streaming mini-batch k-means over two micro-batches of a
+    well-separated 2-cluster set must land each center near its true
+    cluster mean, and cut WSSSE versus the init — the model improves
+    as batches flow."""
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.operators import kmeans as km
+
+    out = str(tmp_path_factory.mktemp("km_stream"))
+    ckpt = str(tmp_path_factory.mktemp("km_ckpt"))
+    # two tight clusters around (0,0) and (10,10), split across batches
+    rows0 = [(float(i % 5) / 10, float(i % 7) / 10) for i in range(100)]
+    rows0 += [(10 + float(i % 5) / 10, 10 + float(i % 7) / 10) for i in range(100)]
+    rows1 = [(float(i % 3) / 10, float(i % 4) / 10) for i in range(100)]
+    rows1 += [(10 + float(i % 3) / 10, 10 + float(i % 4) / 10) for i in range(100)]
+    pd.DataFrame(rows0, columns=["x", "y"]).to_parquet(f"{out}/00.parquet")
+    pd.DataFrame(rows1, columns=["x", "y"]).to_parquet(f"{out}/01.parquet")
+
+    stream = (
+        spark.readStream.schema("x DOUBLE, y DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    init = [(0, 2.0, 2.0), (1, 8.0, 8.0)]
+    q, state = so.stream_kmeans_minibatch(stream, init, ckpt)
+    q.awaitTermination()
+    assert state.batches == 2
+    got = {c: (x, y) for c, x, y in state.centers}
+    # each center inside its cluster's bounding box, far from init
+    assert 0.0 <= got[0][0] <= 0.5 and 0.0 <= got[0][1] <= 0.7
+    assert 10.0 <= got[1][0] <= 10.5 and 10.0 <= got[1][1] <= 10.7
+
+    all_pts = spark.createDataFrame(rows0 + rows1, "x DOUBLE, y DOUBLE")
+    pts = all_pts.withColumn("point_id", F.monotonically_increasing_id())
+    wssse_init = km.wssse(km.assign(pts, init)).collect()[0]["wssse"]
+    wssse_mini = km.wssse(km.assign(pts, state.centers)).collect()[0]["wssse"]
+    assert wssse_mini < wssse_init / 10
