@@ -272,12 +272,44 @@ def candidate_pairs(bands_df: DataFrame) -> DataFrame:
     )
 
 
+def shingle_sets(docs: DataFrame) -> DataFrame:
+    """(doc_id, s ARRAY<STRING>) — each doc's distinct word-3-gram set,
+    via the same Arrow-batched builder as :func:`shingle_postings`
+    (sorted for determinism). Faster than the interpreted-HOF
+    ``with_shingle_set`` and safe to materialize once before a
+    double-sided join."""
+    import pandas as pd
+
+    def build(batches):
+        for pdf in batches:
+            sets = []
+            for text in pdf["text"]:
+                w = text.split(" ")
+                if len(w) >= SHINGLE_N:
+                    sh = {
+                        " ".join(w[i : i + SHINGLE_N])
+                        for i in range(len(w) - SHINGLE_N + 1)
+                    }
+                else:
+                    sh = set(w)
+                sets.append(sorted(sh))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": sets})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id LONG, s ARRAY<STRING>"
+    )
+
+
 def jaccard_pairs(
     docs: DataFrame, pairs: DataFrame, threshold: float, digits: int = 6
 ) -> DataFrame:
     """Verify candidate pairs with true shingle-set Jaccard ≥ threshold
-    (the quantity the minhash signature estimates)."""
-    toksets = with_shingle_set(docs.select("doc_id", "text")).select("doc_id", "s")
+    (the quantity the minhash signature estimates).
+
+    The set table feeds BOTH sides of the pair join; localCheckpoint
+    materializes it once instead of re-running the set build per side
+    (the same multi-consumer barrier as the ngram posting index)."""
+    toksets = shingle_sets(docs).localCheckpoint(eager=False)
     j = (
         pairs.join(toksets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
         .join(toksets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")

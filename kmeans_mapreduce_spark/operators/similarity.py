@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kmeans_mapreduce_spark.functions.distance import cosine_sim, dot_nd, sq_dist_nd
+from kmeans_mapreduce_spark.functions.distance import cosine_sim, dot_nd
 
 NUM_PLANES = 8
 DIM = 64
@@ -161,52 +161,66 @@ def ivf_ann_topk(
     """
     spark = emb.sparkSession
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
-    cents_rows = (
-        e0.filter(F.col("vec_id").isin(centroid_ids))
-        .orderBy("vec_id")
-        .collect()
-    )
-    centers = [(i, list(r["v0"])) for i, r in enumerate(cents_rows)]
-
-    # ONE corpus pass: cell (argmin raw-d2, tie→lowest cell) AND the
-    # normalized vector, in a single projection chain — the probe-side
-    # joins below are all broadcasts, so this scan is the whole cost.
-    cands = [
-        F.struct(
-            sq_dist_nd(
-                F.col("v0"), F.array(*[F.lit(float(x)) for x in cvec])
-            ).alias("d2"),
-            F.lit(cid).cast("int").alias("cid"),
-        )
-        for cid, cvec in centers
+    # ONE driver job fetches centroid AND query rows (both tiny) —
+    # two separate collects would each scan the corpus
+    wanted = sorted(set(centroid_ids) | set(query_ids))
+    fetched = {
+        r["vec_id"]: list(r["v0"])
+        for r in e0.filter(F.col("vec_id").isin(wanted)).collect()
+    }
+    centers = [
+        (i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))
     ]
-    best = F.array_min(F.array(*cands))
-    df = (
-        e0.withColumn("nrm", F.sqrt(dot_nd(F.col("v0"), F.col("v0"))))
-        .select(
-            "vec_id",
-            best["cid"].alias("cell"),
-            F.transform(F.col("v0"), lambda x: x / F.col("nrm")).alias("nv"),
-        )
-        # INDEX BUILD BARRIER. Without it, the join's derived
-        # isnotnull(cell) predicate is pushed down as a DataFilter
-        # containing the whole K×dim argmin tree (evaluated once in the
-        # filter, again in the project), and under AQE the replicated
-        # tree blows planning/execution up ~8×. localCheckpoint
-        # materializes (vec_id, cell, nv) and truncates lineage — the
-        # probe joins below see a plain scan. This mirrors real IVF:
-        # the quantized index is BUILT once and persisted (at cluster
-        # scale: written to parquet bucketed by cell), then queried.
-        .localCheckpoint(eager=False)
-    )
+
+    # ONE corpus pass builds the index: cell (argmin raw-d2, tie→lowest
+    # cell) AND the normalized vector, vectorized per Arrow batch with
+    # DIM-ORDER-PRESERVING numpy folds — every accumulation runs in
+    # index order, so d2, the argmin, and nv are bit-identical to the
+    # Catalyst `sq_dist_nd`/`dot_nd` sequential folds the oracle
+    # mirrors (interpreted HOFs cost ~64 per-element interpreter hops
+    # per row; this is the same math at numpy speed).
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([cvec for _, cvec in centers], dtype=np.float64)
+    n_cells, dim = C.shape
+
+    def build_index(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v0"].to_numpy()).astype(np.float64)
+            D = np.zeros((len(V), n_cells))
+            for d in range(dim):
+                diff = V[:, d][:, None] - C[:, d][None, :]
+                D += diff * diff
+            cell = D.argmin(axis=1)  # first min → lowest cell on ties
+            acc = np.zeros(len(V))
+            for d in range(dim):
+                acc += V[:, d] * V[:, d]
+            nv = V / np.sqrt(acc)[:, None]
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell.astype("int32"),
+                    "nv": [r.tolist() for r in nv],
+                }
+            )
+
+    # INDEX BUILD BARRIER: localCheckpoint materializes (vec_id, cell,
+    # nv) and truncates lineage — the probe joins below see a plain
+    # scan instead of re-running the build (and no derived-predicate
+    # pushdown of the build tree). This mirrors real IVF: the index is
+    # BUILT once and persisted (at cluster scale: parquet bucketed by
+    # cell), then queried.
+    df = e0.mapInPandas(
+        build_index, "vec_id LONG, cell INT, nv ARRAY<DOUBLE>"
+    ).localCheckpoint(eager=False)
 
     # probe list per query: Q×K distances on the driver (exact same
     # sequential float op order as the distributed/oracle form — Q and
     # K are both tiny, this is metadata math, not data math)
-    qrows = {
-        r["vec_id"]: list(r["v0"])
-        for r in e0.filter(F.col("vec_id").isin(query_ids)).collect()
-    }
+    qrows = {vid: fetched[vid] for vid in query_ids if vid in fetched}
     probe_rows = []
     qn_rows = []
     for qid in sorted(qrows):
@@ -222,16 +236,38 @@ def ivf_ann_topk(
         nrm = math.sqrt(sum(x * x for x in qv))
         qn_rows.append((qid, [x / nrm for x in qv]))
     probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
-    qn = spark.createDataFrame(qn_rows, "query_id LONG, qnv ARRAY<DOUBLE>")
-    cand = (
-        df.join(F.broadcast(probes), "cell")
-        .filter(F.col("vec_id") != F.col("query_id"))
-        .join(F.broadcast(qn), "query_id")
+    qn_map = {qid: np.array(v, dtype=np.float64) for qid, v in qn_rows}
+    cand = df.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
     )
-    scored = cand.select(
+
+    # re-rank: normalized dot per candidate, numpy per-dim fold (same
+    # index order as `dot_nd`/list_sum → bit-identical doubles); query
+    # vectors ride in the closure — no second broadcast join, and no
+    # per-row interpreted HOF over dim elements
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["nv"].to_numpy()).astype(np.float64)
+            Q = np.stack([qn_map[q] for q in pdf["query_id"]])
+            dots = np.zeros(len(V))
+            for d in range(dim):
+                dots += Q[:, d] * V[:, d]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "dot": dots,
+                }
+            )
+
+    scored = cand.select("query_id", "vec_id", "nv").mapInPandas(
+        score, "query_id LONG, neighbor_id LONG, dot DOUBLE"
+    ).select(
         "query_id",
-        F.col("vec_id").alias("neighbor_id"),
-        F.round(dot_nd(F.col("qnv"), F.col("nv")), digits).alias("cosine"),
+        "neighbor_id",
+        F.round(F.col("dot"), digits).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
