@@ -221,6 +221,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup canonicalization: MinHash→LSH→verify pairs fed into
+    distributed connected components (min-label propagation); every
+    clustered doc maps to its minimum reachable doc_id."""
+    pairs = dd.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"), JACCARD_LSH_THRESHOLD
+    ).select("doc_a", "doc_b")
+    return dd.connected_components(pairs)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -829,6 +839,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -1043,6 +1054,24 @@ FROM documents GROUP BY {h64_sql('lower(trim(text))')}""",
 WITH {_minhash_cte()}
 SELECT doc_id, j::INTEGER AS h_idx, minhash FROM s""",
         "dedup_minhash_pairs": _minhash_pairs_sql(),
+        "dedup_clusters": f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+e AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.t
+),
+allr AS (
+  SELECT id, r FROM reach
+  UNION
+  SELECT DISTINCT s AS id, s AS r FROM e
+)
+SELECT id AS doc_id, MIN(r) AS cluster_rep FROM allr GROUP BY id""",
         "dedup_ngram_jaccard": f"""
 WITH d AS (
   SELECT doc_id, lang, (n_chars // 100)::INTEGER AS len_bucket,

@@ -459,6 +459,70 @@ def ngram_jaccard_pairs(
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "jaccard")
 
 
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """Connected components over near-dup pairs — the CANONICALIZATION
+    step after pair detection: duplicates form clusters (a~b, b~c ⇒
+    {a,b,c}), and every member maps to one representative (the minimum
+    doc_id reachable through the pair graph) so the pipeline can keep
+    exactly one copy per cluster.
+
+    Algorithm: distributed min-label propagation. Each vertex starts
+    labeled with itself; every iteration joins labels across edges and
+    takes the elementwise min; stop when no label changes (near-dup
+    clusters have tiny diameter, so this converges in a handful of
+    rounds — the same fixpoint the large-star/small-star formulation
+    reaches). Each iteration is one equi-join + one groupBy keyed by
+    vertex — both map-side combined; ``localCheckpoint`` per iteration
+    keeps lineage O(1) exactly like the Lloyd loop.
+
+    Output: (doc_id, cluster_rep) for every doc appearing in a pair.
+    The DuckDB twin computes the identical fixpoint with a recursive
+    transitive-closure CTE — an independent algorithm.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
+        .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("label"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels, edges["s"] == labels["id"])
+            .groupBy("t")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["t"], "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash document sketch over token hashes.
 

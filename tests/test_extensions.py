@@ -246,3 +246,17 @@ def test_range_join_counts_semantics(spark):
         for r in ev.range_join_counts(e, "click", "buy", 100).collect()
     ]
     assert got == [(0, 3, 7.0)]
+
+
+def test_connected_components_transitive_chain(spark):
+    """A 5-vertex path needs multiple propagation rounds: every vertex
+    must still converge to the global minimum; a disjoint pair keeps
+    its own representative."""
+    pairs = spark.createDataFrame(
+        [(3, 4), (2, 3), (1, 2), (0, 1), (10, 11)], "doc_a LONG, doc_b LONG"
+    )
+    got = {
+        r["doc_id"]: r["cluster_rep"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
