@@ -51,6 +51,7 @@ QUANTILE_PROBS = (0.25, 0.5, 0.75, 0.9)
 MEDIA_CENTROID_IDS = [0, 1, 2, 3]
 MEDIA_DIM = 16  # md5 digest bytes → 16-dim stand-in embedding
 TOP_QUALITY_K = 10
+PACK_BUDGET_TOKENS = 2000
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -114,6 +115,31 @@ def q_text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return sp.token_quantiles(
         load_table(spark, sf_dir, "documents"), QUANTILE_PROBS
+    )
+
+
+def q_corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end 'make training data' composition: quality filter
+    → reproducible stratified hash sample → greedy token-budget
+    sequence packing → per-language mix summary. One chained plan over
+    existing operators; all-integer output, so the oracle matches
+    without rounding."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    good = tx.quality(docs).filter(
+        F.col("quality_score") >= CLEAN_MIN_QUALITY
+    ).select("doc_id", "n_tokens")
+    sampled = sp.hash_sample_stratified(
+        docs, SAMPLE_RATES, SAMPLE_DEFAULT_RATE
+    ).select("doc_id", "lang")
+    packed = sp.pack_sequences(
+        good.join(sampled, "doc_id"), PACK_BUDGET_TOKENS
+    )
+    return packed.groupBy("lang").agg(
+        F.countDistinct("bin_id").alias("n_bins"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
     )
 
 
@@ -830,6 +856,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_quantiles": q_text_token_quantiles,
         "text_top_quality": q_text_top_quality,
         "corpus_sample_stratified": q_corpus_sample_stratified,
+        "corpus_training_mix": q_corpus_training_mix,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "join_top_customers": q_join_top_customers,
         "join_parts_never_ordered": q_join_parts_never_ordered,
@@ -927,6 +954,41 @@ SELECT lang, (i - 1)::INTEGER AS q_idx, ROUND(qs[i], 6) AS q_value
 FROM q CROSS JOIN range(1, {len(QUANTILE_PROBS) + 1}) r(i)"""
 
 
+def _training_mix_sql() -> str:
+    """Twin of q_corpus_training_mix: quality CTE + the sample
+    predicate + a per-lang running-sum window for bin assignment —
+    generated from the same constants (threshold, rates, budget)."""
+    from kmeans_mapreduce_spark.operators.sampling import SAMPLE_BUCKETS, SAMPLE_SALT
+
+    whens = " ".join(
+        f"WHEN '{stratum}' THEN {int(rate * SAMPLE_BUCKETS)}"
+        for stratum, rate in sorted(SAMPLE_RATES.items())
+    )
+    case = f"CASE lang {whens} ELSE {int(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END"
+    bucket = h64_sql(f"'{SAMPLE_SALT}:' || doc_id::VARCHAR")
+    return f"""
+WITH q AS ({_quality_sql()}),
+sampled AS (
+  SELECT doc_id, lang FROM documents
+  WHERE {bucket} % {SAMPLE_BUCKETS} < {case}
+),
+clean AS (
+  SELECT s.doc_id, s.lang, q.n_tokens
+  FROM sampled s JOIN q ON q.doc_id = s.doc_id
+  WHERE q.quality_score >= {CLEAN_MIN_QUALITY}
+),
+packed AS (
+  SELECT lang, n_tokens,
+         ((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens) // {PACK_BUDGET_TOKENS})::BIGINT AS bin_id
+  FROM clean
+)
+SELECT lang, COUNT(DISTINCT bin_id) AS n_bins, COUNT(*) AS n_docs,
+       SUM(n_tokens) AS total_tokens
+FROM packed GROUP BY lang"""
+
+
 def _quality_sql() -> str:
     sw = _sql_str_list(STOPWORDS)
     return f"""
@@ -1003,6 +1065,7 @@ ranked AS (
 )
 SELECT doc_id, term, rank::INTEGER AS rank, tfidf FROM ranked WHERE rank <= {TFIDF_K}""",
         "corpus_sample_stratified": _sample_sql(),
+        "corpus_training_mix": _training_mix_sql(),
         "text_token_quantiles": _token_quantiles_sql(),
         "text_top_quality": f"""
 WITH q AS ({_quality_sql()})

@@ -55,6 +55,39 @@ def hash_sample_stratified(
     return docs.filter(sample_bucket(F.col("doc_id")) < threshold)
 
 
+def pack_sequences(
+    docs_with_tokens: DataFrame,
+    budget_tokens: int,
+    stratum_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy sequence PACKING: assign documents (in a deterministic
+    per-stratum order) to consecutive token-budget bins — the step a
+    training pipeline runs to pack documents into fixed context
+    windows. Bin id = floor(prefix_tokens_before_doc / budget): a doc
+    opens a new bin when the running total crosses the budget (next-fit
+    packing — bins may overflow by at most one document, the standard
+    streaming approximation; optimal bin packing is NP-hard and
+    order-dependent, which a distributed engine should not promise).
+
+    One window per stratum (running sum over a deterministic order) —
+    a single shuffle keyed by stratum; everything else is narrow.
+    Input needs (stratum, order, n_tokens); output adds bin_id.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return docs_with_tokens.withColumn(
+        "bin_id",
+        F.floor((cum - F.col("n_tokens")) / F.lit(budget_tokens)).cast("long"),
+    )
+
+
 def token_quantiles(
     docs: DataFrame, probs: tuple[float, ...], digits: int = 6
 ) -> DataFrame:

@@ -260,3 +260,22 @@ def test_connected_components_transitive_chain(spark):
         for r in dd.connected_components(pairs).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
+
+
+def test_pack_sequences_bin_boundaries(spark):
+    """Next-fit packing: a doc opens a new bin when the running total
+    crosses the budget; bins may overflow by at most one doc."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    rows = [  # (doc_id, lang, n_tokens) in packing order
+        (0, "en", 4), (1, "en", 4), (2, "en", 4),  # cum before: 0,4,8
+        (3, "en", 9),                               # before: 12 → bin 1
+        (4, "en", 1),                               # before: 21 → bin 2
+        (5, "de", 11),                              # other stratum: bin 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING, n_tokens LONG")
+    got = {
+        r["doc_id"]: r["bin_id"]
+        for r in sp.pack_sequences(df, budget_tokens=10).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 0}
