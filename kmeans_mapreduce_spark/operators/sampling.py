@@ -66,8 +66,10 @@ def pack_sequences(
     training pipeline runs to pack documents into fixed context
     windows. Bin id = floor(prefix_tokens_before_doc / budget): a doc
     opens a new bin when the running total crosses the budget (next-fit
-    packing — bins may overflow by at most one document, the standard
-    streaming approximation; optimal bin packing is NP-hard and
+    packing — bins may overflow by at most one document, a doc spanning
+    several budget widths skips the intervening bin ids, and a doc
+    starting just under a boundary can leave a short bin; the standard
+    streaming approximation. Optimal bin packing is NP-hard and
     order-dependent, which a distributed engine should not promise).
 
     One window per stratum (running sum over a deterministic order) —
