@@ -510,6 +510,27 @@ def q_pipeline_media_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling (§2.2 'JSON functions' gap):
+    parse the events ``props`` JSON with an EXPLICIT schema
+    (``from_json`` — schema'd parse, no inference, malformed → NULL)
+    and aggregate the extracted field per event type. At scale this is
+    a narrow parse inside the scan stage; the oracle uses DuckDB's
+    independent json_extract."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k BIGINT").getField("k")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.round(F.avg("k"), 6).alias("k_avg"),
+        )
+    )
+
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.window_agg(load_table(spark, sf_dir, "events"))
 
@@ -885,6 +906,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_cube": q_events_cube,
+        "events_json_props": q_events_json_props,
         "events_users_intersect": q_events_users_intersect,
         "events_users_except": q_events_users_except,
         "kmeans_mllib": q_kmeans_mllib,
@@ -1222,6 +1244,13 @@ FROM (
   FROM events
 )
 GROUP BY CUBE(event_type, hour)""",
+        "events_json_props": """
+SELECT event_type, COUNT(*) AS n_events,
+       MIN(k) AS k_min, MAX(k) AS k_max, ROUND(AVG(k), 6) AS k_avg
+FROM (
+  SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events
+)
+GROUP BY event_type""",
         "events_users_intersect": f"""
 SELECT user_id FROM events
 WHERE event_type = 'purchase' AND value > CAST({SETOP_VALUE_THRESHOLD!r} AS DOUBLE)
