@@ -510,6 +510,24 @@ def q_pipeline_media_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar/date functions (§2.2 gap): order count + revenue per
+    (year, month) extracted from the TIMESTAMP order date. Session
+    timezone is pinned UTC (session.py) so both engines read the same
+    wall-clock fields."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("o_year"),
+            F.month("o_orderdate").alias("o_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling (§2.2 'JSON functions' gap):
     parse the events ``props`` JSON with an EXPLICIT schema
@@ -907,6 +925,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_cube": q_events_cube,
         "events_json_props": q_events_json_props,
+        "orders_by_month": q_orders_by_month,
         "events_users_intersect": q_events_users_intersect,
         "events_users_except": q_events_users_except,
         "kmeans_mllib": q_kmeans_mllib,
@@ -1244,6 +1263,11 @@ FROM (
   FROM events
 )
 GROUP BY CUBE(event_type, hour)""",
+        "orders_by_month": """
+SELECT EXTRACT(YEAR FROM o_orderdate)::INTEGER AS o_year,
+       EXTRACT(MONTH FROM o_orderdate)::INTEGER AS o_month,
+       COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders GROUP BY 1, 2""",
         "events_json_props": """
 SELECT event_type, COUNT(*) AS n_events,
        MIN(k) AS k_min, MAX(k) AS k_max, ROUND(AVG(k), 6) AS k_avg
