@@ -510,6 +510,12 @@ def q_pipeline_media_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF (Arrow grouped-agg pandas_udf): per-type Gini
+    concentration of event values."""
+    return ev.value_gini(load_table(spark, sf_dir, "events"))
+
+
 def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar/date functions (§2.2 gap): order count + revenue per
     (year, month) extracted from the TIMESTAMP order date. Session
@@ -926,6 +932,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cube": q_events_cube,
         "events_json_props": q_events_json_props,
         "orders_by_month": q_orders_by_month,
+        "events_value_gini": q_events_value_gini,
         "events_users_intersect": q_events_users_intersect,
         "events_users_except": q_events_users_except,
         "kmeans_mllib": q_kmeans_mllib,
@@ -1263,6 +1270,17 @@ FROM (
   FROM events
 )
 GROUP BY CUBE(event_type, hour)""",
+        "events_value_gini": """
+WITH ranked AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n,
+         SUM(value) OVER (PARTITION BY event_type) AS total
+  FROM events
+)
+SELECT event_type,
+       ROUND(SUM((2 * rn - n - 1) * value) / (n * total), 6) AS value_gini
+FROM ranked GROUP BY event_type, n, total""",
         "orders_by_month": """
 SELECT EXTRACT(YEAR FROM o_orderdate)::INTEGER AS o_year,
        EXTRACT(MONTH FROM o_orderdate)::INTEGER AS o_month,

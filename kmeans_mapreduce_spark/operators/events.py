@@ -68,6 +68,41 @@ def sessionize(events: DataFrame, digits: int = 2) -> DataFrame:
     )
 
 
+def value_gini(events: DataFrame, digits: int = 6) -> DataFrame:
+    """Custom UDAF surface (§2.2: the reference has NO extension API):
+    Gini concentration of event values per type, as an Arrow grouped-
+    aggregate ``pandas_udf`` — the way a user plugs a numerical
+    aggregate Spark lacks into a normal ``groupBy().agg()``.
+
+    Gini = Σ(2i − n − 1)·x(i) / (n·Σx) over ascending-sorted values —
+    an order statistic, so it is deterministic for a value multiset;
+    float summation-order noise is absorbed by rounding, like every
+    other cross-engine aggregate. The DuckDB twin computes the same
+    formula with window functions — an independent formulation.
+    """
+    import numpy as np
+
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: this module uses `from __future__ import
+    # annotations`, which stringifies type hints and defeats pyspark's
+    # signature-based UDF-type inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def gini(v):
+        x = np.sort(v.to_numpy(dtype=np.float64))
+        n = len(x)
+        tot = float(x.sum())
+        if n == 0 or tot == 0.0:
+            return 0.0
+        return float(((2.0 * np.arange(1, n + 1) - n - 1) * x).sum() / (n * tot))
+
+    return (
+        events.select("event_type", "value")
+        .groupBy("event_type")
+        .agg(F.round(gini(F.col("value")), digits).alias("value_gini"))
+    )
+
+
 def asof_latest(
     events: DataFrame, left_type: str, right_type: str
 ) -> DataFrame:
