@@ -510,6 +510,28 @@ def q_pipeline_media_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQL_REVENUE = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name"""
+
+
+def q_sql_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL face (§2.2: the reference's only 'API' is stdin
+    prompts): the SAME ANSI text runs through spark.sql over registered
+    views AND through DuckDB — one query string, two engines, identical
+    values. Catalyst plans it like the DataFrame form (broadcast dims,
+    partial aggregation)."""
+    for t in ["lineitem", "orders", "customer", "nation"]:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(SQL_REVENUE)
+
+
 def q_events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom UDAF (Arrow grouped-agg pandas_udf): per-type Gini
     concentration of event values."""
@@ -933,6 +955,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_props": q_events_json_props,
         "orders_by_month": q_orders_by_month,
         "events_value_gini": q_events_value_gini,
+        "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "events_users_intersect": q_events_users_intersect,
         "events_users_except": q_events_users_except,
         "kmeans_mllib": q_kmeans_mllib,
@@ -1270,6 +1293,7 @@ FROM (
   FROM events
 )
 GROUP BY CUBE(event_type, hour)""",
+        "sql_revenue_by_nation": SQL_REVENUE,
         "events_value_gini": """
 WITH ranked AS (
   SELECT event_type, value,
