@@ -1,0 +1,158 @@
+"""Distributed cardinality sketches (HyperLogLog), oracle-replayable.
+
+The reference has no sketches at all (SURVEY §2.2); at 100 TB a
+training-data pipeline constantly needs "how many distinct users /
+URLs / fingerprints per group" without a COUNT(DISTINCT) shuffle of
+every key. Spark's built-in ``approx_count_distinct`` is a HLL too,
+but its hash is engine-internal and cannot be replayed by the DuckDB
+oracle — so this module implements HLL from scratch on the portable
+md5-derived :func:`~kmeans_mapreduce_spark.functions.hashing.h64`,
+with **all-integer bucket/rank math** so both engines produce
+bit-identical registers and (up to a final 4-digit rounding of the
+libm ``ln`` in the linear-counting branch) identical estimates.
+
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm" (AofA 2007):
+
+- bucket  = low ``p`` bits of the hash          (m = 2^p registers)
+- w       = next 32 bits of the hash
+- rho(w)  = position of the leftmost 1-bit of w in 32 bits
+            (= 32 - floor(log2 w); 33 when w = 0)
+- register M_j = max rho over the bucket's values
+- E = alpha_m * m^2 / sum_j 2^-M_j   (absent buckets contribute 2^0)
+- small-range correction: E <= 2.5m and V empty buckets > 0
+  -> linear counting m * ln(m / V)
+
+Scale shape: ``groupBy(groups, bucket).max(rho)`` is map-side
+combinable, so the only shuffle carries at most ``groups x m`` rows
+regardless of input size — the whole point of a sketch. The register
+table is itself mergeable across datasets (max is associative), which
+is what makes HLL union-able across partitions/days at 100 TB.
+
+Float discipline for the oracle (why this hash-matches): 2^-M_j is an
+exact power of two, and a sum of <= 256 terms each in {2^0..2^-33}
+needs 42 significand bits < 53, so the denominator is EXACT and
+order-independent; alpha is one shared Python double literal; the
+floor(log2) is corrected with exact integer pow-of-two comparisons so
+a 1-ulp libm difference can never flip a register.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.functions.hashing import h64, h64_sql
+
+HLL_P = 8  # bucket bits
+HLL_M = 1 << HLL_P  # 256 registers
+HLL_W_BITS = 32  # rank field width
+# alpha_256 from the HLL paper; ONE Python double shared by both
+# engines (repr round-trips exactly).
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+
+
+def _rho(w: Column) -> Column:
+    """Leftmost-1-bit position of a 32-bit value, exact in both engines.
+
+    ``k0 = floor(log2 w)`` is libm-computed, then corrected with exact
+    integer comparisons against 2^k (exact doubles for k <= 32), so the
+    result is the true integer log regardless of ulp error; rho = 32-k.
+    """
+    k0 = F.floor(F.log2(w)).cast("long")
+    k = (
+        F.when(F.pow(F.lit(2.0), k0 + 1).cast("long") <= w, k0 + 1)
+        .when(F.pow(F.lit(2.0), k0).cast("long") > w, k0 - 1)
+        .otherwise(k0)
+    )
+    return F.when(w == 0, F.lit(HLL_W_BITS + 1)).otherwise(F.lit(HLL_W_BITS) - k)
+
+
+def hll_registers(
+    df: DataFrame, key: str, groups: Sequence[str]
+) -> DataFrame:
+    """Per-group HLL register table: (groups..., bucket, m_j).
+
+    This is the mergeable sketch state — union register tables from
+    several datasets and re-``max`` to sketch their union.
+    """
+    h = h64(F.col(key).cast("string"))
+    bucket = (h % HLL_M).alias("bucket")
+    w = (F.shiftright(h, HLL_P) % F.lit(1 << HLL_W_BITS)).alias("w")
+    return (
+        df.select(*groups, bucket, w)
+        .withColumn("rho", _rho(F.col("w")))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("rho").alias("m_j"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame, groups: Sequence[str], out: str = "hll_est"
+) -> DataFrame:
+    """Collapse a register table to one rounded estimate per group."""
+    m = float(HLL_M)
+    agg = registers.groupBy(*groups).agg(
+        F.sum(F.pow(F.lit(0.5), F.col("m_j"))).alias("s_present"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    v = F.lit(HLL_M) - F.col("n_buckets")
+    denom = F.col("s_present") + v.cast("double")
+    e_raw = F.lit(HLL_ALPHA) * F.lit(m * m) / denom
+    est = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(m) * F.log(F.lit(m) / v.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(*groups, F.round(est, 4).alias(out))
+
+
+def hll_distinct(
+    df: DataFrame, key: str, groups: Sequence[str], out: str = "hll_est"
+) -> DataFrame:
+    """Estimate COUNT(DISTINCT key) per group via the portable HLL."""
+    return hll_estimate(hll_registers(df, key, groups), groups, out)
+
+
+def hll_sql(key_expr: str, group_expr: str, relation: str, out: str) -> str:
+    """DuckDB twin of :func:`hll_distinct` (one grouping column)."""
+    h = h64_sql(key_expr)
+    return f"""
+hx_{out} AS (
+  SELECT {group_expr} AS g, {h} AS h FROM {relation}
+),
+wb_{out} AS (
+  SELECT g, h % {HLL_M} AS bucket, (h >> {HLL_P}) % {1 << HLL_W_BITS} AS w
+  FROM hx_{out}
+),
+rho_{out} AS (
+  SELECT g, bucket,
+    CASE WHEN w = 0 THEN {HLL_W_BITS + 1} ELSE {HLL_W_BITS} - (
+      CASE
+        WHEN CAST(pow(2.0::DOUBLE, CAST(floor(log2(w)) AS BIGINT) + 1) AS BIGINT) <= w
+          THEN CAST(floor(log2(w)) AS BIGINT) + 1
+        WHEN CAST(pow(2.0::DOUBLE, CAST(floor(log2(w)) AS BIGINT)) AS BIGINT) > w
+          THEN CAST(floor(log2(w)) AS BIGINT) - 1
+        ELSE CAST(floor(log2(w)) AS BIGINT)
+      END) END AS rho
+  FROM wb_{out}
+),
+reg_{out} AS (
+  SELECT g, bucket, MAX(rho) AS m_j FROM rho_{out} GROUP BY g, bucket
+),
+est_{out} AS (
+  SELECT g,
+    ROUND(
+      CASE
+        WHEN {HLL_ALPHA!r}::DOUBLE * {float(HLL_M) * HLL_M!r}::DOUBLE
+               / (SUM(pow(0.5::DOUBLE, m_j)) + ({HLL_M} - COUNT(*))::DOUBLE)
+             <= {2.5 * HLL_M!r}::DOUBLE
+         AND {HLL_M} - COUNT(*) > 0
+        THEN {float(HLL_M)!r}::DOUBLE
+               * ln({float(HLL_M)!r}::DOUBLE / ({HLL_M} - COUNT(*))::DOUBLE)
+        ELSE {HLL_ALPHA!r}::DOUBLE * {float(HLL_M) * HLL_M!r}::DOUBLE
+               / (SUM(pow(0.5::DOUBLE, m_j)) + ({HLL_M} - COUNT(*))::DOUBLE)
+      END, 4) AS {out}
+  FROM reg_{out} GROUP BY g
+)"""

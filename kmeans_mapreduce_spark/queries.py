@@ -334,15 +334,17 @@ BENCH_EXTENSION_QUERIES: set[str] = {
 
 
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    from kmeans_mapreduce_spark.analytics import analytics_queries as _aq
     from kmeans_mapreduce_spark.extensions import extension_queries as _eq
 
-    return _eq()
+    return {**_eq(), **_aq()}
 
 
 def extension_oracle_sql() -> dict[str, str]:
+    from kmeans_mapreduce_spark.analytics import analytics_oracle_sql as _ao
     from kmeans_mapreduce_spark.extensions import extension_oracle_sql as _eo
 
-    return _eo()
+    return {**_eo(), **_ao()}
 
 
 def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

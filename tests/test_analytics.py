@@ -1,0 +1,91 @@
+"""Tests for the analytics wave: HLL sketch, pivot, window suite."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators import sketches as sk
+
+
+@pytest.fixture(scope="module")
+def ids_df(spark):
+    # 5000 distinct string-able keys across 4 groups of varying size.
+    return spark.range(0, 5000).select(
+        (F.col("id") % 4).alias("g"), F.col("id").alias("k")
+    )
+
+
+def test_hll_within_expected_error(spark, ids_df):
+    """HLL standard error is 1.04/sqrt(m) ~ 6.5% at m=256; assert 4
+    sigma so the test is deterministic-stable (the hash is fixed, so
+    this is really a regression pin, not a statistical assertion)."""
+    out = {
+        r["g"]: r["est"]
+        for r in sk.hll_distinct(ids_df, "k", ["g"], "est").collect()
+    }
+    for g in range(4):
+        exact = 1250
+        assert abs(out[g] - exact) / exact < 4 * 1.04 / math.sqrt(sk.HLL_M)
+
+
+def test_hll_registers_merge(spark, ids_df):
+    """Sketch state is union-able: registers(A) max-merged with
+    registers(B) == registers(A ∪ B) — the property that makes HLL
+    cheap to maintain across 100 TB partitions/days."""
+    a = ids_df.filter(F.col("k") < 2500)
+    b = ids_df.filter(F.col("k") >= 2500)
+    merged = (
+        sk.hll_registers(a, "k", ["g"])
+        .unionByName(sk.hll_registers(b, "k", ["g"]))
+        .groupBy("g", "bucket")
+        .agg(F.max("m_j").alias("m_j"))
+    )
+    whole = sk.hll_registers(ids_df, "k", ["g"])
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_small_range_exactish(spark):
+    """Tiny cardinalities land in the linear-counting branch and come
+    out near-exact (distinct buckets ~ distinct keys when n << m)."""
+    df = spark.range(0, 30).select(F.lit(0).alias("g"), F.col("id").alias("k"))
+    [row] = sk.hll_distinct(df, "k", ["g"], "est").collect()
+    assert abs(row["est"] - 30) <= 2
+
+
+def test_pivot_schema_static_and_counts(spark):
+    from kmeans_mapreduce_spark.analytics import EVENT_TYPES, q_events_pivot
+    from tests.conftest import SF_SMOKE
+
+    df = q_events_pivot(spark, SF_SMOKE)
+    cols = ["hod"] + [f"{t}_{s}" for t in EVENT_TYPES for s in ("n", "val")]
+    assert df.columns == cols
+    rows = df.collect()
+    assert 0 < len(rows) <= 24
+    total = sum(sum(r[f"{t}_n"] or 0 for t in EVENT_TYPES) for r in rows)
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    assert total == load_table(spark, SF_SMOKE, "events").count()
+
+
+def test_running_window_properties(spark):
+    from kmeans_mapreduce_spark.analytics import q_orders_running_window
+    from tests.conftest import SF_SMOKE
+
+    rows = q_orders_running_window(spark, SF_SMOKE).collect()
+    assert rows, "expected at least one sampled customer"
+    by_cust: dict[int, list] = {}
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+    for seq_rows in by_cust.values():
+        seq_rows.sort(key=lambda r: r["order_seq"])
+        assert [r["order_seq"] for r in seq_rows] == list(
+            range(1, len(seq_rows) + 1)
+        )
+        totals = [r["running_total"] for r in seq_rows]
+        assert all(b >= a - 1e-6 for a, b in zip(totals, totals[1:]))
+        assert seq_rows[0]["days_since_prev"] == -1
+        assert all(r["days_since_prev"] >= 0 for r in seq_rows[1:])
