@@ -93,6 +93,33 @@ def q_orders_running_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (dup-n-gram boilerplate
+    detection) per document — see textops.repetition_signals."""
+    return tx.repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over text with planted PII: the synthetic corpus
+    has no emails/phones/IPs, so the query derives them
+    deterministically from doc_id (identical derivation in the oracle)
+    — the redaction regexes then have real spans to hit. Narrow
+    regexp_replace map stage, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com or 555-"),
+        F.lpad(((F.col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        F.lit(" from 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 3) % 256).cast("string"),
+    )
+    return tx.redact_pii(d.select("doc_id", planted.alias("text")))
+
+
 # ---------------------------------------------------------------------------
 # Oracle twins
 # ---------------------------------------------------------------------------
@@ -142,11 +169,64 @@ WINDOW win AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
 """
 
 
+_REPETITION_ORACLE = """
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+tok AS (
+  SELECT doc_id, 1 AS g, unnest(w) AS gram FROM w
+  UNION ALL
+  SELECT doc_id, 2 AS g,
+         unnest(CASE WHEN len(w) >= 2
+                     THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+                     ELSE [] END) AS gram
+  FROM w
+),
+c AS (SELECT doc_id, g, gram, COUNT(*) AS cnt FROM tok GROUP BY doc_id, g, gram),
+s AS (
+  SELECT doc_id, g, SUM(cnt) AS total, COUNT(*) AS nd, MAX(cnt) AS top
+  FROM c GROUP BY doc_id, g
+)
+SELECT doc_id,
+  MAX(CASE WHEN g = 1 THEN total END)::BIGINT AS n_tokens,
+  ROUND(MAX(CASE WHEN g = 1 THEN nd END)::DOUBLE
+        / MAX(CASE WHEN g = 1 THEN total END)::DOUBLE, 6) AS distinct_ratio,
+  ROUND(MAX(CASE WHEN g = 1 THEN top END)::DOUBLE
+        / MAX(CASE WHEN g = 1 THEN total END)::DOUBLE, 6) AS top_unigram_frac,
+  ROUND(COALESCE(
+        (MAX(CASE WHEN g = 2 THEN total END) - MAX(CASE WHEN g = 2 THEN nd END))::DOUBLE
+        / MAX(CASE WHEN g = 2 THEN total END)::DOUBLE, 0.0::DOUBLE), 6) AS dup_bigram_frac
+FROM s GROUP BY doc_id
+"""
+
+
+def _redact_oracle() -> str:
+    email, ipv4, phone = tx.PII_EMAIL, tx.PII_IPV4, tx.PII_PHONE
+    planted = (
+        "text || ' contact user' || doc_id::VARCHAR || '@mail.example.com or 555-'"
+        " || lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0')"
+        " || ' from 10.' || (doc_id % 256)::VARCHAR || '.0.'"
+        " || ((doc_id * 3) % 256)::VARCHAR"
+    )
+    return f"""
+WITH p AS (SELECT doc_id, {planted} AS text FROM documents)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+      '{email}', '<EMAIL>', 'g'),
+      '{ipv4}', '<IP>', 'g'),
+      '{phone}', '<PHONE>', 'g') AS redacted,
+  len(regexp_extract_all(text, '{email}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '{ipv4}'))::BIGINT AS n_ips,
+  len(regexp_extract_all(text, '{phone}'))::BIGINT AS n_phones
+FROM p
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_hll_distinct": q_events_hll_distinct,
         "events_pivot": q_events_pivot,
         "orders_running_window": q_orders_running_window,
+        "text_repetition": q_text_repetition,
+        "text_redact_pii": q_text_redact_pii,
     }
 
 
@@ -155,4 +235,6 @@ def analytics_oracle_sql() -> dict[str, str]:
         "events_hll_distinct": _hll_oracle(),
         "events_pivot": _pivot_oracle(),
         "orders_running_window": _RUNNING_WINDOW_ORACLE,
+        "text_repetition": _REPETITION_ORACLE,
+        "text_redact_pii": _redact_oracle(),
     }

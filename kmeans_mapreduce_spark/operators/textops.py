@@ -144,3 +144,99 @@ def tfidf_top_terms(docs: DataFrame, k: int = 3, digits: int = 6) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "term", F.col("rank").cast("int").alias("rank"), "tfidf")
     )
+
+
+def repetition_signals(docs: DataFrame, digits: int = 6) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 use duplicate-n-gram fractions to drop boilerplate):
+
+    - ``distinct_ratio``    distinct unigrams / total unigrams
+    - ``top_unigram_frac``  most frequent unigram's share of tokens
+    - ``dup_bigram_frac``   share of bigram occurrences that are repeats
+                            (1 − distinct bigrams / total bigrams)
+
+    Scale shape: unigrams and bigrams are concatenated into ONE tagged
+    array per row (single documents scan, narrow), exploded once, then
+    a (doc, g, gram) partial-aggregated count feeds a per-doc rollup —
+    the only shuffles carry token-count rows with map-side combine.
+    """
+    w = F.col("__w")
+    bigrams = F.when(
+        F.size(w) >= 2,
+        F.expr(
+            "transform(sequence(1, size(__w) - 1),"
+            " i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1)))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tagged = F.concat(
+        F.transform(w, lambda x: F.struct(F.lit(1).alias("g"), x.alias("gram"))),
+        F.transform(
+            F.col("__bg"),
+            lambda x: F.struct(F.lit(2).alias("g"), x.alias("gram")),
+        ),
+    )
+    tok = (
+        docs.withColumn("__w", tokens(F.col("text")))
+        .withColumn("__bg", bigrams)
+        .select("doc_id", F.explode(tagged).alias("p"))
+        .select("doc_id", F.col("p.g").alias("g"), F.col("p.gram").alias("gram"))
+    )
+    c = tok.groupBy("doc_id", "g", "gram").agg(F.count(F.lit(1)).alias("cnt"))
+    s = c.groupBy("doc_id", "g").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("cnt").alias("top"),
+    )
+    uni = lambda col: F.max(F.when(F.col("g") == 1, F.col(col)))  # noqa: E731
+    bi = lambda col: F.max(F.when(F.col("g") == 2, F.col(col)))  # noqa: E731
+    return s.groupBy("doc_id").agg(
+        uni("total").cast("long").alias("n_tokens"),
+        F.round(uni("nd").cast("double") / uni("total").cast("double"), digits)
+        .alias("distinct_ratio"),
+        F.round(uni("top").cast("double") / uni("total").cast("double"), digits)
+        .alias("top_unigram_frac"),
+        F.round(
+            F.coalesce(
+                (bi("total") - bi("nd")).cast("double")
+                / bi("total").cast("double"),
+                F.lit(0.0),
+            ),
+            digits,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+# PII patterns — deliberately inside the Java-regex ∩ RE2 common subset
+# (no backreferences or lookaround) so Spark and the DuckDB oracle
+# replace the exact same spans.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PII_PHONE = r"\b555-[0-9]{4}\b"
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing for training corpora: replace emails, IPv4s, and
+    phone-shaped tokens with typed placeholders and count the hits.
+
+    Pure Catalyst ``regexp_replace``/``regexp_count`` — a narrow map
+    stage inside the scan's codegen at 100 TB, no shuffle at all.
+    Replacement order matters (emails before IPs before phones) and is
+    mirrored in the oracle.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, F.lit(PII_EMAIL), F.lit("<EMAIL>")),
+            F.lit(PII_IPV4),
+            F.lit("<IP>"),
+        ),
+        F.lit(PII_PHONE),
+        F.lit("<PHONE>"),
+    )
+    return docs.select(
+        "doc_id",
+        redacted.alias("redacted"),
+        F.regexp_count(t, F.lit(PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
+        F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
+    )

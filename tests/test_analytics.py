@@ -71,6 +71,48 @@ def test_pivot_schema_static_and_counts(spark):
     assert total == load_table(spark, SF_SMOKE, "events").count()
 
 
+def test_repetition_signals_hand_computed(spark):
+    from kmeans_mapreduce_spark.operators.textops import repetition_signals
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "w x y z"), (3, "solo")],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs).collect()}
+    # doc 1: unigrams a,a,a,b -> distinct 2/4, top 3/4;
+    #        bigrams "a a","a a","a b" -> dup (3-2)/3
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["distinct_ratio"] == 0.5
+    assert out[1]["top_unigram_frac"] == 0.75
+    assert out[1]["dup_bigram_frac"] == round(1 / 3, 6)
+    # doc 2: no repetition at all
+    assert out[2]["distinct_ratio"] == 1.0
+    assert out[2]["dup_bigram_frac"] == 0.0
+    # doc 3: single token -> no bigrams, coalesced to 0
+    assert out[3]["n_tokens"] == 1
+    assert out[3]["dup_bigram_frac"] == 0.0
+
+
+def test_redact_pii_spans_and_counts(spark):
+    from kmeans_mapreduce_spark.operators.textops import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.org now"),
+            (2, "host 192.168.1.250 dial 555-0199 twice 555-0200"),
+            (3, "clean text no pii"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["redacted"] == "mail <EMAIL> now"
+    assert out[1]["n_emails"] == 1 and out[1]["n_ips"] == 0
+    assert out[2]["redacted"] == "host <IP> dial <PHONE> twice <PHONE>"
+    assert (out[2]["n_ips"], out[2]["n_phones"]) == (1, 2)
+    assert out[3]["redacted"] == "clean text no pii"
+    assert out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
+
+
 def test_running_window_properties(spark):
     from kmeans_mapreduce_spark.analytics import q_orders_running_window
     from tests.conftest import SF_SMOKE
