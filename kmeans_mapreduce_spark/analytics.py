@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from kmeans_mapreduce_spark.operators import decontam as dc
 from kmeans_mapreduce_spark.operators import sketches as sk
 from kmeans_mapreduce_spark.operators import textops as tx
 from kmeans_mapreduce_spark.sources.loaders import load_table
@@ -118,6 +119,14 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((F.col("doc_id") * 3) % 256).cast("string"),
     )
     return tx.redact_pii(d.select("doc_id", planted.alias("text")))
+
+
+def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs whose 3-gram shingles
+    overlap the ~1% benchmark split (doc_id % 97 == 0) by >= 5%. The
+    benchmark fingerprint set is broadcast — the corpus never
+    shuffles except the final per-doc count."""
+    return dc.decontaminate(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
@@ -220,6 +229,28 @@ FROM p
 """
 
 
+def _decontaminate_oracle() -> str:
+    from kmeans_mapreduce_spark.extensions import SHINGLE_EXPR
+    from kmeans_mapreduce_spark.functions.hashing import h64_sql
+
+    return f"""
+WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+t AS (SELECT doc_id, {SHINGLE_EXPR} AS toks FROM w),
+x AS (SELECT doc_id, len(toks)::BIGINT AS n_shingles, unnest(toks) AS tok FROM t),
+shf AS (SELECT doc_id, n_shingles, {h64_sql('tok')} AS fp FROM x),
+b AS (SELECT DISTINCT fp FROM shf WHERE doc_id % {dc.BENCH_MOD} = 0),
+c AS (SELECT * FROM shf WHERE doc_id % {dc.BENCH_MOD} <> 0),
+o AS (
+  SELECT doc_id, n_shingles, COUNT(*) AS n_overlap
+  FROM c JOIN b USING (fp) GROUP BY doc_id, n_shingles
+)
+SELECT doc_id, n_shingles, n_overlap,
+       ROUND(n_overlap::DOUBLE / n_shingles::DOUBLE, 6) AS overlap_ratio
+FROM o
+WHERE ROUND(n_overlap::DOUBLE / n_shingles::DOUBLE, 6) >= {dc.CONTAM_THRESHOLD!r}::DOUBLE
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_hll_distinct": q_events_hll_distinct,
@@ -227,6 +258,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_running_window": q_orders_running_window,
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_text_redact_pii,
+        "corpus_decontaminate": q_corpus_decontaminate,
     }
 
 
@@ -237,4 +269,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "orders_running_window": _RUNNING_WINDOW_ORACLE,
         "text_repetition": _REPETITION_ORACLE,
         "text_redact_pii": _redact_oracle(),
+        "corpus_decontaminate": _decontaminate_oracle(),
     }

@@ -113,6 +113,42 @@ def test_redact_pii_spans_and_counts(spark):
     assert out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
 
 
+def test_decontaminate_planted_overlap(spark):
+    """Doc 97k copies benchmark text -> ratio 1.0; disjoint doc absent."""
+    from kmeans_mapreduce_spark.operators.decontam import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text),  # benchmark split (0 % 97 == 0)
+            (1, bench_text),  # exact leak
+            (2, "alpha beta gamma delta unrelated words here now"),  # partial
+            (3, "one two three four five six seven eight"),  # disjoint
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r["doc_id"]: r for r in decontaminate(docs).collect()}
+    assert 0 not in out, "benchmark docs must not be scored"
+    assert out[1]["overlap_ratio"] == 1.0
+    assert 3 not in out
+    # doc 2 shares exactly the shingles inside 'alpha beta gamma delta'
+    assert 2 in out and 0 < out[2]["overlap_ratio"] < 1.0
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """The benchmark fingerprint side must broadcast: the corpus is
+    never exchanged for the semi-join (only the final per-doc count
+    shuffles)."""
+    from kmeans_mapreduce_spark import plans
+    from kmeans_mapreduce_spark.operators.decontam import decontaminate
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    plan = plans.explain_str(decontaminate(load_table(spark, SF_SMOKE, "documents")))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_running_window_properties(spark):
     from kmeans_mapreduce_spark.analytics import q_orders_running_window
     from tests.conftest import SF_SMOKE
