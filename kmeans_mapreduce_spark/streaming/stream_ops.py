@@ -351,6 +351,83 @@ def stream_minhash_lsh_candidates(stream: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_range_join(
+    stream: DataFrame,
+    left_type: str,
+    right_type: str,
+    horizon_sec: int,
+    watermark_sec: int = 600,
+) -> DataFrame:
+    """Watermarked STREAM-STREAM inner join — the streaming face of
+    operators.events.range_join_counts ("right-type events of the same
+    user within [ts, ts+horizon) after each left-type event"), emitting
+    the matched pairs row-level as both sides arrive.
+
+    Two filtered branches of one source self-join on user plus an
+    event-time range condition. Both sides carry watermarks, so Spark
+    derives state-eviction bounds: a buffered left row is dropped once
+    the watermark passes ``l_time + horizon``, a right row once it
+    passes ``r_time`` — state is bounded by watermark + horizon, not by
+    stream length. At scale the join state is keyed by user (uniform),
+    and each micro-batch shuffles only its own rows.
+
+    Output: (user_id, event_id, l_ts_sec, r_ts_sec, r_value) per match
+    — the batch twin's pre-aggregation pair set.
+    """
+    base = stream.withColumn(
+        "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
+    )
+    left = (
+        base.filter(F.col("event_type") == left_type)
+        .select(
+            "user_id",
+            "event_id",
+            F.col("event_time").alias("l_time"),
+        )
+        .withWatermark("l_time", f"{watermark_sec} seconds")
+    )
+    right = (
+        base.filter(F.col("event_type") == right_type)
+        .select(
+            F.col("user_id").alias("r_user"),
+            F.col("event_time").alias("r_time"),
+            F.col("value").alias("r_value"),
+        )
+        .withWatermark("r_time", f"{watermark_sec} seconds")
+    )
+    return left.join(
+        right,
+        (F.col("user_id") == F.col("r_user"))
+        & (F.col("r_time") >= F.col("l_time"))
+        & (F.col("r_time") < F.col("l_time") + F.expr(f"INTERVAL {horizon_sec} SECONDS")),
+        "inner",
+    ).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("l_time").alias("l_ts_sec"),
+        F.unix_timestamp("r_time").alias("r_ts_sec"),
+        "r_value",
+    )
+
+
+def stream_hll_registers(stream: DataFrame, key: str, groups: list[str]) -> DataFrame:
+    """Streaming distinct-count sketch maintenance: the portable HLL's
+    register table (operators.sketches) computed AS A STREAM.
+
+    The batch operator is reused verbatim — ``max(rho)`` per (group,
+    bucket) is an incremental, order-insensitive aggregate, so the
+    streaming state store holds at most groups x 256 rows FOREVER, no
+    watermark needed. That is the whole point vs streaming
+    ``dropDuplicates``: exact distinct tracking needs one state entry
+    per key seen (unbounded); the sketch's state is constant-size and
+    its update-mode output after the last batch equals the batch
+    registers bit-for-bit (tested), so estimates match too.
+    """
+    from kmeans_mapreduce_spark.operators.sketches import hll_registers
+
+    return hll_registers(stream, key, groups)
+
+
 def run_stream_to_memory(
     df: DataFrame, name: str, mode: str = "append"
 ) -> None:

@@ -433,3 +433,75 @@ def test_stream_kmeans_minibatch_converges_toward_batch_centers(
     wssse_init = km.wssse(km.assign(pts, init)).collect()[0]["wssse"]
     wssse_mini = km.wssse(km.assign(pts, state.centers)).collect()[0]["wssse"]
     assert wssse_mini < wssse_init / 10
+
+
+def test_stream_stream_range_join_matches_batch(spark, events_dir, schema):
+    """Watermarked stream-stream self-join: purchases within 30 min of
+    each click. The emitted pair set must equal the batch join on the
+    same data (files are time-split, so every match's right side
+    arrives in the same or a later batch than its left side and no
+    on-time state is evicted early)."""
+    stream = so.events_stream(spark, events_dir, schema)
+    joined = so.stream_stream_range_join(
+        stream, "click", "purchase", horizon_sec=1800, watermark_sec=600
+    )
+    so.run_stream_to_memory(joined, "ss_join", "append")
+    got = {
+        (r["user_id"], r["event_id"], r["l_ts_sec"], r["r_ts_sec"],
+         round(r["r_value"], 2))
+        for r in spark.table("ss_join").collect()
+    }
+
+    e = load_table(spark, SF, "events").withColumn(
+        "ts_sec", F.expr("ts div 1000000000")
+    )
+    left = e.filter(F.col("event_type") == "click").select(
+        "user_id", "event_id", "ts_sec"
+    )
+    right = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user"),
+        F.col("ts_sec").alias("r_ts"),
+        F.col("value").alias("r_value"),
+    )
+    want = {
+        (r["user_id"], r["event_id"], r["ts_sec"], r["r_ts"],
+         round(r["r_value"], 2))
+        for r in left.join(
+            right,
+            (F.col("user_id") == F.col("r_user"))
+            & (F.col("r_ts") >= F.col("ts_sec"))
+            & (F.col("r_ts") < F.col("ts_sec") + 1800),
+        ).collect()
+    }
+    assert want, "fixture must produce at least one click->purchase match"
+    assert got == want
+
+
+def test_stream_hll_registers_match_batch(spark, events_dir, schema):
+    """Streaming sketch maintenance: after draining the stream, the
+    stateful register table equals the batch registers exactly (max is
+    order-insensitive), so the estimates agree bit-for-bit — with
+    constant state (types x 256 rows), unlike streaming dropDuplicates."""
+    from kmeans_mapreduce_spark.operators import sketches as sk
+
+    stream = so.events_stream(spark, events_dir, schema)
+    so.run_stream_to_memory(
+        so.stream_hll_registers(stream, "user_id", ["event_type"]),
+        "hll_regs",
+        "complete",
+    )
+    got = spark.table("hll_regs")
+    want = sk.hll_registers(
+        load_table(spark, SF, "events"), "user_id", ["event_type"]
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    est_stream = {
+        r["event_type"]: r["est"]
+        for r in sk.hll_estimate(got, ["event_type"], "est").collect()
+    }
+    est_batch = {
+        r["event_type"]: r["est"]
+        for r in sk.hll_estimate(want, ["event_type"], "est").collect()
+    }
+    assert est_stream == est_batch
