@@ -277,6 +277,38 @@ def q_kmeans_kmpp_round1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("point_id", "d2", "prob")
 
 
+KMPP_T = 5  # deterministic candidate count for the gated round-2 query
+
+
+def q_kmeans_kmpp_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11, round >= 2 under the hash gate: the min-distance UPDATE step
+    of k-means|| — d² against a *set* of candidate centers, re-φ, re-prob.
+
+    The coin-flip itself stays rows-only, so round 1's sampled set is
+    replaced by a deterministic proxy both engines can compute: the
+    top-``KMPP_T`` points by round-1 probability (ties by point_id),
+    collected to the driver exactly like the real init collects its
+    sampled candidates (T rows, not data). This pins the part of
+    rounds 2..r that round 1 couldn't: nearest-of-many scoring feeding
+    the next φ."""
+    first = [(K4_CENTERS[0][1], K4_CENTERS[0][2])]
+    pts = points_2d(spark, sf_dir)
+    r1 = km.kmpp_round_probs(
+        pts, first, l=KMPP_L, phi_digits=SUM_DIGITS, prob_digits=MEAN_DIGITS
+    )
+    top = (
+        r1.orderBy(F.desc("prob"), F.asc("point_id"))
+        .limit(KMPP_T)
+        .select("x", "y")
+        .collect()
+    )
+    cands = first + [(float(r["x"]), float(r["y"])) for r in top]
+    out = km.kmpp_round_probs(
+        pts, cands, l=KMPP_L, phi_digits=SUM_DIGITS, prob_digits=MEAN_DIGITS
+    )
+    return out.select("point_id", "d2", "prob")
+
+
 def q_kmeans_fit_kmpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O11 variant — k-means|| (Bahmani) D²-sampling init + Lloyd loop.
 
@@ -358,6 +390,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_loop2": q_kmeans_loop2,
         "kmeans_fit_fixed": q_kmeans_fit_fixed,
         "kmeans_kmpp_round1": q_kmeans_kmpp_round1,
+        "kmeans_kmpp_round2": q_kmeans_kmpp_round2,
         "kmeans_fit": q_kmeans_fit,
         "kmeans_fit_kmpp": q_kmeans_fit_kmpp,
     }
@@ -386,8 +419,49 @@ WHERE c.cid NOT IN (SELECT DISTINCT cid FROM assigned)""",
         "kmeans_loop2": _unrolled_loop_sql(2),
         "kmeans_fit_fixed": _unrolled_loop_sql(3),
         "kmeans_kmpp_round1": _kmpp_round1_sql(),
+        "kmeans_kmpp_round2": _kmpp_round2_sql(),
         # kmeans_fit / kmeans_fit_kmpp: seeded randomness → rows-only.
     }
+
+
+def _kmpp_round2_sql() -> str:
+    """Twin of q_kmeans_kmpp_round2: replay round 1, take the same
+    deterministic top-T candidates, then min-of-many d² + re-φ + prob.
+    MIN over the candidate cross join is order-insensitive and each
+    per-candidate d² is the same (a-b)*(a-b) form, so per-row values
+    stay bit-identical; φ and prob round like round 1."""
+    cx = f"CAST({K4_CENTERS[0][1]!r} AS DOUBLE)"
+    cy = f"CAST({K4_CENTERS[0][2]!r} AS DOUBLE)"
+    l_lit = f"CAST({float(KMPP_L)!r} AS DOUBLE)"
+    return f"""
+WITH pts AS ({POINTS_2D_SQL}),
+sc1 AS (
+  SELECT point_id, x, y,
+         (x - {cx}) * (x - {cx}) + (y - {cy}) * (y - {cy}) AS d2
+  FROM pts
+),
+phi1 AS (SELECT ROUND(SUM(d2), {SUM_DIGITS}) AS phi FROM sc1),
+p1 AS (
+  SELECT point_id, x, y,
+         ROUND(LEAST(CAST(1.0 AS DOUBLE), {l_lit} * d2 / phi), {MEAN_DIGITS}) AS prob
+  FROM sc1 CROSS JOIN phi1
+),
+cands AS (
+  SELECT x, y FROM (
+    SELECT x, y FROM p1 ORDER BY prob DESC, point_id LIMIT {KMPP_T}
+  )
+  UNION ALL SELECT {cx} AS x, {cy} AS y
+),
+sc2 AS (
+  SELECT p.point_id,
+         MIN((p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y)) AS d2
+  FROM pts p CROSS JOIN cands c
+  GROUP BY p.point_id
+),
+phi2 AS (SELECT ROUND(SUM(d2), {SUM_DIGITS}) AS phi FROM sc2)
+SELECT point_id, d2,
+       ROUND(LEAST(CAST(1.0 AS DOUBLE), {l_lit} * d2 / phi), {MEAN_DIGITS}) AS prob
+FROM sc2 CROSS JOIN phi2"""
 
 
 def _kmpp_round1_sql() -> str:
