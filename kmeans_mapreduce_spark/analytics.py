@@ -121,6 +121,22 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.redact_pii(d.select("doc_id", planted.alias("text")))
 
 
+def q_text_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch vs exact term counts over the corpus
+    vocabulary. The sketch's shuffle is constant-size (<= 4 x 1024
+    counters after map-side combine) however many tokens stream
+    through; probing joins the tiny vocabulary against the broadcast
+    sketch. cms_est >= n_exact always (one-sided error, tested)."""
+    d = load_table(spark, sf_dir, "documents")
+    from kmeans_mapreduce_spark.functions.text import tokens
+
+    tok = d.select(F.explode(tokens(F.col("text"))).alias("term"))
+    sketch = sk.cms_sketch(tok, "term")
+    exact = tok.groupBy("term").agg(F.count(F.lit(1)).alias("n_exact"))
+    est = sk.cms_estimate(sketch, exact.select("term"), "term")
+    return exact.join(est, "term").select("term", "n_exact", "cms_est")
+
+
 def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs whose 3-gram shingles
     overlap the ~1% benchmark split (doc_id % 97 == 0) by >= 5%. The
@@ -229,6 +245,29 @@ FROM p
 """
 
 
+def _cms_oracle() -> str:
+    from kmeans_mapreduce_spark.functions.hashing import h64_seeded_sql
+
+    coords = " UNION ALL ".join(
+        f"SELECT term, {j} AS j, ({h64_seeded_sql('term', j)}) % {sk.CMS_WIDTH} AS col"
+        " FROM vocab"
+        for j in range(sk.CMS_DEPTH)
+    )
+    return f"""
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents),
+{sk.cms_sql('term', 'tok')},
+vocab AS (SELECT term, COUNT(*) AS n_exact FROM tok GROUP BY term),
+coords AS ({coords}),
+est AS (
+  SELECT term, MIN(COALESCE(cnt, 0)) AS cms_est
+  FROM coords LEFT JOIN cms_sketch USING (j, col)
+  GROUP BY term
+)
+SELECT v.term, v.n_exact, e.cms_est
+FROM vocab v JOIN est e ON v.term = e.term
+"""
+
+
 def _decontaminate_oracle() -> str:
     from kmeans_mapreduce_spark.extensions import SHINGLE_EXPR
     from kmeans_mapreduce_spark.functions.hashing import h64_sql
@@ -259,6 +298,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "text_redact_pii": q_text_redact_pii,
         "corpus_decontaminate": q_corpus_decontaminate,
+        "text_cms_terms": q_text_cms_terms,
     }
 
 
@@ -270,4 +310,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "text_repetition": _REPETITION_ORACLE,
         "text_redact_pii": _redact_oracle(),
         "corpus_decontaminate": _decontaminate_oracle(),
+        "text_cms_terms": _cms_oracle(),
     }

@@ -115,6 +115,73 @@ def hll_distinct(
     return hll_estimate(hll_registers(df, key, groups), groups, out)
 
 
+CMS_DEPTH = 4  # hash rows (independent seeded members of the md5 family)
+CMS_WIDTH = 1024  # counters per row
+
+
+def cms_hash_cols(key: Column) -> Column:
+    """Array of CMS_DEPTH (row, column) structs for one key — the d
+    seeded-hash bucket coordinates, computed narrow per row."""
+    from kmeans_mapreduce_spark.functions.hashing import h64_seeded
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("j"),
+                (h64_seeded(key, j) % CMS_WIDTH).alias("col"),
+            )
+            for j in range(CMS_DEPTH)
+        ]
+    )
+
+
+def cms_sketch(df: DataFrame, key: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan, J.Alg 2005) of a key
+    column's frequencies: a (j, col, cnt) table of d x w counters.
+
+    All-integer, so the DuckDB oracle replays it exactly. Mergeable by
+    summing counters. Scale shape: one narrow explode (d rows per
+    input row) into a groupBy over at most d*w = 4096 keys — map-side
+    combine collapses each partition to <= 4096 partial counters, so
+    the exchange is constant-size regardless of input rows, same story
+    as the HLL registers."""
+    return (
+        df.select(F.explode(cms_hash_cols(F.col(key))).alias("p"))
+        .select(F.col("p.j").alias("j"), F.col("p.col").alias("col"))
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str) -> DataFrame:
+    """Point-query the sketch: est(key) = min over rows j of the
+    counter at (j, h_j(key)) — an upper bound on the true count that is
+    exact when the key collides with nothing in some row. The probe
+    side is tiny (candidate heavy hitters) and the sketch is 4096 rows,
+    so the join broadcasts."""
+    coords = probes.select(
+        key, F.explode(cms_hash_cols(F.col(key))).alias("p")
+    ).select(key, F.col("p.j").alias("j"), F.col("p.col").alias("col"))
+    return (
+        coords.join(F.broadcast(sketch), ["j", "col"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_sql(key_expr: str, relation: str) -> str:
+    """DuckDB twin CTEs: ``cms_sketch`` (j, col, cnt) and
+    ``cms_coords(key, j, col)`` for any probe relation to reuse."""
+    from kmeans_mapreduce_spark.functions.hashing import h64_seeded_sql
+
+    rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, ({h64_seeded_sql(key_expr, j)}) % {CMS_WIDTH} AS col"
+        f" FROM {relation}"
+        for j in range(CMS_DEPTH)
+    )
+    return f"cms_all AS ({rows}),\ncms_sketch AS (SELECT j, col, COUNT(*) AS cnt FROM cms_all GROUP BY j, col)"
+
+
 def hll_sql(key_expr: str, group_expr: str, relation: str, out: str) -> str:
     """DuckDB twin of :func:`hll_distinct` (one grouping column)."""
     h = h64_sql(key_expr)

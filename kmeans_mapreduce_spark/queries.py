@@ -362,6 +362,9 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "join_revenue_by_nation",
     "pipeline_clean_corpus",
     "pipeline_media_cluster",
+    "corpus_decontaminate",
+    "text_repetition",
+    "events_hll_distinct",
 }
 
 

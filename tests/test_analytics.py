@@ -113,6 +113,38 @@ def test_redact_pii_spans_and_counts(spark):
     assert out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
 
 
+def test_cms_upper_bound_and_exact_when_sparse(spark):
+    """CMS point queries never under-count, and with 600 distinct keys
+    in 4x1024 counters most keys see at least one collision-free row,
+    so the min over rows is exact for the bulk of them."""
+    from kmeans_mapreduce_spark.operators import sketches as sk
+
+    df = spark.range(0, 6000).select(
+        (F.col("id") % 600).cast("string").alias("k")
+    )  # 600 keys x 10 occurrences
+    sketch = sk.cms_sketch(df, "k")
+    exact = df.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    est = sk.cms_estimate(sketch, exact.select("k"), "k")
+    rows = exact.join(est, "k").collect()
+    assert all(r["cms_est"] >= r["n"] for r in rows)
+    exact_hits = sum(r["cms_est"] == r["n"] for r in rows)
+    assert exact_hits > len(rows) * 0.9
+
+
+def test_cms_sketches_merge_by_sum(spark):
+    from kmeans_mapreduce_spark.operators import sketches as sk
+
+    df = spark.range(0, 2000).select((F.col("id") % 100).cast("string").alias("k"))
+    a = sk.cms_sketch(df.filter(F.col("id") < 1000), "k")
+    b = sk.cms_sketch(df.filter(F.col("id") >= 1000), "k")
+    merged = (
+        a.unionByName(b).groupBy("j", "col").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = sk.cms_sketch(df, "k")
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
 def test_decontaminate_planted_overlap(spark):
     """Doc 97k copies benchmark text -> ratio 1.0; disjoint doc absent."""
     from kmeans_mapreduce_spark.operators.decontam import decontaminate
