@@ -121,6 +121,19 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.redact_pii(d.select("doc_id", planted.alias("text")))
 
 
+def q_corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional deterministic sampling: each doc kept with
+    probability = its quality score (hash-threshold membership, no RNG,
+    retry-stable, zero shuffle — the per-row-weighted complement of the
+    stratified sampler)."""
+    from kmeans_mapreduce_spark.operators.sampling import weighted_sample
+
+    q = tx.quality(load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+    return weighted_sample(q, F.col("quality_score"))
+
+
 def q_text_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min frequency sketch vs exact term counts over the corpus
     vocabulary. The sketch's shuffle is constant-size (<= 4 x 1024
@@ -245,6 +258,24 @@ FROM p
 """
 
 
+def _weighted_sample_oracle() -> str:
+    from kmeans_mapreduce_spark.extensions import _quality_sql
+    from kmeans_mapreduce_spark.functions.hashing import h64_sql
+    from kmeans_mapreduce_spark.operators.sampling import SAMPLE_BUCKETS, SAMPLE_SALT
+
+    key_expr = f"'{SAMPLE_SALT}:' || doc_id::VARCHAR"
+    bucket = f"{h64_sql(key_expr)} % {SAMPLE_BUCKETS}"
+    thr = (
+        "CAST(floor(LEAST(1.0::DOUBLE, GREATEST(0.0::DOUBLE, quality_score))"
+        f" * {float(SAMPLE_BUCKETS)!r}::DOUBLE) AS BIGINT)"
+    )
+    return f"""
+WITH q AS ({_quality_sql()})
+SELECT doc_id, quality_score FROM q
+WHERE {bucket} < {thr}
+"""
+
+
 def _cms_oracle() -> str:
     from kmeans_mapreduce_spark.functions.hashing import h64_seeded_sql
 
@@ -299,6 +330,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": q_text_redact_pii,
         "corpus_decontaminate": q_corpus_decontaminate,
         "text_cms_terms": q_text_cms_terms,
+        "corpus_sample_weighted": q_corpus_sample_weighted,
     }
 
 
@@ -311,4 +343,5 @@ def analytics_oracle_sql() -> dict[str, str]:
         "text_redact_pii": _redact_oracle(),
         "corpus_decontaminate": _decontaminate_oracle(),
         "text_cms_terms": _cms_oracle(),
+        "corpus_sample_weighted": _weighted_sample_oracle(),
     }

@@ -55,6 +55,27 @@ def hash_sample_stratified(
     return docs.filter(sample_bucket(F.col("doc_id")) < threshold)
 
 
+def weighted_sample(
+    docs: DataFrame, weight: Column, salt: str = SAMPLE_SALT
+) -> DataFrame:
+    """Per-ROW-weighted deterministic Bernoulli sample: keep a row with
+    probability ``weight`` (a [0,1] column, e.g. a quality score) — the
+    quality-proportional subsampling step of a training-data mix, with
+    the same retry-stable, shuffle-free properties as the stratified
+    form (membership is a pure function of the row key).
+
+    The keep threshold is ``floor(weight * SAMPLE_BUCKETS)`` compared
+    against the salted hash bucket — integer vs integer, so the DuckDB
+    oracle reproduces membership exactly (the float multiply is one
+    shared op; floor of an identical double is identical).
+    """
+    threshold = F.floor(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
+        * F.lit(float(SAMPLE_BUCKETS))
+    ).cast("long")
+    return docs.filter(sample_bucket(F.col("doc_id"), salt) < threshold)
+
+
 def pack_sequences(
     docs_with_tokens: DataFrame,
     budget_tokens: int,

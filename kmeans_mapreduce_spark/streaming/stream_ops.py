@@ -410,6 +410,20 @@ def stream_stream_range_join(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame, dim: DataFrame, key: str = "user_id"
+) -> DataFrame:
+    """STREAM-STATIC join: enrich a stream with a batch dimension table
+    (the third join class next to stream-stream and batch-batch).
+
+    Stateless — Spark re-plans the static side per micro-batch, so no
+    state store is involved and the dim picks up storage-level updates
+    between batches. The dim is broadcast (dimension ≪ stream at
+    scale); left join keeps stream rows with no dim match.
+    """
+    return stream.join(F.broadcast(dim), key, "left")
+
+
 def stream_hll_registers(stream: DataFrame, key: str, groups: list[str]) -> DataFrame:
     """Streaming distinct-count sketch maintenance: the portable HLL's
     register table (operators.sketches) computed AS A STREAM.

@@ -113,6 +113,22 @@ def test_redact_pii_spans_and_counts(spark):
     assert out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
 
 
+def test_weighted_sample_monotone_and_bounds(spark):
+    """weight 0 keeps nothing, weight 1 keeps everything, and the kept
+    set is monotone in the weight (raising a doc's weight can only add
+    it, never drop it) — the property that makes weighted re-sampling
+    auditable across mix revisions."""
+    from kmeans_mapreduce_spark.operators.sampling import weighted_sample
+
+    docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+    assert weighted_sample(docs, F.lit(0.0)).count() == 0
+    assert weighted_sample(docs, F.lit(1.0)).count() == 2000
+    lo = {r["doc_id"] for r in weighted_sample(docs, F.lit(0.3)).collect()}
+    hi = {r["doc_id"] for r in weighted_sample(docs, F.lit(0.7)).collect()}
+    assert lo < hi
+    assert 0.25 < len(lo) / 2000 < 0.35 and 0.65 < len(hi) / 2000 < 0.75
+
+
 def test_cms_upper_bound_and_exact_when_sparse(spark):
     """CMS point queries never under-count, and with 600 distinct keys
     in 4x1024 counters most keys see at least one collision-free row,

@@ -505,3 +505,31 @@ def test_stream_hll_registers_match_batch(spark, events_dir, schema):
         for r in sk.hll_estimate(want, ["event_type"], "est").collect()
     }
     assert est_stream == est_batch
+
+
+def test_stream_static_enrich_matches_batch_join(spark, events_dir, schema):
+    """Stream-static broadcast join: every streamed event picks up its
+    dim attributes exactly as the batch join computes them; events
+    without a dim row survive with nulls (left join)."""
+    dim = (
+        load_table(spark, SF, "events")
+        .select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 2 == 0)  # half the users have a dim row
+        .withColumn("tier", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = so.events_stream(spark, events_dir, schema)
+    so.run_stream_to_memory(
+        so.stream_static_enrich(stream, dim), "enriched", "append"
+    )
+    got = {
+        (r["event_id"], r["tier"]) for r in spark.table("enriched").collect()
+    }
+    want = {
+        (r["event_id"], r["tier"])
+        for r in load_table(spark, SF, "events")
+        .join(dim, "user_id", "left")
+        .collect()
+    }
+    assert got == want
+    assert any(t is None for _, t in got), "unmatched events must keep nulls"
