@@ -121,6 +121,20 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.redact_pii(d.select("doc_id", planted.alias("text")))
 
 
+HIST_LO, HIST_HI = 0.0, 500.0
+HIST_QS = (0.5, 0.9, 0.99)
+
+
+def q_events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantiles of event values per type: p50/p90/p99
+    from a 64-bin equi-width sketch. The shuffle carries at most
+    types x 64 counter rows however many events stream through —
+    the sketch path next to sampling.token_quantiles' exact path."""
+    e = load_table(spark, sf_dir, "events")
+    hist = sk.hist_sketch(e, "value", ["event_type"], HIST_LO, HIST_HI)
+    return sk.hist_quantiles(hist, ["event_type"], HIST_QS, HIST_LO, HIST_HI)
+
+
 def q_corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-proportional deterministic sampling: each doc kept with
     probability = its quality score (hash-threshold membership, no RNG,
@@ -331,6 +345,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_decontaminate": q_corpus_decontaminate,
         "text_cms_terms": q_text_cms_terms,
         "corpus_sample_weighted": q_corpus_sample_weighted,
+        "events_hist_quantiles": q_events_hist_quantiles,
     }
 
 
@@ -344,4 +359,8 @@ def analytics_oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": _decontaminate_oracle(),
         "text_cms_terms": _cms_oracle(),
         "corpus_sample_weighted": _weighted_sample_oracle(),
+        "events_hist_quantiles": "WITH " + sk.hist_sql(
+            "value", "event_type", "events", HIST_QS, HIST_LO, HIST_HI,
+            gname="event_type",
+        ),
     }

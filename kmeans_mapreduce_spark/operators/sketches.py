@@ -182,6 +182,132 @@ def cms_sql(key_expr: str, relation: str) -> str:
     return f"cms_all AS ({rows}),\ncms_sketch AS (SELECT j, col, COUNT(*) AS cnt FROM cms_all GROUP BY j, col)"
 
 
+HIST_NBINS = 64
+
+
+def hist_sketch(
+    df: DataFrame,
+    value: str,
+    groups: Sequence[str],
+    lo: float,
+    hi: float,
+    nbins: int = HIST_NBINS,
+) -> DataFrame:
+    """Equi-width histogram sketch: (groups..., bin, cnt) with values
+    clamped into [lo, hi). The third mergeable-sketch family next to
+    HLL (distinct) and CMS (frequency): quantiles/distribution shape.
+
+    Counts are sum-mergeable and the exchange is bounded by
+    groups x nbins after map-side combine — vs exact percentiles,
+    which shuffle every value to its group. Bin assignment is one
+    IEEE-exact division + floor (division is correctly rounded, not
+    libm), so both engines bin identically."""
+    width = (hi - lo) / nbins
+    raw = F.floor((F.col(value) - F.lit(lo)) / F.lit(width)).cast("long")
+    b = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw))
+    return (
+        df.select(*groups, b.alias("bin"))
+        .groupBy(*groups, "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hist_quantiles(
+    hist: DataFrame,
+    groups: Sequence[str],
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    nbins: int = HIST_NBINS,
+    digits: int = 6,
+) -> DataFrame:
+    """Interpolated quantile estimates from a histogram sketch.
+
+    For each q: rank r = q·(n−1); the unique bin with
+    cum_prev <= r < cum_incl (empty bins can't match) yields
+    est = lo + width·(bin + (r − cum_prev)/cnt) — linear interpolation
+    within the bin. One row per (group, q), value rounded.
+    """
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*groups)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    width = (hi - lo) / nbins
+    cum = hist.withColumn("cum_incl", F.sum("cnt").over(w)).withColumn(
+        "cum_prev", F.col("cum_incl") - F.col("cnt")
+    )
+    totals = hist.groupBy(*groups).agg(F.sum("cnt").alias("n"))
+    qdf = F.array(*[F.lit(float(q)) for q in qs])
+    probe = (
+        cum.join(totals, list(groups))
+        .select(*groups, "bin", "cnt", "cum_prev", "cum_incl", "n",
+                F.explode(qdf).alias("q"))
+        .withColumn("r", F.col("q") * (F.col("n") - 1).cast("double"))
+        .filter(
+            (F.col("cum_prev").cast("double") <= F.col("r"))
+            & (F.col("r") < F.col("cum_incl").cast("double"))
+        )
+    )
+    est = F.lit(lo) + F.lit(width) * (
+        F.col("bin").cast("double")
+        + (F.col("r") - F.col("cum_prev").cast("double"))
+        / F.col("cnt").cast("double")
+    )
+    return probe.select(
+        *groups, "q", F.round(est, digits).alias("quantile_est")
+    )
+
+
+def hist_sql(
+    value_expr: str,
+    group_expr: str,
+    relation: str,
+    qs: Sequence[float],
+    lo: float,
+    hi: float,
+    nbins: int = HIST_NBINS,
+    gname: str = "g",
+) -> str:
+    """DuckDB twin of hist_sketch |> hist_quantiles (single group col).
+
+    Output: (gname, q, quantile_est)."""
+    width = (hi - lo) / nbins
+    q_rows = ", ".join(f"({float(q)!r}::DOUBLE)" for q in qs)
+    return f"""
+hb AS (
+  SELECT {group_expr} AS g,
+         GREATEST(0, LEAST({nbins - 1},
+           CAST(floor(({value_expr} - {float(lo)!r}::DOUBLE) / {width!r}::DOUBLE) AS BIGINT)
+         )) AS bin
+  FROM {relation}
+),
+hist AS (SELECT g, bin, COUNT(*) AS cnt FROM hb GROUP BY g, bin),
+cum AS (
+  SELECT g, bin, cnt,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl,
+         SUM(cnt) OVER (PARTITION BY g ORDER BY bin
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS cum_prev
+  FROM hist
+),
+tot AS (SELECT g, SUM(cnt) AS n FROM hist GROUP BY g),
+qv(q) AS (VALUES {q_rows}),
+probe AS (
+  SELECT c.g, qv.q, c.bin, c.cnt, c.cum_prev,
+         qv.q * (t.n - 1)::DOUBLE AS r
+  FROM cum c JOIN tot t ON c.g = t.g CROSS JOIN qv
+  WHERE c.cum_prev::DOUBLE <= qv.q * (t.n - 1)::DOUBLE
+    AND qv.q * (t.n - 1)::DOUBLE < c.cum_incl::DOUBLE
+)
+SELECT g AS {gname}, q,
+       ROUND({float(lo)!r}::DOUBLE + {width!r}::DOUBLE *
+             (bin::DOUBLE + (r - cum_prev::DOUBLE) / cnt::DOUBLE), 6) AS quantile_est
+FROM probe"""
+
+
 def hll_sql(key_expr: str, group_expr: str, relation: str, out: str) -> str:
     """DuckDB twin of :func:`hll_distinct` (one grouping column)."""
     h = h64_sql(key_expr)

@@ -161,6 +161,40 @@ def test_cms_sketches_merge_by_sum(spark):
     assert whole.exceptAll(merged).count() == 0
 
 
+def test_hist_quantiles_within_bin_width_of_exact(spark):
+    """The histogram estimate can be off by at most one bin width from
+    the exact percentile (values uniform in [0, 100), 64 bins over
+    [0, 100) -> width 1.5625)."""
+    from kmeans_mapreduce_spark.operators import sketches as sk
+
+    df = spark.range(0, 4000).select(
+        F.lit("g").alias("g"), ((F.col("id") * 37) % 100).cast("double").alias("v")
+    )
+    hist = sk.hist_sketch(df, "v", ["g"], 0.0, 100.0)
+    got = {
+        r["q"]: r["quantile_est"]
+        for r in sk.hist_quantiles(hist, ["g"], (0.5, 0.9), 0.0, 100.0).collect()
+    }
+    exact = df.selectExpr("percentile(v, 0.5) p50", "percentile(v, 0.9) p90").collect()[0]
+    width = 100.0 / sk.HIST_NBINS
+    assert abs(got[0.5] - exact["p50"]) <= width
+    assert abs(got[0.9] - exact["p90"]) <= width
+
+
+def test_hist_sketch_merges_by_sum(spark):
+    from kmeans_mapreduce_spark.operators import sketches as sk
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 2).alias("g"), (F.col("id") % 97).cast("double").alias("v")
+    )
+    a = sk.hist_sketch(df.filter(F.col("id") < 1500), "v", ["g"], 0.0, 100.0)
+    b = sk.hist_sketch(df.filter(F.col("id") >= 1500), "v", ["g"], 0.0, 100.0)
+    merged = a.unionByName(b).groupBy("g", "bin").agg(F.sum("cnt").alias("cnt"))
+    whole = sk.hist_sketch(df, "v", ["g"], 0.0, 100.0)
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
 def test_decontaminate_planted_overlap(spark):
     """Doc 97k copies benchmark text -> ratio 1.0; disjoint doc absent."""
     from kmeans_mapreduce_spark.operators.decontam import decontaminate
