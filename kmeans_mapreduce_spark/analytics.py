@@ -164,6 +164,43 @@ def q_text_cms_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "term").select("term", "n_exact", "cms_est")
 
 
+SERIES_QUERY_USERS = [0, 10, 20, 30, 40]
+SERIES_K = 3
+
+
+def q_pipeline_series_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series similarity search (cf. REPOSE/EDBT'19 in PAPERS.md,
+    re-expressed Spark-first): each user's activity becomes a 24-dim
+    hour-of-day profile vector (hourly value sums, zero-filled), then
+    the existing brute cosine top-k operator finds the most similar
+    users to a probe set — one chained plan from raw events to ranked
+    neighbors. Scale shape: the profile build is one map-side-combined
+    groupBy; the similarity step inherits cosine_topk's broadcast-query
+    design (and would swap to the IVF path for millions of users)."""
+    e = load_table(spark, sf_dir, "events")
+    from kmeans_mapreduce_spark.operators.similarity import cosine_topk
+
+    hourly = e.groupBy(
+        "user_id",
+        F.expr("(ts div 1000000000 div 3600) % 24").cast("int").alias("hod"),
+    ).agg(F.round(F.sum("value"), 2).alias("vsum"))
+    m = F.map_from_entries(
+        F.collect_list(F.struct(F.col("hod"), F.col("vsum")))
+    )
+    vecs = (
+        hourly.groupBy("user_id")
+        .agg(m.alias("m"))
+        .select(
+            F.col("user_id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(23)),
+                lambda h: F.coalesce(F.col("m")[h], F.lit(0.0)),
+            ).alias("embedding"),
+        )
+    )
+    return cosine_topk(vecs, SERIES_QUERY_USERS, k=SERIES_K)
+
+
 def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus docs whose 3-gram shingles
     overlap the ~1% benchmark split (doc_id % 97 == 0) by >= 5%. The
@@ -313,6 +350,39 @@ FROM vocab v JOIN est e ON v.term = e.term
 """
 
 
+def _series_similarity_oracle() -> str:
+    from kmeans_mapreduce_spark.extensions import _cosine_sql
+
+    ids = ", ".join(str(i) for i in SERIES_QUERY_USERS)
+    return f"""
+WITH hourly AS (
+  SELECT user_id, (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hod,
+         ROUND(SUM(value), 2) AS vsum
+  FROM events GROUP BY user_id, hod
+),
+users AS (SELECT DISTINCT user_id FROM hourly),
+grid AS (SELECT user_id, h FROM users CROSS JOIN (SELECT unnest(range(0, 24)) AS h)),
+filled AS (
+  SELECT g.user_id, g.h, COALESCE(hr.vsum, 0.0::DOUBLE) AS v
+  FROM grid g LEFT JOIN hourly hr ON hr.user_id = g.user_id AND hr.hod = g.h
+),
+e AS (SELECT user_id AS vec_id, list(v ORDER BY h) AS v FROM filled GROUP BY user_id),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_cosine_sql('q.qv', 'e.v')}, 6) AS cosine
+  FROM e JOIN q ON e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, cosine
+FROM ranked WHERE rank <= {SERIES_K}
+"""
+
+
 def _decontaminate_oracle() -> str:
     from kmeans_mapreduce_spark.extensions import SHINGLE_EXPR
     from kmeans_mapreduce_spark.functions.hashing import h64_sql
@@ -346,6 +416,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_terms": q_text_cms_terms,
         "corpus_sample_weighted": q_corpus_sample_weighted,
         "events_hist_quantiles": q_events_hist_quantiles,
+        "pipeline_series_similarity": q_pipeline_series_similarity,
     }
 
 
@@ -359,6 +430,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "corpus_decontaminate": _decontaminate_oracle(),
         "text_cms_terms": _cms_oracle(),
         "corpus_sample_weighted": _weighted_sample_oracle(),
+        "pipeline_series_similarity": _series_similarity_oracle(),
         "events_hist_quantiles": "WITH " + sk.hist_sql(
             "value", "event_type", "events", HIST_QS, HIST_LO, HIST_HI,
             gname="event_type",

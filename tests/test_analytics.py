@@ -113,6 +113,28 @@ def test_redact_pii_spans_and_counts(spark):
     assert out[3]["n_emails"] == out[3]["n_ips"] == out[3]["n_phones"] == 0
 
 
+def test_series_similarity_shape(spark):
+    from kmeans_mapreduce_spark.analytics import (
+        SERIES_K,
+        SERIES_QUERY_USERS,
+        q_pipeline_series_similarity,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = q_pipeline_series_similarity(spark, SF_SMOKE).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        assert -1.0 <= r["cosine"] <= 1.0
+        assert r["neighbor_id"] != r["query_id"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(SERIES_QUERY_USERS)
+    for qrows in by_q.values():
+        qrows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in qrows] == list(range(1, SERIES_K + 1))
+        cos = [r["cosine"] for r in qrows]
+        assert cos == sorted(cos, reverse=True)
+
+
 def test_weighted_sample_monotone_and_bounds(spark):
     """weight 0 keeps nothing, weight 1 keeps everything, and the kept
     set is monotone in the weight (raising a doc's weight can only add
