@@ -3,5 +3,6 @@ from kmeans_mapreduce_spark.plans.inspect import (  # noqa: F401
     has_broadcast_join,
     has_cartesian,
     has_pushed_filters,
+    partition_filters,
     scan_columns,
 )

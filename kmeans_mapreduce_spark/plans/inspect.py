@@ -43,6 +43,14 @@ def has_pushed_filters(df: DataFrame) -> bool:
     return bool(m and m.group(1).strip())
 
 
+def partition_filters(df: DataFrame) -> str:
+    """The scan's PartitionFilters clause — partition PRUNING contract:
+    a filter on a partition column must reach the file listing (whole
+    directories skipped), not run as a post-scan row filter."""
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", explain_str(df))
+    return m.group(1).strip() if m else ""
+
+
 def scan_columns(df: DataFrame) -> list[str]:
     """Columns the parquet scan actually reads (ReadSchema) — the
     column-pruning contract: a 2-column projection must not scan 16."""

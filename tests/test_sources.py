@@ -99,3 +99,26 @@ def test_documents_jsonl_roundtrip(spark, tmp_path):
     a = sorted(r["fingerprint"] for r in tx.fingerprint(docs).collect())
     b = sorted(r["fingerprint"] for r in tx.fingerprint(back).collect())
     assert a == b
+
+
+def test_partitioned_sink_prunes_partitions(spark, tmp_path):
+    """Reading one partition of a partitionBy sink must prune at the
+    file listing (PartitionFilters on the scan), not post-filter rows —
+    at 100 TB this is the difference between touching one directory
+    and scanning the lake."""
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark import plans
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    out = str(tmp_path / "events_by_type")
+    load_table(spark, "/root/testdata/sf0.001", "events").write.partitionBy("event_type").parquet(out)
+    one = spark.read.parquet(out).filter(F.col("event_type") == "click")
+    pf = plans.partition_filters(one)
+    assert "event_type" in pf and "click" in pf
+    assert not plans.has_pushed_filters(one), (
+        "partition predicate must prune, not push as a row filter"
+    )
+    assert one.count() == (
+        load_table(spark, "/root/testdata/sf0.001", "events").filter(F.col("event_type") == "click").count()
+    )
