@@ -357,11 +357,18 @@ def stream_stream_range_join(
     right_type: str,
     horizon_sec: int,
     watermark_sec: int = 600,
+    join_type: str = "inner",
 ) -> DataFrame:
-    """Watermarked STREAM-STREAM inner join — the streaming face of
+    """Watermarked STREAM-STREAM join — the streaming face of
     operators.events.range_join_counts ("right-type events of the same
     user within [ts, ts+horizon) after each left-type event"), emitting
     the matched pairs row-level as both sides arrive.
+
+    ``join_type="left_outer"`` additionally emits unmatched left rows
+    (null right columns) — but only once the watermark passes
+    ``l_time + horizon`` and proves no match can still arrive; that
+    deferred-null emission is the semantic difference from a batch
+    outer join and is what the outer-join test pins.
 
     Two filtered branches of one source self-join on user plus an
     event-time range condition. Both sides carry watermarks, so Spark
@@ -374,16 +381,21 @@ def stream_stream_range_join(
     Output: (user_id, event_id, l_ts_sec, r_ts_sec, r_value) per match
     — the batch twin's pre-aggregation pair set.
     """
+    # Watermarks go on EACH branch after its type filter (the canonical
+    # stream-stream join shape). Measured caveat, do not "simplify":
+    # one shared pre-filter withWatermark does satisfy the analyzer and
+    # advances on every event type, but the left-outer state eviction
+    # then never fires — unmatched rows are buffered forever and the
+    # deferred nulls never emit. Per-branch watermarks restore eviction;
+    # the trade-off is that a branch whose event type goes quiet stops
+    # advancing the (min-combined) query watermark — standard Spark
+    # multi-watermark behavior.
     base = stream.withColumn(
         "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
     )
     left = (
         base.filter(F.col("event_type") == left_type)
-        .select(
-            "user_id",
-            "event_id",
-            F.col("event_time").alias("l_time"),
-        )
+        .select("user_id", "event_id", F.col("event_time").alias("l_time"))
         .withWatermark("l_time", f"{watermark_sec} seconds")
     )
     right = (
@@ -400,7 +412,7 @@ def stream_stream_range_join(
         (F.col("user_id") == F.col("r_user"))
         & (F.col("r_time") >= F.col("l_time"))
         & (F.col("r_time") < F.col("l_time") + F.expr(f"INTERVAL {horizon_sec} SECONDS")),
-        "inner",
+        join_type,
     ).select(
         "user_id",
         "event_id",

@@ -533,3 +533,58 @@ def test_stream_static_enrich_matches_batch_join(spark, events_dir, schema):
     }
     assert got == want
     assert any(t is None for _, t in got), "unmatched events must keep nulls"
+
+
+def test_stream_stream_outer_join_emits_nulls_after_watermark(
+    spark, tmp_path_factory
+):
+    """Left-outer stream-stream join: a click with no purchase in its
+    horizon is emitted with null right columns — but only after the
+    watermark proves no match can still arrive (the deferred-null
+    semantics batch outer joins don't have)."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("ss_outer"))
+    sec = 1_000_000_000  # ns
+    base = 5_000  # keep clear of epoch 0: the initial watermark's late
+    # filter is inclusive and would drop ts==0 rows (see memory notes)
+    # batch 0: user 1 click matched by a purchase; user 2 click never matched
+    pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "ts": [base * sec, (base + 100) * sec, base * sec],
+            "user_id": [1, 1, 2],
+            "event_type": ["click", "purchase", "click"],
+            "value": [1.0, 50.0, 1.0],
+        }
+    ).to_parquet(f"{out}/00.parquet")
+    # batches 1-2: far-future click+purchase pairs advance BOTH branch
+    # watermarks (each branch is watermarked after its type filter, so
+    # only its own type moves it) past l_time + horizon, proving user
+    # 2's click unmatched
+    for i, t in enumerate([base + 10_000, base + 20_000], start=1):
+        pd.DataFrame(
+            {
+                "event_id": [100 + i, 200 + i],
+                "ts": [t * sec, t * sec],
+                "user_id": [9, 9],
+                "event_type": ["click", "purchase"],
+                "value": [0.0, 0.0],
+            }
+        ).to_parquet(f"{out}/{i:02d}.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    joined = so.stream_stream_range_join(
+        stream, "click", "purchase", horizon_sec=1800, watermark_sec=600,
+        join_type="left_outer",
+    )
+    so.run_stream_to_memory(joined, "ss_outer", "append")
+    rows = {(r["user_id"], r["r_ts_sec"], r["r_value"])
+            for r in spark.table("ss_outer").collect()}
+    assert (1, 5_100, 50.0) in rows, "matched pair must still emit"
+    assert (2, None, None) in rows, "unmatched click must emit nulls"
