@@ -585,6 +585,14 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.funnel(load_table(spark, sf_dir, "events"))
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.retention_weekly(load_table(spark, sf_dir, "events"))
+
+
 def q_kmeans_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmeans_mapreduce_spark.operators.mllib import fit_mllib_2d
     from kmeans_mapreduce_spark.sources.derive import points_2d
@@ -958,6 +966,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
         "events_users_intersect": q_events_users_intersect,
         "events_users_except": q_events_users_except,
+        "events_funnel": q_events_funnel,
+        "events_retention": q_events_retention,
         "kmeans_mllib": q_kmeans_mllib,
     }
 
@@ -1356,6 +1366,63 @@ SELECT user_id, session_idx,
        MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
 FROM sessions GROUP BY user_id, session_idx""",
+        # independently-formulated funnel: layered CTEs instead of the
+        # engine's chained withColumn windows; same (ts_sec, event_id)
+        # tie-break and at-or-before qualification
+        "events_funnel": f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+s0 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{ev.FUNNEL_STEPS[0]}' THEN ts_sec END)
+    OVER w AS q0
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{ev.FUNNEL_STEPS[1]}'
+                      AND q0 IS NOT NULL THEN ts_sec END) OVER w AS q1
+  FROM s0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{ev.FUNNEL_STEPS[2]}'
+                      AND q1 IS NOT NULL THEN ts_sec END) OVER w AS q2
+  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+per_user AS (
+  SELECT user_id, bool_or(q0 IS NOT NULL) AS r0,
+         bool_or(q1 IS NOT NULL) AS r1, bool_or(q2 IS NOT NULL) AS r2
+  FROM s2 GROUP BY user_id
+),
+counts AS (
+  SELECT CAST(SUM(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  FROM per_user
+)
+SELECT 1 AS step, '{ev.FUNNEL_STEPS[0]}' AS step_type, n0 AS n_users FROM counts
+UNION ALL
+SELECT 2, '{ev.FUNNEL_STEPS[1]}', n1 FROM counts
+UNION ALL
+SELECT 3, '{ev.FUNNEL_STEPS[2]}', n2 FROM counts""",
+        "events_retention": f"""
+WITH e AS (
+  SELECT user_id, (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec FROM events
+),
+uw AS (
+  SELECT user_id, ts_sec // {ev.WEEK_SEC} AS week, COUNT(*) AS n_events
+  FROM e GROUP BY 1, 2
+),
+coh AS (
+  SELECT *, MIN(week) OVER (PARTITION BY user_id) AS cohort_week FROM uw
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       COUNT(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events
+FROM coh GROUP BY 1, 2""",
         # byte_mean of the synthetic md5 payload, replayed from the hex
         # string (DuckDB cannot subscript BLOBs): byte j = 16*hex[2j] +
         # hex[2j+1]; the sum is a small exact integer so /16.0 is

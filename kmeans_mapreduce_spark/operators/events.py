@@ -225,3 +225,98 @@ def range_join_counts(
             F.round(F.sum("r_value"), digits).alias("right_value_sum"),
         )
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")  # ordered conversion steps
+WEEK_SEC = 7 * 86400  # retention cohort granularity
+
+
+def funnel(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
+    """Ordered conversion funnel: how many users performed step 1, then
+    step 2 at-or-after their first step 1, then step 3 at-or-after
+    their first qualifying step 2 (the product-analytics query families
+    like Amplitude/Mixpanel run; nothing like it in the reference —
+    north-star surface, SURVEY §2.2).
+
+    Distributed shape: ONE window pass per user ordered by
+    (ts_sec, event_id) — a running MIN of each step's qualifying
+    timestamp, where step *i* qualifies only when the running step
+    *i−1* minimum is already set. The follow-up per-user aggregate
+    groups on the window's partition key, so Catalyst reuses the
+    exchange: one shuffle total, keyed by user_id (uniform), then a
+    tiny all-reduce over one row per user. No joins, no second scan
+    per step — depth-N funnels stay a single pass.
+
+    Output: one row per step — (step, step_type, n_users).
+    """
+    e = with_epoch_seconds(events).select("user_id", "event_id", "event_type", "ts_sec")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qual_prev = None
+    quals = []
+    for i, step in enumerate(steps):
+        is_step = F.col("event_type") == step
+        if qual_prev is not None:
+            is_step = is_step & qual_prev.isNotNull()
+        run_min = F.min(F.when(is_step, F.col("ts_sec"))).over(w)
+        e = e.withColumn(f"q{i}", run_min)
+        qual_prev = F.col(f"q{i}")
+        quals.append(f"q{i}")
+    per_user = e.groupBy("user_id").agg(
+        *[F.max(F.col(q).isNotNull()).alias(f"r{i}") for i, q in enumerate(quals)]
+    )
+    counts = per_user.agg(
+        *[
+            F.sum(F.col(f"r{i}").cast("long")).alias(f"n{i}")
+            for i in range(len(steps))
+        ]
+    )
+    step_rows = F.array(
+        *[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(s).alias("step_type"),
+                F.col(f"n{i}").alias("n_users"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return counts.select(F.explode(step_rows).alias("s")).select(
+        "s.step", "s.step_type", "s.n_users"
+    )
+
+
+def retention_weekly(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the epoch-week of
+    their first event; each (cohort_week, week_offset) cell counts the
+    distinct users from that cohort active offset weeks later, plus
+    their event volume.
+
+    Distributed shape: pre-aggregate to one row per (user, week) first
+    (map-side combine shrinks the shuffle to |users|×|weeks| rows),
+    then a whole-partition window MIN per user for the cohort week
+    (reuses the hash partitioning on user_id), then the final small
+    aggregate on (cohort_week, week_offset). No COUNT(DISTINCT) expand
+    — after the first aggregate every row IS a distinct user-week.
+    """
+    e = with_epoch_seconds(events)
+    uw = (
+        e.withColumn("week", F.expr(f"ts_sec div {WEEK_SEC}"))
+        .groupBy("user_id", "week")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    coh = uw.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    return (
+        coh.groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n_events").alias("n_events"),
+        )
+    )

@@ -279,3 +279,73 @@ def test_pack_sequences_bin_boundaries(spark):
         for r in sp.pack_sequences(df, budget_tokens=10).collect()
     }
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 0}
+
+
+def test_funnel_order_semantics(spark):
+    """Crafted case: a click BEFORE any view must not advance the
+    funnel; a purchase only counts after a qualifying click; same-ts
+    steps qualify inclusively via the (ts, event_id) tie-break."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = [
+        # user 1: full ordered funnel
+        (0, 10 * S, 1, "view"),
+        (1, 20 * S, 1, "click"),
+        (2, 30 * S, 1, "purchase"),
+        # user 2: click precedes the only view → stops at step 1
+        (3, 10 * S, 2, "click"),
+        (4, 20 * S, 2, "view"),
+        (5, 30 * S, 2, "purchase"),  # no qualifying click → not step 3
+        # user 3: purchase before click-after-view → stops at step 2
+        (6, 10 * S, 3, "view"),
+        (7, 20 * S, 3, "purchase"),
+        (8, 30 * S, 3, "click"),
+        # user 4: never views
+        (9, 10 * S, 4, "purchase"),
+        # user 5: all three at the SAME ts, event_id in step order
+        (10, 10 * S, 5, "view"),
+        (11, 10 * S, 5, "click"),
+        (12, 10 * S, 5, "purchase"),
+    ]
+    e = spark.createDataFrame(
+        [(i, ts, u, t, 1.0, "") for i, ts, u, t in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {r["step"]: r["n_users"] for r in ev.funnel(e).collect()}
+    # step1: users 1,2,3,5 viewed; step2: 1,3,5 clicked after a view;
+    # step3: 1,5 purchased after a qualifying click
+    assert got == {1: 4, 2: 3, 3: 2}
+
+
+def test_retention_weekly_offsets(spark):
+    """Crafted case: cohort = first-seen week; offsets count distinct
+    users, n_events sums the cell's volume."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    W = ev.WEEK_SEC * 1_000_000_000
+    rows = [
+        # user 1: weeks 0, 0, 2  → cohort 0, offsets {0: 2ev, 2: 1ev}
+        (0, 0 * W, 1),
+        (1, 0 * W + 5, 1),
+        (2, 2 * W, 1),
+        # user 2: weeks 1, 2 → cohort 1, offsets {0, 1}
+        (3, 1 * W, 2),
+        (4, 2 * W, 2),
+        # user 3: week 0 only → cohort 0, offset 0
+        (5, 0 * W, 3),
+    ]
+    e = spark.createDataFrame(
+        [(i, ts, u, "view", 1.0, "") for i, ts, u in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        (r["cohort_week"], r["week_offset"]): (r["n_users"], r["n_events"])
+        for r in ev.retention_weekly(e).collect()
+    }
+    assert got == {
+        (0, 0): (2, 3),  # users 1 (2 events) + 3 (1 event)
+        (0, 2): (1, 1),
+        (1, 0): (1, 1),
+        (1, 1): (1, 1),
+    }
