@@ -247,6 +247,10 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.duplicated_span_stats(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup canonicalization: MinHash→LSH→verify pairs fed into
     distributed connected components (min-label propagation); every
@@ -943,6 +947,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_span_fraction": q_dedup_span_fraction,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
@@ -1249,6 +1254,22 @@ j AS (
   FROM shared JOIN sizes x ON x.doc_id = doc_a JOIN sizes y ON y.doc_id = doc_b
 )
 SELECT * FROM j WHERE jaccard >= {JACCARD_BLOCK_THRESHOLD}""",
+        "dedup_span_fraction": f"""
+WITH d AS (
+  SELECT doc_id, {SHINGLE_EXPR} AS s
+  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+),
+post AS (SELECT doc_id, unnest(s) AS sh FROM d),
+df AS (SELECT sh, COUNT(*) AS df FROM post GROUP BY sh),
+per AS (
+  SELECT p.doc_id, COUNT(*) AS n_shingles,
+         CAST(SUM(CASE WHEN f.df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+  FROM post p JOIN df f ON f.sh = p.sh
+  GROUP BY p.doc_id
+)
+SELECT doc_id, n_shingles, n_dup,
+       ROUND(n_dup::DOUBLE / n_shingles::DOUBLE, 6) AS dup_fraction
+FROM per""",
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_near_dup_sql(),
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),

@@ -741,3 +741,45 @@ def embedding_near_dup(
         "vec_b",
         F.round(F.col("dot"), digits).alias("cosine"),
     ).filter(F.col("cosine") >= threshold)
+
+
+def duplicated_span_stats(docs: DataFrame, digits: int = 6) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a document's
+    distinct word-3-gram shingles that also occur in at least one OTHER
+    document (corpus-wide document frequency > 1) — the span-level
+    duplication signal behind substring-dedup pipelines (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"),
+    at shingle granularity. Downstream, docs above a dup_fraction
+    threshold are candidates for removal or span-trimming; nothing
+    like it exists in the reference (north-star surface, SURVEY §2.2).
+
+    Scale shape: unlike the pairwise n-gram join there is NO self-join
+    and nothing quadratic — one shuffle keyed by shingle for the df
+    count (map-side combined), a same-key equi-join of postings to df
+    (1:1 per posting row, exchange reused), then a per-doc aggregate.
+    A stopword-like hot shingle adds O(df) join rows, not O(df²); AQE
+    skew-split covers the reducer imbalance. The posting index is
+    materialized once (localCheckpoint) because it feeds both the df
+    aggregate and the join probe side.
+
+    Output: (doc_id, n_shingles, n_dup, dup_fraction).
+    """
+    post = (
+        shingle_postings(docs).select("doc_id", "sh").localCheckpoint(eager=False)
+    )
+    df = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    per = (
+        post.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") > 1).cast("long")).alias("n_dup"),
+        )
+    )
+    return per.withColumn(
+        "dup_fraction",
+        F.round(
+            F.col("n_dup").cast("double") / F.col("n_shingles").cast("double"),
+            digits,
+        ),
+    )

@@ -349,3 +349,24 @@ def test_retention_weekly_offsets(spark):
         (1, 0): (1, 1),
         (1, 1): (1, 1),
     }
+
+
+def test_duplicated_span_fraction(spark):
+    """Crafted case: shared shingles count as duplicated, unique-doc
+    shingles don't; fraction is over the doc's distinct shingle set."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    rows = [
+        (0, "a b c d"),    # shingles {a b c, b c d}
+        (1, "a b c x"),    # shares "a b c" with doc 0
+        (2, "p q r s t"),  # fully unique
+    ]
+    docs = spark.createDataFrame(
+        [(i, "en", len(t), t) for i, t in rows],
+        "doc_id LONG, lang STRING, n_chars INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_dup"], r["dup_fraction"])
+        for r in dd.duplicated_span_stats(docs).collect()
+    }
+    assert got == {0: (2, 1, 0.5), 1: (2, 1, 0.5), 2: (3, 0, 0.0)}
