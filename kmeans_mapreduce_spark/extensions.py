@@ -37,6 +37,8 @@ ANN_K = 3
 ND_CENTROID_IDS = [0, 1, 2, 3]
 EMB_DIM = 64
 IVF_NPROBE = 2
+PQ_M = 8  # product-quantization subspaces (EMB_DIM/PQ_M dims each)
+PQ_CODEBOOK_IDS = list(range(8, 168, 10))  # 16 fixed corpus rows
 TFIDF_K = 3
 TOPCUST_K = 3
 ANTI_MIN_QTY = 45.0
@@ -290,6 +292,18 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         TOPK_QUERY_IDS,
         k=ANN_K,
         nprobe=IVF_NPROBE,
+    )
+
+
+def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_pq_ann_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        ND_CENTROID_IDS,
+        PQ_CODEBOOK_IDS,
+        TOPK_QUERY_IDS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
     )
 
 
@@ -853,6 +867,86 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
+def _ivf_pq_ann_sql() -> str:
+    """Twin of similarity.ivf_pq_ann_topk: coarse cells as in
+    _ivf_ann_sql; per-subspace codes = argmin subspace-d2 over the
+    normalized codebook rows (tie→lowest code); ADC score = ordered
+    sum over subspaces of the query-side sub-dot for the chosen code
+    (``list_sum(list(pdot ORDER BY m))`` ≡ the engine's ascending-m
+    accumulation)."""
+    cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
+    qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
+    cbids = ", ".join(str(c) for c in PQ_CODEBOOK_IDS)
+    sub = EMB_DIM // PQ_M
+    d2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v0[i] - c.cvec[i]) * (e0.v0[i] - c.cvec[i])))"
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
+c AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cell, v0 AS cvec
+  FROM e0 WHERE vec_id IN ({cids})
+),
+sc AS (SELECT e0.vec_id, c.cell, {d2} AS d2 FROM e0 CROSS JOIN c),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM sc
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM sc WHERE vec_id IN ({qids})
+  ) WHERE rn <= {IVF_NPROBE}
+),
+e1 AS (SELECT vec_id, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM e0),
+e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS nv FROM e1),
+cb AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS code, nv AS cbv
+  FROM e WHERE vec_id IN ({cbids})
+),
+subd AS (
+  SELECT x.vec_id, m.m::INTEGER AS m, cb.code,
+         list_sum(list_transform(range(1, {sub + 1}),
+           i -> (x.nv[m.m * {sub} + i] - cb.cbv[m.m * {sub} + i])
+              * (x.nv[m.m * {sub} + i] - cb.cbv[m.m * {sub} + i]))) AS sd2
+  FROM e x CROSS JOIN range(0, {PQ_M}) m(m) CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY sd2, code) AS rn
+    FROM subd
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, m.m::INTEGER AS m, cb.code,
+         list_sum(list_transform(range(1, {sub + 1}),
+           i -> q.nv[m.m * {sub} + i] * cb.cbv[m.m * {sub} + i])) AS pdot
+  FROM e q CROSS JOIN range(0, {PQ_M}) m(m) CROSS JOIN cb
+  WHERE q.vec_id IN ({qids})
+),
+cand AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id
+  FROM probes p JOIN cells n ON n.cell = p.cell AND n.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(list_sum(list(l.pdot ORDER BY l.m)), 6) AS approx_cosine
+  FROM cand
+  JOIN codes n ON n.vec_id = cand.neighbor_id
+  JOIN lut l ON l.query_id = cand.query_id AND l.m = n.m AND l.code = n.code
+  GROUP BY cand.query_id, cand.neighbor_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, approx_cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def _kmeans_nd_loop2_sql() -> str:
     """Twin of q_kmeans_nd_loop2. Iteration-1 per-dimension means are
     ROUNDed to 6 before feeding iteration 2, so second-iteration
@@ -953,6 +1047,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ann_pq": q_similarity_ann_pq,
         "kmeans_nd_assign": q_kmeans_nd_assign,
         "kmeans_nd_loop2": q_kmeans_nd_loop2,
         "kmeans_nd_fit": q_kmeans_nd_fit,
@@ -1275,6 +1370,7 @@ FROM per""",
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
         "similarity_ann_ivf": _ivf_ann_sql(),
+        "similarity_ann_pq": _ivf_pq_ann_sql(),
         "kmeans_nd_assign": _kmeans_nd_assign_sql(),
         "kmeans_nd_loop2": _kmeans_nd_loop2_sql(),
         "multimodal_meta": """

@@ -324,3 +324,160 @@ def lsh_ann_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def ivf_pq_ann_topk(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    codebook_ids: list[int],
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 8,
+    digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ ANN — the memory-bound scale path for 100 TB embedding
+    search (FAISS IVFPQ shape): coarse-quantize to IVF cells, then
+    PRODUCT-QUANTIZE each normalized vector into ``m`` subspace codes
+    so the probe scan touches ``m`` bytes per vector instead of
+    ``dim`` floats (64× smaller candidate payload at dim=64/m=8 —
+    at cluster scale the codes table fits in memory where raw vectors
+    cannot). Queries score candidates with an ADC lookup table:
+    approx_cosine = Σ_m dot(q_sub[m], codebook[m][code[m]]).
+
+    Determinism contract (same as :func:`ivf_ann_topk`): coarse
+    centers AND codebook entries are FIXED corpus rows, so the whole
+    index is reproducible and SQL-expressible; codebook m is the m-th
+    subvector of the normalized codebook rows (one shared codebook
+    across subspaces, indexed per-subspace). Quantization argmins
+    tie-break to the lowest code; every float fold runs in ascending
+    index order on both engines (numpy per-dim accumulation ≡ DuckDB
+    ``list_sum(list_transform(...))``).
+
+    Scale shape: ONE corpus pass builds (vec_id, cell, codes) —
+    materialized via localCheckpoint exactly like the IVF index (at
+    cluster scale: parquet bucketed by cell); probing is a broadcast
+    join on cell; scoring reads only the m int codes per candidate,
+    never the vectors. Exact re-rank of the ADC top-k' (k' > k) is the
+    standard refinement step — omitted here to keep the approximate
+    scores themselves under the oracle gate.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    wanted = sorted(set(centroid_ids) | set(codebook_ids) | set(query_ids))
+    fetched = {
+        r["vec_id"]: list(r["v0"])
+        for r in e0.filter(F.col("vec_id").isin(wanted)).collect()
+    }
+    centers = [(i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))]
+    C = np.array([cvec for _, cvec in centers], dtype=np.float64)
+    n_cells, dim = C.shape
+    sub = dim // m
+
+    def _norm(v: list[float]) -> list[float]:
+        nrm = math.sqrt(sum(x * x for x in v))
+        return [x / nrm for x in v]
+
+    CB = np.array(
+        [_norm(fetched[vid]) for vid in sorted(codebook_ids)], dtype=np.float64
+    )
+    n_codes = len(CB)
+
+    def build_index(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v0"].to_numpy()).astype(np.float64)
+            D = np.zeros((len(V), n_cells))
+            for d in range(dim):
+                diff = V[:, d][:, None] - C[:, d][None, :]
+                D += diff * diff
+            cell = D.argmin(axis=1)
+            acc = np.zeros(len(V))
+            for d in range(dim):
+                acc += V[:, d] * V[:, d]
+            nv = V / np.sqrt(acc)[:, None]
+            codes = np.zeros((len(V), m), dtype=np.int32)
+            for mi in range(m):
+                Dm = np.zeros((len(V), n_codes))
+                for d in range(mi * sub, (mi + 1) * sub):
+                    diff = nv[:, d][:, None] - CB[:, d][None, :]
+                    Dm += diff * diff
+                codes[:, mi] = Dm.argmin(axis=1)  # first min → lowest code
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": cell.astype("int32"),
+                    "codes": [r.tolist() for r in codes],
+                }
+            )
+
+    df = e0.mapInPandas(
+        build_index, "vec_id LONG, cell INT, codes ARRAY<INT>"
+    ).localCheckpoint(eager=False)
+
+    # probe list + per-query ADC lookup tables (driver metadata math:
+    # Q×K coarse distances, Q×m×n_codes sub-dots — same sequential op
+    # order as the oracle's SQL folds)
+    qrows = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    probe_rows = []
+    luts = {}
+    for qid in sorted(qrows):
+        qv = qrows[qid]
+        ranked = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(qv, cvec)), cid)
+            for cid, cvec in centers
+        )
+        probe_rows += [(qid, cid) for _, cid in ranked[:nprobe]]
+        qn = _norm(qv)
+        lut = np.zeros((m, n_codes))
+        for mi in range(m):
+            for c in range(n_codes):
+                s = 0.0
+                for d in range(mi * sub, (mi + 1) * sub):
+                    s += qn[d] * CB[c][d]
+                lut[mi, c] = s
+        luts[qid] = lut
+    probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
+    cand = df.join(F.broadcast(probes), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Cd = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            Ls = np.stack([luts[q] for q in pdf["query_id"]])
+            acc = np.zeros(len(Cd))
+            rows = np.arange(len(Cd))
+            for mi in range(m):  # ascending-m fold ≡ list_sum ORDER BY m
+                acc += Ls[rows, mi, Cd[:, mi]]
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "dot": acc,
+                }
+            )
+
+    scored = (
+        cand.select("query_id", "vec_id", "codes")
+        .mapInPandas(score, "query_id LONG, neighbor_id LONG, dot DOUBLE")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("dot"), digits).alias("approx_cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "approx_cosine")
+    )

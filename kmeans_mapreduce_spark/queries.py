@@ -365,6 +365,9 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_decontaminate",
     "text_repetition",
     "events_hll_distinct",
+    "similarity_ann_pq",
+    "dedup_span_fraction",
+    "events_funnel",
 }
 
 

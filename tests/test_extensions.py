@@ -370,3 +370,31 @@ def test_duplicated_span_fraction(spark):
         for r in dd.duplicated_span_stats(docs).collect()
     }
     assert got == {0: (2, 1, 0.5), 1: (2, 1, 0.5), 2: (3, 0, 0.0)}
+
+
+def test_ivf_pq_finds_planted_neighbor(spark):
+    """A scaled copy (identical direction) quantizes to the SAME PQ
+    codes as its original in every subspace, so ADC scores it at the
+    codebook self-dot ceiling — it must come back as the top match."""
+    import math
+
+    def vec(seed, dim=8):
+        return [math.sin(seed * (i + 1)) for i in range(dim)]
+
+    rows = [(i, [float(x) for x in vec(i + 1)], 0) for i in range(11)]
+    rows.append((11, [3.0 * x for x in vec(6)], 0))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    out = sim.ivf_pq_ann_topk(
+        emb,
+        centroid_ids=[0, 5],
+        codebook_ids=[1, 3, 5, 7],
+        query_ids=[5],
+        k=2,
+        nprobe=1,
+        m=2,
+    ).collect()
+    assert out[0]["neighbor_id"] == 11
+    # query 5 and neighbor 11 share codes; the ADC score equals
+    # dot(qn, chosen codebook entries) — with vec 5 IN the codebook
+    # that is exactly 1.0 (its own normalized self-dot)
+    assert out[0]["approx_cosine"] == pytest.approx(1.0, abs=1e-5)
