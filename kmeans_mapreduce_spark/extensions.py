@@ -21,6 +21,7 @@ from kmeans_mapreduce_spark.operators import dedup as dd
 from kmeans_mapreduce_spark.operators import events as ev
 from kmeans_mapreduce_spark.operators import kmeans_nd as knd
 from kmeans_mapreduce_spark.operators import multimodal as mm
+from kmeans_mapreduce_spark.operators import sampling as sp
 from kmeans_mapreduce_spark.operators import similarity as sim
 from kmeans_mapreduce_spark.operators import textops as tx
 from kmeans_mapreduce_spark.sources.loaders import load_table
@@ -261,6 +262,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), JACCARD_LSH_THRESHOLD
     ).select("doc_a", "doc_b")
     return dd.connected_components(pairs)
+
+
+def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/eval split: near-dup cluster members share a
+    side (sampling.leakage_safe_split over minhash-LSH verified
+    pairs)."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(docs, JACCARD_LSH_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    return sp.leakage_safe_split(docs, pairs)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1040,6 +1054,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "corpus_split": q_corpus_split,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_span_fraction": q_dedup_span_fraction,
         "dedup_simhash": q_dedup_simhash,
@@ -1316,6 +1331,33 @@ allr AS (
   SELECT DISTINCT s AS id, s AS r FROM e
 )
 SELECT id AS doc_id, MIN(r) AS cluster_rep FROM allr GROUP BY id""",
+        "corpus_split": f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+e AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.t
+),
+allr AS (
+  SELECT id, r FROM reach
+  UNION
+  SELECT DISTINCT s AS id, s AS r FROM e
+),
+cc AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM allr GROUP BY id),
+j AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_rep, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+)
+SELECT doc_id, canonical_id,
+       CASE WHEN {h64_sql(f"'{sp.SPLIT_SALT}:' || canonical_id::VARCHAR")} % 100
+                 < {sp.SPLIT_TRAIN_PCT}
+            THEN 'train' ELSE 'eval' END AS split
+FROM j""",
         "dedup_ngram_jaccard": f"""
 WITH d AS (
   SELECT doc_id, lang, (n_chars // 100)::INTEGER AS len_bucket,

@@ -146,3 +146,57 @@ def token_quantiles(
         F.col("q_idx").cast("int").alias("q_idx"),
         F.round(F.col("qv"), digits).alias("q_value"),
     )
+
+
+SPLIT_SALT = "split"  # decorrelates split membership from sample hashes
+SPLIT_TRAIN_PCT = 90
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    train_pct: int = SPLIT_TRAIN_PCT,
+    salt: str = SPLIT_SALT,
+) -> DataFrame:
+    """Group-aware train/eval split: every member of a near-duplicate
+    cluster lands on the SAME side, so eval can never contain a near-
+    copy of a training document (the standard leakage control when
+    splitting a deduplicated-but-not-pruned corpus; composes the
+    dedup family's connected components with the hash-split sampler).
+
+    ``dup_pairs`` is any (doc_a, doc_b) near-dup edge set (minhash-LSH
+    verified pairs here). The split key is the cluster's canonical id
+    (min reachable doc_id; a doc outside every cluster is its own
+    canonical), hashed with the portable h64 — membership is a pure
+    function of the data, stable across reruns and engines.
+
+    Scale shape: connected components runs on the EDGE set (≪ corpus);
+    the canonical map — one row per *clustered* doc only — is
+    broadcast to the corpus scan, so the corpus side never shuffles:
+    scan → broadcast left join → narrow projection. At 100 TB with an
+    unusually dup-heavy corpus the broadcast would be swapped for a
+    shuffle join on doc_id; the semantics don't change.
+    """
+    from kmeans_mapreduce_spark.operators.dedup import connected_components
+
+    cc = connected_components(dup_pairs)
+    bucket = F.pmod(
+        h64(
+            F.concat_ws(
+                ":", F.lit(salt), F.col("canonical_id").cast("string")
+            )
+        ),
+        F.lit(100),
+    )
+    return (
+        docs.select("doc_id")
+        .join(F.broadcast(cc), "doc_id", "left")
+        .withColumn(
+            "canonical_id", F.coalesce(F.col("cluster_rep"), F.col("doc_id"))
+        )
+        .withColumn(
+            "split",
+            F.when(bucket < train_pct, F.lit("train")).otherwise(F.lit("eval")),
+        )
+        .select("doc_id", "canonical_id", "split")
+    )

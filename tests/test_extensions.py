@@ -398,3 +398,26 @@ def test_ivf_pq_finds_planted_neighbor(spark):
     # dot(qn, chosen codebook entries) — with vec 5 IN the codebook
     # that is exactly 1.0 (its own normalized self-dot)
     assert out[0]["approx_cosine"] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_leakage_safe_split_groups_stay_together(spark):
+    """Every member of a connected near-dup component gets the same
+    split side and the same canonical id; singletons are their own
+    canonical."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(8)], "doc_id LONG"
+    )
+    # components: {0,1,2} (chain), {5,6}; 3,4,7 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a LONG, doc_b LONG"
+    )
+    rows = {r["doc_id"]: r for r in sp.leakage_safe_split(docs, pairs).collect()}
+    assert len(rows) == 8
+    assert {rows[i]["canonical_id"] for i in (0, 1, 2)} == {0}
+    assert {rows[i]["split"] for i in (0, 1, 2)} == {rows[0]["split"]}
+    assert {rows[i]["canonical_id"] for i in (5, 6)} == {5}
+    assert rows[5]["split"] == rows[6]["split"]
+    for i in (3, 4, 7):
+        assert rows[i]["canonical_id"] == i
