@@ -182,6 +182,59 @@ def stream_sessionize(
     )
 
 
+def stream_funnel(stream: DataFrame, steps=None) -> DataFrame:
+    """Streaming twin of operators.events.funnel — per-user ordered
+    conversion tracking with cross-batch state: the same step automaton
+    (an event advances the funnel iff its type is the NEXT uncompleted
+    step), folded over each micro-batch's (ts_sec, event_id)-sorted
+    rows via ``applyInPandasWithState``.
+
+    Emits one row per user per newly completed step —
+    (user_id, step, step_type, ts_sec) — so a per-step distinct-user
+    count over the emitted rows reproduces the batch funnel's n_users
+    exactly when micro-batches replay in event-time order (file-source
+    replay here; any per-key-ordered log in production).
+
+    Scale shape: state is ONE small int per user (steps completed — the
+    monotone prefix is all the automaton needs; no timestamps, no event
+    buffer), keyed by user_id — uniform hash, bounded size, RocksDB-
+    backed at scale with a TTL for abandoned users.
+    """
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.operators.events import FUNNEL_STEPS
+
+    steps = tuple(FUNNEL_STEPS if steps is None else steps)
+    nsteps = len(steps)
+    out_schema = "user_id BIGINT, step INT, step_type STRING, ts_sec BIGINT"
+
+    def fn(key, pdfs, state):
+        user_id = key[0]
+        done = state.get[0] if state.exists else 0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_sec", "event_id"], kind="mergesort")
+        out = []
+        for ts, et in zip(batch["ts_sec"], batch["event_type"]):
+            if done < nsteps and et == steps[done]:
+                done += 1
+                out.append((user_id, done, steps[done - 1], int(ts)))
+        state.update((done,))
+        if out:
+            yield pd.DataFrame(
+                out, columns=["user_id", "step", "step_type", "ts_sec"]
+            )
+
+    e = stream.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("ts div 1000000000").alias("ts_sec"),
+    )
+    return e.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, "done INT", "update", "NoTimeout"
+    )
+
+
 def stream_dedup_exact(stream: DataFrame) -> DataFrame:
     """Stateful streaming exact-dedup: emit each document fingerprint's
     FIRST occurrence, drop every later duplicate — across micro-batches

@@ -588,3 +588,23 @@ def test_stream_stream_outer_join_emits_nulls_after_watermark(
             for r in spark.table("ss_outer").collect()}
     assert (1, 5_100, 50.0) in rows, "matched pair must still emit"
     assert (2, None, None) in rows, "unmatched click must emit nulls"
+
+
+def test_stream_funnel_matches_batch_counts(spark, events_dir, schema):
+    """Per-step distinct-user counts from the streamed funnel (state
+    straddling the two micro-batches) must equal the batch funnel."""
+    stream = so.events_stream(spark, events_dir, schema)
+    out = so.stream_funnel(stream)
+    so.run_stream_to_memory(out, "funnel_steps", mode="update")
+    emitted = spark.sql("select * from funnel_steps").collect()
+    # exactly-once per (user, step)
+    seen = [(r["user_id"], r["step"]) for r in emitted]
+    assert len(seen) == len(set(seen))
+    got = {}
+    for r in emitted:
+        got[r["step"]] = got.get(r["step"], 0) + 1
+    batch = {
+        r["step"]: r["n_users"]
+        for r in ev.funnel(load_table(spark, SF, "events")).collect()
+    }
+    assert got == batch
