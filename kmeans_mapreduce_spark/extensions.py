@@ -189,6 +189,16 @@ def q_join_suppliers_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.shipping_priority(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: quality-filter → exact-dedup keepers → per-language
     stats. The operators compose as DataFrames — one chained plan, not
@@ -275,6 +285,13 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_a", "doc_b"
     )
     return sp.leakage_safe_split(docs, pairs)
+
+
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kmeans_mapreduce_spark.operators import sampling as sp2
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sp2.snapshot_diff(docs, sp2.simulate_next_snapshot(docs))
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1048,6 +1065,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_top_customers": q_join_top_customers,
         "join_parts_never_ordered": q_join_parts_never_ordered,
         "join_suppliers_per_region": q_join_suppliers_per_region,
+        "join_shipping_priority": q_join_shipping_priority,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_rollup": q_events_rollup,
         "dedup_exact": q_dedup_exact,
@@ -1055,6 +1073,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "corpus_split": q_corpus_split,
+        "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_span_fraction": q_dedup_span_fraction,
         "dedup_simhash": q_dedup_simhash,
@@ -1300,6 +1319,34 @@ WHERE NOT EXISTS (
   SELECT 1 FROM lineitem l
   WHERE l.l_partkey = p.p_partkey AND l.l_quantity > {ANTI_MIN_QTY}
 )""",
+        "corpus_snapshot_diff": """
+WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp_b
+  FROM documents WHERE doc_id % 13 != 0
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp_b
+  FROM documents WHERE doc_id % 17 = 0
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN fp_a IS NULL THEN 'added'
+            WHEN fp_b IS NULL THEN 'removed'
+            WHEN fp_a != fp_b THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""",
+        "join_shipping_priority": """
+SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l.l_orderkey
+LIMIT 10""",
         "join_suppliers_per_region": """
 SELECT r.r_name, COUNT(*) AS n_suppliers
 FROM supplier s

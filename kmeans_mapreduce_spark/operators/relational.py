@@ -156,3 +156,55 @@ def suppliers_per_region(
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_suppliers"))
     )
+
+
+def shipping_priority(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    segment: str = "BUILDING",
+    cutoff: str = "1998-06-01",
+    k: int = 10,
+    digits: int = 2,
+) -> DataFrame:
+    """TPC-H Q3 shape — top unshipped orders by revenue for one market
+    segment: customer∩segment ⨝ orders(before cutoff) ⨝ lineitem
+    (shipped after cutoff), revenue = Σ extendedprice·(1−discount)
+    per order, global top-k.
+
+    Scale shape: all three predicates are plain column comparisons, so
+    they PUSH DOWN to the parquet scans (the fact tables shrink before
+    any join); the orders⨝lineitem join shuffles on orderkey — the
+    natural co-partitioning key (bucketed tables would make it
+    exchange-free, see sources.write_bucketed); the segment-filtered
+    customer side is dimension-sized here and AQE picks a broadcast
+    hash join on its own at this SF (at 100 TB a 1/5-of-customers
+    build side is GBs — AQE's runtime sizing, not a hint, is the
+    right call, which is why no explicit broadcast() appears). The
+    global top-k with LIMIT folds into TakeOrderedAndProject — no full
+    sort, no single-partition shuffle of the whole aggregate.
+    """
+    ts = F.lit(cutoff).cast("timestamp")
+    c = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    o = orders.filter(F.col("o_orderdate") < ts).select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = lineitem.filter(F.col("l_shipdate") > ts).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    return (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                digits,
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(k)
+    )

@@ -200,3 +200,49 @@ def leakage_safe_split(
         )
         .select("doc_id", "canonical_id", "split")
     )
+
+
+def snapshot_diff(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning primitive a
+    training pipeline needs between crawl refreshes: classify every
+    doc_id as added / removed / changed / unchanged by comparing
+    content fingerprints across two snapshots.
+
+    Inputs are any (doc_id, text) frames. Scale shape: fingerprint is
+    a narrow md5 projection computed inside each scan; the full outer
+    join shuffles both sides once, co-partitioned on doc_id (bucketed
+    snapshot storage makes it exchange-free); the status CASE is a
+    narrow map. Nothing is collected; output is one row per doc_id in
+    either snapshot.
+    """
+    a = snap_a.select("doc_id", F.md5("text").alias("fp_a"))
+    b = snap_b.select("doc_id", F.md5("text").alias("fp_b"))
+    j = a.join(b, "doc_id", "full_outer")
+    return j.select(
+        "doc_id",
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("status"),
+    )
+
+
+def simulate_next_snapshot(docs: DataFrame) -> DataFrame:
+    """Deterministic 'next crawl' twin of the documents table for the
+    snapshot-diff query (the testdata ships one snapshot): drops
+    doc_id % 13 == 0, edits the text of doc_id % 11 == 0, and adds a
+    re-keyed copy of doc_id % 17 == 0 — pure column expressions, so
+    the DuckDB oracle regenerates the identical snapshot."""
+    kept = docs.filter(F.col("doc_id") % 13 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return kept.unionByName(added)

@@ -421,3 +421,19 @@ def test_leakage_safe_split_groups_stay_together(spark):
     assert rows[5]["split"] == rows[6]["split"]
     for i in (3, 4, 7):
         assert rows[i]["canonical_id"] == i
+
+
+def test_snapshot_diff_statuses(spark):
+    """Crafted case: all four statuses, including a doc present only
+    in B (added) and a same-id different-text doc (changed)."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    a = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo"), (3, "charlie")], "doc_id LONG, text STRING"
+    )
+    b = spark.createDataFrame(
+        [(1, "alpha"), (2, "bravo EDITED"), (4, "delta")],
+        "doc_id LONG, text STRING",
+    )
+    got = {r["doc_id"]: r["status"] for r in sp.snapshot_diff(a, b).collect()}
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
