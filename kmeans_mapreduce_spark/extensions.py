@@ -634,6 +634,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.rolling_zscore(load_table(spark, sf_dir, "events"))
+
+
 def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.funnel(load_table(spark, sf_dir, "events"))
 
@@ -1102,6 +1106,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_users_except": q_events_users_except,
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
+        "events_rolling_zscore": q_events_rolling_zscore,
         "kmeans_mllib": q_kmeans_mllib,
     }
 
@@ -1615,6 +1620,31 @@ UNION ALL
 SELECT 2, '{ev.FUNNEL_STEPS[1]}', n1 FROM counts
 UNION ALL
 SELECT 3, '{ev.FUNNEL_STEPS[2]}', n2 FROM counts""",
+        "events_rolling_zscore": f"""
+WITH e AS (
+  SELECT user_id, (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec, value
+  FROM events
+),
+per_sec AS (
+  SELECT user_id, ts_sec, ROUND(SUM(value), 2) AS v
+  FROM e GROUP BY user_id, ts_sec
+),
+stats AS (
+  SELECT user_id, ts_sec, v,
+         COUNT(*) OVER w AS n_prior,
+         SUM(v) OVER w AS s1,
+         SUM(v * v) OVER w AS s2
+  FROM per_sec
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+               RANGE BETWEEN {ev.ZSCORE_WINDOW_SEC} PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, ts_sec, v, n_prior,
+       CASE WHEN n_prior >= 2
+             AND (s2 - s1 * s1 / n_prior) / (n_prior - 1) > 0
+            THEN ROUND((v - s1 / n_prior)
+                       / sqrt((s2 - s1 * s1 / n_prior) / (n_prior - 1)), 6)
+            END AS zscore
+FROM stats""",
         "events_retention": f"""
 WITH e AS (
   SELECT user_id, (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec FROM events

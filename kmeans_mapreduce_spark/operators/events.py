@@ -320,3 +320,50 @@ def retention_weekly(events: DataFrame) -> DataFrame:
             F.sum("n_events").alias("n_events"),
         )
     )
+
+
+ZSCORE_WINDOW_SEC = 3600  # trailing anomaly window
+
+
+def rolling_zscore(
+    events: DataFrame, window_sec: int = ZSCORE_WINDOW_SEC, digits: int = 6
+) -> DataFrame:
+    """Trailing-window anomaly score: each user-second's event value
+    against the mean/variance of the SAME user's preceding
+    ``window_sec`` of activity — a RANGE frame over event-time
+    (``rangeBetween(-window_sec, -1)``), the alerting primitive behind
+    metric-anomaly streams.
+
+    Determinism contract: rows are first reduced to one per
+    (user, second) so the frame contents are unique-keyed and both
+    engines fold them in identical ascending-ts order; variance is
+    built EXPLICITLY from windowed SUM(v) and SUM(v·v) —
+    (Σv² − (Σv)²/n)/(n−1) — rather than the engines' internal
+    ``stddev`` accumulators, which use different incremental formulas
+    and would drift in the last bits. Scale shape: one shuffle keyed
+    by user for the pre-aggregate, reused by the window sort.
+
+    Output: (user_id, ts_sec, v, n_prior, zscore) — zscore NULL until
+    the trailing window holds ≥2 observations with positive variance.
+    """
+    e = with_epoch_seconds(events)
+    per_sec = e.groupBy("user_id", "ts_sec").agg(
+        F.round(F.sum("value"), 2).alias("v")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-window_sec, -1)
+    )
+    n = F.count(F.lit(1)).over(w)
+    s1 = F.sum("v").over(w)
+    s2 = F.sum(F.col("v") * F.col("v")).over(w)
+    avg = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    z = F.when(
+        (n >= 2) & (var > 0),
+        F.round((F.col("v") - avg) / F.sqrt(var), digits),
+    )
+    return per_sec.select(
+        "user_id", "ts_sec", "v", n.alias("n_prior"), z.alias("zscore")
+    )

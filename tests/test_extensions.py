@@ -437,3 +437,31 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r["doc_id"]: r["status"] for r in sp.snapshot_diff(a, b).collect()}
     assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+def test_rolling_zscore_range_frame(spark):
+    """Crafted case: the RANGE frame is time-bounded (old rows fall
+    out) and excludes the current row; z-score matches hand math."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = [  # user 1: values 10, 20 at t=0,100; probe at t=200; stale at t=5000
+        (0, 0 * S, 1, 10.0),
+        (1, 100 * S, 1, 20.0),
+        (2, 200 * S, 1, 40.0),
+        (3, 5000 * S, 1, 7.0),  # frame [1400, 4999] is empty → NULL
+    ]
+    e = spark.createDataFrame(
+        [(i, ts, u, "view", v, "") for i, ts, u, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        r["ts_sec"]: (r["n_prior"], r["zscore"])
+        for r in ev.rolling_zscore(e, window_sec=3600).collect()
+    }
+    assert got[0] == (0, None)
+    assert got[100] == (1, None)  # n=1 → no variance yet
+    # frame at t=200: {10, 20} → mean 15, var 50, z = 25/sqrt(50)
+    assert got[200][0] == 2
+    assert got[200][1] == pytest.approx(25.0 / 50**0.5, abs=1e-6)
+    assert got[5000] == (0, None)  # everything aged out of the window
