@@ -634,6 +634,10 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sessionize(load_table(spark, sf_dir, "events"))
 
 
+def q_events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ev.session_paths(load_table(spark, sf_dir, "events"))
+
+
 def q_events_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.rolling_zscore(load_table(spark, sf_dir, "events"))
 
@@ -1107,6 +1111,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_funnel": q_events_funnel,
         "events_retention": q_events_retention,
         "events_rolling_zscore": q_events_rolling_zscore,
+        "events_session_paths": q_events_session_paths,
         "kmeans_mllib": q_kmeans_mllib,
     }
 
@@ -1620,6 +1625,24 @@ UNION ALL
 SELECT 2, '{ev.FUNNEL_STEPS[1]}', n1 FROM counts
 UNION ALL
 SELECT 3, '{ev.FUNNEL_STEPS[2]}', n2 FROM counts""",
+        "events_session_paths": f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+paired AS (
+  SELECT event_type AS prev_type,
+         lead(event_type) OVER w AS next_type,
+         lead(ts_sec) OVER w - ts_sec AS gap
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+)
+SELECT prev_type, next_type, COUNT(*) AS n_transitions
+FROM paired
+WHERE next_type IS NOT NULL AND gap <= {ev.SESSION_GAP_SEC}
+GROUP BY prev_type, next_type
+ORDER BY n_transitions DESC, prev_type, next_type
+LIMIT 10""",
         "events_rolling_zscore": f"""
 WITH e AS (
   SELECT user_id, (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec, value

@@ -367,3 +367,39 @@ def rolling_zscore(
     return per_sec.select(
         "user_id", "ts_sec", "v", n.alias("n_prior"), z.alias("zscore")
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_sec: int = SESSION_GAP_SEC,
+    k: int = 10,
+) -> DataFrame:
+    """Path mining: the most common event-type transitions users make
+    within a session (consecutive events ≤ ``gap_sec`` apart) — the
+    "what do users do next" query behind product flow diagrams.
+
+    One window pass per user ordered by (ts_sec, event_id) pairs each
+    event with its successor via ``lead``; cross-session boundaries are
+    dropped by the gap predicate; the transition count is a small
+    (|types|²-keyed) aggregate and the global top-k folds into
+    TakeOrderedAndProject. One user-keyed shuffle + one tiny aggregate
+    exchange.
+
+    Output: (prev_type, next_type, n_transitions), top-k by count with
+    a lexicographic tie-break.
+    """
+    e = with_epoch_seconds(events)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    paired = e.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (F.lead("ts_sec").over(w) - F.col("ts_sec")).alias("gap"),
+    ).filter(F.col("next_type").isNotNull() & (F.col("gap") <= gap_sec))
+    return (
+        paired.groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+        .orderBy(
+            F.desc("n_transitions"), F.asc("prev_type"), F.asc("next_type")
+        )
+        .limit(k)
+    )

@@ -123,3 +123,17 @@ def write_bucketed(
     if path is not None:
         w = w.option("path", path)
     w.sortBy(key).saveAsTable(table)
+
+
+def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read over a long-lived parquet dataset whose
+    later generations ADDED columns: ``mergeSchema`` unions the file
+    schemas (an O(footers) planning step, not a data pass) and older
+    files surface NULL for columns they predate — how a year of
+    crawl snapshots with a growing schema reads as one table.
+
+    Cost note: merged-footer planning touches every file's metadata;
+    at 100 TB layouts the schema should be pinned in a catalog and
+    this used only for the migration read that backfills it.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

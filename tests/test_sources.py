@@ -122,3 +122,22 @@ def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     assert one.count() == (
         load_table(spark, "/root/testdata/sf0.001", "events").filter(F.col("event_type") == "click").count()
     )
+
+
+def test_read_evolved_parquet_merges_added_column(spark, tmp_path):
+    """Older generation lacks `lang`; merged read surfaces it as NULL
+    for old rows and typed for new ones."""
+    from kmeans_mapreduce_spark.sources.loaders import read_evolved_parquet
+
+    base = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(1, "old doc")], "doc_id LONG, text STRING"
+    ).write.parquet(f"{base}/gen=0")
+    spark.createDataFrame(
+        [(2, "new doc", "en")], "doc_id LONG, text STRING, lang STRING"
+    ).write.parquet(f"{base}/gen=1")
+    got = {
+        r["doc_id"]: (r["text"], r["lang"])
+        for r in read_evolved_parquet(spark, base).collect()
+    }
+    assert got == {1: ("old doc", None), 2: ("new doc", "en")}
