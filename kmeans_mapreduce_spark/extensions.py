@@ -287,6 +287,10 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.leakage_safe_split(docs, pairs)
 
 
+def q_corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.corpus_profile(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmeans_mapreduce_spark.operators import sampling as sp2
 
@@ -1082,6 +1086,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "corpus_split": q_corpus_split,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "corpus_profile": q_corpus_profile,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_span_fraction": q_dedup_span_fraction,
         "dedup_simhash": q_dedup_simhash,
@@ -1329,6 +1334,22 @@ WHERE NOT EXISTS (
   SELECT 1 FROM lineitem l
   WHERE l.l_partkey = p.p_partkey AND l.l_quantity > {ANTI_MIN_QTY}
 )""",
+        "corpus_profile": """
+WITH base AS (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         ROUND(AVG(n_chars), 2) AS avg_chars,
+         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+  FROM documents
+),
+dups AS (
+  SELECT CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_docs
+  FROM (SELECT md5(text) AS fp, COUNT(*) AS cnt FROM documents GROUP BY 1)
+)
+SELECT n_docs, n_langs, total_chars, avg_chars, total_tokens, dup_docs,
+       ROUND(dup_docs::DOUBLE / n_docs::DOUBLE, 6) AS dup_frac
+FROM base CROSS JOIN dups""",
         "corpus_snapshot_diff": """
 WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
 b AS (

@@ -240,3 +240,48 @@ def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.regexp_count(t, F.lit(PII_IPV4)).cast("long").alias("n_ips"),
         F.regexp_count(t, F.lit(PII_PHONE)).cast("long").alias("n_phones"),
     )
+
+
+def corpus_profile(docs: DataFrame, digits: int = 6) -> DataFrame:
+    """Dataset-card profile: the one-row summary a training-data
+    pipeline publishes per snapshot — corpus size, language spread,
+    token/char volume, and exact-duplication rate.
+
+    Scale shape: two independent aggregates over one scan each — a
+    global agg (partial+final, constant shuffle) and an exact-dup
+    count whose shuffle is keyed by text fingerprint (map-side
+    combined; carries one long per distinct text) — cross-joined as
+    1×1 rows. Nothing is collected beyond the single output row.
+
+    Output: (n_docs, n_langs, total_chars, avg_chars, total_tokens,
+    dup_docs, dup_frac).
+    """
+    from kmeans_mapreduce_spark.functions.text import n_tokens
+
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+        F.sum(n_tokens(F.col("text")).cast("long")).alias("total_tokens"),
+    )
+    dups = (
+        docs.groupBy(F.md5("text").alias("fp"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))
+            ).alias("dup_docs")
+        )
+    )
+    return (
+        base.crossJoin(dups)
+        .withColumn(
+            "dup_frac",
+            F.round(
+                F.col("dup_docs").cast("double")
+                / F.col("n_docs").cast("double"),
+                digits,
+            ),
+        )
+    )

@@ -137,3 +137,23 @@ def read_evolved_parquet(spark: SparkSession, path: str) -> DataFrame:
     this used only for the migration read that backfills it.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def write_sorted(df: DataFrame, path: str, key: str, files: int = 8) -> None:
+    """Range-sorted parquet sink — single-dimension data skipping:
+    ``repartitionByRange`` gives each output file a DISJOINT key range
+    and the within-partition sort tightens every row group's min/max
+    stats, so a later equality or range filter on ``key`` prunes whole
+    files and row groups from the scan (parquet statistics pushdown —
+    the one-column version of z-ordering). The range exchange samples
+    the key distribution, so skewed keys still split evenly.
+
+    tests/test_sources.py asserts the written row-group stats are
+    actually disjoint — the property that makes skipping possible.
+    """
+    (
+        df.repartitionByRange(files, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

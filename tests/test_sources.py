@@ -141,3 +141,36 @@ def test_read_evolved_parquet_merges_added_column(spark, tmp_path):
         for r in read_evolved_parquet(spark, base).collect()
     }
     assert got == {1: ("old doc", None), 2: ("new doc", "en")}
+
+
+def test_write_sorted_rowgroup_stats_disjoint(spark, tmp_path):
+    """The sorted sink must produce files whose parquet min/max key
+    ranges do not overlap — the precondition for stats-based skipping;
+    a range filter must still return exactly the right rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kmeans_mapreduce_spark.sources.loaders import write_sorted
+
+    out = str(tmp_path / "sorted")
+    df = spark.range(0, 10_000).withColumn(
+        "k", (F.col("id") * 2654435761 % 10_000).cast("long")
+    )
+    write_sorted(df, out, key="k", files=4)
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ki = next(
+            i for i in range(md.num_columns)
+            if md.row_group(0).column(i).path_in_schema == "k"
+        )
+        stats = [md.row_group(g).column(ki).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    ranges.sort()
+    assert len(ranges) == 4
+    for (_, hi), (lo, _) in zip(ranges, ranges[1:]):
+        assert hi <= lo  # disjoint (or touching) file ranges
+    got = spark.read.parquet(out).filter(F.col("k") < 100).count()
+    want = df.filter(F.col("k") < 100).count()
+    assert got == want
