@@ -40,6 +40,7 @@ EMB_DIM = 64
 IVF_NPROBE = 2
 PQ_M = 8  # product-quantization subspaces (EMB_DIM/PQ_M dims each)
 PQ_CODEBOOK_IDS = list(range(8, 168, 10))  # 16 fixed corpus rows
+PQ_RERANK_K = 8  # ADC shortlist width for the exact-rerank refinement
 TFIDF_K = 3
 TOPCUST_K = 3
 ANTI_MIN_QTY = 45.0
@@ -337,6 +338,19 @@ def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         PQ_CODEBOOK_IDS,
         TOPK_QUERY_IDS,
         k=ANN_K,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+    )
+
+
+def q_similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.ivf_pq_rerank_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        ND_CENTROID_IDS,
+        PQ_CODEBOOK_IDS,
+        TOPK_QUERY_IDS,
+        k=ANN_K,
+        k_prime=PQ_RERANK_K,
         nprobe=IVF_NPROBE,
         m=PQ_M,
     )
@@ -910,13 +924,19 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
-def _ivf_pq_ann_sql() -> str:
+def _ivf_pq_ann_sql(rerank: bool = False) -> str:
     """Twin of similarity.ivf_pq_ann_topk: coarse cells as in
     _ivf_ann_sql; per-subspace codes = argmin subspace-d2 over the
     normalized codebook rows (tie→lowest code); ADC score = ordered
     sum over subspaces of the query-side sub-dot for the chosen code
     (``list_sum(list(pdot ORDER BY m))`` ≡ the engine's ascending-m
-    accumulation)."""
+    accumulation).
+
+    With ``rerank=True`` it is instead the twin of
+    similarity.ivf_pq_rerank_topk: the ADC ranking keeps a widened
+    top-PQ_RERANK_K shortlist, whose members are re-scored with the
+    exact normalized dot (same op order as _embedding_near_dup_sql)
+    and re-ranked to the final top-ANN_K."""
     cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
     qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
     cbids = ", ".join(str(c) for c in PQ_CODEBOOK_IDS)
@@ -925,6 +945,26 @@ def _ivf_pq_ann_sql() -> str:
         f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "i -> (e0.v0[i] - c.cvec[i]) * (e0.v0[i] - c.cvec[i])))"
     )
+    if rerank:
+        tail = f""",
+topc AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {PQ_RERANK_K}),
+rescored AS (
+  SELECT t.query_id, t.neighbor_id,
+         ROUND({_dot_sql('q.nv', 'x.nv')}, 6) AS cosine
+  FROM topc t
+  JOIN e q ON q.vec_id = t.query_id
+  JOIN e x ON x.vec_id = t.neighbor_id
+),
+rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, cosine
+FROM rr WHERE rank <= {ANN_K}"""
+    else:
+        tail = f"""
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, approx_cosine
+FROM ranked WHERE rank <= {ANN_K}"""
     return f"""
 WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
 c AS (
@@ -984,9 +1024,7 @@ scored AS (
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS rank
   FROM scored
-)
-SELECT query_id, neighbor_id, rank::INTEGER AS rank, approx_cosine
-FROM ranked WHERE rank <= {ANN_K}
+){tail}
 """
 
 
@@ -1095,6 +1133,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_pq": q_similarity_ann_pq,
+        "similarity_ann_pq_rerank": q_similarity_ann_pq_rerank,
         "kmeans_nd_assign": q_kmeans_nd_assign,
         "kmeans_nd_loop2": q_kmeans_nd_loop2,
         "kmeans_nd_fit": q_kmeans_nd_fit,
@@ -1491,6 +1530,7 @@ FROM per""",
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
         "similarity_ann_ivf": _ivf_ann_sql(),
         "similarity_ann_pq": _ivf_pq_ann_sql(),
+        "similarity_ann_pq_rerank": _ivf_pq_ann_sql(rerank=True),
         "kmeans_nd_assign": _kmeans_nd_assign_sql(),
         "kmeans_nd_loop2": _kmeans_nd_loop2_sql(),
         "multimodal_meta": """

@@ -21,7 +21,7 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from kmeans_mapreduce_spark.functions.distance import cosine_sim, dot_nd
+from kmeans_mapreduce_spark.functions.distance import cosine_sim, dot_nd, norm_nd
 
 NUM_PLANES = 8
 DIM = 64
@@ -480,4 +480,76 @@ def ivf_pq_ann_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "approx_cosine")
+    )
+
+
+def ivf_pq_rerank_topk(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    codebook_ids: list[int],
+    query_ids: list[int],
+    k: int = 3,
+    k_prime: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    digits: int = 6,
+) -> DataFrame:
+    """IVF-PQ with an exact-cosine refinement stage (FAISS
+    ``IndexRefineFlat`` shape): ADC ranks a widened top-``k_prime``
+    candidate list per query, then only those Q×k' ids are re-scored
+    against their TRUE vectors and re-ranked to the final top-``k``.
+    This is the standard fix for PQ quantization error — the codes
+    pick the shortlist, the floats pick the winners.
+
+    Scale shape: the shortlist is tiny (Q×k' rows) and is BROADCAST
+    back onto the corpus scan, so the exact re-rank touches only the
+    shortlisted vectors via a broadcast hash join — no corpus shuffle,
+    no second index. At cluster scale the shortlist join becomes a
+    pushed-down id filter on the (bucketed-by-id) vector table, reading
+    k'·Q rows of floats total regardless of corpus size.
+
+    Determinism: candidate membership reuses :func:`ivf_pq_ann_topk`'s
+    gated ranking (rounded ADC score, neighbor-id tiebreak); exact
+    cosine is normalize-then-dot in ascending index order — the same op
+    sequence as :func:`~kmeans_mapreduce_spark.operators.dedup.embedding_near_dup`,
+    so 6-digit rounding matches the DuckDB twin bit-for-bit.
+    """
+    cand = ivf_pq_ann_topk(
+        emb,
+        centroid_ids,
+        codebook_ids,
+        query_ids,
+        k=k_prime,
+        nprobe=nprobe,
+        m=m,
+        digits=digits,
+    ).select("query_id", "neighbor_id")
+
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    e1 = e0.select("vec_id", "v0", norm_nd(F.col("v0")).alias("nrm"))
+    e = e1.select(
+        "vec_id",
+        F.transform("v0", lambda x: x / F.col("nrm")).alias("nv"),
+    )
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("nv").alias("qv")
+    )
+    rescored = (
+        e.join(
+            F.broadcast(cand), e["vec_id"] == cand["neighbor_id"]
+        )
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(dot_nd(F.col("qv"), F.col("nv")), digits).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
     )

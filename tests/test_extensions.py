@@ -400,6 +400,35 @@ def test_ivf_pq_finds_planted_neighbor(spark):
     assert out[0]["approx_cosine"] == pytest.approx(1.0, abs=1e-5)
 
 
+def test_ivf_pq_rerank_restores_exact_cosine(spark):
+    """The refinement stage re-scores the ADC shortlist with true
+    vectors: the scaled copy (identical direction to the query) must
+    rank first with an EXACT cosine of 1.0 — not the quantized
+    approximation — and ranks must follow exact-cosine order."""
+    import math
+
+    def vec(seed, dim=8):
+        return [math.sin(seed * (i + 1)) for i in range(dim)]
+
+    rows = [(i, [float(x) for x in vec(i + 1)], 0) for i in range(11)]
+    rows.append((11, [3.0 * x for x in vec(6)], 0))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    out = sim.ivf_pq_rerank_topk(
+        emb,
+        centroid_ids=[0, 5],
+        codebook_ids=[1, 3, 5, 7],
+        query_ids=[5],
+        k=3,
+        k_prime=5,
+        nprobe=1,
+        m=2,
+    ).collect()
+    assert out[0]["neighbor_id"] == 11
+    assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-9)
+    cosines = [r["cosine"] for r in out]
+    assert cosines == sorted(cosines, reverse=True)
+
+
 def test_leakage_safe_split_groups_stay_together(spark):
     """Every member of a connected near-dup component gets the same
     split side and the same canonical id; singletons are their own
