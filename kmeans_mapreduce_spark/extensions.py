@@ -275,6 +275,17 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retained corpus after near-dup dedup: one row per cluster,
+    keeping the highest-quality member (dedup.keep_best_per_cluster
+    over minhash-LSH verified pairs + textops.quality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.minhash_lsh_dedup(docs, JACCARD_LSH_THRESHOLD).select(
+        "doc_a", "doc_b"
+    )
+    return dd.keep_best_per_cluster(docs, pairs, tx.quality(docs))
+
+
 def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/eval split: near-dup cluster members share a
     side (sampling.leakage_safe_split over minhash-LSH verified
@@ -1122,6 +1133,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_keep_best": q_dedup_keep_best,
         "corpus_split": q_corpus_split,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "corpus_profile": q_corpus_profile,
@@ -1448,6 +1460,41 @@ allr AS (
   SELECT DISTINCT s AS id, s AS r FROM e
 )
 SELECT id AS doc_id, MIN(r) AS cluster_rep FROM allr GROUP BY id""",
+        "dedup_keep_best": f"""
+WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
+e AS (
+  SELECT doc_a AS s, doc_b AS t FROM pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM pairs
+),
+reach(id, r) AS (
+  SELECT s, t FROM e
+  UNION
+  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.t
+),
+allr AS (
+  SELECT id, r FROM reach
+  UNION
+  SELECT DISTINCT s AS id, s AS r FROM e
+),
+cc AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM allr GROUP BY id),
+j AS (
+  SELECT d.doc_id, COALESCE(cc.cluster_rep, d.doc_id) AS canonical_id
+  FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
+),
+q AS ({_quality_sql()}),
+m AS (
+  SELECT j.canonical_id, j.doc_id, q.quality_score
+  FROM j JOIN q ON q.doc_id = j.doc_id
+),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY canonical_id ORDER BY quality_score DESC, doc_id) AS rk,
+         COUNT(*) OVER (PARTITION BY canonical_id) AS n_members
+  FROM m
+)
+SELECT canonical_id, doc_id AS kept_doc_id, n_members, quality_score AS kept_quality
+FROM r WHERE rk = 1""",
         "corpus_split": f"""
 WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
 e AS (

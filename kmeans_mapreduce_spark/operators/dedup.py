@@ -523,6 +523,60 @@ def connected_components(
     )
 
 
+def keep_best_per_cluster(
+    docs: DataFrame, pairs: DataFrame, quality: DataFrame
+) -> DataFrame:
+    """Canonical-document SELECTION: after near-dup clustering, keep
+    the single highest-quality member of each cluster (tiebreak lowest
+    doc_id) instead of the arbitrary min-id representative. This is
+    the retained corpus a training pipeline actually materializes —
+    one row per surviving document, with how many near-dups it
+    absorbed.
+
+    Input: ``docs`` (the corpus), ``pairs`` (verified near-dup pairs,
+    doc_a/doc_b), ``quality`` (per-doc quality_score, e.g.
+    :func:`~kmeans_mapreduce_spark.operators.textops.quality`).
+
+    Scale shape: :func:`connected_components` runs only over docs that
+    appear in a pair — a small fraction of the corpus at web scale.
+    The label join back to the corpus is an equi-join on doc_id (AQE
+    broadcasts it when the clustered subset is small); the final
+    pick-one is a single window shuffle keyed by canonical_id, whose
+    skew is bounded by the largest near-dup cluster — the same key
+    distribution the dedup itself already survived. Quality is rounded
+    (6 digits) BEFORE ranking so both engines rank identical keys.
+
+    Output: (canonical_id, kept_doc_id, n_members, kept_quality).
+    """
+    from pyspark.sql import Window
+
+    cc = connected_components(pairs)
+    canon = (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster_rep"), F.col("doc_id")).alias(
+                "canonical_id"
+            ),
+        )
+    )
+    member = canon.join(quality.select("doc_id", "quality_score"), "doc_id")
+    w = Window.partitionBy("canonical_id")
+    ranked = member.withColumn(
+        "rk",
+        F.row_number().over(
+            w.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+        ),
+    ).withColumn("n_members", F.count("*").over(w))
+    return ranked.filter(F.col("rk") == 1).select(
+        "canonical_id",
+        F.col("doc_id").alias("kept_doc_id"),
+        "n_members",
+        F.col("quality_score").alias("kept_quality"),
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     """SimHash document sketch over token hashes.
 

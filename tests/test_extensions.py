@@ -262,6 +262,26 @@ def test_connected_components_transitive_chain(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 10: 10, 11: 10}
 
 
+def test_keep_best_per_cluster_picks_highest_quality(spark):
+    """In a 3-doc near-dup cluster the highest-quality member survives
+    (not the min-id representative); a singleton keeps itself with
+    n_members=1."""
+    docs_df = spark.createDataFrame(
+        [(i, "x") for i in (1, 2, 3, 9)], "doc_id LONG, text STRING"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a LONG, doc_b LONG")
+    quality = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.9), (9, 0.1)],
+        "doc_id LONG, quality_score DOUBLE",
+    )
+    got = {
+        r["canonical_id"]: (r["kept_doc_id"], r["n_members"], r["kept_quality"])
+        for r in dd.keep_best_per_cluster(docs_df, pairs, quality).collect()
+    }
+    # cluster {1,2,3}: quality ties at 0.9 between 2 and 3 → lowest id
+    assert got == {1: (2, 3, 0.9), 9: (9, 1, 0.1)}
+
+
 def test_pack_sequences_bin_boundaries(spark):
     """Next-fit packing: a doc opens a new bin when the running total
     crosses the budget; bins may overflow by at most one doc."""
