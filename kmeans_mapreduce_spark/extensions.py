@@ -147,6 +147,12 @@ def q_corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.pricing_summary(load_table(spark, sf_dir, "lineitem"))
+
+
 def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmeans_mapreduce_spark.operators import relational as rel
 
@@ -1122,6 +1128,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_top_quality": q_text_top_quality,
         "corpus_sample_stratified": q_corpus_sample_stratified,
         "corpus_training_mix": q_corpus_training_mix,
+        "lineitem_pricing_summary": q_lineitem_pricing_summary,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "join_top_customers": q_join_top_customers,
         "join_parts_never_ordered": q_join_parts_never_ordered,
@@ -1353,6 +1360,20 @@ WITH q AS ({_quality_sql()})
 SELECT doc_id, quality_score FROM q
 ORDER BY quality_score DESC, doc_id
 LIMIT {TOP_QUALITY_K}""",
+        "lineitem_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (CAST(1.0 AS DOUBLE) - l_discount)
+                 * (CAST(1.0 AS DOUBLE) + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 6) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 6) AS avg_price,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+GROUP BY l_returnflag, l_linestatus""",
         "join_revenue_by_nation": """
 SELECT n.n_name,
        ROUND(SUM(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)), 2) AS revenue,

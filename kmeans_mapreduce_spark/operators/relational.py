@@ -158,6 +158,51 @@ def suppliers_per_region(
     )
 
 
+def pricing_summary(
+    lineitem: DataFrame,
+    cutoff: str = "2000-09-02",
+    sum_digits: int = 2,
+    avg_digits: int = 6,
+) -> DataFrame:
+    """TPC-H Q1 shape — the canonical scan-heavy aggregation: one pass
+    over lineitem (≤ cutoff shipdate), grouped by the 6-ish
+    (returnflag, linestatus) combinations, producing sums, averages,
+    and counts of the pricing columns.
+
+    Scale shape: this is the benchmark's pure map-side-combine
+    showcase. The predicate pushes down to the parquet scan; the
+    projection prunes to 7 columns; the groupBy key has single-digit
+    cardinality so the partial aggregate reduces each of the thousands
+    of input partitions to a handful of rows BEFORE the exchange — the
+    shuffle carries O(partitions × groups) rows no matter how many
+    billions of lineitems are scanned. The whole expression tree
+    (1−discount, 1+tax products) stays inside whole-stage codegen;
+    averages are computed as Spark's native sum/count pairs, never a
+    second scan.
+    """
+    ts = F.lit(cutoff).cast("timestamp")
+    one = F.lit(1.0)
+    disc_price = F.col("l_extendedprice") * (one - F.col("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= ts)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), sum_digits).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), sum_digits).alias(
+                "sum_base_price"
+            ),
+            F.round(F.sum(disc_price), sum_digits).alias("sum_disc_price"),
+            F.round(
+                F.sum(disc_price * (one + F.col("l_tax"))), sum_digits
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), avg_digits).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), avg_digits).alias("avg_price"),
+            F.round(F.avg("l_discount"), avg_digits).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
 def shipping_priority(
     customer: DataFrame,
     orders: DataFrame,

@@ -368,6 +368,9 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "similarity_ann_pq",
     "dedup_span_fraction",
     "events_funnel",
+    "lineitem_pricing_summary",
+    "similarity_ann_pq_rerank",
+    "dedup_keep_best",
 }
 
 

@@ -97,6 +97,22 @@ def test_revenue_join_broadcasts_dimensions(spark):
     assert plan.count("HashAggregate") >= 2
 
 
+def test_pricing_summary_pushes_filter_and_combines_map_side(spark):
+    """TPC-H Q1 shape: the shipdate predicate must reach the parquet
+    scan (PushedFilters), the scan must prune to the 7 needed columns,
+    and the tiny-cardinality groupBy must partially aggregate before
+    the exchange — the shuffle carries O(groups), not O(rows)."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    df = rel.pricing_summary(load_table(spark, SF, "lineitem"))
+    plan = plans.explain_str(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "LessThanOrEqual(l_shipdate" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "partial_sum" in plan
+    # column pruning: the scan schema must not include unused key cols
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
 def test_recompute_has_partial_aggregation(spark):
     df = km.recompute(km.assign(points_2d(spark, SF), [(0, 1.0, 1.0)]))
     plan = plans.explain_str(df)
