@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from kmeans_mapreduce_spark.schema import POINTS_2D_CSV
 
@@ -20,16 +21,28 @@ from kmeans_mapreduce_spark.schema import POINTS_2D_CSV
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver-generated parquet table (TESTDATA.md).
 
-    ``events.parquet`` carries TIMESTAMP(NANOS), which vanilla Spark
-    rejects with [PARQUET_TYPE_ILLEGAL]. The nanos-as-long conf is
-    runtime-settable, so set it here rather than only in our own session
-    factory — callers may hand us a SparkSession we didn't build. It is
-    scoped to the one table that needs it (events) instead of mutating
-    the caller's session conf on every load.
+    ``events.ts`` has shipped as either TIMESTAMP(NANOS) (older fixture
+    vintages — Spark reads it as an epoch-nanos BIGINT under the
+    nanos-as-long legacy conf) or TIMESTAMP(MICROS)/NTZ (current
+    vintage). Every downstream operator and every DuckDB oracle twin
+    (``epoch_ns(ts)``) works in epoch nanoseconds, so normalize to a
+    BIGINT nanos column here, at the single load chokepoint. The NTZ
+    branch uses ``timestampdiff`` against an NTZ epoch literal — pure
+    wall-clock arithmetic, independent of any session time zone the
+    caller may have set.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and not isinstance(df.schema["ts"].dataType, LongType):
+        if isinstance(df.schema["ts"].dataType, TimestampNTZType):
+            ns = F.expr(
+                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            ) * F.lit(1000)
+        else:
+            ns = F.unix_micros("ts") * F.lit(1000)
+        df = df.withColumn("ts", ns.cast("long"))
+    return df
 
 
 def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
