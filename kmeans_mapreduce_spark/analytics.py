@@ -54,6 +54,38 @@ def q_events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+URGENT = "1-URGENT"
+
+
+def q_orders_bloom_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter build side over the urgent-order keys: the (word,
+    bits) register table both engines must produce bit-identically.
+    Constant-size shuffle (<= 128 words) regardless of build rows."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == URGENT
+    )
+    return sk.bloom_registers(o, "o_orderkey")
+
+
+def q_lineitem_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction: revenue of line items belonging to urgent
+    orders, with the fact side pre-pruned by a 1 KB bloom filter before
+    the exact semi-join (sketches.bloom_semi_join). The bloom drops
+    ~80% of fact rows in a narrow scan-side filter — at 100 TB that is
+    shuffle volume that never leaves the mappers — and the trailing
+    exact join removes false positives, so the oracle is the plain
+    IN-subquery."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == URGENT
+    )
+    pruned = sk.bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    return pruned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+    )
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (§2.2 gap): hour-of-day x event-type matrix of counts and
     value sums. Explicit pivot values keep the output schema static
@@ -405,9 +437,34 @@ WHERE ROUND(n_overlap::DOUBLE / n_shingles::DOUBLE, 6) >= {dc.CONTAM_THRESHOLD!r
 """
 
 
+_URGENT_ORDERS = (
+    "(SELECT * FROM orders WHERE o_orderpriority = '1-URGENT')"
+)
+
+_BLOOM_REGISTERS_ORACLE = (
+    "WITH "
+    + sk.bloom_sql("CAST(o_orderkey AS VARCHAR)", _URGENT_ORDERS)
+    + "\nSELECT word, bits FROM bloom_registers"
+)
+
+# The bloom is invisible in the final answer (no false negatives by
+# construction; false positives removed by the exact join), so the
+# oracle is the plain semi-join.
+_BLOOM_PRUNE_ORACLE = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem
+WHERE l_orderkey IN
+      (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+GROUP BY l_returnflag
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_hll_distinct": q_events_hll_distinct,
+        "orders_bloom_registers": q_orders_bloom_registers,
+        "lineitem_bloom_prune": q_lineitem_bloom_prune,
         "events_pivot": q_events_pivot,
         "orders_running_window": q_orders_running_window,
         "text_repetition": q_text_repetition,
@@ -423,6 +480,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def analytics_oracle_sql() -> dict[str, str]:
     return {
         "events_hll_distinct": _hll_oracle(),
+        "orders_bloom_registers": _BLOOM_REGISTERS_ORACLE,
+        "lineitem_bloom_prune": _BLOOM_PRUNE_ORACLE,
         "events_pivot": _pivot_oracle(),
         "orders_running_window": _RUNNING_WINDOW_ORACLE,
         "text_repetition": _REPETITION_ORACLE,

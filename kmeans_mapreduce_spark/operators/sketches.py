@@ -349,3 +349,115 @@ est_{out} AS (
       END, 4) AS {out}
   FROM reg_{out} GROUP BY g
 )"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — semi-join reduction (runtime filter), oracle-replayable
+# ---------------------------------------------------------------------------
+
+BLOOM_WORDS = 128  # bitmap stored as this many long words
+BLOOM_WORD_BITS = 62  # bits used per word (shift <= 61 never overflows
+#                       a signed 64-bit value in either engine)
+BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS  # 7936 bits total
+BLOOM_K = 3  # hash functions (seeded md5-family members)
+
+
+def bloom_positions(key: Column) -> Column:
+    """Array of the K bit positions one key sets — same seeded portable
+    hash family as the CMS, so DuckDB replays it bit-for-bit."""
+    from kmeans_mapreduce_spark.functions.hashing import h64_seeded
+
+    return F.array(
+        *[(h64_seeded(key, j) % BLOOM_BITS).cast("long") for j in range(BLOOM_K)]
+    )
+
+
+def bloom_registers(df: DataFrame, key: str) -> DataFrame:
+    """Build-side sketch: ``(word, bits)`` rows, ``bit_or``-merged.
+
+    Bloom (CACM 1970). Scale shape mirrors the HLL/CMS registers: one
+    narrow explode (K rows per input row) into a groupBy over at most
+    BLOOM_WORDS keys — map-side combine collapses every partition to
+    <= 128 partial words, so the exchange is constant-size no matter
+    how large the build side is, and register tables from different
+    datasets merge with another ``bit_or``."""
+    return (
+        df.select(F.explode(bloom_positions(F.col(key).cast("string"))).alias("pos"))
+        .select(
+            F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
+            F.expr(f"shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int))").alias(
+                "mask"
+            ),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def bloom_filter_words(registers: DataFrame) -> list[int]:
+    """Collect the register table into a dense 128-long bitmap (absent
+    words are 0). The collect moves at most 128 rows — the whole point:
+    a 1 KB summary of an arbitrarily large key set."""
+    got = {r["word"]: r["bits"] for r in registers.collect()}
+    return [got.get(w, 0) for w in range(BLOOM_WORDS)]
+
+
+def bloom_might_contain(key: Column, words: list[int]) -> Column:
+    """Membership predicate over the driver-collected bitmap, inlined
+    as a literal array so Catalyst constant-folds it — the probe side
+    is a pure narrow filter (scan → filter, no join, no shuffle),
+    exactly the shape of Spark's own runtime bloom pruning. False
+    positives possible, false negatives impossible."""
+    from kmeans_mapreduce_spark.functions.hashing import h64_seeded
+
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    conds = []
+    for j in range(BLOOM_K):
+        pos = h64_seeded(key, j) % BLOOM_BITS
+        word = F.floor(pos / F.lit(BLOOM_WORD_BITS)).cast("int")
+        bit = (pos % BLOOM_WORD_BITS).cast("int")
+        mask = F.pow(F.lit(2.0), bit).cast("long")  # 2^b <= 2^61, exact
+        conds.append(F.element_at(arr, word + 1).bitwiseAND(mask) != 0)
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def bloom_semi_join(
+    fact: DataFrame, build: DataFrame, fact_key: str, build_key: str
+) -> DataFrame:
+    """Exact semi-join with a bloom pre-filter on the fact side.
+
+    At 100 TB this is the classic semi-join reduction: the bloom filter
+    (built with one constant-size-shuffle pass over the small side and
+    shipped to every executor as 1 KB of literals) drops most
+    non-matching fact rows *before* any exchange, so the exact join —
+    broadcast here; a shuffle join when the build side is huge — only
+    sees survivors. The trailing exact join removes bloom false
+    positives, so the result is identical to a plain semi-join, which
+    is what the DuckDB oracle checks."""
+    words = bloom_filter_words(bloom_registers(build, build_key))
+    pruned = fact.filter(
+        bloom_might_contain(F.col(fact_key).cast("string"), words)
+    )
+    keys = build.select(F.col(build_key).alias(fact_key)).distinct()
+    return pruned.join(F.broadcast(keys), fact_key, "left_semi")
+
+
+def bloom_sql(key_expr: str, relation: str) -> str:
+    """DuckDB twin CTE ``bloom_registers(word, bits)`` — identical
+    integer math, so registers hash-match Spark's bit for bit."""
+    from kmeans_mapreduce_spark.functions.hashing import h64_seeded_sql
+
+    rows = " UNION ALL ".join(
+        f"SELECT ({h64_seeded_sql(key_expr, j)}) % {BLOOM_BITS} AS pos"
+        f" FROM {relation}"
+        for j in range(BLOOM_K)
+    )
+    return (
+        f"bloom_pos AS ({rows}),\n"
+        f"bloom_registers AS (SELECT pos // {BLOOM_WORD_BITS} AS word,"
+        f" bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits"
+        f" FROM bloom_pos GROUP BY 1)"
+    )

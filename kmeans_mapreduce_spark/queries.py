@@ -369,6 +369,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "dedup_span_fraction",
     "events_funnel",
     "lineitem_pricing_summary",
+    "lineitem_bloom_prune",
     "similarity_ann_pq_rerank",
     "dedup_keep_best",
 }

@@ -281,3 +281,53 @@ def test_running_window_properties(spark):
         assert all(b >= a - 1e-6 for a, b in zip(totals, totals[1:]))
         assert seq_rows[0]["days_since_prev"] == -1
         assert all(r["days_since_prev"] >= 0 for r in seq_rows[1:])
+
+
+def test_bloom_filter_membership_and_fp_rate(spark):
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.operators import sketches as sk
+
+    members = spark.range(0, 50).select(F.col("id").cast("string").alias("k"))
+    words = sk.bloom_filter_words(sk.bloom_registers(members, "k"))
+    probes = spark.range(0, 2050).select(F.col("id").cast("string").alias("k"))
+    hits = probes.filter(sk.bloom_might_contain(F.col("k"), words))
+    got = {int(r["k"]) for r in hits.collect()}
+    # no false negatives, ever
+    assert set(range(50)) <= got
+    # 50 keys in 7936 bits -> FP rate way under 1% for 2000 non-members
+    assert len(got - set(range(50))) < 20
+
+
+def test_bloom_semi_join_matches_exact_semi_join(spark):
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.operators import sketches as sk
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    o = load_table(spark, SF_SMOKE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    got = sk.bloom_semi_join(li, o, "l_orderkey", "o_orderkey")
+    keys = o.select(F.col("o_orderkey").alias("l_orderkey")).distinct()
+    want = li.join(keys, "l_orderkey", "left_semi")
+    assert got.count() == want.count()
+    assert got.select("l_orderkey").subtract(want.select("l_orderkey")).count() == 0
+
+
+def test_bloom_prune_plan_is_narrow_filter_then_broadcast_semi(spark):
+    """Scale contract: the bloom predicate must sit scan-side as a pure
+    narrow filter (no join/exchange feeding it) and the exactness join
+    must broadcast — no SortMergeJoin, no extra shuffle of the fact."""
+    from kmeans_mapreduce_spark import plans
+    from kmeans_mapreduce_spark.analytics import q_lineitem_bloom_prune
+    from tests.conftest import SF_SMOKE
+
+    plan = plans.explain_str(q_lineitem_bloom_prune(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+    # the bloom conjunction (element_at over the literal bitmap) is a
+    # Filter in the fact scan stage, below the join
+    assert "element_at" in plan
