@@ -86,6 +86,17 @@ def q_lineitem_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (the third extension API next to the pandas_udf
+    UDF and the grouped-agg UDAF): context-window chunking of documents
+    via a lateral Python table function — 1 document row fans out to
+    ceil(n_tokens/64) chunk rows. The DuckDB oracle replays the token
+    windows independently; a test pins the vectorized Catalyst twin
+    (textops.chunk_docs_vectorized, the 100 TB hot path) to the same
+    rows."""
+    return tx.chunk_docs_udtf(load_table(spark, sf_dir, "documents"))
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (§2.2 gap): hour-of-day x event-type matrix of counts and
     value sums. Explicit pivot values keep the output schema static
@@ -460,11 +471,25 @@ GROUP BY l_returnflag
 """
 
 
+_TEXT_CHUNKS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS tok,
+         generate_subscripts(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''), 1) AS i
+  FROM documents
+)
+SELECT doc_id, ((i - 1) // {tx.CHUNK_TOKENS})::INT AS chunk_idx,
+       COUNT(*) AS n_tokens, md5(string_agg(tok, ' ' ORDER BY i)) AS fp
+FROM toks GROUP BY doc_id, chunk_idx
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_hll_distinct": q_events_hll_distinct,
         "orders_bloom_registers": q_orders_bloom_registers,
         "lineitem_bloom_prune": q_lineitem_bloom_prune,
+        "text_chunks": q_text_chunks,
         "events_pivot": q_events_pivot,
         "orders_running_window": q_orders_running_window,
         "text_repetition": q_text_repetition,
@@ -482,6 +507,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "events_hll_distinct": _hll_oracle(),
         "orders_bloom_registers": _BLOOM_REGISTERS_ORACLE,
         "lineitem_bloom_prune": _BLOOM_PRUNE_ORACLE,
+        "text_chunks": _TEXT_CHUNKS_ORACLE,
         "events_pivot": _pivot_oracle(),
         "orders_running_window": _RUNNING_WINDOW_ORACLE,
         "text_repetition": _REPETITION_ORACLE,

@@ -285,3 +285,96 @@ def corpus_profile(docs: DataFrame, digits: int = 6) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking — the UDTF surface (1 row -> N chunk rows)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+
+
+def make_chunk_udtf(chunk_tokens: int = CHUNK_TOKENS):
+    """Python UDTF (Spark 4 table function) splitting a document into
+    fixed token-budget context windows: one input row fans out to
+    ``ceil(n_tokens / chunk_tokens)`` rows of
+    ``(chunk_idx, n_tokens, fp)`` where ``fp`` is the md5 of the
+    space-rejoined chunk (portable — DuckDB computes the same string).
+
+    This is the missing third extension-API surface (UDF -> pandas_udf,
+    UDAF -> grouped-agg pandas_udf, UDTF -> here). A Python UDTF runs
+    row-at-a-time, so it is the API demo for logic Catalyst can't
+    express (a real BPE tokenizer would go here); for plain
+    token-window chunking the vectorized built-in twin below
+    (:func:`chunk_docs_vectorized`) is the 100 TB hot path — a
+    narrow explode with zero Python. Both produce identical rows
+    (tested) and the DuckDB oracle replays the math independently.
+    """
+    import hashlib
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx int, n_tokens long, fp string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            toks = [t for t in re.split(r"\s+", text or "") if t]
+            for i in range(0, len(toks), chunk_tokens):
+                chunk = toks[i : i + chunk_tokens]
+                yield (
+                    i // chunk_tokens,
+                    len(chunk),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    return ChunkDoc
+
+
+def chunk_docs_udtf(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS) -> DataFrame:
+    """Apply the chunking UDTF laterally: (doc_id, chunk_idx, n_tokens,
+    fp), one row per context window."""
+    spark = docs.sparkSession
+    spark.udtf.register("chunk_doc", make_chunk_udtf(chunk_tokens))
+    docs.select("doc_id", "text").createOrReplaceTempView("_chunk_docs_in")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.fp "
+        "FROM _chunk_docs_in d, LATERAL chunk_doc(d.text) c"
+    )
+
+
+def chunk_docs_vectorized(
+    docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS
+) -> DataFrame:
+    """Catalyst twin of the chunking UDTF: split -> one explode over
+    the chunk indices -> slice + array_join + md5, all JVM-side inside
+    whole-stage codegen. Scale shape: narrow map with a 1->ceil(n/C)
+    fan-out, no shuffle, column pruning to (doc_id, text)."""
+    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    C = chunk_tokens
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.ceil(F.size("toks") / F.lit(C)).cast("int") - 1, F.lit(0)
+                    ),
+                )
+            ).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice(F.col("toks"), F.col("chunk_idx") * C + 1, C).alias("chunk"),
+        )
+        .filter(F.size("chunk") > 0)
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk").cast("long").alias("n_tokens"),
+            F.md5(F.array_join("chunk", " ")).alias("fp"),
+        )
+    )

@@ -331,3 +331,29 @@ def test_bloom_prune_plan_is_narrow_filter_then_broadcast_semi(spark):
     # the bloom conjunction (element_at over the literal bitmap) is a
     # Filter in the fact scan stage, below the join
     assert "element_at" in plan
+
+
+def test_chunk_udtf_matches_vectorized_twin(spark):
+    """The Python UDTF (API surface) and the Catalyst built-in twin
+    (hot path) must produce identical chunk rows."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = tx.chunk_docs_udtf(docs)
+    b = tx.chunk_docs_vectorized(docs)
+    assert a.count() == b.count()
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_chunk_vectorized_is_narrow(spark):
+    from kmeans_mapreduce_spark import plans
+    from kmeans_mapreduce_spark.operators import textops as tx
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    df = tx.chunk_docs_vectorized(load_table(spark, SF_SMOKE, "documents"))
+    plan = plans.explain_str(df)
+    assert "Exchange" not in plan and "Join" not in plan
+    assert set(plans.scan_columns(df)) == {"doc_id", "text"}
