@@ -267,6 +267,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typo-tolerant near-dup pairs by prefix edit distance — q-gram
+    count-filter + exact levenshtein verify (dedup.fuzzy_prefix_pairs)."""
+    return dd.fuzzy_prefix_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.duplicated_span_stats(load_table(spark, sf_dir, "documents"))
 
@@ -1145,6 +1151,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "corpus_profile": q_corpus_profile,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
         "dedup_span_fraction": q_dedup_span_fraction,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
@@ -1543,6 +1550,39 @@ SELECT doc_id, canonical_id,
                  < {sp.SPLIT_TRAIN_PCT}
             THEN 'train' ELSE 'eval' END AS split
 FROM j""",
+        "dedup_fuzzy_prefix": f"""
+WITH pre AS (
+  SELECT doc_id, substr(text, 1, {dd.FUZZY_PREFIX_LEN}) AS p,
+         length(substr(text, 1, {dd.FUZZY_PREFIX_LEN})) AS plen
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(list_distinct(
+           [substr(p, i, {dd.FUZZY_Q})
+            for i in range(1, plen - {dd.FUZZY_Q} + 2)])) AS g
+  FROM pre WHERE plen >= {dd.FUZZY_Q}
+),
+hot AS (
+  SELECT g FROM grams GROUP BY g HAVING COUNT(*) > {dd.FUZZY_DF_CAP}
+),
+capped AS (
+  SELECT gr.* FROM grams gr LEFT JOIN hot h ON h.g = gr.g WHERE h.g IS NULL
+),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id)
+SELECT doc_a, doc_b, levenshtein(x.p, y.p)::BIGINT AS dist
+FROM shared
+JOIN pre x ON x.doc_id = doc_a
+JOIN pre y ON y.doc_id = doc_b
+JOIN sizes sx ON sx.doc_id = doc_a
+JOIN sizes sy ON sy.doc_id = doc_b
+WHERE shared >= greatest(greatest(sx.sz, sy.sz)
+                         - {dd.FUZZY_MAX_DIST * dd.FUZZY_Q}, 1)
+  AND levenshtein(x.p, y.p) <= {dd.FUZZY_MAX_DIST}""",
         "dedup_ngram_jaccard": f"""
 WITH d AS (
   SELECT doc_id, lang, (n_chars // 100)::INTEGER AS len_bucket,

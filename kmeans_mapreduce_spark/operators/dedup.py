@@ -837,3 +837,109 @@ def duplicated_span_stats(docs: DataFrame, digits: int = 6) -> DataFrame:
             digits,
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance (typo-tolerant) fuzzy self-join — q-gram filter + verify
+# ---------------------------------------------------------------------------
+
+FUZZY_PREFIX_LEN = 40  # compare field: first N chars of the document
+FUZZY_Q = 4  # q-gram width
+FUZZY_MAX_DIST = 5  # Levenshtein threshold
+FUZZY_DF_CAP = 100  # posting-list document-frequency cap (skew guard)
+
+
+def fuzzy_prefix_pairs(
+    docs: DataFrame,
+    prefix_len: int = FUZZY_PREFIX_LEN,
+    q: int = FUZZY_Q,
+    max_dist: int = FUZZY_MAX_DIST,
+    df_cap: int | None = FUZZY_DF_CAP,
+) -> DataFrame:
+    """Typo-tolerant near-dup join: document pairs whose text prefixes
+    are within ``max_dist`` edits, found WITHOUT an all-pairs
+    Levenshtein — the q-gram count-filter + verify similarity join
+    (Gravano et al., VLDB 2001 family).
+
+    Count filter: one edit destroys at most ``q`` distinct q-grams, so
+    prefixes within ``max_dist`` edits share at least
+    ``max(|Ga|,|Gb|) − max_dist·q`` of their distinct q-grams — and the
+    same argument holds inside the df-capped gram universe (an edit
+    still destroys ≤ q of the surviving grams), so the filter keeps its
+    no-false-negative guarantee even with hot grams dropped, as long as
+    sizes are measured on the capped sets. Candidates come from
+    an inverted q-gram index (same machinery as
+    :func:`ngram_jaccard_pairs`: explode → equi-join on the gram →
+    count shared per pair), the count filter prunes, and an exact
+    ``levenshtein`` verifies survivors — so false positives are
+    impossible and recall is the filter bound's (a test checks it
+    equals brute force on real data).
+
+    Scale shape: shuffle keyed by q-gram; postings hotter than
+    ``df_cap`` docs are dropped via broadcast anti-join before the
+    self-join (mirrored in the oracle twin), bounding the worst-case
+    fan-out at O(df_cap²) per gram. The verify join touches only
+    candidate pairs. No per-pair work before the count filter.
+    """
+    pre = docs.select(
+        "doc_id",
+        F.substring("text", 1, prefix_len).alias("p"),
+    ).withColumn("plen", F.length("p"))
+    # materialize once: feeds postings, the count-filter lengths, and
+    # both verify sides (same barrier rationale as ngram_jaccard_pairs)
+    pre = pre.localCheckpoint(eager=False)
+
+    grams = pre.filter(F.col("plen") >= q).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("plen") - q + 1),
+                    lambda i: F.col("p").substr(i, F.lit(q)),
+                )
+            )
+        ).alias("g"),
+    )
+    if df_cap is not None:
+        hot = (
+            grams.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > df_cap)
+            .select("g")
+        )
+        grams = grams.join(F.broadcast(hot), "g", "left_anti")
+    grams = grams.localCheckpoint(eager=False)
+    sizes = grams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = grams.alias("a"), grams.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    pa = pre.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("p").alias("pa"),
+        F.col("sz").alias("sza"),
+    )
+    pb = pre.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("p").alias("pb"),
+        F.col("sz").alias("szb"),
+    )
+    required = F.greatest(
+        F.greatest("sza", "szb") - F.lit(max_dist * q), F.lit(1)
+    )
+    return (
+        shared.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .filter(F.col("shared") >= required)
+        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -353,6 +353,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "dedup_simhash",
     "dedup_embedding",
     "dedup_ngram_jaccard",
+    "dedup_fuzzy_prefix",
     "similarity_topk",
     "similarity_ann_ivf",
     "text_quality",

@@ -514,3 +514,35 @@ def test_rolling_zscore_range_frame(spark):
     assert got[200][0] == 2
     assert got[200][1] == pytest.approx(25.0 / 50**0.5, abs=1e-6)
     assert got[5000] == (0, None)  # everything aged out of the window
+
+
+def test_fuzzy_prefix_pairs_match_brute_force(spark):
+    """The q-gram count filter must lose nothing: blocked+verified
+    pairs == all-pairs Levenshtein on the same prefixes (and the exact
+    verify means precision is 1 by construction)."""
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.operators import dedup as dd
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in dd.fuzzy_prefix_pairs(docs).collect()
+    }
+    pre = docs.select(
+        "doc_id", F.substring("text", 1, dd.FUZZY_PREFIX_LEN).alias("p")
+    )
+    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    brute = (
+        a.crossJoin(b)
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+        .filter(F.col("dist") <= dd.FUZZY_MAX_DIST)
+    )
+    want = {
+        (r["doc_a"], r["doc_b"], r["dist"]) for r in brute.collect()
+    }
+    assert got == want and want, "expected non-empty planted near-dups"
