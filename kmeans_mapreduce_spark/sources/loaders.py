@@ -11,7 +11,7 @@ write is a standard DataFrame sink.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
@@ -167,6 +167,65 @@ def write_sorted(df: DataFrame, path: str, key: str, files: int = 8) -> None:
     (
         df.repartitionByRange(files, F.col(key))
         .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+ZORDER_BITS = 16
+
+
+def zorder_key(cols: list[Column], mins: list[float], maxs: list[float],
+               bits: int = ZORDER_BITS) -> Column:
+    """Morton (Z-order) key: min-max quantize each column to ``bits``
+    bits, then interleave — points close in EVERY dimension get close
+    keys, so sorting by the key gives row groups tight min/max stats
+    on ALL dimensions at once (the multi-column generalization of
+    :func:`write_sorted`'s single-key layout). Pure Catalyst integer
+    expressions inside codegen; no UDF.
+    """
+    top = (1 << bits) - 1
+    qs = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = (hi - lo) or 1.0
+        q = F.floor((c - F.lit(lo)) / F.lit(span) * F.lit(float(top)))
+        qs.append(F.least(F.greatest(q, F.lit(0)), F.lit(top)).cast("long"))
+    z = F.lit(0).cast("long")
+    d = len(qs)
+    for b in range(bits):
+        for i, q in enumerate(qs):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * d + i))
+    return z
+
+
+def write_zorder(
+    df: DataFrame, path: str, cols: list[str], files: int = 8,
+    bits: int = ZORDER_BITS,
+) -> None:
+    """Z-order clustered parquet sink — MULTI-dimension data skipping.
+
+    One tiny min/max aggregate fixes the quantization box (the only
+    extra pass; at cluster scale use static bounds or yesterday's), a
+    range exchange on the Morton key splits files into near-disjoint
+    z-ranges, and the within-partition sort tightens per-row-group
+    stats on every z-ordered column simultaneously — a 2-D box filter
+    then prunes most row groups, where a single-key sort can only
+    prune on its own column. tests/test_sources.py measures exactly
+    that against parquet row-group statistics.
+    """
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{c}") for c in cols],
+        *[F.max(c).alias(f"hi_{c}") for c in cols],
+    ).collect()[0]
+    mins = [float(bounds[f"lo_{c}"]) for c in cols]
+    maxs = [float(bounds[f"hi_{c}"]) for c in cols]
+    z = zorder_key([F.col(c) for c in cols], mins, maxs, bits)
+    (
+        df.withColumn("_z", z)
+        .repartitionByRange(files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
         .write.mode("overwrite")
         .parquet(path)
     )

@@ -174,3 +174,53 @@ def test_write_sorted_rowgroup_stats_disjoint(spark, tmp_path):
     got = spark.read.parquet(out).filter(F.col("k") < 100).count()
     want = df.filter(F.col("k") < 100).count()
     assert got == want
+
+
+def test_write_zorder_prunes_2d_box_better_than_1d_sort(spark, tmp_path):
+    """The z-ordered layout must let a 2-D box predicate skip more row
+    groups (by parquet min/max stats on BOTH columns) than a layout
+    sorted on x alone — the property that makes the sink worth its
+    extra pass — and reads must stay exact."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kmeans_mapreduce_spark.sources.loaders import write_sorted, write_zorder
+
+    df = (
+        spark.range(0, 40_000)
+        .withColumn("x", (F.col("id") * 2654435761 % 1000).cast("double"))
+        .withColumn("y", (F.col("id") * 40503 % 1000).cast("double"))
+        .drop("id")
+    )
+
+    def groups_hit(path: str, lo: float, hi: float) -> tuple[int, int]:
+        hit = total = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {
+                md.row_group(0).column(i).path_in_schema: i
+                for i in range(md.num_columns)
+            }
+            for g in range(md.num_row_groups):
+                total += 1
+                sx = md.row_group(g).column(idx["x"]).statistics
+                sy = md.row_group(g).column(idx["y"]).statistics
+                if sx.min <= hi and sx.max >= lo and sy.min <= hi and sy.max >= lo:
+                    hit += 1
+        return hit, total
+
+    z_out = str(tmp_path / "zorder")
+    s_out = str(tmp_path / "xsort")
+    write_zorder(df, z_out, cols=["x", "y"], files=16)
+    write_sorted(df, s_out, key="x", files=16)
+
+    lo, hi = 100.0, 200.0  # ~1% of the (x, y) plane
+    z_hit, z_total = groups_hit(z_out, lo, hi)
+    s_hit, s_total = groups_hit(s_out, lo, hi)
+    assert z_total >= 16 and s_total >= 16
+    # x-sort can bound x but knows nothing about y; z-order bounds both
+    assert z_hit / z_total < s_hit / s_total
+
+    box = (F.col("x") >= lo) & (F.col("x") <= hi) & (F.col("y") >= lo) & (F.col("y") <= hi)
+    assert spark.read.parquet(z_out).filter(box).count() == df.filter(box).count()
