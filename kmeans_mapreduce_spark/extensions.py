@@ -1553,36 +1553,50 @@ FROM j""",
         "dedup_fuzzy_prefix": f"""
 WITH pre AS (
   SELECT doc_id, substr(text, 1, {dd.FUZZY_PREFIX_LEN}) AS p,
-         length(substr(text, 1, {dd.FUZZY_PREFIX_LEN})) AS plen
+         length(substr(text, 1, {dd.FUZZY_PREFIX_LEN}))::INT AS plen
   FROM documents
 ),
-grams AS (
-  SELECT doc_id, unnest(list_distinct(
-           [substr(p, i, {dd.FUZZY_Q})
-            for i in range(1, plen - {dd.FUZZY_Q} + 2)])) AS g
-  FROM pre WHERE plen >= {dd.FUZZY_Q}
+segs AS (
+  SELECT pre.doc_id AS doc_s, plen AS L, i,
+         substr(p, 1 + i * (plen // {dd.FUZZY_MAX_DIST + 1})
+                     + least(i, plen % {dd.FUZZY_MAX_DIST + 1}),
+                CASE WHEN i < plen % {dd.FUZZY_MAX_DIST + 1}
+                     THEN plen // {dd.FUZZY_MAX_DIST + 1} + 1
+                     ELSE plen // {dd.FUZZY_MAX_DIST + 1} END) AS s
+  FROM pre, range(0, {dd.FUZZY_MAX_DIST + 1}) r(i)
+  WHERE plen >= {dd.FUZZY_MAX_DIST + 1}
 ),
-hot AS (
-  SELECT g FROM grams GROUP BY g HAVING COUNT(*) > {dd.FUZZY_DF_CAP}
+lens AS (SELECT DISTINCT plen AS L FROM pre WHERE plen >= {dd.FUZZY_MAX_DIST + 1}),
+probe AS (
+  SELECT b.doc_id AS doc_p, L, i,
+         substr(b.p,
+                1 + i * (L // {dd.FUZZY_MAX_DIST + 1}) + least(i, L % {dd.FUZZY_MAX_DIST + 1}) + d,
+                CASE WHEN i < L % {dd.FUZZY_MAX_DIST + 1}
+                     THEN L // {dd.FUZZY_MAX_DIST + 1} + 1
+                     ELSE L // {dd.FUZZY_MAX_DIST + 1} END) AS s
+  FROM pre b, lens, range(0, {dd.FUZZY_MAX_DIST + 1}) r(i),
+       range({-dd.FUZZY_MAX_DIST}, {dd.FUZZY_MAX_DIST + 1}) sh(d)
+  WHERE L <= b.plen AND b.plen - L <= {dd.FUZZY_MAX_DIST}
+    AND 1 + i * (L // {dd.FUZZY_MAX_DIST + 1}) + least(i, L % {dd.FUZZY_MAX_DIST + 1}) + d >= 1
+    AND i * (L // {dd.FUZZY_MAX_DIST + 1}) + least(i, L % {dd.FUZZY_MAX_DIST + 1}) + d
+        + (CASE WHEN i < L % {dd.FUZZY_MAX_DIST + 1}
+                THEN L // {dd.FUZZY_MAX_DIST + 1} + 1
+                ELSE L // {dd.FUZZY_MAX_DIST + 1} END) <= b.plen
 ),
-capped AS (
-  SELECT gr.* FROM grams gr LEFT JOIN hot h ON h.g = gr.g WHERE h.g IS NULL
-),
-shared AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-  FROM capped a JOIN capped b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id)
+cand AS (
+  SELECT DISTINCT least(doc_s, doc_p) AS doc_a, greatest(doc_s, doc_p) AS doc_b
+  FROM segs JOIN probe USING (L, i, s)
+  WHERE doc_s <> doc_p
+  UNION
+  SELECT a.doc_id, b.doc_id
+  FROM pre a JOIN pre b ON a.doc_id < b.doc_id
+  WHERE a.plen <= {2 * dd.FUZZY_MAX_DIST} AND b.plen <= {2 * dd.FUZZY_MAX_DIST}
+)
 SELECT doc_a, doc_b, levenshtein(x.p, y.p)::BIGINT AS dist
-FROM shared
+FROM cand
 JOIN pre x ON x.doc_id = doc_a
 JOIN pre y ON y.doc_id = doc_b
-JOIN sizes sx ON sx.doc_id = doc_a
-JOIN sizes sy ON sy.doc_id = doc_b
-WHERE shared >= greatest(greatest(sx.sz, sy.sz)
-                         - {dd.FUZZY_MAX_DIST * dd.FUZZY_Q}, 1)
-  AND levenshtein(x.p, y.p) <= {dd.FUZZY_MAX_DIST}""",
+WHERE levenshtein(x.p, y.p) <= {dd.FUZZY_MAX_DIST}""",
         "dedup_ngram_jaccard": f"""
 WITH d AS (
   SELECT doc_id, lang, (n_chars // 100)::INTEGER AS len_bucket,
