@@ -229,3 +229,51 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_upsert(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str,
+    version_col: str,
+) -> None:
+    """SCD-1 MERGE: upsert ``updates`` into a parquet target — the
+    latest ``version_col`` per ``key`` wins, ties (same key+version in
+    target and updates) resolve to the update.
+
+    Shape: union + one window pass keyed by ``key`` (single shuffle),
+    then an atomic directory swap (write to ``<path>._staged``, then
+    rename) so readers never observe a half-written table and a failed
+    job leaves the old generation intact — the poor man's version of
+    the transaction log a real lakehouse format (Delta/Iceberg/Hudi)
+    provides; at 100 TB use one of those so MERGE rewrites only the
+    touched files instead of the whole table. Re-applying the same
+    batch is idempotent (tested).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    src = updates.withColumn("_prio", F.lit(1))
+    if os.path.isdir(target_path):
+        current = spark.read.parquet(target_path).withColumn(
+            "_prio", F.lit(0)
+        )
+        src = current.unionByName(src)
+    w = Window.partitionBy(key).orderBy(
+        F.col(version_col).desc(), F.col("_prio").desc()
+    )
+    merged = (
+        src.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_prio")
+    )
+    staged = f"{target_path}._staged"
+    merged.write.mode("overwrite").parquet(staged)
+    old = f"{target_path}._old"
+    if os.path.isdir(target_path):
+        os.rename(target_path, old)
+    os.rename(staged, target_path)
+    shutil.rmtree(old, ignore_errors=True)

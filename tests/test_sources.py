@@ -224,3 +224,30 @@ def test_write_zorder_prunes_2d_box_better_than_1d_sort(spark, tmp_path):
 
     box = (F.col("x") >= lo) & (F.col("x") <= hi) & (F.col("y") >= lo) & (F.col("y") <= hi)
     assert spark.read.parquet(z_out).filter(box).count() == df.filter(box).count()
+
+
+def test_merge_upsert_latest_version_wins_and_idempotent(spark, tmp_path):
+    from kmeans_mapreduce_spark.sources.loaders import merge_upsert
+
+    target = str(tmp_path / "dim")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10), (3, "c", 10)], "k LONG, v STRING, ver LONG"
+    )
+    merge_upsert(spark, target, b1, key="k", version_col="ver")
+    # batch 2: update k=2, insert k=4, stale row for k=3 (older version)
+    b2 = spark.createDataFrame(
+        [(2, "B", 20), (4, "d", 20), (3, "STALE", 5)], "k LONG, v STRING, ver LONG"
+    )
+    merge_upsert(spark, target, b2, key="k", version_col="ver")
+    got = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 20), 3: ("c", 10), 4: ("d", 20)}
+    # re-applying the same batch changes nothing (idempotent merge)
+    merge_upsert(spark, target, b2, key="k", version_col="ver")
+    again = {r["k"]: (r["v"], r["ver"]) for r in spark.read.parquet(target).collect()}
+    assert again == got
+    # same key+version as target resolves to the update, not the old row
+    b3 = spark.createDataFrame([(1, "A2", 10)], "k LONG, v STRING, ver LONG")
+    merge_upsert(spark, target, b3, key="k", version_col="ver")
+    assert {
+        r["k"]: r["v"] for r in spark.read.parquet(target).collect()
+    }[1] == "A2"
