@@ -520,3 +520,43 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_merge_upsert(
+    stream: DataFrame,
+    target_path: str,
+    key: str,
+    version_col: str,
+    checkpoint_dir: str,
+):
+    """STREAMING MERGE: continuously upsert a change stream into a
+    parquet serving table — every micro-batch runs the batch
+    :func:`~kmeans_mapreduce_spark.sources.loaders.merge_upsert`
+    (latest ``version_col`` per ``key`` wins) inside ``foreachBatch``.
+
+    Exactly-once effect without a transactional sink: the merge is
+    IDEMPOTENT (re-merging the same rows changes nothing), so a batch
+    replayed after a crash-before-checkpoint converges to the same
+    table — idempotent-writer-over-at-least-once-delivery, the
+    standard recipe for non-transactional stores. State lives in the
+    target table itself; the state store is never involved, so
+    arbitrarily many keys cost nothing between batches. At 100 TB the
+    target should be a lakehouse table (Delta/Iceberg) so each MERGE
+    rewrites only touched files; the micro-batch plan is identical.
+    """
+    from kmeans_mapreduce_spark.sources.loaders import merge_upsert
+
+    def apply(batch_df, _bid):
+        if not batch_df.take(1):
+            return
+        merge_upsert(
+            batch_df.sparkSession, target_path, batch_df, key, version_col
+        )
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -608,3 +608,46 @@ def test_stream_funnel_matches_batch_counts(spark, events_dir, schema):
         for r in ev.funnel(load_table(spark, SF, "events")).collect()
     }
     assert got == batch
+
+
+def test_stream_merge_upsert_serving_table(spark, tmp_path_factory):
+    """Change stream → parquet serving table: micro-batch 2's updates
+    must overwrite batch 1's rows for the same key (latest version
+    wins), inserts must appear, and replaying the stream from scratch
+    over the same files must converge to the same table (idempotent
+    merge = exactly-once effect)."""
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    base = tmp_path_factory.mktemp("merge_stream")
+    src = str(base / "src")
+    import os
+
+    os.makedirs(src)
+    pd.DataFrame(
+        {"k": [1, 2], "v": ["a", "b"], "ver": [10, 10]}
+    ).to_parquet(f"{src}/00.parquet")
+    pd.DataFrame(
+        {"k": [2, 3], "v": ["B", "c"], "ver": [20, 20]}
+    ).to_parquet(f"{src}/01.parquet")
+
+    def run(target, ckpt):
+        stream = (
+            spark.readStream.schema("k LONG, v STRING, ver LONG")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = so.stream_merge_upsert(stream, target, "k", "ver", ckpt)
+        q.awaitTermination(120)
+        return {
+            r["k"]: (r["v"], r["ver"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+    t1 = str(base / "t1")
+    got = run(t1, str(base / "ck1"))
+    assert got == {1: ("a", 10), 2: ("B", 20), 3: ("c", 20)}
+    # fresh checkpoint, same source files -> same table (idempotent)
+    got2 = run(t1, str(base / "ck2"))
+    assert got2 == got
