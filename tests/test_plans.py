@@ -222,3 +222,48 @@ def test_salted_join_matches_unsalted(spark):
     )
     plain = sorted(map(tuple, left.join(right, "k").collect()))
     assert salted == plain and len(plain) > 1000  # hot key matched twice
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """Scale contract for skew the engine does NOT hand-salt: AQE's
+    skew-join rule must kick in on a hot key and split the oversized
+    partition (SortMergeJoin(skew=true) in the final adaptive plan).
+    salted_join covers the manual path; this pins the automatic one."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        # 150k rows on ONE hot key vs a uniform right side
+        left = spark.range(0, 160_000).select(
+            F.when(F.col("id") < 150_000, F.lit(7))
+            .otherwise(F.col("id") % 100)
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string")).alias("pl"),
+        )
+        right = spark.range(0, 100).select(
+            F.col("id").alias("k"), F.col("id").alias("rv")
+        )
+        joined = left.join(right, "k")
+        # execute THIS dataset so its own AdaptiveSparkPlan finalizes
+        # (count() would plan and run a different Dataset)
+        assert len(joined.collect()) == 160_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
