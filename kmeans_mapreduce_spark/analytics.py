@@ -97,6 +97,17 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_docs_udtf(load_table(spark, sf_dir, "documents"))
 
 
+def q_embeddings_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA of the embeddings table (operators/pca.py):
+    one Arrow partial-aggregation pass for the sufficient statistics,
+    driver eigh, narrow projection map. Rows-only by declared contract
+    (numerical eigendecomposition, like kmeans_fit); numpy-parity and
+    orthonormality tests pin correctness."""
+    from kmeans_mapreduce_spark.operators import pca
+
+    return pca.pca_pipeline(load_table(spark, sf_dir, "embeddings"))
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (§2.2 gap): hour-of-day x event-type matrix of counts and
     value sums. Explicit pivot values keep the output schema static
@@ -490,6 +501,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bloom_registers": q_orders_bloom_registers,
         "lineitem_bloom_prune": q_lineitem_bloom_prune,
         "text_chunks": q_text_chunks,
+        "embeddings_pca": q_embeddings_pca,
         "events_pivot": q_events_pivot,
         "orders_running_window": q_orders_running_window,
         "text_repetition": q_text_repetition,

@@ -357,3 +357,63 @@ def test_chunk_vectorized_is_narrow(spark):
     plan = plans.explain_str(df)
     assert "Exchange" not in plan and "Join" not in plan
     assert set(plans.scan_columns(df)) == {"doc_id", "text"}
+
+
+def test_pca_matches_single_node_numpy(spark):
+    """Distributed sufficient-statistics PCA must equal numpy PCA on
+    the collected matrix: same components (sign-fixed), same projected
+    coordinates, orthonormal basis, descending explained variance."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.operators import pca
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    mean, comps, evs = pca.pca_fit(emb, "embedding", k=8)
+    W = np.array(comps)
+
+    X = np.array(
+        [r["embedding"] for r in emb.select("embedding").collect()],
+        dtype=np.float64,
+    )
+    ref_mean = X.mean(axis=0)
+    cov = np.cov(X, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:8]
+    ref = []
+    for idx in order:
+        vec = v[:, idx]
+        j = int(np.argmax(np.abs(vec)))
+        ref.append(vec if vec[j] >= 0 else -vec)
+    ref = np.array(ref)
+
+    assert np.allclose(mean, ref_mean, atol=1e-9)
+    assert np.allclose(W, ref, atol=1e-6)
+    assert np.allclose(W @ W.T, np.eye(8), atol=1e-9)  # orthonormal
+    assert all(a >= b - 1e-12 for a, b in zip(evs, evs[1:]))  # sorted
+    assert np.allclose(evs, [w[i] for i in order], atol=1e-6)
+
+    got = {
+        r["vec_id"]: r["pc"]
+        for r in pca.pca_project(emb, mean, comps).collect()
+    }
+    ids = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    want = np.round((X - ref_mean) @ ref.T, 6)
+    for i, vid in enumerate(ids):
+        assert np.allclose(got[vid], want[i], atol=1e-5)
+
+
+def test_pca_projection_variance_equals_eigenvalues(spark):
+    import numpy as np
+
+    from kmeans_mapreduce_spark.operators import pca
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    mean, comps, evs = pca.pca_fit(emb, "embedding", k=4)
+    P = np.array(
+        [r["pc"] for r in pca.pca_project(emb, mean, comps).collect()]
+    )
+    assert np.allclose(P.var(axis=0, ddof=1), evs, rtol=1e-3)
