@@ -273,6 +273,7 @@ def merge_upsert(
     staged = f"{target_path}._staged"
     merged.write.mode("overwrite").parquet(staged)
     old = f"{target_path}._old"
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a past crash
     if os.path.isdir(target_path):
         os.rename(target_path, old)
     os.rename(staged, target_path)
