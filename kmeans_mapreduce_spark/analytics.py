@@ -97,6 +97,13 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.chunk_docs_udtf(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_chunks_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vectorized Catalyst twin of q_text_chunks (explode + slice +
+    md5, zero Python) — registered separately so the bench shows the
+    builtin-vs-UDTF gap and the oracle gates both forms."""
+    return tx.chunk_docs_vectorized(load_table(spark, sf_dir, "documents"))
+
+
 def q_embeddings_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA of the embeddings table (operators/pca.py):
     one Arrow partial-aggregation pass for the sufficient statistics,
@@ -501,6 +508,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_bloom_registers": q_orders_bloom_registers,
         "lineitem_bloom_prune": q_lineitem_bloom_prune,
         "text_chunks": q_text_chunks,
+        "text_chunks_fast": q_text_chunks_fast,
         "embeddings_pca": q_embeddings_pca,
         "events_pivot": q_events_pivot,
         "orders_running_window": q_orders_running_window,
@@ -520,6 +528,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "orders_bloom_registers": _BLOOM_REGISTERS_ORACLE,
         "lineitem_bloom_prune": _BLOOM_PRUNE_ORACLE,
         "text_chunks": _TEXT_CHUNKS_ORACLE,
+        "text_chunks_fast": _TEXT_CHUNKS_ORACLE,
         "events_pivot": _pivot_oracle(),
         "orders_running_window": _RUNNING_WINDOW_ORACLE,
         "text_repetition": _REPETITION_ORACLE,

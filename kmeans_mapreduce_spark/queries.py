@@ -354,6 +354,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "dedup_embedding",
     "dedup_ngram_jaccard",
     "dedup_fuzzy_prefix",
+    "text_chunks",
+    "text_chunks_fast",
     "similarity_topk",
     "similarity_ann_ivf",
     "text_quality",
