@@ -355,34 +355,66 @@ est_{out} AS (
 # Bloom filter — semi-join reduction (runtime filter), oracle-replayable
 # ---------------------------------------------------------------------------
 
-BLOOM_WORDS = 128  # bitmap stored as this many long words
+BLOOM_WORDS = 128  # default bitmap size in long words (oracle twin pins this)
 BLOOM_WORD_BITS = 62  # bits used per word (shift <= 61 never overflows
 #                       a signed 64-bit value in either engine)
-BLOOM_BITS = BLOOM_WORDS * BLOOM_WORD_BITS  # 7936 bits total
-BLOOM_K = 3  # hash functions (seeded md5-family members)
+BLOOM_K = 3  # hash functions (20-bit slices of one 60-bit hash)
+BLOOM_BITS_PER_KEY = 10  # sizing target for the auto-sized semi-join filter
+BLOOM_MAX_WORDS = 16384  # 1,015,808 bits <= 2^20 (slice width); ~100k keys
 
 
-def bloom_positions(key: Column) -> Column:
-    """Array of the K bit positions one key sets — same seeded portable
-    hash family as the CMS, so DuckDB replays it bit-for-bit."""
-    from kmeans_mapreduce_spark.functions.hashing import h64_seeded
+def _bloom_hash(key: Column, native: bool) -> Column:
+    """Base hash. ``native=False`` -> portable md5 (DuckDB-replayable,
+    used by the register math-check); ``native=True`` -> xxhash64
+    (JVM-fast, ~6× cheaper per probe row — fine whenever the filter's
+    bits never need replaying, i.e. the semi-join path, whose oracle is
+    the plain semi-join)."""
+    from kmeans_mapreduce_spark.functions.hashing import h64
 
+    if native:
+        return F.xxhash64(key)
+    return h64(key)
+
+
+def bloom_positions(
+    key: Column, words: int = BLOOM_WORDS, native: bool = False
+) -> Column:
+    """Array of the K bit positions one key sets. ONE hash per key (not
+    K seeded hashes): the hash is sliced into K 20-bit fields, each
+    reduced mod the bitmap size — the slice-one-hash trick the HLL
+    uses, so the (huge) probe side hashes each fact row once."""
+    bits = words * BLOOM_WORD_BITS
+    assert bits <= 1 << 20, "bitmap exceeds the 20-bit slice space"
+    h = _bloom_hash(key, native)
     return F.array(
-        *[(h64_seeded(key, j) % BLOOM_BITS).cast("long") for j in range(BLOOM_K)]
+        *[
+            (
+                F.shiftrightunsigned(h, 20 * j)
+                .bitwiseAND(F.lit((1 << 20) - 1))  # sign-safe slice
+                % bits
+            ).cast("long")
+            for j in range(BLOOM_K)
+        ]
     )
 
 
-def bloom_registers(df: DataFrame, key: str) -> DataFrame:
+def bloom_registers(
+    df: DataFrame, key: str, words: int = BLOOM_WORDS, native: bool = False
+) -> DataFrame:
     """Build-side sketch: ``(word, bits)`` rows, ``bit_or``-merged.
 
     Bloom (CACM 1970). Scale shape mirrors the HLL/CMS registers: one
     narrow explode (K rows per input row) into a groupBy over at most
-    BLOOM_WORDS keys — map-side combine collapses every partition to
-    <= 128 partial words, so the exchange is constant-size no matter
-    how large the build side is, and register tables from different
-    datasets merge with another ``bit_or``."""
+    ``words`` keys — map-side combine collapses every partition to
+    constant-size partials, so the exchange is constant however large
+    the build side is, and register tables from different datasets
+    merge with another ``bit_or``."""
     return (
-        df.select(F.explode(bloom_positions(F.col(key).cast("string"))).alias("pos"))
+        df.select(
+            F.explode(
+                bloom_positions(F.col(key).cast("string"), words, native)
+            ).alias("pos")
+        )
         .select(
             F.expr(f"pos div {BLOOM_WORD_BITS}").alias("word"),
             F.expr(f"shiftleft(1L, cast(pos % {BLOOM_WORD_BITS} as int))").alias(
@@ -394,65 +426,119 @@ def bloom_registers(df: DataFrame, key: str) -> DataFrame:
     )
 
 
-def bloom_filter_words(registers: DataFrame) -> list[int]:
-    """Collect the register table into a dense 128-long bitmap (absent
-    words are 0). The collect moves at most 128 rows — the whole point:
-    a 1 KB summary of an arbitrarily large key set."""
+def bloom_filter_words(
+    registers: DataFrame, words: int = BLOOM_WORDS
+) -> list[int]:
+    """Collect the register table into a dense bitmap list (absent
+    words are 0). The collect moves at most ``words`` rows — the whole
+    point: a KB-scale summary of an arbitrarily large key set."""
     got = {r["word"]: r["bits"] for r in registers.collect()}
-    return [got.get(w, 0) for w in range(BLOOM_WORDS)]
+    return [got.get(w, 0) for w in range(words)]
 
 
-def bloom_might_contain(key: Column, words: list[int]) -> Column:
-    """Membership predicate over the driver-collected bitmap, inlined
-    as a literal array so Catalyst constant-folds it — the probe side
-    is a pure narrow filter (scan → filter, no join, no shuffle),
-    exactly the shape of Spark's own runtime bloom pruning. False
-    positives possible, false negatives impossible."""
-    from kmeans_mapreduce_spark.functions.hashing import h64_seeded
-
-    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+def _bloom_cond(
+    key: Column, bitmap: Column, n_words: int, native: bool
+) -> Column:
+    """Membership conjunction against an array-typed bitmap column."""
+    bits = n_words * BLOOM_WORD_BITS
+    h = _bloom_hash(key, native)
     conds = []
     for j in range(BLOOM_K):
-        pos = h64_seeded(key, j) % BLOOM_BITS
+        pos = (
+            F.shiftrightunsigned(h, 20 * j).bitwiseAND(F.lit((1 << 20) - 1))
+            % bits
+        )
         word = F.floor(pos / F.lit(BLOOM_WORD_BITS)).cast("int")
         bit = (pos % BLOOM_WORD_BITS).cast("int")
         mask = F.pow(F.lit(2.0), bit).cast("long")  # 2^b <= 2^61, exact
-        conds.append(F.element_at(arr, word + 1).bitwiseAND(mask) != 0)
+        conds.append(F.element_at(bitmap, word + 1).bitwiseAND(mask) != 0)
     out = conds[0]
     for c in conds[1:]:
         out = out & c
     return out
 
 
+def bloom_might_contain(
+    key: Column, words: list[int], native: bool = False
+) -> Column:
+    """Membership predicate over the driver-collected bitmap, inlined
+    as a literal array so Catalyst constant-folds it — the probe side
+    is a pure narrow filter (scan → filter, no join, no shuffle),
+    exactly the shape of Spark's own runtime bloom pruning. False
+    positives possible, false negatives impossible.
+
+    Expression-literal form: fine for the default 128-word bitmap; for
+    the auto-sized thousands-of-words filter the expression tree makes
+    analysis/codegen the bottleneck (measured 12-20 s at 8192 words) —
+    :func:`bloom_semi_join` ships the bitmap as a broadcast 1-row
+    dataset instead."""
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    return _bloom_cond(key, arr, len(words), native)
+
+
 def bloom_semi_join(
-    fact: DataFrame, build: DataFrame, fact_key: str, build_key: str
+    fact: DataFrame,
+    build: DataFrame,
+    fact_key: str,
+    build_key: str,
+    bits_per_key: int = BLOOM_BITS_PER_KEY,
 ) -> DataFrame:
     """Exact semi-join with a bloom pre-filter on the fact side.
 
     At 100 TB this is the classic semi-join reduction: the bloom filter
     (built with one constant-size-shuffle pass over the small side and
-    shipped to every executor as 1 KB of literals) drops most
+    shipped to every executor as a literal bitmap) drops most
     non-matching fact rows *before* any exchange, so the exact join —
     broadcast here; a shuffle join when the build side is huge — only
     sees survivors. The trailing exact join removes bloom false
     positives, so the result is identical to a plain semi-join, which
-    is what the DuckDB oracle checks."""
-    words = bloom_filter_words(bloom_registers(build, build_key))
-    pruned = fact.filter(
-        bloom_might_contain(F.col(fact_key).cast("string"), words)
-    )
+    is what the DuckDB oracle checks.
+
+    The bitmap is SIZED from the build cardinality (~10 bits/key →
+    ~1% false positives), capped at ~1 Mbit / ~128 KB of literals;
+    beyond ~100k build keys a literal-expression filter stops making
+    sense — switch to Spark's built-in runtime row filters or accept
+    the shuffle. Hashing is native xxhash64 (the filter's bits are
+    internal here; only the md5 register QUERY needs cross-engine
+    replay)."""
     keys = build.select(F.col(build_key).alias(fact_key)).distinct()
+    keys = keys.localCheckpoint(eager=False)
+    n = keys.count()
+    need = max(BLOOM_WORDS, (n * bits_per_key + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS)
+    words_n = min(BLOOM_MAX_WORDS, 1 << (need - 1).bit_length())
+    words = bloom_filter_words(
+        bloom_registers(keys, fact_key, words_n, native=True), words_n
+    )
+    # bitmap rides a broadcast 1-row dataset, NOT a literal expression:
+    # a KB-scale array literal makes analysis/codegen the bottleneck
+    bitmap_df = fact.sparkSession.createDataFrame(
+        [([int(w) for w in words],)], "_bloom_bitmap array<bigint>"
+    )
+    pruned = (
+        fact.crossJoin(F.broadcast(bitmap_df))
+        .filter(
+            _bloom_cond(
+                F.col(fact_key).cast("string"),
+                F.col("_bloom_bitmap"),
+                words_n,
+                native=True,
+            )
+        )
+        .drop("_bloom_bitmap")
+    )
     return pruned.join(F.broadcast(keys), fact_key, "left_semi")
 
 
 def bloom_sql(key_expr: str, relation: str) -> str:
     """DuckDB twin CTE ``bloom_registers(word, bits)`` — identical
-    integer math, so registers hash-match Spark's bit for bit."""
-    from kmeans_mapreduce_spark.functions.hashing import h64_seeded_sql
+    integer math (md5 base hash, 20-bit slices, default 128 words), so
+    registers hash-match Spark's bit for bit."""
+    from kmeans_mapreduce_spark.functions.hashing import h64_sql
 
+    bits = BLOOM_WORDS * BLOOM_WORD_BITS
     rows = " UNION ALL ".join(
-        f"SELECT ({h64_seeded_sql(key_expr, j)}) % {BLOOM_BITS} AS pos"
-        f" FROM {relation}"
+        f"SELECT (({h64_sql(key_expr)} >> {20 * j}) % {1 << 20})"
+        f" % {bits} AS pos FROM {relation}"
         for j in range(BLOOM_K)
     )
     return (
