@@ -1,10 +1,11 @@
 """Event-stream analytics in batch form (tumbling windows, sessions).
 
 These are the batch twins of the streaming module's queries — same
-semantics, oracle-checkable. Timestamps: the events table stores
-TIMESTAMP(NANOS) which Spark 4 reads as nanosecond longs (see
-session.py); epoch seconds = ``ts div 1e9`` ≡ DuckDB
-``epoch_ns(ts)//1e9`` (floor, verified bit-equal).
+semantics, oracle-checkable. Timestamps: ``loaders.load_table``
+normalizes ``events.ts`` to an epoch-nanos BIGINT whatever the parquet
+vintage (TIMESTAMP(NANOS) or TIMESTAMP_NTZ micros); epoch seconds =
+``ts div 1e9`` ≡ DuckDB ``epoch_ns(ts)//1e9`` (floor, verified
+bit-equal).
 """
 
 from __future__ import annotations

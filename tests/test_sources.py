@@ -187,10 +187,14 @@ def test_write_zorder_prunes_2d_box_better_than_1d_sort(spark, tmp_path):
 
     from kmeans_mapreduce_spark.sources.loaders import write_sorted, write_zorder
 
+    # two INDEPENDENT pseudo-random dims (hashes with different salts;
+    # affine functions of id would correlate and degenerate the test)
     df = (
         spark.range(0, 40_000)
-        .withColumn("x", (F.col("id") * 2654435761 % 1000).cast("double"))
-        .withColumn("y", (F.col("id") * 40503 % 1000).cast("double"))
+        .withColumn("x", F.pmod(F.xxhash64("id"), F.lit(1000)).cast("double"))
+        .withColumn(
+            "y", F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).cast("double")
+        )
         .drop("id")
     )
 
@@ -212,13 +216,13 @@ def test_write_zorder_prunes_2d_box_better_than_1d_sort(spark, tmp_path):
 
     z_out = str(tmp_path / "zorder")
     s_out = str(tmp_path / "xsort")
-    write_zorder(df, z_out, cols=["x", "y"], files=16)
-    write_sorted(df, s_out, key="x", files=16)
+    write_zorder(df, z_out, cols=["x", "y"], files=64)
+    write_sorted(df, s_out, key="x", files=64)
 
     lo, hi = 100.0, 200.0  # ~1% of the (x, y) plane
     z_hit, z_total = groups_hit(z_out, lo, hi)
     s_hit, s_total = groups_hit(s_out, lo, hi)
-    assert z_total >= 16 and s_total >= 16
+    assert z_total >= 64 and s_total >= 64
     # x-sort can bound x but knows nothing about y; z-order bounds both
     assert z_hit / z_total < s_hit / s_total
 
