@@ -338,6 +338,14 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining (similarity.hard_negatives):
+    top-5 nearest different-label vectors per probe."""
+    return sim.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, TOPK_K
+    )
+
+
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, ANN_K
@@ -853,6 +861,29 @@ SELECT * FROM p WHERE cosine >= {EMBED_COSINE_THRESHOLD}
 """
 
 
+def _hard_negatives_sql(k: int) -> str:
+    ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
+    return f"""
+WITH e AS (SELECT vec_id, label,
+                  list_transform(embedding, x -> x::DOUBLE) AS v
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+      FROM e WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id, e.label AS neg_label,
+         ROUND({_cosine_sql('q.qv', 'e.v')}, 6) AS cosine
+  FROM e JOIN q ON e.vec_id != q.query_id AND e.label != q.q_label
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, neg_label, rank::INTEGER AS rank, cosine
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def _topk_sql(k: int, bucketed: bool) -> str:
     ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
     planes = sim.plane_signs()
@@ -1156,6 +1187,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
+        "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_pq": q_similarity_ann_pq,
@@ -1649,6 +1681,7 @@ FROM per""",
         "dedup_simhash": _simhash_sql(),
         "dedup_embedding": _embedding_near_dup_sql(),
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
+        "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
         "similarity_ann_ivf": _ivf_ann_sql(),
         "similarity_ann_pq": _ivf_pq_ann_sql(),

@@ -553,3 +553,45 @@ def ivf_pq_rerank_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def hard_negatives(
+    emb: DataFrame, query_ids: list[int], k: int, digits: int = 6
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the k most-cosine-similar vectors with a DIFFERENT label —
+    the near-miss impostors a contrastive loss learns the most from
+    (easy negatives are far away and contribute ~zero gradient).
+
+    Same scale shape as :func:`cosine_topk`: the query side broadcasts,
+    the corpus is scanned once with a narrow cosine projection, and the
+    label inequality rides the broadcast join condition so same-label
+    rows never reach the top-k operator. At corpus scale swap the exact
+    scan for the IVF index (ivf_ann_topk) and post-filter labels with a
+    deeper k — identical output contract."""
+    e = emb.select(
+        "vec_id", "label", _as_double_vec(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("v").alias("qv"),
+    )
+    scored = e.join(
+        F.broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("q_label")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neg_label"),
+        F.round(cosine_sim(F.col("qv"), F.col("v")), digits).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "neg_label", "rank", "cosine")
+    )

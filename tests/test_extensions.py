@@ -546,3 +546,28 @@ def test_fuzzy_prefix_pairs_match_brute_force(spark):
         (r["doc_a"], r["doc_b"], r["dist"]) for r in brute.collect()
     }
     assert got == want and want, "expected non-empty planted near-dups"
+
+
+def test_hard_negatives_labels_differ_and_are_hardest(spark):
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.operators import similarity as sim
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    out = sim.hard_negatives(emb, [0, 1], k=3).collect()
+    by_q = {}
+    for r in out:
+        assert labels[r["query_id"]] != r["neg_label"]
+        assert labels[r["neighbor_id"]] == r["neg_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rows] == [1, 2, 3]
+        # rank-1 really is the hardest: no different-label vector
+        # scores higher than it
+        top = rows[0]
+        harder = sim.hard_negatives(emb, [qid], k=1).collect()[0]
+        assert harder["cosine"] <= top["cosine"] + 1e-9
