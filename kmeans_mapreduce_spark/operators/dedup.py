@@ -460,7 +460,7 @@ def ngram_jaccard_pairs(
 
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, small_graph_threshold: int = 100_000
 ) -> DataFrame:
     """Connected components over near-dup pairs — the CANONICALIZATION
     step after pair detection: duplicates form clusters (a~b, b~c ⇒
@@ -480,6 +480,15 @@ def connected_components(
     Output: (doc_id, cluster_rep) for every doc appearing in a pair.
     The DuckDB twin computes the identical fixpoint with a recursive
     transitive-closure CTE — an independent algorithm.
+
+    Adaptive small-graph path: a near-dup pair graph is usually
+    metadata-scale (pairs ∝ duplicates, not corpus), and paying ~2
+    Spark jobs per propagation round for a few thousand edges is all
+    fixed overhead — so below ``small_graph_threshold`` edges the
+    graph is collected and solved with driver-side union-find (same
+    min-id labels, same output), exactly the broadcast-the-small-side
+    logic applied to iteration. The distributed loop remains the path
+    for genuinely large graphs.
     """
     edges = (
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
@@ -487,6 +496,30 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    if small_graph_threshold and edges.count() <= small_graph_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        es = [(r["s"], r["t"]) for r in edges.collect()]
+        for s, t in es:
+            parent.setdefault(s, s)
+            parent.setdefault(t, t)
+            rs, rt = find(s), find(t)
+            if rs != rt:
+                parent[rs] = rt
+        comp_min: dict[int, int] = {}
+        for v in parent:
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        rows = [(int(v), int(comp_min[find(v)])) for v in sorted(parent)]
+        return pairs.sparkSession.createDataFrame(
+            rows, "doc_id LONG, cluster_rep LONG"
+        )
     labels = (
         edges.select(F.col("s").alias("id"))
         .distinct()

@@ -357,6 +357,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "text_chunks",
     "text_chunks_fast",
     "similarity_topk",
+    "similarity_hard_negatives",
     "similarity_ann_ivf",
     "text_quality",
     "text_tfidf",

@@ -571,3 +571,27 @@ def test_hard_negatives_labels_differ_and_are_hardest(spark):
         top = rows[0]
         harder = sim.hard_negatives(emb, [qid], k=1).collect()[0]
         assert harder["cosine"] <= top["cosine"] + 1e-9
+
+
+def test_connected_components_distributed_equals_unionfind(spark):
+    """The adaptive small-graph union-find and the distributed
+    min-label loop must produce identical labels; chain a-b-c-d plus a
+    separate pair exercises multi-hop propagation in both."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 4)],
+        "doc_a LONG, doc_b LONG",
+    )
+    fast = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in dd.connected_components(pairs).collect()
+    }
+    dist = {
+        (r["doc_id"], r["cluster_rep"])
+        for r in dd.connected_components(
+            pairs, small_graph_threshold=0
+        ).collect()
+    }
+    assert fast == dist
+    assert fast == {(1, 1), (2, 1), (3, 1), (4, 1), (20, 1), (10, 10), (11, 10)}
