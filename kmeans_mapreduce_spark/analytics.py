@@ -115,6 +115,35 @@ def q_embeddings_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.pca_pipeline(load_table(spark, sf_dir, "embeddings"))
 
 
+ORDER_PRIORITIES = [
+    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+]
+PRICE_LO, PRICE_HI = 0.0, 1000000.0
+
+
+def q_quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over orders (operators/quality):
+    4 row-local checks in ONE conditional-aggregate scan, a uniqueness
+    groupBy, and a broadcast-anti FK probe into customer — the ingest
+    validation gate a pipeline runs before data reaches training."""
+    from kmeans_mapreduce_spark.operators import quality as qc
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    rows = qc.row_checks(
+        o,
+        [
+            qc.not_null("o_custkey"),
+            qc.in_range("o_totalprice", PRICE_LO, PRICE_HI),
+            qc.accepted_values("o_orderpriority", ORDER_PRIORITIES),
+            qc.matches("o_orderstatus", "^[A-Z]$"),
+        ],
+    )
+    uniq = qc.unique_check(o, "o_orderkey")
+    fk = qc.foreign_key_check(o, "o_custkey", c, "c_custkey")
+    return rows.unionByName(uniq).unionByName(fk)
+
+
 def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT (§2.2 gap): hour-of-day x event-type matrix of counts and
     value sums. Explicit pivot values keep the output schema static
@@ -502,6 +531,43 @@ FROM toks GROUP BY doc_id, chunk_idx
 """
 
 
+_QUALITY_REPORT_ORACLE = f"""
+WITH base AS (
+  SELECT COUNT(*) AS n,
+         SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS v0,
+         SUM(CASE WHEN o_totalprice IS NULL
+                   OR o_totalprice < {PRICE_LO!r} OR o_totalprice > {PRICE_HI!r}
+                  THEN 1 ELSE 0 END) AS v1,
+         SUM(CASE WHEN o_orderpriority IS NULL OR o_orderpriority NOT IN
+                  ({", ".join("'" + p + "'" for p in ORDER_PRIORITIES)})
+                  THEN 1 ELSE 0 END) AS v2,
+         SUM(CASE WHEN o_orderstatus IS NULL
+                   OR NOT regexp_matches(o_orderstatus, '^[A-Z]$')
+                  THEN 1 ELSE 0 END) AS v3
+  FROM orders
+),
+kc AS (SELECT COUNT(*) AS c FROM orders GROUP BY o_orderkey),
+uq AS (SELECT SUM(c) AS n, COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS v FROM kc),
+fk AS (
+  SELECT (SELECT COUNT(*) FROM orders) AS n, COUNT(*) AS v
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+)
+SELECT 'not_null(o_custkey)' AS "check", n AS n_rows, v0::BIGINT AS violations, v0 = 0 AS passed FROM base
+UNION ALL
+SELECT 'in_range(o_totalprice,{PRICE_LO!r},{PRICE_HI!r})', n, v1::BIGINT, v1 = 0 FROM base
+UNION ALL
+SELECT 'accepted_values(o_orderpriority)', n, v2::BIGINT, v2 = 0 FROM base
+UNION ALL
+SELECT 'matches(o_orderstatus)', n, v3::BIGINT, v3 = 0 FROM base
+UNION ALL
+SELECT 'unique(o_orderkey)', n::BIGINT, v::BIGINT, v = 0 FROM uq
+UNION ALL
+SELECT 'foreign_key(o_custkey)', n::BIGINT, v::BIGINT, v = 0 FROM fk
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_hll_distinct": q_events_hll_distinct,
@@ -510,6 +576,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_chunks_fast": q_text_chunks_fast,
         "embeddings_pca": q_embeddings_pca,
+        "quality_report_orders": q_quality_report_orders,
         "events_pivot": q_events_pivot,
         "orders_running_window": q_orders_running_window,
         "text_repetition": q_text_repetition,
@@ -529,6 +596,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "lineitem_bloom_prune": _BLOOM_PRUNE_ORACLE,
         "text_chunks": _TEXT_CHUNKS_ORACLE,
         "text_chunks_fast": _TEXT_CHUNKS_ORACLE,
+        "quality_report_orders": _QUALITY_REPORT_ORACLE,
         "events_pivot": _pivot_oracle(),
         "orders_running_window": _RUNNING_WINDOW_ORACLE,
         "text_repetition": _REPETITION_ORACLE,

@@ -417,3 +417,53 @@ def test_pca_projection_variance_equals_eigenvalues(spark):
         [r["pc"] for r in pca.pca_project(emb, mean, comps).collect()]
     )
     assert np.allclose(P.var(axis=0, ddof=1), evs, rtol=1e-3)
+
+
+def test_quality_checks_count_planted_violations(spark):
+    from kmeans_mapreduce_spark.operators import quality as qc
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "A"), (1, -5.0, "B"), (2, 50.0, None), (3, None, "zz")],
+        "k LONG, price DOUBLE, status STRING",
+    )
+    rows = {
+        r["check"]: (r["violations"], r["passed"])
+        for r in qc.row_checks(
+            df,
+            [
+                qc.not_null("status"),
+                qc.in_range("price", 0.0, 100.0),
+                qc.matches("status", "^[A-Z]$"),
+            ],
+        ).collect()
+    }
+    assert rows["not_null(status)"] == (1, False)
+    # -5 out of range, NULL price counts as violation
+    assert rows["in_range(price,0.0,100.0)"] == (2, False)
+    # NULL and "zz" fail the regex
+    assert rows["matches(status)"] == (2, False)
+
+    uniq = qc.unique_check(df, "k").collect()[0]
+    assert (uniq["violations"], uniq["passed"]) == (2, False)
+
+    dim = spark.createDataFrame([(1,), (2,)], "k LONG")
+    fk = qc.foreign_key_check(df, "k", dim, "k").collect()[0]
+    assert (fk["violations"], fk["passed"]) == (1, False)
+
+
+def test_quality_row_checks_single_scan_no_join(spark):
+    from kmeans_mapreduce_spark import plans
+    from kmeans_mapreduce_spark.operators import quality as qc
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+    from tests.conftest import SF_SMOKE
+
+    o = load_table(spark, SF_SMOKE, "orders")
+    df = qc.row_checks(
+        o, [qc.not_null("o_custkey"), qc.in_range("o_totalprice", 0.0, 1e6)]
+    )
+    plan = plans.explain_str(df)
+    assert "Join" not in plan
+    # one base scan feeds every check: the union re-reads the
+    # checkpointed 1-row aggregate, never the table
+    assert plan.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
