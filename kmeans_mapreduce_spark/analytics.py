@@ -121,6 +121,28 @@ ORDER_PRIORITIES = [
 PRICE_LO, PRICE_HI = 0.0, 1000000.0
 
 
+def q_events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each user's first event per UTC day
+    (row_number over ONE (user, day)-keyed window ordered by the unique
+    (ts, event_id) pair — single shuffle, deterministic in both
+    engines)."""
+    from pyspark.sql.window import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.expr("ts div 1000000000 div 86400").alias("day")
+    w = W.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    return (
+        e.select("user_id", day, "ts", "event_id", "event_type", "value")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "day", "event_id",
+            F.col("event_type").alias("first_type"),
+            F.round("value", 2).alias("first_value"),
+        )
+    )
+
+
 def q_quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality report over orders (operators/quality):
     4 row-local checks in ONE conditional-aggregate scan, a uniqueness
@@ -531,6 +553,22 @@ FROM toks GROUP BY doc_id, chunk_idx
 """
 
 
+_FIRST_TOUCH_ORACLE = """
+WITH e AS (
+  SELECT user_id, (epoch_ns(ts) // 1000000000 // 86400)::BIGINT AS day,
+         epoch_ns(ts)::BIGINT AS tsn, event_id, event_type, value
+  FROM events
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id, day ORDER BY tsn, event_id
+  ) AS rn FROM e
+)
+SELECT user_id, day, event_id, event_type AS first_type,
+       ROUND(value, 2) AS first_value
+FROM r WHERE rn = 1
+"""
+
 _QUALITY_REPORT_ORACLE = f"""
 WITH base AS (
   SELECT COUNT(*) AS n,
@@ -577,6 +615,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks_fast": q_text_chunks_fast,
         "embeddings_pca": q_embeddings_pca,
         "quality_report_orders": q_quality_report_orders,
+        "events_first_touch": q_events_first_touch,
         "events_pivot": q_events_pivot,
         "orders_running_window": q_orders_running_window,
         "text_repetition": q_text_repetition,
@@ -597,6 +636,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "text_chunks": _TEXT_CHUNKS_ORACLE,
         "text_chunks_fast": _TEXT_CHUNKS_ORACLE,
         "quality_report_orders": _QUALITY_REPORT_ORACLE,
+        "events_first_touch": _FIRST_TOUCH_ORACLE,
         "events_pivot": _pivot_oracle(),
         "orders_running_window": _RUNNING_WINDOW_ORACLE,
         "text_repetition": _REPETITION_ORACLE,
