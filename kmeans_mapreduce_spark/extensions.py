@@ -268,8 +268,9 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_fuzzy_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typo-tolerant near-dup pairs by prefix edit distance — q-gram
-    count-filter + exact levenshtein verify (dedup.fuzzy_prefix_pairs)."""
+    """Typo-tolerant near-dup pairs by prefix edit distance — Pass-Join
+    segment blocking + thresholded levenshtein verify
+    (dedup.fuzzy_prefix_pairs)."""
     return dd.fuzzy_prefix_pairs(load_table(spark, sf_dir, "documents"))
 
 

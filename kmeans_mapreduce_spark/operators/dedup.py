@@ -516,9 +516,10 @@ def connected_components(
         for v in parent:
             r = find(v)
             comp_min[r] = min(comp_min.get(r, v), v)
-        rows = [(int(v), int(comp_min[find(v)])) for v in sorted(parent)]
+        rows = [(v, comp_min[find(v)]) for v in sorted(parent)]
+        id_type = pairs.schema["doc_a"].dataType.simpleString()
         return pairs.sparkSession.createDataFrame(
-            rows, "doc_id LONG, cluster_rep LONG"
+            rows, f"doc_id {id_type}, cluster_rep {id_type}"
         )
     labels = (
         edges.select(F.col("s").alias("id"))

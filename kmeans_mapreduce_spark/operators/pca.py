@@ -32,7 +32,10 @@ def _suffstats(emb: DataFrame, vec_col: str):
     """Driver-side (n, sum, gram) reduced from one Arrow pass."""
     import numpy as np
 
-    d = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None:
+        raise ValueError("pca_fit: input has no rows")
+    d = len(first[0])
 
     def partials(batches):
         import pandas as pd
@@ -57,8 +60,9 @@ def _suffstats(emb: DataFrame, vec_col: str):
     )
     import numpy as np
 
-    # sorted reduction order -> bit-stable across equal partitionings
-    rows = sorted(rows, key=lambda r: (r["n"], r["s"][:2]))
+    # total sort key (full partial content) -> bit-stable reduction
+    # order regardless of collect order or partitioning
+    rows = sorted(rows, key=lambda r: (r["n"], tuple(r["s"]), tuple(r["g"])))
     n = sum(r["n"] for r in rows)
     s = np.sum([np.array(r["s"]) for r in rows], axis=0)
     g = np.sum([np.array(r["g"]).reshape(d, d) for r in rows], axis=0)

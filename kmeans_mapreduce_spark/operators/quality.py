@@ -53,6 +53,8 @@ def matches(col: str, pattern: str) -> tuple[str, Column]:
 def row_checks(df: DataFrame, checks: Sequence[tuple[str, Column]]) -> DataFrame:
     """All row-local constraints in ONE scan: (check, n_rows,
     violations, passed)."""
+    if not checks:
+        raise ValueError("row_checks: empty constraint list")
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
         F.sum(viol.cast("long")).alias(f"v{i}")
         for i, (_, viol) in enumerate(checks)
@@ -97,19 +99,26 @@ def foreign_key_check(
     df: DataFrame, col: str, dim: DataFrame, dim_key: str
 ) -> DataFrame:
     """(check, n_rows, violations, passed): fact rows whose key has no
-    match in the dimension — broadcast LEFT ANTI, fact never shuffles."""
-    n = df.count()
-    orphans = (
-        df.select(F.col(col).alias("k"))
-        .join(
-            F.broadcast(dim.select(F.col(dim_key).alias("k")).distinct()),
-            "k",
-            "left_anti",
-        )
-        .count()
+    match in the dimension — ONE lazy pass: broadcast LEFT OUTER join
+    against the dim key set, orphans counted in the same aggregate as
+    the row count (the fact never shuffles and is never scanned
+    twice), evaluated at action time like every other check."""
+    joined = df.select(F.col(col).alias("k")).join(
+        F.broadcast(
+            dim.select(F.col(dim_key).alias("k"))
+            .distinct()
+            .withColumn("_hit", F.lit(1))
+        ),
+        "k",
+        "left",
     )
-    spark = df.sparkSession
-    return spark.createDataFrame(
-        [(f"foreign_key({col})", n, orphans, orphans == 0)],
-        "check STRING, n_rows BIGINT, violations BIGINT, passed BOOLEAN",
+    agg = joined.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("_hit").isNull().cast("long")).alias("violations"),
+    )
+    return agg.select(
+        F.lit(f"foreign_key({col})").alias("check"),
+        "n_rows",
+        "violations",
+        (F.col("violations") == 0).alias("passed"),
     )

@@ -318,7 +318,10 @@ def make_chunk_udtf(chunk_tokens: int = CHUNK_TOKENS):
     @udtf(returnType="chunk_idx int, n_tokens long, fp string")
     class ChunkDoc:
         def eval(self, text: str):
-            toks = [t for t in re.split(r"\s+", text or "") if t]
+            # re.ASCII pins \s to [ \t\n\r\f\v] — the class Java's
+            # F.split and DuckDB's RE2 use; Python's default Unicode \s
+            # would also split on U+00A0 etc. and diverge the engines
+            toks = [t for t in re.split(r"\s+", text or "", flags=re.ASCII) if t]
             for i in range(0, len(toks), chunk_tokens):
                 chunk = toks[i : i + chunk_tokens]
                 yield (

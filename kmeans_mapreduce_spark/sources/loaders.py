@@ -182,8 +182,11 @@ def zorder_key(cols: list[Column], mins: list[float], maxs: list[float],
     keys, so sorting by the key gives row groups tight min/max stats
     on ALL dimensions at once (the multi-column generalization of
     :func:`write_sorted`'s single-key layout). Pure Catalyst integer
-    expressions inside codegen; no UDF.
+    expressions inside codegen; no UDF. ``bits`` is auto-reduced so
+    the interleaved key fits in 62 bits — bit 63 would flip the sign
+    and break range ordering, and Java shift counts wrap mod 64.
     """
+    bits = min(bits, 62 // len(cols))  # keep every bit below the sign
     top = (1 << bits) - 1
     qs = []
     for c, lo, hi in zip(cols, mins, maxs):
@@ -243,18 +246,32 @@ def merge_upsert(
     target and updates) resolve to the update.
 
     Shape: union + one window pass keyed by ``key`` (single shuffle),
-    then an atomic directory swap (write to ``<path>._staged``, then
-    rename) so readers never observe a half-written table and a failed
-    job leaves the old generation intact — the poor man's version of
-    the transaction log a real lakehouse format (Delta/Iceberg/Hudi)
+    then a directory swap (write to ``<path>._staged``, rename the old
+    generation aside, rename staged in) with CRASH RECOVERY: a failure
+    between the two renames leaves ``<path>._old`` holding the intact
+    previous generation, which the next call restores before merging —
+    so no interleaving of crashes loses committed data (the in-flight
+    batch is simply re-merged). This is the poor man's version of the
+    transaction log a real lakehouse format (Delta/Iceberg/Hudi)
     provides; at 100 TB use one of those so MERGE rewrites only the
     touched files instead of the whole table. Re-applying the same
-    batch is idempotent (tested).
+    batch is idempotent (tested): the window's ordering key ends with
+    every remaining column, so even two same-key-same-version rows in
+    one batch resolve to a deterministic winner.
     """
     import os
     import shutil
 
     from pyspark.sql.window import Window
+
+    staged = f"{target_path}._staged"
+    old = f"{target_path}._old"
+    # recover from a crash between the two renames of a prior call:
+    # the previous generation is sitting in ._old — restore it
+    if not os.path.isdir(target_path) and os.path.isdir(old):
+        os.rename(old, target_path)
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
 
     src = updates.withColumn("_prio", F.lit(1))
     if os.path.isdir(target_path):
@@ -262,18 +279,20 @@ def merge_upsert(
             "_prio", F.lit(0)
         )
         src = current.unionByName(src)
+    tiebreak = [
+        F.col(c).desc_nulls_last()
+        for c in sorted(updates.columns)
+        if c not in (key, version_col)
+    ]
     w = Window.partitionBy(key).orderBy(
-        F.col(version_col).desc(), F.col("_prio").desc()
+        F.col(version_col).desc(), F.col("_prio").desc(), *tiebreak
     )
     merged = (
         src.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_prio")
     )
-    staged = f"{target_path}._staged"
     merged.write.mode("overwrite").parquet(staged)
-    old = f"{target_path}._old"
-    shutil.rmtree(old, ignore_errors=True)  # leftover from a past crash
     if os.path.isdir(target_path):
         os.rename(target_path, old)
     os.rename(staged, target_path)

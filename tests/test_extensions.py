@@ -517,7 +517,7 @@ def test_rolling_zscore_range_frame(spark):
 
 
 def test_fuzzy_prefix_pairs_match_brute_force(spark):
-    """The q-gram count filter must lose nothing: blocked+verified
+    """Pass-Join segment blocking must lose nothing: blocked+verified
     pairs == all-pairs Levenshtein on the same prefixes (and the exact
     verify means precision is 1 by construction)."""
     from pyspark.sql import functions as F
