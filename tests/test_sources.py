@@ -255,3 +255,25 @@ def test_merge_upsert_latest_version_wins_and_idempotent(spark, tmp_path):
     assert {
         r["k"]: r["v"] for r in spark.read.parquet(target).collect()
     }[1] == "A2"
+
+
+def test_merge_upsert_recovers_from_crash_between_renames(spark, tmp_path):
+    """Simulate a crash after the old generation was renamed aside but
+    before the staged table moved in: the next merge must restore the
+    previous generation and apply its batch on top of it."""
+    import os
+
+    from kmeans_mapreduce_spark.sources.loaders import merge_upsert
+
+    target = str(tmp_path / "dim")
+    b1 = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "k LONG, v STRING, ver LONG"
+    )
+    merge_upsert(spark, target, b1, key="k", version_col="ver")
+    # crash window: target renamed aside, staged never moved in
+    os.rename(target, f"{target}._old")
+    assert not os.path.isdir(target)
+    b2 = spark.createDataFrame([(3, "c", 20)], "k LONG, v STRING, ver LONG")
+    merge_upsert(spark, target, b2, key="k", version_col="ver")
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: "a", 2: "b", 3: "c"}  # b1 survived the crash
