@@ -143,6 +143,12 @@ def q_events_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM surprisal quality score per document
+    (textops.lm_surprisal) — the CCNet-style filtering signal."""
+    return tx.lm_surprisal(load_table(spark, sf_dir, "documents"))
+
+
 def q_quality_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality report over orders (operators/quality):
     4 row-local checks in ONE conditional-aggregate scan, a uniqueness
@@ -553,6 +559,19 @@ FROM toks GROUP BY doc_id, chunk_idx
 """
 
 
+_SURPRISAL_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+tot AS (SELECT SUM(c) AS n FROM tf),
+probs AS (SELECT term, c::DOUBLE / n AS p FROM tf CROSS JOIN tot)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(AVG(-log2(p)), 4) AS bits_per_token
+FROM toks JOIN probs USING (term)
+GROUP BY doc_id
+"""
+
 _FIRST_TOUCH_ORACLE = """
 WITH e AS (
   SELECT user_id, (epoch_ns(ts) // 1000000000 // 86400)::BIGINT AS day,
@@ -616,6 +635,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_pca": q_embeddings_pca,
         "quality_report_orders": q_quality_report_orders,
         "events_first_touch": q_events_first_touch,
+        "text_surprisal": q_text_surprisal,
         "events_pivot": q_events_pivot,
         "orders_running_window": q_orders_running_window,
         "text_repetition": q_text_repetition,
@@ -637,6 +657,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "text_chunks_fast": _TEXT_CHUNKS_ORACLE,
         "quality_report_orders": _QUALITY_REPORT_ORACLE,
         "events_first_touch": _FIRST_TOUCH_ORACLE,
+        "text_surprisal": _SURPRISAL_ORACLE,
         "events_pivot": _pivot_oracle(),
         "orders_running_window": _RUNNING_WINDOW_ORACLE,
         "text_repetition": _REPETITION_ORACLE,

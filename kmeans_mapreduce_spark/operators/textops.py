@@ -381,3 +381,40 @@ def chunk_docs_vectorized(
             F.md5(F.array_join("chunk", " ")).alias("fp"),
         )
     )
+
+
+def lm_surprisal(docs: DataFrame, digits: int = 4) -> DataFrame:
+    """CCNet-style unigram-LM quality score: average surprisal
+    −log2 p(token) in bits/token per document, where p is the corpus
+    unigram MLE (every scored token has corpus count ≥ 1, so no
+    smoothing is needed when scoring the training corpus itself).
+    Gibberish and boilerplate score high; plain prose scores near the
+    corpus entropy — the classic language-model filtering signal
+    (Wenzek et al., CCNet, LREC 2020) with the simplest possible LM.
+
+    Scale shape: ONE token explode materialized once (localCheckpoint)
+    feeds both the vocabulary count and the scoring join; the vocab
+    aggregate is map-side combined (shuffle ≤ |vocab| rows); the corpus
+    total rides a broadcast 1-row cross join (no driver pre-job, same
+    trick as tfidf); the per-token probability join broadcasts the
+    (small) vocab — at web scale with a huge vocab it becomes a
+    shuffle join keyed by term, still never quadratic.
+    """
+    from kmeans_mapreduce_spark.functions.text import tokens
+
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    ).localCheckpoint(eager=False)
+    tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = tf.agg(F.sum("c").alias("n"))
+    probs = tf.crossJoin(F.broadcast(total)).select(
+        "term", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    return (
+        toks.join(F.broadcast(probs), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(-F.log2("p")), digits).alias("bits_per_token"),
+        )
+    )

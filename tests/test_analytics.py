@@ -467,3 +467,15 @@ def test_quality_row_checks_single_scan_no_join(spark):
     # checkpointed 1-row aggregate, never the table
     assert plan.count("Scan parquet") == 0
     assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_surprisal_ranks_rare_tokens_above_common_prose(spark):
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((99, "qzx wvu jkl ptd"))  # tokens that occur once each
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in tx.lm_surprisal(docs).collect()}
+    assert got[99]["n_tokens"] == 4
+    common = max(got[i]["bits_per_token"] for i in range(20))
+    assert got[99]["bits_per_token"] > common + 1.0  # clearly separated
