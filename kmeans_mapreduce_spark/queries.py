@@ -368,6 +368,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "pipeline_media_cluster",
     "corpus_decontaminate",
     "text_repetition",
+    "text_surprisal",
     "events_hll_distinct",
     "similarity_ann_pq",
     "dedup_span_fraction",
@@ -466,11 +467,18 @@ cands AS (
   )
   UNION ALL SELECT {cx} AS x, {cy} AS y
 ),
+-- group per INPUT ROW (rid), not per point_id: the packed id is not
+-- guaranteed unique (TESTDATA lineitem can repeat the full key), and
+-- the Spark side scores per row — collapsing dups would drop rows
+pts2 AS (
+  SELECT row_number() OVER (ORDER BY point_id, x, y) AS rid, point_id, x, y
+  FROM pts
+),
 sc2 AS (
-  SELECT p.point_id,
+  SELECT p.rid, ANY_VALUE(p.point_id) AS point_id,
          MIN((p.x - c.x) * (p.x - c.x) + (p.y - c.y) * (p.y - c.y)) AS d2
-  FROM pts p CROSS JOIN cands c
-  GROUP BY p.point_id
+  FROM pts2 p CROSS JOIN cands c
+  GROUP BY p.rid
 ),
 phi2 AS (SELECT ROUND(SUM(d2), {SUM_DIGITS}) AS phi FROM sc2)
 SELECT point_id, d2,
