@@ -595,3 +595,54 @@ def test_connected_components_distributed_equals_unionfind(spark):
     }
     assert fast == dist
     assert fast == {(1, 1), (2, 1), (3, 1), (4, 1), (20, 1), (10, 10), (11, 10)}
+
+
+def test_fuzzy_prefix_adversarial_strings_match_brute_force(spark):
+    """Edge-case battery through the Pass-Join path with small
+    parameters (prefix 12, dist 3 -> 4 segments): empty and tiny
+    strings (all-pairs pool), strings straddling the segmentability
+    boundary, single-repeated-char strings (degenerate segments),
+    multibyte text, and near-identical variants. Result must equal the
+    all-pairs thresholded Levenshtein exactly."""
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    texts = [
+        "",                    # empty
+        "a", "ab", "abc",      # below segment count k=4 (pool)
+        "abcd", "abcde",       # at/just above k
+        "aaaaaaaaaaaaaaa",     # one repeated char
+        "aaaaaaaaaaaabbb",
+        "abcdefghijkl",        # exactly prefix_len
+        "abcdefghijklmnop",    # beyond prefix_len (truncated)
+        "abcdefghijkX",        # 1 edit from the above
+        "Xbcdefghijkl",        # edit in segment 0
+        "abcdeXghijkl",        # edit mid-string
+        "abcdefghiXYZ",        # 3 edits at the tail
+        "wxyz wxyz wx",
+        "wxyz wxyz ww",
+        "你好世界你好世界你好世界",  # multibyte
+        "你好世界你好世界你好再见",
+        "totally different!!",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in dd.fuzzy_prefix_pairs(docs, prefix_len=12, max_dist=3).collect()
+    }
+    pre = docs.select("doc_id", F.substring("text", 1, 12).alias("p"))
+    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    want = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+            .filter(F.col("dist") <= 3)
+        ).collect()
+    }
+    assert got == want and want
