@@ -369,6 +369,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_decontaminate",
     "text_repetition",
     "text_surprisal",
+    "quality_report_orders",
+    "events_first_touch",
     "events_hll_distinct",
     "similarity_ann_pq",
     "dedup_span_fraction",
