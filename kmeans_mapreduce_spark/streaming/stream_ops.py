@@ -560,3 +560,41 @@ def stream_merge_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_quality_monitor(
+    stream: DataFrame,
+    checks,
+    log_path: str,
+    checkpoint_dir: str,
+):
+    """CONTINUOUS data validation: run the declarative row-local
+    constraint suite (operators/quality.row_checks — one
+    conditional-aggregate pass) over every micro-batch and append the
+    per-batch report to a parquet audit log. The monitor a production
+    ingest keeps next to the pipeline: quality regressions surface per
+    batch with counts, instead of silently polluting training data.
+
+    The report write is append-only and tagged with the micro-batch id,
+    so replays after a crash rewrite the same batch_id rows rather than
+    corrupting history (dedupe on read or vacuum by batch_id; a
+    lakehouse table would make this transactional). State store is
+    never involved — each batch's report is a few rows.
+    """
+    from kmeans_mapreduce_spark.operators.quality import row_checks
+
+    def audit(batch_df, bid):
+        if not batch_df.take(1):
+            return
+        rep = row_checks(batch_df, checks).withColumn(
+            "batch_id", F.lit(int(bid)).cast("long")
+        )
+        rep.write.mode("append").parquet(log_path)
+
+    return (
+        stream.writeStream.foreachBatch(audit)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

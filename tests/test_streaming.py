@@ -651,3 +651,48 @@ def test_stream_merge_upsert_serving_table(spark, tmp_path_factory):
     # fresh checkpoint, same source files -> same table (idempotent)
     got2 = run(t1, str(base / "ck2"))
     assert got2 == got
+
+
+def test_stream_quality_monitor_flags_bad_batch(spark, tmp_path_factory):
+    """Two micro-batches — one clean, one with planted violations —
+    must each land in the audit log with their own batch counts."""
+    import os
+
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.operators import quality as qc
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    base = tmp_path_factory.mktemp("qmon")
+    src = str(base / "src")
+    os.makedirs(src)
+    pd.DataFrame({"k": [1, 2], "price": [10.0, 20.0]}).to_parquet(
+        f"{src}/00.parquet"
+    )
+    pd.DataFrame(
+        {"k": pd.array([3, None], dtype="Int64"), "price": [-5.0, 30.0]}
+    ).to_parquet(f"{src}/01.parquet")
+    stream = (
+        spark.readStream.schema("k LONG, price DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    log = str(base / "log")
+    q = so.stream_quality_monitor(
+        stream,
+        [qc.not_null("k"), qc.in_range("price", 0.0, 100.0)],
+        log,
+        str(base / "ck"),
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(log).collect()
+    # 2 batches x 2 checks
+    assert len(rows) == 4
+    by_batch = {}
+    for r in rows:
+        by_batch.setdefault(r["batch_id"], {})[r["check"]] = r["violations"]
+    batches = sorted(by_batch)
+    clean, dirty = by_batch[batches[0]], by_batch[batches[1]]
+    # file order = batch order with maxFilesPerTrigger=1
+    assert clean == {"not_null(k)": 0, "in_range(price,0.0,100.0)": 0}
+    assert dirty == {"not_null(k)": 1, "in_range(price,0.0,100.0)": 1}
