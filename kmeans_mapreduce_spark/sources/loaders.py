@@ -297,3 +297,48 @@ def merge_upsert(
         os.rename(target_path, old)
     os.rename(staged, target_path)
     shutil.rmtree(old, ignore_errors=True)
+
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_bytes: int = TARGET_FILE_BYTES
+) -> int:
+    """Compact a parquet directory's many small files into
+    ``ceil(total_bytes / target_bytes)`` files and swap them in with
+    the same crash-safe rename dance as :func:`merge_upsert`.
+
+    Small-files is the chronic failure mode of streaming/incremental
+    sinks (every micro-batch appends a few KB files; a year later the
+    scan spends longer opening footers than reading data). Sizing from
+    the on-disk byte total rather than a row count keeps the output at
+    HDFS-block-friendly sizes whatever the row width. Returns the new
+    file count. Uses ``coalesce`` (narrow, no shuffle) — good enough
+    for compaction; use :func:`write_sorted`/:func:`write_zorder`
+    instead when the rewrite should also fix the layout.
+    """
+    import math
+    import os
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_bytes))
+    staged = f"{path}._staged"
+    old = f"{path}._old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(
+        staged
+    )
+    os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

@@ -277,3 +277,20 @@ def test_merge_upsert_recovers_from_crash_between_renames(spark, tmp_path):
     merge_upsert(spark, target, b2, key="k", version_col="ver")
     got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
     assert got == {1: "a", 2: "b", 3: "c"}  # b1 survived the crash
+
+
+def test_compact_small_files_reduces_file_count_preserves_rows(spark, tmp_path):
+    import glob
+
+    from kmeans_mapreduce_spark.sources.loaders import compact_small_files
+
+    out = str(tmp_path / "frag")
+    df = spark.range(0, 20_000).withColumn("v", F.col("id") * 2)
+    df.repartition(40).write.parquet(out)
+    assert len(glob.glob(f"{out}/part-*.parquet")) == 40
+    compact_small_files(spark, out, target_bytes=1 << 30)
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
