@@ -316,7 +316,9 @@ def compact_small_files(
     HDFS-block-friendly sizes whatever the row width. Returns the new
     file count. Uses ``coalesce`` (narrow, no shuffle) — good enough
     for compaction; use :func:`write_sorted`/:func:`write_zorder`
-    instead when the rewrite should also fix the layout.
+    instead when the rewrite should also fix the layout. Flat layouts
+    only: a ``partitionBy`` directory tree should be compacted per
+    partition directory (this rewrite would collapse the tree).
     """
     import math
     import os
