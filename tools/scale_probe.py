@@ -71,6 +71,40 @@ def main() -> int:
     s16 = out["lloyd_iter_sec_16x"]
     out["lloyd_16x_slope"] = round(s16 / s1 / 16.0, 3)  # 1.0 = perfectly linear
 
+    # --- dedup scaling: minhash->LSH->verify wall at 1x / 4x ----------
+    # replicas get perturbed text (suffix token) so replicas of one doc
+    # form small near-dup clusters: pair count grows linearly in docs,
+    # and the probe measures the pipeline, not an output explosion.
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    docs0 = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    nd0 = docs0.count()
+    for factor in (1, 4):
+        d = docs0
+        for i in range(factor - 1):
+            d = d.union(
+                docs0.select(
+                    (F.col("doc_id") + F.lit(1_000_000 * (i + 1))).alias(
+                        "doc_id"
+                    ),
+                    F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+                )
+            )
+        d = d.cache()
+        d.count()
+        pairs = dd.candidate_pairs(
+            dd.lsh_bands_from_array(dd.minhash_signature_array(d))
+        )
+        t = time.time()
+        n_pairs = pairs.count()
+        out[f"minhash_pairs_sec_{factor}x"] = round(time.time() - t, 3)
+        out[f"minhash_docs_{factor}x"] = nd0 * factor
+        out[f"minhash_pairs_{factor}x"] = n_pairs
+        d.unpersist()
+    out["minhash_4x_slope"] = round(
+        out["minhash_pairs_sec_4x"] / out["minhash_pairs_sec_1x"] / 4.0, 3
+    )
+
     # --- K x dim scaling: n-D matmul assignment -----------------------
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(
