@@ -1313,7 +1313,7 @@ packed AS (
   FROM clean
 )
 SELECT lang, COUNT(DISTINCT bin_id) AS n_bins, COUNT(*) AS n_docs,
-       SUM(n_tokens) AS total_tokens
+       SUM(n_tokens)::BIGINT AS total_tokens
 FROM packed GROUP BY lang"""
 
 

@@ -79,6 +79,8 @@ def pca_fit(emb: DataFrame, vec_col: str = "embedding", k: int = PCA_K):
     import numpy as np
 
     n, s, g = _suffstats(emb, vec_col)
+    if n < 2:
+        raise ValueError("pca_fit: needs at least 2 rows (covariance divides by n-1)")
     mean = s / n
     cov = (g - n * np.outer(mean, mean)) / (n - 1)
     w, v = np.linalg.eigh(cov)  # ascending

@@ -43,10 +43,16 @@ def accepted_values(col: str, values: Sequence[str]) -> tuple[str, Column]:
 
 
 def matches(col: str, pattern: str) -> tuple[str, Column]:
-    """Java∩RE2-safe regex full-match check."""
+    """Java∩RE2-safe regex full-match check.
+
+    ``rlike`` is a substring search, so the pattern is anchored
+    internally (``^(?:p)$``) — an unanchored ``p`` would otherwise
+    silently pass rows that merely contain a matching substring.
+    Already-anchored patterns are unaffected (``^``/``$`` inside the
+    group still match at string bounds)."""
     return (
         f"matches({col})",
-        ~F.col(col).rlike(pattern) | F.col(col).isNull(),
+        ~F.col(col).rlike(f"^(?:{pattern})$") | F.col(col).isNull(),
     )
 
 

@@ -10,6 +10,8 @@ column pruning down to (doc_id, text).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -333,15 +335,25 @@ def make_chunk_udtf(chunk_tokens: int = CHUNK_TOKENS):
     return ChunkDoc
 
 
+_CHUNK_CALL_SEQ = itertools.count()
+
+
 def chunk_docs_udtf(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS) -> DataFrame:
     """Apply the chunking UDTF laterally: (doc_id, chunk_idx, n_tokens,
-    fp), one row per context window."""
+    fp), one row per context window.
+
+    View + function names are derived from a per-call counter: lazy
+    evaluation means a caller's action can run AFTER a second call, so
+    a fixed view name would silently rebind the first plan's input to
+    the second caller's docs."""
     spark = docs.sparkSession
-    spark.udtf.register("chunk_doc", make_chunk_udtf(chunk_tokens))
-    docs.select("doc_id", "text").createOrReplaceTempView("_chunk_docs_in")
+    seq = next(_CHUNK_CALL_SEQ)
+    fn, view = f"chunk_doc_{seq}", f"_chunk_docs_in_{seq}"
+    spark.udtf.register(fn, make_chunk_udtf(chunk_tokens))
+    docs.select("doc_id", "text").createOrReplaceTempView(view)
     return spark.sql(
-        "SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.fp "
-        "FROM _chunk_docs_in d, LATERAL chunk_doc(d.text) c"
+        f"SELECT d.doc_id, c.chunk_idx, c.n_tokens, c.fp "
+        f"FROM {view} d, LATERAL {fn}(d.text) c"
     )
 
 

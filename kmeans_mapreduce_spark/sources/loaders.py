@@ -324,6 +324,16 @@ def compact_small_files(
     import os
     import shutil
 
+    staged = f"{path}._staged"
+    old = f"{path}._old"
+    # Recover BEFORE sizing: if a prior call crashed between the two
+    # renames, `path` is missing and a size scan would see 0 bytes →
+    # n_files=1 regardless of real size, defeating the sizing contract
+    # exactly in the crash path this function exists to survive.
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -331,12 +341,6 @@ def compact_small_files(
         if f.endswith(".parquet")
     )
     n_files = max(1, math.ceil(total / target_bytes))
-    staged = f"{path}._staged"
-    old = f"{path}._old"
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)
-    shutil.rmtree(staged, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
     spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(
         staged
     )

@@ -575,11 +575,12 @@ def stream_quality_monitor(
     ingest keeps next to the pipeline: quality regressions surface per
     batch with counts, instead of silently polluting training data.
 
-    The report write is append-only and tagged with the micro-batch id,
-    so replays after a crash rewrite the same batch_id rows rather than
-    corrupting history (dedupe on read or vacuum by batch_id; a
-    lakehouse table would make this transactional). State store is
-    never involved — each batch's report is a few rows.
+    The log is partitioned by micro-batch id and written with DYNAMIC
+    partition overwrite, so a replay after a crash rewrites exactly its
+    own ``batch_id=N`` directory — the audit log stays exactly-once
+    under foreachBatch's at-least-once contract (a lakehouse table
+    would make this transactional). State store is never involved —
+    each batch's report is a few rows.
     """
     from kmeans_mapreduce_spark.operators.quality import row_checks
 
@@ -589,7 +590,12 @@ def stream_quality_monitor(
         rep = row_checks(batch_df, checks).withColumn(
             "batch_id", F.lit(int(bid)).cast("long")
         )
-        rep.write.mode("append").parquet(log_path)
+        (
+            rep.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(log_path)
+        )
 
     return (
         stream.writeStream.foreachBatch(audit)

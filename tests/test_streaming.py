@@ -696,3 +696,14 @@ def test_stream_quality_monitor_flags_bad_batch(spark, tmp_path_factory):
     # file order = batch order with maxFilesPerTrigger=1
     assert clean == {"not_null(k)": 0, "in_range(price,0.0,100.0)": 0}
     assert dirty == {"not_null(k)": 1, "in_range(price,0.0,100.0)": 1}
+    # replay (fresh checkpoint, same source) rewrites the same
+    # batch_id partitions instead of appending duplicates: the audit
+    # log is exactly-once under foreachBatch's at-least-once contract
+    q2 = so.stream_quality_monitor(
+        stream,
+        [qc.not_null("k"), qc.in_range("price", 0.0, 100.0)],
+        log,
+        str(base / "ck_replay"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(log).count() == 4

@@ -47,6 +47,25 @@ def compare(name: str, sp: pd.DataFrame, du: pd.DataFrame) -> list[str]:
     if len(sp) != len(du):
         problems.append(f"row count differs: spark={len(sp)} duck={len(du)}")
         return problems
+    # DRIVER-HASHER PARITY: the driver hashes values dtype-sensitively, so
+    # an int64 Spark column vs a float64 DuckDB column ("3" vs "3.0") is a
+    # hash mismatch even when numerically equal.  DuckDB silently widens
+    # integer SUM() to HUGEINT, which its pandas bridge renders as float64
+    # — the r03 corpus_training_mix red row.  Flag kind mismatches BEFORE
+    # the numeric coercion below would hide them; oracles must cast
+    # integer aggregates ::BIGINT explicitly.
+    for c in sorted(sp.columns):
+        ka = sp[c].dtype.kind if hasattr(sp[c].dtype, "kind") else "O"
+        kb = du[c].dtype.kind if hasattr(du[c].dtype, "kind") else "O"
+        ints, flts = ("i", "u"), ("f",)
+        if (ka in ints and kb in flts) or (ka in flts and kb in ints):
+            problems.append(
+                f"col {c}: dtype kind mismatch spark={sp[c].dtype} duck={du[c].dtype}"
+                " (driver hash would differ; cast the oracle aggregate ::BIGINT"
+                " or the Spark column to double)"
+            )
+    if problems:
+        return problems
     a, b = canon(sp), canon(du)
     for c in a.columns:
         av, bv = a[c].to_numpy(), b[c].to_numpy()
