@@ -918,8 +918,12 @@ def fuzzy_prefix_pairs(
     equality test pins both properties.
 
     Tiny prefixes (< ``max_dist + 1`` chars, unsegmentable) fall back
-    to an all-pairs pool with their only possible partners (length
-    <= 2·max_dist): within-pool candidates are added exactly.
+    to a pool with their only possible partners (length <=
+    2·max_dist). The pool pairs DISTINCT prefixes, not docs — identical
+    tiny prefixes collapse to one representative before the crossJoin
+    and expand back to members afterward, so pool work is quadratic in
+    the distinct-short-prefix count (trivially bounded), never in the
+    count of near-empty documents.
 
     Scale shape: probe fan-out is a constant per doc (segments ×
     shifts × partner length classes, ~6·11·|lens| rows); the shuffle
@@ -997,16 +1001,41 @@ def fuzzy_prefix_pairs(
         )
     )
     pool = pre.filter(L <= 2 * max_dist).select("doc_id", "p")
-    pool_pairs = (
-        pool.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("p_s"))
-        .crossJoin(
-            pool.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("p_p"))
-        )
-        .filter(F.col("doc_a") < F.col("doc_b"))
+    # collapse identical tiny prefixes BEFORE pairing: the crossJoin +
+    # levenshtein run over DISTINCT prefixes only (bounded by the
+    # distinct-short-string count, <= sum over L<=2d of |alphabet|^L),
+    # then distinct pairs expand back to group members with two
+    # equi-joins whose cost is output-sized. A crawl snapshot's
+    # millions of boilerplate-short docs would otherwise make the raw
+    # doc-level crossJoin quadratic in the POOL size; after the
+    # collapse only the (irreducible) pairwise OUTPUT of identical
+    # prefixes is quadratic in group size.
+    reps = pool.select("p").distinct()
+    rep_pairs = (
+        reps.select(F.col("p").alias("p_s"))
+        .crossJoin(reps.select(F.col("p").alias("p_p")))
+        .filter(F.col("p_s") <= F.col("p_p"))
         .select(
-            "doc_a",
-            "doc_b",
+            "p_s",
+            "p_p",
             F.levenshtein("p_s", "p_p", max_dist).cast("long").alias("dist"),
+        )
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+    pool_pairs = (
+        rep_pairs.join(
+            pool.select(F.col("doc_id").alias("da"), F.col("p").alias("p_s")),
+            "p_s",
+        )
+        .join(
+            pool.select(F.col("doc_id").alias("db"), F.col("p").alias("p_p")),
+            "p_p",
+        )
+        .filter(F.col("da") != F.col("db"))
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "dist",
         )
     )
     return (

@@ -646,3 +646,46 @@ def test_fuzzy_prefix_adversarial_strings_match_brute_force(spark):
         ).collect()
     }
     assert got == want and want
+
+
+def test_fuzzy_prefix_many_duplicate_short_docs(spark):
+    """Crawl-boilerplate shape: many documents sharing a handful of
+    tiny prefixes (the pool path). The distinct-prefix collapse must
+    keep recall exact — blocked output == all-pairs Levenshtein —
+    while the pool's pairing work is quadratic only in the DISTINCT
+    prefix count (5 here), not the 64 pooled docs."""
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    texts = (
+        ["ok"] * 20          # one big identical-prefix group
+        + ["ok!"] * 15       # near-dup of it (dist 1)
+        + ["no"] * 15        # dist 1 from "ok" via substitutions? (n<->o, o<->k) = 2
+        + [""] * 10          # empty prefixes
+        + ["okay"] * 4       # 2*max_dist boundary length (pool cutoff)
+        + ["abcdefghijkl", "abcdefghijkX"]  # segmentable pair for the union path
+    )
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in dd.fuzzy_prefix_pairs(docs, prefix_len=12, max_dist=2).collect()
+    }
+    pre = docs.select("doc_id", F.substring("text", 1, 12).alias("p"))
+    a = pre.select(F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"))
+    b = pre.select(F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"))
+    want = {
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in (
+            a.crossJoin(b)
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .withColumn("dist", F.levenshtein("pa", "pb").cast("long"))
+            .filter(F.col("dist") <= 2)
+        ).collect()
+    }
+    assert got == want
+    # sanity: the identical-prefix groups really did produce quadratic
+    # OUTPUT (20 choose 2 pairs at dist 0 for "ok" alone)
+    assert sum(1 for _, _, d in got if d == 0) >= 190
