@@ -511,10 +511,22 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real per-modality decode (PPM pixels / WAV frames via stdlib
+    parsers; video stays a declared codec-bound stub with
+    decoded=false): parsed dimensions, frame counts, and content byte
+    means. The DuckDB twin replays the content arithmetically from the
+    md5 digest the payload generator cycles."""
     media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
     out = mm.extract_features(media)
     return out.select(
-        "media_id", "kind", "n_bytes", F.round("byte_mean", 6).alias("byte_mean"), "decoded"
+        "media_id",
+        "kind",
+        "n_bytes",
+        "decoded",
+        "dec_width",
+        "dec_height",
+        "n_samples",
+        F.round("byte_mean", 6).alias("byte_mean"),
     )
 
 
@@ -1689,15 +1701,27 @@ FROM per""",
         "similarity_ann_pq_rerank": _ivf_pq_ann_sql(rerank=True),
         "kmeans_nd_assign": _kmeans_nd_assign_sql(),
         "kmeans_nd_loop2": _kmeans_nd_loop2_sql(),
+        # payload sizes replayed arithmetically: PPM = "P6\n{w} {h}\n255\n"
+        # header + 3wh pixels; WAV = canonical 44-byte PCM header + 2
+        # bytes/sample; video = the raw 16-byte digest
         "multimodal_meta": """
-SELECT doc_id AS media_id,
-       CASE WHEN doc_id % 3 = 0 THEN 'image'
-            WHEN doc_id % 3 = 1 THEN 'audio'
-            ELSE 'video' END AS kind,
-       octet_length(from_hex(md5(text)))::BIGINT AS n_bytes,
-       (doc_id % 64 + 64)::INTEGER AS width,
-       (doc_id % 48 + 48)::INTEGER AS height
-FROM documents""",
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         (doc_id % 64 + 64) AS w, (doc_id % 48 + 48) AS h,
+         (doc_id % 500 + 100) AS ns
+  FROM documents
+)
+SELECT media_id, kind,
+       (CASE kind
+          WHEN 'image' THEN 9 + length(w::VARCHAR) + length(h::VARCHAR) + 3 * w * h
+          WHEN 'audio' THEN 44 + 2 * ns
+          ELSE 16 END)::BIGINT AS n_bytes,
+       w::INTEGER AS width,
+       h::INTEGER AS height
+FROM m""",
         "events_asof_join": f"""
 WITH e AS (
   SELECT user_id, event_id, event_type, value,
@@ -1899,26 +1923,47 @@ coh AS (
 SELECT cohort_week, week - cohort_week AS week_offset,
        COUNT(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events
 FROM coh GROUP BY 1, 2""",
-        # byte_mean of the synthetic md5 payload, replayed from the hex
-        # string (DuckDB cannot subscript BLOBs): byte j = 16*hex[2j] +
-        # hex[2j+1]; the sum is a small exact integer so /16.0 is
-        # bit-identical to the engine's numpy mean over digest bytes
+        # real-decode twin, replayed arithmetically from the md5 hex
+        # (DuckDB cannot subscript BLOBs): digest byte j = 16*hex[2j] +
+        # hex[2j+1]; decoded content is the digest cycled to the
+        # content length L (3wh pixels / 2·ns PCM bytes / raw digest),
+        # so content_sum = (L//16)·digest_sum + prefix_sum(L%16) — all
+        # small exact integers, so the single double division is
+        # bit-identical to the engine's sum/len
         "multimodal_features": """
 WITH m AS (
   SELECT doc_id AS media_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image'
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS kind,
+         (doc_id % 64 + 64) AS w, (doc_id % 48 + 48) AS h,
+         (doc_id % 500 + 100) AS ns,
          md5(text) AS hx
   FROM documents
+),
+d AS (
+  SELECT *,
+         list_transform(range(0, 16),
+           j -> (strpos('0123456789abcdef', substr(hx, 2 * CAST(j AS INTEGER) + 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 2 * CAST(j AS INTEGER) + 2, 1)) - 1)) AS db,
+         CASE kind WHEN 'image' THEN 3 * w * h
+                   WHEN 'audio' THEN 2 * ns
+                   ELSE 16 END AS clen
+  FROM m
 )
-SELECT media_id, kind, 16::BIGINT AS n_bytes,
-       ROUND(CAST(list_sum(list_transform(range(0, 32),
-         j -> (strpos('0123456789abcdef', substr(hx, CAST(j AS INTEGER) + 1, 1)) - 1)
-              * (CASE WHEN j % 2 = 0 THEN 16 ELSE 1 END))) AS DOUBLE) / 16.0, 6)
-         AS byte_mean,
-       TRUE AS decoded
-FROM m""",
+SELECT media_id, kind,
+       (CASE kind
+          WHEN 'image' THEN 9 + length(w::VARCHAR) + length(h::VARCHAR) + 3 * w * h
+          WHEN 'audio' THEN 44 + 2 * ns
+          ELSE 16 END)::BIGINT AS n_bytes,
+       (kind <> 'video') AS decoded,
+       (CASE WHEN kind = 'image' THEN w END)::INTEGER AS dec_width,
+       (CASE WHEN kind = 'image' THEN h END)::INTEGER AS dec_height,
+       (CASE WHEN kind = 'audio' THEN ns END)::BIGINT AS n_samples,
+       ROUND(((clen // 16) * list_sum(db)
+              + COALESCE(list_sum(db[1:(clen % 16)]), 0))::DOUBLE
+             / clen::DOUBLE, 6) AS byte_mean
+FROM d""",
         # rows-only (no SQL-expressible oracle): dedup via driver's weaker
         # gate — kmeans_nd_fit (iterative numpy path), kmeans_mllib
         # (MLlib RNG).

@@ -1,21 +1,29 @@
 """Multimodal columns (north-star): opaque binary payloads with typed
 metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the *decode* step is a
-clearly-marked stub (deterministic fake features / NotImplementedError
-for real codecs). Everything Spark-side is real and tested: schema,
-binary column handling, batch iteration, UDF signatures, partial
-outputs — swap ``_decode_stub`` for PIL/librosa on a real cluster and
-nothing else changes.
+One REAL format per modality, decoded with the standard library only
+(this container has no codec packages):
 
-Scale notes: payloads live in a ``binary`` column (parquet keeps them
-out of unrelated scans via column pruning); feature extraction is a
-narrow mapInPandas pass — no shuffle; metadata predicates (kind,
+- image: binary PPM (``P6``) — header parsed byte-wise, raw RGB pixels
+  out; resize is a real nearest-neighbor resample over the pixel grid.
+- audio: RIFF/WAVE PCM via the stdlib ``wave`` module — canonical
+  44-byte header, 16-bit mono frames out.
+- video: NO stdlib codec exists; decode stays a clearly-marked stub
+  (``NotImplementedError``) and frame sampling slices the payload
+  deterministically. Swap in pyav/ffmpeg on a real cluster; the plan,
+  schema, and batch shapes are unchanged.
+
+Scale notes: payloads live in a ``binary`` column (parquet column
+pruning keeps them out of unrelated scans); decode/feature extraction
+is a narrow mapInPandas pass — no shuffle; metadata predicates (kind,
 width, n_bytes) push down to the scan.
 """
 
 from __future__ import annotations
 
+import hashlib
+import io
+import wave
 from collections.abc import Iterator
 
 import pandas as pd
@@ -24,60 +32,161 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 FEATURE_SCHEMA = (
-    "media_id LONG, kind STRING, n_bytes LONG, byte_mean DOUBLE, decoded BOOLEAN"
+    "media_id LONG, kind STRING, n_bytes LONG, decoded BOOLEAN, "
+    "dec_width INT, dec_height INT, n_samples LONG, byte_mean DOUBLE"
+)
+
+MEDIA_SCHEMA = (
+    "media_id LONG, kind STRING, payload BINARY, format STRING, "
+    "width INT, height INT, n_bytes LONG"
 )
 
 KINDS = ["image", "audio", "video"]
+FORMATS = {"image": "image/ppm", "audio": "audio/wav", "video": "video/synthetic"}
+
+WAV_RATE = 8000  # Hz, mono 16-bit PCM
+
+
+def _repeat_trunc(blob: bytes, n: int) -> bytes:
+    """Deterministic filler: ``blob`` cycled to exactly ``n`` bytes."""
+    return (blob * (n // len(blob) + 1))[:n]
+
+
+def _media_dims(doc_id: int) -> tuple[int, int]:
+    return doc_id % 64 + 64, doc_id % 48 + 48
+
+
+def _wav_samples(doc_id: int) -> int:
+    return doc_id % 500 + 100
 
 
 def media_from_documents(docs: DataFrame) -> DataFrame:
-    """Synthesize a media table from documents: payload = md5 digest
-    bytes of the text (deterministic 16-byte fake blob), kind cycles
-    by doc_id, width/height derived arithmetically. Stands in for a
-    real (id, bytes, metadata) multimodal parquet layout."""
-    return docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.element_at(
-            F.array(*[F.lit(k) for k in KINDS]),
-            (F.col("doc_id") % 3 + 1).cast("int"),
-        ).alias("kind"),
-        F.unhex(F.md5(F.col("text"))).alias("payload"),
-        F.lit("synthetic/v1").alias("format"),
-        (F.col("doc_id") % 64 + 64).cast("int").alias("width"),
-        (F.col("doc_id") % 48 + 48).cast("int").alias("height"),
-    ).withColumn("n_bytes", F.length("payload").cast("long"))
-
-
-def _decode_stub(kind: str, payload: bytes):
-    """Where a real decoder would go. Real codecs are unavailable in
-    this container — raise for genuinely-unsupported kinds; the
-    deterministic byte-level 'features' below don't need decoding."""
-    if kind not in KINDS:
-        raise NotImplementedError(f"no decoder for kind={kind!r}")
-    return payload  # identity 'decode' for the synthetic format
-
-
-def media_embedding(media: DataFrame) -> DataFrame:
-    """Payload bytes → dense float vector (one dimension per byte) —
-    the deterministic stand-in for a real encoder model, with the REAL
-    plumbing a GPU-batched embedder needs: binary column in, Arrow
-    batch iteration, ``array<double>`` column out, narrow map (no
-    shuffle). Swap the byte loop for a model forward pass and nothing
-    else changes. Output: (media_id, vec ARRAY<DOUBLE>)."""
+    """Synthesize a media table from documents with REAL container
+    formats: kind cycles by doc_id; images are valid binary PPMs whose
+    pixel bytes cycle the text's md5 digest, audio is a valid PCM WAV
+    (stdlib ``wave`` writer, so the 44-byte header is canonical) whose
+    sample bytes cycle the digest, video is the raw 16-byte digest
+    (codec-bound, no container format exists in the stdlib). Pixel/PCM
+    content cycling a known digest keeps every downstream feature
+    oracle-replayable while the decoders exercise real parsers."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if not len(pdf):
                 continue
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                digest = hashlib.md5(text.encode()).digest()
+                kind = KINDS[did % 3]
+                w, h = _media_dims(did)
+                if kind == "image":
+                    header = f"P6\n{w} {h}\n255\n".encode("ascii")
+                    payload = header + _repeat_trunc(digest, 3 * w * h)
+                elif kind == "audio":
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wv:
+                        wv.setnchannels(1)
+                        wv.setsampwidth(2)
+                        wv.setframerate(WAV_RATE)
+                        wv.writeframes(
+                            _repeat_trunc(digest, 2 * _wav_samples(did))
+                        )
+                    payload = buf.getvalue()
+                else:
+                    payload = digest
+                rows.append((did, kind, payload, FORMATS[kind], w, h, len(payload)))
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "vec": [
-                        [float(b) for b in _decode_stub(k, bytes(p))]
-                        for k, p in zip(pdf["kind"], pdf["payload"])
-                    ],
-                }
+                rows,
+                columns=[
+                    "media_id", "kind", "payload", "format",
+                    "width", "height", "n_bytes",
+                ],
             )
+
+    return docs.select("doc_id", "text").mapInPandas(fn, schema=MEDIA_SCHEMA)
+
+
+def _decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Binary PPM (P6) parser: magic, whitespace-separated width /
+    height / maxval, one whitespace byte, then raw RGB rows."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6 magic missing)")
+    toks: list[bytes] = []
+    i, n = 2, len(payload)
+    while len(toks) < 3 and i < n:
+        while i < n and payload[i : i + 1].isspace():
+            i += 1
+        j = i
+        while j < n and not payload[j : j + 1].isspace():
+            j += 1
+        toks.append(payload[i:j])
+        i = j
+    i += 1  # the single whitespace byte after maxval
+    if len(toks) < 3:
+        raise ValueError("truncated PPM header")
+    w, h, maxval = (int(t) for t in toks)
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    pixels = payload[i : i + 3 * w * h]
+    if len(pixels) != 3 * w * h:
+        raise ValueError("truncated PPM pixel data")
+    return w, h, pixels
+
+
+def _decode_wav(payload: bytes) -> tuple[int, int, bytes]:
+    """RIFF/WAVE PCM via the stdlib wave reader: (n_samples, rate,
+    frame bytes)."""
+    with wave.open(io.BytesIO(payload), "rb") as wv:
+        n = wv.getnframes()
+        return n, wv.getframerate(), wv.readframes(n)
+
+
+def _decode_stub(kind: str, payload: bytes):
+    """Genuinely codec-bound formats land here: no video codec exists
+    in the stdlib, so this raises rather than fake a decode. Swap for
+    pyav/ffmpeg on a real cluster."""
+    raise NotImplementedError(f"no stdlib decoder for kind={kind!r}")
+
+
+def decode_media(kind: str, payload: bytes) -> tuple[bytes, int | None, int | None, int | None]:
+    """Dispatch to the real per-modality decoder. Returns
+    ``(content_bytes, width, height, n_samples)`` where content is the
+    decoded payload body (RGB pixels / PCM frames). Raises
+    ``NotImplementedError`` for codec-bound kinds (video)."""
+    if kind == "image":
+        w, h, pixels = _decode_ppm(payload)
+        return pixels, w, h, None
+    if kind == "audio":
+        n, _rate, frames = _decode_wav(payload)
+        return frames, None, None, n
+    return _decode_stub(kind, payload)
+
+
+def media_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Decoded content bytes → dense float vector (first ``dim``
+    content bytes, zero-padded) — the deterministic stand-in for a
+    real encoder model, with the REAL plumbing a GPU-batched embedder
+    needs: binary column in, real decode, Arrow batch iteration,
+    ``array<double>`` column out, narrow map (no shuffle). Undecodable
+    kinds (video) fall back to raw payload bytes. Swap the byte slice
+    for a model forward pass and nothing else changes. Output:
+    (media_id, vec ARRAY<DOUBLE>)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = []
+            for k, p in zip(pdf["kind"], pdf["payload"]):
+                blob = bytes(p)
+                try:
+                    content, *_ = decode_media(k, blob)
+                except NotImplementedError:
+                    content = blob
+                head = content[:dim] + b"\x00" * max(0, dim - len(content))
+                vecs.append([float(b) for b in head])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "vec": vecs})
 
     return media.select("media_id", "kind", "payload").mapInPandas(
         fn, "media_id LONG, vec ARRAY<DOUBLE>"
@@ -85,34 +194,35 @@ def media_embedding(media: DataFrame) -> DataFrame:
 
 
 def extract_features(media: DataFrame) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads.
-
-    Demonstrates the real plumbing (binary → pandas bytes → numeric
-    features) with a deterministic fake feature (mean byte value)."""
+    """Arrow-batched feature extraction over binary payloads, with a
+    REAL decode step per modality: images report their parsed PPM
+    dimensions and mean pixel byte, audio reports its wave frame count
+    and mean PCM byte, codec-bound kinds (video) degrade to
+    ``decoded=false`` with byte stats over the raw payload. byte_mean
+    is an exact integer sum divided once, so the DuckDB twin is
+    bit-identical."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import numpy as np
-
         for pdf in batches:
             if not len(pdf):
                 continue
-            payloads = [
-                _decode_stub(k, bytes(p))
-                for k, p in zip(pdf["kind"], pdf["payload"])
-            ]
-            # byte values are small exact integers in float64, so the
-            # numpy mean is bit-identical to a sequential sum / len
+            rows = []
+            for mid, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                blob = bytes(p)
+                try:
+                    content, w, h, ns = decode_media(k, blob)
+                    decoded = True
+                except NotImplementedError:
+                    content, w, h, ns = blob, None, None, None
+                    decoded = False
+                mean = float(sum(content)) / len(content) if content else 0.0
+                rows.append((int(mid), k, len(blob), decoded, w, h, ns, mean))
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": [len(p) for p in payloads],
-                    "byte_mean": [
-                        float(np.frombuffer(p, dtype=np.uint8).mean()) if len(p) else 0.0
-                        for p in payloads
-                    ],
-                    "decoded": True,
-                }
+                rows,
+                columns=[
+                    "media_id", "kind", "n_bytes", "decoded",
+                    "dec_width", "dec_height", "n_samples", "byte_mean",
+                ],
             )
 
     return media.select("media_id", "kind", "payload").mapInPandas(
@@ -127,44 +237,50 @@ def media_meta(media: DataFrame) -> DataFrame:
 
 
 RESIZE_SCHEMA = (
-    "media_id LONG, kind STRING, out_width INT, out_height INT, n_bytes LONG"
+    "media_id LONG, kind STRING, out_width INT, out_height INT, "
+    "n_bytes LONG, payload BINARY"
 )
 
 FRAME_SCHEMA = "media_id LONG, frame_idx INT, frame_bytes BINARY"
 
 
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
-    """Image resize over binary payloads — narrow mapInPandas pass.
-
-    Real plumbing (kind filter pushed to the scan, Arrow batches,
-    per-row binary handling); the pixel work itself needs an image
-    codec this container lacks, so the 'resize' deterministically
-    truncates/pads the payload to width·height/256 bytes — swap the
-    body for PIL `Image.resize` on a real cluster, the plan is
-    unchanged."""
+    """REAL image resize over binary payloads — narrow mapInPandas
+    pass: decode the PPM, nearest-neighbor resample the H×W×3 pixel
+    grid to height×width (numpy index sampling, the same mapping
+    PIL's ``Image.NEAREST`` uses), re-encode as PPM. Kind filter is
+    pushed to the scan; no shuffle."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        target = max(1, width * height // 256)
+        import numpy as np
+
         for pdf in batches:
             if not len(pdf):
                 continue
-            resized = [
-                (bytes(p) * (target // max(len(bytes(p)), 1) + 1))[:target]
-                for p in pdf["payload"]
-            ]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "out_width": width,
-                    "out_height": height,
-                    "n_bytes": [len(r) for r in resized],
-                }
-            )
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, pixels = _decode_ppm(bytes(p))
+                img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                yi = (np.arange(height) * h) // height
+                xi = (np.arange(width) * w) // width
+                out = img[yi][:, xi]
+                enc = (
+                    f"P6\n{width} {height}\n255\n".encode("ascii")
+                    + out.tobytes()
+                )
+                rows.append((int(mid), "image", width, height, len(enc), enc))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "kind", "out_width", "out_height",
+                        "n_bytes", "payload",
+                    ],
+                )
 
     return (
         media.filter(F.col("kind") == "image")
-        .select("media_id", "kind", "payload")
+        .select("media_id", "payload")
         .mapInPandas(fn, schema=RESIZE_SCHEMA)
     )
 
@@ -173,7 +289,8 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
     """Video frame sampling: one output row per sampled 'frame'.
 
     Demonstrates the 1→N multimodal fan-out shape (mapInPandas emitting
-    multiple rows per input). Frames are deterministic 4-byte slices of
+    multiple rows per input). Video decode is codec-bound (see
+    :func:`_decode_stub`), so frames are deterministic 4-byte slices of
     the payload standing in for decoded frames — swap for pyav/ffmpeg
     keyframe extraction in production; schema, batching, and the
     explode-like output contract stay identical."""

@@ -164,21 +164,68 @@ def test_ivf_ann_finds_planted_neighbor(spark):
     assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
 
 
-def test_multimodal_plumbing(docs):
+def test_multimodal_real_decode(docs):
+    """Images decode through the real PPM parser (dims recovered from
+    the header), audio through the stdlib wave reader (frame count
+    recovered), video degrades to decoded=false over raw bytes."""
     media = mm.media_from_documents(docs)
     feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
     assert len(feats) == 5
-    for r in feats.values():
-        assert r["n_bytes"] == 16  # md5 digest payload
+    for mid, r in feats.items():
+        kind = mm.KINDS[mid % 3]
+        assert r["kind"] == kind
         assert 0.0 <= r["byte_mean"] <= 255.0
-        assert r["decoded"]
+        if kind == "image":
+            assert r["decoded"]
+            assert (r["dec_width"], r["dec_height"]) == mm._media_dims(mid)
+            w, h = mm._media_dims(mid)
+            assert r["n_bytes"] == len(f"P6\n{w} {h}\n255\n") + 3 * w * h
+        elif kind == "audio":
+            assert r["decoded"]
+            assert r["n_samples"] == mm._wav_samples(mid)
+            assert r["n_bytes"] == 44 + 2 * mm._wav_samples(mid)
+        else:
+            assert not r["decoded"]
+            assert r["n_bytes"] == 16
+
+
+def test_ppm_wav_decoders_roundtrip_known_bytes():
+    """Hand-built payloads through the real parsers: a 2x1 PPM and a
+    3-sample WAV decode back to exactly the bytes that went in."""
+    import io
+    import wave as wv
+
+    ppm = b"P6\n2 1\n255\n" + bytes([10, 20, 30, 40, 50, 60])
+    w, h, pixels = mm._decode_ppm(ppm)
+    assert (w, h) == (2, 1)
+    assert pixels == bytes([10, 20, 30, 40, 50, 60])
+
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(bytes([1, 2, 3, 4, 5, 6]))
+    n, rate, frames = mm._decode_wav(buf.getvalue())
+    assert (n, rate) == (3, 8000)
+    assert frames == bytes([1, 2, 3, 4, 5, 6])
+    # canonical PCM header is exactly 44 bytes (the meta oracle's model)
+    assert len(buf.getvalue()) == 44 + 6
 
 
 def test_multimodal_resize_and_frame_sample(docs):
     media = mm.media_from_documents(docs)
     resized = mm.resize_images(media, 32, 32).collect()
-    assert len(resized) == sum(1 for r in media.collect() if r["kind"] == "image")
-    assert all(r["n_bytes"] == 32 * 32 // 256 for r in resized)
+    imgs = {r["media_id"]: r for r in media.collect() if r["kind"] == "image"}
+    assert len(resized) == len(imgs)
+    for r in resized:
+        # re-encoded PPM round-trips through the decoder at target dims
+        w, h, pixels = mm._decode_ppm(bytes(r["payload"]))
+        assert (w, h) == (32, 32)
+        assert r["n_bytes"] == len(f"P6\n32 32\n255\n") + 3 * 32 * 32
+        # nearest-neighbor: top-left output pixel == top-left source pixel
+        _, _, src = mm._decode_ppm(bytes(imgs[r["media_id"]]["payload"]))
+        assert pixels[:3] == src[:3]
     frames = mm.sample_frames(media, every_n=2).collect()
     vids = [r["media_id"] for r in media.collect() if r["kind"] == "video"]
     assert {f["media_id"] for f in frames} == set(vids)
@@ -189,7 +236,9 @@ def test_multimodal_resize_and_frame_sample(docs):
     assert all(len(f["frame_bytes"]) == 4 for f in frames)
 
 
-def test_multimodal_decode_stub_raises():
+def test_multimodal_video_decode_is_declared_stub():
+    with pytest.raises(NotImplementedError):
+        mm.decode_media("video", b"\x00" * 16)
     with pytest.raises(NotImplementedError):
         mm._decode_stub("hologram", b"\x00")
 
