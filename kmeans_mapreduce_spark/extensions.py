@@ -147,6 +147,46 @@ def q_corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming artifact under the batch correctness gate:
+    replay the bounded events table through the streaming tumbling-
+    window aggregation (``stream_window_counts``, complete output,
+    availableNow trigger, memory sink) and return the final streaming
+    state. By replay parity this equals the batch window aggregate —
+    exactly what the DuckDB twin computes — so the driver's oracle row
+    certifies the streaming operator's semantics, not just pytest."""
+    import uuid
+
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file-stream source requires a DIRECTORY; glob-filter the one
+    # events file out of the shared sf_dir
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    agg = so.stream_window_counts(stream, watermark_sec=None)
+    qname = f"events_stream_replay_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select(
+        F.unix_seconds(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n_events",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmeans_mapreduce_spark.operators import relational as rel
 
@@ -1186,6 +1226,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_shipping_priority": q_join_shipping_priority,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_rollup": q_events_rollup,
+        "events_stream_replay": q_events_stream_replay,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1383,6 +1424,18 @@ FROM (
   FROM events
 )
 GROUP BY ROLLUP(event_type, hour)""",
+        # batch twin of the STREAMING window aggregation: replay parity
+        # means the streaming complete-mode state over bounded input
+        # equals this one-shot tumbling-window GROUP BY
+        "events_stream_replay": f"""
+WITH e AS (
+  SELECT event_type, value,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+)
+SELECT ((ts_sec // {ev.WINDOW_SEC}) * {ev.WINDOW_SEC})::BIGINT AS window_start,
+       event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM e GROUP BY 1, 2""",
         "text_langid": _langid_sql(),
         "text_fingerprint": (
             f"SELECT doc_id, {h64_sql('lower(trim(text))')} AS fingerprint "

@@ -34,15 +34,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and not isinstance(df.schema["ts"].dataType, LongType):
-        if isinstance(df.schema["ts"].dataType, TimestampNTZType):
-            ns = F.expr(
-                "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-            ) * F.lit(1000)
-        else:
-            ns = F.unix_micros("ts") * F.lit(1000)
-        df = df.withColumn("ts", ns.cast("long"))
+    if name == "events":
+        df = normalize_events_ts(df)
     return df
+
+
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize any events ``ts`` vintage to epoch-nanos BIGINT (see
+    :func:`load_table`); shared by the batch loader and streaming
+    replay reads, which must agree byte-for-byte."""
+    if isinstance(df.schema["ts"].dataType, LongType):
+        return df
+    if isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        ns = F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ) * F.lit(1000)
+    else:
+        ns = F.unix_micros("ts") * F.lit(1000)
+    return df.withColumn("ts", ns.cast("long"))
 
 
 def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
