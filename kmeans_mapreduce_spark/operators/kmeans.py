@@ -410,7 +410,9 @@ def lloyd_step(
 
 
 def lloyd_step_arrow(
-    points_xy: DataFrame, centers: list[Center]
+    points_xy: DataFrame,
+    centers: list[Center],
+    n_parts: int | None = None,
 ) -> tuple[dict[int, tuple[float, float]], dict[int, int], float]:
     """One Lloyd iteration via Arrow-vectorized partial aggregation.
 
@@ -470,7 +472,10 @@ def lloyd_step_arrow(
     part_df = points_xy.mapInPandas(
         partials, "pid INT, cid INT, sx DOUBLE, sy DOUBLE, n LONG, sse DOUBLE"
     )
-    n_parts = points_xy.rdd.getNumPartitions()
+    if n_parts is None:
+        # .rdd forces a plan→RDD conversion; callers looping (fit)
+        # should compute this once and pass it in
+        n_parts = points_xy.rdd.getNumPartitions()
     if n_parts <= 1024:
         # Single-stage job: P×K partial rows come straight to the
         # driver (MLlib's treeAggregate endgame) — no shuffle at all.
@@ -548,10 +553,30 @@ def fit(
     # before caching — one shuffle, amortized over all iterations.
     spark_ctx = points.sparkSession.sparkContext
     target = spark_ctx.defaultParallelism * 2
-    if points.rdd.getNumPartitions() > 4 * target:
+    floor = max(2, spark_ctx.defaultParallelism // 4)
+    n0 = points.rdd.getNumPartitions()
+    if n0 > 4 * target:
         points = points.repartition(target)
+    elif n0 < floor:
+        # UNDER-partitioned inputs are as bad as over-partitioned: a
+        # 3-row-group parquet caches as 3 partitions, capping every
+        # iteration's numpy argmin at 3-way parallelism (measured
+        # compute-bound at sf0.1). But per-task Python/Arrow overhead
+        # (~0.1 s) punishes wide fan-out of a K-row partial agg just as
+        # hard (64-way measured 2.4× slower per iteration than 8-way),
+        # so bump only to a quarter of the core count — the measured
+        # sweet spot — with the one shuffle amortized over all
+        # iterations.
+        points = points.repartition(floor)
     points = points.cache()
-    step = lloyd_step_arrow if impl == "arrow" else lloyd_step
+    if impl == "arrow":
+        cached_parts = points.rdd.getNumPartitions()
+
+        def step(pts, cs):
+            return lloyd_step_arrow(pts, cs, n_parts=cached_parts)
+
+    else:
+        step = lloyd_step
     spark = points.sparkSession
     # The loop's only shuffle is a K-row aggregate: AQE's adaptive
     # re-planning buys nothing there but costs ~0.1 s scheduling per

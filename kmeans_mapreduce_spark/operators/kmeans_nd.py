@@ -139,8 +139,15 @@ def fit_nd(
     # same per-partition fixed-cost normalization as the 2-D fit
     sc = pts.sparkSession.sparkContext
     target = sc.defaultParallelism * 2
-    if pts.rdd.getNumPartitions() > 4 * target:
+    floor = max(2, sc.defaultParallelism // 4)
+    n0 = pts.rdd.getNumPartitions()
+    # normalize BOTH directions (see the 2-D fit's measured rationale:
+    # few-partition caches cap the loop's parallelism; full-width
+    # fan-out loses to per-task Python/Arrow overhead)
+    if n0 > 4 * target:
         pts = pts.repartition(target)
+    elif n0 < floor:
+        pts = pts.repartition(floor)
     pts = pts.cache()
     try:
         if init_centers is None:
