@@ -147,6 +147,31 @@ def q_corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_W, RESIZE_H = 32, 32
+FRAME_EVERY_N = 4
+
+
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real nearest-neighbor resize over decoded PPM pixel grids; the
+    gate checks the re-encoded geometry (dims + exact byte size) — the
+    pixel bytes themselves are covered by the round-trip unit test."""
+    media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return mm.resize_images(media, RESIZE_W, RESIZE_H).select(
+        "media_id", "kind", "out_width", "out_height", "n_bytes"
+    )
+
+
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (1→N fan-out): sampled frame indices and
+    sizes per video payload."""
+    media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return mm.sample_frames(media, FRAME_EVERY_N).select(
+        "media_id",
+        "frame_idx",
+        F.length("frame_bytes").cast("int").alias("frame_len"),
+    )
+
+
 def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming artifact under the batch correctness gate:
     replay the bounded events table through the streaming tumbling-
@@ -1252,6 +1277,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_nd_fit_fixed": q_kmeans_nd_fit_fixed,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frames": q_multimodal_frames,
         "pipeline_media_cluster": q_pipeline_media_cluster,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
@@ -1976,6 +2003,21 @@ coh AS (
 SELECT cohort_week, week - cohort_week AS week_offset,
        COUNT(*) AS n_users, CAST(SUM(n_events) AS BIGINT) AS n_events
 FROM coh GROUP BY 1, 2""",
+        # resize geometry replayed arithmetically: every image re-encodes
+        # as "P6\n{W} {H}\n255\n" + 3WH pixels
+        "multimodal_resize": f"""
+SELECT doc_id AS media_id, 'image' AS kind,
+       {RESIZE_W}::INTEGER AS out_width, {RESIZE_H}::INTEGER AS out_height,
+       (9 + length('{RESIZE_W}') + length('{RESIZE_H}')
+          + 3 * {RESIZE_W} * {RESIZE_H})::BIGINT AS n_bytes
+FROM documents WHERE doc_id % 3 = 0""",
+        # video payloads are the raw 16-byte digest → 4 four-byte
+        # 'frames', sampled every FRAME_EVERY_N
+        "multimodal_frames": f"""
+SELECT doc_id AS media_id, i::INTEGER AS frame_idx, 4::INTEGER AS frame_len
+FROM documents
+CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(0, max(16 // 4, 1), FRAME_EVERY_N))}) t(i)
+WHERE doc_id % 3 = 2""",
         # real-decode twin, replayed arithmetically from the md5 hex
         # (DuckDB cannot subscript BLOBs): digest byte j = 16*hex[2j] +
         # hex[2j+1]; decoded content is the digest cycled to the
