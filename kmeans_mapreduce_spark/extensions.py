@@ -122,6 +122,19 @@ def q_text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tx.token_stats_bpe(load_table(spark, sf_dir, "documents"))
+
+
+SHUFFLE_SHARDS = 32
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.global_shuffle(
+        load_table(spark, sf_dir, "documents"), n_shards=SHUFFLE_SHARDS
+    )
+
+
 def q_corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end 'make training data' composition: quality filter
     → reproducible stratified hash sample → greedy token-budget
@@ -1235,6 +1248,8 @@ FROM ranked WHERE rn = 1
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "text_tokens": q_text_tokens,
+        "text_tokens_bpe": q_text_tokens_bpe,
+        "corpus_shuffle": q_corpus_shuffle,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1426,6 +1441,26 @@ def extension_oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens, "
             "length(text)::BIGINT AS n_chars FROM documents"
         ),
+        # GPT-2-ish pre-tokenizer count: both engines run the SAME
+        # lookahead-free pattern leftmost-first (Java regex / RE2)
+        "text_tokens_bpe": f"""
+WITH c AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{tx.BPE_SPLIT_RE.replace("'", "''")}'))::BIGINT AS n_bpe_tokens,
+         length(text) AS n_chars
+  FROM documents
+)
+SELECT doc_id, n_bpe_tokens,
+       ROUND(n_chars::DOUBLE / GREATEST(n_bpe_tokens, 1)::DOUBLE, 6) AS chars_per_token
+FROM c""",
+        "corpus_shuffle": f"""
+WITH s AS (
+  SELECT doc_id,
+         {h64_sql(f"'{sp.SHUFFLE_SALT}:' || doc_id::VARCHAR")} AS k
+  FROM documents
+)
+SELECT doc_id, k AS shuffle_key, (k % {SHUFFLE_SHARDS})::INTEGER AS shard
+FROM s""",
         "text_quality": quality_sql,
         "pipeline_clean_corpus": f"""
 WITH qual AS ({quality_sql}),

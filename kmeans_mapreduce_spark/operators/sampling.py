@@ -55,6 +55,31 @@ def hash_sample_stratified(
     return docs.filter(sample_bucket(F.col("doc_id")) < threshold)
 
 
+SHUFFLE_SALT = "shuffle-epoch0"  # new salt per epoch = fresh permutation
+
+
+def global_shuffle(
+    docs: DataFrame, n_shards: int = 32, salt: str = SHUFFLE_SALT
+) -> DataFrame:
+    """Deterministic global corpus shuffle for training-epoch
+    materialization: each doc gets a salted 60-bit ``shuffle_key`` and
+    a ``shard`` (key mod n_shards). Writing partitionBy(shard) with a
+    per-shard ORDER BY shuffle_key materializes a full pseudo-random
+    permutation of the corpus — without a single-partition global
+    window (row_number over an unpartitioned window is the classic
+    driver-chokepoint anti-pattern) and without RNG (``F.rand`` order
+    is retry-unstable, so a task retry under speculation would emit a
+    DIFFERENT epoch). A new salt per epoch gives an independent
+    permutation. Plan shape: pure narrow map; the sort happens in the
+    sharded write, range-partitioned per shard."""
+    key = h64(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string")))
+    return docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        F.pmod(key, F.lit(n_shards)).cast("int").alias("shard"),
+    )
+
+
 def weighted_sample(
     docs: DataFrame, weight: Column, salt: str = SAMPLE_SALT
 ) -> DataFrame:

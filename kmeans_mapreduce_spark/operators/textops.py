@@ -35,6 +35,34 @@ def token_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer split, restricted to the Java∩RE2 regex
+# subset (no lookahead, no \p{} classes) so Spark and DuckDB count the
+# same matches: contraction suffixes, optional-space letter runs,
+# optional-space digit runs, optional-space punctuation runs, then
+# whitespace runs. Both engines match alternations leftmost-first, so
+# branch order is semantic and must stay identical on both sides.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def token_stats_bpe(docs: DataFrame, digits: int = 6) -> DataFrame:
+    """BPE-ish token counting: subword pre-token count per document
+    via the GPT-2 pre-tokenizer regex (the budget a real BPE tokenizer
+    would start from — whitespace counts undercount code/CJK/punct-
+    heavy text badly). ``chars_per_token`` is the compression-ratio
+    proxy quality filters threshold on. Pure Catalyst ``regexp_count``
+    — narrow map, no Python, no shuffle."""
+    n = F.regexp_count(F.col("text"), F.lit(BPE_SPLIT_RE)).cast("long")
+    return docs.select(
+        "doc_id",
+        n.alias("n_bpe_tokens"),
+        F.round(
+            F.length("text").cast("double")
+            / F.greatest(n, F.lit(1)).cast("double"),
+            digits,
+        ).alias("chars_per_token"),
+    )
+
+
 def quality(docs: DataFrame, digits: int = 6) -> DataFrame:
     """Quality scoring: length/stopword/diversity heuristics.
 

@@ -350,6 +350,46 @@ def test_pack_sequences_bin_boundaries(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 0}
 
 
+def test_bpe_token_count_semantics(spark):
+    """GPT-2-ish pre-tokenizer on crafted strings: contractions split
+    into (word, suffix), punctuation runs count once, leading spaces
+    attach to the following run, whitespace runs count."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    cases = [
+        (0, "don't"),            # "don" + "'t" = 2
+        (1, "hello world"),      # "hello" + " world" = 2
+        (2, "a=b+c;"),           # "a" "=" "b" "+" "c" ";" = 6
+        (3, "x  y"),             # "x" + " " (odd ws) + " y" = 3
+        (4, "3.14 abc42"),       # "3" "." "14" " abc" "42" = 5
+        (5, ""),                 # empty → 0
+    ]
+    df = spark.createDataFrame(cases, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in tx.token_stats_bpe(df).collect()
+    }
+    assert got == {0: 2, 1: 2, 2: 6, 3: 3, 4: 5, 5: 0}
+
+
+def test_global_shuffle_is_deterministic_permutation(docs):
+    """Shuffle keys are collision-free on the fixture, shards follow
+    key mod N, reruns are identical, and a different salt gives a
+    different order (a fresh epoch)."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    a = sp.global_shuffle(docs, n_shards=4).collect()
+    keys = {r["doc_id"]: r["shuffle_key"] for r in a}
+    assert len(set(keys.values())) == len(keys)
+    assert all(r["shard"] == r["shuffle_key"] % 4 for r in a)
+    b = sp.global_shuffle(docs, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    other = sp.global_shuffle(docs, n_shards=4, salt="shuffle-epoch1").collect()
+    order_a = [r["doc_id"] for r in sorted(a, key=lambda r: r["shuffle_key"])]
+    order_o = [r["doc_id"] for r in sorted(other, key=lambda r: r["shuffle_key"])]
+    assert order_a != order_o
+
+
 def test_funnel_order_semantics(spark):
     """Crafted case: a click BEFORE any view must not advance the
     funnel; a purchase only counts after a qualifying click; same-ts
