@@ -187,6 +187,23 @@ def test_hash_sample_is_narrow_and_deterministic(spark):
     assert a == b and len(a) > 0
 
 
+def test_bpe_count_and_shuffle_are_narrow_pruned_scans(spark):
+    """The two corpus-wide per-row ops (BPE-ish token count, epoch
+    shuffle key) must stay pure narrow maps with column pruning to
+    their two input columns — at 100 TB either picking up an Exchange
+    or scanning all columns would dominate the job."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    docs = load_table(spark, SF, "documents")
+    bpe = tx.token_stats_bpe(docs)
+    assert "Exchange" not in plans.explain_str(bpe)
+    assert set(plans.scan_columns(bpe)) == {"doc_id", "text"}
+    shuf = sp.global_shuffle(docs)
+    assert "Exchange" not in plans.explain_str(shuf)
+    assert plans.scan_columns(shuf) == ["doc_id"]
+
+
 def test_global_topk_is_take_ordered_not_full_sort(spark):
     """ORDER BY + LIMIT must run as TakeOrderedAndProject (per-partition
     top-K heaps, driver merge) — not a full global sort-shuffle."""
