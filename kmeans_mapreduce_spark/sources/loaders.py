@@ -98,6 +98,20 @@ def write_documents_jsonl(docs: DataFrame, path: str) -> None:
     docs.write.mode("overwrite").json(path)
 
 
+def read_documents_orc(spark: SparkSession, path: str) -> DataFrame:
+    """O1 breadth — ORC document source (the other columnar format a
+    Hive-era lakehouse hands you). Spark's native ORC reader supports
+    the same pushdown/pruning contract as parquet: predicates and
+    column selection reach the stripe reader (plan-asserted in
+    tests/test_sources.py)."""
+    return spark.read.schema(DOCUMENTS_DDL).orc(path)
+
+
+def write_documents_orc(docs: DataFrame, path: str) -> None:
+    """ORC document sink (columnar, stripe-indexed, splittable)."""
+    docs.write.mode("overwrite").orc(path)
+
+
 def write_centroids(centroids: DataFrame, path: str, fmt: str = "parquet") -> None:
     """O5 — centroid sink. The reference deletes and rewrites
     ``centroids.txt`` every iteration so only the latest generation

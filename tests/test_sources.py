@@ -101,6 +101,27 @@ def test_documents_jsonl_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_documents_orc_roundtrip_and_pushdown(spark, tmp_path):
+    """ORC source/sink roundtrip with the same pushdown contract as
+    parquet: values survive bit-for-bit and a doc_id predicate reaches
+    the stripe reader as a pushed filter."""
+    from kmeans_mapreduce_spark import plans
+    from kmeans_mapreduce_spark.operators import textops as tx
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    loaders.write_documents_orc(docs, path)
+    back = loaders.read_documents_orc(spark, path)
+    assert back.count() == docs.count()
+    a = sorted(r["fingerprint"] for r in tx.fingerprint(docs).collect())
+    b = sorted(r["fingerprint"] for r in tx.fingerprint(back).collect())
+    assert a == b
+    filtered = back.filter(F.col("doc_id") < 10).select("doc_id")
+    assert plans.has_pushed_filters(filtered)
+    assert plans.scan_columns(filtered) == ["doc_id"]
+
+
 def test_partitioned_sink_prunes_partitions(spark, tmp_path):
     """Reading one partition of a partitionBy sink must prune at the
     file listing (PartitionFilters on the scan), not post-filter rows —
