@@ -379,6 +379,9 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "lineitem_bloom_prune",
     "similarity_ann_pq_rerank",
     "dedup_keep_best",
+    "text_tokens_bpe",
+    "corpus_shuffle",
+    "multimodal_resize",
 }
 
 

@@ -187,6 +187,33 @@ def test_hash_sample_is_narrow_and_deterministic(spark):
     assert a == b and len(a) > 0
 
 
+def test_partitioned_fact_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """Joining a partitioned fact table to a filtered dim must prune
+    fact partitions AT RUNTIME (Catalyst DPP): the fact scan carries a
+    dynamicpruning subquery on the partition column instead of reading
+    every partition and filtering post-join — at 100 TB this is the
+    difference between touching one directory and the whole lake."""
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_quantity"
+    )
+    fact_path = str(tmp_path / "li_by_flag")
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("A", "keep"), ("R", "drop")], "l_returnflag STRING, tag STRING"
+    ).filter(F.col("tag") == "keep")
+    # broadcast the dim explicitly: at test scale the fact side is tiny
+    # enough that Spark would otherwise broadcast IT, and DPP only
+    # fires on the probe side of a broadcast join
+    joined = fact.join(F.broadcast(dim), "l_returnflag").groupBy("tag").agg(
+        F.sum("l_quantity").alias("q")
+    )
+    plan = plans.explain_str(joined)
+    assert "dynamicpruning" in plan.lower()
+
+
 def test_bpe_count_and_shuffle_are_narrow_pruned_scans(spark):
     """The two corpus-wide per-row ops (BPE-ish token count, epoch
     shuffle key) must stay pure narrow maps with column pruning to
