@@ -135,6 +135,10 @@ def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sp.temperature_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end 'make training data' composition: quality filter
     → reproducible stratified hash sample → greedy token-budget
@@ -1250,6 +1254,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_tokens": q_text_tokens,
         "text_tokens_bpe": q_text_tokens_bpe,
         "corpus_shuffle": q_corpus_shuffle,
+        "corpus_temperature_mix": q_corpus_temperature_mix,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
         "text_fingerprint": q_text_fingerprint,
@@ -1461,6 +1466,20 @@ WITH s AS (
 )
 SELECT doc_id, k AS shuffle_key, (k % {SHUFFLE_SHARDS})::INTEGER AS shard
 FROM s""",
+        # α=0.5 temperature mix: r_s = sqrt(n_min/n_s) is one IEEE
+        # correctly-rounded divide + sqrt, so FLOOR(BUCKETS·r) is
+        # bit-identical to the Spark driver's math.floor/math.sqrt
+        "corpus_temperature_mix": f"""
+WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT MIN(n) AS nmin FROM c),
+t AS (
+  SELECT lang,
+         FLOOR({sp.SAMPLE_BUCKETS} * sqrt(m.nmin::DOUBLE / c.n::DOUBLE))::BIGINT AS thr
+  FROM c, m
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN t ON d.lang = t.lang
+WHERE {h64_sql(f"'{sp.TEMP_SALT}:' || doc_id::VARCHAR")} % {sp.SAMPLE_BUCKETS} < t.thr""",
         "text_quality": quality_sql,
         "pipeline_clean_corpus": f"""
 WITH qual AS ({quality_sql}),

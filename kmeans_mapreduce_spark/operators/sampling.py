@@ -55,6 +55,49 @@ def hash_sample_stratified(
     return docs.filter(sample_bucket(F.col("doc_id")) < threshold)
 
 
+TEMP_SALT = "tempmix"  # decorrelated from the plain sample hash
+
+
+def temperature_sample(
+    docs: DataFrame, stratum_col: str = "lang", salt: str = TEMP_SALT
+) -> DataFrame:
+    """Temperature-rebalanced corpus mix (the mT5/ROOTS recipe at
+    α = 0.5): per-stratum keep rate ``r_s = sqrt(n_min / n_s)``, so the
+    rarest stratum keeps everything and high-resource strata are
+    downsampled toward a flattened distribution (expected counts
+    ∝ sqrt(n_s)).
+
+    α is pinned to 0.5 deliberately: the rate is then one division and
+    one square root — both IEEE correctly-rounded operations — so the
+    DuckDB oracle computes the bit-identical threshold with no libm
+    ``pow`` drift and no float-summation-order dependence (there is no
+    sum at all).
+
+    Plan shape: one K-row count aggregate (K = #strata, collected to
+    the driver), then a narrow hash filter with literal integer
+    thresholds — the 100 TB corpus is never joined or shuffled.
+    Membership is a pure function of (salt, doc_id): retry-stable,
+    auditable, re-runnable.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1] for r in docs.groupBy(stratum_col).count().collect()
+    }
+    if not counts:
+        return docs.select("doc_id", stratum_col)
+    n_min = min(counts.values())
+    threshold = F.lit(0)
+    for stratum, n in sorted(counts.items()):
+        thr = math.floor(SAMPLE_BUCKETS * math.sqrt(n_min / n))
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(thr)
+        ).otherwise(threshold)
+    return docs.filter(
+        sample_bucket(F.col("doc_id"), salt=salt) < threshold
+    ).select("doc_id", stratum_col)
+
+
 SHUFFLE_SALT = "shuffle-epoch0"  # new salt per epoch = fresh permutation
 
 

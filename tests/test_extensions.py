@@ -372,6 +372,28 @@ def test_bpe_token_count_semantics(spark):
     assert got == {0: 2, 1: 2, 2: 6, 3: 3, 4: 5, 5: 0}
 
 
+def test_temperature_sample_flattens_toward_rare_strata(spark):
+    """α=0.5 rebalancing: the rarest stratum is kept in full (rate 1);
+    a stratum 4x larger keeps ~half (sqrt(1/4)); expected counts are
+    within hash-sampling noise of n_s·sqrt(n_min/n_s)."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    rows = [(i, "rare") for i in range(200)] + [
+        (1000 + i, "big") for i in range(800)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    out = sp.temperature_sample(df).collect()
+    kept = {"rare": 0, "big": 0}
+    for r in out:
+        kept[r["lang"]] += 1
+    assert kept["rare"] == 200  # rate exactly 1 → every row survives
+    # big: rate = sqrt(200/800) = 0.5 → ~400 of 800 (hash noise ±10%)
+    assert 320 <= kept["big"] <= 480
+    # deterministic: rerun identical
+    again = sp.temperature_sample(df).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_global_shuffle_is_deterministic_permutation(docs):
     """Shuffle keys are collision-free on the fixture, shards follow
     key mod N, reruns are identical, and a different salt gives a
