@@ -189,6 +189,38 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Catalyst's NATIVE ``session_window`` operator
+    (MergingSessionsExec — Spark plans the merge itself, no lag/cumsum
+    window trick). Boundary semantics verified empirically: an event
+    exactly ``gap`` after the last one MERGES (split requires
+    diff > gap), matching the independent lag-based SQL replay.
+    ``window.end`` is last-event + gap, so session_end derives by
+    subtracting the gap back off."""
+    e = load_table(spark, sf_dir, "events")
+    gap = ev.SESSION_GAP_SEC
+    return (
+        e.withColumn(
+            "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        )
+        .groupBy(
+            "user_id",
+            F.session_window("event_time", f"{gap} seconds").alias("w"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            "user_id",
+            F.unix_seconds(F.col("w.start")).alias("session_start"),
+            (F.unix_seconds(F.col("w.end")) - F.lit(gap)).alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming artifact under the batch correctness gate:
     replay the bounded events table through the streaming tumbling-
@@ -1302,6 +1334,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_media_cluster": q_pipeline_media_cluster,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
+        "events_sessionize_native": q_events_sessionize_native,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_cube": q_events_cube,
@@ -1954,6 +1987,30 @@ sessions AS (
   FROM flagged
 )
 SELECT user_id, session_idx,
+       MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM sessions GROUP BY user_id, session_idx""",
+        # independent lag-based replay of the NATIVE session_window
+        # operator (split strictly-greater-than gap, verified boundary)
+        "events_sessionize_native": f"""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER w > {ev.SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts_sec, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )::BIGINT AS session_idx
+  FROM flagged
+)
+SELECT user_id,
        MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
 FROM sessions GROUP BY user_id, session_idx""",
