@@ -189,6 +189,38 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SLIDE_SEC = ev.WINDOW_SEC  # slide = 300 s under a 600 s window → overlap 2
+
+
+def q_events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native sliding-window aggregation (``F.window`` with a slide):
+    every event lands in window_size/slide = 2 overlapping windows —
+    Catalyst plans the expansion as a generated-column explode, one
+    shuffle keyed by (window, type). The DuckDB twin expands the two
+    epoch-aligned window starts explicitly."""
+    e = load_table(spark, sf_dir, "events")
+    size = 2 * SLIDE_SEC
+    return (
+        e.withColumn(
+            "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        )
+        .groupBy(
+            F.window("event_time", f"{size} seconds", f"{SLIDE_SEC} seconds").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(
+            F.unix_seconds(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
 def q_events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap sessions via Catalyst's NATIVE ``session_window`` operator
     (MergingSessionsExec — Spark plans the merge itself, no lag/cumsum
@@ -1335,6 +1367,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_native": q_events_sessionize_native,
+        "events_sliding_window": q_events_sliding_window,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
         "events_cube": q_events_cube,
@@ -1990,6 +2023,22 @@ SELECT user_id, session_idx,
        MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
 FROM sessions GROUP BY user_id, session_idx""",
+        # sliding windows: each event expands to size/slide = 2
+        # epoch-aligned window starts
+        "events_sliding_window": f"""
+WITH e AS (
+  SELECT event_type, value,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+w AS (
+  SELECT event_type, value,
+         ((ts_sec // {SLIDE_SEC}) * {SLIDE_SEC} - k.off)::BIGINT AS window_start
+  FROM e CROSS JOIN (VALUES (0), ({SLIDE_SEC})) k(off)
+)
+SELECT window_start, event_type,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+FROM w GROUP BY 1, 2""",
         # independent lag-based replay of the NATIVE session_window
         # operator (split strictly-greater-than gap, verified boundary)
         "events_sessionize_native": f"""
