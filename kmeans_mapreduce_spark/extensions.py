@@ -767,6 +767,56 @@ def q_pipeline_media_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOPIC_TOP_TERMS = 3
+
+
+def q_pipeline_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-discovery composition (the step every embedding-clustering
+    pipeline ends with): embeddings → n-D nearest-centroid assign (the
+    engine's own narrow literal argmin) → join documents on
+    doc_id == vec_id → per-cluster top-3 non-stopword tokens by
+    occurrence count (ties by term asc). One assign, one explode, one
+    (cid, term) aggregate, one K-partition window."""
+    from pyspark.sql import Window
+
+    from kmeans_mapreduce_spark.functions.text import tokens as toks_fn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cents = (
+        emb.filter(F.col("vec_id").isin(ND_CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centers = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cents
+    ]
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("vec"),
+    )
+    assigned = knd.assign_nd_expr(pts, centers).select("point_id", "cid")
+    terms = docs.select(
+        "doc_id", F.explode(toks_fn(F.lower(F.col("text")))).alias("term")
+    ).filter((F.col("term") != "") & ~F.col("term").isin(sorted(STOPWORDS)))
+    counts = (
+        terms.join(assigned, terms["doc_id"] == assigned["point_id"])
+        .groupBy("cid", "term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.desc("n_occurrences"), F.asc("term")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOPIC_TOP_TERMS)
+        .select("cid", "rank", "term", "n_occurrences", "n_docs")
+    )
+
+
 SQL_REVENUE = """
 SELECT n.n_name,
        ROUND(SUM(l.l_extendedprice * (CAST(1.0 AS DOUBLE) - l.l_discount)), 2) AS revenue,
@@ -1364,6 +1414,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "pipeline_media_cluster": q_pipeline_media_cluster,
+        "pipeline_topic_clusters": q_pipeline_topic_clusters,
         "events_window_agg": q_events_window_agg,
         "events_sessionize": q_events_sessionize,
         "events_sessionize_native": q_events_sessionize_native,
@@ -1900,6 +1951,29 @@ FROM per""",
         "similarity_ann_pq": _ivf_pq_ann_sql(),
         "similarity_ann_pq_rerank": _ivf_pq_ann_sql(rerank=True),
         "kmeans_nd_assign": _kmeans_nd_assign_sql(),
+        "pipeline_topic_clusters": f"""
+WITH assigned AS ({_kmeans_nd_assign_sql()}),
+tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+f AS (
+  SELECT doc_id, term FROM tok
+  WHERE term <> '' AND NOT list_contains({_sql_str_list(STOPWORDS)}, term)
+),
+c AS (
+  SELECT a.cid, f.term, COUNT(*) AS n_occurrences,
+         COUNT(DISTINCT f.doc_id) AS n_docs
+  FROM f JOIN assigned a ON f.doc_id = a.point_id
+  GROUP BY a.cid, f.term
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY cid ORDER BY n_occurrences DESC, term
+  ) AS rank
+  FROM c
+)
+SELECT cid, rank::INTEGER AS rank, term, n_occurrences, n_docs
+FROM r WHERE rank <= {TOPIC_TOP_TERMS}""",
         "kmeans_nd_loop2": _kmeans_nd_loop2_sql(),
         # payload sizes replayed arithmetically: PPM = "P6\n{w} {h}\n255\n"
         # header + 3wh pixels; WAV = canonical 44-byte PCM header + 2
