@@ -509,6 +509,34 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation — recall@k of the IVF index against the
+    exact brute-force top-k, per query (the metric an ANN deployment
+    is tuned by: nprobe trades this against probe cost). Composes two
+    existing engine operators; the oracle composes their two SQL
+    replays the same way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = sim.ivf_ann_topk(
+        emb, ND_CENTROID_IDS, TOPK_QUERY_IDS, k=ANN_K, nprobe=IVF_NPROBE
+    ).select("query_id", "neighbor_id")
+    brute = sim.cosine_topk(emb, TOPK_QUERY_IDS, ANN_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        ivf.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.lit(ANN_K).cast("long").alias("k"),
+            F.round(
+                F.col("n_hit").cast("double") / F.lit(float(ANN_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def q_similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_pq_ann_topk(
         load_table(spark, sf_dir, "embeddings"),
@@ -1403,6 +1431,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ann_recall": q_similarity_ann_recall,
         "similarity_ann_pq": q_similarity_ann_pq,
         "similarity_ann_pq_rerank": q_similarity_ann_pq_rerank,
         "kmeans_nd_assign": q_kmeans_nd_assign,
@@ -1948,6 +1977,19 @@ FROM per""",
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
         "similarity_ann_ivf": _ivf_ann_sql(),
+        # recall@k: the IVF replay left-joined to the exact top-k
+        # replay (DuckDB allows WITH inside subqueries, so both full
+        # twins compose verbatim)
+        "similarity_ann_recall": f"""
+WITH ivf AS (SELECT query_id, neighbor_id FROM ({_ivf_ann_sql()}) t1),
+brute AS (SELECT query_id, neighbor_id FROM ({_topk_sql(ANN_K, bucketed=False)}) t2)
+SELECT i.query_id,
+       COUNT(b.neighbor_id)::BIGINT AS n_hit,
+       {ANN_K}::BIGINT AS k,
+       ROUND(COUNT(b.neighbor_id)::DOUBLE / {ANN_K}::DOUBLE, 6) AS recall_at_k
+FROM ivf i LEFT JOIN brute b
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY i.query_id""",
         "similarity_ann_pq": _ivf_pq_ann_sql(),
         "similarity_ann_pq_rerank": _ivf_pq_ann_sql(rerank=True),
         "kmeans_nd_assign": _kmeans_nd_assign_sql(),
