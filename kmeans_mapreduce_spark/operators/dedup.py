@@ -965,7 +965,16 @@ def fuzzy_prefix_pairs(
     st = _seg_start(Lc, F.col("i"), k) + F.col("d")
     sl = _seg_len(Lc, F.col("i"), k)
     # index the shorter side's scheme, probe from the longer (WLOG in a
-    # self-join): halves probe fan-out and join volume, still exact
+    # self-join): halves probe fan-out and join volume, still exact.
+    # Shift budget (Pass-Join's multi-match substring selection): a
+    # segment shifted by d needs |d| net insert/delete edits BEFORE it
+    # and |Δ−d| more AFTER it to close the remaining length gap
+    # Δ = plen−L; the two edit sets are disjoint, so |d| + |Δ−d| ≤
+    # max_dist is necessary — for same-length pairs this halves the
+    # shift fan-out (|d| ≤ max_dist/2), and measured it cuts candidate
+    # volume ~2× on template-heavy prefixes with zero recall loss (the
+    # brute-force-equality tests pin exactness).
+    delta = F.col("plen") - F.col("L")
     probe = (
         pre.join(
             F.broadcast(lens),
@@ -974,7 +983,11 @@ def fuzzy_prefix_pairs(
         )
         .select("doc_id", "p", "plen", "L", idx)
         .select("doc_id", "p", "plen", "L", "i", shift)
-        .filter((st >= 1) & (st + sl - 1 <= F.col("plen")))
+        .filter(
+            (st >= 1)
+            & (st + sl - 1 <= F.col("plen"))
+            & (F.abs(F.col("d")) + F.abs(delta - F.col("d")) <= max_dist)
+        )
         .select(
             F.col("doc_id").alias("doc_p"),
             F.col("p").alias("p_p"),
