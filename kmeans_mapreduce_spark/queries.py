@@ -382,6 +382,10 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "text_tokens_bpe",
     "corpus_shuffle",
     "multimodal_resize",
+    "corpus_temperature_mix",
+    "events_sessionize_native",
+    "events_sliding_window",
+    "pipeline_topic_clusters",
 }
 
 
