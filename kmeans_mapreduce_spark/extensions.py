@@ -253,6 +253,36 @@ def q_events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second streaming artifact under the gate: the STATEFUL
+    cross-batch exact-dedup operator (applyInPandasWithState keyed by
+    content fingerprint) replayed over the bounded documents table.
+    After a full replay the state collapses to one row per distinct
+    fingerprint — keeper = lowest doc_id, n_copies = duplicate count —
+    which is exactly the batch GROUP BY the DuckDB twin runs."""
+    import uuid
+
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = so.stream_dedup_exact(stream)
+    qname = f"corpus_stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.table(qname).select("fp", "keep_doc_id", "n_copies", "is_new")
+
+
 def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming artifact under the batch correctness gate:
     replay the bounded events table through the streaming tumbling-
@@ -1414,6 +1444,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_rollup": q_events_rollup,
         "events_stream_replay": q_events_stream_replay,
+        "corpus_stream_dedup_replay": q_corpus_stream_dedup_replay,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1651,6 +1682,14 @@ FROM (
   FROM events
 )
 GROUP BY ROLLUP(event_type, hour)""",
+        # batch twin of the STATEFUL streaming dedup: a full bounded
+        # replay collapses the fingerprint state to this GROUP BY
+        "corpus_stream_dedup_replay": f"""
+SELECT {h64_sql("lower(trim(text))")} AS fp,
+       MIN(doc_id) AS keep_doc_id,
+       COUNT(*)::BIGINT AS n_copies,
+       TRUE AS is_new
+FROM documents GROUP BY 1""",
         # batch twin of the STREAMING window aggregation: replay parity
         # means the streaming complete-mode state over bounded input
         # equals this one-shot tumbling-window GROUP BY
