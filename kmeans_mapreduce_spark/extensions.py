@@ -503,6 +503,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_near_dup(
         load_table(spark, sf_dir, "embeddings"), EMBED_COSINE_THRESHOLD
@@ -1457,6 +1461,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
         "dedup_span_fraction": q_dedup_span_fraction,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
@@ -2011,6 +2016,21 @@ SELECT doc_id, n_shingles, n_dup,
        ROUND(n_dup::DOUBLE / n_shingles::DOUBLE, 6) AS dup_fraction
 FROM per""",
         "dedup_simhash": _simhash_sql(),
+        # pigeonhole band join over the simhash sketch + popcount verify
+        "dedup_simhash_pairs": f"""
+WITH sh AS ({_simhash_sql()}),
+banded AS (
+  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+  FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+         bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+  FROM banded x JOIN banded y
+    ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand
+WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "dedup_embedding": _embedding_near_dup_sql(),
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),

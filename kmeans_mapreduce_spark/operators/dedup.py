@@ -636,6 +636,64 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     return sums.select("doc_id", sim.alias("simhash"))
 
 
+SIMHASH_MAX_HAMMING = 3
+
+
+def simhash_pairs(
+    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING, bits: int = 32
+) -> DataFrame:
+    """Hamming-near SimHash join — the lookup half of the SimHash
+    scheme (Manku/Jain/Sarma's near-dup detection): pairs of documents
+    whose sketches differ in at most ``max_hamming`` bits.
+
+    Band blocking by pigeonhole: split the sketch into
+    ``max_hamming + 1`` bands — ≤ ``max_hamming`` flipped bits must
+    leave at least one band untouched, so every qualifying pair shares
+    some exact band value. Candidates are therefore an equi-join on
+    (band_idx, band_value) — never all-pairs — and the verify is one
+    popcount over XOR, fully JVM-side. Scale shape: band values spread
+    the key space (skew bounded by the most common band value, i.e.
+    near-identical template docs — the same population the minhash
+    path already caps); verify touches candidates only.
+    """
+    nb = max_hamming + 1
+    if bits % nb:
+        raise ValueError("simhash_pairs: bits must divide into max_hamming+1 bands")
+    w = bits // nb
+    sh = simhash(docs, bits)
+    banded = (
+        sh.select(
+            "doc_id",
+            "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b"),
+        )
+        .withColumn(
+            "bv",
+            F.expr(f"shiftright(simhash, b * {w})").bitwiseAND(
+                F.lit((1 << w) - 1)
+            ),
+        )
+    )
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 EMBED_BLOCK_ROW_CAP = 8192  # tile oversized cosine blocks above this
 
 

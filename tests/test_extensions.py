@@ -350,6 +350,26 @@ def test_pack_sequences_bin_boundaries(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 2, 5: 0}
 
 
+def test_simhash_pairs_match_brute_force(docs):
+    """Band blocking must lose nothing: banded+verified pairs == all
+    unordered pairs with sketch hamming <= 3 (exact-dup docs 0/1 give
+    hamming 0, so the result is non-empty by construction)."""
+    got = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dd.simhash_pairs(docs).collect()
+    }
+    sh = {r["doc_id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    ids = sorted(sh)
+    want = {
+        (a, b, bin(sh[a] ^ sh[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sh[a] ^ sh[b]).count("1") <= dd.SIMHASH_MAX_HAMMING
+    }
+    assert got == want
+    assert (0, 1, 0) in got  # planted exact dup
+
+
 def test_bpe_token_count_semantics(spark):
     """GPT-2-ish pre-tokenizer on crafted strings: contractions split
     into (word, suffix), punctuation runs count once, leading spaces
