@@ -280,7 +280,18 @@ def q_corpus_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination(300)
-    return spark.table(qname).select("fp", "keep_doc_id", "n_copies", "is_new")
+    # update mode emits one row per fp per batch it appeared in; fold
+    # to the FINAL state (max running count, stable keeper) so the
+    # result is batching-invariant — availableNow may split the input
+    # into several micro-batches on other source configurations
+    return (
+        spark.table(qname)
+        .groupBy("fp")
+        .agg(
+            F.min("keep_doc_id").alias("keep_doc_id"),
+            F.max("n_copies").alias("n_copies"),
+        )
+    )
 
 
 def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1692,8 +1703,7 @@ GROUP BY ROLLUP(event_type, hour)""",
         "corpus_stream_dedup_replay": f"""
 SELECT {h64_sql("lower(trim(text))")} AS fp,
        MIN(doc_id) AS keep_doc_id,
-       COUNT(*)::BIGINT AS n_copies,
-       TRUE AS is_new
+       COUNT(*)::BIGINT AS n_copies
 FROM documents GROUP BY 1""",
         # batch twin of the STREAMING window aggregation: replay parity
         # means the streaming complete-mode state over bounded input
