@@ -279,16 +279,23 @@ def q_corpus_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "corpus_stream_dedup_replay: streaming replay did not finish "
+            "in 300 s — refusing to gate a partially-populated sink"
+        )
     # update mode emits one row per fp per batch it appeared in; fold
-    # to the FINAL state (max running count, stable keeper) so the
-    # result is batching-invariant — availableNow may split the input
-    # into several micro-batches on other source configurations
+    # to the FINAL state so the result is batching-invariant —
+    # availableNow may split the input into several micro-batches on
+    # other source configurations. The operator's running min_doc_id
+    # (not its first-wins keeper, which is arrival-order-dependent) is
+    # what equals the oracle's global MIN(doc_id).
     return (
         spark.table(qname)
         .groupBy("fp")
         .agg(
-            F.min("keep_doc_id").alias("keep_doc_id"),
+            F.min("min_doc_id").alias("keep_doc_id"),
             F.max("n_copies").alias("n_copies"),
         )
     )
@@ -325,7 +332,12 @@ def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_replay: streaming replay did not finish in "
+            "300 s — refusing to gate a partially-populated sink"
+        )
     return spark.table(qname).select(
         F.unix_seconds(F.col("w.start")).alias("window_start"),
         "event_type",
@@ -607,8 +619,12 @@ def q_similarity_ann_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kmeans_nd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+def _nd_centers_and_points(emb: DataFrame):
+    """Shared idiom for the n-D queries: driver-collect the fixed
+    centroid rows (cid = vec_id ∈ ND_CENTROID_IDS) and project the
+    corpus to (point_id, vec double[]). Centroid selection lives in
+    ONE place so the collision/ordering rules stay consistent across
+    every query that replays it."""
     cents = (
         emb.filter(F.col("vec_id").isin(ND_CENTROID_IDS))
         .select("vec_id", "embedding")
@@ -620,6 +636,13 @@ def q_kmeans_nd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = emb.select(
         F.col("vec_id").alias("point_id"),
         F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("vec"),
+    )
+    return centers, pts
+
+
+def q_kmeans_nd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    centers, pts = _nd_centers_and_points(
+        load_table(spark, sf_dir, "embeddings")
     )
     out = knd.assign_nd_expr(pts, centers)
     return out.select("point_id", "cid", F.round("min_d2", 6).alias("min_d2"))
@@ -856,18 +879,7 @@ def q_pipeline_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
-    cents = (
-        emb.filter(F.col("vec_id").isin(ND_CENTROID_IDS))
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    centers = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cents
-    ]
-    pts = emb.select(
-        F.col("vec_id").alias("point_id"),
-        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("vec"),
-    )
+    centers, pts = _nd_centers_and_points(emb)
     assigned = knd.assign_nd_expr(pts, centers).select("point_id", "cid")
     terms = docs.select(
         "doc_id", F.explode(toks_fn(F.lower(F.col("text")))).alias("term")

@@ -81,11 +81,18 @@ def temperature_sample(
     """
     import math
 
+    # NULL strata are excluded (cannot be compared in the CASE chain
+    # below; the DuckDB twin's inner join on the stratum drops them the
+    # same way) — a NULL-stratum row is never sampled
     counts = {
-        r[0]: r[1] for r in docs.groupBy(stratum_col).count().collect()
+        r[0]: r[1]
+        for r in docs.filter(F.col(stratum_col).isNotNull())
+        .groupBy(stratum_col)
+        .count()
+        .collect()
     }
     if not counts:
-        return docs.select("doc_id", stratum_col)
+        return docs.filter(F.lit(False)).select("doc_id", stratum_col)
     n_min = min(counts.values())
     threshold = F.lit(0)
     for stratum, n in sorted(counts.items()):

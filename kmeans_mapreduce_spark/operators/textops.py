@@ -36,12 +36,18 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 
 # GPT-2-style pre-tokenizer split, restricted to the Java∩RE2 regex
-# subset (no lookahead, no \p{} classes) so Spark and DuckDB count the
-# same matches: contraction suffixes, optional-space letter runs,
+# subset (no lookahead, no \p{} classes, and NO \s shorthand — Java's
+# \s includes vertical tab \x0B while RE2's does not, so the
+# whitespace class is spelled out explicitly to keep both engines
+# bit-identical): contraction suffixes, optional-space letter runs,
 # optional-space digit runs, optional-space punctuation runs, then
 # whitespace runs. Both engines match alternations leftmost-first, so
 # branch order is semantic and must stay identical on both sides.
-BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+_WS = " \\t\\n\\f\\r"
+BPE_SPLIT_RE = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+    rf"| ?[^A-Za-z0-9{_WS}]+|[{_WS}]+"
+)
 
 
 def token_stats_bpe(docs: DataFrame, digits: int = 6) -> DataFrame:
@@ -373,7 +379,11 @@ def chunk_docs_udtf(docs: DataFrame, chunk_tokens: int = CHUNK_TOKENS) -> DataFr
     View + function names are derived from a per-call counter: lazy
     evaluation means a caller's action can run AFTER a second call, so
     a fixed view name would silently rebind the first plan's input to
-    the second caller's docs."""
+    the second caller's docs. The per-call registrations are
+    deliberately NOT cleaned up — a previous call's still-lazy result
+    may reference its view at any later action, and the leak is one
+    catalog entry per call (bounded by call count, trivial next to the
+    session's plan cache)."""
     spark = docs.sparkSession
     seq = next(_CHUNK_CALL_SEQ)
     fn, view = f"chunk_doc_{seq}", f"_chunk_docs_in_{seq}"

@@ -255,25 +255,39 @@ def stream_dedup_exact(stream: DataFrame) -> DataFrame:
 
     from kmeans_mapreduce_spark.functions.hashing import h64
 
-    out_schema = "fp LONG, keep_doc_id LONG, n_copies BIGINT, is_new BOOLEAN"
-    state_schema = "keep_doc_id LONG, n_copies BIGINT"
+    out_schema = (
+        "fp LONG, keep_doc_id LONG, min_doc_id LONG, n_copies BIGINT, "
+        "is_new BOOLEAN"
+    )
+    state_schema = "keep_doc_id LONG, min_doc_id LONG, n_copies BIGINT"
 
     def fn(key, pdfs, state):
         fp = key[0]
         if state.exists:
-            keep, n = state.get
+            keep, mn, n = state.get
             new = False
         else:
-            keep, n = None, 0
+            keep, mn, n = None, None, 0
             new = True
         for pdf in pdfs:
             for d in sorted(int(x) for x in pdf["doc_id"]):
                 if keep is None:
                     keep = d
+                # arrival order decides the keeper (streaming first-wins
+                # semantics); the running MIN is tracked separately so a
+                # bounded replay can recover the batching-invariant
+                # global minimum whatever the micro-batch split
+                mn = d if mn is None else min(mn, d)
                 n += 1
-        state.update((keep, n))
+        state.update((keep, mn, n))
         yield pd.DataFrame(
-            {"fp": [fp], "keep_doc_id": [keep], "n_copies": [n], "is_new": [new]}
+            {
+                "fp": [fp],
+                "keep_doc_id": [keep],
+                "min_doc_id": [mn],
+                "n_copies": [n],
+                "is_new": [new],
+            }
         )
 
     fps = stream.select(

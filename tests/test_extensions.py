@@ -383,13 +383,15 @@ def test_bpe_token_count_semantics(spark):
         (3, "x  y"),             # "x" + " " (odd ws) + " y" = 3
         (4, "3.14 abc42"),       # "3" "." "14" " abc" "42" = 5
         (5, ""),                 # empty → 0
+        (6, "a\x0bb"),           # vertical tab: NOT whitespace in the
+                                 # portable class → punct run = 3
     ]
     df = spark.createDataFrame(cases, "doc_id LONG, text STRING")
     got = {
         r["doc_id"]: r["n_bpe_tokens"]
         for r in tx.token_stats_bpe(df).collect()
     }
-    assert got == {0: 2, 1: 2, 2: 6, 3: 3, 4: 5, 5: 0}
+    assert got == {0: 2, 1: 2, 2: 6, 3: 3, 4: 5, 5: 0, 6: 3}
 
 
 def test_temperature_sample_flattens_toward_rare_strata(spark):

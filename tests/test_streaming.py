@@ -85,9 +85,10 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path_factory):
     import pandas as pd
 
     out = str(tmp_path_factory.mktemp("docs_stream"))
-    # batch 0: docs 0,1 (1 is a dup of 0); batch 1: doc 2 dups 0 again
+    # batch 0: docs 5,6 (dups); batch 1: doc 2 dups them with a SMALLER
+    # id — keeper must stay first-seen (5), running min must drop to 2
     pd.DataFrame(
-        {"doc_id": [0, 1], "text": ["hello world", "hello world"]}
+        {"doc_id": [5, 6], "text": ["hello world", "hello world"]}
     ).to_parquet(f"{out}/00.parquet")
     pd.DataFrame({"doc_id": [2], "text": ["hello world"]}).to_parquet(
         f"{out}/01.parquet"
@@ -99,10 +100,12 @@ def test_stream_dedup_exact_across_batches(spark, tmp_path_factory):
     )
     so.run_stream_to_memory(so.stream_dedup_exact(stream), "dedup_stream", "update")
     rows = spark.table("dedup_stream").collect()
-    # one fp, two batches → two rows; keeper pinned to doc 0 in BOTH,
-    # count carries 2 → 3 across the batch boundary
-    assert [(r["keep_doc_id"], r["n_copies"], r["is_new"]) for r in
-            sorted(rows, key=lambda r: r["n_copies"])] == [(0, 2, True), (0, 3, False)]
+    # one fp, two batches → two rows; count carries 2 → 3 across the
+    # batch boundary; min_doc_id is the batching-invariant global min
+    assert [
+        (r["keep_doc_id"], r["min_doc_id"], r["n_copies"], r["is_new"])
+        for r in sorted(rows, key=lambda r: r["n_copies"])
+    ] == [(5, 5, 2, True), (5, 2, 3, False)]
 
 
 def test_stream_window_counts_append_mode_drops_late(spark, tmp_path_factory):
