@@ -386,6 +386,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "events_sessionize_native",
     "events_sliding_window",
     "pipeline_topic_clusters",
+    "dedup_simhash_pairs",
 }
 
 
