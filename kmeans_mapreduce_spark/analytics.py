@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kmeans_mapreduce_spark.operators import decontam as dc
+from kmeans_mapreduce_spark.operators import selection as sel
 from kmeans_mapreduce_spark.operators import sketches as sk
 from kmeans_mapreduce_spark.operators import textops as tx
 from kmeans_mapreduce_spark.sources.loaders import load_table
@@ -625,6 +626,70 @@ SELECT 'foreign_key(o_custkey)', n::BIGINT, v::BIGINT, v = 0 FROM fk
 """
 
 
+def q_corpus_rule_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule-based quality filter: per-document verdict
+    booleans for each heuristic plus the conjunction — the transparent
+    (auditable, per-rule attributable) counterpart to the score-based
+    ``text_quality`` filter. One narrow map over one token-array
+    projection; zero shuffle (plan-asserted in tests)."""
+    return sel.rule_filter_report(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (hashed unigram LM ratio, target =
+    quality-filtered subset): the data-selection score used to resample
+    a raw crawl toward a high-quality target distribution."""
+    return sel.dsir_logweights(load_table(spark, sf_dir, "documents"))
+
+
+def _rule_filter_oracle() -> str:
+    sw = ", ".join("'" + s + "'" for s in sel.STOPWORDS)
+    return f"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (SELECT doc_id, len(w)::BIGINT AS n,
+  list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mwl,
+  len(list_filter(w, x -> list_contains([{sw}], x)))::BIGINT AS sw,
+  len(list_filter(w, x -> NOT regexp_matches(x, '{sel.ALNUM_RE}')))::DOUBLE / len(w) AS sym,
+  len(list_distinct(w))::DOUBLE / len(w) AS ttr
+ FROM t)
+SELECT doc_id, n AS n_words,
+  (n >= {sel.RULE_MIN_WORDS} AND n <= {sel.RULE_MAX_WORDS}) AS pass_words,
+  (mwl >= {sel.RULE_MWL_LO} AND mwl <= {sel.RULE_MWL_HI}) AS pass_word_len,
+  (sw >= {sel.RULE_MIN_STOPWORD_HITS}) AS pass_stopwords,
+  (sym <= {sel.RULE_MAX_SYMBOL_RATIO}) AS pass_symbols,
+  (ttr >= {sel.RULE_MIN_TTR}) AS pass_ttr,
+  ((n >= {sel.RULE_MIN_WORDS} AND n <= {sel.RULE_MAX_WORDS})
+   AND (mwl >= {sel.RULE_MWL_LO} AND mwl <= {sel.RULE_MWL_HI})
+   AND (sw >= {sel.RULE_MIN_STOPWORD_HITS})
+   AND (sym <= {sel.RULE_MAX_SYMBOL_RATIO})
+   AND (ttr >= {sel.RULE_MIN_TTR})) AS pass_all
+FROM m
+"""
+
+
+def _dsir_oracle() -> str:
+    from kmeans_mapreduce_spark.extensions import _quality_sql
+    from kmeans_mapreduce_spark.functions.hashing import h64_sql
+
+    b = sel.DSIR_BUCKETS
+    return f"""
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+feat AS (SELECT doc_id, {h64_sql('term')} % {b} AS b FROM toks),
+q AS ({_quality_sql()}),
+tgt AS (SELECT doc_id FROM q WHERE quality_score >= {sel.DSIR_QUALITY_TAU}),
+rc AS (SELECT b, COUNT(*) AS cr FROM feat GROUP BY b),
+tc AS (SELECT b, COUNT(*) AS ct FROM feat JOIN tgt USING (doc_id) GROUP BY b),
+tot AS (SELECT (SELECT SUM(cr) FROM rc) AS r_total,
+               (SELECT COALESCE(SUM(ct), 0) FROM tc) AS t_total),
+sc AS (SELECT rc.b,
+    log2((COALESCE(tc.ct, 0) + 1)::DOUBLE / (tot.t_total + {b})::DOUBLE)
+  - log2((rc.cr + 1)::DOUBLE / (tot.r_total + {b})::DOUBLE) AS s
+  FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tot)
+SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, ROUND(SUM(s), 4) AS dsir_logw
+FROM feat JOIN sc ON feat.b = sc.b GROUP BY doc_id
+"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_hll_distinct": q_events_hll_distinct,
@@ -645,6 +710,8 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_weighted": q_corpus_sample_weighted,
         "events_hist_quantiles": q_events_hist_quantiles,
         "pipeline_series_similarity": q_pipeline_series_similarity,
+        "corpus_rule_filter": q_corpus_rule_filter,
+        "corpus_dsir_weights": q_corpus_dsir_weights,
     }
 
 
@@ -666,6 +733,8 @@ def analytics_oracle_sql() -> dict[str, str]:
         "text_cms_terms": _cms_oracle(),
         "corpus_sample_weighted": _weighted_sample_oracle(),
         "pipeline_series_similarity": _series_similarity_oracle(),
+        "corpus_rule_filter": _rule_filter_oracle(),
+        "corpus_dsir_weights": _dsir_oracle(),
         "events_hist_quantiles": "WITH " + sk.hist_sql(
             "value", "event_type", "events", HIST_QS, HIST_LO, HIST_HI,
             gname="event_type",

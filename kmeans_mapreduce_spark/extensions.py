@@ -56,6 +56,9 @@ MEDIA_CENTROID_IDS = [0, 1, 2, 3]
 MEDIA_DIM = 16  # md5 digest bytes → 16-dim stand-in embedding
 TOP_QUALITY_K = 10
 PACK_BUDGET_TOKENS = 2000
+INCR_SPLIT_NUM = 4  # incremental-dedup history boundary: max(doc_id)*4 DIV 5
+INCR_SPLIT_DEN = 5
+SEMANTIC_COSINE_THRESHOLD = 0.4  # SemDeDup intra-cell cutoff (25 pairs @ sf0.01)
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -534,6 +537,27 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.embedding_near_dup(
         load_table(spark, sf_dir, "embeddings"), EMBED_COSINE_THRESHOLD
     )
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup: the newest ~20% of docs (by id,
+    boundary computed in-plan) probed against the historical 80% —
+    cross pairs only. See ``dedup.incremental_minhash_pairs`` for the
+    persisted-index production shape this simulates."""
+    return dd.incremental_minhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        JACCARD_LSH_THRESHOLD,
+        INCR_SPLIT_NUM,
+        INCR_SPLIT_DEN,
+    )
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: k-means-cell blocking (fixed corpus-row centroids so
+    the oracle replays the assignment) + intra-cell exact cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    return dd.semantic_dedup_pairs(emb, centers, SEMANTIC_COSINE_THRESHOLD)
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1100,6 +1124,67 @@ SELECT * FROM verified WHERE jaccard >= {JACCARD_LSH_THRESHOLD}
 """
 
 
+def _incremental_pairs_sql() -> str:
+    """Twin of dedup.incremental_minhash_pairs: same signatures/bands
+    as _minhash_pairs_sql, but candidates are (old × new) across the
+    max(doc_id)*NUM DIV DEN boundary only."""
+    band_item = "j::VARCHAR || ':' || minhash::VARCHAR"
+    return f"""
+WITH {_minhash_cte()},
+b AS (
+  SELECT doc_id, (j // {dd.ROWS_PER_BAND})::INTEGER AS band_id,
+         {h64_sql(f"string_agg({band_item}, ',' ORDER BY {band_item})")} AS band_hash
+  FROM s GROUP BY doc_id, j // {dd.ROWS_PER_BAND}
+),
+sp AS (SELECT (MAX(doc_id) * {INCR_SPLIT_NUM}) // {INCR_SPLIT_DEN} AS split_id
+       FROM documents),
+cand AS (
+  SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
+  FROM b n JOIN b o
+    ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+  CROSS JOIN sp
+  WHERE n.doc_id >= sp.split_id AND o.doc_id < sp.split_id
+),
+ts AS (SELECT doc_id, toks AS s FROM t),
+verified AS (
+  SELECT doc_a, doc_b, ROUND({_jaccard_expr('x.s', 'y.s')}, 6) AS jaccard
+  FROM cand JOIN ts x ON x.doc_id = doc_a JOIN ts y ON y.doc_id = doc_b
+)
+SELECT doc_b AS doc_id, doc_a AS dup_of, jaccard
+FROM verified WHERE jaccard >= {JACCARD_LSH_THRESHOLD}
+"""
+
+
+def _semantic_dedup_sql() -> str:
+    """Twin of dedup.semantic_dedup_pairs: argmin assignment to the
+    fixed centroid rows (same CTE shape as _kmeans_nd_assign_sql), then
+    the normalize-once pair join of _embedding_near_dup_sql restricted
+    to same-cell pairs."""
+    ids = ", ".join(str(c) for c in ND_CENTROID_IDS)
+    d2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v0[i] - c.cv[i]) * (e0.v0[i] - c.cv[i])))"
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
+c AS (SELECT vec_id AS cid, v0 AS cv FROM e0 WHERE vec_id IN ({ids})),
+d AS (SELECT e0.vec_id, e0.v0, c.cid, {d2} AS d2 FROM e0 CROSS JOIN c),
+a AS (
+  SELECT vec_id, v0, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d
+  ) WHERE rn = 1
+),
+e1 AS (SELECT vec_id, cid, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM a),
+e AS (SELECT vec_id, cid, list_transform(v0, x -> x / nrm) AS v FROM e1),
+p AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         ROUND({_dot_sql('x.v', 'y.v')}, 6) AS cosine
+  FROM e x JOIN e y ON x.cid = y.cid AND x.vec_id < y.vec_id
+)
+SELECT * FROM p WHERE cosine >= {SEMANTIC_COSINE_THRESHOLD}
+"""
+
+
 def _simhash_sql() -> str:
     return f"""
 WITH t AS ({_toks_cte(distinct=True)}),
@@ -1486,6 +1571,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_incremental": q_dedup_incremental,
+        "dedup_semantic": q_dedup_semantic,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -2054,6 +2141,8 @@ cand AS (
 SELECT doc_a, doc_b, hamming FROM cand
 WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "dedup_embedding": _embedding_near_dup_sql(),
+        "dedup_incremental": _incremental_pairs_sql(),
+        "dedup_semantic": _semantic_dedup_sql(),
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),

@@ -1114,3 +1114,113 @@ def fuzzy_prefix_pairs(
         .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .distinct()
     )
+
+
+def incremental_minhash_pairs(
+    docs: DataFrame,
+    threshold: float = 0.2,
+    split_num: int = 4,
+    split_den: int = 5,
+    digits: int = 6,
+) -> DataFrame:
+    """Incremental near-dup: dedupe a NEW document batch against the
+    HISTORICAL corpus without re-pairing the history with itself — the
+    nightly-crawl production shape. Emits (doc_id, dup_of, jaccard):
+    one row per (new doc × historical near-dup) with true shingle
+    Jaccard ≥ threshold. New-new and old-old pairs are deliberately
+    out of scope (the former belong to the next full dedup pass; the
+    latter were settled when history was indexed).
+
+    Here both sides derive from one table, split at
+    ``max(doc_id) * split_num DIV split_den`` (exact integer arithmetic
+    both engines; computed in-plan via a broadcast 1-row aggregate, no
+    driver action). At 100 TB the historical side is a PERSISTED band
+    index (write ``lsh_bands_from_array`` output once, bucketed by
+    (band_id, band_hash)): the nightly job computes signatures for the
+    new batch only — a narrow map over the increment — and the lookup
+    is an equi-join of the (small) new-batch bands against the index,
+    broadcast from the new side, so the historical index is never
+    shuffled, only scanned. Verification then touches only colliding
+    pairs. Cost per night ∝ |increment| + |collisions|, not |corpus|.
+    """
+    bands = lsh_bands_from_array(minhash_signature_array(docs))
+    boundary = docs.agg(
+        F.expr(f"CAST(MAX(doc_id) * {split_num} DIV {split_den} AS BIGINT)").alias(
+            "split_id"
+        )
+    )
+    # materialize once: the new/old branches would otherwise each
+    # recompute the full signature scan (same multi-consumer barrier
+    # as jaccard_pairs' shingle sets)
+    flagged = bands.crossJoin(F.broadcast(boundary)).localCheckpoint(eager=False)
+    new_bands = flagged.filter(F.col("doc_id") >= F.col("split_id")).select(
+        "doc_id", "band_id", "band_hash"
+    )
+    old_bands = flagged.filter(F.col("doc_id") < F.col("split_id")).select(
+        "doc_id", "band_id", "band_hash"
+    )
+    cand = (
+        F.broadcast(new_bands.alias("n"))
+        .join(
+            old_bands.alias("o"),
+            (F.col("n.band_id") == F.col("o.band_id"))
+            & (F.col("n.band_hash") == F.col("o.band_hash")),
+        )
+        .select(
+            F.col("o.doc_id").alias("doc_a"), F.col("n.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    verified = jaccard_pairs(docs, cand, threshold, digits)
+    return verified.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("doc_a").alias("dup_of"),
+        "jaccard",
+    )
+
+
+def semantic_dedup_pairs(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    threshold: float = 0.4,
+    digits: int = 6,
+    row_cap: int = EMBED_BLOCK_ROW_CAP,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    near-dup pairs via k-means-cell blocking — assign every embedding
+    to its nearest coarse centroid, then run exact cosine only WITHIN
+    each cell. The clustering shards the O(N²) pair space into
+    O(Σ|cell|²) independent blocks; cross-cell near-dups are the
+    method's accepted miss (the paper's recall/cost dial is K).
+
+    Assignment is the same narrow literal-argmin plan as the k-means
+    engine (O6/O16: centers ship inside the plan, no join, no
+    shuffle); intra-cell pairing reuses the tiled-GEMM machinery of
+    :func:`embedding_near_dup`, so one hot cell becomes m(m+1)/2
+    bounded tasks instead of a straggler. ``centers`` is a driver-held
+    K-row list — at 100 TB it comes from a k-means‖ fit (O11); here
+    the caller pins it to fixed corpus rows so the DuckDB twin can
+    replay the assignment exactly.
+    """
+    from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
+
+    cands = [
+        F.struct(
+            sq_dist_nd(
+                F.col("__v"), F.array(*[F.lit(float(x)) for x in cvec])
+            ).alias("d2"),
+            F.lit(int(cid)).cast("int").alias("cid"),
+        )
+        for cid, cvec in centers
+    ]
+    assigned = (
+        emb.withColumn(
+            "__v", F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        )
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_min(F.array(*cands))["cid"].alias("label"),
+        )
+    )
+    return embedding_near_dup(assigned, threshold, digits, row_cap)

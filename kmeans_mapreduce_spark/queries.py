@@ -387,6 +387,10 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "events_sliding_window",
     "pipeline_topic_clusters",
     "dedup_simhash_pairs",
+    "dedup_incremental",
+    "dedup_semantic",
+    "corpus_dsir_weights",
+    "corpus_rule_filter",
 }
 
 

@@ -1,0 +1,109 @@
+"""Behavioral tests for the round-4 additions: incremental MinHash
+dedup, SemDeDup, the Gopher-style rule filter, and DSIR importance
+weights. Oracle equivalence is covered by tools/check_oracle.py."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kmeans_mapreduce_spark.operators import dedup as dd
+from kmeans_mapreduce_spark.operators import selection as sel
+
+DOCS_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows], DOCS_SCHEMA
+    )
+
+
+def test_incremental_dedup_emits_cross_boundary_pairs_only(spark):
+    # max(doc_id)=9 → split_id = 9*4 DIV 5 = 7; old = 0..6, new = 7..9.
+    dup = "the quick brown fox jumps over the lazy dog tonight"
+    other = "completely unrelated words about spark engines at scale"
+    rows = [
+        (0, dup),
+        (1, dup),  # old-old dup: must NOT appear
+        (2, other),
+        (3, "some filler text body with enough tokens for shingles"),
+        (4, "another filler document body entirely distinct vocabulary"),
+        (5, "more padding content keeps the corpus honest here"),
+        (6, "final old document with its own words and phrasing"),
+        (7, other),  # cross dup with 2: MUST appear as (7, dup_of=2)
+        (8, dup),  # cross dup with 0 and 1
+        (9, dup),  # new-new with 8: the cross pairs (9,0),(9,1) appear,
+        #            but (8,9) itself must NOT
+    ]
+    out = dd.incremental_minhash_pairs(_docs(spark, rows), threshold=0.5)
+    got = {(r["doc_id"], r["dup_of"]) for r in out.collect()}
+    assert got == {(7, 2), (8, 0), (8, 1), (9, 0), (9, 1)}
+    # orientation: new side ≥ split, historical side < split
+    assert all(n >= 7 and o < 7 for n, o in got)
+
+
+def test_semantic_dedup_pairs_within_cell_only(spark):
+    # Two coarse cells around (10,0) and (-10,0). a1/a2 are near-dups
+    # in cell A → pair. v1/v2 have cosine ≈ 0.999 but straddle the
+    # cell boundary → missed BY DESIGN (SemDeDup's recall/cost dial).
+    emb = spark.createDataFrame(
+        [
+            (0, "a", [10.0, 0.0]),
+            (1, "b", [-10.0, 0.0]),
+            (2, "a", [10.0, 0.1]),
+            (3, "a", [10.0, 0.11]),
+            (4, "b", [-10.0, 0.1]),
+            (5, "a", [0.1, 5.0]),
+            (6, "b", [-0.1, 5.0]),
+        ],
+        "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    centers = [(0, [10.0, 0.0]), (1, [-10.0, 0.0])]
+    out = dd.semantic_dedup_pairs(emb, centers, threshold=0.9)
+    got = {(r["vec_a"], r["vec_b"]) for r in out.collect()}
+    assert (2, 3) in got and (0, 2) in got  # same-cell near-dups found
+    assert (5, 6) not in got  # cross-cell near-dup: accepted miss
+    assert all(a < b for a, b in got)
+
+
+def test_rule_filter_verdicts(spark):
+    good = (
+        " ".join(f"word{i}" for i in range(40)) + " the of and to"
+    )  # 44 tokens, all distinct (ttr 1.0), 4 stopword hits, mwl ≈ 5
+    rows = [
+        (0, good),
+        (1, "short doc only"),  # fails min words
+        (2, " ".join(["spam"] * 40)),  # fails TTR (and stopwords)
+        (3, " ".join([f"@@{i}!!" for i in range(40)])),  # fails symbols+stopwords
+    ]
+    out = {r["doc_id"]: r for r in sel.rule_filter_report(_docs(spark, rows)).collect()}
+    assert out[0]["pass_all"]
+    assert not out[1]["pass_words"]
+    assert not out[2]["pass_ttr"] and not out[2]["pass_stopwords"]
+    assert not out[3]["pass_symbols"]
+    assert not any(out[i]["pass_all"] for i in (1, 2, 3))
+
+
+def test_rule_filter_plan_is_narrow(spark):
+    rows = [(0, "the a of to in is it and some words here now then")]
+    plan = sel.rule_filter_report(_docs(spark, rows))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # row-local rules: zero shuffle
+
+
+def test_dsir_weights_favor_target_vocabulary(spark):
+    # Target subset (quality ≥ tau): 100 distinct tokens incl. many
+    # stopwords → score ≈ 0.4 + 0.3·sw + 0.3·1 ≥ tau. Junk docs use a
+    # disjoint vocabulary and score far below tau.
+    target_text = " ".join(
+        f"alpha{i} the of and to" for i in range(20)
+    )  # 100 tokens, ttr 1.0 won't hold (stopwords repeat) but score ≥ tau
+    junk_text = " ".join(f"zz{i % 3}" for i in range(8))
+    rows = [(i, target_text + f" tail{i}") for i in range(4)] + [
+        (10, junk_text),
+        (11, "alpha0 alpha1 alpha2 the of and to alpha3 alpha4 alpha5"),
+        (12, "zz0 zz1 zz2 zz0 zz1 zz2 zz0 zz1 zz2 zz0"),
+    ]
+    out = {r["doc_id"]: r["dsir_logw"] for r in sel.dsir_logweights(_docs(spark, rows)).collect()}
+    # doc 11 shares the target vocabulary, doc 12 the junk vocabulary:
+    # the importance weight must rank 11 above 12
+    assert out[11] > out[12]
