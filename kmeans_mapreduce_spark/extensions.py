@@ -59,6 +59,7 @@ PACK_BUDGET_TOKENS = 2000
 INCR_SPLIT_NUM = 4  # incremental-dedup history boundary: max(doc_id)*4 DIV 5
 INCR_SPLIT_DEN = 5
 SEMANTIC_COSINE_THRESHOLD = 0.4  # SemDeDup intra-cell cutoff (25 pairs @ sf0.01)
+KNN_GRAPH_K = 4  # neighbors per vector in the cell-blocked k-NN graph
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -558,6 +559,15 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centers, _pts = _nd_centers_and_points(emb)
     return dd.semantic_dedup_pairs(emb, centers, SEMANTIC_COSINE_THRESHOLD)
+
+
+def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-blocked exact k-NN graph with mutual-edge marking (the
+    label-propagation / graph-clustering input). Same fixed-centroid
+    cells as dedup_semantic so the twin replays the blocking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    return sim.knn_graph(emb, centers, KNN_GRAPH_K)
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1185,6 +1195,43 @@ SELECT * FROM p WHERE cosine >= {SEMANTIC_COSINE_THRESHOLD}
 """
 
 
+def _knn_graph_sql() -> str:
+    """Twin of similarity.knn_graph: same assignment + normalized-dot
+    CTEs as _semantic_dedup_sql but BOTH pair directions, ranked per
+    src by (rounded cosine DESC, dst ASC), top K, then a self-join of
+    the edge set for the mutual flag."""
+    ids = ", ".join(str(c) for c in ND_CENTROID_IDS)
+    d2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v0[i] - c.cv[i]) * (e0.v0[i] - c.cv[i])))"
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
+c AS (SELECT vec_id AS cid, v0 AS cv FROM e0 WHERE vec_id IN ({ids})),
+d AS (SELECT e0.vec_id, e0.v0, c.cid, {d2} AS d2 FROM e0 CROSS JOIN c),
+a AS (
+  SELECT vec_id, v0, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d
+  ) WHERE rn = 1
+),
+e1 AS (SELECT vec_id, cid, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM a),
+e AS (SELECT vec_id, cid, list_transform(v0, x -> x / nrm) AS v FROM e1),
+p AS (
+  SELECT x.vec_id AS src, y.vec_id AS dst,
+         ROUND({_dot_sql('x.v', 'y.v')}, 6) AS cosine
+  FROM e x JOIN e y ON x.cid = y.cid AND x.vec_id <> y.vec_id
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst)
+         AS rank FROM p
+),
+edges AS (SELECT src, dst, rank::INTEGER AS rank, cosine FROM r
+          WHERE rank <= {KNN_GRAPH_K})
+SELECT g.src, g.dst, g.rank, g.cosine, (h.src IS NOT NULL) AS mutual
+FROM edges g LEFT JOIN edges h ON g.src = h.dst AND g.dst = h.src
+"""
+
+
 def _simhash_sql() -> str:
     return f"""
 WITH t AS ({_toks_cte(distinct=True)}),
@@ -1573,6 +1620,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_incremental": q_dedup_incremental,
         "dedup_semantic": q_dedup_semantic,
+        "similarity_knn_graph": q_similarity_knn_graph,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -2143,6 +2191,7 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "dedup_embedding": _embedding_near_dup_sql(),
         "dedup_incremental": _incremental_pairs_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
+        "similarity_knn_graph": _knn_graph_sql(),
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),

@@ -595,3 +595,147 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "neg_label", "rank", "cosine")
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    k: int = 4,
+    digits: int = 6,
+    row_cap: int = 4096,
+) -> DataFrame:
+    """Cell-blocked exact k-NN graph: (src, dst, rank, cosine, mutual)
+    — the graph-construction primitive behind label propagation,
+    graph-based clustering, and SemDeDup-style curation. Each vector's
+    k nearest (by cosine) SAME-CELL neighbors; ``mutual`` marks edges
+    whose reverse edge is also present (the symmetrized graph most
+    downstream algorithms want). Cross-cell neighbors are the accepted
+    miss, exactly as in IVF with nprobe=1 — the cell count K is the
+    recall/cost dial.
+
+    Scale shape: the narrow literal-argmin assignment (no shuffle)
+    shards the O(N²) score space into per-cell blocks; oversized cells
+    split into pair-complete tile groups (``dedup.tiled_blocks``), each
+    computing one bounded sequential-fold GEMM. A group emits only each
+    row's local top-k candidates (epsilon-widened, see below), so
+    Spark never materializes a full pair set — O(N·k·m) candidate rows
+    for m tile groups, then ONE window per src merges them. The mutual
+    flag is a self-join of the k-NN edge set with itself — O(N·k) rows
+    on both sides.
+
+    Oracle parity: the final ranking key is (cosine rounded to
+    ``digits`` DESC, dst ASC) on both engines. The local top-k cut
+    inside a tile uses RAW dots widened by 2·10^-digits: any candidate
+    the rounded ordering could still rank within k survives the cut,
+    so the exact window ranking downstream sees every contender. Dots
+    are accumulated dimension-sequentially (same fold order as
+    ``F.aggregate`` / DuckDB ``list_sum``), bit-identical to the twin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
+    from kmeans_mapreduce_spark.operators.dedup import tiled_blocks
+
+    cands = [
+        F.struct(
+            sq_dist_nd(
+                F.col("__v"), F.array(*[F.lit(float(x)) for x in cvec])
+            ).alias("d2"),
+            F.lit(int(cid)).cast("int").alias("cid"),
+        )
+        for cid, cvec in centers
+    ]
+    assigned = emb.withColumn(
+        "__v", F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    ).select(
+        "vec_id",
+        "embedding",
+        F.array_min(F.array(*cands))["cid"].alias("label"),
+    )
+
+    eps = 2.0 * 10.0 ** (-digits)
+
+    def _normalize(V: np.ndarray) -> np.ndarray:
+        acc = np.zeros(len(V))
+        for d in range(V.shape[1]):
+            acc += V[:, d] * V[:, d]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return V / np.sqrt(acc)[:, None]
+
+    def _fold_gemm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+        # G[i, j] accumulates over dimensions in index order — the same
+        # sequential fold as a per-pair F.aggregate / list_sum, so the
+        # emitted doubles are bit-identical to the oracle's
+        G = np.zeros((len(A), len(B)))
+        for d in range(A.shape[1]):
+            G += A[:, d, None] * B[None, :, d]
+        return G
+
+    empty = pd.DataFrame(
+        {
+            "src": np.array([], dtype=np.int64),
+            "dst": np.array([], dtype=np.int64),
+            "dot": np.array([], dtype=np.float64),
+        }
+    )
+
+    def _local_topk(
+        ids_s: np.ndarray, ids_d: np.ndarray, G: np.ndarray, self_mask: bool
+    ) -> pd.DataFrame:
+        if self_mask:
+            # same tile on both sides: a row is not its own neighbour
+            G = G.copy()
+            G[ids_s[:, None] == ids_d[None, :]] = -np.inf
+        if not G.shape[1]:
+            return empty
+        kk = min(k, G.shape[1])
+        kth = np.partition(G, -kk, axis=1)[:, -kk] if G.shape[1] > kk else np.min(G, axis=1)
+        keep = G >= (kth[:, None] - eps)
+        si, di = np.nonzero(keep)
+        return pd.DataFrame(
+            {"src": ids_s[si], "dst": ids_d[di], "dot": G[si, di]}
+        )
+
+    def group_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        ta, tb = int(pdf["ta"].iat[0]), int(pdf["tb"].iat[0])
+        if ta == tb:
+            pdf = pdf.sort_values("vec_id")
+            ids = pdf["vec_id"].to_numpy()
+            Vn = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+            G = _fold_gemm(Vn, Vn)
+            return _local_topk(ids, ids, G, self_mask=True)
+        a_pdf = pdf[pdf["__t"] == ta].sort_values("vec_id")
+        b_pdf = pdf[pdf["__t"] == tb].sort_values("vec_id")
+        if not len(a_pdf) or not len(b_pdf):
+            return empty
+        ids_a = a_pdf["vec_id"].to_numpy()
+        ids_b = b_pdf["vec_id"].to_numpy()
+        An = _normalize(np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64))
+        Bn = _normalize(np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64))
+        G = _fold_gemm(An, Bn)
+        out_ab = _local_topk(ids_a, ids_b, G, self_mask=False)
+        out_ba = _local_topk(ids_b, ids_a, G.T.copy(), self_mask=False)
+        return pd.concat([out_ab, out_ba], ignore_index=True)
+
+    local = (
+        tiled_blocks(assigned, row_cap)
+        .groupBy("label", "ta", "tb")
+        .applyInPandas(group_topk, "src long, dst long, dot double")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    edges = (
+        local.select("src", "dst", F.round(F.col("dot"), digits).alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("mutual")
+    )
+    return (
+        edges.join(rev, ["src", "dst"], "left")
+        .na.fill({"mutual": False})
+        .select("src", "dst", "rank", "cosine", "mutual")
+    )

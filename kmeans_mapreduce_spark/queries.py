@@ -391,6 +391,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "dedup_semantic",
     "corpus_dsir_weights",
     "corpus_rule_filter",
+    "similarity_knn_graph",
 }
 
 

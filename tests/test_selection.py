@@ -107,3 +107,29 @@ def test_dsir_weights_favor_target_vocabulary(spark):
     # doc 11 shares the target vocabulary, doc 12 the junk vocabulary:
     # the importance weight must rank 11 above 12
     assert out[11] > out[12]
+
+
+def test_knn_graph_ranks_and_mutual_flags(spark):
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    # cell 0 holds p1/p2/p3; p1↔p2 are each other's top-1 (mutual);
+    # p3's top-1 is p2 but p2's top-1 is p1 → p3's edge is one-way.
+    # p9 sits alone in cell 1 → no same-cell neighbors, no rows.
+    emb = spark.createDataFrame(
+        [
+            (1, "x", [1.0, 0.0]),
+            (2, "x", [0.99, 0.01]),
+            (3, "x", [0.9, 0.2]),
+            (9, "x", [-1.0, 0.1]),
+        ],
+        "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    centers = [(0, [10.0, 0.0]), (1, [-10.0, 0.0])]
+    out = {
+        (r["src"], r["rank"]): r
+        for r in sim.knn_graph(emb, centers, k=1).collect()
+    }
+    assert out[(1, 1)]["dst"] == 2 and out[(1, 1)]["mutual"]
+    assert out[(2, 1)]["dst"] == 1 and out[(2, 1)]["mutual"]
+    assert out[(3, 1)]["dst"] == 2 and not out[(3, 1)]["mutual"]
+    assert (9, 1) not in out  # isolated cell: no same-cell neighbors
