@@ -60,6 +60,7 @@ INCR_SPLIT_NUM = 4  # incremental-dedup history boundary: max(doc_id)*4 DIV 5
 INCR_SPLIT_DEN = 5
 SEMANTIC_COSINE_THRESHOLD = 0.4  # SemDeDup intra-cell cutoff (25 pairs @ sf0.01)
 KNN_GRAPH_K = 4  # neighbors per vector in the cell-blocked k-NN graph
+LABEL_PROP_HIDE_MOD = 5  # vec_id % 5 == 0 nodes are "unlabeled"
 
 
 def _sql_str_list(items: list[str]) -> str:
@@ -568,6 +569,17 @@ def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centers, _pts = _nd_centers_and_points(emb)
     return sim.knn_graph(emb, centers, KNN_GRAPH_K)
+
+
+def q_pipeline_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised labeling over the k-NN graph: every 5th vector's
+    label is held out and re-predicted by neighbor majority vote, with
+    a per-node correctness verdict against the held-out truth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    return sim.label_propagation(
+        emb, centers, KNN_GRAPH_K, LABEL_PROP_HIDE_MOD
+    )
 
 
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1232,6 +1244,32 @@ FROM edges g LEFT JOIN edges h ON g.src = h.dst AND g.dst = h.src
 """
 
 
+def _label_propagation_sql() -> str:
+    """Twin of similarity.label_propagation: the knn-graph CTE feeds a
+    labeled-neighbor majority vote for the held-out nodes."""
+    m = LABEL_PROP_HIDE_MOD
+    return f"""
+WITH g AS ({_knn_graph_sql()}),
+lab AS (SELECT vec_id, label FROM embeddings),
+edges AS (
+  SELECT g.src, l.label AS dst_label
+  FROM g JOIN lab l ON g.dst = l.vec_id
+  WHERE g.src % {m} = 0 AND g.dst % {m} <> 0
+),
+votes AS (SELECT src, dst_label, COUNT(*) AS votes
+          FROM edges GROUP BY src, dst_label),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY src ORDER BY votes DESC, dst_label
+  ) AS rn FROM votes
+),
+p AS (SELECT src, dst_label, votes FROM r WHERE rn = 1)
+SELECT p.src AS vec_id, p.dst_label AS pred_label, p.votes::BIGINT AS votes,
+       (p.dst_label = l.label) AS correct
+FROM p JOIN lab l ON p.src = l.vec_id
+"""
+
+
 def _simhash_sql() -> str:
     return f"""
 WITH t AS ({_toks_cte(distinct=True)}),
@@ -1621,6 +1659,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "dedup_semantic": q_dedup_semantic,
         "similarity_knn_graph": q_similarity_knn_graph,
+        "pipeline_label_propagation": q_pipeline_label_propagation,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -2192,6 +2231,7 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "dedup_incremental": _incremental_pairs_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
         "similarity_knn_graph": _knn_graph_sql(),
+        "pipeline_label_propagation": _label_propagation_sql(),
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),

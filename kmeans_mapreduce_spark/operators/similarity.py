@@ -739,3 +739,53 @@ def knn_graph(
         .na.fill({"mutual": False})
         .select("src", "dst", "rank", "cosine", "mutual")
     )
+
+
+def label_propagation(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    k: int = 4,
+    hide_mod: int = 5,
+) -> DataFrame:
+    """One round of k-NN label propagation (semi-supervised labeling):
+    nodes with ``vec_id % hide_mod == 0`` are treated as unlabeled and
+    take the majority label among their LABELED k-NN neighbors
+    (tie-break: vote count DESC, label ASC — deterministic both
+    engines). Output (vec_id, pred_label, votes, correct) where
+    ``correct`` compares against the held-out true label — the
+    evaluation a curation pipeline runs before trusting propagated
+    labels at scale.
+
+    Scale shape: everything downstream of :func:`knn_graph` is O(N·k)
+    edge rows — one groupBy(src, label) with map-side combine and one
+    K-row-per-src window. The expensive part is the graph itself,
+    already cell-blocked."""
+    g = knn_graph(emb, centers, k)
+    labels = emb.select("vec_id", "label")
+    edges = (
+        g.join(
+            labels.withColumnRenamed("vec_id", "dst").withColumnRenamed(
+                "label", "dst_label"
+            ),
+            "dst",
+        )
+        .filter(
+            (F.col("src") % hide_mod == 0) & (F.col("dst") % hide_mod != 0)
+        )
+    )
+    votes = edges.groupBy("src", "dst_label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("votes"), F.asc("dst_label"))
+    pred = votes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    truth = labels.withColumnRenamed("vec_id", "src").withColumnRenamed(
+        "label", "true_label"
+    )
+    return pred.join(truth, "src").select(
+        F.col("src").alias("vec_id"),
+        F.col("dst_label").alias("pred_label"),
+        "votes",
+        (F.col("dst_label") == F.col("true_label")).alias("correct"),
+    )

@@ -392,6 +392,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_dsir_weights",
     "corpus_rule_filter",
     "similarity_knn_graph",
+    "pipeline_label_propagation",
 }
 
 

@@ -133,3 +133,29 @@ def test_knn_graph_ranks_and_mutual_flags(spark):
     assert out[(2, 1)]["dst"] == 1 and out[(2, 1)]["mutual"]
     assert out[(3, 1)]["dst"] == 2 and not out[(3, 1)]["mutual"]
     assert (9, 1) not in out  # isolated cell: no same-cell neighbors
+
+
+def test_label_propagation_majority_and_correctness(spark):
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    # hidden nodes (vec_id % 5 == 0): 0 (true "a") and 5 (true "b").
+    # Labeled neighbors 1,2 are "a", 3 is "b"; majority vote → both
+    # hidden nodes predict "a", so 0 is correct and 5 is not.
+    emb = spark.createDataFrame(
+        [
+            (0, "a", [1.0, 0.0]),
+            (1, "a", [0.99, 0.01]),
+            (2, "a", [0.98, 0.02]),
+            (3, "b", [0.5, 0.5]),
+            (5, "b", [0.97, 0.03]),
+        ],
+        "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    centers = [(0, [1.0, 0.0])]
+    out = {
+        r["vec_id"]: r
+        for r in sim.label_propagation(emb, centers, k=3, hide_mod=5).collect()
+    }
+    assert out[0]["pred_label"] == "a" and out[0]["correct"]
+    assert out[0]["votes"] == 2
+    assert out[5]["pred_label"] == "a" and not out[5]["correct"]
