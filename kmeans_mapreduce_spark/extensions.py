@@ -582,6 +582,41 @@ def q_pipeline_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_lr_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full-batch GD iterations of the in-engine quality
+    classifier (operators/logreg.py) under the hash gate — the
+    logistic-regression analog of kmeans_loop2: Arrow partial-gradient
+    passes, driver step, per-iteration HALF_UP rounding, unrolled
+    DuckDB twin. Output long format (bucket, w); bias as bucket −1."""
+    from kmeans_mapreduce_spark.operators import logreg as lg
+
+    feats = lg.featurized(load_table(spark, sf_dir, "documents"))
+    w, b = lg.fit_logreg(feats, iters=2)
+    rows = [(-1, float(b))] + [(i, float(w[i])) for i in range(lg.LR_BUCKETS)]
+    return spark.createDataFrame(rows, "bucket INT, w DOUBLE")
+
+
+def q_corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Free-form classifier fit (binary presence + engineered signals,
+    50 GD iterations — measured 0.96 training accuracy vs 0.71 base
+    rate at sf0.01) + in-plan scoring: per-doc probability, prediction,
+    and agreement with the label rule being distilled. Rows-only gate
+    (iterative numerics, like kmeans_fit); the accuracy property is
+    pytest-gated."""
+    from kmeans_mapreduce_spark.operators import logreg as lg
+
+    feats = lg.featurized(
+        load_table(spark, sf_dir, "documents"), binary=True, engineered=True
+    )
+    w, b = lg.fit_logreg(
+        feats,
+        n_extra=lg.N_ENGINEERED,
+        iters=lg.CLS_ITERS,
+        lr=lg.CLS_RATE,
+    )
+    return lg.score_logreg(feats, w, b)
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, TOPK_K
@@ -1270,6 +1305,50 @@ FROM p JOIN lab l ON p.src = l.vec_id
 """
 
 
+def _lr_loop2_sql() -> str:
+    """Twin of q_corpus_lr_loop2 — the 2-iteration GD unrolled.
+
+    Iteration 1 is EXACT on both engines: w0=0 → σ(0)=0.5 → residuals
+    are ±0.5, so gradient sums are exact binary fractions and the
+    rounded step matches bit-for-bit. Iteration 2's float-sum noise
+    (~1e-12) is absorbed by the 6-digit HALF_UP rounding, the same
+    regime as kmeans_nd_loop2."""
+    from kmeans_mapreduce_spark.operators.logreg import LR_BUCKETS, LR_RATE
+    from kmeans_mapreduce_spark.operators.selection import DSIR_QUALITY_TAU
+
+    d = LR_BUCKETS
+    lr = LR_RATE
+    return f"""
+WITH q AS ({_quality_sql()}),
+lab AS (SELECT doc_id,
+        CASE WHEN quality_score >= {DSIR_QUALITY_TAU} THEN 1.0 ELSE 0.0 END AS y
+        FROM q),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+inst AS (SELECT doc_id, {h64_sql('term')} % {d} AS bkt FROM toks),
+nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+r1 AS (SELECT doc_id, 0.5 - y AS r FROM lab),
+g1 AS (SELECT bkt, SUM(r) AS g FROM inst JOIN r1 USING (doc_id) GROUP BY bkt),
+gb1 AS (SELECT SUM(r) AS gb FROM r1),
+w1 AS (SELECT bkt, ROUND(-{lr} * (g / nn.n), 6) AS w FROM g1 CROSS JOIN nn),
+b1 AS (SELECT ROUND(-{lr} * (gb / nn.n), 6) AS b FROM gb1 CROSS JOIN nn),
+zs AS (SELECT inst.doc_id, SUM(w1.w) AS sw
+       FROM inst JOIN w1 USING (bkt) GROUP BY inst.doc_id),
+z2 AS (SELECT l.doc_id, b1.b + COALESCE(zs.sw, 0) AS z, l.y
+       FROM lab l CROSS JOIN b1 LEFT JOIN zs ON zs.doc_id = l.doc_id),
+r2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z2),
+g2 AS (SELECT bkt, SUM(r) AS g FROM inst JOIN r2 USING (doc_id) GROUP BY bkt),
+gb2 AS (SELECT SUM(r) AS gb FROM r2),
+w2 AS (SELECT g2.bkt, ROUND(COALESCE(w1.w, 0) - {lr} * (g2.g / nn.n), 6) AS w
+       FROM g2 LEFT JOIN w1 USING (bkt) CROSS JOIN nn),
+b2 AS (SELECT ROUND(b1.b - {lr} * (gb2.gb / nn.n), 6) AS b
+       FROM b1 CROSS JOIN gb2 CROSS JOIN nn)
+SELECT t.i::INTEGER AS bucket, COALESCE(w2.w, 0.0) AS w
+FROM range(0, {d}) t(i) LEFT JOIN w2 ON w2.bkt = t.i
+UNION ALL
+SELECT -1, b FROM b2
+"""
+
+
 def _simhash_sql() -> str:
     return f"""
 WITH t AS ({_toks_cte(distinct=True)}),
@@ -1660,6 +1739,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_semantic": q_dedup_semantic,
         "similarity_knn_graph": q_similarity_knn_graph,
         "pipeline_label_propagation": q_pipeline_label_propagation,
+        "corpus_lr_loop2": q_corpus_lr_loop2,
+        "corpus_quality_classifier": q_corpus_quality_classifier,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -2232,6 +2313,7 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "dedup_semantic": _semantic_dedup_sql(),
         "similarity_knn_graph": _knn_graph_sql(),
         "pipeline_label_propagation": _label_propagation_sql(),
+        "corpus_lr_loop2": _lr_loop2_sql(),
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),

@@ -393,6 +393,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_rule_filter",
     "similarity_knn_graph",
     "pipeline_label_propagation",
+    "corpus_lr_loop2",
 }
 
 

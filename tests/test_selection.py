@@ -159,3 +159,65 @@ def test_label_propagation_majority_and_correctness(spark):
     assert out[0]["pred_label"] == "a" and out[0]["correct"]
     assert out[0]["votes"] == 2
     assert out[5]["pred_label"] == "a" and not out[5]["correct"]
+
+
+def test_fit_logreg_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    from kmeans_mapreduce_spark.operators import logreg as lg
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    feats = lg.featurized(load_table(spark, sf_dir, "documents"))
+    w, b = lg.fit_logreg(feats, iters=2)
+
+    # independent driver-side replay of the same 2 GD steps
+    import decimal
+
+    def r6(x):
+        return float(
+            decimal.Decimal(repr(float(x))).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    rows = feats.collect()
+    n = len(rows)
+    D = lg.LR_BUCKETS
+    X = np.zeros((n, D))
+    y = np.zeros(n)
+    for i, r in enumerate(rows):
+        np.add.at(X[i], np.asarray(r["fb"], dtype=np.int64), 1.0)
+        y[i] = r["y"]
+    wr = np.zeros(D)
+    br = 0.0
+    for _ in range(2):
+        z = X @ wr + br
+        res = 1.0 / (1.0 + np.exp(-z)) - y
+        wr = np.asarray([r6(v) for v in (wr - lg.LR_RATE * (X.T @ res) / n)])
+        br = r6(br - lg.LR_RATE * (res.sum() / n))
+    assert abs(b - br) <= 2e-6
+    assert np.max(np.abs(np.asarray(w) - wr)) <= 2e-6
+
+
+def test_lr_classifier_beats_base_rate(spark, sf_dir):
+    from pyspark.sql import functions as F2
+
+    from kmeans_mapreduce_spark.operators import logreg as lg
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    feats = lg.featurized(
+        load_table(spark, sf_dir, "documents"), binary=True, engineered=True
+    )
+    w, b = lg.fit_logreg(
+        feats, n_extra=lg.N_ENGINEERED, iters=lg.CLS_ITERS, lr=lg.CLS_RATE
+    )
+    agg = (
+        lg.score_logreg(feats, w, b)
+        .agg(
+            F2.avg(F2.col("correct").cast("double")).alias("acc"),
+            F2.avg(F2.col("y_true").cast("double")).alias("pos"),
+        )
+        .collect()[0]
+    )
+    base = max(agg["pos"], 1.0 - agg["pos"])
+    assert agg["acc"] > base  # the distilled model beats always-majority
