@@ -582,6 +582,12 @@ def q_pipeline_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training round 1: top adjacent-character-pair merge
+    candidates over the corpus vocabulary (count DESC, pair ASC)."""
+    return tx.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_lr_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two full-batch GD iterations of the in-engine quality
     classifier (operators/logreg.py) under the hash gate — the
@@ -1741,6 +1747,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_label_propagation": q_pipeline_label_propagation,
         "corpus_lr_loop2": q_corpus_lr_loop2,
         "corpus_quality_classifier": q_corpus_quality_classifier,
+        "text_bpe_merges": q_text_bpe_merges,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -2314,6 +2321,11 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "similarity_knn_graph": _knn_graph_sql(),
         "pipeline_label_propagation": _label_propagation_sql(),
         "corpus_lr_loop2": _lr_loop2_sql(),
+        "text_bpe_merges": f"""
+WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM w),
+c AS (SELECT pair, COUNT(*)::BIGINT AS n FROM p GROUP BY pair)
+SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT {tx.BPE_MERGE_TOPK}""",
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),

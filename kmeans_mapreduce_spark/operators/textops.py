@@ -468,3 +468,39 @@ def lm_surprisal(docs: DataFrame, digits: int = 4) -> DataFrame:
             F.round(F.avg(-F.log2("p")), digits).alias("bits_per_token"),
         )
     )
+
+
+BPE_MERGE_TOPK = 20
+
+
+def bpe_merge_candidates(docs: DataFrame, k: int = BPE_MERGE_TOPK) -> DataFrame:
+    """First round of BPE tokenizer training: corpus-wide counts of
+    adjacent character pairs inside words, top-k by (count DESC, pair
+    ASC — fully deterministic). The winning pair is the merge a BPE
+    trainer would apply; iterating this op IS the training loop
+    (Sennrich et al. 2016), and the first round is the expensive one —
+    every later round works on the shrinking merged vocabulary.
+
+    Scale shape: one scan → explode(words) → explode(pairs) →
+    map-side-combined groupBy on a key space bounded by |alphabet|²
+    (≤ a few thousand), then TakeOrderedAndProject for the top-k —
+    the shuffle carries at most the distinct-pair count per partition,
+    never the corpus."""
+    from kmeans_mapreduce_spark.functions.text import tokens
+
+    w = F.col("w")
+    pair_arr = F.when(
+        F.length(w) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(w) - 1),
+            lambda i: w.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

@@ -394,6 +394,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "similarity_knn_graph",
     "pipeline_label_propagation",
     "corpus_lr_loop2",
+    "text_bpe_merges",
 }
 
 

@@ -221,3 +221,14 @@ def test_lr_classifier_beats_base_rate(spark, sf_dir):
     )
     base = max(agg["pos"], 1.0 - agg["pos"])
     assert agg["acc"] > base  # the distilled model beats always-majority
+
+
+def test_bpe_merge_candidates_counts_and_ties(spark):
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    # "aaab aaab z": pairs aa×2/word, ab×1/word; 1-char word "z"
+    # contributes nothing (empty-pair guard)
+    rows = [(0, "aaab aaab z"), (1, "bb bb")]
+    out = tx.bpe_merge_candidates(_docs(spark, rows), k=3).collect()
+    got = [(r["pair"], r["n"]) for r in out]
+    assert got == [("aa", 4), ("ab", 2), ("bb", 2)]  # count desc, pair asc
