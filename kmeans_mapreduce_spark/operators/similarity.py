@@ -597,12 +597,19 @@ def hard_negatives(
     )
 
 
+KNN_ROW_CAP = 1024  # tile cells above this: the GEMM per task stays
+# ~cap² and a hot cell becomes m(m+1)/2 parallel tasks (measured: at
+# 4× vectors with fixed K, cap 4096 left one task per cell — 12.7×
+# wall; cap 1024 restores tile parallelism; the real dial at scale is
+# still K ∝ N so cells stay bounded, see tools/scale_probe.py)
+
+
 def knn_graph(
     emb: DataFrame,
     centers: list[tuple[int, list[float]]],
     k: int = 4,
     digits: int = 6,
-    row_cap: int = 4096,
+    row_cap: int = KNN_ROW_CAP,
 ) -> DataFrame:
     """Cell-blocked exact k-NN graph: (src, dst, rank, cosine, mutual)
     — the graph-construction primitive behind label propagation,

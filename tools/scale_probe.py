@@ -126,6 +126,85 @@ def main() -> int:
     )
     pts.unpersist()
 
+    # --- k-NN graph scaling: cell-blocked GEMM at 1x / 4x vectors -----
+    # 4x vectors quadruple every cell, so the per-cell pair space grows
+    # 16x; the tiled GEMM should keep wall growth well below that
+    # (bounded tasks, more parallelism), near-linear in rows.
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    emb0 = emb.select("vec_id", "label", "embedding")
+    ne0 = emb0.count()
+    cent_rows = (
+        emb0.filter(F.col("vec_id").isin([0, 1, 2, 3]))
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centers_knn = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in cent_rows
+    ]
+    for factor in (1, 4):
+        d = emb0
+        for i in range(factor - 1):
+            d = d.union(
+                emb0.select(
+                    (F.col("vec_id") + F.lit(1_000_000 * (i + 1))).alias(
+                        "vec_id"
+                    ),
+                    "label",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda v: v + F.lit(0.001 * (i + 1)),
+                    ).alias("embedding"),
+                )
+            )
+        d = d.cache()
+        d.count()
+        g = sim.knn_graph(d, centers_knn, k=4)
+        g.write.format("noop").mode("overwrite").save()  # warm
+        t = time.time()
+        g.write.format("noop").mode("overwrite").save()
+        out[f"knn_graph_sec_{factor}x"] = round(time.time() - t, 3)
+        out[f"knn_vecs_{factor}x"] = ne0 * factor
+        d.unpersist()
+    out["knn_4x_slope"] = round(
+        out["knn_graph_sec_4x"] / out["knn_graph_sec_1x"] / 4.0, 3
+    )
+
+    # bounded-cell variant: 4x vectors AND 4x centers (K ∝ N keeps the
+    # per-cell pair space constant per row) — the production dial; this
+    # is the slope that must stay near-linear.
+    d4 = emb0
+    for i in range(3):
+        d4 = d4.union(
+            emb0.select(
+                (F.col("vec_id") + F.lit(1_000_000 * (i + 1))).alias("vec_id"),
+                "label",
+                F.transform(
+                    F.col("embedding"), lambda v: v + F.lit(0.001 * (i + 1))
+                ).alias("embedding"),
+            )
+        )
+    d4 = d4.cache()
+    d4.count()
+    cent16 = (
+        emb0.filter(F.col("vec_id") < 16)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centers16 = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]]) for r in cent16
+    ]
+    g = sim.knn_graph(d4, centers16, k=4)
+    g.write.format("noop").mode("overwrite").save()  # warm
+    t = time.time()
+    g.write.format("noop").mode("overwrite").save()
+    out["knn_graph_sec_4x_k16"] = round(time.time() - t, 3)
+    out["knn_4x_k16_slope"] = round(
+        out["knn_graph_sec_4x_k16"] / out["knn_graph_sec_1x"] / 4.0, 3
+    )
+    d4.unpersist()
+
     print(json.dumps(out))
     return 0
 
