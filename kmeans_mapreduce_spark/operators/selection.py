@@ -122,7 +122,7 @@ def dsir_logweights(
         F.sum("cr").alias("r_total"),
     ).crossJoin(tgt_counts.agg(F.sum("ct").alias("t_total")))
     scores = (
-        raw_counts.join(tgt_counts, "b", "left")
+        raw_counts.join(F.broadcast(tgt_counts), "b", "left")
         .na.fill({"ct": 0})
         .crossJoin(F.broadcast(totals))
         .select(

@@ -311,3 +311,34 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_dedup_band_probe_broadcasts(spark):
+    # the new-batch band side must broadcast onto the historical index
+    # (the persisted-index production shape) — a shuffled band join
+    # would exchange the whole history every night
+    docs = load_table(spark, SF, "documents")
+    df = dd.incremental_minhash_pairs(docs, threshold=0.2)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df)
+
+
+def test_dsir_bucket_scores_broadcast_back(spark):
+    # the ≤n_buckets scored table must broadcast onto the token
+    # explode; a shuffle join would exchange the corpus by bucket
+    from kmeans_mapreduce_spark.operators import selection as sel
+
+    docs = load_table(spark, SF, "documents")
+    df = sel.dsir_logweights(docs)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df)
+
+
+def test_bpe_merges_is_take_ordered(spark):
+    # corpus-wide top-k must be per-partition heaps + driver merge,
+    # never a full global sort-shuffle
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    docs = load_table(spark, SF, "documents")
+    s = plans.explain_str(tx.bpe_merge_candidates(docs), "simple")
+    assert "TakeOrderedAndProject" in s
