@@ -1171,7 +1171,17 @@ def incremental_minhash_pairs(
         )
         .distinct()
     )
-    verified = jaccard_pairs(docs, cand, threshold, digits)
+    # verify only colliding docs: building shingle sets for the whole
+    # corpus would cost ∝ |corpus| every night — a broadcast semi-join
+    # on the (small) colliding-id set keeps verification ∝ |collisions|
+    cand = cand.localCheckpoint(eager=False)
+    touched = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = docs.join(F.broadcast(touched), "doc_id", "left_semi")
+    verified = jaccard_pairs(pruned, cand, threshold, digits)
     return verified.select(
         F.col("doc_b").alias("doc_id"),
         F.col("doc_a").alias("dup_of"),
