@@ -588,6 +588,11 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_bpe_merges2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE training round 2: apply round 1's winner, recount pairs."""
+    return tx.bpe_second_round(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_lr_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two full-batch GD iterations of the in-engine quality
     classifier (operators/logreg.py) under the hash gate — the
@@ -1748,6 +1753,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lr_loop2": q_corpus_lr_loop2,
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
+        "text_bpe_merges2": q_text_bpe_merges2,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -2325,6 +2331,15 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
 p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM w),
 c AS (SELECT pair, COUNT(*)::BIGINT AS n FROM p GROUP BY pair)
+SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT {tx.BPE_MERGE_TOPK}""",
+        "text_bpe_merges2": f"""
+WITH w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+p1 AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM w0),
+t1 AS (SELECT pair FROM (SELECT pair, COUNT(*) AS n FROM p1 GROUP BY pair)
+       ORDER BY n DESC, pair LIMIT 1),
+w2 AS (SELECT replace(w, (SELECT pair FROM t1), chr(1)) AS w FROM w0),
+p2 AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM w2),
+c AS (SELECT pair, COUNT(*)::BIGINT AS n FROM p2 GROUP BY pair)
 SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT {tx.BPE_MERGE_TOPK}""",
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),

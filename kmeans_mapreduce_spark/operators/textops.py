@@ -504,3 +504,40 @@ def bpe_merge_candidates(docs: DataFrame, k: int = BPE_MERGE_TOPK) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
+
+
+BPE_MERGE_MARKER = "\x01"  # single-char stand-in for the merged symbol
+
+
+def bpe_second_round(
+    docs: DataFrame, k: int = BPE_MERGE_TOPK, marker: str = BPE_MERGE_MARKER
+) -> DataFrame:
+    """BPE training round 2: apply round 1's winning merge (literal
+    leftmost-nonoverlapping replace — Java and DuckDB agree) as a
+    single marker symbol, then recount adjacent pairs. Iterating
+    exactly this shape IS the BPE trainer; pairs containing the marker
+    are merges that would extend the new symbol. The winning pair is
+    driver-collected (1 row — the same K-row-collect contract as the
+    k-means centroid loop)."""
+    from kmeans_mapreduce_spark.functions.text import tokens
+
+    top_pair = bpe_merge_candidates(docs, 1).collect()[0]["pair"]
+    w = F.col("w")
+    merged = F.replace(w, F.lit(top_pair), F.lit(marker))
+    mw = F.col("mw")
+    pair_arr = F.when(
+        F.length(mw) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(mw) - 1),
+            lambda i: mw.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .select(merged.alias("mw"))
+        .select(F.explode(pair_arr).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )

@@ -395,6 +395,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "pipeline_label_propagation",
     "corpus_lr_loop2",
     "text_bpe_merges",
+    "text_bpe_merges2",
 }
 
 

@@ -232,3 +232,16 @@ def test_bpe_merge_candidates_counts_and_ties(spark):
     out = tx.bpe_merge_candidates(_docs(spark, rows), k=3).collect()
     got = [(r["pair"], r["n"]) for r in out]
     assert got == [("aa", 4), ("ab", 2), ("bb", 2)]  # count desc, pair asc
+
+
+def test_bpe_second_round_applies_top_merge(spark):
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    # round 1 winner is "aa" (4); after merging "aa"→<m>, "aaab" becomes
+    # "<m>ab": pairs "<m>a"×2, "ab"×2, "bb"×2 — "aa" is gone
+    rows = [(0, "aaab aaab z"), (1, "bb bb")]
+    out = tx.bpe_second_round(_docs(spark, rows), k=5).collect()
+    got = {r["pair"]: r["n"] for r in out}
+    m = tx.BPE_MERGE_MARKER
+    assert "aa" not in got  # the merged pair no longer exists
+    assert got[m + "a"] == 2 and got["ab"] == 2 and got["bb"] == 2
