@@ -588,6 +588,13 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: quality-quartile phase + deterministic
+    within-phase shuffle key (broadcast-threshold plan, no global
+    sort)."""
+    return sp.curriculum_phases(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_bpe_merges2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training round 2: apply round 1's winner, recount pairs."""
     return tx.bpe_second_round(load_table(spark, sf_dir, "documents"))
@@ -1754,6 +1761,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_merges2": q_text_bpe_merges2,
+        "corpus_curriculum": q_corpus_curriculum,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -2327,6 +2335,16 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "similarity_knn_graph": _knn_graph_sql(),
         "pipeline_label_propagation": _label_propagation_sql(),
         "corpus_lr_loop2": _lr_loop2_sql(),
+        "corpus_curriculum": f"""
+WITH q AS ({_quality_sql()}),
+t AS (SELECT {", ".join(
+    f"ROUND(quantile_cont(quality_score, {p}), 6) AS t{i}"
+    for i, p in enumerate(sp.CURRICULUM_PROBS)
+)} FROM q)
+SELECT doc_id,
+  (1{"".join(f" + (quality_score > t.t{i})::INT" for i in range(len(sp.CURRICULUM_PROBS)))})::INTEGER AS phase,
+  {h64_sql(f"'{sp.CURRICULUM_SALT}:' || doc_id::VARCHAR")} AS order_key
+FROM q CROSS JOIN t""",
         "text_bpe_merges": f"""
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
 p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM w),

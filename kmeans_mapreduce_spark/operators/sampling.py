@@ -321,3 +321,53 @@ def simulate_next_snapshot(docs: DataFrame) -> DataFrame:
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
     )
     return kept.unionByName(added)
+
+
+CURRICULUM_SALT = "curriculum"
+CURRICULUM_PROBS = (0.25, 0.5, 0.75)
+
+
+def curriculum_phases(
+    docs: DataFrame,
+    probs: tuple[float, ...] = CURRICULUM_PROBS,
+    digits: int = 6,
+) -> DataFrame:
+    """Curriculum ordering: (doc_id, phase, order_key) where phase 1..4
+    is the document's quality quartile (phase 1 = lowest — train
+    easy-to-score-high data last or first, the caller's curriculum
+    policy) and order_key is a salted hash giving a deterministic,
+    retry-stable shuffle WITHIN each phase.
+
+    Scale shape: the three quantile thresholds are ONE 1-row exact
+    percentile aggregate broadcast back onto the scan (the same
+    threshold-broadcast trick as temperature_sample) — phase assignment
+    is then a narrow comparison, never a global NTILE sort, which would
+    funnel the corpus through one partition. At real scale swap the
+    exact percentile for approx_percentile; the plan shape is
+    unchanged."""
+    from kmeans_mapreduce_spark.functions.hashing import h64
+    from kmeans_mapreduce_spark.operators.textops import quality
+
+    q = quality(docs).select("doc_id", "quality_score")
+    th = q.agg(
+        F.percentile(
+            F.col("quality_score"), F.array(*[F.lit(p) for p in probs])
+        ).alias("qs")
+    ).select(
+        *[
+            F.round(F.element_at("qs", i + 1), digits).alias(f"__t{i}")
+            for i in range(len(probs))
+        ]
+    )
+    phase = F.lit(1)
+    for i in range(len(probs)):
+        phase = phase + (F.col("quality_score") > F.col(f"__t{i}")).cast("int")
+    return q.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        phase.cast("int").alias("phase"),
+        h64(
+            F.concat(
+                F.lit(CURRICULUM_SALT + ":"), F.col("doc_id").cast("string")
+            )
+        ).alias("order_key"),
+    )

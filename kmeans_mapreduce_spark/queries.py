@@ -396,6 +396,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_lr_loop2",
     "text_bpe_merges",
     "text_bpe_merges2",
+    "corpus_curriculum",
 }
 
 

@@ -245,3 +245,25 @@ def test_bpe_second_round_applies_top_merge(spark):
     m = tx.BPE_MERGE_MARKER
     assert "aa" not in got  # the merged pair no longer exists
     assert got[m + "a"] == 2 and got["ab"] == 2 and got["bb"] == 2
+
+
+def test_curriculum_phases_quartiles_and_determinism(spark):
+    from kmeans_mapreduce_spark.operators import sampling as sp2
+
+    # 8 docs with clearly increasing quality (longer + more diverse):
+    # quartiles must split 2/2/2/2 and rerunning must give identical
+    # order keys (retry-stable, no RNG)
+    rows = [
+        (i, " ".join(f"w{i}x{j}" for j in range(4 + 10 * i)) + " the of")
+        for i in range(8)
+    ]
+    docs = _docs(spark, rows)
+    out1 = {r["doc_id"]: r for r in sp2.curriculum_phases(docs).collect()}
+    out2 = {r["doc_id"]: r for r in sp2.curriculum_phases(docs).collect()}
+    from collections import Counter
+
+    sizes = Counter(r["phase"] for r in out1.values())
+    assert sizes == {1: 2, 2: 2, 3: 2, 4: 2}
+    # monotone: higher quality docs land in higher phases
+    assert out1[0]["phase"] == 1 and out1[7]["phase"] == 4
+    assert all(out1[i]["order_key"] == out2[i]["order_key"] for i in out1)
