@@ -618,3 +618,69 @@ def stream_quality_monitor(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_logreg_sgd(
+    doc_stream: DataFrame,
+    checkpoint_dir: str,
+    buckets: int | None = None,
+    lr: float | None = None,
+    binary: bool = True,
+    engineered: bool = True,
+):
+    """STREAMING online logistic regression (mini-batch SGD): every
+    micro-batch contributes one full gradient step to the driver-held
+    weights — the continuous model-maintenance loop for the in-engine
+    quality classifier (the streaming twin of ``logreg.fit_logreg``,
+    exactly as ``stream_kmeans_minibatch`` twins the batch Lloyd fit).
+
+    Physical shape: ``foreachBatch`` → one Arrow pass per micro-batch
+    emitting a constant-size partial gradient per partition; weights
+    live on the DRIVER, so the state store is never involved and each
+    batch costs one narrow pass + an ~8 KB collect. No per-iteration
+    rounding here — the streaming model is not oracle-gated (its batch
+    twin ``corpus_lr_loop2`` is).
+
+    Returns (query, state) — ``state.w`` / ``state.b`` update as
+    batches commit; stop the query to freeze the model.
+    """
+    import numpy as np
+
+    from kmeans_mapreduce_spark.operators import logreg as lg
+
+    buckets = lg.LR_BUCKETS if buckets is None else buckets
+    lr = lg.CLS_RATE if lr is None else lr
+    n_extra = lg.N_ENGINEERED if engineered else 0
+
+    class _State:
+        def __init__(self):
+            self.w = np.zeros(buckets + n_extra)
+            self.b = 0.0
+            self.batches = 0
+            self.seen = 0
+
+    state = _State()
+
+    def update(batch_df, _bid):
+        feats = lg.featurized(
+            batch_df, buckets, binary=binary, engineered=engineered
+        )
+        parts = lg._partials(feats, state.w, state.b, buckets, n_extra).collect()
+        if not parts:
+            return
+        n = sum(p["n"] for p in parts)
+        g = np.sum([np.asarray(p["g"]) for p in parts], axis=0)
+        gb = sum(p["gb"] for p in parts)
+        state.w = state.w - lr * (g / n)
+        state.b = state.b - lr * (gb / n)
+        state.batches += 1
+        state.seen += n
+
+    q = (
+        doc_stream.writeStream.foreachBatch(update)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, state

@@ -710,3 +710,55 @@ def test_stream_quality_monitor_flags_bad_batch(spark, tmp_path_factory):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(log).count() == 4
+
+
+def test_stream_logreg_sgd_reduces_log_loss(spark, tmp_path_factory):
+    """Online SGD over two document micro-batches must reduce the
+    model's full-data log-loss below the w=0 baseline (ln 2) — the
+    model learns as batches flow, with weights on the driver."""
+    import numpy as np
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("lr_stream"))
+    ckpt = str(tmp_path_factory.mktemp("lr_ckpt"))
+    # separable corpus: long diverse stopword-rich docs (label 1) vs
+    # short repetitive docs (label 0), split across two files
+    def doc(i, good):
+        if good:
+            return " ".join(f"w{i}x{j}" for j in range(60)) + " the of and to"
+        return " ".join(["junk"] * 8)
+
+    rows0 = [(i, doc(i, i % 2 == 0), "en", "s", 10) for i in range(40)]
+    rows1 = [(100 + i, doc(100 + i, i % 2 == 0), "en", "s", 10) for i in range(40)]
+    cols = ["doc_id", "text", "lang", "source", "n_chars"]
+    pd.DataFrame(rows0, columns=cols).to_parquet(f"{out}/00.parquet")
+    pd.DataFrame(rows1, columns=cols).to_parquet(f"{out}/01.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    q, state = so.stream_logreg_sgd(stream, ckpt)
+    q.awaitTermination()
+    assert state.batches == 2 and state.seen == 80
+
+    from kmeans_mapreduce_spark.operators import logreg as lg
+
+    feats = lg.featurized(
+        spark.read.parquet(out), binary=True, engineered=True
+    ).collect()
+    D = lg.LR_BUCKETS
+    X = np.zeros((len(feats), D + lg.N_ENGINEERED))
+    y = np.zeros(len(feats))
+    for i, r in enumerate(feats):
+        X[i, np.asarray(r["fb"], dtype=np.int64)] = 1.0
+        X[i, D:] = np.asarray(r["fx"])
+        y[i] = r["y"]
+    z = X @ state.w + state.b
+    p = 1.0 / (1.0 + np.exp(-z))
+    eps = 1e-12
+    loss = -np.mean(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
+    assert loss < np.log(2.0) * 0.9  # well below the w=0 baseline
