@@ -74,3 +74,16 @@ def avg_token_len(toks: Column) -> Column:
         F.transform(toks, lambda t: F.length(t)), F.lit(0), lambda a, b: a + b
     )
     return total / F.size(toks)
+
+
+def quality_score_expr(toks: Column) -> Column:
+    """The engine's quality-score formula — ONE definition shared by
+    ``textops.quality`` and ``logreg.featurized`` (whose labels distill
+    this score); the DuckDB twin lives in ``extensions._quality_sql``.
+    Changing the formula means changing all three in lockstep."""
+    nt = F.size(toks).cast("double")
+    return (
+        F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.3) * stopword_ratio(toks)
+        + F.lit(0.3) * type_token_ratio(toks)
+    )

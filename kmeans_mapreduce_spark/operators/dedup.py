@@ -697,6 +697,63 @@ def simhash_pairs(
 EMBED_BLOCK_ROW_CAP = 8192  # tile oversized cosine blocks above this
 
 
+def assign_cells(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    out: str = "label",
+) -> DataFrame:
+    """Literal-argmin coarse-cell assignment shared by the cell-blocked
+    embedding ops (semantic dedup, k-NN graph): centers ship inside the
+    plan (O6/O16 shape — no join, no shuffle), tie-break (d2, cid)
+    matches the twins' ``ORDER BY d2, cid``. One definition so the
+    tie-break/fold rules cannot drift between consumers."""
+    from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
+
+    cands = [
+        F.struct(
+            sq_dist_nd(
+                F.col("__v"), F.array(*[F.lit(float(x)) for x in cvec])
+            ).alias("d2"),
+            F.lit(int(cid)).cast("int").alias("cid"),
+        )
+        for cid, cvec in centers
+    ]
+    return emb.withColumn(
+        "__v", F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    ).select(
+        "vec_id",
+        "embedding",
+        F.array_min(F.array(*cands))["cid"].alias(out),
+    )
+
+
+def seq_normalize(V):
+    """L2-normalize rows with a dimension-SEQUENTIAL sum of squares —
+    the same fold order as ``F.aggregate`` / DuckDB ``list_sum``, so
+    downstream exact dots are bit-identical to the SQL twins. The fold
+    order is load-bearing; do not replace with np.linalg.norm."""
+    import numpy as np
+
+    acc = np.zeros(len(V))
+    for d in range(V.shape[1]):
+        acc += V[:, d] * V[:, d]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return V / np.sqrt(acc)[:, None]
+
+
+def seq_fold_gemm(A, B):
+    """Dense dot matrix with dimension-sequential accumulation:
+    G[i, j] sums over dims in index order — bit-identical to a per-pair
+    sequential fold, unlike BLAS ``A @ B.T`` (pairwise/blocked sums).
+    Use where the emitted doubles must match the oracle exactly."""
+    import numpy as np
+
+    G = np.zeros((len(A), len(B)))
+    for d in range(A.shape[1]):
+        G += A[:, d, None] * B[None, :, d]
+    return G
+
+
 def tiled_blocks(emb: DataFrame, row_cap: int) -> DataFrame:
     """Split oversized near-dup blocks into PAIR-COMPLETE tile groups.
 
@@ -797,14 +854,6 @@ def embedding_near_dup(
     cut = threshold - 0.5 * 10 ** (-digits) - 1e-9
     chunk = 2048
 
-    def _normalize(V: np.ndarray) -> np.ndarray:
-        # sequential sum of squares — same fold order as F.aggregate
-        acc = np.zeros(len(V))
-        for d in range(V.shape[1]):
-            acc += V[:, d] * V[:, d]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return V / np.sqrt(acc)[:, None]
-
     def _exact_dots(A: np.ndarray, B: np.ndarray) -> np.ndarray:
         # exact recompute for survivors, sequential fold order
         dots = np.zeros(len(A))
@@ -827,7 +876,7 @@ def embedding_near_dup(
         if ta == tb:
             pdf = pdf.sort_values("vec_id")
             ids = pdf["vec_id"].to_numpy()
-            Vn = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+            Vn = seq_normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
             out_a, out_b = [], []
             for lo in range(0, len(ids), chunk):
                 hi = min(lo + chunk, len(ids))
@@ -854,8 +903,8 @@ def embedding_near_dup(
             return empty
         ids_a = a_pdf["vec_id"].to_numpy()
         ids_b = b_pdf["vec_id"].to_numpy()
-        An = _normalize(np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64))
-        Bn = _normalize(np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64))
+        An = seq_normalize(np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64))
+        Bn = seq_normalize(np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64))
         out_a, out_b = [], []
         for lo in range(0, len(ids_a), chunk):
             hi = min(lo + chunk, len(ids_a))
@@ -1212,25 +1261,5 @@ def semantic_dedup_pairs(
     the caller pins it to fixed corpus rows so the DuckDB twin can
     replay the assignment exactly.
     """
-    from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
-
-    cands = [
-        F.struct(
-            sq_dist_nd(
-                F.col("__v"), F.array(*[F.lit(float(x)) for x in cvec])
-            ).alias("d2"),
-            F.lit(int(cid)).cast("int").alias("cid"),
-        )
-        for cid, cvec in centers
-    ]
-    assigned = (
-        emb.withColumn(
-            "__v", F.transform(F.col("embedding"), lambda v: v.cast("double"))
-        )
-        .select(
-            "vec_id",
-            "embedding",
-            F.array_min(F.array(*cands))["cid"].alias("label"),
-        )
-    )
+    assigned = assign_cells(emb, centers, out="label")
     return embedding_near_dup(assigned, threshold, digits, row_cap)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.hashing import h64
 from kmeans_mapreduce_spark.functions.text import (
+    quality_score_expr,
     stopword_ratio,
     tokens,
     type_token_ratio,
@@ -66,11 +67,7 @@ def featurized(
     nt = F.size(toks).cast("double")
     sw = stopword_ratio(toks)
     ttr = type_token_ratio(toks)
-    score = (
-        F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * sw
-        + F.lit(0.3) * ttr
-    )
+    score = quality_score_expr(toks)
     fb = F.transform(
         toks, lambda t: F.pmod(h64(t), F.lit(buckets)).cast("int")
     )

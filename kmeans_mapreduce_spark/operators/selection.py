@@ -118,9 +118,13 @@ def dsir_logweights(
         .groupBy("b")
         .agg(F.count(F.lit(1)).alias("ct"))
     )
+    # coalesce: an empty target set must yield 0, not NULL (the twin's
+    # COALESCE(SUM(ct), 0) — NULL would poison every weight)
     totals = raw_counts.agg(
-        F.sum("cr").alias("r_total"),
-    ).crossJoin(tgt_counts.agg(F.sum("ct").alias("t_total")))
+        F.coalesce(F.sum("cr"), F.lit(0)).alias("r_total"),
+    ).crossJoin(
+        tgt_counts.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("t_total"))
+    )
     scores = (
         raw_counts.join(F.broadcast(tgt_counts), "b", "left")
         .na.fill({"ct": 0})

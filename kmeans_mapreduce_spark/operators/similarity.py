@@ -641,43 +641,16 @@ def knn_graph(
     import numpy as np
     import pandas as pd
 
-    from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
-    from kmeans_mapreduce_spark.operators.dedup import tiled_blocks
-
-    cands = [
-        F.struct(
-            sq_dist_nd(
-                F.col("__v"), F.array(*[F.lit(float(x)) for x in cvec])
-            ).alias("d2"),
-            F.lit(int(cid)).cast("int").alias("cid"),
-        )
-        for cid, cvec in centers
-    ]
-    assigned = emb.withColumn(
-        "__v", F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    ).select(
-        "vec_id",
-        "embedding",
-        F.array_min(F.array(*cands))["cid"].alias("label"),
+    from kmeans_mapreduce_spark.operators.dedup import (
+        assign_cells,
+        seq_fold_gemm,
+        seq_normalize,
+        tiled_blocks,
     )
 
+    assigned = assign_cells(emb, centers, out="label")
+
     eps = 2.0 * 10.0 ** (-digits)
-
-    def _normalize(V: np.ndarray) -> np.ndarray:
-        acc = np.zeros(len(V))
-        for d in range(V.shape[1]):
-            acc += V[:, d] * V[:, d]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            return V / np.sqrt(acc)[:, None]
-
-    def _fold_gemm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
-        # G[i, j] accumulates over dimensions in index order — the same
-        # sequential fold as a per-pair F.aggregate / list_sum, so the
-        # emitted doubles are bit-identical to the oracle's
-        G = np.zeros((len(A), len(B)))
-        for d in range(A.shape[1]):
-            G += A[:, d, None] * B[None, :, d]
-        return G
 
     empty = pd.DataFrame(
         {
@@ -700,6 +673,12 @@ def knn_graph(
         kth = np.partition(G, -kk, axis=1)[:, -kk] if G.shape[1] > kk else np.min(G, axis=1)
         keep = G >= (kth[:, None] - eps)
         si, di = np.nonzero(keep)
+        if self_mask:
+            # when the cell has ≤ k members, kth is the −inf-masked
+            # diagonal itself and the keep filter passes it — drop the
+            # self pair explicitly (the twin joins on vec_id <> vec_id)
+            nz = ids_s[si] != ids_d[di]
+            si, di = si[nz], di[nz]
         return pd.DataFrame(
             {"src": ids_s[si], "dst": ids_d[di], "dot": G[si, di]}
         )
@@ -711,8 +690,8 @@ def knn_graph(
         if ta == tb:
             pdf = pdf.sort_values("vec_id")
             ids = pdf["vec_id"].to_numpy()
-            Vn = _normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
-            G = _fold_gemm(Vn, Vn)
+            Vn = seq_normalize(np.stack(pdf["embedding"].to_numpy()).astype(np.float64))
+            G = seq_fold_gemm(Vn, Vn)
             return _local_topk(ids, ids, G, self_mask=True)
         a_pdf = pdf[pdf["__t"] == ta].sort_values("vec_id")
         b_pdf = pdf[pdf["__t"] == tb].sort_values("vec_id")
@@ -720,9 +699,9 @@ def knn_graph(
             return empty
         ids_a = a_pdf["vec_id"].to_numpy()
         ids_b = b_pdf["vec_id"].to_numpy()
-        An = _normalize(np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64))
-        Bn = _normalize(np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64))
-        G = _fold_gemm(An, Bn)
+        An = seq_normalize(np.stack(a_pdf["embedding"].to_numpy()).astype(np.float64))
+        Bn = seq_normalize(np.stack(b_pdf["embedding"].to_numpy()).astype(np.float64))
+        G = seq_fold_gemm(An, Bn)
         out_ab = _local_topk(ids_a, ids_b, G, self_mask=False)
         out_ba = _local_topk(ids_b, ids_a, G.T.copy(), self_mask=False)
         return pd.concat([out_ab, out_ba], ignore_index=True)

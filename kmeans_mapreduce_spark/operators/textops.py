@@ -20,6 +20,7 @@ from kmeans_mapreduce_spark.functions.text import (
     LANG_MARKERS,
     avg_token_len,
     n_tokens,
+    quality_score_expr,
     stopword_ratio,
     tokens,
     type_token_ratio,
@@ -80,11 +81,7 @@ def quality(docs: DataFrame, digits: int = 6) -> DataFrame:
     nt = F.size(toks).cast("double")
     sw = stopword_ratio(toks)
     ttr = type_token_ratio(toks)
-    score = (
-        F.lit(0.4) * F.least(nt / F.lit(100.0), F.lit(1.0))
-        + F.lit(0.3) * sw
-        + F.lit(0.3) * ttr
-    )
+    score = quality_score_expr(toks)
     return docs.select(
         "doc_id",
         nt.cast("long").alias("n_tokens"),
@@ -472,6 +469,30 @@ def lm_surprisal(docs: DataFrame, digits: int = 4) -> DataFrame:
 
 BPE_MERGE_TOPK = 20
 
+def _char_pairs(word):  # noqa: ANN001 - Column helper
+    """Adjacent character-pair array of a (1-symbol-per-char) word —
+    shared by both BPE rounds; empty for 1-char words (Spark sequence
+    is INCLUSIVE and would run descending for length 1)."""
+    return F.when(
+        F.length(word) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length(word) - 1),
+            lambda i: word.substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _count_top_pairs(words: DataFrame, word_col: str, k: int) -> DataFrame:
+    """groupBy pair count → deterministic top-k — the shared tail of
+    both BPE rounds."""
+    return (
+        words.select(F.explode(_char_pairs(F.col(word_col))).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(k)
+    )
+
 
 def bpe_merge_candidates(docs: DataFrame, k: int = BPE_MERGE_TOPK) -> DataFrame:
     """First round of BPE tokenizer training: corpus-wide counts of
@@ -486,23 +507,8 @@ def bpe_merge_candidates(docs: DataFrame, k: int = BPE_MERGE_TOPK) -> DataFrame:
     (≤ a few thousand), then TakeOrderedAndProject for the top-k —
     the shuffle carries at most the distinct-pair count per partition,
     never the corpus."""
-    from kmeans_mapreduce_spark.functions.text import tokens
-
-    w = F.col("w")
-    pair_arr = F.when(
-        F.length(w) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length(w) - 1),
-            lambda i: w.substr(i, F.lit(2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .select(F.explode(pair_arr).alias("pair"))
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("pair"))
-        .limit(k)
+    return _count_top_pairs(
+        docs.select(F.explode(tokens(F.col("text"))).alias("w")), "w", k
     )
 
 
@@ -519,25 +525,9 @@ def bpe_second_round(
     are merges that would extend the new symbol. The winning pair is
     driver-collected (1 row — the same K-row-collect contract as the
     k-means centroid loop)."""
-    from kmeans_mapreduce_spark.functions.text import tokens
-
     top_pair = bpe_merge_candidates(docs, 1).collect()[0]["pair"]
-    w = F.col("w")
-    merged = F.replace(w, F.lit(top_pair), F.lit(marker))
-    mw = F.col("mw")
-    pair_arr = F.when(
-        F.length(mw) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length(mw) - 1),
-            lambda i: mw.substr(i, F.lit(2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.explode(tokens(F.col("text"))).alias("w"))
-        .select(merged.alias("mw"))
-        .select(F.explode(pair_arr).alias("pair"))
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("n"), F.asc("pair"))
-        .limit(k)
+    merged = F.replace(F.col("w"), F.lit(top_pair), F.lit(marker))
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w")).select(
+        merged.alias("mw")
     )
+    return _count_top_pairs(words, "mw", k)

@@ -267,3 +267,21 @@ def test_curriculum_phases_quartiles_and_determinism(spark):
     # monotone: higher quality docs land in higher phases
     assert out1[0]["phase"] == 1 and out1[7]["phase"] == 4
     assert all(out1[i]["order_key"] == out2[i]["order_key"] for i in out1)
+
+
+def test_knn_graph_small_cell_has_no_self_edges(spark):
+    # REGRESSION: a cell with 2..k members made the local kth statistic
+    # the -inf-masked diagonal itself, so the keep filter passed the
+    # self pair and Spark emitted (src, src, -Infinity) rows the twin
+    # never produces
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(1, "x", [1.0, 0.0]), (2, "x", [0.9, 0.1])],
+        "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    out = sim.knn_graph(emb, [(0, [1.0, 0.0])], k=4).collect()
+    assert all(r["src"] != r["dst"] for r in out)
+    got = {(r["src"], r["dst"]) for r in out}
+    assert got == {(1, 2), (2, 1)}
+    assert all(r["mutual"] for r in out)
