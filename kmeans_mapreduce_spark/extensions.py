@@ -588,6 +588,12 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-N deterministic sample by salted-hash rank (fixed-budget
+    eval set); TakeOrderedAndProject, no global sort."""
+    return sp.fixed_size_sample(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering: quality-quartile phase + deterministic
     within-phase shuffle key (broadcast-threshold plan, no global
@@ -1762,6 +1768,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_merges2": q_text_bpe_merges2,
         "corpus_curriculum": q_corpus_curriculum,
+        "corpus_sample_fixed": q_corpus_sample_fixed,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -2335,6 +2342,10 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "similarity_knn_graph": _knn_graph_sql(),
         "pipeline_label_propagation": _label_propagation_sql(),
         "corpus_lr_loop2": _lr_loop2_sql(),
+        "corpus_sample_fixed": f"""
+SELECT doc_id, lang,
+       {h64_sql(f"'{sp.FIXED_SAMPLE_SALT}:' || doc_id::VARCHAR")} AS sample_key
+FROM documents ORDER BY sample_key, doc_id LIMIT {sp.FIXED_SAMPLE_N}""",
         "corpus_curriculum": f"""
 WITH q AS ({_quality_sql()}),
 t AS (SELECT {", ".join(

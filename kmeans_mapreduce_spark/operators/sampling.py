@@ -371,3 +371,30 @@ def curriculum_phases(
             )
         ).alias("order_key"),
     )
+
+
+FIXED_SAMPLE_SALT = "fixed"
+FIXED_SAMPLE_N = 100
+
+
+def fixed_size_sample(docs: DataFrame, n: int = FIXED_SAMPLE_N) -> DataFrame:
+    """Deterministic fixed-SIZE sample: exactly ``n`` rows (not a
+    rate) — the fixed-budget eval-set / human-review primitive. Rows
+    are ranked by a salted hash of their id (uniform, RNG-free, stable
+    under retries and data reordering; ties impossible modulo 60-bit
+    collisions, broken by doc_id anyway), so the same n docs come back
+    every run and adding new docs only displaces border cases.
+
+    Scale shape: TakeOrderedAndProject — per-partition top-n heaps
+    merged on the driver, never a global sort-shuffle (same contract as
+    text_top_quality, plan-asserted there)."""
+    from kmeans_mapreduce_spark.functions.hashing import h64
+
+    key = h64(
+        F.concat(F.lit(FIXED_SAMPLE_SALT + ":"), F.col("doc_id").cast("string"))
+    )
+    return (
+        docs.select("doc_id", "lang", key.alias("sample_key"))
+        .orderBy(F.asc("sample_key"), F.asc("doc_id"))
+        .limit(n)
+    )

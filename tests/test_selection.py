@@ -285,3 +285,18 @@ def test_knn_graph_small_cell_has_no_self_edges(spark):
     got = {(r["src"], r["dst"]) for r in out}
     assert got == {(1, 2), (2, 1)}
     assert all(r["mutual"] for r in out)
+
+
+def test_fixed_size_sample_exact_n_stable_under_growth(spark):
+    from kmeans_mapreduce_spark.operators import sampling as sp2
+
+    rows = [(i, f"doc body {i} words here", ) for i in range(50)]
+    docs = _docs(spark, [(i, t) for i, t in rows])
+    s1 = {r["doc_id"] for r in sp2.fixed_size_sample(docs, n=10).collect()}
+    s2 = {r["doc_id"] for r in sp2.fixed_size_sample(docs, n=10).collect()}
+    assert len(s1) == 10 and s1 == s2  # exact size, deterministic
+    # growing the corpus keeps the sample mostly stable: old members
+    # only leave when displaced by a lower-hash newcomer
+    bigger = _docs(spark, [(i, f"doc body {i} words here") for i in range(60)])
+    s3 = {r["doc_id"] for r in sp2.fixed_size_sample(bigger, n=10).collect()}
+    assert len(s3) == 10 and len(s1 & s3) >= 7
