@@ -588,6 +588,12 @@ def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_merge_candidates(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (rows-only: no SQL twin —
+    DuckDB has no zlib; determinism pytest-gated)."""
+    return tx.compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exactly-N deterministic sample by salted-hash rank (fixed-budget
     eval set); TakeOrderedAndProject, no global sort."""
@@ -1769,6 +1775,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges2": q_text_bpe_merges2,
         "corpus_curriculum": q_corpus_curriculum,
         "corpus_sample_fixed": q_corpus_sample_fixed,
+        "text_compression_ratio": q_text_compression_ratio,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,

@@ -531,3 +531,45 @@ def bpe_second_round(
         merged.alias("mw")
     )
     return _count_top_pairs(words, "mw", k)
+
+
+def compression_ratio(docs: DataFrame, digits: int = 6) -> DataFrame:
+    """zlib compression ratio per document — the classic
+    gibberish/boilerplate signal (low ratio = highly repetitive
+    boilerplate, ratio near 1 = high-entropy noise; prose sits in
+    between). Arrow-batched stdlib zlib per partition: a narrow map,
+    no shuffle, trivially corpus-scale.
+
+    Rows-only by declared contract: DuckDB has no zlib, so there is no
+    SQL twin — the deterministic-bytes property is pytest-gated
+    instead (fixed zlib level ⇒ byte-stable output per container).
+    """
+    import zlib
+
+    import pandas as pd
+
+    def score(batches):
+        for pdf in batches:
+            nb, cb = [], []
+            for text in pdf["text"]:
+                raw = text.encode("utf-8")
+                comp = zlib.compress(raw, 6)
+                nb.append(len(raw))
+                cb.append(len(comp))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bytes": nb, "compressed_bytes": cb}
+            )
+
+    out = docs.select("doc_id", "text").mapInPandas(
+        score, "doc_id LONG, n_bytes LONG, compressed_bytes LONG"
+    )
+    return out.select(
+        "doc_id",
+        "n_bytes",
+        "compressed_bytes",
+        F.round(
+            F.col("compressed_bytes").cast("double")
+            / F.greatest(F.col("n_bytes"), F.lit(1)).cast("double"),
+            digits,
+        ).alias("compression_ratio"),
+    )

@@ -300,3 +300,26 @@ def test_fixed_size_sample_exact_n_stable_under_growth(spark):
     bigger = _docs(spark, [(i, f"doc body {i} words here") for i in range(60)])
     s3 = {r["doc_id"] for r in sp2.fixed_size_sample(bigger, n=10).collect()}
     assert len(s3) == 10 and len(s1 & s3) >= 7
+
+
+def test_compression_ratio_orders_boilerplate_prose_noise(spark):
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    import random
+
+    rng = random.Random(7)
+    noise = " ".join(
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(8))
+        for _ in range(40)
+    )
+    rows = [
+        (0, "spam " * 200),  # boilerplate: compresses hard
+        (1, "the quick brown fox jumps over the lazy dog and then "
+            "wanders through fields of wheat discussing philosophy " * 4),
+        (2, noise),  # high-entropy: barely compresses
+    ]
+    out = {r["doc_id"]: r for r in tx.compression_ratio(_docs(spark, rows)).collect()}
+    assert out[0]["compression_ratio"] < out[1]["compression_ratio"] < out[2]["compression_ratio"]
+    # deterministic across runs (fixed zlib level)
+    again = {r["doc_id"]: r for r in tx.compression_ratio(_docs(spark, rows)).collect()}
+    assert all(out[i]["compression_ratio"] == again[i]["compression_ratio"] for i in out)

@@ -315,3 +315,38 @@ def test_compact_small_files_reduces_file_count_preserves_rows(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == 20_000
     assert back.agg(F.sum("v")).collect()[0][0] == df.agg(F.sum("v")).collect()[0][0]
+
+
+def test_read_warc_parses_records_and_strips_http_headers(spark, tmp_path):
+    from kmeans_mapreduce_spark.sources.loaders import read_warc
+
+    def rec(rtype, uri, body, ctype="text/html", http=False):
+        if http:
+            body = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{rtype}-{uri}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nContent-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode()
+        return head + body + b"\r\n\r\n"
+
+    warc = (
+        rec("warcinfo", "-", b"software: test")  # skipped (not response)
+        + rec("response", "http://a.example/", b"<html>hello A</html>", http=True)
+        # binary payload containing the magic must not break framing
+        + rec("resource", "http://b.example/img", b"\x00WARC/1.0\x00bytes",
+              ctype="application/octet-stream")
+        + rec("response", "http://c.example/", b"plain body no http block")
+    )
+    (tmp_path / "crawl-00000.warc").write_bytes(warc)
+
+    rows = {r["target_uri"]: r for r in read_warc(spark, str(tmp_path)).collect()}
+    assert set(rows) == {
+        "http://a.example/", "http://b.example/img", "http://c.example/",
+    }
+    assert bytes(rows["http://a.example/"]["payload"]) == b"<html>hello A</html>"
+    assert bytes(rows["http://b.example/img"]["payload"]) == b"\x00WARC/1.0\x00bytes"
+    assert rows["http://b.example/img"]["record_type"] == "resource"
+    assert bytes(rows["http://c.example/"]["payload"]) == b"plain body no http block"
+    assert rows["http://a.example/"]["content_length"] == len(b"<html>hello A</html>")
