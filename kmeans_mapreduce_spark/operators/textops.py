@@ -573,3 +573,65 @@ def compression_ratio(docs: DataFrame, digits: int = 6) -> DataFrame:
             digits,
         ).alias("compression_ratio"),
     )
+
+
+def extract_html_text(
+    pages: DataFrame, payload_col: str = "payload", id_col: str = "target_uri"
+) -> DataFrame:
+    """Boilerplate-free text extraction from HTML payloads (the step
+    between WARC ingestion and the text pipeline), stdlib-only:
+    ``html.parser`` streams each document, dropping script/style/
+    noscript subtrees and collapsing whitespace. Arrow-batched narrow
+    map — one decode pass per page, no shuffle; at corpus scale this
+    is the classic CPU-bound extract stage and parallelizes per file
+    split. Output: (doc_key, text, n_chars).
+    """
+    from html.parser import HTMLParser
+
+    import pandas as pd
+
+    _SKIP = {"script", "style", "noscript", "template"}
+
+    class _Extractor(HTMLParser):
+        def __init__(self):
+            super().__init__(convert_charrefs=True)
+            self.parts: list[str] = []
+            self._skip_depth = 0
+
+        def handle_starttag(self, tag, attrs):
+            if tag in _SKIP:
+                self._skip_depth += 1
+
+        def handle_endtag(self, tag):
+            if tag in _SKIP and self._skip_depth:
+                self._skip_depth -= 1
+
+        def handle_data(self, data):
+            if not self._skip_depth and data.strip():
+                self.parts.append(data.strip())
+
+    def extract(batches):
+        for pdf in batches:
+            keys, texts, lens = [], [], []
+            for key, blob in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    html = bytes(blob).decode("utf-8", errors="replace")
+                except Exception:
+                    html = ""
+                p = _Extractor()
+                try:
+                    p.feed(html)
+                    p.close()
+                except Exception:
+                    pass  # malformed markup: keep what was parsed
+                text = " ".join(p.parts)
+                keys.append(key)
+                texts.append(text)
+                lens.append(len(text))
+            yield pd.DataFrame(
+                {"doc_key": keys, "text": texts, "n_chars": lens}
+            )
+
+    return pages.select(
+        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
+    ).mapInPandas(extract, "doc_key STRING, text STRING, n_chars LONG")

@@ -350,3 +350,47 @@ def test_read_warc_parses_records_and_strips_http_headers(spark, tmp_path):
     assert rows["http://b.example/img"]["record_type"] == "resource"
     assert bytes(rows["http://c.example/"]["payload"]) == b"plain body no http block"
     assert rows["http://a.example/"]["content_length"] == len(b"<html>hello A</html>")
+
+
+def test_warc_to_text_pipeline_end_to_end(spark, tmp_path):
+    """Crawl ingestion composes: WARC -> HTML text extraction ->
+    quality scoring — the full entry path of a training-data pipeline,
+    with script/style boilerplate dropped."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+    from kmeans_mapreduce_spark.sources.loaders import read_warc
+
+    html_a = (
+        b"<html><head><title>T</title><style>body{color:red}</style>"
+        b"<script>var x = 'the hidden script text';</script></head>"
+        b"<body><h1>Fox News</h1><p>the quick brown fox jumps over "
+        b"the lazy dog</p></body></html>"
+    )
+    html_b = b"<html><body><p>short&amp;sweet</p></body></html>"
+
+    def rec(uri, body):
+        http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\n"
+            f"WARC-Record-ID: <urn:uuid:{uri}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nContent-Type: text/html\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    (tmp_path / "c.warc").write_bytes(
+        rec("http://a.example/", html_a) + rec("http://b.example/", html_b)
+    )
+    pages = read_warc(spark, str(tmp_path))
+    texts = tx.extract_html_text(pages)
+    got = {r["doc_key"]: r["text"] for r in texts.collect()}
+    assert "hidden script" not in got["http://a.example/"]
+    assert "color:red" not in got["http://a.example/"]
+    assert "quick brown fox" in got["http://a.example/"]
+    assert got["http://b.example/"] == "short&sweet"  # charref decoded
+
+    # extracted text feeds the standard pipeline unchanged
+    docs = texts.selectExpr(
+        "monotonically_increasing_id() AS doc_id", "text"
+    )
+    q = tx.quality(docs).collect()
+    assert len(q) == 2 and all(r["quality_score"] is not None for r in q)
