@@ -345,7 +345,6 @@ def curriculum_phases(
     funnel the corpus through one partition. At real scale swap the
     exact percentile for approx_percentile; the plan shape is
     unchanged."""
-    from kmeans_mapreduce_spark.functions.hashing import h64
     from kmeans_mapreduce_spark.operators.textops import quality
 
     q = quality(docs).select("doc_id", "quality_score")
@@ -388,8 +387,6 @@ def fixed_size_sample(docs: DataFrame, n: int = FIXED_SAMPLE_N) -> DataFrame:
     Scale shape: TakeOrderedAndProject — per-partition top-n heaps
     merged on the driver, never a global sort-shuffle (same contract as
     text_top_quality, plan-asserted there)."""
-    from kmeans_mapreduce_spark.functions.hashing import h64
-
     key = h64(
         F.concat(F.lit(FIXED_SAMPLE_SALT + ":"), F.col("doc_id").cast("string"))
     )

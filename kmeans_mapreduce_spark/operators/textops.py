@@ -552,10 +552,12 @@ def compression_ratio(docs: DataFrame, digits: int = 6) -> DataFrame:
         for pdf in batches:
             nb, cb = [], []
             for text in pdf["text"]:
-                raw = text.encode("utf-8")
-                comp = zlib.compress(raw, 6)
+                raw = text.encode("utf-8") if text else b""
                 nb.append(len(raw))
-                cb.append(len(comp))
+                # NULL/empty text: 0/0 → ratio 0.0 (sibling Catalyst
+                # ops propagate null; a crashed task is the one wrong
+                # answer)
+                cb.append(len(zlib.compress(raw, 6)) if raw else 0)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "n_bytes": nb, "compressed_bytes": cb}
             )
@@ -596,18 +598,25 @@ def extract_html_text(
         def __init__(self):
             super().__init__(convert_charrefs=True)
             self.parts: list[str] = []
-            self._skip_depth = 0
+            self._skip_stack: list[str] = []
 
         def handle_starttag(self, tag, attrs):
             if tag in _SKIP:
-                self._skip_depth += 1
+                self._skip_stack.append(tag)
 
         def handle_endtag(self, tag):
-            if tag in _SKIP and self._skip_depth:
-                self._skip_depth -= 1
+            if tag in self._skip_stack:
+                # pop to the matching open (tolerates mis-nesting)
+                while self._skip_stack.pop() != tag:
+                    pass
+            elif self._skip_stack and tag in ("body", "html"):
+                # an UNCLOSED noscript/template can't outlive the
+                # document body — clear, or all remaining text would be
+                # silently dropped (common in malformed crawl HTML)
+                self._skip_stack.clear()
 
         def handle_data(self, data):
-            if not self._skip_depth and data.strip():
+            if not self._skip_stack and data.strip():
                 self.parts.append(data.strip())
 
     def extract(batches):
@@ -632,6 +641,6 @@ def extract_html_text(
                 {"doc_key": keys, "text": texts, "n_chars": lens}
             )
 
-    return pages.select(
-        F.col(id_col).alias(id_col), F.col(payload_col).alias(payload_col)
-    ).mapInPandas(extract, "doc_key STRING, text STRING, n_chars LONG")
+    return pages.select(id_col, payload_col).mapInPandas(
+        extract, "doc_key STRING, text STRING, n_chars LONG"
+    )

@@ -394,6 +394,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     """
     import pandas as pd
 
+    chunk_rows = 256  # bound task memory: payloads never all in one frame
+
     def parse(batches):
         for pdf in batches:
             out = {
@@ -401,6 +403,13 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 "target_uri": [], "content_type": [],
                 "content_length": [], "payload": [],
             }
+
+            def flush():
+                frame = pd.DataFrame(out)
+                for k in out:
+                    out[k] = []
+                return frame
+
             for fname, blob in zip(pdf["path"], pdf["content"]):
                 pos = 0
                 data = bytes(blob)
@@ -415,7 +424,15 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     for line in data[head:hdr_end].split(b"\r\n")[1:]:
                         k, _, v = line.partition(b":")
                         headers[k.strip().lower()] = v.strip()
-                    length = int(headers.get(b"content-length", b"0"))
+                    try:
+                        length = int(headers[b"content-length"])
+                    except (KeyError, ValueError):
+                        # malformed/absent length: frame is unrecoverable
+                        # for THIS record — skip past its header and
+                        # resynchronize on the next magic, never crash
+                        # the task over one corrupt record
+                        pos = hdr_end + 4
+                        continue
                     body = data[hdr_end + 4 : hdr_end + 4 + length]
                     pos = hdr_end + 4 + length
                     rtype = headers.get(b"warc-type", b"").decode()
@@ -440,9 +457,16 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     )
                     out["content_length"].append(len(body))
                     out["payload"].append(body)
-            yield pd.DataFrame(out)
+                    if len(out["payload"]) >= chunk_rows:
+                        yield flush()
+            yield flush()
 
-    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc")  # don't misparse .warc.gz etc.
+        .load(path)
+        .select("path", "content")
+    )
     return files.mapInPandas(
         parse,
         "warc_file STRING, record_id STRING, record_type STRING, "

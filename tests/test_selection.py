@@ -323,3 +323,33 @@ def test_compression_ratio_orders_boilerplate_prose_noise(spark):
     # deterministic across runs (fixed zlib level)
     again = {r["doc_id"]: r for r in tx.compression_ratio(_docs(spark, rows)).collect()}
     assert all(out[i]["compression_ratio"] == again[i]["compression_ratio"] for i in out)
+
+
+def test_html_extract_survives_unclosed_noscript_and_null_text(spark):
+    """REGRESSION: an unclosed <noscript> must not swallow the rest of
+    the document; NULL text must not crash compression_ratio."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    pages = spark.createDataFrame(
+        [
+            (
+                "u1",
+                bytearray(
+                    b"<html><body><noscript>enable js</body></html>"
+                    b"<p>after body text</p>"
+                ),
+            )
+        ],
+        "target_uri STRING, payload BINARY",
+    )
+    out = tx.extract_html_text(pages).collect()[0]
+    assert "after body text" in out["text"]
+    assert "enable js" not in out["text"]
+
+    docs = spark.createDataFrame(
+        [(0, None, "en", "s", 0), (1, "some text", "en", "s", 9)],
+        DOCS_SCHEMA,
+    )
+    got = {r["doc_id"]: r for r in tx.compression_ratio(docs).collect()}
+    assert got[0]["n_bytes"] == 0 and got[0]["compression_ratio"] == 0.0
+    assert got[1]["compression_ratio"] > 0.0

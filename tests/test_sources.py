@@ -394,3 +394,35 @@ def test_warc_to_text_pipeline_end_to_end(spark, tmp_path):
     )
     q = tx.quality(docs).collect()
     assert len(q) == 2 and all(r["quality_score"] is not None for r in q)
+
+
+def test_read_warc_skips_malformed_length_records(spark, tmp_path):
+    """REGRESSION: a corrupt Content-Length must skip that record and
+    resynchronize, not crash the task; stray non-WARC files in the
+    directory are glob-filtered out."""
+    from kmeans_mapreduce_spark.sources.loaders import read_warc
+
+    good_body = b"good payload"
+    good = (
+        f"WARC/1.0\r\nWARC-Type: resource\r\n"
+        f"WARC-Record-ID: <urn:uuid:g>\r\n"
+        f"WARC-Target-URI: http://good.example/\r\n"
+        f"Content-Length: {len(good_body)}\r\n\r\n"
+    ).encode() + good_body + b"\r\n\r\n"
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: http://bad.example/\r\n"
+        b"Content-Length: 12abc\r\n\r\n"
+        b"junk body\r\n\r\n"
+    )
+    missing = (
+        b"WARC/1.0\r\nWARC-Type: resource\r\n"
+        b"WARC-Target-URI: http://nolen.example/\r\n\r\n"
+        b"body\r\n\r\n"
+    )
+    (tmp_path / "c.warc").write_bytes(bad + missing + good)
+    (tmp_path / "sidecar.warc.gz").write_bytes(b"\x1f\x8b not a warc")
+
+    rows = read_warc(spark, str(tmp_path)).collect()
+    assert [r["target_uri"] for r in rows] == ["http://good.example/"]
+    assert bytes(rows[0]["payload"]) == good_body
