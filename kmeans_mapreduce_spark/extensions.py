@@ -647,6 +647,45 @@ def q_corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lg.score_logreg(feats, w, b)
 
 
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH dedup recall evaluation (the banding-parameter tuning
+    metric, the dedup analog of similarity_ann_recall): LSH-verified
+    pair count vs the EXACT pair set ≥ threshold, where the exact set
+    comes from an uncapped inverted-index join (any pair with J > 0
+    shares a shingle, so the posting join is recall-complete — this is
+    an eval query run on samples, not the corpus-scale dedup path).
+    LSH pairs verify with true Jaccard, hence are a subset of the
+    exact set: recall = n_lsh / n_exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh_n = dd.minhash_lsh_dedup(docs, JACCARD_LSH_THRESHOLD).agg(
+        F.count(F.lit(1)).alias("n_lsh")
+    )
+    toksets = dd.shingle_sets(docs).localCheckpoint(eager=False)
+    post = toksets.select("doc_id", F.explode("s").alias("sh"))
+    cand = (
+        post.alias("a")
+        .join(
+            post.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    exact_n = dd.jaccard_pairs(docs, cand, JACCARD_LSH_THRESHOLD).agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    return lsh_n.crossJoin(exact_n).select(
+        "n_lsh",
+        "n_exact",
+        F.round(
+            F.col("n_lsh").cast("double") / F.col("n_exact").cast("double"), 6
+        ).alias("recall"),
+    )
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, TOPK_K
@@ -1211,6 +1250,31 @@ SELECT * FROM verified WHERE jaccard >= {JACCARD_LSH_THRESHOLD}
 """
 
 
+def _lsh_recall_sql() -> str:
+    """Twin of q_dedup_lsh_recall: the LSH pair count (the
+    _minhash_pairs_sql pipeline) over the exact uncapped posting-join
+    pair count at the same threshold."""
+    return f"""
+WITH lsh AS ({_minhash_pairs_sql()}),
+t AS ({_shingle_cte()}),
+post AS (SELECT doc_id, unnest(toks) AS sh FROM t),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM post a JOIN post b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+ts AS (SELECT doc_id, toks AS s FROM t),
+exact AS (
+  SELECT doc_a, doc_b
+  FROM cand JOIN ts x ON x.doc_id = doc_a JOIN ts y ON y.doc_id = doc_b
+  WHERE ROUND({_jaccard_expr('x.s', 'y.s')}, 6) >= {JACCARD_LSH_THRESHOLD}
+)
+SELECT (SELECT COUNT(*) FROM lsh)::BIGINT AS n_lsh,
+       (SELECT COUNT(*) FROM exact)::BIGINT AS n_exact,
+       ROUND((SELECT COUNT(*) FROM lsh)::DOUBLE
+             / (SELECT COUNT(*) FROM exact)::DOUBLE, 6) AS recall
+"""
+
+
 def _incremental_pairs_sql() -> str:
     """Twin of dedup.incremental_minhash_pairs: same signatures/bands
     as _minhash_pairs_sql, but candidates are (old × new) across the
@@ -1767,6 +1831,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_incremental": q_dedup_incremental,
         "dedup_semantic": q_dedup_semantic,
+        "dedup_lsh_recall": q_dedup_lsh_recall,
         "similarity_knn_graph": q_similarity_knn_graph,
         "pipeline_label_propagation": q_pipeline_label_propagation,
         "corpus_lr_loop2": q_corpus_lr_loop2,
@@ -2346,6 +2411,7 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "dedup_embedding": _embedding_near_dup_sql(),
         "dedup_incremental": _incremental_pairs_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
+        "dedup_lsh_recall": _lsh_recall_sql(),
         "similarity_knn_graph": _knn_graph_sql(),
         "pipeline_label_propagation": _label_propagation_sql(),
         "corpus_lr_loop2": _lr_loop2_sql(),
