@@ -92,6 +92,36 @@ def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_documents_jsonl_quarantine(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE twin of :func:`read_documents_jsonl` for dirty
+    corpora: returns (good, quarantined) — good rows with the document
+    schema, corrupt lines captured verbatim in a ``_corrupt_record``
+    sidecar for triage instead of failing the whole 100 TB job on one
+    bad line. Both come from ONE scan definition; the caller decides
+    what to do with the quarantine (alert, reprocess, drop).
+
+    Spark caveat baked in: PERMISSIVE requires the corrupt column in
+    the read schema, and filtering on it requires caching per the JSON
+    datasource contract (a raw-filter pushdown would need the corrupt
+    column during parsing) — the cache here is the documented idiom.
+    """
+    schema = DOCUMENTS_DDL + ", _corrupt_record STRING"
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        "_corrupt_record"
+    )
+    return good, bad
+
+
 def write_documents_jsonl(docs: DataFrame, path: str) -> None:
     """JSONL document sink (one JSON object per line, gzip-able,
     splittable when uncompressed — the corpus interchange format)."""

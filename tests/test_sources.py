@@ -426,3 +426,23 @@ def test_read_warc_skips_malformed_length_records(spark, tmp_path):
     rows = read_warc(spark, str(tmp_path)).collect()
     assert [r["target_uri"] for r in rows] == ["http://good.example/"]
     assert bytes(rows[0]["payload"]) == good_body
+
+
+def test_jsonl_quarantine_splits_good_and_corrupt(spark, tmp_path):
+    from kmeans_mapreduce_spark.sources.loaders import (
+        read_documents_jsonl_quarantine,
+    )
+
+    lines = [
+        '{"doc_id": 1, "text": "hello world", "lang": "en", "source": "s", "n_chars": 11}',
+        "{not json at all",
+        '{"doc_id": 2, "text": "second", "lang": "de", "source": "s", "n_chars": 6}',
+        '{"doc_id": "NOT_A_NUMBER", "text": "bad type", "lang": "en", "source": "s", "n_chars": 8}',
+    ]
+    (tmp_path / "corpus.jsonl").write_text("\n".join(lines) + "\n")
+    good, bad = read_documents_jsonl_quarantine(spark, str(tmp_path))
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    quarantined = [r["_corrupt_record"] for r in bad.collect()]
+    assert len(quarantined) == 2
+    assert any("not json" in q for q in quarantined)
+    assert any("NOT_A_NUMBER" in q for q in quarantined)
