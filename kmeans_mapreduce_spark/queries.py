@@ -397,6 +397,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "text_bpe_merges",
     "text_bpe_merges2",
     "corpus_curriculum",
+    "corpus_sample_fixed",
+    "text_compression_ratio",
 }
 
 
