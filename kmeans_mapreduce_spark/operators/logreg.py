@@ -136,17 +136,12 @@ def fit_logreg(
     the unrolled SQL twin (same discipline as ``kmeans_nd_loop2``).
     Returns (weights, bias); weights [0, buckets) are hashed-token
     coefficients, the tail ``n_extra`` the engineered-feature ones."""
-    import decimal
-
     import numpy as np
 
+    from kmeans_mapreduce_spark.operators.kmeans import round_half_up
+
     def r6(x: float) -> float:
-        return float(
-            decimal.Decimal(repr(x)).quantize(
-                decimal.Decimal(1).scaleb(-round_digits),
-                rounding=decimal.ROUND_HALF_UP,
-            )
-        )
+        return round_half_up(float(x), round_digits)
 
     feats = feats.localCheckpoint(eager=False)
     w = np.zeros(buckets + n_extra)

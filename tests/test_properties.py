@@ -99,3 +99,84 @@ def test_hash_sample_rate_monotone(rate):
         for r in sp.hash_sample_stratified(docs, {}, rate).collect()
     }
     assert low == again
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(
+                ["the", "a", "of", "fox", "run", "w1", "w2", "spam", "@@!", "x9"]
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_rule_filter_matches_python_reference(docs_words):
+    """The Catalyst rule verdicts must equal a pure-Python replay of
+    the same Gopher bounds for ANY token stream — the engine-vs-spec
+    parity the oracle fuzzes from the DuckDB side."""
+    import re
+
+    from kmeans_mapreduce_spark.functions.text import STOPWORDS
+    from kmeans_mapreduce_spark.operators import selection as sel
+    from kmeans_mapreduce_spark.session import get_spark
+
+    spark = get_spark("prop-tests")
+    rows = [(i, " ".join(ws), "en", "s", 0) for i, ws in enumerate(docs_words)]
+    df = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    got = {r["doc_id"]: r for r in sel.rule_filter_report(df).collect()}
+    alnum = re.compile(sel.ALNUM_RE)
+    for i, ws in enumerate(docs_words):
+        n = len(ws)
+        mwl = sum(len(w) for w in ws) / n
+        sw = sum(w in STOPWORDS for w in ws)
+        sym = sum(not alnum.match(w) for w in ws) / n
+        ttr = len(set(ws)) / n
+        r = got[i]
+        assert r["pass_words"] == (sel.RULE_MIN_WORDS <= n <= sel.RULE_MAX_WORDS)
+        assert r["pass_word_len"] == (sel.RULE_MWL_LO <= mwl <= sel.RULE_MWL_HI)
+        assert r["pass_stopwords"] == (sw >= sel.RULE_MIN_STOPWORD_HITS)
+        assert r["pass_symbols"] == (sym <= sel.RULE_MAX_SYMBOL_RATIO)
+        assert r["pass_ttr"] == (ttr >= sel.RULE_MIN_TTR)
+        assert r["pass_all"] == all(
+            r[c] for c in (
+                "pass_words", "pass_word_len", "pass_stopwords",
+                "pass_symbols", "pass_ttr",
+            )
+        )
+
+
+@given(
+    st.lists(
+        st.text(alphabet="abcz", min_size=1, max_size=8),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=10),
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_merges_match_counter_reference(words, k):
+    """BPE pair counts + (count DESC, pair ASC) top-k must equal a
+    Counter replay for ANY vocabulary, including 1-char words."""
+    from collections import Counter
+
+    from kmeans_mapreduce_spark.operators import textops as tx
+    from kmeans_mapreduce_spark.session import get_spark
+
+    spark = get_spark("prop-tests")
+    df = spark.createDataFrame(
+        [(0, " ".join(words), "en", "s", 0)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    got = [(r["pair"], r["n"]) for r in tx.bpe_merge_candidates(df, k).collect()]
+    ref = Counter(
+        w[i : i + 2] for w in words for i in range(len(w) - 1)
+    )
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    assert got == want
