@@ -351,6 +351,51 @@ def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third streaming artifact under the gate: the
+    ``applyInPandasWithState`` sessionizer replayed over the bounded
+    events table (no idle eviction). A session is emitted exactly when
+    a LATER event of the same user closes it, so the final emitted set
+    is every session except each user's trailing one — invariant to
+    how availableNow splits micro-batches (the closing event fires in
+    whichever batch it lands), hence SQL-expressible: the batch
+    sessionize twin minus each user's last session."""
+    import uuid
+
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    sess = so.stream_sessionize(stream, watermark_sec=None)
+    qname = f"events_stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sess.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_session_replay: streaming replay did not finish "
+            "in 300 s — refusing to gate a partially-populated sink"
+        )
+    return spark.table(qname).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmeans_mapreduce_spark.operators import relational as rel
 
@@ -1815,6 +1860,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_stream_replay": q_events_stream_replay,
         "corpus_stream_dedup_replay": q_corpus_stream_dedup_replay,
+        "events_stream_session_replay": q_events_stream_session_replay,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -1996,6 +2042,29 @@ SELECT doc_id, n_tokens,
        ROUND(CAST(0.4 AS DOUBLE) * LEAST(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
              + CAST(0.3 AS DOUBLE) * swr + CAST(0.3 AS DOUBLE) * ttr, 6) AS quality_score
 FROM m
+"""
+
+
+# Session assembly shared by the batch sessionize oracle and the
+# streaming-replay twin (which drops each user's trailing session).
+_SESSIONIZE_SQL = f"""
+WITH e AS (
+  SELECT user_id, event_id, value,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER w > {ev.SESSION_GAP_SEC}
+                 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
+),
+sessions AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts_sec, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )::BIGINT AS session_idx
+  FROM flagged
+)
 """
 
 
@@ -2587,28 +2656,27 @@ WHERE event_type = '{ASOF_RIGHT_TYPE}' AND value > CAST({SETOP_VALUE_THRESHOLD!r
 SELECT (epoch_ns(ts) // 1000000000 // {ev.WINDOW_SEC} * {ev.WINDOW_SEC})::BIGINT AS window_start,
        event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
 FROM events GROUP BY 1, 2""",
-        "events_sessionize": f"""
-WITH e AS (
-  SELECT user_id, event_id, value,
-         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
-  FROM events
-),
-flagged AS (
-  SELECT *, CASE WHEN ts_sec - lag(ts_sec) OVER w > {ev.SESSION_GAP_SEC}
-                 THEN 1 ELSE 0 END AS new_session
-  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id)
-),
-sessions AS (
-  SELECT *, SUM(new_session) OVER (
-    PARTITION BY user_id ORDER BY ts_sec, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-  )::BIGINT AS session_idx
-  FROM flagged
-)
+        "events_sessionize": _SESSIONIZE_SQL
+        + """
 SELECT user_id, session_idx,
        MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
        COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
 FROM sessions GROUP BY user_id, session_idx""",
+        # streaming sessionizer replay: all sessions EXCEPT each user's
+        # trailing one (only a later event closes a session when idle
+        # eviction is off) — batching-invariant, so SQL-expressible
+        "events_stream_session_replay": _SESSIONIZE_SQL
+        + """,
+agg AS (
+  SELECT user_id, session_idx,
+         MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
+         COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
+  FROM sessions GROUP BY user_id, session_idx
+),
+last AS (SELECT user_id, MAX(session_idx) AS last_idx FROM agg GROUP BY user_id)
+SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.value_sum
+FROM agg a JOIN last l
+  ON a.user_id = l.user_id AND a.session_idx < l.last_idx""",
         # sliding windows: each event expands to size/slide = 2
         # epoch-aligned window starts
         "events_sliding_window": f"""
