@@ -731,6 +731,27 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph clustering over embeddings: mutual k-NN edges (the
+    symmetrized graph) fed into distributed connected components — how
+    SemDeDup-style curation and clustering-based mix design actually
+    form groups at scale. Mutual edges appear once per direction in
+    the graph; least/greatest + distinct canonicalizes them for the
+    component propagation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    g = sim.knn_graph(emb, centers, KNN_GRAPH_K)
+    edges = (
+        g.filter(F.col("mutual"))
+        .select(
+            F.least("src", "dst").alias("doc_a"),
+            F.greatest("src", "dst").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return dd.connected_components(edges)
+
+
 def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, TOPK_K
@@ -1880,6 +1901,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "similarity_knn_graph": q_similarity_knn_graph,
         "pipeline_label_propagation": q_pipeline_label_propagation,
+        "pipeline_semantic_clusters": q_pipeline_semantic_clusters,
         "corpus_lr_loop2": q_corpus_lr_loop2,
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
@@ -2483,6 +2505,28 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "dedup_lsh_recall": _lsh_recall_sql(),
         "similarity_knn_graph": _knn_graph_sql(),
         "pipeline_label_propagation": _label_propagation_sql(),
+        "pipeline_semantic_clusters": f"""
+WITH RECURSIVE g AS ({_knn_graph_sql()}),
+gm AS (
+  SELECT DISTINCT LEAST(src, dst) AS doc_a, GREATEST(src, dst) AS doc_b
+  FROM g WHERE mutual
+),
+ge AS (
+  SELECT doc_a AS s, doc_b AS t FROM gm
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM gm
+),
+greach(id, r) AS (
+  SELECT s, t FROM ge
+  UNION
+  SELECT ge.s, greach.r FROM ge JOIN greach ON greach.id = ge.t
+),
+gallr AS (
+  SELECT id, r FROM greach
+  UNION
+  SELECT DISTINCT s AS id, s AS r FROM ge
+)
+SELECT id AS doc_id, MIN(r) AS cluster_rep FROM gallr GROUP BY id""",
         "corpus_lr_loop2": _lr_loop2_sql(),
         "corpus_sample_fixed": f"""
 SELECT doc_id, lang,
