@@ -2669,7 +2669,9 @@ WITH ranked AS (
   FROM events
 )
 SELECT event_type,
-       ROUND(SUM((2 * rn - n - 1) * value) / (n * total), 6) AS value_gini
+       CASE WHEN total = 0 THEN 0.0
+            ELSE ROUND(SUM((2 * rn - n - 1) * value) / (n * total), 6)
+       END AS value_gini
 FROM ranked GROUP BY event_type, n, total""",
         "orders_by_month": """
 SELECT EXTRACT(YEAR FROM o_orderdate)::INTEGER AS o_year,

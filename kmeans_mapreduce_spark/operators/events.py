@@ -18,8 +18,16 @@ WINDOW_SEC = 300  # 5-minute tumbling windows
 SESSION_GAP_SEC = 1800  # 30-minute session gap
 
 
+def floor_div(expr: str, n: int) -> str:
+    """SQL floor division matching DuckDB's ``//``: Spark's ``div``
+    truncates toward zero, which differs on negatives (pre-epoch
+    timestamps). ``pmod`` is non-negative, so subtracting it makes the
+    numerator exactly divisible and the truncating div a true floor."""
+    return f"(({expr}) - pmod(({expr}), {n})) div {n}"
+
+
 def with_epoch_seconds(events: DataFrame) -> DataFrame:
-    return events.withColumn("ts_sec", F.expr("ts div 1000000000"))
+    return events.withColumn("ts_sec", F.expr(floor_div("ts", 1_000_000_000)))
 
 
 def window_agg(events: DataFrame, digits: int = 2) -> DataFrame:
@@ -31,7 +39,7 @@ def window_agg(events: DataFrame, digits: int = 2) -> DataFrame:
     e = with_epoch_seconds(events)
     return (
         e.groupBy(
-            (F.expr(f"ts_sec div {WINDOW_SEC}") * WINDOW_SEC).alias("window_start"),
+            (F.expr(floor_div("ts_sec", WINDOW_SEC)) * WINDOW_SEC).alias("window_start"),
             "event_type",
         )
         .agg(
@@ -156,15 +164,19 @@ def asof_latest(
         .orderBy("ts_sec", "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ONE struct carries the state row (ts AND value together): two
+    # separate ignorenulls-last calls could pair the newest state ts
+    # with an OLDER state's value when the newest value is NULL —
+    # DuckDB's ASOF JOIN pairs the whole latest row (value may be NULL)
+    state = F.when(
+        F.col("__side") == 0,
+        F.struct(F.col("ts_sec").alias("ts"), F.col("r_value").alias("v")),
+    )
+    asof = F.last(state, ignorenulls=True).over(w)
     return (
-        u.withColumn("asof_value", F.last("r_value", ignorenulls=True).over(w))
-        .withColumn(
-            "asof_ts",
-            F.last(
-                F.when(F.col("__side") == 0, F.col("ts_sec")), ignorenulls=True
-            ).over(w),
-        )
-        .filter((F.col("__side") == 1) & F.col("asof_value").isNotNull())
+        u.withColumn("asof_ts", asof["ts"])
+        .withColumn("asof_value", asof["v"])
+        .filter((F.col("__side") == 1) & F.col("asof_ts").isNotNull())
         .select("user_id", "event_id", "ts_sec", "asof_ts", "asof_value")
     )
 
@@ -199,8 +211,8 @@ def range_join_counts(
             "bucket",
             F.explode(
                 F.array(
-                    F.expr(f"ts_sec div {horizon_sec}"),
-                    F.expr(f"ts_sec div {horizon_sec} + 1"),
+                    F.expr(floor_div("ts_sec", horizon_sec)),
+                    F.expr(floor_div("ts_sec", horizon_sec) + " + 1"),
                 )
             ),
         )
@@ -212,7 +224,7 @@ def range_join_counts(
             F.col("ts_sec").alias("r_ts"),
             F.col("value").alias("r_value"),
         )
-        .withColumn("bucket", F.expr(f"r_ts div {horizon_sec}"))
+        .withColumn("bucket", F.expr(floor_div("r_ts", horizon_sec)))
     )
     return (
         left.join(right, ["user_id", "bucket"])
@@ -305,7 +317,7 @@ def retention_weekly(events: DataFrame) -> DataFrame:
     """
     e = with_epoch_seconds(events)
     uw = (
-        e.withColumn("week", F.expr(f"ts_sec div {WEEK_SEC}"))
+        e.withColumn("week", F.expr(floor_div("ts_sec", WEEK_SEC)))
         .groupBy("user_id", "week")
         .agg(F.count(F.lit(1)).alias("n_events"))
     )

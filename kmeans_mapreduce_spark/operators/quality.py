@@ -9,8 +9,9 @@ violations are ``sum(case when ...)`` columns, so the scan happens once
 and the shuffle is a single 1-row partial-aggregate merge however many
 checks run. Set-level checks need their own shapes: uniqueness is one
 groupBy(key) counting keys seen more than once (map-side combined);
-referential integrity is a broadcast LEFT ANTI join against the
-(small) dimension's key set. The report unions these tiny 1-row
+referential integrity is a broadcast left-outer join against the
+(small) dimension's key set with orphans counted in the same
+aggregate as the row count (one pass, fact never scanned twice). The report unions these tiny 1-row
 results — the heavy table is scanned once per SHAPE, not once per
 check.
 """
@@ -61,8 +62,11 @@ def row_checks(df: DataFrame, checks: Sequence[tuple[str, Column]]) -> DataFrame
     violations, passed)."""
     if not checks:
         raise ValueError("row_checks: empty constraint list")
+    # coalesce: SUM over an EMPTY table is NULL, which would make
+    # passed=NULL — a verdict that silently vanishes from boolean
+    # filters exactly when an ingest produced zero rows
     aggs = [F.count(F.lit(1)).alias("n_rows")] + [
-        F.sum(viol.cast("long")).alias(f"v{i}")
+        F.coalesce(F.sum(viol.cast("long")), F.lit(0)).alias(f"v{i}")
         for i, (_, viol) in enumerate(checks)
     ]
     # materialize the 1-row aggregate ONCE: each union branch below
@@ -90,7 +94,7 @@ def unique_check(df: DataFrame, key: str) -> DataFrame:
             F.coalesce(F.sum(F.when(F.col("c") > 1, F.col("c"))), F.lit(0)).alias(
                 "violations"
             ),
-            F.sum("c").alias("n_rows"),
+            F.coalesce(F.sum("c"), F.lit(0)).alias("n_rows"),
         )
     )
     return dup.select(
@@ -120,7 +124,9 @@ def foreign_key_check(
     )
     agg = joined.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("_hit").isNull().cast("long")).alias("violations"),
+        F.coalesce(
+            F.sum(F.col("_hit").isNull().cast("long")), F.lit(0)
+        ).alias("violations"),
     )
     return agg.select(
         F.lit(f"foreign_key({col})").alias("check"),

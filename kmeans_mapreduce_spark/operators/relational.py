@@ -114,7 +114,20 @@ def salted_join(
     Cost: right side ×salt replication — use when the right side is
     the smaller (but still unbroadcastable) side and a known hot key
     exists; prefer AQE for garden-variety partition skew.
+
+    Only left-preserving join types are supported: replicating the
+    right side makes right/full-outer WRONG (an unmatched right key
+    would emit one null-padded row PER SALT, and even matched keys
+    emit spurious rows for salt buckets no left row landed in).
     """
+    if how not in ("inner", "left", "left_outer", "leftouter",
+                   "left_semi", "leftsemi", "left_anti", "leftanti",
+                   "semi", "anti", "cross"):
+        raise ValueError(
+            f"salted_join: join type {how!r} is not left-preserving — "
+            "right-side salt replication would emit duplicate "
+            "null-padded rows; salt the other side instead"
+        )
     salt_col = F.pmod(
         F.crc32(F.monotonically_increasing_id().cast("string")), F.lit(salt)
     ).cast("int")

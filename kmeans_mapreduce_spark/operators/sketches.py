@@ -81,8 +81,12 @@ def hll_registers(
     h = h64(F.col(key).cast("string"))
     bucket = (h % HLL_M).alias("bucket")
     w = (F.shiftright(h, HLL_P) % F.lit(1 << HLL_W_BITS)).alias("w")
+    # NULL keys are excluded, matching COUNT(DISTINCT) semantics — an
+    # unfiltered NULL would add a phantom NULL-bucket register counted
+    # in n_buckets but skipped by the s_present SUM, biasing V
     return (
-        df.select(*groups, bucket, w)
+        df.filter(F.col(key).isNotNull())
+        .select(*groups, bucket, w)
         .withColumn("rho", _rho(F.col("w")))
         .groupBy(*groups, "bucket")
         .agg(F.max("rho").alias("m_j"))
@@ -146,7 +150,8 @@ def cms_sketch(df: DataFrame, key: str) -> DataFrame:
     the exchange is constant-size regardless of input rows, same story
     as the HLL registers."""
     return (
-        df.select(F.explode(cms_hash_cols(F.col(key))).alias("p"))
+        df.filter(F.col(key).isNotNull())
+        .select(F.explode(cms_hash_cols(F.col(key))).alias("p"))
         .select(F.col("p.j").alias("j"), F.col("p.col").alias("col"))
         .groupBy("j", "col")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -159,7 +164,7 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str) -> DataFrame:
     exact when the key collides with nothing in some row. The probe
     side is tiny (candidate heavy hitters) and the sketch is 4096 rows,
     so the join broadcasts."""
-    coords = probes.select(
+    coords = probes.filter(F.col(key).isNotNull()).select(
         key, F.explode(cms_hash_cols(F.col(key))).alias("p")
     ).select(key, F.col("p.j").alias("j"), F.col("p.col").alias("col"))
     return (
@@ -170,13 +175,18 @@ def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str) -> DataFrame:
 
 
 def cms_sql(key_expr: str, relation: str) -> str:
-    """DuckDB twin CTEs: ``cms_sketch`` (j, col, cnt) and
-    ``cms_coords(key, j, col)`` for any probe relation to reuse."""
+    """DuckDB twin CTEs: ``cms_all`` (per-row hash coordinates) and
+    ``cms_sketch`` (j, col, cnt). Probe queries build their own
+    coordinate CTE with the same ``h64_seeded_sql`` calls (see
+    analytics._cms_oracle). NULL keys are excluded, mirroring
+    cms_sketch (Spark's concat_ws would otherwise hash the bare seed
+    string into a real counter while DuckDB's ``||`` yields NULL —
+    divergent and both wrong)."""
     from kmeans_mapreduce_spark.functions.hashing import h64_seeded_sql
 
     rows = " UNION ALL ".join(
         f"SELECT {j} AS j, ({h64_seeded_sql(key_expr, j)}) % {CMS_WIDTH} AS col"
-        f" FROM {relation}"
+        f" FROM {relation} WHERE ({key_expr}) IS NOT NULL"
         for j in range(CMS_DEPTH)
     )
     return f"cms_all AS ({rows}),\ncms_sketch AS (SELECT j, col, COUNT(*) AS cnt FROM cms_all GROUP BY j, col)"
@@ -205,8 +215,12 @@ def hist_sketch(
     width = (hi - lo) / nbins
     raw = F.floor((F.col(value) - F.lit(lo)) / F.lit(width)).cast("long")
     b = F.greatest(F.lit(0), F.least(F.lit(nbins - 1), raw))
+    # NULLs would slip past least/greatest into the top bin (Spark's
+    # least/greatest skip NULL operands); NaN bins at 0 Spark-side but
+    # crashes DuckDB's CAST — observations must be real numbers
     return (
-        df.select(*groups, b.alias("bin"))
+        df.filter(F.col(value).isNotNull() & ~F.isnan(F.col(value)))
+        .select(*groups, b.alias("bin"))
         .groupBy(*groups, "bin")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -283,6 +297,7 @@ hb AS (
            CAST(floor(({value_expr} - {float(lo)!r}::DOUBLE) / {width!r}::DOUBLE) AS BIGINT)
          )) AS bin
   FROM {relation}
+  WHERE ({value_expr}) IS NOT NULL AND NOT isnan({value_expr})
 ),
 hist AS (SELECT g, bin, COUNT(*) AS cnt FROM hb GROUP BY g, bin),
 cum AS (
@@ -314,6 +329,7 @@ def hll_sql(key_expr: str, group_expr: str, relation: str, out: str) -> str:
     return f"""
 hx_{out} AS (
   SELECT {group_expr} AS g, {h} AS h FROM {relation}
+  WHERE ({key_expr}) IS NOT NULL
 ),
 wb_{out} AS (
   SELECT g, h % {HLL_M} AS bucket, (h >> {HLL_P}) % {1 << HLL_W_BITS} AS w

@@ -353,3 +353,64 @@ def test_html_extract_survives_unclosed_noscript_and_null_text(spark):
     got = {r["doc_id"]: r for r in tx.compression_ratio(docs).collect()}
     assert got[0]["n_bytes"] == 0 and got[0]["compression_ratio"] == 0.0
     assert got[1]["compression_ratio"] > 0.0
+
+
+def test_edge_hardening_of_older_operators(spark):
+    """Regressions from the round-4 review of rounds-1-3 code: NULL /
+    NaN / empty-input / pre-epoch behaviors that the synthetic
+    testdata never exercises (both-engines-agree bugs the oracle
+    can't see)."""
+    import math
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from kmeans_mapreduce_spark.operators import events as ev
+    from kmeans_mapreduce_spark.operators import quality as ql
+    from kmeans_mapreduce_spark.operators import relational as rel
+    from kmeans_mapreduce_spark.operators import sketches as sk
+
+    # 1. pre-epoch timestamps floor (DuckDB //), not truncate
+    neg = spark.createDataFrame(
+        [(1, -1_500_000_000, 1, "click", 1.0)],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    assert ev.with_epoch_seconds(neg).collect()[0]["ts_sec"] == -2
+
+    # 2. asof pairs the LATEST state row even when its value is NULL
+    e = spark.createDataFrame(
+        [
+            (1, 1_000_000_000, 7, "purchase", 5.0),
+            (2, 2_000_000_000, 7, "purchase", None),
+            (3, 3_000_000_000, 7, "click", 1.0),
+        ],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE",
+    )
+    r = ev.asof_latest(e, "click", "purchase").collect()[0]
+    assert r["asof_ts"] == 2 and r["asof_value"] is None
+
+    # 3. histogram drops NULL and NaN instead of binning them
+    vals = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", math.nan)], "g STRING, v DOUBLE"
+    )
+    hist = sk.hist_sketch(vals, "v", ["g"], 0.0, 10.0, nbins=4).collect()
+    assert sum(row["cnt"] for row in hist) == 1
+
+    # 4. HLL and CMS exclude NULL keys (COUNT DISTINCT semantics)
+    keyed = spark.createDataFrame(
+        [("a", "k1"), ("a", None)], "g STRING, k STRING"
+    )
+    regs = sk.hll_registers(keyed, "k", ["g"]).collect()
+    assert len(regs) == 1
+    cms = sk.cms_sketch(keyed, "k").agg(F2.sum("cnt").alias("s")).collect()[0]
+    assert cms["s"] == sk.CMS_DEPTH  # one key × depth rows, NULL dropped
+
+    # 5. empty-table quality checks verdict real booleans, not NULL
+    empty = spark.createDataFrame([], "x LONG")
+    rep = ql.row_checks(empty, [ql.not_null("x")]).collect()[0]
+    assert rep["violations"] == 0 and rep["passed"] is True
+
+    # 6. salted_join refuses right-preserving join types
+    df = spark.createDataFrame([(1, "a")], "k LONG, v STRING")
+    with _pytest.raises(ValueError, match="not left-preserving"):
+        rel.salted_join(df, df, "k", how="right")
