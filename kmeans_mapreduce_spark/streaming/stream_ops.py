@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kmeans_mapreduce_spark.operators.events import floor_div
+
 from kmeans_mapreduce_spark.functions.distance import nearest_centroid_2d
 from kmeans_mapreduce_spark.operators.events import WINDOW_SEC
 
@@ -51,7 +53,7 @@ def stream_window_counts(
     production append-mode streams must keep one, or state never
     evicts."""
     with_ts = stream.withColumn(
-        "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        "event_time", F.timestamp_seconds(F.expr(floor_div("ts", 1_000_000_000)))
     )
     if watermark_sec is not None:
         with_ts = with_ts.withWatermark("event_time", f"{watermark_sec} seconds")
@@ -161,14 +163,14 @@ def stream_sessionize(
 
     cols = [
         "user_id",
-        F.expr("ts div 1000000000").alias("ts_sec"),
+        F.expr(floor_div("ts", 1_000_000_000)).alias("ts_sec"),
         "event_id",
         "value",
     ]
     if evict:
         e = (
             stream.withColumn(
-                "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
+                "event_time", F.timestamp_seconds(F.expr(floor_div("ts", 1_000_000_000)))
             )
             .withWatermark("event_time", f"{watermark_sec} seconds")
             .select(*cols, "event_time")
@@ -228,7 +230,7 @@ def stream_funnel(stream: DataFrame, steps=None) -> DataFrame:
         "user_id",
         "event_id",
         "event_type",
-        F.expr("ts div 1000000000").alias("ts_sec"),
+        F.expr(floor_div("ts", 1_000_000_000)).alias("ts_sec"),
     )
     return e.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, "done INT", "update", "NoTimeout"
@@ -458,7 +460,7 @@ def stream_stream_range_join(
     # advancing the (min-combined) query watermark — standard Spark
     # multi-watermark behavior.
     base = stream.withColumn(
-        "event_time", F.timestamp_seconds(F.expr("ts div 1000000000"))
+        "event_time", F.timestamp_seconds(F.expr(floor_div("ts", 1_000_000_000)))
     )
     left = (
         base.filter(F.col("event_type") == left_type)
