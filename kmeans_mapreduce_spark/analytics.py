@@ -431,9 +431,12 @@ FROM p
 def _weighted_sample_oracle() -> str:
     from kmeans_mapreduce_spark.extensions import _quality_sql
     from kmeans_mapreduce_spark.functions.hashing import h64_sql
-    from kmeans_mapreduce_spark.operators.sampling import SAMPLE_BUCKETS, SAMPLE_SALT
+    from kmeans_mapreduce_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        WEIGHTED_SALT,
+    )
 
-    key_expr = f"'{SAMPLE_SALT}:' || doc_id::VARCHAR"
+    key_expr = f"'{WEIGHTED_SALT}:' || doc_id::VARCHAR"
     bucket = f"{h64_sql(key_expr)} % {SAMPLE_BUCKETS}"
     thr = (
         "CAST(floor(LEAST(1.0::DOUBLE, GREATEST(0.0::DOUBLE, quality_score))"

@@ -1989,10 +1989,10 @@ def _sample_sql() -> str:
     from kmeans_mapreduce_spark.operators.sampling import SAMPLE_BUCKETS, SAMPLE_SALT
 
     whens = " ".join(
-        f"WHEN '{stratum}' THEN {int(rate * SAMPLE_BUCKETS)}"
+        f"WHEN '{stratum}' THEN {round(rate * SAMPLE_BUCKETS)}"
         for stratum, rate in sorted(SAMPLE_RATES.items())
     )
-    case = f"CASE lang {whens} ELSE {int(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END"
+    case = f"CASE lang {whens} ELSE {round(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END"
     bucket = h64_sql(f"'{SAMPLE_SALT}:' || doc_id::VARCHAR")
     return f"""
 SELECT doc_id, lang FROM documents
@@ -2017,10 +2017,10 @@ def _training_mix_sql() -> str:
     from kmeans_mapreduce_spark.operators.sampling import SAMPLE_BUCKETS, SAMPLE_SALT
 
     whens = " ".join(
-        f"WHEN '{stratum}' THEN {int(rate * SAMPLE_BUCKETS)}"
+        f"WHEN '{stratum}' THEN {round(rate * SAMPLE_BUCKETS)}"
         for stratum, rate in sorted(SAMPLE_RATES.items())
     )
-    case = f"CASE lang {whens} ELSE {int(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END"
+    case = f"CASE lang {whens} ELSE {round(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END"
     bucket = h64_sql(f"'{SAMPLE_SALT}:' || doc_id::VARCHAR")
     return f"""
 WITH q AS ({_quality_sql()}),
@@ -2267,19 +2267,20 @@ SELECT n_docs, n_langs, total_chars, avg_chars, total_tokens, dup_docs,
        ROUND(dup_docs::DOUBLE / n_docs::DOUBLE, 6) AS dup_frac
 FROM base CROSS JOIN dups""",
         "corpus_snapshot_diff": """
-WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
+WITH a AS (SELECT doc_id, md5(text) AS fp_a, TRUE AS in_a FROM documents),
 b AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp_b
+         md5(CASE WHEN doc_id % 11 = 0 THEN text || ' v2' ELSE text END) AS fp_b,
+         TRUE AS in_b
   FROM documents WHERE doc_id % 13 != 0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp_b
+  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp_b, TRUE AS in_b
   FROM documents WHERE doc_id % 17 = 0
 )
 SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
-       CASE WHEN fp_a IS NULL THEN 'added'
-            WHEN fp_b IS NULL THEN 'removed'
-            WHEN fp_a != fp_b THEN 'changed'
+       CASE WHEN in_a IS NULL THEN 'added'
+            WHEN in_b IS NULL THEN 'removed'
+            WHEN fp_a IS DISTINCT FROM fp_b THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""",
         "join_shipping_priority": """

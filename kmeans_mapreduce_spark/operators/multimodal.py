@@ -77,7 +77,7 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
-                digest = hashlib.md5(text.encode()).digest()
+                digest = hashlib.md5((text or "").encode()).digest()
                 kind = KINDS[did % 3]
                 w, h = _media_dims(did)
                 if kind == "image":
@@ -182,7 +182,9 @@ def media_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
                 blob = bytes(p)
                 try:
                     content, *_ = decode_media(k, blob)
-                except NotImplementedError:
+                except Exception:
+                    # stub kinds AND malformed payloads (truncated PPM,
+                    # corrupt WAV) degrade to raw bytes, never crash
                     content = blob
                 head = content[:dim] + b"\x00" * max(0, dim - len(content))
                 vecs.append([float(b) for b in head])
@@ -212,7 +214,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                 try:
                     content, w, h, ns = decode_media(k, blob)
                     decoded = True
-                except NotImplementedError:
+                except Exception:
+                    # stub kinds AND malformed payloads degrade to the
+                    # decoded=false path instead of failing the stage
                     content, w, h, ns = blob, None, None, None
                     decoded = False
                 mean = float(sum(content)) / len(content) if content else 0.0
@@ -247,8 +251,10 @@ FRAME_SCHEMA = "media_id LONG, frame_idx INT, frame_bytes BINARY"
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """REAL image resize over binary payloads — narrow mapInPandas
     pass: decode the PPM, nearest-neighbor resample the H×W×3 pixel
-    grid to height×width (numpy index sampling, the same mapping
-    PIL's ``Image.NEAREST`` uses), re-encode as PPM. Kind filter is
+    grid to height×width (numpy index sampling with the corner-based
+    ``floor(i·h/H)`` mapping — NOTE: PIL's ``Image.NEAREST`` uses the
+    center-based ``floor((i+0.5)·h/H)``, so outputs differ from PIL at
+    the pixel level by design), re-encode as PPM. Kind filter is
     pushed to the scan; no shuffle."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -47,10 +47,13 @@ def hash_sample_stratified(
     state; re-running on the same data always returns the same rows
     (what a training-data pipeline needs for auditable subsampling).
     """
-    threshold = F.lit(int(default_rate * SAMPLE_BUCKETS))
+    # round, don't truncate: 0.1 * 10000 is 999.999... in binary —
+    # int() would keep 999 buckets for a requested 10% (off by one
+    # bucket for many exact decimal rates)
+    threshold = F.lit(round(default_rate * SAMPLE_BUCKETS))
     for stratum, rate in sorted(rates.items()):
         threshold = F.when(
-            F.col(stratum_col) == stratum, F.lit(int(rate * SAMPLE_BUCKETS))
+            F.col(stratum_col) == stratum, F.lit(round(rate * SAMPLE_BUCKETS))
         ).otherwise(threshold)
     return docs.filter(sample_bucket(F.col("doc_id")) < threshold)
 
@@ -130,8 +133,14 @@ def global_shuffle(
     )
 
 
+WEIGHTED_SALT = "weighted"  # decorrelated: composing with the
+# stratified sampler must multiply keep probabilities, not min() them
+# (the same bucket under one shared salt makes membership fully
+# correlated)
+
+
 def weighted_sample(
-    docs: DataFrame, weight: Column, salt: str = SAMPLE_SALT
+    docs: DataFrame, weight: Column, salt: str = WEIGHTED_SALT
 ) -> DataFrame:
     """Per-ROW-weighted deterministic Bernoulli sample: keep a row with
     probability ``weight`` (a [0,1] column, e.g. a quality score) — the
@@ -290,14 +299,22 @@ def snapshot_diff(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
     narrow map. Nothing is collected; output is one row per doc_id in
     either snapshot.
     """
-    a = snap_a.select("doc_id", F.md5("text").alias("fp_a"))
-    b = snap_b.select("doc_id", F.md5("text").alias("fp_b"))
+    # presence is tracked with indicator columns, NOT fingerprint
+    # nullability: a doc PRESENT with NULL text would otherwise be
+    # misread as absent; the fingerprint comparison is null-safe for
+    # the same reason
+    a = snap_a.select(
+        "doc_id", F.md5("text").alias("fp_a"), F.lit(True).alias("in_a")
+    )
+    b = snap_b.select(
+        "doc_id", F.md5("text").alias("fp_b"), F.lit(True).alias("in_b")
+    )
     j = a.join(b, "doc_id", "full_outer")
     return j.select(
         "doc_id",
-        F.when(F.col("fp_a").isNull(), F.lit("added"))
-        .when(F.col("fp_b").isNull(), F.lit("removed"))
-        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("removed"))
+        .when(~F.col("fp_a").eqNullSafe(F.col("fp_b")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
@@ -347,7 +364,9 @@ def curriculum_phases(
     unchanged."""
     from kmeans_mapreduce_spark.operators.textops import quality
 
-    q = quality(docs).select("doc_id", "quality_score")
+    q = quality(docs).select("doc_id", "quality_score").localCheckpoint(
+        eager=False
+    )  # threshold agg AND the projection both consume it: one scoring pass
     th = q.agg(
         F.percentile(
             F.col("quality_score"), F.array(*[F.lit(p) for p in probs])

@@ -32,11 +32,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     caller may have set.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = normalize_events_ts(df)
-    return df
+        # set the nanos-as-long legacy conf ONLY when the footer
+        # actually needs it (schema inference throws on TIMESTAMP
+        # NANOS without it): unconditionally setting it session-wide
+        # silently turned every later NANOS parquet read into a BIGINT
+        # column; once set it must STAY set for lazy execution of this
+        # read, so the conf leaks only on vintages that require it
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df.schema
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return normalize_events_ts(df)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 def normalize_events_ts(df: DataFrame) -> DataFrame:
@@ -274,6 +283,11 @@ def write_zorder(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).collect()[0]
+    if bounds[f"lo_{cols[0]}"] is None:
+        # empty input: no bounds to quantize — write the empty dataset
+        # (write_sorted handles this case the same way)
+        df.write.mode("overwrite").parquet(path)
+        return
     mins = [float(bounds[f"lo_{c}"]) for c in cols]
     maxs = [float(bounds[f"hi_{c}"]) for c in cols]
     z = zorder_key([F.col(c) for c in cols], mins, maxs, bits)
@@ -465,7 +479,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                         continue
                     body = data[hdr_end + 4 : hdr_end + 4 + length]
                     pos = hdr_end + 4 + length
-                    rtype = headers.get(b"warc-type", b"").decode()
+                    rtype = headers.get(b"warc-type", b"").decode("utf-8", "replace")
                     if rtype not in ("response", "resource"):
                         continue
                     # response records wrap an HTTP message: drop its
@@ -476,14 +490,14 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                             body = body[split + 4 :]
                     out["warc_file"].append(fname)
                     out["record_id"].append(
-                        headers.get(b"warc-record-id", b"").decode()
+                        headers.get(b"warc-record-id", b"").decode("utf-8", "replace")
                     )
                     out["record_type"].append(rtype)
                     out["target_uri"].append(
-                        headers.get(b"warc-target-uri", b"").decode()
+                        headers.get(b"warc-target-uri", b"").decode("utf-8", "replace")
                     )
                     out["content_type"].append(
-                        headers.get(b"content-type", b"").decode()
+                        headers.get(b"content-type", b"").decode("utf-8", "replace")
                     )
                     out["content_length"].append(len(body))
                     out["payload"].append(body)

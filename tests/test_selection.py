@@ -414,3 +414,48 @@ def test_edge_hardening_of_older_operators(spark):
     df = spark.createDataFrame([(1, "a")], "k LONG, v STRING")
     with _pytest.raises(ValueError, match="not left-preserving"):
         rel.salted_join(df, df, "k", how="right")
+
+
+def test_second_hardening_wave(spark, tmp_path):
+    """Regressions from the sampling/multimodal/loaders review."""
+    from pyspark.sql import functions as F2
+
+    from kmeans_mapreduce_spark.operators import multimodal as mm
+    from kmeans_mapreduce_spark.operators import sampling as sp2
+    from kmeans_mapreduce_spark.sources.loaders import write_zorder
+
+    # 1. weighted ∘ stratified sampling is independent (distinct salts):
+    # keep probabilities multiply instead of min-ing
+    docs = spark.range(0, 20000).select(
+        F2.col("id").alias("doc_id"), F2.lit("en").alias("lang")
+    )
+    half = sp2.hash_sample_stratified(docs, {}, 0.5)
+    quarter = sp2.weighted_sample(half, F2.lit(0.5))
+    n = quarter.count()
+    assert 4000 < n < 6000  # ≈ 0.25·20000; a shared salt would give ~10000
+
+    # 2. stratified threshold rounds: 0.1 keeps bucket < 1000, not 999
+    tenth = sp2.hash_sample_stratified(docs, {}, 0.1)
+    kept = tenth.withColumn("b", sp2.sample_bucket(F2.col("doc_id")))
+    assert kept.agg(F2.max("b")).collect()[0][0] == 999  # bucket 999 included
+
+    # 3. snapshot diff: NULL-text doc present in both snapshots is
+    # "unchanged", not "added"
+    a = spark.createDataFrame([(1, None), (2, "x")], "doc_id LONG, text STRING")
+    b = spark.createDataFrame([(1, None), (2, "y")], "doc_id LONG, text STRING")
+    st = {r["doc_id"]: r["status"] for r in sp2.snapshot_diff(a, b).collect()}
+    assert st[1] == "unchanged" and st[2] == "changed"
+
+    # 4. corrupt media payload degrades to decoded=false, never crashes
+    bad = spark.createDataFrame(
+        [(0, "image", bytearray(b"P6\n9999 9999\n255\ntruncated"))],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    feats = mm.extract_features(bad).collect()[0]
+    assert feats["decoded"] is False and feats["n_bytes"] > 0
+
+    # 5. empty input to the z-order sink writes an empty dataset
+    empty = spark.createDataFrame([], "x DOUBLE, y DOUBLE")
+    out = str(tmp_path / "zempty")
+    write_zorder(empty, out, ["x", "y"])
+    assert spark.read.parquet(out).count() == 0
