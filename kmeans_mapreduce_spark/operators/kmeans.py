@@ -54,6 +54,28 @@ def round_half_up(x: float, digits: int) -> float:
     )
 
 
+def normalize_partitions(df: DataFrame) -> DataFrame:
+    """Bound the per-iteration fixed cost of an Arrow loop input: cap
+    over-partitioned inputs at 2× parallelism (many small files multiply
+    the per-task launch + Arrow round-trip by every iteration; measured
+    1.5× above linear at 304 partitions) and raise under-partitioned
+    ones to parallelism/4 (a 3-row-group parquet caches as 3 partitions
+    and caps the loop at 3-way compute — but full-width fan-out of a
+    K-row partial agg loses to per-task Python/Arrow overhead: 64-way
+    measured 2.4× slower than 8-way; a quarter of the cores is the
+    measured sweet spot). ONE shuffle, amortized over all iterations.
+    Shared by the 2-D and n-D fits — retune here, not per-copy."""
+    spark_ctx = df.sparkSession.sparkContext
+    target = spark_ctx.defaultParallelism * 2
+    floor = max(2, spark_ctx.defaultParallelism // 4)
+    n0 = df.rdd.getNumPartitions()
+    if n0 > 4 * target:
+        return df.repartition(target)
+    if n0 < floor:
+        return df.repartition(floor)
+    return df
+
+
 # ---------------------------------------------------------------------------
 # O6 — nearest-centroid assignment (the "map", mapper.py:35-51)
 # ---------------------------------------------------------------------------
@@ -234,16 +256,19 @@ def kmpp_round_probs(
     (the flip itself stays rows-only by declared contract)."""
     scored = kmpp_scores(points, cands)
     phi = scored.agg(F.round(F.sum("d2"), phi_digits).alias("__phi"))
+    # phi can ROUND to 0.0 near convergence: the division would yield
+    # NULL (non-ANSI div-by-zero), which F.least silently skips,
+    # turning every prob into 1.0 — guard to the degenerate-cover
+    # answer (nothing left worth sampling) on both engines
+    prob = F.when(
+        F.col("__phi") > 0,
+        F.least(F.lit(1.0), F.lit(float(l)) * F.col("d2") / F.col("__phi")),
+    ).otherwise(F.lit(0.0))
     return (
         scored.crossJoin(F.broadcast(phi))
         .select(
             "*",
-            F.round(
-                F.least(
-                    F.lit(1.0), F.lit(float(l)) * F.col("d2") / F.col("__phi")
-                ),
-                prob_digits,
-            ).alias("prob"),
+            F.round(prob, prob_digits).alias("prob"),
         )
         .drop("__phi")
     )
@@ -545,30 +570,7 @@ def fit(
     """
     cols = ["x", "y"] if impl == "arrow" else ["point_id", "x", "y"]
     points = points.select(*cols)
-    # Each Lloyd pass pays a fixed per-partition cost (task launch;
-    # for the Arrow loop, a Python-worker Arrow round trip ~tens of ms).
-    # An over-partitioned input (many small files, unions) multiplies
-    # that by every iteration: measured 16x-replicated sf0.1 at 304
-    # partitions ran 1.5x above linear until coalesced. Normalize once
-    # before caching — one shuffle, amortized over all iterations.
-    spark_ctx = points.sparkSession.sparkContext
-    target = spark_ctx.defaultParallelism * 2
-    floor = max(2, spark_ctx.defaultParallelism // 4)
-    n0 = points.rdd.getNumPartitions()
-    if n0 > 4 * target:
-        points = points.repartition(target)
-    elif n0 < floor:
-        # UNDER-partitioned inputs are as bad as over-partitioned: a
-        # 3-row-group parquet caches as 3 partitions, capping every
-        # iteration's numpy argmin at 3-way parallelism (measured
-        # compute-bound at sf0.1). But per-task Python/Arrow overhead
-        # (~0.1 s) punishes wide fan-out of a K-row partial agg just as
-        # hard (64-way measured 2.4× slower per iteration than 8-way),
-        # so bump only to a quarter of the core count — the measured
-        # sweet spot — with the one shuffle amortized over all
-        # iterations.
-        points = points.repartition(floor)
-    points = points.cache()
+    points = normalize_partitions(points).cache()
     if impl == "arrow":
         cached_parts = points.rdd.getNumPartitions()
 

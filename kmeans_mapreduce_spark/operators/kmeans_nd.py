@@ -136,19 +136,9 @@ def fit_nd(
     hash gate (mirroring the 2-D ``kmeans_fit_fixed``)."""
     from kmeans_mapreduce_spark.operators.kmeans import round_half_up
     pts = points.select("point_id", "vec")
-    # same per-partition fixed-cost normalization as the 2-D fit
-    sc = pts.sparkSession.sparkContext
-    target = sc.defaultParallelism * 2
-    floor = max(2, sc.defaultParallelism // 4)
-    n0 = pts.rdd.getNumPartitions()
-    # normalize BOTH directions (see the 2-D fit's measured rationale:
-    # few-partition caches cap the loop's parallelism; full-width
-    # fan-out loses to per-task Python/Arrow overhead)
-    if n0 > 4 * target:
-        pts = pts.repartition(target)
-    elif n0 < floor:
-        pts = pts.repartition(floor)
-    pts = pts.cache()
+    from kmeans_mapreduce_spark.operators.kmeans import normalize_partitions
+
+    pts = normalize_partitions(pts).cache()
     try:
         if init_centers is None:
             first = pts.orderBy("point_id").limit(k).collect()

@@ -53,11 +53,18 @@ def _brute_scored(emb: DataFrame, query_ids: list[int], digits: int) -> DataFram
     q = e.filter(F.col("vec_id").isin(query_ids)).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    return e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+    scored = e.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine_sim(F.col("qv"), F.col("v")), digits).alias("cosine"),
     )
+    # zero-norm vectors have NULL cosine (try_divide): the window form
+    # orders NULLS LAST but array_sort in the grouped form orders
+    # struct NULL fields FIRST — drop them so both physical forms stay
+    # row-identical (cosine to a zero vector is undefined anyway)
+    return scored.filter(F.col("cosine").isNotNull())
 
 
 def window_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -168,6 +175,9 @@ def ivf_ann_topk(
         r["vec_id"]: list(r["v0"])
         for r in e0.filter(F.col("vec_id").isin(wanted)).collect()
     }
+    missing = [vid for vid in centroid_ids if vid not in fetched]
+    if missing:
+        raise ValueError(f"ivf_ann_topk: centroid vec_ids not in corpus: {missing}")
     centers = [
         (i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))
     ]
@@ -198,7 +208,10 @@ def ivf_ann_topk(
             acc = np.zeros(len(V))
             for d in range(dim):
                 acc += V[:, d] * V[:, d]
-            nv = V / np.sqrt(acc)[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nv = np.where(
+                    acc[:, None] > 0.0, V / np.sqrt(acc)[:, None], 0.0
+                )
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -234,6 +247,8 @@ def ivf_ann_topk(
         # — shipping it as a literal keeps df's (large) expression tree
         # out of the plan a second time
         nrm = math.sqrt(sum(x * x for x in qv))
+        if nrm == 0.0:
+            raise ValueError(f"zero-norm query vector: vec_id {qid}")
         qn_rows.append((qid, [x / nrm for x in qv]))
     probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
     qn_map = {qid: np.array(v, dtype=np.float64) for qid, v in qn_rows}
@@ -375,10 +390,17 @@ def ivf_pq_ann_topk(
     centers = [(i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))]
     C = np.array([cvec for _, cvec in centers], dtype=np.float64)
     n_cells, dim = C.shape
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"ivf_pq: dim ({dim}) must divide evenly into m={m} subspaces"
+            " — a remainder would silently drop trailing dimensions"
+        )
     sub = dim // m
 
     def _norm(v: list[float]) -> list[float]:
         nrm = math.sqrt(sum(x * x for x in v))
+        if nrm == 0.0:
+            raise ValueError("zero-norm vector in codebook/query set")
         return [x / nrm for x in v]
 
     CB = np.array(
@@ -399,7 +421,10 @@ def ivf_pq_ann_topk(
             acc = np.zeros(len(V))
             for d in range(dim):
                 acc += V[:, d] * V[:, d]
-            nv = V / np.sqrt(acc)[:, None]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                nv = np.where(
+                    acc[:, None] > 0.0, V / np.sqrt(acc)[:, None], 0.0
+                )
             codes = np.zeros((len(V), m), dtype=np.int32)
             for mi in range(m):
                 Dm = np.zeros((len(V), n_codes))

@@ -192,6 +192,10 @@ def repetition_signals(docs: DataFrame, digits: int = 6) -> DataFrame:
     array per row (single documents scan, narrow), exploded once, then
     a (doc, g, gram) partial-aggregated count feeds a per-doc rollup —
     the only shuffles carry token-count rows with map-side combine.
+
+    Contract: documents with NULL text produce NO output row (the
+    explode of a NULL array eliminates them) — join the result back
+    with left semantics if unmeasurable docs must be retained.
     """
     w = F.col("__w")
     bigrams = F.when(
@@ -351,10 +355,10 @@ def make_chunk_udtf(chunk_tokens: int = CHUNK_TOKENS):
     @udtf(returnType="chunk_idx int, n_tokens long, fp string")
     class ChunkDoc:
         def eval(self, text: str):
-            # re.ASCII pins \s to [ \t\n\r\f\v] — the class Java's
-            # F.split and DuckDB's RE2 use; Python's default Unicode \s
-            # would also split on U+00A0 etc. and diverge the engines
-            toks = [t for t in re.split(r"\s+", text or "", flags=re.ASCII) if t]
+            # explicit class: Python ASCII \s and Java \s include
+            # \x0B while DuckDB's RE2 \s does not — spell it out so
+            # all three engines split identically
+            toks = [t for t in re.split(r"[ \t\n\f\r]+", text or "") if t]
             for i in range(0, len(toks), chunk_tokens):
                 chunk = toks[i : i + chunk_tokens]
                 yield (
@@ -399,7 +403,9 @@ def chunk_docs_vectorized(
     the chunk indices -> slice + array_join + md5, all JVM-side inside
     whole-stage codegen. Scale shape: narrow map with a 1->ceil(n/C)
     fan-out, no shuffle, column pruning to (doc_id, text)."""
-    toks = F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != "")
+    # explicit class, not \s: Java's \s includes \x0B, RE2's (the
+    # DuckDB oracle) does not — same discipline as BPE_SPLIT_RE
+    toks = F.filter(F.split(F.col("text"), rf"[{_WS}]+"), lambda x: x != "")
     C = chunk_tokens
     return (
         docs.select("doc_id", toks.alias("toks"))

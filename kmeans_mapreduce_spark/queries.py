@@ -480,7 +480,7 @@ sc1 AS (
 phi1 AS (SELECT ROUND(SUM(d2), {SUM_DIGITS}) AS phi FROM sc1),
 p1 AS (
   SELECT point_id, x, y,
-         ROUND(LEAST(CAST(1.0 AS DOUBLE), {l_lit} * d2 / phi), {MEAN_DIGITS}) AS prob
+         ROUND(CASE WHEN phi > 0 THEN LEAST(CAST(1.0 AS DOUBLE), {l_lit} * d2 / phi) ELSE 0.0 END, {MEAN_DIGITS}) AS prob
   FROM sc1 CROSS JOIN phi1
 ),
 cands AS (
@@ -504,7 +504,7 @@ sc2 AS (
 ),
 phi2 AS (SELECT ROUND(SUM(d2), {SUM_DIGITS}) AS phi FROM sc2)
 SELECT point_id, d2,
-       ROUND(LEAST(CAST(1.0 AS DOUBLE), {l_lit} * d2 / phi), {MEAN_DIGITS}) AS prob
+       ROUND(CASE WHEN phi > 0 THEN LEAST(CAST(1.0 AS DOUBLE), {l_lit} * d2 / phi) ELSE 0.0 END, {MEAN_DIGITS}) AS prob
 FROM sc2 CROSS JOIN phi2"""
 
 

@@ -140,7 +140,12 @@ def stream_sessionize(
             else:
                 n += 1
                 vs += float(val)
-                last = ts
+                # a LATE event (cross-batch, ts < last) merges without
+                # rewinding the cursor: last = ts would shrink the gap
+                # horizon and split/flush the session early, and could
+                # push session_end before events already inside it
+                last = max(last, ts)
+                s0 = min(s0, ts)
         if last is not None:
             state.update((s0, last, n, vs))
             if evict:
@@ -404,13 +409,18 @@ def stream_minhash_lsh_candidates(stream: DataFrame) -> DataFrame:
 
     def fn(key, pdfs, state):
         seen = list(state.get[0]) if state.exists else []
+        seen_set = set(seen)
         new_ids = sorted({int(x) for pdf in pdfs for x in pdf["doc_id"]})
         pairs = []
         for d in new_ids:
+            if d in seen_set:
+                continue  # replayed/duplicate doc: state must not grow
+                # per re-ingestion (and pairs must not re-emit)
             for s in seen:
                 if s != d:
                     pairs.append((min(s, d), max(s, d)))
             seen.append(d)
+            seen_set.add(d)
         state.update((seen,))
         if pairs:
             yield pd.DataFrame(pairs, columns=["doc_a", "doc_b"])

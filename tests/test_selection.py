@@ -459,3 +459,50 @@ def test_second_hardening_wave(spark, tmp_path):
     out = str(tmp_path / "zempty")
     write_zorder(empty, out, ["x", "y"])
     assert spark.read.parquet(out).count() == 0
+
+
+def test_third_hardening_wave(spark):
+    """Regressions from the core-module review (kmeans/similarity/
+    streaming/chunking edges)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F2
+
+    from kmeans_mapreduce_spark.operators import kmeans as km
+    from kmeans_mapreduce_spark.operators import similarity as sim
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    # 1. kmpp probs: rounded phi of 0.0 yields prob 0.0, never NULL→1.0
+    pts = spark.createDataFrame(
+        [(1, 10.0, 10.0), (2, 10.001, 10.0)], "point_id LONG, x DOUBLE, y DOUBLE"
+    )
+    probs = km.kmpp_round_probs(pts, [(10.0, 10.0)], l=8).collect()
+    assert all(r["prob"] == 0.0 for r in probs)  # phi rounds to 0.00
+
+    # 2. both brute top-k forms drop zero-norm vectors identically
+    emb = spark.createDataFrame(
+        [(0, "a", [1.0, 0.0]), (1, "a", [0.9, 0.1]), (2, "a", [0.0, 0.0])],
+        "vec_id LONG, label STRING, embedding ARRAY<DOUBLE>",
+    )
+    for form in ("window", "grouped"):
+        got = {
+            r["neighbor_id"]
+            for r in sim.cosine_topk(emb, [0], k=3, form=form).collect()
+        }
+        assert got == {1}  # the zero vector is excluded in both forms
+
+    # 3. IVF rejects unknown centroid ids with a clear error
+    with _pytest.raises(ValueError, match="centroid vec_ids not in corpus"):
+        sim.ivf_ann_topk(emb, centroid_ids=[999], query_ids=[0])
+
+    # 4. PQ rejects non-divisible subspace counts
+    with _pytest.raises(ValueError, match="divide evenly"):
+        sim.ivf_pq_ann_topk(
+            emb, centroid_ids=[0], codebook_ids=[0, 1], query_ids=[1], m=3
+        )
+
+    # 5. chunking splits exclude \x0B (the RE2/DuckDB class)
+    docs = spark.createDataFrame(
+        [(0, "a\x0bb c", "en", "s", 5)], DOCS_SCHEMA
+    )
+    out = tx.chunk_docs_vectorized(docs).collect()
+    assert out[0]["n_tokens"] == 2  # 'a\x0bb' is ONE token + 'c'
