@@ -2454,11 +2454,17 @@ capped AS (
     ON h.lang = p.lang AND h.len_bucket = p.len_bucket AND h.sh = p.sh
   WHERE h.sh IS NULL
 ),
+probe AS (
+  SELECT doc_id, lang, len_bucket, sh,
+         unnest([len_bucket, len_bucket + 1]) AS jb
+  FROM capped
+),
 shared AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM capped a JOIN capped b
-    ON a.lang = b.lang AND a.len_bucket = b.len_bucket AND a.sh = b.sh
+  FROM probe a JOIN probe b
+    ON a.lang = b.lang AND a.jb = b.jb AND a.sh = b.sh
    AND a.doc_id < b.doc_id
+   AND GREATEST(a.len_bucket, b.len_bucket) = a.jb
   GROUP BY a.doc_id, b.doc_id
 ),
 sizes AS (SELECT doc_id, len(s) AS sz FROM d),

@@ -48,8 +48,13 @@ def h64(col: Column) -> Column:
 
 
 def h64_seeded(col: Column, seed: int) -> Column:
-    """Seeded variant: independent hash family member per seed."""
-    return h64(F.concat_ws(":", F.lit(str(seed)), col))
+    """Seeded variant: independent hash family member per seed.
+
+    Uses NULL-propagating ``concat`` (not ``concat_ws``, which SKIPS
+    null operands and would hash the bare seed string into a real
+    value) so a NULL input hashes to NULL on both engines — matching
+    :func:`h64_seeded_sql`, whose ``||`` propagates NULL."""
+    return h64(F.concat(F.lit(str(seed)), F.lit(":"), col))
 
 
 def h64_sql(expr: str) -> str:

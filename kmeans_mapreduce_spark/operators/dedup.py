@@ -34,6 +34,21 @@ SHINGLE_N = 3  # word n-gram size for near-dup sets
 NGRAM_DF_CAP = 100  # posting-list document-frequency cap (skew guard)
 
 
+def _shingle_py(text) -> set:  # noqa: ANN001 - str | None
+    """Python twin of :func:`shingle_set` — ONE definition for every
+    Arrow-batched builder (signatures, set table, posting index), so
+    the documented bit-parity between them cannot drift. NULL text
+    degrades like the Catalyst path's empty-ish fallback (a single
+    empty-string token) instead of crashing the worker."""
+    w = (text or "").split(" ")
+    if len(w) >= SHINGLE_N:
+        return {
+            " ".join(w[i : i + SHINGLE_N])
+            for i in range(len(w) - SHINGLE_N + 1)
+        }
+    return set(w)
+
+
 def shingle_set(text_col):
     """Distinct word-3-gram set; docs shorter than n words fall back to
     their token set (so the set is never empty and minhash never NULL).
@@ -142,14 +157,7 @@ def minhash_signature_array(
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                w = text.split(" ")
-                if len(w) >= SHINGLE_N:
-                    sh = {
-                        " ".join(w[i : i + SHINGLE_N])
-                        for i in range(len(w) - SHINGLE_N + 1)
-                    }
-                else:
-                    sh = set(w)
+                sh = _shingle_py(text)
                 h = np.array(
                     [
                         int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
@@ -284,15 +292,7 @@ def shingle_sets(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             sets = []
             for text in pdf["text"]:
-                w = text.split(" ")
-                if len(w) >= SHINGLE_N:
-                    sh = {
-                        " ".join(w[i : i + SHINGLE_N])
-                        for i in range(len(w) - SHINGLE_N + 1)
-                    }
-                else:
-                    sh = set(w)
-                sets.append(sorted(sh))
+                sets.append(sorted(_shingle_py(text)))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "s": sets})
 
     return docs.select("doc_id", "text").mapInPandas(
@@ -309,7 +309,18 @@ def jaccard_pairs(
     The set table feeds BOTH sides of the pair join; localCheckpoint
     materializes it once instead of re-running the set build per side
     (the same multi-consumer barrier as the ngram posting index)."""
-    toksets = shingle_sets(docs).localCheckpoint(eager=False)
+    # build shingle sets only for docs that appear in a candidate pair:
+    # a full-corpus set build costs O(corpus) when collisions touch a
+    # small fraction of it (the broadcast semi-join is the same prune
+    # incremental dedup uses)
+    pairs = pairs.localCheckpoint(eager=False)
+    touched = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = docs.join(F.broadcast(touched), "doc_id", "left_semi")
+    toksets = shingle_sets(pruned).localCheckpoint(eager=False)
     j = (
         pairs.join(toksets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
         .join(toksets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
@@ -351,15 +362,8 @@ def shingle_postings(docs: DataFrame) -> DataFrame:
             for doc_id, lang, n_chars, text in zip(
                 pdf["doc_id"], pdf["lang"], pdf["n_chars"], pdf["text"]
             ):
-                w = text.split(" ")
-                if len(w) >= SHINGLE_N:
-                    sh = {
-                        " ".join(w[i : i + SHINGLE_N])
-                        for i in range(len(w) - SHINGLE_N + 1)
-                    }
-                else:
-                    sh = set(w)
-                lb = int(n_chars / 100)
+                sh = _shingle_py(text)
+                lb = int((n_chars or 0) / 100)
                 for s in sh:
                     out_doc.append(doc_id)
                     out_lang.append(lang)
@@ -430,14 +434,35 @@ def ngram_jaccard_pairs(
         post = post.join(
             F.broadcast(hot), ["lang", "len_bucket", "sh"], "left_anti"
         )
-    a, b = post.alias("a"), post.alias("b")
+    # ±1 length-bucket window: strict equality missed near-identical
+    # pairs straddling a 100-char boundary (199 vs 201 chars → buckets
+    # 1 and 2). Each posting replicates to join keys {b, b+1}; the
+    # greatest-bucket residual makes every qualifying pair-shingle
+    # match EXACTLY once (equal buckets would otherwise match under
+    # both keys). Pairs whose lengths differ by ≥2 buckets remain the
+    # documented accepted miss — length blocking assumes near-dups are
+    # near-equal length; containment is dedup_span_fraction's job.
+    probe = post.select(
+        "doc_id",
+        "lang",
+        "len_bucket",
+        "sh",
+        F.explode(
+            F.array(F.col("len_bucket"), F.col("len_bucket") + 1)
+        ).alias("jb"),
+    )
+    a, b = probe.alias("a"), probe.alias("b")
     shared = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.jb") == F.col("b.jb"))
             & (F.col("a.sh") == F.col("b.sh"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.greatest(F.col("a.len_bucket"), F.col("b.len_bucket"))
+                == F.col("a.jb")
+            ),
         )
         .groupBy(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
@@ -552,6 +577,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # min-label propagation moves the component minimum one hop per
+        # iteration: a graph whose diameter exceeds max_iter would
+        # return PARTIAL labels — several representatives for one true
+        # component — and downstream keep-best would silently retain
+        # duplicates. Fail loudly; callers with long-chain graphs raise
+        # max_iter (cost is one extra pass per unit of diameter).
+        raise RuntimeError(
+            f"connected_components: not converged after {max_iter} "
+            "iterations (component diameter exceeds max_iter)"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_rep")
     )
@@ -595,12 +631,20 @@ def keep_best_per_cluster(
             ),
         )
     )
-    member = canon.join(quality.select("doc_id", "quality_score"), "doc_id")
+    # LEFT join: a doc missing from the quality table must not vanish
+    # from the retained corpus (inner semantics silently dropped docs —
+    # and whole singleton clusters — whenever quality covered a
+    # filtered subset); unmeasured docs rank below every scored one
+    member = canon.join(
+        quality.select("doc_id", "quality_score"), "doc_id", "left"
+    ).withColumn(
+        "__qrank", F.coalesce(F.col("quality_score"), F.lit(float("-inf")))
+    )
     w = Window.partitionBy("canonical_id")
     ranked = member.withColumn(
         "rk",
         F.row_number().over(
-            w.orderBy(F.desc("quality_score"), F.asc("doc_id"))
+            w.orderBy(F.desc("__qrank"), F.asc("doc_id"))
         ),
     ).withColumn("n_members", F.count("*").over(w))
     return ranked.filter(F.col("rk") == 1).select(
@@ -619,6 +663,11 @@ def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
     arithmetic end-to-end → oracle matches without rounding. One
     explode + one partially-aggregated groupBy (bit counters combine
     map-side, so the shuffle is O(docs), not O(tokens))."""
+    if not 1 <= bits <= 62:
+        raise ValueError(
+            f"simhash: bits must be 1..62 (got {bits}) — 2**b literals "
+            "above 62 overflow the signed-long range in both engines"
+        )
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("t")
     ).withColumn("h", h64(F.col("t")))
@@ -1220,17 +1269,9 @@ def incremental_minhash_pairs(
         )
         .distinct()
     )
-    # verify only colliding docs: building shingle sets for the whole
-    # corpus would cost ∝ |corpus| every night — a broadcast semi-join
-    # on the (small) colliding-id set keeps verification ∝ |collisions|
-    cand = cand.localCheckpoint(eager=False)
-    touched = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    pruned = docs.join(F.broadcast(touched), "doc_id", "left_semi")
-    verified = jaccard_pairs(pruned, cand, threshold, digits)
+    # jaccard_pairs itself prunes the set build to colliding docs, so
+    # verification costs ∝ |collisions|, never ∝ |corpus|
+    verified = jaccard_pairs(docs, cand, threshold, digits)
     return verified.select(
         F.col("doc_b").alias("doc_id"),
         F.col("doc_a").alias("dup_of"),

