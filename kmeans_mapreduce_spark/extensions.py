@@ -22,6 +22,7 @@ from kmeans_mapreduce_spark.operators import events as ev
 from kmeans_mapreduce_spark.operators import kmeans_nd as knd
 from kmeans_mapreduce_spark.operators import multimodal as mm
 from kmeans_mapreduce_spark.operators import sampling as sp
+from kmeans_mapreduce_spark.operators import selection as _sel
 from kmeans_mapreduce_spark.operators import similarity as sim
 from kmeans_mapreduce_spark.operators import textops as tx
 from kmeans_mapreduce_spark.sources.loaders import load_table
@@ -637,6 +638,42 @@ def q_text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """zlib compression-ratio quality signal (rows-only: no SQL twin —
     DuckDB has no zlib; determinism pytest-gated)."""
     return tx.compression_ratio(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus data card — the summary a curation pipeline
+    publishes with a release (datasheet/data-card practice): doc and
+    token counts, mean quality, rule-filter pass rate, and redundant
+    exact-duplicate copies, in ONE chained plan (quality + rule
+    verdicts are row-local projections over a single scan; the only
+    shuffles are the per-lang aggregate and the fingerprint distinct,
+    both map-side combined)."""
+    from kmeans_mapreduce_spark.functions.hashing import h64
+    from kmeans_mapreduce_spark.operators import selection as sel2
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = tx.quality(docs).select("doc_id", "n_tokens", "quality_score")
+    r = sel2.rule_filter_report(docs).select("doc_id", "pass_all")
+    base = (
+        docs.select(
+            "doc_id", "lang", h64(F.lower(F.trim(F.col("text")))).alias("fp")
+        )
+        .join(q, "doc_id")
+        .join(r, "doc_id")
+    )
+    return (
+        base.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+            F.round(
+                F.avg(F.col("pass_all").cast("double")), 6
+            ).alias("rule_pass_rate"),
+            (F.count(F.lit(1)) - F.countDistinct("fp")).alias("dup_copies"),
+        )
+        .orderBy("lang")
+    )
 
 
 def q_corpus_sample_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1908,6 +1945,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges2": q_text_bpe_merges2,
         "corpus_curriculum": q_corpus_curriculum,
         "corpus_sample_fixed": q_corpus_sample_fixed,
+        "corpus_datacard": q_corpus_datacard,
         "text_compression_ratio": q_text_compression_ratio,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
@@ -2535,6 +2573,30 @@ gallr AS (
 )
 SELECT id AS doc_id, MIN(r) AS cluster_rep FROM gallr GROUP BY id""",
         "corpus_lr_loop2": _lr_loop2_sql(),
+        "corpus_datacard": f"""
+WITH q AS ({_quality_sql()}),
+t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+m AS (SELECT doc_id, len(w)::BIGINT AS n,
+  list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mwl,
+  len(list_filter(w, x -> list_contains([{_sql_str_list(STOPWORDS)[1:-1]}], x)))::BIGINT AS sw,
+  len(list_filter(w, x -> NOT regexp_matches(x, '{_sel.ALNUM_RE}')))::DOUBLE / len(w) AS sym,
+  len(list_distinct(w))::DOUBLE / len(w) AS ttr
+ FROM t),
+r AS (SELECT doc_id,
+  ((n >= {_sel.RULE_MIN_WORDS} AND n <= {_sel.RULE_MAX_WORDS}) AND (mwl >= {_sel.RULE_MWL_LO} AND mwl <= {_sel.RULE_MWL_HI})
+   AND (sw >= {_sel.RULE_MIN_STOPWORD_HITS}) AND (sym <= {_sel.RULE_MAX_SYMBOL_RATIO}) AND (ttr >= {_sel.RULE_MIN_TTR})) AS pass_all
+ FROM m),
+base AS (
+  SELECT d.lang, q.n_tokens, q.quality_score, r.pass_all,
+         {h64_sql('lower(trim(d.text))')} AS fp
+  FROM documents d JOIN q ON q.doc_id = d.doc_id JOIN r ON r.doc_id = d.doc_id
+)
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(n_tokens)::BIGINT AS total_tokens,
+       ROUND(AVG(quality_score), 6) AS mean_quality,
+       ROUND(AVG(pass_all::INT::DOUBLE), 6) AS rule_pass_rate,
+       (COUNT(*) - COUNT(DISTINCT fp))::BIGINT AS dup_copies
+FROM base GROUP BY lang ORDER BY lang""",
         "corpus_sample_fixed": f"""
 SELECT doc_id, lang,
        {h64_sql(f"'{sp.FIXED_SAMPLE_SALT}:' || doc_id::VARCHAR")} AS sample_key

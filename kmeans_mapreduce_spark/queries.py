@@ -399,6 +399,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_curriculum",
     "corpus_sample_fixed",
     "text_compression_ratio",
+    "corpus_datacard",
 }
 
 
