@@ -694,6 +694,26 @@ def q_text_bpe_merges2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_second_round(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style span dedup WITH reassembly: repeated 10-word spans
+    removed except their globally-first occurrence, cleaned text
+    rebuilt in order (dedup.span_dedup — the acting counterpart of
+    dedup_span_fraction)."""
+    return dd.span_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap by salted-hash rank — the domain-cap
+    curation rule (sampling.source_cap)."""
+    return sp.source_cap(load_table(spark, sf_dir, "documents"))
+
+
+def q_corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budgeted shard plan over the shuffled corpus via the
+    two-level distributed prefix sum (sampling.token_shard_plan)."""
+    return sp.token_shard_plan(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_lr_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two full-batch GD iterations of the in-engine quality
     classifier (operators/logreg.py) under the hash gate — the
@@ -1946,6 +1966,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_curriculum": q_corpus_curriculum,
         "corpus_sample_fixed": q_corpus_sample_fixed,
         "corpus_datacard": q_corpus_datacard,
+        "dedup_span_clean": q_dedup_span_clean,
+        "corpus_source_cap": q_corpus_source_cap,
+        "corpus_token_shards": q_corpus_token_shards,
         "text_compression_ratio": q_text_compression_ratio,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
@@ -2611,6 +2634,64 @@ SELECT doc_id,
   (1{"".join(f" + (quality_score > t.t{i})::INT" for i in range(len(sp.CURRICULUM_PROBS)))})::INTEGER AS phase,
   {h64_sql(f"'{sp.CURRICULUM_SALT}:' || doc_id::VARCHAR")} AS order_key
 FROM q CROSS JOIN t""",
+        # span dedup: keep-first over fixed word windows, re-agg with
+        # ORDER BY pos; SUM cast (DuckDB HUGEINT) and COALESCE('')
+        # both mirror the Spark side exactly
+        "dedup_span_clean": f"""
+WITH d AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         array_to_string(
+           w[(t.i * {dd.SPAN_WORDS} + 1):(t.i * {dd.SPAN_WORDS} + {dd.SPAN_WORDS})],
+           ' ') AS span
+  FROM d, UNNEST(range(0, CAST(CEIL(len(w) / {dd.SPAN_WORDS}.0) AS BIGINT))) AS t(i)
+),
+r AS (
+  SELECT doc_id, pos, span,
+         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM s
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_spans,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+       COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos),
+                '') AS cleaned_text
+FROM r GROUP BY doc_id""",
+        "corpus_source_cap": f"""
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY
+             {h64_sql(f"'{sp.SOURCE_CAP_SALT}:' || doc_id::VARCHAR")}
+               % {sp.SAMPLE_BUCKETS},
+             doc_id
+         )::INTEGER AS cap_rank
+  FROM documents
+)
+SELECT doc_id, source, cap_rank FROM r WHERE cap_rank <= {sp.SOURCE_CAP}""",
+        # flat global window — the two-level Spark scan must match it
+        # bit-for-bit (exact integer arithmetic end-to-end)
+        "corpus_token_shards": f"""
+WITH b AS (
+  SELECT doc_id,
+         {h64_sql(f"'{sp.SHUFFLE_SALT}:' || doc_id::VARCHAR")} AS shuffle_key,
+         len(string_split(COALESCE(text, ''), ' '))::BIGINT AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shuffle_key, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           ORDER BY shuffle_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM b
+)
+SELECT doc_id, shuffle_key, n_tok, cum_before,
+       (cum_before // {sp.SHARD_TOKENS})::INTEGER AS shard
+FROM c""",
         "text_bpe_merges": f"""
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
 p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM w),

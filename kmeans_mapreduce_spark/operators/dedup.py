@@ -1304,3 +1304,84 @@ def semantic_dedup_pairs(
     """
     assigned = assign_cells(emb, centers, out="label")
     return embedding_near_dup(assigned, threshold, digits, row_cap)
+
+
+# ---------------------------------------------------------------------------
+# Span-level (C4-style) dedup with text reassembly
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 10  # fixed word-window width for span dedup
+
+
+def span_dedup(docs: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
+    """C4-style span-level deduplication WITH text reassembly: segment
+    every document into consecutive ``span_words``-word spans, drop
+    every span occurrence except its globally-first one (lowest
+    (doc_id, position)), and rebuild the cleaned text. This is the
+    *acting* counterpart of :func:`duplicated_span_stats` — that one
+    measures span duplication, this one removes it, the "three-sentence
+    span" rule of C4 (Raffel et al., 2020) / the exact-substring pass
+    of Lee et al. 2022 at fixed word-window granularity. Nothing like
+    it exists in the reference (north-star surface, SURVEY §2.2).
+
+    Keep-first is the standard policy: the corpus keeps exactly one
+    copy of every distinct span, so no content is lost entirely, and
+    which copy survives is deterministic (no RNG, retry-stable).
+    Within-document repeats are deduped by the same rule.
+
+    Scale shape: NO self-join, nothing quadratic — posexplode of
+    non-overlapping spans (O(total words) rows, ~1/span_words the
+    shingle explode), ONE shuffle keyed by the span fingerprint for
+    the keep-first window (skew bounded by the hottest span's global
+    frequency; AQE skew-split applies), then a per-doc re-aggregate.
+    The window keys on the span text itself (exact, collision-free;
+    at extreme scale key on ``h64(span)`` to shrink comparator cost at
+    a 2^-60 collision risk), and the rebuilt text concatenates kept
+    spans in original order via a sorted struct collect — no global
+    sort, no driver loop.
+
+    Output: (doc_id, n_spans, n_removed, cleaned_text).
+    """
+    w = tokens(F.coalesce(F.col("text"), F.lit("")))
+    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+    spans = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i * span_words + 1, span_words)
+                ),
+            )
+        ).alias("pos", "span"),
+    )
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy("span").orderBy("doc_id", "pos")
+    )
+    ranked = spans.withColumn("rn", rn)
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_removed"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rn") == 1,
+                                F.struct(
+                                    F.col("pos").alias("pos"),
+                                    F.col("span").alias("span"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("span"),
+                ),
+            ).alias("cleaned_text"),
+        )
+    )

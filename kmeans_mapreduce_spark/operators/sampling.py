@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from kmeans_mapreduce_spark.functions.hashing import h64
+from kmeans_mapreduce_spark.functions.hashing import HASH_SPACE, h64
 from kmeans_mapreduce_spark.functions.text import n_tokens
 
 SAMPLE_BUCKETS = 10_000  # rate resolution: 1 bucket = 0.01%
@@ -413,4 +413,126 @@ def fixed_size_sample(docs: DataFrame, n: int = FIXED_SAMPLE_N) -> DataFrame:
         docs.select("doc_id", "lang", key.alias("sample_key"))
         .orderBy(F.asc("sample_key"), F.asc("doc_id"))
         .limit(n)
+    )
+
+
+SOURCE_CAP = 15  # max docs retained per source (binds at sf>=0.01)
+SOURCE_CAP_SALT = "source-cap"  # decorrelated from sample/shuffle salts
+
+
+def source_cap(
+    docs: DataFrame, cap: int = SOURCE_CAP, salt: str = SOURCE_CAP_SALT
+) -> DataFrame:
+    """Per-source document cap: keep at most ``cap`` docs from each
+    source, chosen by salted-hash rank — the domain-cap curation rule
+    every crawl pipeline applies (no single domain/template farm may
+    dominate the training mix; cf. C4's per-domain limits and Gopher's
+    'disproportionately large sources' rule). Nothing like it exists
+    in the reference (north-star surface, SURVEY §2.2).
+
+    Hash-rank selection (not F.rand, not first-N-in-file-order) keeps
+    the usual guarantees: membership is a pure function of (salt,
+    doc_id) — retry-stable, rerun-stable, and unbiased w.r.t. storage
+    order (first-N would keep whatever happened to sort first).
+
+    Scale shape: one shuffle keyed by source for the row_number window.
+    A pathologically hot source makes one fat window partition; that is
+    exactly the skew AQE's skew-split cannot fix for windows, so at
+    100 TB pre-filter hot sources with the two-pass trick: count per
+    source (map-side combined), broadcast the hot-source list, and
+    pre-thin those with the stratified hash sampler to ~2×cap before
+    ranking — the final window then sees bounded partitions. At bench
+    scale the single window is the right plan.
+
+    Output: (doc_id, source, cap_rank) for kept docs only.
+    """
+    from pyspark.sql.window import Window
+
+    key = sample_bucket(F.col("doc_id"), salt)
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    )
+    return (
+        docs.select("doc_id", "source", key.alias("_k"))
+        .withColumn("cap_rank", rn)
+        .filter(F.col("cap_rank") <= cap)
+        .drop("_k")
+    )
+
+
+SHARD_TOKENS = 4_000  # token budget per training shard
+SHARD_PLAN_BUCKETS = 64  # order-preserving range buckets for the scan
+
+
+def token_shard_plan(
+    docs: DataFrame,
+    shard_tokens: int = SHARD_TOKENS,
+    n_buckets: int = SHARD_PLAN_BUCKETS,
+    salt: str = SHUFFLE_SALT,
+) -> DataFrame:
+    """Token-budgeted shard plan: lay the deterministically-shuffled
+    corpus out into consecutive shards of ~``shard_tokens`` tokens
+    each — the tokenize→shuffle→shard materialization step at the end
+    of every training-data pipeline (equal-TOKEN shards feed fixed
+    token-budget training steps; :func:`global_shuffle`'s mod-sharding
+    gives equal COUNTS, which skews step sizes when doc lengths skew).
+
+    shard(doc) = floor(cum_tokens_before(doc) / shard_tokens) in
+    shuffle-key order — a global prefix sum. The classic scale trap is
+    computing it with one unpartitioned window (single-reducer
+    chokepoint); this uses the two-level scan instead: the 60-bit
+    shuffle key is range-bucketed (order-preserving integer divide),
+    each bucket prefix-sums IN PARALLEL (window partitioned by
+    bucket), and the per-bucket totals — ``n_buckets`` rows — roll up
+    through one tiny window and broadcast back as offsets. Exact
+    integer arithmetic end-to-end, so the DuckDB twin (one flat global
+    window) matches bit-for-bit.
+
+    Output: (doc_id, shuffle_key, n_tok, cum_before, shard).
+    """
+    from pyspark.sql.window import Window
+
+    key = h64(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string")))
+    base = docs.select(
+        "doc_id",
+        key.alias("shuffle_key"),
+        n_tokens(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+            "n_tok"
+        ),
+    ).withColumn(
+        # `div` = exact int64 division: float `/` rounds 60-bit keys
+        # through a 53-bit mantissa and could mis-bucket boundary keys,
+        # silently breaking the order-preservation the scan relies on
+        "_bucket",
+        F.expr(f"shuffle_key div {HASH_SPACE // n_buckets}"),
+    )
+    in_bucket = Window.partitionBy("_bucket").orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    within = base.withColumn(
+        "_cum_in",
+        F.sum("n_tok").over(
+            in_bucket.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col("n_tok"),
+    )
+    totals = base.groupBy("_bucket").agg(F.sum("n_tok").alias("_tot"))
+    off = totals.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_tot").over(
+                Window.orderBy("_bucket").rowsBetween(
+                    Window.unboundedPreceding, -1
+                )
+            ),
+            F.lit(0),
+        ),
+    ).select("_bucket", "_offset")
+    return (
+        within.join(F.broadcast(off), "_bucket")
+        .withColumn("cum_before", F.col("_offset") + F.col("_cum_in"))
+        .withColumn(
+            "shard", F.expr(f"cum_before div {shard_tokens}").cast("int")
+        )
+        .select("doc_id", "shuffle_key", "n_tok", "cum_before", "shard")
     )

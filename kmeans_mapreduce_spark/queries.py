@@ -400,6 +400,9 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_sample_fixed",
     "text_compression_ratio",
     "corpus_datacard",
+    "dedup_span_clean",
+    "corpus_source_cap",
+    "corpus_token_shards",
 }
 
 

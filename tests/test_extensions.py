@@ -822,3 +822,101 @@ def test_fuzzy_prefix_many_duplicate_short_docs(spark):
     # sanity: the identical-prefix groups really did produce quadratic
     # OUTPUT (20 choose 2 pairs at dist 0 for "ok" alone)
     assert sum(1 for _, _, d in got if d == 0) >= 190
+
+
+def test_span_dedup_keep_first_and_reassembly(spark):
+    """Crafted case: a repeated 2-word span survives only at its
+    globally-first (doc_id, pos); cleaned text preserves original span
+    order; a doc of all-duplicate spans cleans to ''."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    rows = [
+        (0, "a b c d"),  # spans: "a b", "c d" — both first occurrences
+        (1, "c d e f"),  # "c d" duplicates doc 0; "e f" unique
+        (2, "a b c d"),  # both spans duplicate doc 0 → cleaned ''
+        (3, "g h g h"),  # within-doc repeat: second "g h" removed
+    ]
+    docs = spark.createDataFrame(
+        [(i, "en", len(t), t) for i, t in rows],
+        "doc_id LONG, lang STRING, n_chars INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"], r["cleaned_text"])
+        for r in dd.span_dedup(docs, span_words=2).collect()
+    }
+    assert got == {
+        0: (2, 0, "a b c d"),
+        1: (2, 1, "e f"),
+        2: (2, 2, ""),
+        3: (2, 1, "g h"),
+    }
+
+
+def test_span_dedup_short_tail_span(spark):
+    """The trailing sub-width span participates like any other; only
+    exact span-text matches dedupe (a tail 'c' does not match 'c d')."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    docs = spark.createDataFrame(
+        [(0, "en", 5, "a b c"), (1, "en", 1, "c"), (2, "en", 0, "")],
+        "doc_id LONG, lang STRING, n_chars INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"], r["cleaned_text"])
+        for r in dd.span_dedup(docs, span_words=2).collect()
+    }
+    # doc 0: spans "a b", "c"; doc 1: span "c" duplicates doc 0's tail;
+    # doc 2: split('') -> [''] -> one empty span, first occurrence
+    assert got == {0: (2, 0, "a b c"), 1: (1, 1, ""), 2: (1, 0, "")}
+
+
+def test_source_cap_keeps_exactly_cap_per_source(spark):
+    """Cap binds per source; selection is the salted-hash rank order,
+    deterministic across calls and input order."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 3}", "x") for i in range(30)],
+        "doc_id LONG, source STRING, text STRING",
+    )
+    kept = sp.source_cap(docs, cap=4).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    assert {s: len(v) for s, v in by_src.items()} == {
+        "src0": 4, "src1": 4, "src2": 4
+    }
+    # deterministic: same members again on a reshuffled input
+    kept2 = sp.source_cap(docs.orderBy(F.desc("doc_id")), cap=4).collect()
+    assert {(r["doc_id"], r["source"]) for r in kept2} == {
+        (r["doc_id"], r["source"]) for r in kept
+    }
+    # ranks are 1..cap within each source
+    ranks = {}
+    for r in kept:
+        ranks.setdefault(r["source"], []).append(r["cap_rank"])
+    assert all(sorted(v) == [1, 2, 3, 4] for v in ranks.values())
+
+
+def test_token_shard_plan_prefix_sum_and_budget(spark):
+    """The two-level scan equals a flat prefix sum: cum_before is the
+    running token total in (shuffle_key, doc_id) order, and shard
+    boundaries land exactly every shard_tokens tokens."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 7))) for i in range(200)],
+        "doc_id LONG, text STRING",
+    )
+    rows = sp.token_shard_plan(docs, shard_tokens=50, n_buckets=8).collect()
+    rows.sort(key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    cum = 0
+    for r in rows:
+        assert r["cum_before"] == cum, (r["doc_id"], r["cum_before"], cum)
+        assert r["shard"] == cum // 50
+        cum += r["n_tok"]
+    assert cum == sum(1 + i % 7 for i in range(200))
+    # every shard except the last carries >= the budget's floor worth
+    # of starts: shard ids are contiguous from 0
+    shards = sorted({r["shard"] for r in rows})
+    assert shards == list(range(len(shards)))
