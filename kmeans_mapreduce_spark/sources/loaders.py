@@ -517,3 +517,43 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
         "target_uri STRING, content_type STRING, content_length LONG, "
         "payload BINARY",
     )
+
+
+def write_token_shards(
+    docs: DataFrame,
+    path: str,
+    shard_tokens: int | None = None,
+) -> None:
+    """Training-shard sink: materialize the token-budgeted shard plan
+    (``sampling.token_shard_plan``) as one directory per shard, rows
+    laid down in shuffle-key order — the final tokenize→shuffle→shard
+    step of a training-data pipeline. A trainer streams ``shard=N/``
+    sequentially and sees (a) a deterministic pseudo-random permutation
+    of the corpus and (b) ~``shard_tokens`` tokens per directory, so
+    fixed token-budget steps map 1:1 onto shard files.
+
+    Scale shape: the plan join is 1:1 on doc_id (both sides carry it;
+    Spark plans a shuffle join keyed by doc_id — no broadcast needed
+    and none wanted, the plan side is corpus-sized), then ONE exchange
+    keyed by shard with a within-partition sort on shuffle_key. The
+    dynamic-partition write renames per-shard directories atomically
+    per task; no global sort, no driver loop, no second pass.
+
+    tests/test_sources.py asserts per-shard token budgets and
+    within-shard shuffle-key ordering on read-back.
+    """
+    from kmeans_mapreduce_spark.operators.sampling import (
+        SHARD_TOKENS,
+        token_shard_plan,
+    )
+
+    budget = SHARD_TOKENS if shard_tokens is None else shard_tokens
+    plan = token_shard_plan(docs, shard_tokens=budget)
+    (
+        docs.join(plan, "doc_id")
+        .repartition("shard")
+        .sortWithinPartitions("shard", "shuffle_key", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

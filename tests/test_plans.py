@@ -342,3 +342,26 @@ def test_bpe_merges_is_take_ordered(spark):
     docs = load_table(spark, SF, "documents")
     s = plans.explain_str(tx.bpe_merge_candidates(docs), "simple")
     assert "TakeOrderedAndProject" in s
+
+
+def test_span_dedup_has_no_self_join(spark):
+    # span dedup must stay linear: one explode, one keep-first window,
+    # one re-aggregate — no self-join, no cartesian anywhere
+    docs = load_table(spark, SF, "documents")
+    df = dd.span_dedup(docs)
+    s = plans.explain_str(df, "simple")
+    assert not plans.has_cartesian(df)
+    assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
+
+
+def test_token_shard_plan_offsets_broadcast_back(spark):
+    # the <=n_buckets offset table must broadcast onto the corpus scan;
+    # a shuffled join would exchange the corpus a second time, and the
+    # prefix-sum must never move the DATA through a single partition
+    # (only the constant-size bucket-totals rollup may)
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    docs = load_table(spark, SF, "documents")
+    df = sp.token_shard_plan(docs)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df)

@@ -180,3 +180,54 @@ def test_bpe_merges_match_counter_reference(words, k):
     )
     want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
     assert got == want
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_span_dedup_matches_sequential_replay(docs_words, span_words):
+    """For ANY corpus and span width, span_dedup must equal the
+    sequential spec: walk docs in (doc_id, pos) order, keep a span the
+    first time its text is seen, drop it afterwards; cleaned text is
+    the kept spans joined in order. Also pins the global invariant the
+    fixtures can't: every distinct span survives exactly once."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+    from kmeans_mapreduce_spark.session import get_spark
+
+    spark = get_spark("prop-tests")
+    texts = [" ".join(ws) for ws in docs_words]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id LONG, text STRING"
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_removed"], r["cleaned_text"])
+        for r in dd.span_dedup(df, span_words=span_words).collect()
+    }
+
+    seen: set[str] = set()
+    for i, t in enumerate(texts):
+        words = t.split(" ")  # '' splits to [''] — same as the engine
+        spans = [
+            " ".join(words[p : p + span_words])
+            for p in range(0, len(words), span_words)
+        ]
+        kept = []
+        for s in spans:
+            if s in seen:
+                continue
+            seen.add(s)
+            kept.append(s)
+        assert got[i] == (len(spans), len(spans) - len(kept), " ".join(kept))
+    # global invariant the fixtures can't pin: total survivors equal
+    # the count of distinct spans — each survives exactly once
+    assert sum(n - r for n, r, _ in got.values()) == len(seen)

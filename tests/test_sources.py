@@ -446,3 +446,43 @@ def test_jsonl_quarantine_splits_good_and_corrupt(spark, tmp_path):
     assert len(quarantined) == 2
     assert any("not json" in q for q in quarantined)
     assert any("NOT_A_NUMBER" in q for q in quarantined)
+
+
+def test_write_token_shards_budgets_and_order(spark, tmp_path):
+    """Shard directories hold ~budget tokens each (every shard but the
+    last crosses its budget boundary with its final doc, by the
+    prefix-sum definition) and rows inside a shard read back in
+    shuffle-key order."""
+    from kmeans_mapreduce_spark.sources.loaders import write_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (1 + i % 9))) for i in range(300)],
+        "doc_id LONG, text STRING",
+    )
+    out = str(tmp_path / "shards")
+    write_token_shards(docs, out, shard_tokens=100)
+
+    back = spark.read.parquet(out)
+    assert back.count() == 300
+    rows = back.select("shard", "shuffle_key", "n_tok", "cum_before").collect()
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    shards = sorted(by_shard)
+    assert shards == list(range(len(shards)))
+    total = sum(1 + i % 9 for i in range(300))
+    assert sum(r["n_tok"] for rs in by_shard.values() for r in rs) == total
+    for s in shards:
+        rs = sorted(by_shard[s], key=lambda r: r["shuffle_key"])
+        start = min(r["cum_before"] for r in rs)
+        end = max(r["cum_before"] + r["n_tok"] for r in rs)
+        # each shard begins in its own budget window...
+        assert start // 100 == s
+        # ...and every shard except the last reaches its boundary
+        if s != shards[-1]:
+            assert end >= (s + 1) * 100
+    # within-shard file order is shuffle-key order: read one shard dir
+    # directly and compare against its sorted self
+    one = spark.read.parquet(f"{out}/shard={shards[0]}")
+    got = [r["shuffle_key"] for r in one.collect()]
+    assert got == sorted(got)
