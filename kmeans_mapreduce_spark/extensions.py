@@ -628,6 +628,16 @@ def q_pipeline_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_pagerank_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank iterations over the mutual k-NN graph in integer
+    micro-units (similarity.pagerank_loop2) — centrality as a
+    prototypicality/outlier curation signal, engine-exact by integer
+    arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    return sim.pagerank_loop2(emb, centers, KNN_GRAPH_K)
+
+
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training round 1: top adjacent-character-pair merge
     candidates over the corpus vocabulary (count DESC, pair ASC)."""
@@ -1522,6 +1532,54 @@ FROM p JOIN lab l ON p.src = l.vec_id
 """
 
 
+def _pagerank_loop2_sql() -> str:
+    """Twin of similarity.pagerank_loop2: mutual edges from the
+    knn-graph twin, two unrolled integer power iterations. Every step
+    is BIGINT `//` arithmetic, so per-node sums are order-independent
+    and no ROUND negotiation is needed; DuckDB's HUGEINT SUM is cast
+    back to BIGINT at each rank update (the r03 lesson)."""
+    s, dn, dd_ = sim.PAGERANK_SCALE, sim.PAGERANK_D_NUM, sim.PAGERANK_D_DEN
+    return f"""
+WITH g AS ({_knn_graph_sql()}),
+edges AS (SELECT src, dst FROM g WHERE mutual),
+deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src),
+n AS (SELECT COUNT(*)::BIGINT AS nn FROM embeddings),
+params AS (
+  SELECT (({s} * ({dd_} - {dn})) // {dd_}) // nn AS base,
+         {s} // nn AS r0
+  FROM n
+),
+rt0 AS (
+  SELECT e.vec_id, COALESCE(d.deg, 0)::BIGINT AS deg,
+         (SELECT r0 FROM params)::BIGINT AS pr
+  FROM embeddings e LEFT JOIN deg d ON d.src = e.vec_id
+),
+c1 AS (
+  SELECT ed.dst, SUM(r.pr // r.deg) AS insum
+  FROM edges ed JOIN rt0 r ON r.vec_id = ed.src AND r.deg > 0
+  GROUP BY ed.dst
+),
+rt1 AS (
+  SELECT r.vec_id, r.deg,
+         ((SELECT base FROM params)
+          + ({dn} * COALESCE(c1.insum, 0)) // {dd_})::BIGINT AS pr
+  FROM rt0 r LEFT JOIN c1 ON c1.dst = r.vec_id
+),
+c2 AS (
+  SELECT ed.dst, SUM(r.pr // r.deg) AS insum
+  FROM edges ed JOIN rt1 r ON r.vec_id = ed.src AND r.deg > 0
+  GROUP BY ed.dst
+),
+rt2 AS (
+  SELECT r.vec_id, r.deg,
+         ((SELECT base FROM params)
+          + ({dn} * COALESCE(c2.insum, 0)) // {dd_})::BIGINT AS pr
+  FROM rt1 r LEFT JOIN c2 ON c2.dst = r.vec_id
+)
+SELECT vec_id, deg::INTEGER AS degree, pr AS pr_units FROM rt2
+"""
+
+
 def _lr_loop2_sql() -> str:
     """Twin of q_corpus_lr_loop2 — the 2-iteration GD unrolled.
 
@@ -1958,6 +2016,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "similarity_knn_graph": q_similarity_knn_graph,
         "pipeline_label_propagation": q_pipeline_label_propagation,
+        "pipeline_pagerank_loop2": q_pipeline_pagerank_loop2,
         "pipeline_semantic_clusters": q_pipeline_semantic_clusters,
         "corpus_lr_loop2": q_corpus_lr_loop2,
         "corpus_quality_classifier": q_corpus_quality_classifier,
@@ -2573,6 +2632,7 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "dedup_lsh_recall": _lsh_recall_sql(),
         "similarity_knn_graph": _knn_graph_sql(),
         "pipeline_label_propagation": _label_propagation_sql(),
+        "pipeline_pagerank_loop2": _pagerank_loop2_sql(),
         "pipeline_semantic_clusters": f"""
 WITH RECURSIVE g AS ({_knn_graph_sql()}),
 gm AS (

@@ -800,3 +800,98 @@ def label_propagation(
         "votes",
         (F.col("dst_label") == F.col("true_label")).alias("correct"),
     )
+
+
+PAGERANK_SCALE = 1_000_000  # fixed-point micro-units
+PAGERANK_D_NUM = 85  # damping d = 85/100
+PAGERANK_D_DEN = 100
+
+
+def pagerank_loop2(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    k: int = 4,
+    scale: int = PAGERANK_SCALE,
+    d_num: int = PAGERANK_D_NUM,
+    d_den: int = PAGERANK_D_DEN,
+) -> DataFrame:
+    """Two PageRank power iterations over the MUTUAL k-NN graph —
+    graph centrality as a data-curation signal (central nodes sit in
+    dense semantic neighborhoods: prototypical documents; low-rank
+    nodes are outliers). The graph is undirected (mutual edges appear
+    in both directions), so out-degree == in-degree.
+
+    Exactness discipline: ranks live in integer micro-units
+    (``scale`` = 1e6) and EVERY step is integer arithmetic —
+    ``r0 = scale div N``, per-edge share ``r div deg``, damped update
+    ``base + d_num·Σshare div d_den`` — because integer addition is
+    associative, so per-node sums are order-independent and the DuckDB
+    twin matches bit-for-bit with no rounding negotiations (the same
+    reason the sampler hashes integers instead of comparing floats).
+    Floor-division truncation loses <1 micro-unit per op — noise at
+    ranking granularity. Rank mass hitting truncation or isolated
+    nodes (mutual-degree 0) is dropped, not redistributed — documented
+    simplification, standard for centrality-as-a-signal (the global
+    dangling-mass term needs one extra 1-row aggregate per iteration
+    and changes no ordering).
+
+    Scale shape: each iteration is one O(edges) equi-join of the rank
+    table onto the edge list plus one map-side-combinable groupBy —
+    the textbook distributed PageRank step; everything downstream of
+    :func:`knn_graph` (already cell-blocked) is O(N·k).
+
+    Output: (vec_id, degree, pr_units) after 2 iterations.
+    """
+    n = emb.count()
+    base = (scale * (d_den - d_num) // d_den) // n
+    r0 = scale // n
+
+    # the edge list feeds deg + one join per iteration — materialize it
+    # once or the whole cell-blocked graph build re-runs per consumer
+    edges = (
+        knn_graph(emb, centers, k)
+        .filter(F.col("mutual"))
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = emb.select("vec_id")
+
+    ranks = nodes.join(
+        deg.withColumnRenamed("src", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
+        F.lit(r0).cast("long").alias("pr"),
+    )
+    for _ in range(2):
+        contrib = (
+            edges.join(
+                ranks.filter(F.col("deg") > 0).select(
+                    F.col("vec_id").alias("src"),
+                    F.expr("pr div deg").alias("share"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("share").alias("insum"))
+        )
+        ranks = (
+            ranks.join(
+                contrib.withColumnRenamed("dst", "vec_id"), "vec_id", "left"
+            )
+            .select(
+                "vec_id",
+                "deg",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"{d_num} * coalesce(insum, 0L) div {d_den}"
+                    )
+                ).cast("long").alias("pr"),
+            )
+        )
+    return ranks.select(
+        "vec_id", F.col("deg").cast("int").alias("degree"),
+        F.col("pr").alias("pr_units"),
+    )

@@ -920,3 +920,49 @@ def test_token_shard_plan_prefix_sum_and_budget(spark):
     # of starts: shard ids are contiguous from 0
     shards = sorted({r["shard"] for r in rows})
     assert shards == list(range(len(shards)))
+
+
+def test_pagerank_matches_integer_replay(spark):
+    """pagerank_loop2 must equal a pure-Python integer replay of the
+    spec (r0 = scale div N; share = r div deg; r' = base +
+    d·Σshare div 100) over the operator's own mutual edge list — the
+    engine-vs-spec parity the oracle fuzzes from the DuckDB side, and
+    a direct check that no float ever enters the update."""
+    from kmeans_mapreduce_spark.extensions import (
+        KNN_GRAPH_K,
+        _nd_centers_and_points,
+    )
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    centers, _ = _nd_centers_and_points(emb)
+    edges = [
+        (r["src"], r["dst"])
+        for r in sim.knn_graph(emb, centers, KNN_GRAPH_K)
+        .filter(F.col("mutual"))
+        .select("src", "dst")
+        .collect()
+    ]
+    nodes = [r["vec_id"] for r in emb.select("vec_id").collect()]
+    n = len(nodes)
+    deg: dict[int, int] = {}
+    for s, _d in edges:
+        deg[s] = deg.get(s, 0) + 1
+    scale, dn, dd_ = (
+        sim.PAGERANK_SCALE, sim.PAGERANK_D_NUM, sim.PAGERANK_D_DEN,
+    )
+    base = (scale * (dd_ - dn) // dd_) // n
+    pr = {v: scale // n for v in nodes}
+    for _ in range(2):
+        insum: dict[int, int] = {}
+        for s, d in edges:
+            insum[d] = insum.get(d, 0) + pr[s] // deg[s]
+        pr = {v: base + dn * insum.get(v, 0) // dd_ for v in nodes}
+
+    got = {
+        r["vec_id"]: (r["degree"], r["pr_units"])
+        for r in sim.pagerank_loop2(emb, centers, KNN_GRAPH_K).collect()
+    }
+    assert got == {v: (deg.get(v, 0), pr[v]) for v in nodes}
+    # sanity: the graph is non-trivial and some node has degree 0 path
+    assert edges and n == len(got)
