@@ -48,6 +48,10 @@ REPORT_QUERIES = [
     ("corpus_dsir_weights", "one token explode; all bucket-table joins broadcast; corpus never shuffled"),
     ("corpus_rule_filter", "row-local rule verdicts: zero exchanges"),
     ("text_bpe_merges", "alphabet²-bounded pair counts; TakeOrderedAndProject top-k"),
+    ("dedup_span_clean", "linear span pipeline: explode → keep-first window → re-agg, no self-join"),
+    ("corpus_token_shards", "two-level prefix sum: bucketed parallel windows + broadcast offsets"),
+    ("corpus_source_cap", "one source-keyed window; hash rank computed in the scan projection"),
+    ("pipeline_pagerank_loop2", "O(edges) rank join + map-side-combined sum per iteration over a checkpointed edge list"),
 ]
 
 
