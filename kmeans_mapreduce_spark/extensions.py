@@ -628,6 +628,13 @@ def q_pipeline_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve at fixed checkpoints: share of token
+    occurrences covered by the top-V token types (textops.
+    vocab_coverage) — the Zipf read behind tokenizer vocab sizing."""
+    return tx.vocab_coverage(load_table(spark, sf_dir, "documents"))
+
+
 def q_pipeline_pagerank_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two PageRank iterations over the mutual k-NN graph in integer
     micro-units (similarity.pagerank_loop2) — centrality as a
@@ -2017,6 +2024,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_knn_graph": q_similarity_knn_graph,
         "pipeline_label_propagation": q_pipeline_label_propagation,
         "pipeline_pagerank_loop2": q_pipeline_pagerank_loop2,
+        "text_vocab_coverage": q_text_vocab_coverage,
         "pipeline_semantic_clusters": q_pipeline_semantic_clusters,
         "corpus_lr_loop2": q_corpus_lr_loop2,
         "corpus_quality_classifier": q_corpus_quality_classifier,
@@ -2633,6 +2641,29 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "similarity_knn_graph": _knn_graph_sql(),
         "pipeline_label_propagation": _label_propagation_sql(),
         "pipeline_pagerank_loop2": _pagerank_loop2_sql(),
+        # full-vocab window in the twin (fine at oracle scale); the
+        # engine side truncates to max(vs) via TakeOrdered first
+        "text_vocab_coverage": f"""
+WITH t AS (
+  SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS tok FROM documents
+),
+tot AS (SELECT COUNT(*)::BIGINT AS total_tokens FROM t),
+c AS (SELECT tok, COUNT(*)::BIGINT AS cnt FROM t GROUP BY tok),
+r AS (
+  SELECT tok, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) AS rank FROM c
+),
+top AS (SELECT * FROM r WHERE rank <= {max(tx.VOCAB_COVERAGE_VS)}),
+v(top_v) AS (VALUES {", ".join(f"({v})" for v in sorted(tx.VOCAB_COVERAGE_VS))}),
+cov AS (
+  SELECT v.top_v::INTEGER AS top_v,
+         CAST(COALESCE(SUM(CASE WHEN top.rank <= v.top_v THEN top.cnt END),
+                       0) AS BIGINT) AS covered_tokens
+  FROM v CROSS JOIN top GROUP BY v.top_v
+)
+SELECT top_v, covered_tokens, (SELECT total_tokens FROM tot) AS total_tokens,
+       ROUND(covered_tokens::DOUBLE
+             / (SELECT total_tokens FROM tot)::DOUBLE, 6) AS coverage
+FROM cov""",
         "pipeline_semantic_clusters": f"""
 WITH RECURSIVE g AS ({_knn_graph_sql()}),
 gm AS (

@@ -650,3 +650,66 @@ def extract_html_text(
     return pages.select(id_col, payload_col).mapInPandas(
         extract, "doc_key STRING, text STRING, n_chars LONG"
     )
+
+
+VOCAB_COVERAGE_VS = (1, 10, 100, 1000)  # vocabulary-size checkpoints
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    vs: tuple[int, ...] = VOCAB_COVERAGE_VS,
+    digits: int = 6,
+) -> DataFrame:
+    """Vocabulary coverage curve: for each checkpoint V, the fraction
+    of all token OCCURRENCES covered by the top-V most frequent token
+    types — the first chart drawn when sizing a tokenizer vocabulary
+    (how big must V be before OOV/byte-fallback rates are acceptable;
+    the Zipf curve every BPE-size decision reads).
+
+    Scale trap avoided: the naive form ranks the ENTIRE vocabulary
+    through one unpartitioned window — ~1e8 types at 100 TB through a
+    single reducer. Since the curve is only read at fixed checkpoints,
+    this takes top-``max(vs)`` by (count DESC, token ASC) via
+    TakeOrderedAndProject (per-partition heaps merged on the driver —
+    same contract as text_top_quality) and ranks just that constant-
+    size table; the corpus contributes one map-side-combined groupBy
+    plus a 1-row total that broadcasts back.
+
+    Output: (top_v, covered_tokens, total_tokens, coverage), one row
+    per checkpoint.
+    """
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("tok")
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("total_tokens"))
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("tok")).limit(max(vs))
+    # window over the already-truncated max(vs)-row table only
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("tok"))),
+    )
+    vs_df = ranked.sparkSession.createDataFrame(
+        [(int(v),) for v in sorted(vs)], "top_v INT"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(vs_df))
+        .groupBy("top_v")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("rank") <= F.col("top_v"), F.col("cnt"))),
+                F.lit(0),
+            ).cast("long").alias("covered_tokens")
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "coverage",
+            F.round(
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens").cast("double"),
+                digits,
+            ),
+        )
+    )

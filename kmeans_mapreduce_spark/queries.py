@@ -403,6 +403,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "dedup_span_clean",
     "corpus_source_cap",
     "corpus_token_shards",
+    "pipeline_pagerank_loop2",
+    "text_vocab_coverage",
 }
 
 

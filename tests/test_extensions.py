@@ -966,3 +966,23 @@ def test_pagerank_matches_integer_replay(spark):
     assert got == {v: (deg.get(v, 0), pr[v]) for v in nodes}
     # sanity: the graph is non-trivial and some node has degree 0 path
     assert edges and n == len(got)
+
+
+def test_vocab_coverage_curve(spark):
+    """Coverage is monotone in V, hits 1.0 once V >= vocabulary size,
+    and the top-1 checkpoint counts exactly the modal token's
+    occurrences (ties broken token-ASC)."""
+    docs = spark.createDataFrame(
+        [(0, "a a a b b c"), (1, "a b d")],
+        "doc_id LONG, text STRING",
+    )
+    rows = {
+        r["top_v"]: (r["covered_tokens"], r["total_tokens"], r["coverage"])
+        for r in tx.vocab_coverage(docs, vs=(1, 2, 10)).collect()
+    }
+    # counts: a=4, b=3, c=1, d=1 (total 9)
+    assert rows[1] == (4, 9, round(4 / 9, 6))
+    assert rows[2] == (7, 9, round(7 / 9, 6))
+    assert rows[10] == (9, 9, 1.0)
+    covs = [rows[v][2] for v in sorted(rows)]
+    assert covs == sorted(covs)

@@ -365,3 +365,14 @@ def test_token_shard_plan_offsets_broadcast_back(spark):
     df = sp.token_shard_plan(docs)
     assert plans.has_broadcast_join(df)
     assert not plans.has_cartesian(df)
+
+
+def test_vocab_coverage_truncates_before_ranking(spark):
+    # the corpus-sized vocabulary must reach the rank window only
+    # after TakeOrdered truncation to max(vs) rows — never a full
+    # global sort of all token types
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    docs = load_table(spark, SF, "documents")
+    s = plans.explain_str(tx.vocab_coverage(docs), "simple")
+    assert "TakeOrderedAndProject" in s

@@ -205,6 +205,44 @@ def main() -> int:
     )
     d4.unpersist()
 
+    # --- span dedup + shard plan scaling: 1x / 4x docs ----------------
+    # span_dedup is claimed linear (explode → keep-first window →
+    # re-agg); token_shard_plan is two parallel window passes + a
+    # broadcast. Replicas get a suffix token so replica spans form
+    # bounded dup groups instead of one global hot span.
+    for factor in (1, 4):
+        d = docs0
+        for i in range(factor - 1):
+            d = d.union(
+                docs0.select(
+                    (F.col("doc_id") + F.lit(1_000_000 * (i + 1))).alias(
+                        "doc_id"
+                    ),
+                    F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+                )
+            )
+        d = d.cache()
+        d.count()
+        for probe, fn in (
+            ("span_clean", lambda d=d: dd.span_dedup(d)),
+            (
+                "token_shards",
+                lambda d=d: __import__(
+                    "kmeans_mapreduce_spark.operators.sampling",
+                    fromlist=["token_shard_plan"],
+                ).token_shard_plan(d),
+            ),
+        ):
+            fn().write.format("noop").mode("overwrite").save()  # warm
+            t = time.time()
+            fn().write.format("noop").mode("overwrite").save()
+            out[f"{probe}_sec_{factor}x"] = round(time.time() - t, 3)
+        d.unpersist()
+    for probe in ("span_clean", "token_shards"):
+        out[f"{probe}_4x_slope"] = round(
+            out[f"{probe}_sec_4x"] / out[f"{probe}_sec_1x"] / 4.0, 3
+        )
+
     print(json.dumps(out))
     return 0
 
