@@ -731,6 +731,24 @@ def q_corpus_token_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.token_shard_plan(load_table(spark, sf_dir, "documents"))
 
 
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard manifest a trainer reads before consuming shards:
+    doc count, language spread, and token total per planned shard —
+    the shard plan composed back onto document metadata (the join is
+    1:1 on doc_id; the aggregate is map-side combinable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = sp.token_shard_plan(docs)
+    return (
+        docs.join(plan, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tok").alias("shard_tokens"),
+        )
+    )
+
+
 def q_corpus_lr_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two full-batch GD iterations of the in-engine quality
     classifier (operators/logreg.py) under the hash gate — the
@@ -1539,6 +1557,30 @@ FROM p JOIN lab l ON p.src = l.vec_id
 """
 
 
+def _token_shards_sql() -> str:
+    """Twin of sampling.token_shard_plan: ONE flat global window — the
+    engine's two-level scan must match it bit-for-bit (exact integer
+    arithmetic end-to-end). Shared so the shard manifest composes it."""
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         {h64_sql(f"'{sp.SHUFFLE_SALT}:' || doc_id::VARCHAR")} AS shuffle_key,
+         len(string_split(COALESCE(text, ''), ' '))::BIGINT AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, shuffle_key, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           ORDER BY shuffle_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM b
+)
+SELECT doc_id, shuffle_key, n_tok, cum_before,
+       (cum_before // {sp.SHARD_TOKENS})::INTEGER AS shard
+FROM c"""
+
+
 def _pagerank_loop2_sql() -> str:
     """Twin of similarity.pagerank_loop2: mutual edges from the
     knn-graph twin, two unrolled integer power iterations. Every step
@@ -2036,6 +2078,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_span_clean": q_dedup_span_clean,
         "corpus_source_cap": q_corpus_source_cap,
         "corpus_token_shards": q_corpus_token_shards,
+        "corpus_shard_manifest": q_corpus_shard_manifest,
         "text_compression_ratio": q_text_compression_ratio,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
@@ -2765,24 +2808,14 @@ WITH r AS (
 SELECT doc_id, source, cap_rank FROM r WHERE cap_rank <= {sp.SOURCE_CAP}""",
         # flat global window — the two-level Spark scan must match it
         # bit-for-bit (exact integer arithmetic end-to-end)
-        "corpus_token_shards": f"""
-WITH b AS (
-  SELECT doc_id,
-         {h64_sql(f"'{sp.SHUFFLE_SALT}:' || doc_id::VARCHAR")} AS shuffle_key,
-         len(string_split(COALESCE(text, ''), ' '))::BIGINT AS n_tok
-  FROM documents
-),
-c AS (
-  SELECT doc_id, shuffle_key, n_tok,
-         CAST(COALESCE(SUM(n_tok) OVER (
-           ORDER BY shuffle_key, doc_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-           AS cum_before
-  FROM b
-)
-SELECT doc_id, shuffle_key, n_tok, cum_before,
-       (cum_before // {sp.SHARD_TOKENS})::INTEGER AS shard
-FROM c""",
+        "corpus_token_shards": _token_shards_sql(),
+        "corpus_shard_manifest": f"""
+WITH plan AS ({_token_shards_sql()})
+SELECT p.shard, COUNT(*)::BIGINT AS n_docs,
+       COUNT(DISTINCT d.lang)::BIGINT AS n_langs,
+       CAST(SUM(p.n_tok) AS BIGINT) AS shard_tokens
+FROM plan p JOIN documents d USING (doc_id)
+GROUP BY p.shard""",
         "text_bpe_merges": f"""
 WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
 p AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM w),
