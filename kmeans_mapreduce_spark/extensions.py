@@ -16,7 +16,11 @@ from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
 from kmeans_mapreduce_spark.functions.hashing import MINHASH_P, h64_sql, hash_family
-from kmeans_mapreduce_spark.functions.text import LANG_MARKERS, STOPWORDS
+from kmeans_mapreduce_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    n_tokens as tx_n_tokens,
+)
 from kmeans_mapreduce_spark.operators import dedup as dd
 from kmeans_mapreduce_spark.operators import events as ev
 from kmeans_mapreduce_spark.operators import kmeans_nd as knd
@@ -625,6 +629,63 @@ def q_pipeline_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers, _pts = _nd_centers_and_points(emb)
     return sim.label_propagation(
         emb, centers, KNN_GRAPH_K, LABEL_PROP_HIDE_MOD
+    )
+
+
+def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel: per-stage survivor counts for
+    raw → Gopher/C4 rule filter → exact dedup (keep lowest doc_id per
+    text fingerprint) → benchmark decontamination — the acceptance
+    report a curation run publishes (how many docs/tokens each gate
+    removed). Stages chain as DataFrames; the rule verdicts are
+    row-local, dedup is one fingerprint-keyed window, decontamination
+    a broadcast semi-join — so the whole funnel is two corpus-keyed
+    exchanges regardless of scale. The keep-first stage result is
+    checkpointed once because two stage aggregates read it.
+    """
+    from kmeans_mapreduce_spark.operators import decontam as dc_op
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        tx_n_tokens(F.col("text")).cast("long").alias("n_tok"),
+    )
+    passing = _sel.rule_filter_report(docs).filter(F.col("pass_all")).select(
+        "doc_id"
+    )
+    p = base.join(passing, "doc_id")
+    s2 = (
+        p.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("fp").orderBy("doc_id")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tok")
+        .localCheckpoint(eager=False)
+    )
+    s3 = s2.join(
+        dc_op.decontaminate(docs).select("doc_id"), "doc_id", "left_anti"
+    )
+
+    def stage(df: DataFrame, sid: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(sid).alias("stage_id"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.coalesce(F.sum("n_tok"), F.lit(0)).cast("long").alias(
+                "n_tokens"
+            ),
+        )
+
+    return (
+        stage(base, 0, "raw")
+        .unionByName(stage(p, 1, "rules"))
+        .unionByName(stage(s2, 2, "dedup"))
+        .unionByName(stage(s3, 3, "decontam"))
     )
 
 
@@ -1557,6 +1618,51 @@ FROM p JOIN lab l ON p.src = l.vec_id
 """
 
 
+def _curation_funnel_sql() -> str:
+    """Twin of q_pipeline_curation_funnel: the rule-filter and
+    decontamination twins compose verbatim as CTEs; stage survivor
+    sets chain exactly as the DataFrames do."""
+    from kmeans_mapreduce_spark.analytics import (
+        _decontaminate_oracle,
+        _rule_filter_oracle,
+    )
+
+    return f"""
+WITH rf AS ({_rule_filter_oracle()}),
+contam AS (SELECT doc_id FROM ({_decontaminate_oracle()}) z),
+base AS (
+  SELECT doc_id, md5(text) AS fp,
+         len(string_split(text, ' '))::BIGINT AS n_tok
+  FROM documents
+),
+p AS (
+  SELECT b.doc_id, b.fp, b.n_tok
+  FROM base b JOIN rf ON rf.doc_id = b.doc_id AND rf.pass_all
+),
+k AS (
+  SELECT doc_id, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM p
+),
+s2 AS (SELECT doc_id, n_tok FROM k WHERE rn = 1),
+s3 AS (
+  SELECT doc_id, n_tok FROM s2
+  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+)
+SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*)::BIGINT AS n_docs,
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM base
+UNION ALL
+SELECT 1, 'rules', COUNT(*)::BIGINT,
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM p
+UNION ALL
+SELECT 2, 'dedup', COUNT(*)::BIGINT,
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s2
+UNION ALL
+SELECT 3, 'decontam', COUNT(*)::BIGINT,
+       CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) FROM s3
+"""
+
+
 def _token_shards_sql() -> str:
     """Twin of sampling.token_shard_plan: ONE flat global window — the
     engine's two-level scan must match it bit-for-bit (exact integer
@@ -2067,6 +2173,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_label_propagation": q_pipeline_label_propagation,
         "pipeline_pagerank_loop2": q_pipeline_pagerank_loop2,
         "text_vocab_coverage": q_text_vocab_coverage,
+        "pipeline_curation_funnel": q_pipeline_curation_funnel,
         "pipeline_semantic_clusters": q_pipeline_semantic_clusters,
         "corpus_lr_loop2": q_corpus_lr_loop2,
         "corpus_quality_classifier": q_corpus_quality_classifier,
@@ -2684,6 +2791,7 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "similarity_knn_graph": _knn_graph_sql(),
         "pipeline_label_propagation": _label_propagation_sql(),
         "pipeline_pagerank_loop2": _pagerank_loop2_sql(),
+        "pipeline_curation_funnel": _curation_funnel_sql(),
         # full-vocab window in the twin (fine at oracle scale); the
         # engine side truncates to max(vs) via TakeOrdered first
         "text_vocab_coverage": f"""

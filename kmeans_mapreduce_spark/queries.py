@@ -405,6 +405,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_token_shards",
     "pipeline_pagerank_loop2",
     "text_vocab_coverage",
+    "pipeline_curation_funnel",
+    "corpus_shard_manifest",
 }
 
 

@@ -986,3 +986,63 @@ def test_vocab_coverage_curve(spark):
     assert rows[10] == (9, 9, 1.0)
     covs = [rows[v][2] for v in sorted(rows)]
     assert covs == sorted(covs)
+
+
+def test_curation_funnel_stages_monotone_and_dedup_binds(spark, monkeypatch, tmp_path):
+    """Planted corpus where every gate removes something: 30 docs, two
+    exact duplicates that PASS the rule filter (so the dedup stage must
+    bind), plus rule-failing shorts. Counts must be monotone and match
+    a hand count."""
+    import random
+
+    from kmeans_mapreduce_spark.extensions import q_pipeline_curation_funnel
+    from kmeans_mapreduce_spark.operators import selection as sel
+
+    vocab = [f"word{chr(97 + a)}{chr(97 + b)}" for a in range(6) for b in range(5)]
+
+    def good_text(seed):
+        r = random.Random(seed)
+        ws = [r.choice(vocab) for _ in range(40)] + ["the", "and"]
+        r.shuffle(ws)
+        return " ".join(ws)
+
+    rows = []
+    for i in range(20):
+        rows.append((i, good_text(i), "en", "s", 0))
+    rows.append((20, rows[5][1], "en", "s", 0))   # exact dup of doc 5
+    rows.append((21, rows[6][1], "en", "s", 0))   # exact dup of doc 6
+    for i in range(22, 30):
+        rows.append((i, "too short", "en", "s", 0))  # fails rules
+    docs = spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    )
+    # sanity: the good docs actually pass every rule
+    passing = {
+        r["doc_id"]
+        for r in sel.rule_filter_report(docs).filter(F.col("pass_all")).collect()
+    }
+    assert set(range(22)) <= passing and not ({22, 29} & passing)
+
+    out = str(tmp_path / "docs.parquet")
+    docs.write.parquet(out)
+    import kmeans_mapreduce_spark.extensions as ext
+
+    real_load = ext.load_table
+    monkeypatch.setattr(
+        ext,
+        "load_table",
+        lambda sp, d, name: sp.read.parquet(out)
+        if name == "documents"
+        else real_load(sp, d, name),
+    )
+    got = {
+        r["stage"]: (r["n_docs"], r["n_tokens"])
+        for r in q_pipeline_curation_funnel(spark, "unused").collect()
+    }
+    assert got["raw"][0] == 30
+    assert got["rules"][0] == 22
+    assert got["dedup"][0] == 20          # the two dups collapse
+    assert got["decontam"][0] <= got["dedup"][0]
+    ns = [got[s][0] for s in ("raw", "rules", "dedup", "decontam")]
+    ts = [got[s][1] for s in ("raw", "rules", "dedup", "decontam")]
+    assert ns == sorted(ns, reverse=True) and ts == sorted(ts, reverse=True)
