@@ -231,3 +231,36 @@ def test_span_dedup_matches_sequential_replay(docs_words, span_words):
     # global invariant the fixtures can't pin: total survivors equal
     # the count of distinct spans — each survives exactly once
     assert sum(n - r for n, r, _ in got.values()) == len(seen)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=40), min_size=1, max_size=60),
+    st.integers(min_value=5, max_value=200),
+    st.sampled_from([1, 2, 7, 64]),
+)
+@settings(max_examples=10, deadline=None)
+def test_token_shard_plan_matches_flat_replay(tok_counts, budget, n_buckets):
+    """The two-level prefix-sum must equal the flat sequential replay
+    for ANY doc set, budget, and bucket count — including n_buckets=1
+    (degenerate single bucket) and 64 (many empty buckets)."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+    from kmeans_mapreduce_spark.session import get_spark
+
+    spark = get_spark("prop-tests")
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * c) if c else "") for i, c in enumerate(tok_counts)],
+        "doc_id LONG, text STRING",
+    )
+    rows = sp.token_shard_plan(
+        docs, shard_tokens=budget, n_buckets=n_buckets
+    ).collect()
+    # '' tokenizes to one empty token — n_tok 1, same as the engine
+    expect_tok = {i: max(c, 1) for i, c in enumerate(tok_counts)}
+    rows.sort(key=lambda r: (r["shuffle_key"], r["doc_id"]))
+    cum = 0
+    for r in rows:
+        assert r["n_tok"] == expect_tok[r["doc_id"]]
+        assert r["cum_before"] == cum
+        assert r["shard"] == cum // budget
+        cum += r["n_tok"]
+    assert len(rows) == len(tok_counts)
