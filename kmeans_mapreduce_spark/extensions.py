@@ -689,6 +689,16 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_embeddings_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell distance z-score outlier flags over the embedding
+    corpus (similarity.embedding_outliers) — the far-tail curation
+    filter, SemDeDup's complement; same fixed-centroid cells as
+    dedup_semantic so the twin replays the blocking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    return sim.embedding_outliers(emb, centers)
+
+
 def q_text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary coverage curve at fixed checkpoints: share of token
     occurrences covered by the top-V token types (textops.
@@ -1618,6 +1628,47 @@ FROM p JOIN lab l ON p.src = l.vec_id
 """
 
 
+def _embedding_outliers_sql() -> str:
+    """Twin of similarity.embedding_outliers: same assignment CTEs as
+    the knn/semantic twins, winner d2 rounded BEFORE the moment sums,
+    both sums rounded once more, then identical scalar arithmetic —
+    stddev never computed by either engine's built-in (their
+    implementations differ in low bits)."""
+    ids = ", ".join(str(c) for c in ND_CENTROID_IDS)
+    d2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v0[i] - c.cv[i]) * (e0.v0[i] - c.cv[i])))"
+    )
+    zexpr = (
+        "CASE WHEN n >= 2 AND std > 0 "
+        "THEN ROUND((d2 - mean) / std, 4) END"
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
+c AS (SELECT vec_id AS cid, v0 AS cv FROM e0 WHERE vec_id IN ({ids})),
+d AS (SELECT e0.vec_id, c.cid, {d2} AS d2 FROM e0 CROSS JOIN c),
+a AS (
+  SELECT vec_id, cid AS cell, ROUND(d2, 6) AS d2 FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+st AS (
+  SELECT cell, COUNT(*)::BIGINT AS n,
+         ROUND(SUM(d2), 6) AS s1, ROUND(SUM(d2 * d2), 6) AS s2
+  FROM a GROUP BY cell
+),
+j AS (
+  SELECT a.vec_id, a.cell, a.d2, st.n,
+         st.s1 / st.n AS mean,
+         sqrt(GREATEST((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1), 0.0))
+           AS std
+  FROM a JOIN st USING (cell)
+)
+SELECT vec_id, cell, d2, {zexpr} AS z, ({zexpr}) >= {sim.OUTLIER_Z!r} AS is_outlier
+FROM j"""
+
+
 def _curation_funnel_sql() -> str:
     """Twin of q_pipeline_curation_funnel: the rule-filter and
     decontamination twins compose verbatim as CTEs; stage survivor
@@ -2174,6 +2225,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pagerank_loop2": q_pipeline_pagerank_loop2,
         "text_vocab_coverage": q_text_vocab_coverage,
         "pipeline_curation_funnel": q_pipeline_curation_funnel,
+        "embeddings_outliers": q_embeddings_outliers,
         "pipeline_semantic_clusters": q_pipeline_semantic_clusters,
         "corpus_lr_loop2": q_corpus_lr_loop2,
         "corpus_quality_classifier": q_corpus_quality_classifier,
@@ -2792,6 +2844,7 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "pipeline_label_propagation": _label_propagation_sql(),
         "pipeline_pagerank_loop2": _pagerank_loop2_sql(),
         "pipeline_curation_funnel": _curation_funnel_sql(),
+        "embeddings_outliers": _embedding_outliers_sql(),
         # full-vocab window in the twin (fine at oracle scale); the
         # engine side truncates to max(vs) via TakeOrdered first
         "text_vocab_coverage": f"""

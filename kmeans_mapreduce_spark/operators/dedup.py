@@ -750,12 +750,15 @@ def assign_cells(
     emb: DataFrame,
     centers: list[tuple[int, list[float]]],
     out: str = "label",
+    keep_d2: str | None = None,
 ) -> DataFrame:
     """Literal-argmin coarse-cell assignment shared by the cell-blocked
     embedding ops (semantic dedup, k-NN graph): centers ship inside the
     plan (O6/O16 shape — no join, no shuffle), tie-break (d2, cid)
     matches the twins' ``ORDER BY d2, cid``. One definition so the
-    tie-break/fold rules cannot drift between consumers."""
+    tie-break/fold rules cannot drift between consumers. ``keep_d2``
+    additionally emits the winning squared distance under that name
+    (the outlier detector's input)."""
     from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
 
     cands = [
@@ -767,13 +770,13 @@ def assign_cells(
         )
         for cid, cvec in centers
     ]
+    best = F.array_min(F.array(*cands))
+    cols = ["vec_id", "embedding", best["cid"].alias(out)]
+    if keep_d2 is not None:
+        cols.append(best["d2"].alias(keep_d2))
     return emb.withColumn(
         "__v", F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    ).select(
-        "vec_id",
-        "embedding",
-        F.array_min(F.array(*cands))["cid"].alias(out),
-    )
+    ).select(*cols)
 
 
 def seq_normalize(V):

@@ -895,3 +895,61 @@ def pagerank_loop2(
         "vec_id", F.col("deg").cast("int").alias("degree"),
         F.col("pr").alias("pr_units"),
     )
+
+
+OUTLIER_Z = 2.0  # flag threshold on the per-cell distance z-score
+
+
+def embedding_outliers(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    digits: int = 6,
+    z_digits: int = 4,
+) -> DataFrame:
+    """Embedding-space outlier detection: per-cell z-score of each
+    vector's squared distance to its coarse centroid — the
+    remove-the-weird-tail curation filter (mislabeled scans, encoding
+    junk, off-distribution documents sit far from every cluster
+    center; SemDeDup's complement: instead of pruning the TOO-similar,
+    prune the too-far).
+
+    Exactness discipline: the per-cell moments are computed from
+    ROUNDED per-row distances and the two aggregate sums are rounded
+    once more before any derived scalar (mean, sample variance, std)
+    is formed — from there every step is single IEEE scalar
+    arithmetic, identical in both engines, so no stddev-implementation
+    difference (Spark's streaming M2 vs DuckDB's) can leak into the
+    gate. Cells with n < 2 or zero variance yield NULL z (no flag).
+
+    Scale shape: literal-argmin assignment (no join, no shuffle), one
+    map-side-combinable K-row aggregate, stats broadcast back onto a
+    narrow scan — the corpus is never exchanged.
+
+    Output: (vec_id, cell, d2, z, is_outlier).
+    """
+    from kmeans_mapreduce_spark.operators.dedup import assign_cells
+
+    a = assign_cells(emb, centers, out="cell", keep_d2="d2").select(
+        "vec_id", "cell", F.round("d2", digits).alias("d2")
+    )
+    stats = a.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("d2"), digits).alias("s1"),
+        F.round(F.sum(F.col("d2") * F.col("d2")), digits).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean = s1 / n
+    var = F.greatest(
+        (s2 - s1 * s1 / n) / (n - F.lit(1)), F.lit(0.0)
+    )
+    std = F.sqrt(var)
+    z = F.when(
+        (n >= 2) & (std > 0),
+        F.round((F.col("d2") - mean) / std, z_digits),
+    )
+    return (
+        a.join(F.broadcast(stats), "cell")
+        .withColumn("z", z)
+        .withColumn("is_outlier", F.col("z") >= F.lit(OUTLIER_Z))
+        .select("vec_id", "cell", "d2", "z", "is_outlier")
+    )

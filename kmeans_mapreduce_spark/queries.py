@@ -407,6 +407,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "text_vocab_coverage",
     "pipeline_curation_funnel",
     "corpus_shard_manifest",
+    "embeddings_outliers",
 }
 
 

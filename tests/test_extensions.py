@@ -1046,3 +1046,34 @@ def test_curation_funnel_stages_monotone_and_dedup_binds(spark, monkeypatch, tmp
     ns = [got[s][0] for s in ("raw", "rules", "dedup", "decontam")]
     ts = [got[s][1] for s in ("raw", "rules", "dedup", "decontam")]
     assert ns == sorted(ns, reverse=True) and ts == sorted(ts, reverse=True)
+
+
+def test_embedding_outliers_flags_planted_far_vector(spark):
+    """A vector far from every centroid gets the cell's top z and the
+    outlier flag; tight in-cluster vectors don't. Singleton cells give
+    NULL z (no flag either way)."""
+    import math
+
+    dim = 8
+    rows = []
+    # cluster around centroid 0 (= vec 0): ids 0..9 tightly packed
+    for i in range(10):
+        rows.append((i, [1.0 + 0.01 * i * ((-1) ** i)] * dim, 0))
+    # the planted outlier: assigned to the same cell but far away
+    rows.append((10, [5.0] * dim, 0))
+    # a singleton cell: centroid 1 (= vec 11) with only itself
+    rows.append((11, [-9.0] * dim, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    centers = [
+        (0, [1.0] * dim),
+        (11, [-9.0] * dim),
+    ]
+    got = {r["vec_id"]: r for r in sim.embedding_outliers(emb, centers).collect()}
+    assert got[10]["is_outlier"] is True
+    assert all(not got[i]["is_outlier"] for i in range(10))
+    assert got[11]["z"] is None and got[11]["is_outlier"] is None
+    # z of the planted point dominates its cell
+    zmax = max(got[i]["z"] for i in range(11))
+    assert got[10]["z"] == zmax and math.isfinite(zmax)
