@@ -693,6 +693,42 @@ FROM feat JOIN sc ON feat.b = sc.b GROUP BY doc_id
 """
 
 
+def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg key-skew diagnostic: per-key cardinality profile of
+    events.user_id — key count, hottest-key size, median key size, and
+    the max/median skew ratio that decides whether a downstream
+    join/groupBy on this key needs salting or AQE skew-split (the
+    report a pipeline runs BEFORE picking a partition strategy).
+
+    Scale shape: one map-side-combined groupBy to key counts, then two
+    constant-size aggregates (global stats, argmax-key via a broadcast
+    filter on max_n) — the key-count table never leaves the cluster,
+    only 1-row summaries do. Median via exact type-7 percentile
+    (= DuckDB quantile_cont, the shared definition token_quantiles
+    relies on).
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n").alias("max_n"),
+        F.round(F.expr("percentile(n, 0.5D)"), 6).alias("med_n"),
+    )
+    top = (
+        counts.crossJoin(F.broadcast(stats.select("max_n").withColumnRenamed("max_n", "_mx")))
+        .filter(F.col("n") == F.col("_mx"))
+        .agg(F.min("user_id").alias("top_key"))
+    )
+    return (
+        stats.crossJoin(top)
+        .withColumn(
+            "skew_ratio",
+            F.round(F.col("max_n").cast("double") / F.col("med_n"), 6),
+        )
+        .select("n_keys", "max_n", "med_n", "skew_ratio", "top_key")
+    )
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_hll_distinct": q_events_hll_distinct,
@@ -714,6 +750,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hist_quantiles": q_events_hist_quantiles,
         "pipeline_series_similarity": q_pipeline_series_similarity,
         "corpus_rule_filter": q_corpus_rule_filter,
+        "events_key_skew": q_events_key_skew,
         "corpus_dsir_weights": q_corpus_dsir_weights,
     }
 
@@ -737,6 +774,14 @@ def analytics_oracle_sql() -> dict[str, str]:
         "corpus_sample_weighted": _weighted_sample_oracle(),
         "pipeline_series_similarity": _series_similarity_oracle(),
         "corpus_rule_filter": _rule_filter_oracle(),
+        "events_key_skew": """
+WITH c AS (SELECT user_id, COUNT(*)::BIGINT AS n FROM events GROUP BY user_id),
+s AS (SELECT COUNT(*)::BIGINT AS n_keys, MAX(n)::BIGINT AS max_n,
+             ROUND(quantile_cont(n, 0.5), 6) AS med_n FROM c),
+t AS (SELECT MIN(c.user_id) AS top_key FROM c, s WHERE c.n = s.max_n)
+SELECT s.n_keys, s.max_n, s.med_n,
+       ROUND(s.max_n::DOUBLE / s.med_n, 6) AS skew_ratio, t.top_key
+FROM s, t""",
         "corpus_dsir_weights": _dsir_oracle(),
         "events_hist_quantiles": "WITH " + sk.hist_sql(
             "value", "event_type", "events", HIST_QS, HIST_LO, HIST_HI,
