@@ -708,7 +708,13 @@ def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     relies on).
     """
     e = load_table(spark, sf_dir, "events")
-    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    # the key-count table feeds stats AND the argmax filter — one
+    # materialization, not one aggregate pass per consumer
+    counts = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n").alias("max_n"),

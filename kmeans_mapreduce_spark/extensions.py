@@ -635,7 +635,8 @@ def q_pipeline_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end curation funnel: per-stage survivor counts for
     raw → Gopher/C4 rule filter → exact dedup (keep lowest doc_id per
-    text fingerprint) → benchmark decontamination — the acceptance
+    text fingerprint) → benchmark decontamination (drops contaminated
+    docs AND the benchmark members themselves) — the acceptance
     report a curation run publishes (how many docs/tokens each gate
     removed). Stages chain as DataFrames; the rule verdicts are
     row-local, dedup is one fingerprint-keyed window, decontamination
@@ -667,9 +668,12 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tok")
         .localCheckpoint(eager=False)
     )
-    s3 = s2.join(
-        dc_op.decontaminate(docs).select("doc_id"), "doc_id", "left_anti"
-    )
+    # the training corpus drops BOTH the contaminated docs and the
+    # benchmark members themselves (an eval doc must never train,
+    # however clean) — decontaminate() only flags the former
+    s3 = s2.filter(
+        F.col("doc_id") % dc_op.BENCH_MOD != 0
+    ).join(dc_op.decontaminate(docs).select("doc_id"), "doc_id", "left_anti")
 
     def stage(df: DataFrame, sid: int, name: str) -> DataFrame:
         return df.agg(
@@ -1677,6 +1681,7 @@ def _curation_funnel_sql() -> str:
         _decontaminate_oracle,
         _rule_filter_oracle,
     )
+    from kmeans_mapreduce_spark.operators.decontam import BENCH_MOD as dc_mod
 
     return f"""
 WITH rf AS ({_rule_filter_oracle()}),
@@ -1698,7 +1703,8 @@ k AS (
 s2 AS (SELECT doc_id, n_tok FROM k WHERE rn = 1),
 s3 AS (
   SELECT doc_id, n_tok FROM s2
-  WHERE doc_id NOT IN (SELECT doc_id FROM contam)
+  WHERE doc_id % {dc_mod} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
 )
 SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*)::BIGINT AS n_docs,
        CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM base

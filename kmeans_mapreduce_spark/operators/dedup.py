@@ -771,12 +771,23 @@ def assign_cells(
         for cid, cvec in centers
     ]
     best = F.array_min(F.array(*cands))
-    cols = ["vec_id", "embedding", best["cid"].alias(out)]
-    if keep_d2 is not None:
-        cols.append(best["d2"].alias(keep_d2))
-    return emb.withColumn(
+    if keep_d2 is None:
+        return emb.withColumn(
+            "__v", F.transform(F.col("embedding"), lambda v: v.cast("double"))
+        ).select("vec_id", "embedding", best["cid"].alias(out))
+    # two-step projection: materialize the argmin struct ONCE, then
+    # expand both fields. CollapseProject refuses to inline a non-cheap
+    # alias referenced twice, so the K-centroid fold is evaluated once
+    # per row instead of once per extracted field.
+    staged = emb.withColumn(
         "__v", F.transform(F.col("embedding"), lambda v: v.cast("double"))
-    ).select(*cols)
+    ).select("vec_id", "embedding", best.alias("__best"))
+    return staged.select(
+        "vec_id",
+        "embedding",
+        F.col("__best")["cid"].alias(out),
+        F.col("__best")["d2"].alias(keep_d2),
+    )
 
 
 def seq_normalize(V):

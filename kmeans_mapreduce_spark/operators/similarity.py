@@ -929,8 +929,12 @@ def embedding_outliers(
     """
     from kmeans_mapreduce_spark.operators.dedup import assign_cells
 
-    a = assign_cells(emb, centers, out="cell", keep_d2="d2").select(
-        "vec_id", "cell", F.round("d2", digits).alias("d2")
+    # the assignment scan feeds the stats aggregate AND the final join
+    # — materialize it once or the K-centroid fold re-runs per consumer
+    a = (
+        assign_cells(emb, centers, out="cell", keep_d2="d2")
+        .select("vec_id", "cell", F.round("d2", digits).alias("d2"))
+        .localCheckpoint(eager=False)
     )
     stats = a.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),

@@ -1042,7 +1042,9 @@ def test_curation_funnel_stages_monotone_and_dedup_binds(spark, monkeypatch, tmp
     assert got["raw"][0] == 30
     assert got["rules"][0] == 22
     assert got["dedup"][0] == 20          # the two dups collapse
-    assert got["decontam"][0] <= got["dedup"][0]
+    # doc 0 is a benchmark member (doc_id % 97 == 0): the decontam
+    # stage must drop it even though decontaminate() never flags it
+    assert got["decontam"][0] <= got["dedup"][0] - 1
     ns = [got[s][0] for s in ("raw", "rules", "dedup", "decontam")]
     ts = [got[s][1] for s in ("raw", "rules", "dedup", "decontam")]
     assert ns == sorted(ns, reverse=True) and ts == sorted(ts, reverse=True)

@@ -223,15 +223,11 @@ def main() -> int:
             )
         d = d.cache()
         d.count()
+        from kmeans_mapreduce_spark.operators import sampling as sp
+
         for probe, fn in (
             ("span_clean", lambda d=d: dd.span_dedup(d)),
-            (
-                "token_shards",
-                lambda d=d: __import__(
-                    "kmeans_mapreduce_spark.operators.sampling",
-                    fromlist=["token_shard_plan"],
-                ).token_shard_plan(d),
-            ),
+            ("token_shards", lambda d=d: sp.token_shard_plan(d)),
         ):
             fn().write.format("noop").mode("overwrite").save()  # warm
             t = time.time()
