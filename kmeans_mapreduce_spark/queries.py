@@ -408,6 +408,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "pipeline_curation_funnel",
     "corpus_shard_manifest",
     "embeddings_outliers",
+    "events_key_skew",
 }
 
 
