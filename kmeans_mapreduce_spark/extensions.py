@@ -720,6 +720,61 @@ def q_pipeline_pagerank_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.pagerank_loop2(emb, centers, KNN_GRAPH_K)
 
 
+def q_corpus_stream_span_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third streaming artifact under the gate: the stateful span
+    first-occurrence operator (streaming twin of dedup_span_clean's
+    keep-first rule) replayed over the bounded documents table. The
+    folded final state — lexicographic-min (doc_id, pos) owner and
+    occurrence count per span fingerprint — equals the batch window's
+    rn=1 winners, which is exactly what the DuckDB twin computes."""
+    import uuid
+
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    out = so.stream_span_first_seen(stream, dd.SPAN_WORDS)
+    qname = f"corpus_stream_span_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "corpus_stream_span_replay: streaming replay did not finish "
+            "in 300 s — refusing to gate a partially-populated sink"
+        )
+    # fold update-mode rows to the batching-invariant final state:
+    # lexicographic min over (first_doc_id, first_pos), max count
+    return (
+        spark.table(qname)
+        .groupBy("span_fp")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("first_doc_id").alias("d"),
+                    F.col("first_pos").alias("p"),
+                )
+            ).alias("_m"),
+            F.max("n_occurrences").alias("n_occurrences"),
+        )
+        .select(
+            "span_fp",
+            F.col("_m")["d"].alias("first_doc_id"),
+            F.col("_m")["p"].alias("first_pos"),
+            "n_occurrences",
+        )
+    )
+
+
 def q_text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE training round 1: top adjacent-character-pair merge
     candidates over the corpus vocabulary (count DESC, pair ASC)."""
@@ -2208,6 +2263,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_stream_replay": q_events_stream_replay,
         "corpus_stream_dedup_replay": q_corpus_stream_dedup_replay,
+        "corpus_stream_span_replay": q_corpus_stream_span_replay,
         "events_stream_session_replay": q_events_stream_session_replay,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -2499,6 +2555,28 @@ SELECT {h64_sql("lower(trim(text))")} AS fp,
        MIN(doc_id) AS keep_doc_id,
        COUNT(*)::BIGINT AS n_copies
 FROM documents GROUP BY 1""",
+        # batch twin of the streaming span first-occurrence state: the
+        # folded replay must equal the keep-first window's rn=1 winners
+        "corpus_stream_span_replay": f"""
+WITH d AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+),
+s AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         array_to_string(
+           w[(t.i * {dd.SPAN_WORDS} + 1):(t.i * {dd.SPAN_WORDS} + {dd.SPAN_WORDS})],
+           ' ') AS span
+  FROM d, UNNEST(range(0, CAST(CEIL(len(w) / {dd.SPAN_WORDS}.0) AS BIGINT))) AS t(i)
+),
+r AS (
+  SELECT span, doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY span) AS n
+  FROM s
+)
+SELECT {h64_sql('span')} AS span_fp, doc_id AS first_doc_id,
+       pos AS first_pos, n::BIGINT AS n_occurrences
+FROM r WHERE rn = 1""",
         # batch twin of the STREAMING window aggregation: replay parity
         # means the streaming complete-mode state over bounded input
         # equals this one-shot tumbling-window GROUP BY

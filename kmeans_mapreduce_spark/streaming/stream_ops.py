@@ -696,3 +696,82 @@ def stream_logreg_sgd(
         .start()
     )
     return q, state
+
+
+def stream_span_first_seen(
+    stream: DataFrame, span_words: int = 10
+) -> DataFrame:
+    """Stateful streaming span-level first-occurrence tracking — the
+    streaming twin of ``operators.dedup.span_dedup``'s keep-first rule:
+    as documents arrive, every ``span_words``-word span is checked
+    against cross-batch state keyed by its 60-bit fingerprint, and the
+    running lexicographically-least (doc_id, pos) owner plus the
+    occurrence count are maintained. A continuous ingestion pipeline
+    uses the ``is_new`` flag to emit only never-seen spans downstream
+    (the streaming form of span dedup); a bounded replay's folded
+    final state equals the batch keep-first winners exactly.
+
+    State: one small record per distinct span fingerprint (at scale:
+    RocksDB backend + TTL, same dial as stream_dedup_exact). Each
+    batch shuffles only its own exploded span rows, keyed by the
+    fingerprint — uniform by construction.
+
+    Output per batch per touched fingerprint: (span_fp, first_doc_id,
+    first_pos, n_occurrences, is_new).
+    """
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.functions.hashing import h64
+    from kmeans_mapreduce_spark.functions.text import tokens
+
+    out_schema = (
+        "span_fp LONG, first_doc_id LONG, first_pos INT, "
+        "n_occurrences BIGINT, is_new BOOLEAN"
+    )
+    state_schema = "first_doc_id LONG, first_pos INT, n_occurrences BIGINT"
+
+    def fn(key, pdfs, state):
+        fp = key[0]
+        if state.exists:
+            fd, fpos, n = state.get
+            new = False
+        else:
+            fd, fpos, n = None, None, 0
+            new = True
+        for pdf in pdfs:
+            for d, p in sorted(
+                zip(
+                    (int(x) for x in pdf["doc_id"]),
+                    (int(x) for x in pdf["pos"]),
+                )
+            ):
+                if fd is None or (d, p) < (fd, fpos):
+                    fd, fpos = d, p
+                n += 1
+        state.update((fd, fpos, n))
+        yield pd.DataFrame(
+            {
+                "span_fp": [fp],
+                "first_doc_id": [fd],
+                "first_pos": [fpos],
+                "n_occurrences": [n],
+                "is_new": [new],
+            }
+        )
+
+    w = tokens(F.coalesce(F.col("text"), F.lit("")))
+    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+    spans = stream.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i * span_words + 1, span_words)
+                ),
+            )
+        ).alias("pos", "span"),
+    ).select(h64(F.col("span")).alias("span_fp"), "doc_id", "pos")
+    return spans.groupBy("span_fp").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", "NoTimeout"
+    )

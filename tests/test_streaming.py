@@ -762,3 +762,44 @@ def test_stream_logreg_sgd_reduces_log_loss(spark, tmp_path_factory):
     eps = 1e-12
     loss = -np.mean(y * np.log(p + eps) + (1 - y) * np.log(1 - p + eps))
     assert loss < np.log(2.0) * 0.9  # well below the w=0 baseline
+
+
+def test_stream_span_first_seen_across_batches(spark, tmp_path_factory):
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.functions.hashing import HASH_SPACE
+
+    out = str(tmp_path_factory.mktemp("span_stream"))
+    # batch 0: doc 5 contributes spans "a b" and "c d"; batch 1: doc 2
+    # repeats "a b" at pos 0 with a SMALLER doc_id — the owner must
+    # drop to (2, 0) across the batch boundary, count must reach 2
+    pd.DataFrame({"doc_id": [5], "text": ["a b c d"]}).to_parquet(
+        f"{out}/00.parquet"
+    )
+    pd.DataFrame({"doc_id": [2], "text": ["a b"]}).to_parquet(
+        f"{out}/01.parquet"
+    )
+    stream = (
+        spark.readStream.schema("doc_id LONG, text STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    so.run_stream_to_memory(
+        so.stream_span_first_seen(stream, span_words=2), "span_stream", "update"
+    )
+    rows = spark.table("span_stream").collect()
+    assert all(0 <= r["span_fp"] < HASH_SPACE for r in rows)
+    folded = {}
+    for r in rows:
+        cur = folded.get(r["span_fp"])
+        cand = (r["first_doc_id"], r["first_pos"], r["n_occurrences"])
+        if cur is None:
+            folded[r["span_fp"]] = cand
+        else:
+            folded[r["span_fp"]] = (
+                *min(cur[:2], cand[:2]),
+                max(cur[2], cand[2]),
+            )
+    # two distinct spans: "a b" owned by (2, 0) with 2 occurrences,
+    # "c d" by (5, 1) with 1
+    assert sorted(folded.values()) == [(2, 0, 2), (5, 1, 1)]
