@@ -693,6 +693,14 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_pack_fragments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-budget fragmenting packer: docs laid end-to-end per
+    language and cut at every 512-token boundary, splitting straddling
+    docs (sampling.pack_fragments) — every non-final context window is
+    bit-perfectly full; all-integer arithmetic."""
+    return sp.pack_fragments(load_table(spark, sf_dir, "documents"))
+
+
 def q_embeddings_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-cell distance z-score outlier flags over the embedding
     corpus (similarity.embedding_outliers) — the far-tail curation
@@ -2288,6 +2296,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_vocab_coverage": q_text_vocab_coverage,
         "pipeline_curation_funnel": q_pipeline_curation_funnel,
         "embeddings_outliers": q_embeddings_outliers,
+        "corpus_pack_fragments": q_corpus_pack_fragments,
         "pipeline_semantic_clusters": q_pipeline_semantic_clusters,
         "corpus_lr_loop2": q_corpus_lr_loop2,
         "corpus_quality_classifier": q_corpus_quality_classifier,
@@ -2929,6 +2938,32 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "pipeline_pagerank_loop2": _pagerank_loop2_sql(),
         "pipeline_curation_funnel": _curation_funnel_sql(),
         "embeddings_outliers": _embedding_outliers_sql(),
+        # all-integer interval math: `div`/greatest/least mirror //,
+        # and range(a, b+1) ≡ Spark's inclusive sequence(a, b)
+        "corpus_pack_fragments": f"""
+WITH b AS (
+  SELECT doc_id, lang,
+         len(string_split(COALESCE(text, ''), ' '))::BIGINT AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, lang, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cb
+  FROM b
+),
+e AS (
+  SELECT doc_id, lang, n_tok, cb, t.b AS bin_id
+  FROM c, UNNEST(range(cb // {sp.PACK_FRAG_BUDGET},
+                       (cb + n_tok - 1) // {sp.PACK_FRAG_BUDGET} + 1)) AS t(b)
+)
+SELECT doc_id, lang, bin_id::BIGINT AS bin_id,
+       GREATEST(bin_id * {sp.PACK_FRAG_BUDGET} - cb, 0)::BIGINT AS frag_start,
+       (LEAST((bin_id + 1) * {sp.PACK_FRAG_BUDGET}, cb + n_tok)
+        - GREATEST(bin_id * {sp.PACK_FRAG_BUDGET}, cb))::BIGINT AS frag_len
+FROM e""",
         # full-vocab window in the twin (fine at oracle scale); the
         # engine side truncates to max(vs) via TakeOrdered first
         "text_vocab_coverage": f"""

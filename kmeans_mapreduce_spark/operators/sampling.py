@@ -536,3 +536,76 @@ def token_shard_plan(
         )
         .select("doc_id", "shuffle_key", "n_tok", "cum_before", "shard")
     )
+
+
+PACK_FRAG_BUDGET = 512  # tokens per fixed context window
+
+
+def pack_fragments(
+    docs: DataFrame,
+    budget_tokens: int = PACK_FRAG_BUDGET,
+    stratum_col: str = "lang",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """FRAGMENTING sequence packer: lay documents end-to-end (in a
+    deterministic per-stratum order) and cut every exact
+    ``budget_tokens`` boundary, splitting documents that straddle it —
+    the exact-budget packing a training pipeline uses when every
+    context window must be FULL (next-fit :func:`pack_sequences` keeps
+    docs whole but lets bins over/under-fill; this form trades a split
+    doc for bit-perfect window occupancy, the "document packing with
+    truncation across rows" recipe of GPT-style pretraining).
+
+    A doc occupying corpus-token interval [cum_before, cum_before +
+    n_tok) fragments into one row per budget window it touches:
+    fragment f of doc d covers doc-token offsets [frag_start,
+    frag_start + frag_len). Every step is int64 arithmetic (`div`,
+    greatest/least) — no floats anywhere, so the DuckDB twin is
+    bit-exact and fragment lengths per (stratum, bin) sum to EXACTLY
+    the budget for every non-final bin (property-tested).
+
+    Scale shape: one per-stratum window (running sum in a
+    deterministic order — same single shuffle as pack_sequences), then
+    a narrow explode of size ceil(n_tok / budget) per doc. For a
+    global (unstratified) layout at 100 TB, swap the window for the
+    two-level range-bucket scan of :func:`token_shard_plan`.
+
+    Output: (doc_id, <stratum>, bin_id, frag_start, frag_len).
+    """
+    from pyspark.sql import Window
+
+    base = docs.select(
+        order_col,
+        stratum_col,
+        n_tokens(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+            "n_tok"
+        ),
+    )
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = base.withColumn("cb", F.sum("n_tok").over(w) - F.col("n_tok"))
+    e = c.withColumn(
+        "bin_id",
+        F.explode(
+            F.sequence(
+                F.expr(f"cb div {budget_tokens}"),
+                F.expr(f"(cb + n_tok - 1) div {budget_tokens}"),
+            )
+        ),
+    )
+    b = F.lit(budget_tokens)
+    return e.select(
+        order_col,
+        stratum_col,
+        "bin_id",
+        F.greatest(F.col("bin_id") * b - F.col("cb"), F.lit(0)).alias(
+            "frag_start"
+        ),
+        (
+            F.least((F.col("bin_id") + 1) * b, F.col("cb") + F.col("n_tok"))
+            - F.greatest(F.col("bin_id") * b, F.col("cb"))
+        ).alias("frag_len"),
+    )

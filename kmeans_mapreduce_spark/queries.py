@@ -409,6 +409,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_shard_manifest",
     "embeddings_outliers",
     "events_key_skew",
+    "corpus_pack_fragments",
 }
 
 

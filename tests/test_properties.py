@@ -264,3 +264,47 @@ def test_token_shard_plan_matches_flat_replay(tok_counts, budget, n_buckets):
         assert r["shard"] == cum // budget
         cum += r["n_tok"]
     assert len(rows) == len(tok_counts)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    st.integers(min_value=3, max_value=100),
+)
+@settings(max_examples=10, deadline=None)
+def test_pack_fragments_tiles_exactly(tok_counts, budget):
+    """For ANY doc set and budget: (a) each doc's fragments tile its
+    token interval [0, n_tok) contiguously in bin order, (b) every
+    non-final bin holds EXACTLY budget tokens, (c) total fragment
+    tokens equal total corpus tokens — the exact-occupancy contract
+    the next-fit packer cannot give."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+    from kmeans_mapreduce_spark.session import get_spark
+
+    spark = get_spark("prop-tests")
+    docs = spark.createDataFrame(
+        [
+            (i, "xx", " ".join(["w"] * c) if c else "")
+            for i, c in enumerate(tok_counts)
+        ],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    rows = sp.pack_fragments(docs, budget_tokens=budget).collect()
+    n_tok = {i: max(c, 1) for i, c in enumerate(tok_counts)}  # '' -> ['']
+    frags: dict[int, list] = {}
+    bins: dict[int, int] = {}
+    for r in rows:
+        frags.setdefault(r["doc_id"], []).append(
+            (r["bin_id"], r["frag_start"], r["frag_len"])
+        )
+        bins[r["bin_id"]] = bins.get(r["bin_id"], 0) + r["frag_len"]
+    for i, fl in frags.items():
+        fl.sort()
+        pos = 0
+        for _, start, ln in fl:
+            assert start == pos and ln >= 1
+            pos += ln
+        assert pos == n_tok[i]
+    last_bin = max(bins)
+    for b, total in bins.items():
+        assert total == budget or (b == last_bin and total <= budget)
+    assert sum(bins.values()) == sum(n_tok.values())
