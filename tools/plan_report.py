@@ -52,6 +52,10 @@ REPORT_QUERIES = [
     ("corpus_token_shards", "two-level prefix sum: bucketed parallel windows + broadcast offsets"),
     ("corpus_source_cap", "one source-keyed window; hash rank computed in the scan projection"),
     ("pipeline_pagerank_loop2", "O(edges) rank join + map-side-combined sum per iteration over a checkpointed edge list"),
+    ("pipeline_curation_funnel", "row-local verdicts + one fingerprint window + broadcast decontam semi-join"),
+    ("embeddings_outliers", "literal-argmin assignment; K-row stats broadcast back, corpus never exchanged"),
+    ("text_vocab_coverage", "TakeOrdered truncation before ranking; broadcast 1-row total"),
+    ("corpus_pack_fragments", "one per-stratum window + narrow interval explode, all-int64"),
 ]
 
 
