@@ -843,6 +843,8 @@ def pagerank_loop2(
     Output: (vec_id, degree, pr_units) after 2 iterations.
     """
     n = emb.count()
+    if n == 0:
+        raise ValueError("pagerank_loop2: empty embedding corpus")
     base = (scale * (d_den - d_num) // d_den) // n
     r0 = scale // n
 
