@@ -1732,7 +1732,8 @@ j AS (
            AS std
   FROM a JOIN st USING (cell)
 )
-SELECT vec_id, cell, d2, {zexpr} AS z, ({zexpr}) >= {sim.OUTLIER_Z!r} AS is_outlier
+SELECT vec_id, cell, d2, {zexpr} AS z,
+       COALESCE(({zexpr}) >= {sim.OUTLIER_Z!r}, FALSE) AS is_outlier
 FROM j"""
 
 

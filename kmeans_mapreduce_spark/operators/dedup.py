@@ -1356,9 +1356,16 @@ def span_dedup(docs: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
 
     Output: (doc_id, n_spans, n_removed, cleaned_text).
     """
-    w = tokens(F.coalesce(F.col("text"), F.lit("")))
+    # stage the token array through a projection: referenced twice
+    # (size + the span lambda) and non-cheap, so CollapseProject keeps
+    # it materialized once — inlining the split would re-run it per
+    # span under interpreted HOFs (the measured 8x trap, see shingles)
+    staged = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__w")
+    )
+    w = F.col("__w")
     n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
-    spans = docs.select(
+    spans = staged.select(
         "doc_id",
         F.posexplode(
             F.transform(

@@ -149,6 +149,8 @@ def fit_logreg(
     for _ in range(iters):
         parts = _partials(feats, w, b, buckets, n_extra).collect()
         n = sum(p["n"] for p in parts)
+        if n == 0:
+            raise ValueError("fit_logreg: empty feature table (0 rows)")
         g = np.sum([np.asarray(p["g"]) for p in parts], axis=0)
         gb = sum(p["gb"] for p in parts)
         w = np.asarray([r6(v) for v in (w - lr * (g / n))])

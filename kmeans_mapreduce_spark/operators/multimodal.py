@@ -255,7 +255,10 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
     ``floor(i·h/H)`` mapping — NOTE: PIL's ``Image.NEAREST`` uses the
     center-based ``floor((i+0.5)·h/H)``, so outputs differ from PIL at
     the pixel level by design), re-encode as PPM. Kind filter is
-    pushed to the scan; no shuffle."""
+    pushed to the scan; no shuffle. A malformed payload is SKIPPED
+    (not re-emitted, not a stage crash) — the degrade-don't-die
+    contract of extract_features/media_embedding, since one corrupt
+    crawl image must never fail a 100 TB rewrite job."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -265,7 +268,10 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
                 continue
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                w, h, pixels = _decode_ppm(bytes(p))
+                try:
+                    w, h, pixels = _decode_ppm(bytes(p))
+                except ValueError:
+                    continue
                 img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
                 yi = (np.arange(height) * h) // height
                 xi = (np.arange(width) * w) // width

@@ -60,11 +60,14 @@ def _brute_scored(emb: DataFrame, query_ids: list[int], digits: int) -> DataFram
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine_sim(F.col("qv"), F.col("v")), digits).alias("cosine"),
     )
-    # zero-norm vectors have NULL cosine (try_divide): the window form
-    # orders NULLS LAST but array_sort in the grouped form orders
-    # struct NULL fields FIRST — drop them so both physical forms stay
-    # row-identical (cosine to a zero vector is undefined anyway)
-    return scored.filter(F.col("cosine").isNotNull())
+    # zero-norm vectors have NULL cosine (try_divide) and NaN
+    # components give NaN cosine: the window form orders NULL/NaN
+    # differently from the grouped form's struct array_sort — drop both
+    # so the two physical forms stay row-identical (cosine to a zero or
+    # NaN vector is undefined anyway)
+    return scored.filter(
+        F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine"))
+    )
 
 
 def window_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -332,6 +335,10 @@ def lsh_ann_topk(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         F.round(cosine_sim(F.col("qv"), F.col("v")), digits).alias("cosine"),
+    ).filter(
+        # same undefined-cosine contract as _brute_scored: a zero-norm
+        # or NaN bucket-mate must not occupy a top-k slot
+        F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -387,6 +394,15 @@ def ivf_pq_ann_topk(
         r["vec_id"]: list(r["v0"])
         for r in e0.filter(F.col("vec_id").isin(wanted)).collect()
     }
+    missing = [
+        vid
+        for vid in sorted(set(centroid_ids) | set(codebook_ids))
+        if vid not in fetched
+    ]
+    if missing:
+        raise ValueError(
+            f"ivf_pq: centroid/codebook vec_ids not in corpus: {missing}"
+        )
     centers = [(i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))]
     C = np.array([cvec for _, cvec in centers], dtype=np.float64)
     n_cells, dim = C.shape
@@ -569,6 +585,10 @@ def ivf_pq_rerank_topk(
             "neighbor_id",
             F.round(dot_nd(F.col("qv"), F.col("nv")), digits).alias("cosine"),
         )
+        # a zero-norm corpus vector in the ADC shortlist rescans to
+        # NULL cosine (x/0 elements) — drop it rather than emit a
+        # NULL-scored row, matching _brute_scored's contract
+        .filter(F.col("cosine").isNotNull() & ~F.isnan(F.col("cosine")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
@@ -921,7 +941,9 @@ def embedding_outliers(
     is formed — from there every step is single IEEE scalar
     arithmetic, identical in both engines, so no stddev-implementation
     difference (Spark's streaming M2 vs DuckDB's) can leak into the
-    gate. Cells with n < 2 or zero variance yield NULL z (no flag).
+    gate. Cells with n < 2 or zero variance yield NULL z and
+    ``is_outlier=False`` (two-valued, so ``filter(~is_outlier)``
+    keeps singleton-cell rows).
 
     Scale shape: literal-argmin assignment (no join, no shuffle), one
     map-side-combinable K-row aggregate, stats broadcast back onto a
@@ -956,6 +978,11 @@ def embedding_outliers(
     return (
         a.join(F.broadcast(stats), "cell")
         .withColumn("z", z)
-        .withColumn("is_outlier", F.col("z") >= F.lit(OUTLIER_Z))
+        # two-valued flag: a NULL-z row (singleton cell / zero
+        # variance) is NOT an outlier — filter(~is_outlier) must keep it
+        .withColumn(
+            "is_outlier",
+            F.coalesce(F.col("z") >= F.lit(OUTLIER_Z), F.lit(False)),
+        )
         .select("vec_id", "cell", "d2", "z", "is_outlier")
     )

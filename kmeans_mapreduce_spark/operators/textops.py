@@ -77,12 +77,16 @@ def quality(docs: DataFrame, digits: int = 6) -> DataFrame:
           + 0.3·type_token_ratio — a deterministic, oracle-checkable
     stand-in for classifier-based quality filters.
     """
-    toks = tokens(F.col("text"))
+    # stage the token array once: five output expressions consume it,
+    # and inlining split(text) into each would re-run it per column
+    # under interpreted HOFs (same staging as langid's __toks)
+    staged = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    toks = F.col("__toks")
     nt = F.size(toks).cast("double")
     sw = stopword_ratio(toks)
     ttr = type_token_ratio(toks)
     score = quality_score_expr(toks)
-    return docs.select(
+    return staged.select(
         "doc_id",
         nt.cast("long").alias("n_tokens"),
         F.round(avg_token_len(toks), digits).alias("avg_token_len"),
@@ -531,7 +535,13 @@ def bpe_second_round(
     are merges that would extend the new symbol. The winning pair is
     driver-collected (1 row — the same K-row-collect contract as the
     k-means centroid loop)."""
-    top_pair = bpe_merge_candidates(docs, 1).collect()[0]["pair"]
+    winners = bpe_merge_candidates(docs, 1).collect()
+    if not winners:
+        raise ValueError(
+            "bpe_second_round: no adjacent character pairs in the corpus "
+            "(empty corpus or all tokens single-character)"
+        )
+    top_pair = winners[0]["pair"]
     merged = F.replace(F.col("w"), F.lit(top_pair), F.lit(marker))
     words = docs.select(F.explode(tokens(F.col("text"))).alias("w")).select(
         merged.alias("mw")

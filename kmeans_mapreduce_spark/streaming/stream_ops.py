@@ -759,9 +759,14 @@ def stream_span_first_seen(
             }
         )
 
-    w = tokens(F.coalesce(F.col("text"), F.lit("")))
+    # staged token array — same single-evaluation discipline as the
+    # batch span_dedup (split must not re-run per span under HOFs)
+    staged = stream.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__w")
+    )
+    w = F.col("__w")
     n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
-    spans = stream.select(
+    spans = staged.select(
         "doc_id",
         F.posexplode(
             F.transform(

@@ -1075,7 +1075,7 @@ def test_embedding_outliers_flags_planted_far_vector(spark):
     got = {r["vec_id"]: r for r in sim.embedding_outliers(emb, centers).collect()}
     assert got[10]["is_outlier"] is True
     assert all(not got[i]["is_outlier"] for i in range(10))
-    assert got[11]["z"] is None and got[11]["is_outlier"] is None
+    assert got[11]["z"] is None and got[11]["is_outlier"] is False
     # z of the planted point dominates its cell
     zmax = max(got[i]["z"] for i in range(11))
     assert got[10]["z"] == zmax and math.isfinite(zmax)
