@@ -1079,3 +1079,39 @@ def test_embedding_outliers_flags_planted_far_vector(spark):
     # z of the planted point dominates its cell
     zmax = max(got[i]["z"] for i in range(11))
     assert got[10]["z"] == zmax and math.isfinite(zmax)
+
+
+def test_topk_forms_agree_with_nan_and_zero_vectors(spark):
+    """NaN-component and zero-norm vectors are excluded from every
+    top-k slot, and the window/grouped physical forms return identical
+    rows in their presence (the review-pass contract)."""
+    import math
+
+    rows = [(i, [math.sin((i + 1) * (j + 1)) for j in range(4)], 0) for i in range(6)]
+    rows.append((6, [float("nan"), 1.0, 1.0, 1.0], 0))
+    rows.append((7, [0.0, 0.0, 0.0, 0.0], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT"
+    )
+    w = sorted(
+        map(tuple, sim.cosine_topk(emb, [0, 1], k=10, form="window").collect())
+    )
+    g = sorted(
+        map(tuple, sim.cosine_topk(emb, [0, 1], k=10, form="grouped").collect())
+    )
+    assert w == g and len(w) > 0
+    bad = {6, 7}
+    assert not any(r[1] in bad for r in w)
+
+
+def test_resize_skips_malformed_image_payload(spark):
+    """One corrupt payload must not fail the stage: the good image
+    resizes, the bad row is skipped."""
+    from kmeans_mapreduce_spark.operators import multimodal as mmod
+
+    good = b"P6\n2 2\n255\n" + bytes(range(12))
+    rows = [(0, "image", bytearray(good)), (1, "image", bytearray(b"P6 garbage"))]
+    media = spark.createDataFrame(rows, "media_id LONG, kind STRING, payload BINARY")
+    out = mmod.resize_images(media, width=1, height=1).collect()
+    assert [r["media_id"] for r in out] == [0]
+    assert out[0]["out_width"] == 1 and out[0]["out_height"] == 1
