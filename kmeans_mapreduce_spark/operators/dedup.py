@@ -85,6 +85,14 @@ def with_shingle_set(docs: DataFrame, out: str = "s") -> DataFrame:
     )
 
 
+def content_fp(col):  # noqa: ANN001 - Column in, Column out
+    """THE content fingerprint: 60-bit hash of lower(trim(text)).
+    One definition shared by batch ``dedup_exact`` and the streaming
+    ``stream_dedup_exact`` so the two can never disagree on which
+    documents are duplicates."""
+    return h64(F.lower(F.trim(col)))
+
+
 def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:
     """Exact dedup: keeper = min doc_id per identical content.
 
@@ -92,7 +100,7 @@ def dedup_exact(docs: DataFrame, key: str = "text") -> DataFrame:
     long, not the document); md5-collision risk is acceptable for
     dedup semantics and keeps the oracle portable.
     """
-    fp = h64(F.lower(F.trim(F.col(key)))).alias("fp")
+    fp = content_fp(F.col(key)).alias("fp")
     return (
         docs.select(fp, "doc_id")
         .groupBy("fp")
@@ -1327,6 +1335,37 @@ def semantic_dedup_pairs(
 SPAN_WORDS = 10  # fixed word-window width for span dedup
 
 
+def span_rows(docs: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
+    """(doc_id, pos, span) rows: consecutive non-overlapping
+    ``span_words``-word windows per document — THE span definition,
+    shared by batch :func:`span_dedup` and the streaming
+    ``stream_span_first_seen`` twin so their keep-first contracts can
+    never drift. Works unchanged on a streaming DataFrame (stateless
+    projection + generator).
+
+    The token array is staged through a projection: referenced twice
+    (size + the span lambda) and non-cheap, so CollapseProject keeps
+    it materialized once — inlining the split would re-run it per
+    span under interpreted HOFs (the measured 8x trap, see shingles).
+    """
+    staged = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__w")
+    )
+    w = F.col("__w")
+    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
+    return staged.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(w, i * span_words + 1, span_words)
+                ),
+            )
+        ).alias("pos", "span"),
+    )
+
+
 def span_dedup(docs: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
     """C4-style span-level deduplication WITH text reassembly: segment
     every document into consecutive ``span_words``-word spans, drop
@@ -1356,26 +1395,7 @@ def span_dedup(docs: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
 
     Output: (doc_id, n_spans, n_removed, cleaned_text).
     """
-    # stage the token array through a projection: referenced twice
-    # (size + the span lambda) and non-cheap, so CollapseProject keeps
-    # it materialized once — inlining the split would re-run it per
-    # span under interpreted HOFs (the measured 8x trap, see shingles)
-    staged = docs.select(
-        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__w")
-    )
-    w = F.col("__w")
-    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
-    spans = staged.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(w, i * span_words + 1, span_words)
-                ),
-            )
-        ).alias("pos", "span"),
-    )
+    spans = span_rows(docs, span_words)
     from pyspark.sql.window import Window
 
     rn = F.row_number().over(

@@ -41,7 +41,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         try:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
             df.schema
-        except Exception:
+        except Exception as exc:
+            # only the TIMESTAMP(NANOS) schema error earns the legacy
+            # conf: setting it on ANY failure (missing path, corrupt
+            # footer) would leak a session-wide silent type change and
+            # mask the real error behind a second confusing failure
+            if "NANOS" not in str(exc) and "nanosAsLong" not in str(exc):
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return normalize_events_ts(df)
@@ -114,7 +120,13 @@ def read_documents_jsonl_quarantine(
     Spark caveat baked in: PERMISSIVE requires the corrupt column in
     the read schema, and filtering on it requires caching per the JSON
     datasource contract (a raw-filter pushdown would need the corrupt
-    column during parsing) — the cache here is the documented idiom.
+    column during parsing). The cache is RELEASED before returning:
+    both outputs are eagerly materialized (localCheckpoint), so the
+    parse does not stay pinned in storage memory for the session's
+    lifetime when this is called per-path in a sweep. The outputs are
+    bounded by result size — this is the TRIAGE path; a clean 100 TB
+    corpus should go through :func:`read_documents_jsonl` (FAILFAST),
+    which needs no materialization at all.
     """
     schema = DOCUMENTS_DDL + ", _corrupt_record STRING"
     df = (
@@ -124,10 +136,15 @@ def read_documents_jsonl_quarantine(
         .json(path)
         .cache()
     )
-    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
-    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
-        "_corrupt_record"
-    )
+    try:
+        good = df.filter(F.col("_corrupt_record").isNull()).drop(
+            "_corrupt_record"
+        ).localCheckpoint(eager=True)
+        bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+            "_corrupt_record"
+        ).localCheckpoint(eager=True)
+    finally:
+        df.unpersist()
     return good, bad
 
 
@@ -283,9 +300,11 @@ def write_zorder(
         *[F.min(c).alias(f"lo_{c}") for c in cols],
         *[F.max(c).alias(f"hi_{c}") for c in cols],
     ).collect()[0]
-    if bounds[f"lo_{cols[0]}"] is None:
-        # empty input: no bounds to quantize — write the empty dataset
-        # (write_sorted handles this case the same way)
+    if any(bounds[f"lo_{c}"] is None for c in cols):
+        # empty input OR an entirely-NULL z-column: no bounds to
+        # quantize on that dimension — fall back to a plain write
+        # rather than crash mid-job (write_sorted handles empty the
+        # same way)
         df.write.mode("overwrite").parquet(path)
         return
     mins = [float(bounds[f"lo_{c}"]) for c in cols]
@@ -299,6 +318,39 @@ def write_zorder(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _recover_generation(path: str) -> None:
+    """Crash-recovery half of the staged-directory swap protocol,
+    shared by :func:`merge_upsert` and :func:`compact_small_files`:
+    if a prior call crashed between its two renames, the intact
+    previous generation sits in ``<path>._old`` — restore it BEFORE
+    any size scan or read, then clear leftover staging debris. One
+    definition: the recovery invariant is subtle enough that two
+    hand-maintained copies would drift."""
+    import os
+    import shutil
+
+    staged, old = f"{path}._staged", f"{path}._old"
+    if not os.path.isdir(path) and os.path.isdir(old):
+        os.rename(old, path)
+    shutil.rmtree(staged, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _swap_generations(path: str) -> None:
+    """Commit half of the swap protocol: rename the current generation
+    aside, rename the freshly-written ``<path>._staged`` in, then drop
+    the old generation. A crash between the renames leaves ``._old``
+    for :func:`_recover_generation`."""
+    import os
+    import shutil
+
+    staged, old = f"{path}._staged", f"{path}._old"
+    if os.path.isdir(path):
+        os.rename(path, old)
+    os.rename(staged, path)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 def merge_upsert(
@@ -327,18 +379,11 @@ def merge_upsert(
     one batch resolve to a deterministic winner.
     """
     import os
-    import shutil
 
     from pyspark.sql.window import Window
 
     staged = f"{target_path}._staged"
-    old = f"{target_path}._old"
-    # recover from a crash between the two renames of a prior call:
-    # the previous generation is sitting in ._old — restore it
-    if not os.path.isdir(target_path) and os.path.isdir(old):
-        os.rename(old, target_path)
-    shutil.rmtree(staged, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    _recover_generation(target_path)
 
     src = updates.withColumn("_prio", F.lit(1))
     if os.path.isdir(target_path):
@@ -360,10 +405,7 @@ def merge_upsert(
         .drop("_rn", "_prio")
     )
     merged.write.mode("overwrite").parquet(staged)
-    if os.path.isdir(target_path):
-        os.rename(target_path, old)
-    os.rename(staged, target_path)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_generations(target_path)
 
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
@@ -389,18 +431,13 @@ def compact_small_files(
     """
     import math
     import os
-    import shutil
 
     staged = f"{path}._staged"
-    old = f"{path}._old"
     # Recover BEFORE sizing: if a prior call crashed between the two
     # renames, `path` is missing and a size scan would see 0 bytes →
     # n_files=1 regardless of real size, defeating the sizing contract
     # exactly in the crash path this function exists to survive.
-    if not os.path.isdir(path) and os.path.isdir(old):
-        os.rename(old, path)
-    shutil.rmtree(staged, ignore_errors=True)
-    shutil.rmtree(old, ignore_errors=True)
+    _recover_generation(path)
     total = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -411,9 +448,7 @@ def compact_small_files(
     spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(
         staged
     )
-    os.rename(path, old)
-    os.rename(staged, path)
-    shutil.rmtree(old, ignore_errors=True)
+    _swap_generations(path)
     return n_files
 
 

@@ -91,6 +91,21 @@ def stream_sessionize(
     n_events, value_sum). With eviction on, a quiet user's last session
     emits once the watermark passes its gap; without it, only a later
     event closes it.
+
+    LATE-EVENT CONTRACT: a late event (within watermark) that belongs
+    to an already-EMITTED earlier session (ts <= that session's end,
+    tracked in state as ``prev_end``) is DROPPED — an append-mode
+    stream cannot retract an emitted row, and merging it into the
+    open session would move the open session's start back across the
+    emitted session's end, reporting overlapping sessions. A late
+    event newer than ``prev_end`` but more than a gap BEFORE the open
+    session's start is a gap-island: it is emitted as its own closed
+    session (consecutive islanders within a gap fold together) rather
+    than grafted onto the later open session across a silence longer
+    than the gap. Late events within a gap of the open session merge
+    into it (its start may rewind by at most ``gap``, never past
+    ``prev_end``). This is the standard emit-on-close approximation;
+    the batch operator, which sees all data at once, needs none of it.
     """
     import pandas as pd
 
@@ -102,14 +117,15 @@ def stream_sessionize(
         "n_events BIGINT, value_sum DOUBLE"
     )
     state_schema = (
-        "session_start BIGINT, last_ts BIGINT, n_events BIGINT, value_sum DOUBLE"
+        "session_start BIGINT, last_ts BIGINT, n_events BIGINT, "
+        "value_sum DOUBLE, prev_end BIGINT"
     )
     evict = watermark_sec is not None
 
     def fn(key, pdfs, state):
         user_id = key[0]
         if evict and state.hasTimedOut:
-            s0, last, n, vs = state.get
+            s0, last, n, vs, _pe = state.get
             state.remove()
             yield pd.DataFrame(
                 [(user_id, s0, last, n, vs)],
@@ -123,19 +139,41 @@ def stream_sessionize(
             )
             return
         if state.exists:
-            s0, last, n, vs = state.get
+            s0, last, n, vs, prev_end = state.get
         else:
-            s0 = last = None
+            s0 = last = prev_end = None
             n, vs = 0, 0.0
         closed = []
+        orphan = None  # [start, end, n, value_sum] of a late gap-island
         batch = pd.concat(list(pdfs), ignore_index=True)
         batch = batch.sort_values(["ts_sec", "event_id"], kind="mergesort")
         for ts, val in zip(batch["ts_sec"], batch["value"]):
             ts = int(ts)
+            if prev_end is not None and ts <= prev_end:
+                # belongs to an already-EMITTED session: append-mode
+                # cannot retract it, and merging would rewind the open
+                # session across the emitted one (see docstring)
+                continue
+            if last is not None and ts < s0 - gap:
+                # late gap-ISLAND: newer than everything emitted but
+                # more than a gap before the open session — its own
+                # session; fold consecutive islanders, emit closed
+                if orphan is None:
+                    orphan = [ts, ts, 1, float(val)]
+                elif ts - orphan[1] <= gap:
+                    orphan[1] = ts
+                    orphan[2] += 1
+                    orphan[3] += float(val)
+                else:
+                    closed.append((user_id, *orphan))
+                    prev_end = orphan[1]
+                    orphan = [ts, ts, 1, float(val)]
+                continue
             if last is None:
                 s0, last, n, vs = ts, ts, 1, float(val)
             elif ts - last > gap:
                 closed.append((user_id, s0, last, n, vs))
+                prev_end = last
                 s0, last, n, vs = ts, ts, 1, float(val)
             else:
                 n += 1
@@ -146,8 +184,11 @@ def stream_sessionize(
                 # push session_end before events already inside it
                 last = max(last, ts)
                 s0 = min(s0, ts)
+        if orphan is not None:
+            closed.append((user_id, orphan[0], orphan[1], orphan[2], orphan[3]))
+            prev_end = orphan[1] if prev_end is None else max(prev_end, orphan[1])
         if last is not None:
-            state.update((s0, last, n, vs))
+            state.update((s0, last, n, vs, prev_end))
             if evict:
                 # arm the idle flush at event-time last+gap; clamp above
                 # the current watermark (Spark rejects stale timestamps)
@@ -254,13 +295,19 @@ def stream_dedup_exact(stream: DataFrame) -> DataFrame:
     shuffles only its own rows, partitioned by fingerprint — uniform
     keys by construction.
 
-    Output: (fp, doc_id, n_dupes_so_far) rows, one per batch in which
-    the fingerprint appeared (first row per fp is the keeper; later
-    rows report the running duplicate count for observability).
+    Output: (fp, keep_doc_id, min_doc_id, n_copies, is_new) rows, one
+    per batch in which the fingerprint appeared — ``is_new`` marks the
+    first-ever sighting (the dedup emit signal), ``keep_doc_id`` is
+    the arrival-order keeper, ``min_doc_id``/``n_copies`` the running
+    batching-invariant aggregates a bounded replay folds on.
+
+    The fingerprint is :func:`~kmeans_mapreduce_spark.operators.dedup.content_fp`
+    — the batch operator's own definition, shared so the two can never
+    disagree on which documents are duplicates.
     """
     import pandas as pd
 
-    from kmeans_mapreduce_spark.functions.hashing import h64
+    from kmeans_mapreduce_spark.operators.dedup import content_fp
 
     out_schema = (
         "fp LONG, keep_doc_id LONG, min_doc_id LONG, n_copies BIGINT, "
@@ -298,11 +345,32 @@ def stream_dedup_exact(stream: DataFrame) -> DataFrame:
         )
 
     fps = stream.select(
-        h64(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id"
+        content_fp(F.col("text")).alias("fp"), "doc_id"
     )
     return fps.groupBy("fp").applyInPandasWithState(
         fn, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+def _require_fresh_checkpoint(checkpoint_dir: str, who: str) -> None:
+    """Driver-held-model guard: these trainers keep the model in a
+    fresh Python object while Spark's checkpoint remembers committed
+    batches. Reusing a checkpoint would make Spark SKIP those batches
+    while the new model starts from zero — silent loss of their
+    contribution masquerading as crash recovery. Refuse up front; a
+    restartable variant must persist the model alongside the
+    checkpoint and reload it here."""
+    import os
+
+    commits = os.path.join(checkpoint_dir, "commits")
+    if os.path.isdir(commits) and os.listdir(commits):
+        raise ValueError(
+            f"{who}: checkpoint_dir {checkpoint_dir!r} already holds "
+            "committed batches, but the model state is driver-held and "
+            "starts fresh — resuming would silently drop those batches' "
+            "contribution. Pass a new checkpoint_dir (or persist and "
+            "reload the model to make restarts exact)."
+        )
 
 
 def stream_kmeans_minibatch(
@@ -366,6 +434,7 @@ def stream_kmeans_minibatch(
         state.centers = new_centers
         state.batches += 1
 
+    _require_fresh_checkpoint(checkpoint_dir, "stream_kmeans_minibatch")
     q = (
         stream.writeStream.foreachBatch(update)
         .outputMode("update")
@@ -688,6 +757,7 @@ def stream_logreg_sgd(
         state.batches += 1
         state.seen += n
 
+    _require_fresh_checkpoint(checkpoint_dir, "stream_logreg_sgd")
     q = (
         doc_stream.writeStream.foreachBatch(update)
         .outputMode("update")
@@ -722,7 +792,6 @@ def stream_span_first_seen(
     import pandas as pd
 
     from kmeans_mapreduce_spark.functions.hashing import h64
-    from kmeans_mapreduce_spark.functions.text import tokens
 
     out_schema = (
         "span_fp LONG, first_doc_id LONG, first_pos INT, "
@@ -759,24 +828,13 @@ def stream_span_first_seen(
             }
         )
 
-    # staged token array — same single-evaluation discipline as the
-    # batch span_dedup (split must not re-run per span under HOFs)
-    staged = stream.select(
-        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__w")
+    # the batch operator's own span definition (dedup.span_rows) runs
+    # unchanged on the streaming frame — ONE definition, no drift
+    from kmeans_mapreduce_spark.operators.dedup import span_rows
+
+    spans = span_rows(stream, span_words).select(
+        h64(F.col("span")).alias("span_fp"), "doc_id", "pos"
     )
-    w = F.col("__w")
-    n_spans = F.ceil(F.size(w) / F.lit(span_words)).cast("int")
-    spans = staged.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.concat_ws(
-                    " ", F.slice(w, i * span_words + 1, span_words)
-                ),
-            )
-        ).alias("pos", "span"),
-    ).select(h64(F.col("span")).alias("span_fp"), "doc_id", "pos")
     return spans.groupBy("span_fp").applyInPandasWithState(
         fn, out_schema, state_schema, "update", "NoTimeout"
     )

@@ -803,3 +803,55 @@ def test_stream_span_first_seen_across_batches(spark, tmp_path_factory):
     # two distinct spans: "a b" owned by (2, 0) with 2 occurrences,
     # "c d" by (5, 1) with 1
     assert sorted(folded.values()) == [(2, 0, 2), (5, 1, 1)]
+
+
+def test_stream_sessionize_late_events_never_overlap_emitted(spark, tmp_path_factory):
+    """Review-pass regression: a late event that belongs to an
+    already-emitted session is dropped (not grafted onto the open
+    session, which would rewind its start across the emitted row); a
+    late gap-island between the emitted and open sessions becomes its
+    own closed session; a late event within a gap of the open session
+    merges with a bounded rewind."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("sess_late"))
+    S = 1_000_000_000
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] * S for r in rows],
+                "event_id": [r[2] for r in rows],
+                "value": [float(r[3]) for r in rows],
+            }
+        ).to_parquet(f"{out}/{name}.parquet")
+
+    write("00", [(1, 1000, 0, 1.0), (1, 1010, 1, 2.0)])
+    write("01", [(1, 1500, 2, 4.0)])   # closes [1000,1010], opens 1500
+    write("02", [
+        (1, 1005, 3, 8.0),    # stale: inside emitted session -> dropped
+        (1, 1200, 4, 16.0),   # gap-island -> own closed session
+        (1, 1490, 5, 32.0),   # within gap of open session -> merges
+    ])
+    write("03", [(1, 2000, 6, 64.0)])  # closes the merged open session
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, ts LONG, event_id LONG, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    so.run_stream_to_memory(
+        so.stream_sessionize(stream, gap_sec=30), "sess_late", "update"
+    )
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n_events"], r["value_sum"])
+        for r in spark.table("sess_late").collect()
+    )
+    assert got == [
+        (1000, 1010, 2, 3.0),   # emitted before the late events arrive
+        (1200, 1200, 1, 16.0),  # the island
+        (1490, 1500, 2, 36.0),  # bounded rewind: start 1490, never <=1010
+    ]
