@@ -855,3 +855,18 @@ def test_stream_sessionize_late_events_never_overlap_emitted(spark, tmp_path_fac
         (1200, 1200, 1, 16.0),  # the island
         (1490, 1500, 2, 36.0),  # bounded rewind: start 1490, never <=1010
     ]
+
+
+def test_stream_trainers_refuse_reused_checkpoint(tmp_path):
+    """A checkpoint directory holding committed batches must be
+    refused up front: the model state is driver-held and fresh, so
+    resuming would silently skip those batches' contribution."""
+    import pytest as _pytest
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "commits" / "0").write_text("{}")
+    with _pytest.raises(ValueError, match="driver-held"):
+        so._require_fresh_checkpoint(str(ckpt), "stream_kmeans_minibatch")
+    # a fresh dir passes silently
+    so._require_fresh_checkpoint(str(tmp_path / "fresh"), "x")
