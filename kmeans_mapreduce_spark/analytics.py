@@ -492,7 +492,7 @@ e AS (SELECT user_id AS vec_id, list(v ORDER BY h) AS v FROM filled GROUP BY use
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({ids})),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         ROUND({_cosine_sql('q.qv', 'e.v')}, 6) AS cosine
+         ROUND({_cosine_sql('q.qv', 'e.v', dim=24)}, 6) AS cosine
   FROM e JOIN q ON e.vec_id != q.query_id
 ),
 ranked AS (

@@ -101,8 +101,6 @@ def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reproducible hash-bucket stratified sample (per-lang rates):
     the auditable, retry-stable way to subsample a training corpus —
     a narrow filter, zero shuffle, no RNG state."""
-    from kmeans_mapreduce_spark.operators import sampling as sp
-
     return sp.hash_sample_stratified(
         load_table(spark, sf_dir, "documents"), SAMPLE_RATES, SAMPLE_DEFAULT_RATE
     ).select("doc_id", "lang")
@@ -125,8 +123,6 @@ def q_text_top_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_token_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language exact token-count quantiles (corpus length profile
     for truncation/packing budgets)."""
-    from kmeans_mapreduce_spark.operators import sampling as sp
-
     return sp.token_quantiles(
         load_table(spark, sf_dir, "documents"), QUANTILE_PROBS
     )
@@ -155,8 +151,6 @@ def q_corpus_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence packing → per-language mix summary. One chained plan over
     existing operators; all-integer output, so the oracle matches
     without rounding."""
-    from kmeans_mapreduce_spark.operators import sampling as sp
-
     docs = load_table(spark, sf_dir, "documents")
     good = tx.quality(docs).filter(
         F.col("quality_score") >= CLEAN_MIN_QUALITY
@@ -557,7 +551,6 @@ def q_corpus_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/eval split: near-dup cluster members share a
     side (sampling.leakage_safe_split over minhash-LSH verified
     pairs)."""
-    from kmeans_mapreduce_spark.operators import sampling as sp
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.minhash_lsh_dedup(docs, JACCARD_LSH_THRESHOLD).select(
@@ -1602,27 +1595,40 @@ FROM verified WHERE jaccard >= {JACCARD_LSH_THRESHOLD}
 """
 
 
-def _semantic_dedup_sql() -> str:
-    """Twin of dedup.semantic_dedup_pairs: argmin assignment to the
-    fixed centroid rows (same CTE shape as _kmeans_nd_assign_sql), then
-    the normalize-once pair join of _embedding_near_dup_sql restricted
-    to same-cell pairs."""
+def _nd_assign_cte(normalize: bool = True) -> str:
+    """Shared fixed-centroid assignment CTE prefix (e0/c/d/a, plus
+    e1/e normalization when requested) — ONE rendering of the cell
+    blocking that _semantic_dedup_sql, _knn_graph_sql, and
+    _embedding_outliers_sql are all documented to replay identically
+    ("same fixed-centroid cells as dedup_semantic"): a tie-break or
+    normalization change lands in every consumer or none."""
     ids = ", ".join(str(c) for c in ND_CENTROID_IDS)
     d2 = (
         f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "i -> (e0.v0[i] - c.cv[i]) * (e0.v0[i] - c.cv[i])))"
     )
-    return f"""
-WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
+    base = f"""e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
 c AS (SELECT vec_id AS cid, v0 AS cv FROM e0 WHERE vec_id IN ({ids})),
 d AS (SELECT e0.vec_id, e0.v0, c.cid, {d2} AS d2 FROM e0 CROSS JOIN c),
 a AS (
-  SELECT vec_id, v0, cid FROM (
+  SELECT vec_id, v0, cid, d2 FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d
   ) WHERE rn = 1
-),
+)"""
+    if not normalize:
+        return base
+    return base + f""",
 e1 AS (SELECT vec_id, cid, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM a),
-e AS (SELECT vec_id, cid, list_transform(v0, x -> x / nrm) AS v FROM e1),
+e AS (SELECT vec_id, cid, list_transform(v0, x -> x / nrm) AS v FROM e1)"""
+
+
+def _semantic_dedup_sql() -> str:
+    """Twin of dedup.semantic_dedup_pairs: argmin assignment to the
+    fixed centroid rows (same CTE shape as _kmeans_nd_assign_sql), then
+    the normalize-once pair join of _embedding_near_dup_sql restricted
+    to same-cell pairs."""
+    return f"""
+WITH {_nd_assign_cte()},
 p AS (
   SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          ROUND({_dot_sql('x.v', 'y.v')}, 6) AS cosine
@@ -1637,22 +1643,8 @@ def _knn_graph_sql() -> str:
     CTEs as _semantic_dedup_sql but BOTH pair directions, ranked per
     src by (rounded cosine DESC, dst ASC), top K, then a self-join of
     the edge set for the mutual flag."""
-    ids = ", ".join(str(c) for c in ND_CENTROID_IDS)
-    d2 = (
-        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
-        "i -> (e0.v0[i] - c.cv[i]) * (e0.v0[i] - c.cv[i])))"
-    )
     return f"""
-WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
-c AS (SELECT vec_id AS cid, v0 AS cv FROM e0 WHERE vec_id IN ({ids})),
-d AS (SELECT e0.vec_id, e0.v0, c.cid, {d2} AS d2 FROM e0 CROSS JOIN c),
-a AS (
-  SELECT vec_id, v0, cid FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d
-  ) WHERE rn = 1
-),
-e1 AS (SELECT vec_id, cid, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM a),
-e AS (SELECT vec_id, cid, list_transform(v0, x -> x / nrm) AS v FROM e1),
+WITH {_nd_assign_cte()},
 p AS (
   SELECT x.vec_id AS src, y.vec_id AS dst,
          ROUND({_dot_sql('x.v', 'y.v')}, 6) AS cosine
@@ -1701,40 +1693,59 @@ def _embedding_outliers_sql() -> str:
     both sums rounded once more, then identical scalar arithmetic —
     stddev never computed by either engine's built-in (their
     implementations differ in low bits)."""
-    ids = ", ".join(str(c) for c in ND_CENTROID_IDS)
-    d2 = (
-        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
-        "i -> (e0.v0[i] - c.cv[i]) * (e0.v0[i] - c.cv[i])))"
-    )
     zexpr = (
         "CASE WHEN n >= 2 AND std > 0 "
         "THEN ROUND((d2 - mean) / std, 4) END"
     )
     return f"""
-WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
-c AS (SELECT vec_id AS cid, v0 AS cv FROM e0 WHERE vec_id IN ({ids})),
-d AS (SELECT e0.vec_id, c.cid, {d2} AS d2 FROM e0 CROSS JOIN c),
-a AS (
-  SELECT vec_id, cid AS cell, ROUND(d2, 6) AS d2 FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
-    FROM d
-  ) WHERE rn = 1
-),
+WITH {_nd_assign_cte(normalize=False)},
+a2 AS (SELECT vec_id, cid AS cell, ROUND(d2, 6) AS d2 FROM a),
 st AS (
   SELECT cell, COUNT(*)::BIGINT AS n,
          ROUND(SUM(d2), 6) AS s1, ROUND(SUM(d2 * d2), 6) AS s2
-  FROM a GROUP BY cell
+  FROM a2 GROUP BY cell
 ),
 j AS (
-  SELECT a.vec_id, a.cell, a.d2, st.n,
+  SELECT a2.vec_id, a2.cell, a2.d2, st.n,
          st.s1 / st.n AS mean,
          sqrt(GREATEST((st.s2 - st.s1 * st.s1 / st.n) / (st.n - 1), 0.0))
            AS std
-  FROM a JOIN st USING (cell)
+  FROM a2 JOIN st USING (cell)
 )
 SELECT vec_id, cell, d2, {zexpr} AS z,
        COALESCE(({zexpr}) >= {sim.OUTLIER_Z!r}, FALSE) AS is_outlier
 FROM j"""
+
+
+def _cc_cte(pairs_sql: str) -> str:
+    """Shared recursive connected-components block: min-label
+    reachability over an undirected (doc_a, doc_b) pair set. Emits the
+    CTE chain ``cc_pairs/cc_e/cc_reach/cc_allr/cc`` (cc_-prefixed so
+    they cannot collide with a composed twin's INTERNAL CTEs — the
+    knn-graph twin has its own ``e``, and an outer CTE of the same
+    name wins the bind inside the derived table) — compose as
+    ``f"WITH RECURSIVE {_cc_cte(...)} SELECT ... FROM cc"``. ONE
+    definition for every oracle that replays near-dup clustering
+    (dedup_clusters, dedup_keep_best, corpus_split,
+    pipeline_semantic_clusters), so the propagation logic cannot
+    drift between them."""
+    return f"""cc_pairs AS ({pairs_sql}),
+cc_e AS (
+  SELECT doc_a AS s, doc_b AS t FROM cc_pairs
+  UNION
+  SELECT doc_b AS s, doc_a AS t FROM cc_pairs
+),
+cc_reach(id, r) AS (
+  SELECT s, t FROM cc_e
+  UNION
+  SELECT cc_e.s, cc_reach.r FROM cc_e JOIN cc_reach ON cc_reach.id = cc_e.t
+),
+cc_allr AS (
+  SELECT id, r FROM cc_reach
+  UNION
+  SELECT DISTINCT s AS id, s AS r FROM cc_e
+),
+cc AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM cc_allr GROUP BY id)"""
 
 
 def _curation_funnel_sql() -> str:
@@ -1924,17 +1935,22 @@ def _dvec_cte() -> str:
     )
 
 
-def _dot_sql(a: str, b: str) -> str:
+def _dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Sequential-fold dot product over exactly ``dim`` components —
+    callers on non-EMB_DIM vectors (e.g. 24-d hour profiles) MUST pass
+    their dimension: an oversized range only 'works' via DuckDB's
+    OOB-index→NULL + list_sum-skips-NULL behaviors, silently truncates
+    if a vector ever exceeds it, and wastes the extra lambda evals."""
     return (
-        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        f"list_sum(list_transform(range(1, {dim + 1}), "
         f"i -> {a}[i] * {b}[i]))"
     )
 
 
-def _cosine_sql(a: str, b: str) -> str:
+def _cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
     return (
-        f"{_dot_sql(a, b)} / "
-        f"(sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)}))"
+        f"{_dot_sql(a, b, dim)} / "
+        f"(sqrt({_dot_sql(a, a, dim)}) * sqrt({_dot_sql(b, b, dim)}))"
     )
 
 
@@ -2493,6 +2509,8 @@ sessions AS (
 
 
 def extension_oracle_sql() -> dict[str, str]:
+    from kmeans_mapreduce_spark.analytics import _rule_filter_oracle as _rf_oracle
+
     quality_sql = _quality_sql()
     return {
         "text_tokens": (
@@ -2733,41 +2751,10 @@ WITH {_minhash_cte()}
 SELECT doc_id, j::INTEGER AS h_idx, minhash FROM s""",
         "dedup_minhash_pairs": _minhash_pairs_sql(),
         "dedup_clusters": f"""
-WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
-e AS (
-  SELECT doc_a AS s, doc_b AS t FROM pairs
-  UNION
-  SELECT doc_b AS s, doc_a AS t FROM pairs
-),
-reach(id, r) AS (
-  SELECT s, t FROM e
-  UNION
-  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.t
-),
-allr AS (
-  SELECT id, r FROM reach
-  UNION
-  SELECT DISTINCT s AS id, s AS r FROM e
-)
-SELECT id AS doc_id, MIN(r) AS cluster_rep FROM allr GROUP BY id""",
+WITH RECURSIVE {_cc_cte(_minhash_pairs_sql())}
+SELECT doc_id, cluster_rep FROM cc""",
         "dedup_keep_best": f"""
-WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
-e AS (
-  SELECT doc_a AS s, doc_b AS t FROM pairs
-  UNION
-  SELECT doc_b AS s, doc_a AS t FROM pairs
-),
-reach(id, r) AS (
-  SELECT s, t FROM e
-  UNION
-  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.t
-),
-allr AS (
-  SELECT id, r FROM reach
-  UNION
-  SELECT DISTINCT s AS id, s AS r FROM e
-),
-cc AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM allr GROUP BY id),
+WITH RECURSIVE {_cc_cte(_minhash_pairs_sql())},
 j AS (
   SELECT d.doc_id, COALESCE(cc.cluster_rep, d.doc_id) AS canonical_id
   FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
@@ -2786,23 +2773,7 @@ r AS (
 SELECT canonical_id, doc_id AS kept_doc_id, n_members, quality_score AS kept_quality
 FROM r WHERE rk = 1""",
         "corpus_split": f"""
-WITH RECURSIVE pairs AS ({_minhash_pairs_sql()}),
-e AS (
-  SELECT doc_a AS s, doc_b AS t FROM pairs
-  UNION
-  SELECT doc_b AS s, doc_a AS t FROM pairs
-),
-reach(id, r) AS (
-  SELECT s, t FROM e
-  UNION
-  SELECT e.s, reach.r FROM e JOIN reach ON reach.id = e.t
-),
-allr AS (
-  SELECT id, r FROM reach
-  UNION
-  SELECT DISTINCT s AS id, s AS r FROM e
-),
-cc AS (SELECT id AS doc_id, MIN(r) AS cluster_rep FROM allr GROUP BY id),
+WITH RECURSIVE {_cc_cte(_minhash_pairs_sql())},
 j AS (
   SELECT d.doc_id, COALESCE(cc.cluster_rep, d.doc_id) AS canonical_id
   FROM documents d LEFT JOIN cc ON cc.doc_id = d.doc_id
@@ -2989,41 +2960,18 @@ SELECT top_v, covered_tokens, (SELECT total_tokens FROM tot) AS total_tokens,
              / (SELECT total_tokens FROM tot)::DOUBLE, 6) AS coverage
 FROM cov""",
         "pipeline_semantic_clusters": f"""
-WITH RECURSIVE g AS ({_knn_graph_sql()}),
-gm AS (
-  SELECT DISTINCT LEAST(src, dst) AS doc_a, GREATEST(src, dst) AS doc_b
-  FROM g WHERE mutual
-),
-ge AS (
-  SELECT doc_a AS s, doc_b AS t FROM gm
-  UNION
-  SELECT doc_b AS s, doc_a AS t FROM gm
-),
-greach(id, r) AS (
-  SELECT s, t FROM ge
-  UNION
-  SELECT ge.s, greach.r FROM ge JOIN greach ON greach.id = ge.t
-),
-gallr AS (
-  SELECT id, r FROM greach
-  UNION
-  SELECT DISTINCT s AS id, s AS r FROM ge
-)
-SELECT id AS doc_id, MIN(r) AS cluster_rep FROM gallr GROUP BY id""",
+WITH RECURSIVE {_cc_cte(
+    "SELECT DISTINCT LEAST(src, dst) AS doc_a, GREATEST(src, dst) AS doc_b"
+    f" FROM ({_knn_graph_sql()}) g WHERE mutual"
+)}
+SELECT doc_id, cluster_rep FROM cc""",
         "corpus_lr_loop2": _lr_loop2_sql(),
+        # the rule verdicts compose the ONE rule-filter twin (same
+        # reuse as the curation funnel) — no second hand-maintained
+        # rendering of the five Gopher/C4 rules
         "corpus_datacard": f"""
 WITH q AS ({_quality_sql()}),
-t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-m AS (SELECT doc_id, len(w)::BIGINT AS n,
-  list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mwl,
-  len(list_filter(w, x -> list_contains([{_sql_str_list(STOPWORDS)[1:-1]}], x)))::BIGINT AS sw,
-  len(list_filter(w, x -> NOT regexp_matches(x, '{_sel.ALNUM_RE}')))::DOUBLE / len(w) AS sym,
-  len(list_distinct(w))::DOUBLE / len(w) AS ttr
- FROM t),
-r AS (SELECT doc_id,
-  ((n >= {_sel.RULE_MIN_WORDS} AND n <= {_sel.RULE_MAX_WORDS}) AND (mwl >= {_sel.RULE_MWL_LO} AND mwl <= {_sel.RULE_MWL_HI})
-   AND (sw >= {_sel.RULE_MIN_STOPWORD_HITS}) AND (sym <= {_sel.RULE_MAX_SYMBOL_RATIO}) AND (ttr >= {_sel.RULE_MIN_TTR})) AS pass_all
- FROM m),
+r AS (SELECT doc_id, pass_all FROM ({_rf_oracle()}) rf),
 base AS (
   SELECT d.lang, q.n_tokens, q.quality_score, r.pass_all,
          {h64_sql('lower(trim(d.text))')} AS fp

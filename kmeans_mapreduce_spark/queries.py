@@ -67,7 +67,7 @@ def _d2_exprs(center_sqls: list[tuple[str, str, str]]) -> list[str]:
     ]
 
 
-def _argmin_select_sql(center_sqls: list[tuple[str, str, str]]) -> str:
+def _argmin_select_sql(center_sqls: list[tuple[str, str, str]]) -> tuple[str, str]:
     """Per-row arg-min as CASE/LEAST — no window, no cross join.
 
     First-wins tie-break (strict ``<`` scan, reference mapper.py:43)
@@ -226,6 +226,11 @@ def q_kmeans_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     centers1 = [(r["cid"], r["cx"], r["cy"]) for r in it1]
+    # release the cache NOW: the caller's single action on the returned
+    # frame costs one parquet re-scan, but a leaked cache would pin the
+    # point set in executor memory for the rest of the driver's
+    # ~120-query registry sweep
+    pts.unpersist()
     out = km.recompute(km.assign(pts, centers1)).select(
         "cid",
         F.round("cx", MEAN_DIGITS).alias("cx"),
@@ -534,5 +539,7 @@ sc AS (
 ),
 phi AS (SELECT ROUND(SUM(d2), {SUM_DIGITS}) AS phi FROM sc)
 SELECT point_id, d2,
-       ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST({float(KMPP_L)!r} AS DOUBLE) * d2 / phi), {MEAN_DIGITS}) AS prob
+       CASE WHEN phi > 0 THEN
+         ROUND(LEAST(CAST(1.0 AS DOUBLE), CAST({float(KMPP_L)!r} AS DOUBLE) * d2 / phi), {MEAN_DIGITS})
+       ELSE CAST(0.0 AS DOUBLE) END AS prob
 FROM sc CROSS JOIN phi"""
