@@ -1916,7 +1916,7 @@ def _simhash_sql() -> str:
 WITH t AS ({_toks_cte(distinct=True)}),
 x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
 h AS (SELECT doc_id, {h64_sql('tok')} AS hv FROM x),
-bitpos AS (SELECT unnest(range(0, 32)) AS b),
+bitpos AS (SELECT unnest(range(0, {dd.SIMHASH_BITS})) AS b),
 bits AS (
   SELECT doc_id, b,
          SUM(CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
@@ -2890,7 +2890,9 @@ FROM per""",
         "dedup_simhash_pairs": f"""
 WITH sh AS ({_simhash_sql()}),
 banded AS (
-  SELECT doc_id, simhash, b, (simhash >> (b * 8)) & 255 AS bv
+  SELECT doc_id, simhash, b,
+         (simhash >> (b * {dd.SIMHASH_BITS // (dd.SIMHASH_MAX_HAMMING + 1)}))
+           & {(1 << (dd.SIMHASH_BITS // (dd.SIMHASH_MAX_HAMMING + 1))) - 1} AS bv
   FROM sh CROSS JOIN (VALUES (0), (1), (2), (3)) t(b)
 ),
 cand AS (

@@ -663,7 +663,16 @@ def keep_best_per_cluster(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 32) -> DataFrame:
+# Default sketch width: 60 bits → with max_hamming=3 the pigeonhole
+# blocking uses 4 bands of 15 bits = 32768 distinct band values, so the
+# candidate equi-join stays selective at web scale (the 32-bit/8-bit-band
+# default collapsed toward all-pairs on template-heavy corpora: 256
+# buckets per band). 60 keeps 2**b inside the signed-long range both
+# engines share; Manku et al. use 64, which a BIGINT sketch can't hold.
+SIMHASH_BITS = 60
+
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash document sketch over token hashes.
 
     Per doc: for each bit b, sum ±1 over tokens by whether bit b of
@@ -697,7 +706,7 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def simhash_pairs(
-    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING, bits: int = 32
+    docs: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING, bits: int = SIMHASH_BITS
 ) -> DataFrame:
     """Hamming-near SimHash join — the lookup half of the SimHash
     scheme (Manku/Jain/Sarma's near-dup detection): pairs of documents
