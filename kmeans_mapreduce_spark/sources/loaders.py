@@ -467,13 +467,37 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     (Content-Length), not delimiter-driven, so binary payloads
     containing "WARC/1.0" don't break framing.
 
-    gzip .warc.gz members are NOT handled here (per-record gzip needs
-    a streaming decompressor); at scale feed uncompressed WARC or
-    pre-split record batches. Declared limitation, mirrored in tests.
+    ``.warc.gz`` archives (CommonCrawl's wire format: one gzip member
+    per record, concatenated) are decompressed member-by-member with a
+    fresh ``zlib`` stream per member over a zero-copy memoryview — the
+    task holds one inflated record at a time, never the whole archive,
+    and a whole-file single-member gzip degrades gracefully to one big
+    chunk. A truncated/corrupt member stops decompression of THAT file
+    at the damage point (records already parsed are kept) rather than
+    crashing the task.
     """
     import pandas as pd
+    import zlib
 
     chunk_rows = 256  # bound task memory: payloads never all in one frame
+
+    def gz_members(buf: bytes):
+        """Yield decompressed gzip members. memoryview slices keep the
+        per-member restart O(1) in copies (bytes slices would make a
+        100k-member archive quadratic)."""
+        mv = memoryview(buf)
+        pos, n = 0, len(mv)
+        while pos < n:
+            d = zlib.decompressobj(wbits=31)  # 31 = gzip wrapper
+            try:
+                chunk = d.decompress(mv[pos:]) + d.flush()
+            except zlib.error:
+                return  # damaged member: keep what we have
+            yield chunk
+            consumed = (n - pos) - len(d.unused_data)
+            if consumed <= 0:
+                return
+            pos += consumed
 
     def parse(batches):
         for pdf in batches:
@@ -489,9 +513,8 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     out[k] = []
                 return frame
 
-            for fname, blob in zip(pdf["path"], pdf["content"]):
+            def scan(fname, data):
                 pos = 0
-                data = bytes(blob)
                 while True:
                     head = data.find(b"WARC/", pos)
                     if head < 0:
@@ -538,11 +561,20 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                     out["payload"].append(body)
                     if len(out["payload"]) >= chunk_rows:
                         yield flush()
+
+            for fname, blob in zip(pdf["path"], pdf["content"]):
+                blob = bytes(blob)
+                if str(fname).endswith(".gz"):
+                    for member in gz_members(blob):
+                        yield from scan(fname, member)
+                else:
+                    yield from scan(fname, blob)
             yield flush()
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc")  # don't misparse .warc.gz etc.
+        # one member per record means records still never span files
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
         .load(path)
         .select("path", "content")
     )

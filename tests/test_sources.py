@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.operators import kmeans as km
@@ -352,7 +353,68 @@ def test_read_warc_parses_records_and_strips_http_headers(spark, tmp_path):
     assert rows["http://a.example/"]["content_length"] == len(b"<html>hello A</html>")
 
 
-def test_warc_to_text_pipeline_end_to_end(spark, tmp_path):
+def test_read_warc_gz_per_record_members(spark, tmp_path):
+    """CommonCrawl wire format: one gzip member per record,
+    concatenated into a .warc.gz — must parse identically to the
+    uncompressed archive; a whole-file single-member gzip and a
+    trailing truncated member must degrade gracefully."""
+    import gzip
+
+    from kmeans_mapreduce_spark.sources.loaders import read_warc
+
+    def rec(rtype, uri, body):
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+            f"WARC-Record-ID: <urn:uuid:{uri}>\r\n"
+            f"WARC-Target-URI: {uri}\r\nContent-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body + b"\r\n\r\n"
+        return head
+
+    recs = [
+        rec("response", "http://a.example/", b"body A"),
+        rec("warcinfo", "-", b"software: test"),  # skipped type
+        rec("resource", "http://b.example/", b"\x00WARC/1.0\x00 binary"),
+    ]
+    # per-record members (the CommonCrawl layout)
+    (tmp_path / "multi" ).mkdir()
+    (tmp_path / "multi" / "c.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in recs)
+    )
+    # whole-archive single member
+    (tmp_path / "single").mkdir()
+    (tmp_path / "single" / "c.warc.gz").write_bytes(
+        gzip.compress(b"".join(recs))
+    )
+    # good member followed by a truncated one: keep the good record
+    (tmp_path / "trunc").mkdir()
+    (tmp_path / "trunc" / "c.warc.gz").write_bytes(
+        gzip.compress(recs[0]) + gzip.compress(recs[2])[:10]
+    )
+
+    for layout, want in [
+        ("multi", {"http://a.example/", "http://b.example/"}),
+        ("single", {"http://a.example/", "http://b.example/"}),
+        ("trunc", {"http://a.example/"}),
+    ]:
+        rows = {
+            r["target_uri"]: r
+            for r in read_warc(spark, str(tmp_path / layout)).collect()
+        }
+        assert set(rows) == want, layout
+        assert bytes(rows["http://a.example/"]["payload"]) == b"body A"
+    # mixed directory: .warc and .warc.gz side by side both load
+    (tmp_path / "mixed").mkdir()
+    (tmp_path / "mixed" / "u.warc").write_bytes(recs[0])
+    (tmp_path / "mixed" / "z.warc.gz").write_bytes(gzip.compress(recs[2]))
+    mixed = read_warc(spark, str(tmp_path / "mixed")).collect()
+    assert {r["target_uri"] for r in mixed} == {
+        "http://a.example/", "http://b.example/",
+    }
+
+
+@pytest.mark.parametrize("gz", [False, True])
+def test_warc_to_text_pipeline_end_to_end(spark, tmp_path, gz):
     """Crawl ingestion composes: WARC -> HTML text extraction ->
     quality scoring — the full entry path of a training-data pipeline,
     with script/style boilerplate dropped."""
@@ -377,9 +439,17 @@ def test_warc_to_text_pipeline_end_to_end(spark, tmp_path):
         ).encode()
         return head + http + b"\r\n\r\n"
 
-    (tmp_path / "c.warc").write_bytes(
-        rec("http://a.example/", html_a) + rec("http://b.example/", html_b)
-    )
+    if gz:
+        import gzip
+
+        (tmp_path / "c.warc.gz").write_bytes(
+            gzip.compress(rec("http://a.example/", html_a))
+            + gzip.compress(rec("http://b.example/", html_b))
+        )
+    else:
+        (tmp_path / "c.warc").write_bytes(
+            rec("http://a.example/", html_a) + rec("http://b.example/", html_b)
+        )
     pages = read_warc(spark, str(tmp_path))
     texts = tx.extract_html_text(pages)
     got = {r["doc_key"]: r["text"] for r in texts.collect()}
@@ -398,8 +468,8 @@ def test_warc_to_text_pipeline_end_to_end(spark, tmp_path):
 
 def test_read_warc_skips_malformed_length_records(spark, tmp_path):
     """REGRESSION: a corrupt Content-Length must skip that record and
-    resynchronize, not crash the task; stray non-WARC files in the
-    directory are glob-filtered out."""
+    resynchronize, not crash the task; a .warc.gz sidecar that is not
+    actually gzip data must yield nothing, not crash."""
     from kmeans_mapreduce_spark.sources.loaders import read_warc
 
     good_body = b"good payload"
