@@ -850,6 +850,14 @@ def q_dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.span_dedup(load_table(spark, sf_dir, "documents"))
 
 
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring dedup (Lee et al. 2022, ExactSubstr):
+    stride-1 15-token window marking with keep-first, covered tokens
+    cut and text reassembled (dedup.substring_dedup — the
+    any-alignment strengthening of dedup_span_clean)."""
+    return dd.substring_dedup(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document cap by salted-hash rank — the domain-cap
     curation rule (sampling.source_cap)."""
@@ -2323,6 +2331,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_fixed": q_corpus_sample_fixed,
         "corpus_datacard": q_corpus_datacard,
         "dedup_span_clean": q_dedup_span_clean,
+        "dedup_substring": q_dedup_substring,
         "corpus_source_cap": q_corpus_source_cap,
         "corpus_token_shards": q_corpus_token_shards,
         "corpus_shard_manifest": q_corpus_shard_manifest,
@@ -3024,6 +3033,50 @@ SELECT doc_id,
        COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY pos),
                 '') AS cleaned_text
 FROM r GROUP BY doc_id""",
+        # stride-1 window marking: same keep-first discipline as
+        # dedup_span_clean, at every alignment (ExactSubstr)
+        "dedup_substring": f"""
+WITH d AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS w FROM documents
+),
+wins AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos,
+         array_to_string(
+           w[(t.i + 1):(t.i + {dd.SUBSTR_MIN_TOKENS})], ' ') AS win
+  FROM d,
+       UNNEST(range(0, GREATEST(len(w) - {dd.SUBSTR_MIN_TOKENS} + 1, 0)))
+         AS t(i)
+),
+r AS (
+  SELECT doc_id, pos,
+         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+  FROM wins
+),
+cov AS (
+  SELECT DISTINCT doc_id, CAST(c.j AS INT) AS idx
+  FROM r, UNNEST(range(pos, pos + {dd.SUBSTR_MIN_TOKENS})) AS c(j)
+  WHERE rn > 1
+),
+tk AS (
+  SELECT doc_id, CAST(UNNEST(range(0, len(w))) AS INT) AS idx,
+         UNNEST(w) AS tok
+  FROM d
+),
+kept AS (
+  SELECT tk.doc_id, tk.idx, tk.tok
+  FROM tk LEFT JOIN cov ON tk.doc_id = cov.doc_id AND tk.idx = cov.idx
+  WHERE cov.doc_id IS NULL
+),
+per AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+         COALESCE(string_agg(tok, ' ' ORDER BY idx), '') AS cleaned_text
+  FROM kept GROUP BY doc_id
+),
+tot AS (SELECT doc_id, len(w)::BIGINT AS n_tokens FROM d)
+SELECT tot.doc_id, tot.n_tokens,
+       (tot.n_tokens - COALESCE(per.n_kept, 0))::BIGINT AS n_removed,
+       COALESCE(per.cleaned_text, '') AS cleaned_text
+FROM tot LEFT JOIN per USING (doc_id)""",
         "corpus_source_cap": f"""
 WITH r AS (
   SELECT doc_id, source,

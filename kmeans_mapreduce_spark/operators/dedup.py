@@ -1435,3 +1435,114 @@ def span_dedup(docs: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
             ).alias("cleaned_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated-substring dedup (Lee et al. 2022, ExactSubstr)
+# ---------------------------------------------------------------------------
+
+SUBSTR_MIN_TOKENS = 15  # minimum duplicated-substring length, in tokens
+
+
+def substring_dedup(
+    docs: DataFrame, min_tokens: int = SUBSTR_MIN_TOKENS
+) -> DataFrame:
+    """Exact repeated-substring removal — the ExactSubstr pass of Lee
+    et al. 2022 ("Deduplicating Training Data Makes Language Models
+    Better"): every substring of ≥ ``min_tokens`` tokens that occurs
+    more than once in the corpus keeps exactly its globally-first
+    occurrence; all other occurrences are cut out of their documents
+    and the surrounding text reassembled.
+
+    The paper builds one corpus-wide suffix array; that is a single
+    sequential data structure and does not shard. The distributed
+    equivalent used here is stride-1 window marking, which detects the
+    SAME substrings: a duplicated substring S of length m ≥ L contains
+    m−L+1 overlapping L-token windows, and every one of them is
+    duplicated wherever S repeats, so (a) each non-first occurrence of
+    S has all m of its token positions covered by duplicated windows
+    whose rank > 1, and (b) the windows of the globally-first
+    occurrence are each globally-first themselves (window order is
+    occurrence order), leaving the first copy intact. Unlike
+    :func:`span_dedup`'s fixed non-overlapping windows, stride-1
+    windows catch repeats at ANY alignment and remove maximal runs,
+    not window-quantized ones.
+
+    Scale shape: windows are a narrow per-doc expression (no
+    self-join); the only O(corpus) shuffles are the keep-first window
+    keyed by window text and the token-level anti-join keyed by
+    (doc_id, idx). Covered-position explode is proportional to
+    *duplicated* occurrences only, not the corpus. Window keys are the
+    window text itself for the oracle's collision-free replay; at
+    extreme scale key on ``h64(window)`` instead (same plan shape,
+    1/L the shuffle bytes, 2^-60 collision odds). Skew = the hottest
+    duplicated window's global frequency — the same boilerplate
+    population the minhash path caps, and AQE skew-split applies.
+
+    Output: (doc_id, n_tokens, n_removed, cleaned_text), one row per
+    input document (documents that are entirely duplicated text come
+    back with ``cleaned_text = ''``, never silently dropped).
+    """
+    from pyspark.sql.window import Window
+
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError(f"substring_dedup: min_tokens must be >= 2 (got {L})")
+    staged = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__w")
+    )
+    w = F.col("__w")
+    # stride-1 window starts: 0 .. n-L (none when the doc is shorter
+    # than L tokens — sequence() would wrap, so gate on size)
+    wins = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(w) >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - L),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, L)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "win"),
+    )
+    rn = F.row_number().over(Window.partitionBy("win").orderBy("doc_id", "pos"))
+    # every token position under a rank>1 duplicated window is cut
+    covered = (
+        wins.withColumn("rn", rn)
+        .filter(F.col("rn") > 1)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    toks = staged.select(
+        "doc_id", F.posexplode(w).alias("idx", "tok")
+    )
+    kept = toks.join(covered, ["doc_id", "idx"], "left_anti")
+    per_doc = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(F.col("idx").alias("idx"), F.col("tok").alias("tok"))
+                    )
+                ),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("cleaned_text"),
+    )
+    totals = staged.select("doc_id", F.size(w).cast("long").alias("n_tokens"))
+    return totals.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )

@@ -406,6 +406,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "text_compression_ratio",
     "corpus_datacard",
     "dedup_span_clean",
+    "dedup_substring",
     "corpus_source_cap",
     "corpus_token_shards",
     "pipeline_pagerank_loop2",

@@ -870,6 +870,68 @@ def test_span_dedup_short_tail_span(spark):
     assert got == {0: (2, 0, "a b c"), 1: (1, 1, ""), 2: (1, 0, "")}
 
 
+def test_substring_dedup_any_alignment_keep_first(spark):
+    """ExactSubstr semantics: a duplicated run of >= min_tokens is cut
+    from every non-first occurrence at ANY alignment (where span_dedup's
+    fixed windows would miss a shifted copy), the globally-first copy
+    survives intact, and surrounding unique text is reassembled."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    dup = "p q r s"  # the 4-token repeated substring (min_tokens=4)
+    rows = [
+        (0, f"u1 u2 {dup} u3"),        # first occurrence → intact
+        (1, f"v1 {dup} v2 v3"),        # shifted by 1 → still caught
+        (2, dup),                       # doc IS the duplicate → ''
+        (3, "w1 w2 w3 w4 w5"),          # unique → untouched
+        (4, f"{dup} {dup}"),            # both copies duplicate doc 0 → ''
+        (5, "z1 z2 z3 z4 z1 z2 z3 z4"),  # within-doc repeat, second cut
+    ]
+    docs = spark.createDataFrame(
+        [(i, "en", len(t), t) for i, t in rows],
+        "doc_id LONG, lang STRING, n_chars INT, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in dd.substring_dedup(docs, min_tokens=4).collect()
+    }
+    assert got[0] == (7, 0, f"u1 u2 {dup} u3")
+    assert got[1] == (7, 4, "v1 v2 v3")
+    assert got[2] == (4, 4, "")
+    assert got[3] == (5, 0, "w1 w2 w3 w4 w5")
+    # doc 4: every aligned window duplicates doc 0's globally-first run,
+    # so BOTH copies are cut (the corpus-wide keep-first, not per-doc)
+    assert got[4] == (8, 8, "")
+    # doc 5: a run unique to this doc keeps its first copy, cuts the
+    # second — seam windows ("z3 z4 z1 z2" etc.) are unique, untouched
+    assert got[5] == (8, 4, "z1 z2 z3 z4")
+
+
+def test_substring_dedup_catches_what_span_dedup_misses(spark):
+    """Recall comparison: the same shifted duplicate that survives
+    span_dedup's fixed non-overlapping windows is removed by stride-1
+    substring_dedup — the measured reason the stronger pass exists."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    dup = " ".join(f"t{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (0, "en", 1, dup),
+            (1, "en", 1, f"x {dup}"),  # shifted: no 10-word window aligns
+        ],
+        "doc_id LONG, lang STRING, n_chars INT, text STRING",
+    )
+    span = {
+        r["doc_id"]: r["n_removed"]
+        for r in dd.span_dedup(docs, span_words=10).collect()
+    }
+    sub = {
+        r["doc_id"]: r["n_removed"]
+        for r in dd.substring_dedup(docs, min_tokens=10).collect()
+    }
+    assert span[1] == 0  # fixed windows miss the shifted copy
+    assert sub[1] == 10 and sub[0] == 0  # stride-1 cuts it, keeps first
+
+
 def test_source_cap_keeps_exactly_cap_per_source(spark):
     """Cap binds per source; selection is the salted-hash rank order,
     deterministic across calls and input order."""
