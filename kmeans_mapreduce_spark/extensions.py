@@ -1087,6 +1087,83 @@ def _nd_centers_and_points(emb: DataFrame):
     return centers, pts
 
 
+def _nd_trained_centers(emb: DataFrame) -> list[tuple[int, list[float]]]:
+    """Trained coarse quantizer shared by the *_trained queries:
+    ``kmeans_nd.fit_nd`` with fixed init (the ND_CENTROID_IDS rows,
+    cid = rank in vec_id order), exactly 2 Lloyd iterations,
+    per-iteration HALF_UP rounding to 6 digits — the
+    kmeans_nd_fit_fixed determinism discipline, so the DuckDB twins
+    re-derive the SAME centers by unrolling the loop
+    (_nd_trained_ctr_cte) rather than trusting the engine."""
+    cents = (
+        emb.filter(F.col("vec_id").isin(ND_CENTROID_IDS))
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .collect()
+    )
+    init = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(cents)
+    ]
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("vec"),
+    )
+    centers, _history, _sizes = knd.fit_nd(
+        pts, k=len(init), max_iter=2, tol=0.0, init_centers=init,
+        round_digits=6,
+    )
+    return centers
+
+
+def q_similarity_ann_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED coarse quantizer (FAISS train()+add()
+    shape): fit_nd centers instead of fixed corpus rows — the
+    production path; the fixed-row variant (similarity_ann_ivf) stays
+    as the degenerate baseline."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_ann_topk_centers(
+        emb, _nd_trained_centers(emb), TOPK_QUERY_IDS,
+        k=ANN_K, nprobe=IVF_NPROBE,
+    )
+
+
+def q_similarity_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of the TRAINED-quantizer IVF index vs exact brute
+    force — the judge's bar: >= the fixed-centroid variant's recall
+    (similarity_ann_recall) at the same nprobe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ivf = sim.ivf_ann_topk_centers(
+        emb, _nd_trained_centers(emb), TOPK_QUERY_IDS,
+        k=ANN_K, nprobe=IVF_NPROBE,
+    ).select("query_id", "neighbor_id")
+    brute = sim.cosine_topk(emb, TOPK_QUERY_IDS, ANN_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        ivf.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.lit(ANN_K).cast("long").alias("k"),
+            F.round(
+                F.col("n_hit").cast("double") / F.lit(float(ANN_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+def q_dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup on the trained coarse quantizer: fit_nd cells shard
+    the pair space instead of fixed corpus rows (the paper's actual
+    recipe — cluster, then dedup within clusters)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.semantic_dedup_pairs(
+        emb, _nd_trained_centers(emb), SEMANTIC_COSINE_THRESHOLD
+    )
+
+
 def q_kmeans_nd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers, pts = _nd_centers_and_points(
         load_table(spark, sf_dir, "embeddings")
@@ -1603,20 +1680,27 @@ FROM verified WHERE jaccard >= {JACCARD_LSH_THRESHOLD}
 """
 
 
-def _nd_assign_cte(normalize: bool = True) -> str:
+def _nd_assign_cte(normalize: bool = True, trained: bool = False) -> str:
     """Shared fixed-centroid assignment CTE prefix (e0/c/d/a, plus
     e1/e normalization when requested) — ONE rendering of the cell
     blocking that _semantic_dedup_sql, _knn_graph_sql, and
     _embedding_outliers_sql are all documented to replay identically
     ("same fixed-centroid cells as dedup_semantic"): a tie-break or
-    normalization change lands in every consumer or none."""
+    normalization change lands in every consumer or none.
+    ``trained=True`` swaps the fixed centroid rows for the unrolled
+    fit_nd centers of _nd_trained_ctr_cte (cid = 0..K-1 rank, exactly
+    the cids the engine's trained path assigns)."""
     ids = ", ".join(str(c) for c in ND_CENTROID_IDS)
     d2 = (
         f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "i -> (e0.v0[i] - c.cv[i]) * (e0.v0[i] - c.cv[i])))"
     )
+    if trained:
+        c_cte = _nd_trained_ctr_cte() + ",\nc AS (SELECT cid, cv FROM ctr)"
+    else:
+        c_cte = f"c AS (SELECT vec_id AS cid, v0 AS cv FROM e0 WHERE vec_id IN ({ids}))"
     base = f"""e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
-c AS (SELECT vec_id AS cid, v0 AS cv FROM e0 WHERE vec_id IN ({ids})),
+{c_cte},
 d AS (SELECT e0.vec_id, e0.v0, c.cid, {d2} AS d2 FROM e0 CROSS JOIN c),
 a AS (
   SELECT vec_id, v0, cid, d2 FROM (
@@ -1630,13 +1714,13 @@ e1 AS (SELECT vec_id, cid, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM a),
 e AS (SELECT vec_id, cid, list_transform(v0, x -> x / nrm) AS v FROM e1)"""
 
 
-def _semantic_dedup_sql() -> str:
+def _semantic_dedup_sql(trained: bool = False) -> str:
     """Twin of dedup.semantic_dedup_pairs: argmin assignment to the
-    fixed centroid rows (same CTE shape as _kmeans_nd_assign_sql), then
-    the normalize-once pair join of _embedding_near_dup_sql restricted
-    to same-cell pairs."""
+    coarse centers (same CTE shape as _kmeans_nd_assign_sql; trained →
+    the unrolled fit_nd centers), then the normalize-once pair join of
+    _embedding_near_dup_sql restricted to same-cell pairs."""
     return f"""
-WITH {_nd_assign_cte()},
+WITH {_nd_assign_cte(trained=trained)},
 p AS (
   SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
          ROUND({_dot_sql('x.v', 'y.v')}, 6) AS cosine
@@ -2048,23 +2132,77 @@ FROM ranked WHERE rank <= {k}
     )
 
 
-def _ivf_ann_sql() -> str:
+def _nd_trained_ctr_cte() -> str:
+    """Trained-quantizer CTE chain (appended after an ``e0(vec_id,
+    v0)`` CTE): the 2-iteration fixed-init Lloyd unroll of
+    _kmeans_nd_loop2_sql, ending in ``ctr(cid, cv)`` — the EXACT
+    centers ``kmeans_nd.fit_nd(max_iter=2, tol=0.0, init_centers=
+    <ND_CENTROID_IDS rows>, round_digits=6)`` returns, so every
+    *_trained twin re-derives the engine's trained quantizer
+    value-for-value instead of trusting it."""
+    cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
+    d2_0 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v0[i] - c0t.cv[i]) * (e0.v0[i] - c0t.cv[i])))"
+    )
+    d2_1 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v0[i] - c1t.cv[i]) * (e0.v0[i] - c1t.cv[i])))"
+    )
+    return f"""c0t AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid, v0 AS cv
+  FROM e0 WHERE vec_id IN ({cids})
+),
+d1t AS (SELECT e0.vec_id, e0.v0, c0t.cid, {d2_0} AS d2 FROM e0 CROSS JOIN c0t),
+a1t AS (
+  SELECT vec_id, v0, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1t
+  ) WHERE rn = 1
+),
+m1t AS (
+  SELECT cid, i, ROUND(AVG(v0[i]), 6) AS c_val
+  FROM a1t CROSS JOIN range(1, {EMB_DIM + 1}) t(i) GROUP BY cid, i
+),
+c1t AS (SELECT cid, list(c_val ORDER BY i) AS cv FROM m1t GROUP BY cid),
+d2t AS (SELECT e0.vec_id, e0.v0, c1t.cid, {d2_1} AS d2 FROM e0 CROSS JOIN c1t),
+a2t AS (
+  SELECT vec_id, v0, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2t
+  ) WHERE rn = 1
+),
+m2t AS (
+  SELECT cid, i, ROUND(AVG(v0[i]), 6) AS c_val
+  FROM a2t CROSS JOIN range(1, {EMB_DIM + 1}) t(i) GROUP BY cid, i
+),
+ctr AS (SELECT cid, list(c_val ORDER BY i) AS cv FROM m2t GROUP BY cid)"""
+
+
+def _ivf_ann_sql(trained: bool = False) -> str:
     """Twin of similarity.ivf_ann_topk: cell = argmin raw-d2 over the
-    fixed centroid rows (tie→lowest cell), probes = nprobe nearest
-    cells per query, re-rank = normalized dot (same op order as
-    embedding_near_dup)."""
+    coarse centers (tie→lowest cell), probes = nprobe nearest cells
+    per query, re-rank = normalized dot (same op order as
+    embedding_near_dup). ``trained=True`` twins ivf_ann_topk_centers
+    on the fit_nd quantizer: centers come from the unrolled Lloyd
+    chain of _nd_trained_ctr_cte instead of fixed corpus rows."""
     cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
     qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
     d2 = (
         f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "i -> (e0.v0[i] - c.cvec[i]) * (e0.v0[i] - c.cvec[i])))"
     )
-    return f"""
-WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
-c AS (
+    if trained:
+        centers_cte = (
+            _nd_trained_ctr_cte()
+            + ",\nc AS (SELECT cid AS cell, cv AS cvec FROM ctr)"
+        )
+    else:
+        centers_cte = f"""c AS (
   SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cell, v0 AS cvec
   FROM e0 WHERE vec_id IN ({cids})
-),
+)"""
+    return f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
+{centers_cte},
 sc AS (SELECT e0.vec_id, c.cell, {d2} AS d2 FROM e0 CROSS JOIN c),
 cells AS (
   SELECT vec_id, cell FROM (
@@ -2340,7 +2478,10 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ann_ivf_trained": q_similarity_ann_ivf_trained,
         "similarity_ann_recall": q_similarity_ann_recall,
+        "similarity_ann_recall_trained": q_similarity_ann_recall_trained,
+        "dedup_semantic_trained": q_dedup_semantic_trained,
         "similarity_ann_pq": q_similarity_ann_pq,
         "similarity_ann_pq_rerank": q_similarity_ann_pq_rerank,
         "kmeans_nd_assign": q_kmeans_nd_assign,
@@ -3118,6 +3259,18 @@ SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT {tx.BPE_MERGE_TOPK}""",
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
         "similarity_ann_ivf": _ivf_ann_sql(),
+        "similarity_ann_ivf_trained": _ivf_ann_sql(trained=True),
+        "dedup_semantic_trained": _semantic_dedup_sql(trained=True),
+        "similarity_ann_recall_trained": f"""
+WITH ivf AS (SELECT query_id, neighbor_id FROM ({_ivf_ann_sql(trained=True)}) t1),
+brute AS (SELECT query_id, neighbor_id FROM ({_topk_sql(ANN_K, bucketed=False)}) t2)
+SELECT i.query_id,
+       COUNT(b.neighbor_id)::BIGINT AS n_hit,
+       {ANN_K}::BIGINT AS k,
+       ROUND(COUNT(b.neighbor_id)::DOUBLE / {ANN_K}::DOUBLE, 6) AS recall_at_k
+FROM ivf i LEFT JOIN brute b
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY i.query_id""",
         # recall@k: the IVF replay left-joined to the exact top-k
         # replay (DuckDB allows WITH inside subqueries, so both full
         # twins compose verbatim)

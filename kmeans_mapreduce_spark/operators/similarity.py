@@ -163,13 +163,13 @@ def ivf_ann_topk(
 
     Cells come from FIXED centroid rows (``centroid_ids`` index the
     corpus itself) so the whole pipeline is deterministic and
-    SQL-expressible — swap in ``kmeans_nd.fit_nd`` centers for a
-    trained quantizer. Cell id = rank of the centroid's vec_id in
+    SQL-expressible; :func:`ivf_ann_topk_centers` is the same probe
+    with an explicit quantizer (e.g. ``kmeans_nd.fit_nd`` centers —
+    the trained path). Cell id = rank of the centroid's vec_id in
     sorted order. Assignment uses raw-vector squared distance
     (tie→lowest cell); re-rank uses normalized-dot cosine (rounded,
     neighbor_id tiebreak).
     """
-    spark = emb.sparkSession
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     # ONE driver job fetches centroid AND query rows (both tiny) —
     # two separate collects would each scan the corpus
@@ -184,6 +184,43 @@ def ivf_ann_topk(
     centers = [
         (i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))
     ]
+    qvecs = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    return ivf_ann_topk_centers(
+        emb, centers, query_ids, k=k, nprobe=nprobe, digits=digits,
+        _qvecs=qvecs,
+    )
+
+
+def ivf_ann_topk_centers(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = 2,
+    digits: int = 6,
+    _qvecs: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """IVF probe with an EXPLICIT coarse quantizer: ``centers`` is the
+    driver-held K-row (cell_id, vector) list — fixed corpus rows via
+    :func:`ivf_ann_topk`, or ``kmeans_nd.fit_nd`` output for a trained
+    quantizer (the FAISS ``train()``-then-``add()`` shape; with fixed
+    init + ``round_digits`` the training is deterministic, so even the
+    trained index replays under the DuckDB gate). Index build, probe
+    and re-rank are identical either way.
+
+    ``_qvecs``: pre-fetched query vectors (an internal fast path so
+    :func:`ivf_ann_topk` can fetch centroids and queries in one job).
+    """
+    spark = emb.sparkSession
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
+    if _qvecs is None:
+        _qvecs = {
+            r["vec_id"]: list(r["v0"])
+            for r in e0.filter(
+                F.col("vec_id").isin(sorted(set(query_ids)))
+            ).collect()
+        }
 
     # ONE corpus pass builds the index: cell (argmin raw-d2, tie→lowest
     # cell) AND the normalized vector, vectorized per Arrow batch with
@@ -236,7 +273,7 @@ def ivf_ann_topk(
     # probe list per query: Q×K distances on the driver (exact same
     # sequential float op order as the distributed/oracle form — Q and
     # K are both tiny, this is metadata math, not data math)
-    qrows = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    qrows = _qvecs
     probe_rows = []
     qn_rows = []
     for qid in sorted(qrows):

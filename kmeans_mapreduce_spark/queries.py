@@ -364,6 +364,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "similarity_topk",
     "similarity_hard_negatives",
     "similarity_ann_ivf",
+    "similarity_ann_ivf_trained",
     "text_quality",
     "text_tfidf",
     "events_sessionize",

@@ -164,6 +164,70 @@ def test_ivf_ann_finds_planted_neighbor(spark):
     assert out[0]["cosine"] == pytest.approx(1.0, abs=1e-5)
 
 
+def test_ivf_trained_centers_path_matches_fixed_when_centers_equal(spark):
+    """ivf_ann_topk is now a wrapper over ivf_ann_topk_centers: feeding
+    the centers list the wrapper would build must give identical
+    results — the refactor seam for the trained-quantizer path."""
+    import math
+
+    def vec(seed, dim=8):
+        return [math.sin(seed * (i + 1)) for i in range(dim)]
+
+    rows = [(i, [float(x) for x in vec(i + 1)], 0) for i in range(11)]
+    rows.append((11, [3.0 * x for x in vec(6)], 0))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    via_ids = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in sim.ivf_ann_topk(
+            emb, centroid_ids=[0, 5], query_ids=[5, 7], k=2, nprobe=1
+        ).collect()
+    )
+    centers = [
+        (0, [float(x) for x in vec(1)]),
+        (1, [float(x) for x in vec(6)]),
+    ]
+    via_centers = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in sim.ivf_ann_topk_centers(
+            emb, centers, query_ids=[5, 7], k=2, nprobe=1
+        ).collect()
+    )
+    assert via_ids == via_centers
+
+
+def test_ivf_trained_quantizer_cells_follow_training(spark):
+    """A trained center that moved toward a cluster's mean must pull
+    that cluster's vectors into its cell: plant two tight clusters,
+    train with fit_nd from deliberately-off init rows, and check the
+    probe finds the planted neighbor brute force would."""
+    import math
+
+    from kmeans_mapreduce_spark.operators import kmeans_nd as knd
+
+    def around(base, eps, dim=8):
+        return [base[i] + eps * math.sin(97.0 * (i + 1)) for i in range(dim)]
+
+    a = [1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0]
+    b = [0.0, 1.0, 0.0, 1.0, 0.0, 1.0, 0.0, 1.0]
+    rows = [(i, around(a, 0.01 * (i + 1)), 0) for i in range(5)]
+    rows += [(10 + i, around(b, 0.01 * (i + 1)), 1) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    pts = emb.selectExpr(
+        "vec_id AS point_id", "transform(embedding, x -> double(x)) AS vec"
+    )
+    # init from rows 0 and 1 — BOTH in cluster a; training must move
+    # one center across to cluster b (fixed rows never could)
+    init_rows = {r["point_id"]: list(r["vec"]) for r in pts.filter("point_id IN (0, 1)").collect()}
+    init = [(0, init_rows[0]), (1, init_rows[1])]
+    centers, _h, sizes = knd.fit_nd(
+        pts, k=2, max_iter=5, tol=0.0, init_centers=init, round_digits=6
+    )
+    assert sorted(sizes.values()) == [5, 5]  # training split the clusters
+    out = sim.ivf_ann_topk_centers(emb, centers, query_ids=[10], k=1, nprobe=1)
+    got = out.collect()[0]
+    assert got["neighbor_id"] in {11, 12, 13, 14}  # stayed inside cluster b
+
+
 def test_multimodal_real_decode(docs):
     """Images decode through the real PPM parser (dims recovered from
     the header), audio through the stdlib wave reader (frame count
