@@ -88,27 +88,17 @@ def value_gini(events: DataFrame, digits: int = 6) -> DataFrame:
     float summation-order noise is absorbed by rounding, like every
     other cross-engine aggregate. The DuckDB twin computes the same
     formula with window functions — an independent formulation.
+
+    The UDAF itself lives in ``functions.udafs`` (type-hint
+    registration needs real — not future-import-stringified —
+    annotations; that module documents the trap).
     """
-    import numpy as np
-
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
-
-    # explicit GROUPED_AGG: this module uses `from __future__ import
-    # annotations`, which stringifies type hints and defeats pyspark's
-    # signature-based UDF-type inference
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def gini(v):
-        x = np.sort(v.to_numpy(dtype=np.float64))
-        n = len(x)
-        tot = float(x.sum())
-        if n == 0 or tot == 0.0:
-            return 0.0
-        return float(((2.0 * np.arange(1, n + 1) - n - 1) * x).sum() / (n * tot))
+    from kmeans_mapreduce_spark.functions.udafs import gini_udaf
 
     return (
         events.select("event_type", "value")
         .groupBy("event_type")
-        .agg(F.round(gini(F.col("value")), digits).alias("value_gini"))
+        .agg(F.round(gini_udaf(F.col("value")), digits).alias("value_gini"))
     )
 
 
