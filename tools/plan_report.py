@@ -56,6 +56,9 @@ REPORT_QUERIES = [
     ("embeddings_outliers", "literal-argmin assignment; K-row stats broadcast back, corpus never exchanged"),
     ("text_vocab_coverage", "TakeOrdered truncation before ranking; broadcast 1-row total"),
     ("corpus_pack_fragments", "one per-stratum window + narrow interval explode, all-int64"),
+    ("dedup_substring", "stride-1 window keep-first + token-level anti-join; covered explode ∝ duplicated occurrences, no self-join"),
+    ("similarity_ann_ivf_trained", "trained-quantizer IVF: same broadcast-probe/cell-join plan as the fixed-row index"),
+    ("dedup_simhash_pairs", "4×15-bit pigeonhole band self-join + JVM popcount verify (60-bit sketch)"),
 ]
 
 

@@ -239,6 +239,52 @@ def main() -> int:
             out[f"{probe}_sec_4x"] / out[f"{probe}_sec_1x"] / 4.0, 3
         )
 
+    # --- pair-generator tail: 1x / 4x / 16x docs ----------------------
+    # The three pair-generators without prior 16x evidence (simhash
+    # band join, n-gram inverted index, Pass-Join fuzzy prefix) plus
+    # the stride-1 substring pass. Replicas get a suffix token, so a
+    # replica pairs with its original (near-dup populations grow
+    # linearly) without collapsing into one global hot key. Pass bar:
+    # slope_16x < 1.5 (slope 1.0 = perfectly linear).
+    pair_probes = {
+        "simhash_pairs": lambda d: dd.simhash_pairs(d),
+        "ngram_jaccard": lambda d: dd.ngram_jaccard_pairs(d),
+        "fuzzy_prefix": lambda d: dd.fuzzy_prefix_pairs(d),
+        "substring_dedup": lambda d: dd.substring_dedup(d),
+    }
+    # full-column base: ngram_jaccard's posting builder reads lang and
+    # n_chars, not just (doc_id, text)
+    docsF = load_table(spark, sf_dir, "documents")
+    for factor in (1, 4, 16):
+        d = docsF
+        for i in range(factor - 1):
+            d = d.unionByName(
+                docsF.select(
+                    (F.col("doc_id") + F.lit(1_000_000 * (i + 1))).alias(
+                        "doc_id"
+                    ),
+                    F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+                    *[
+                        c
+                        for c in docsF.columns
+                        if c not in ("doc_id", "text")
+                    ],
+                )
+            )
+        d = d.cache()
+        d.count()
+        for probe, fn in pair_probes.items():
+            fn(d).write.format("noop").mode("overwrite").save()  # warm
+            t = time.time()
+            fn(d).write.format("noop").mode("overwrite").save()
+            out[f"{probe}_sec_{factor}x"] = round(time.time() - t, 3)
+        out[f"pairgen_docs_{factor}x"] = nd0 * factor
+        d.unpersist()
+    for probe in pair_probes:
+        out[f"{probe}_16x_slope"] = round(
+            out[f"{probe}_sec_16x"] / out[f"{probe}_sec_1x"] / 16.0, 3
+        )
+
     print(json.dumps(out))
     return 0
 
