@@ -422,9 +422,7 @@ def ivf_pq_ann_topk(
     scores themselves under the oracle gate.
     """
     import numpy as np
-    import pandas as pd
 
-    spark = emb.sparkSession
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     wanted = sorted(set(centroid_ids) | set(codebook_ids) | set(query_ids))
     fetched = {
@@ -441,25 +439,79 @@ def ivf_pq_ann_topk(
             f"ivf_pq: centroid/codebook vec_ids not in corpus: {missing}"
         )
     centers = [(i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))]
-    C = np.array([cvec for _, cvec in centers], dtype=np.float64)
-    n_cells, dim = C.shape
+    dim = len(centers[0][1])
     if m <= 0 or dim % m != 0:
         raise ValueError(
             f"ivf_pq: dim ({dim}) must divide evenly into m={m} subspaces"
             " — a remainder would silently drop trailing dimensions"
         )
     sub = dim // m
-
-    def _norm(v: list[float]) -> list[float]:
-        nrm = math.sqrt(sum(x * x for x in v))
-        if nrm == 0.0:
-            raise ValueError("zero-norm vector in codebook/query set")
-        return [x / nrm for x in v]
-
     CB = np.array(
-        [_norm(fetched[vid]) for vid in sorted(codebook_ids)], dtype=np.float64
+        [_norm_py(fetched[vid]) for vid in sorted(codebook_ids)],
+        dtype=np.float64,
     )
-    n_codes = len(CB)
+    # the fixed path's SHARED codebook, viewed per-subspace — the same
+    # (m, n_codes, sub) contract the trained path fills with fit output
+    codebooks = [CB[:, mi * sub : (mi + 1) * sub] for mi in range(m)]
+    qvecs = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    return ivf_pq_ann_topk_quantizers(
+        emb, centers, codebooks, query_ids,
+        k=k, nprobe=nprobe, digits=digits, _qvecs=qvecs,
+    )
+
+
+def _norm_py(v: list[float]) -> list[float]:
+    """Driver-side normalize, sequential fold (same op order as
+    ``norm_nd``/the oracle's ``list_sum`` replay)."""
+    nrm = math.sqrt(sum(x * x for x in v))
+    if nrm == 0.0:
+        raise ValueError("zero-norm vector in codebook/query set")
+    return [x / nrm for x in v]
+
+
+def ivf_pq_ann_topk_quantizers(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    codebooks,  # list of m (n_codes × sub) arrays/lists
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = 2,
+    digits: int = 6,
+    _qvecs: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """IVF-PQ probe with EXPLICIT quantizers: ``centers`` is the
+    coarse (cell, vector) list and ``codebooks`` the per-subspace
+    code vectors — fixed corpus rows via :func:`ivf_pq_ann_topk`
+    (one shared codebook sliced per subspace), or
+    :func:`fit_pq_codebooks` output for trained per-subspace
+    codebooks (the real FAISS PQ ``train()``). Index build, probe,
+    ADC scoring identical either way."""
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
+    C = np.array([cvec for _, cvec in centers], dtype=np.float64)
+    n_cells, dim = C.shape
+    CBm = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(CBm)
+    if m == 0 or dim % m != 0:
+        raise ValueError(f"ivf_pq: dim ({dim}) not divisible into m={m}")
+    sub = dim // m
+    n_codes = CBm[0].shape[0]
+    for mi, cb in enumerate(CBm):
+        if cb.shape != (n_codes, sub):
+            raise ValueError(
+                f"ivf_pq: codebook {mi} shape {cb.shape} != ({n_codes}, {sub})"
+            )
+    if _qvecs is None:
+        _qvecs = {
+            r["vec_id"]: list(r["v0"])
+            for r in e0.filter(
+                F.col("vec_id").isin(sorted(set(query_ids)))
+            ).collect()
+        }
 
     def build_index(batches):
         for pdf in batches:
@@ -481,8 +533,10 @@ def ivf_pq_ann_topk(
             codes = np.zeros((len(V), m), dtype=np.int32)
             for mi in range(m):
                 Dm = np.zeros((len(V), n_codes))
-                for d in range(mi * sub, (mi + 1) * sub):
-                    diff = nv[:, d][:, None] - CB[:, d][None, :]
+                for d in range(sub):
+                    diff = (
+                        nv[:, mi * sub + d][:, None] - CBm[mi][:, d][None, :]
+                    )
                     Dm += diff * diff
                 codes[:, mi] = Dm.argmin(axis=1)  # first min → lowest code
             yield pd.DataFrame(
@@ -500,7 +554,7 @@ def ivf_pq_ann_topk(
     # probe list + per-query ADC lookup tables (driver metadata math:
     # Q×K coarse distances, Q×m×n_codes sub-dots — same sequential op
     # order as the oracle's SQL folds)
-    qrows = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    qrows = _qvecs
     probe_rows = []
     luts = {}
     for qid in sorted(qrows):
@@ -510,13 +564,13 @@ def ivf_pq_ann_topk(
             for cid, cvec in centers
         )
         probe_rows += [(qid, cid) for _, cid in ranked[:nprobe]]
-        qn = _norm(qv)
+        qn = _norm_py(qv)
         lut = np.zeros((m, n_codes))
         for mi in range(m):
             for c in range(n_codes):
                 s = 0.0
-                for d in range(mi * sub, (mi + 1) * sub):
-                    s += qn[d] * CB[c][d]
+                for d in range(sub):
+                    s += qn[mi * sub + d] * CBm[mi][c][d]
                 lut[mi, c] = s
         luts[qid] = lut
     probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")

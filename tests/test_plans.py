@@ -354,6 +354,18 @@ def test_span_dedup_has_no_self_join(spark):
     assert "SortMergeJoin" not in s and "ShuffledHashJoin" not in s
 
 
+def test_substring_dedup_has_no_self_join(spark):
+    # ExactSubstr must stay linear in the corpus: stride-1 window
+    # generate, one keep-first window, covered-position explode, one
+    # token-level anti-join — never a doc×doc self-join or cartesian
+    docs = load_table(spark, SF, "documents")
+    df = dd.substring_dedup(docs)
+    s = plans.explain_str(df, "simple")
+    assert not plans.has_cartesian(df)
+    assert "SortMergeJoin Inner" not in s and "ShuffledHashJoin Inner" not in s
+    assert "LeftAnti" in s  # the covered-token cut is an anti-join
+
+
 def test_token_shard_plan_offsets_broadcast_back(spark):
     # the <=n_buckets offset table must broadcast onto the corpus scan;
     # a shuffled join would exchange the corpus a second time, and the
