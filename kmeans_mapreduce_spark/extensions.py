@@ -3190,7 +3190,8 @@ wins AS (
 ),
 r AS (
   SELECT doc_id, pos,
-         ROW_NUMBER() OVER (PARTITION BY win ORDER BY doc_id, pos) AS rn
+         ROW_NUMBER() OVER (
+           PARTITION BY {h64_sql('win')} ORDER BY doc_id, pos) AS rn
   FROM wins
 ),
 cov AS (

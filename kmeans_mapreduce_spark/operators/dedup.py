@@ -1445,7 +1445,9 @@ SUBSTR_MIN_TOKENS = 15  # minimum duplicated-substring length, in tokens
 
 
 def substring_dedup(
-    docs: DataFrame, min_tokens: int = SUBSTR_MIN_TOKENS
+    docs: DataFrame,
+    min_tokens: int = SUBSTR_MIN_TOKENS,
+    key_by_text: bool = False,
 ) -> DataFrame:
     """Exact repeated-substring removal — the ExactSubstr pass of Lee
     et al. 2022 ("Deduplicating Training Data Makes Language Models
@@ -1459,31 +1461,39 @@ def substring_dedup(
     equivalent used here is stride-1 window marking, which detects the
     SAME substrings: a duplicated substring S of length m ≥ L contains
     m−L+1 overlapping L-token windows, and every one of them is
-    duplicated wherever S repeats, so (a) each non-first occurrence of
-    S has all m of its token positions covered by duplicated windows
-    whose rank > 1, and (b) the windows of the globally-first
-    occurrence are each globally-first themselves (window order is
-    occurrence order), leaving the first copy intact. Unlike
+    duplicated wherever S repeats, so each non-first occurrence of S
+    has all m of its token positions covered by duplicated windows
+    whose rank > 1. The corpus-wide invariant is that every duplicated
+    window retains exactly its globally-first copy; the first
+    occurrence of S is left fully intact when none of its windows
+    appear earlier elsewhere (if, say, S's prefix is itself duplicated
+    from an earlier document, tokens of that prefix are cut there
+    too — identically in the oracle replay). Unlike
     :func:`span_dedup`'s fixed non-overlapping windows, stride-1
     windows catch repeats at ANY alignment and remove maximal runs,
     not window-quantized ones.
 
     Scale shape: windows are a narrow per-doc expression (no
     self-join); the only O(corpus) shuffles are the keep-first window
-    keyed by window text and the token-level anti-join keyed by
-    (doc_id, idx). Covered-position explode is proportional to
-    *duplicated* occurrences only, not the corpus. Window keys are the
-    window text itself for the oracle's collision-free replay; at
-    extreme scale key on ``h64(window)`` instead (same plan shape,
-    1/L the shuffle bytes, 2^-60 collision odds). Skew = the hottest
-    duplicated window's global frequency — the same boilerplate
-    population the minhash path caps, and AQE skew-split applies.
+    exchange and the token-level anti-join keyed by (doc_id, idx).
+    The keep-first exchange is keyed by ``h64(window)`` — the 60-bit
+    hash, 8 bytes per window instead of ~L tokens of text (~1/L the
+    shuffle bytes at corpus scale, 2^-60 collision odds); the DuckDB
+    twin replays the identical hash. ``key_by_text=True`` keeps the
+    collision-free text key for A/B verification (tests assert the
+    two keys produce identical output). Covered-position explode is
+    proportional to *duplicated* occurrences only, not the corpus.
+    Skew = the hottest duplicated window's global frequency — the
+    same boilerplate population the minhash path caps, and AQE
+    skew-split applies.
 
     Output: (doc_id, n_tokens, n_removed, cleaned_text), one row per
     input document (documents that are entirely duplicated text come
     back with ``cleaned_text = ''``, never silently dropped).
     """
     from pyspark.sql.window import Window
+
+    from ..functions.hashing import h64
 
     L = int(min_tokens)
     if L < 2:
@@ -1506,7 +1516,13 @@ def substring_dedup(
             ).otherwise(F.array().cast("array<string>"))
         ).alias("pos", "win"),
     )
-    rn = F.row_number().over(Window.partitionBy("win").orderBy("doc_id", "pos"))
+    # project the shuffle key BEFORE the window exchange: 8-byte hash
+    # by default (text only for the A/B verification path)
+    wkey = F.col("win") if key_by_text else h64(F.col("win"))
+    wins = wins.select("doc_id", "pos", wkey.alias("__wk"))
+    rn = F.row_number().over(
+        Window.partitionBy("__wk").orderBy("doc_id", "pos")
+    )
     # every token position under a rank>1 duplicated window is cut
     covered = (
         wins.withColumn("rn", rn)

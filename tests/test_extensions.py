@@ -996,6 +996,26 @@ def test_substring_dedup_catches_what_span_dedup_misses(spark):
     assert sub[1] == 10 and sub[0] == 0  # stride-1 cuts it, keeps first
 
 
+def test_substring_dedup_hash_key_equals_text_key(spark, sf_dir):
+    """The default h64(window) shuffle key (8 bytes vs ~L tokens of
+    text at corpus scale) must produce byte-identical output to the
+    collision-free text key on real documents — the text path exists
+    only as this A/B check."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in dd.substring_dedup(docs).collect()
+    }
+    texty = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in dd.substring_dedup(docs, key_by_text=True).collect()
+    }
+    assert hashed == texty and len(hashed) == docs.count()
+
+
 def test_source_cap_keeps_exactly_cap_per_source(spark):
     """Cap binds per source; selection is the salted-hash rank order,
     deterministic across calls and input order."""
