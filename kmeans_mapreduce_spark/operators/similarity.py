@@ -214,6 +214,7 @@ def ivf_ann_topk_centers(
     spark = emb.sparkSession
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
+    _check_cell_ids(centers, "ivf_ann_topk_centers")
     if _qvecs is None:
         _qvecs = {
             r["vec_id"]: list(r["v0"])
@@ -469,6 +470,85 @@ def _norm_py(v: list[float]) -> list[float]:
     return [x / nrm for x in v]
 
 
+def _check_cell_ids(centers: list[tuple[int, list[float]]], where: str) -> None:
+    """Cell assignment below is ``argmin`` over the centers LIST — the
+    position, not the caller's cid — while probe rows carry the cid.
+    The two agree only when cids are exactly 0..K-1 in list order;
+    anything else would silently produce wrong/empty candidate joins,
+    so reject it loudly."""
+    cids = [cid for cid, _ in centers]
+    if cids != list(range(len(centers))):
+        raise ValueError(
+            f"{where}: centers must carry cell ids 0..K-1 in list order "
+            f"(got {cids[:8]}{'...' if len(cids) > 8 else ''}); renumber "
+            "the quantizer output (cid = rank) before calling"
+        )
+
+
+def fit_pq_codebooks(
+    emb: DataFrame,
+    codebook_ids: list[int],
+    m: int = 8,
+    iters: int = 2,
+    round_digits: int = 6,
+) -> list[list[list[float]]]:
+    """TRAIN per-subspace PQ codebooks — the real FAISS PQ ``train()``
+    — as ``m`` independent k-means fits over the m-th subvectors of
+    the NORMALIZED corpus, under the same fit_fixed determinism
+    discipline as the trained IVF coarse quantizer: init = the
+    normalized ``codebook_ids`` rows' subvectors (code = rank in
+    sorted vec_id order), exactly ``iters`` Lloyd iterations,
+    ``tol=0``, per-iteration HALF_UP rounding to ``round_digits`` —
+    so the DuckDB twin re-derives the identical codebooks by
+    unrolling the loop per subspace (empty codes keep their previous
+    entry, the ``fit_nd`` policy).
+
+    Returns the ``codebooks`` argument of
+    :func:`ivf_pq_ann_topk_quantizers`: m arrays of (n_codes × sub).
+
+    Scale shape: each iteration is one corpus pass of constant-width
+    suffstats per partition (``fit_nd``'s Arrow loop) over a
+    ``dim/m``-wide projection; training cost is O(iters · corpus) and
+    independent of query volume — train once, persist, serve.
+    """
+    from .kmeans_nd import fit_nd
+
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    ids = sorted(set(codebook_ids))
+    fetched = {
+        r["vec_id"]: list(r["v0"])
+        for r in e0.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    missing = [vid for vid in ids if vid not in fetched]
+    if missing:
+        raise ValueError(f"fit_pq_codebooks: vec_ids not in corpus: {missing}")
+    dim = len(fetched[ids[0]])
+    if m <= 0 or dim % m != 0:
+        raise ValueError(f"fit_pq_codebooks: dim ({dim}) not divisible by m={m}")
+    sub = dim // m
+    init_rows = [_norm_py(fetched[vid]) for vid in ids]
+    e1 = e0.select("vec_id", "v0", norm_nd(F.col("v0")).alias("nrm"))
+    e = e1.select(
+        "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("nv")
+    )
+    books: list[list[list[float]]] = []
+    for mi in range(m):
+        pts = e.select(
+            F.col("vec_id").alias("point_id"),
+            F.slice(F.col("nv"), mi * sub + 1, sub).alias("vec"),
+        )
+        init = [
+            (code, row[mi * sub : (mi + 1) * sub])
+            for code, row in enumerate(init_rows)
+        ]
+        centers, _hist, _sizes = fit_nd(
+            pts, k=len(init), max_iter=iters, tol=0.0,
+            init_centers=init, round_digits=round_digits,
+        )
+        books.append([v for _, v in centers])
+    return books
+
+
 def ivf_pq_ann_topk_quantizers(
     emb: DataFrame,
     centers: list[tuple[int, list[float]]],
@@ -492,6 +572,7 @@ def ivf_pq_ann_topk_quantizers(
     spark = emb.sparkSession
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
+    _check_cell_ids(centers, "ivf_pq_ann_topk_quantizers")
     C = np.array([cvec for _, cvec in centers], dtype=np.float64)
     n_cells, dim = C.shape
     CBm = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
@@ -656,7 +737,36 @@ def ivf_pq_rerank_topk(
         m=m,
         digits=digits,
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(emb, cand, query_ids, k, digits)
 
+
+def ivf_pq_rerank_topk_quantizers(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    codebooks,
+    query_ids: list[int],
+    k: int = 3,
+    k_prime: int = 8,
+    nprobe: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """:func:`ivf_pq_rerank_topk` with EXPLICIT quantizers — e.g. a
+    :func:`fit_pq_codebooks`-trained codebook set (the production
+    shape: trained PQ picks the shortlist, true floats pick the
+    winners). Same broadcast-shortlist scale shape."""
+    cand = ivf_pq_ann_topk_quantizers(
+        emb, centers, codebooks, query_ids,
+        k=k_prime, nprobe=nprobe, digits=digits,
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(emb, cand, query_ids, k, digits)
+
+
+def _exact_rerank(
+    emb: DataFrame, cand: DataFrame, query_ids: list[int], k: int, digits: int
+) -> DataFrame:
+    """Exact-cosine refinement of a (query_id, neighbor_id) shortlist:
+    the Q×k' ids broadcast back onto the corpus scan, so only the
+    shortlisted vectors are re-scored — no corpus shuffle."""
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     e1 = e0.select("vec_id", "v0", norm_nd(F.col("v0")).alias("nrm"))
     e = e1.select(

@@ -384,6 +384,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "lineitem_pricing_summary",
     "lineitem_bloom_prune",
     "similarity_ann_pq_rerank",
+    "similarity_ann_pq_trained",
+    "similarity_ann_pq_rerank_trained",
     "dedup_keep_best",
     "text_tokens_bpe",
     "corpus_shuffle",

@@ -996,6 +996,75 @@ def test_substring_dedup_catches_what_span_dedup_misses(spark):
     assert sub[1] == 10 and sub[0] == 0  # stride-1 cuts it, keeps first
 
 
+def test_pq_trained_codebooks_recall_not_worse(spark, sf_dir):
+    """The point of training the PQ codebooks (fit_pq_codebooks) is
+    ANN quality: total brute-force hits of the trained ADC ranking
+    must be >= the fixed-corpus-row codebook variant at the same
+    nprobe/k — coarse cells held fixed so the delta is attributable
+    to the codebooks alone."""
+    from kmeans_mapreduce_spark import extensions as ex
+
+    fixed = ex.q_similarity_ann_pq(spark, sf_dir)
+    trained = ex.q_similarity_ann_pq_trained(spark, sf_dir)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ex.sim.cosine_topk(
+            ex.load_table(spark, sf_dir, "embeddings"),
+            ex.TOPK_QUERY_IDS,
+            ex.ANN_K,
+        ).collect()
+    }
+
+    def hits(df):
+        return sum(
+            1
+            for r in df.collect()
+            if (r["query_id"], r["neighbor_id"]) in brute
+        )
+
+    assert hits(trained) >= hits(fixed)
+
+
+def test_fit_pq_codebooks_shape(spark, sf_dir):
+    """Trained codebooks honor the (m, n_codes, sub) quantizer
+    contract of ivf_pq_ann_topk_quantizers, with every entry finite."""
+    import math as _math
+
+    from kmeans_mapreduce_spark import extensions as ex
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    emb = ex.load_table(spark, sf_dir, "embeddings")
+    books = sim.fit_pq_codebooks(emb, ex.PQ_CODEBOOK_IDS, m=ex.PQ_M)
+    dim = len(emb.select("embedding").first()["embedding"])
+    assert len(books) == ex.PQ_M
+    for cb in books:
+        assert len(cb) == len(ex.PQ_CODEBOOK_IDS)
+        for entry in cb:
+            assert len(entry) == dim // ex.PQ_M
+            assert all(_math.isfinite(x) for x in entry)
+
+
+def test_ivf_centers_guard_rejects_non_contiguous_cids(spark):
+    """Cells are assigned by argmin POSITION; a centers list whose
+    cids aren't exactly 0..K-1 in order must be rejected, not
+    silently mis-joined."""
+    import pytest
+
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(6)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    bad = [(5, [0.0, 0.0]), (7, [1.0, 1.0])]  # non-contiguous cids
+    with pytest.raises(ValueError, match="0..K-1"):
+        sim.ivf_ann_topk_centers(emb, bad, [0], k=1, nprobe=1)
+    with pytest.raises(ValueError, match="0..K-1"):
+        sim.ivf_pq_ann_topk_quantizers(
+            emb, bad, [[[0.0], [1.0]], [[0.0], [1.0]]], [0], k=1, nprobe=1
+        )
+
+
 def test_substring_dedup_hash_key_equals_text_key(spark, sf_dir):
     """The default h64(window) shuffle key (8 bytes vs ~L tokens of
     text at corpus scale) must produce byte-identical output to the
