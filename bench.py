@@ -5,12 +5,20 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default sf0.1) on
 k-means iteration count fixed (10, tol=0 → no early exit) so runs are
 comparable across rounds; B2 (MLlib KMeans, same data/k/iters) is
 measured alongside as the bar our engine must stay within 2× of.
+
+Noise protocol (round 6): every query runs ``repeat`` (default 3)
+times in-session; the reported time is the MEDIAN and the ``spread``
+map carries max−min per query, so cross-round comparisons
+self-adjudicate — a delta smaller than the spread is run noise, not a
+code regression (round 5's driver run showed 2–4× phantom regressions
+in untouched code that re-measured clean warm).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -26,38 +34,42 @@ def main() -> int:
 
     spark = get_spark("bench")
     timings: dict[str, float] = {}
+    spread: dict[str, float] = {}
     extra: dict[str, object] = {}
 
-    def timed(name: str, fn, repeat: int = 1):
-        """Record min wall over ``repeat`` runs — first runs pay one-time
-        plan analysis + codegen JIT; the min measures the query."""
-        best = None
+    def timed(name: str, fn, repeat: int = 3):
+        """Record the MEDIAN wall over ``repeat`` runs — the first run
+        pays one-time plan analysis + codegen JIT, the median resists
+        a single outlier either way — and the max−min spread."""
+        durs: list[float] = []
         out = None
         for _ in range(repeat):
             t0 = time.time()
             out = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        print(f"[bench] {name}: {timings[name]:.2f}s", file=sys.stderr)
+            durs.append(time.time() - t0)
+        timings[name] = round(statistics.median(durs), 3)
+        spread[name] = round(max(durs) - min(durs), 3)
+        print(
+            f"[bench] {name}: {timings[name]:.2f}s"
+            f" (±{spread[name]:.2f}s over {repeat})",
+            file=sys.stderr,
+        )
         return out
 
     pts = points_2d(spark, sf_dir)
     # warm the JVM + parquet footer cache so per-query numbers measure
     # the queries, not session startup
-    timed("warmup_count", lambda: pts.count())
+    timed("warmup_count", lambda: pts.count(), repeat=1)
 
     res = timed(
         "kmeans_fit10",
         lambda: km.fit(pts, k=8, max_iter=10, tol=0.0, seed=42),
-        repeat=2,
     )
     extra["engine_wssse"] = res.wssse_history[-1]
 
     ml = timed(
         "mllib_fit10",
         lambda: fit_mllib_2d(pts, k=8, max_iter=10, seed=42, tol=0.0),
-        repeat=2,
     )
     extra["mllib_wssse"] = ml.wssse
 
@@ -81,7 +93,6 @@ def main() -> int:
         timed(
             name,
             lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save(),
-            repeat=2,
         )
 
     total = round(sum(timings.values()), 3)
@@ -92,6 +103,7 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
                 "sf": sf,
                 **extra,
             }
