@@ -211,7 +211,6 @@ def ivf_ann_topk_centers(
     ``_qvecs``: pre-fetched query vectors (an internal fast path so
     :func:`ivf_ann_topk` can fetch centroids and queries in one job).
     """
-    spark = emb.sparkSession
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
     _check_cell_ids(centers, "ivf_ann_topk_centers")
@@ -223,16 +222,36 @@ def ivf_ann_topk_centers(
             ).collect()
         }
 
-    # ONE corpus pass builds the index: cell (argmin raw-d2, tie→lowest
-    # cell) AND the normalized vector, vectorized per Arrow batch with
-    # DIM-ORDER-PRESERVING numpy folds — every accumulation runs in
-    # index order, so d2, the argmin, and nv are bit-identical to the
-    # Catalyst `sq_dist_nd`/`dot_nd` sequential folds the oracle
-    # mirrors (interpreted HOFs cost ~64 per-element interpreter hops
-    # per row; this is the same math at numpy speed).
+    # INDEX BUILD BARRIER: localCheckpoint materializes (vec_id, cell,
+    # nv) and truncates lineage — the probe joins below see a plain
+    # scan instead of re-running the build (and no derived-predicate
+    # pushdown of the build tree). This mirrors real IVF: the index is
+    # BUILT once and persisted (at cluster scale:
+    # :func:`persist_ivf_index` — parquet bucketed by cell), then
+    # queried via :func:`probe_ivf_index`.
+    df = build_ivf_index(emb, centers).localCheckpoint(eager=False)
+    return probe_ivf_index(
+        df, centers, _qvecs, k=k, nprobe=nprobe, digits=digits
+    )
+
+
+def build_ivf_index(
+    emb: DataFrame, centers: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """ONE corpus pass builds the IVF index rows ``(vec_id, cell,
+    nv)``: cell (argmin raw-d2 over ``centers``, tie→lowest cell) AND
+    the normalized vector, vectorized per Arrow batch with
+    DIM-ORDER-PRESERVING numpy folds — every accumulation runs in
+    index order, so d2, the argmin, and nv are bit-identical to the
+    Catalyst ``sq_dist_nd``/``dot_nd`` sequential folds the oracle
+    mirrors (interpreted HOFs cost ~64 per-element interpreter hops
+    per row; this is the same math at numpy speed)."""
     import numpy as np
     import pandas as pd
 
+    centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
+    _check_cell_ids(centers, "build_ivf_index")
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     C = np.array([cvec for _, cvec in centers], dtype=np.float64)
     n_cells, dim = C.shape
 
@@ -261,40 +280,88 @@ def ivf_ann_topk_centers(
                 }
             )
 
-    # INDEX BUILD BARRIER: localCheckpoint materializes (vec_id, cell,
-    # nv) and truncates lineage — the probe joins below see a plain
-    # scan instead of re-running the build (and no derived-predicate
-    # pushdown of the build tree). This mirrors real IVF: the index is
-    # BUILT once and persisted (at cluster scale: parquet bucketed by
-    # cell), then queried.
-    df = e0.mapInPandas(
+    return e0.mapInPandas(
         build_index, "vec_id LONG, cell INT, nv ARRAY<DOUBLE>"
-    ).localCheckpoint(eager=False)
+    )
+
+
+IVF_INDEX_BUCKETS = 16
+
+
+def persist_ivf_index(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    table: str,
+    buckets: int = IVF_INDEX_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """Materialize the IVF index as a parquet table BUCKETED by cell —
+    the "built once, queried many" production shape: the one corpus
+    pass of :func:`build_ivf_index` is paid at write time, and every
+    later :func:`probe_ivf_index` over ``spark.table(table)`` reads
+    only the probed cells' buckets (bucket pruning on the pushed
+    ``cell IN (...)`` filter — the scan shows ``SelectedBucketsCount
+    ≤ nprobe·Q of N``) with NO exchange on the index side
+    (tests/test_plans.py asserts both)."""
+    from ..sources.loaders import write_bucketed
+
+    write_bucketed(build_ivf_index(emb, centers), table, "cell", buckets,
+                   path=path)
+
+
+def probe_ivf_index(
+    index: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    qvecs: dict[int, list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """Query an EXISTING IVF index (``(vec_id, cell, nv)`` rows from
+    :func:`build_ivf_index`, in-memory or read back from
+    :func:`persist_ivf_index`'s bucketed table): nprobe cells per
+    query, broadcast probe join, exact normalized-dot re-rank.
+
+    ``qvecs`` carries the RAW query vectors (production queries
+    arrive from outside the index). The probed-cell set is known
+    driver-side, so the scan is pre-filtered with ``cell IN
+    (probed)`` — on a bucketed read-back that prunes whole buckets
+    before any I/O; semantically a no-op (the join admits only
+    probed cells anyway)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = index.sparkSession
+    centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
+    _check_cell_ids(centers, "probe_ivf_index")
+    dim = len(centers[0][1])
 
     # probe list per query: Q×K distances on the driver (exact same
     # sequential float op order as the distributed/oracle form — Q and
     # K are both tiny, this is metadata math, not data math)
-    qrows = _qvecs
     probe_rows = []
     qn_rows = []
-    for qid in sorted(qrows):
-        qv = qrows[qid]
+    for qid in sorted(qvecs):
+        qv = qvecs[qid]
         ranked = sorted(
             (sum((a - b) * (a - b) for a, b in zip(qv, cvec)), cid)
             for cid, cvec in centers
         )
         probe_rows += [(qid, cid) for _, cid in ranked[:nprobe]]
-        # normalized query vector, same sequential op order as df's nv
-        # — shipping it as a literal keeps df's (large) expression tree
-        # out of the plan a second time
+        # normalized query vector, same sequential op order as the
+        # index's nv — shipping it as a literal keeps the build's
+        # (large) expression tree out of the plan a second time
         nrm = math.sqrt(sum(x * x for x in qv))
         if nrm == 0.0:
             raise ValueError(f"zero-norm query vector: vec_id {qid}")
         qn_rows.append((qid, [x / nrm for x in qv]))
     probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
     qn_map = {qid: np.array(v, dtype=np.float64) for qid, v in qn_rows}
-    cand = df.join(F.broadcast(probes), "cell").filter(
-        F.col("vec_id") != F.col("query_id")
+    probed_cells = sorted({cid for _, cid in probe_rows})
+    cand = (
+        index.filter(F.col("cell").isin(probed_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
     )
 
     # re-rank: normalized dot per candidate, numpy per-dim fold (same

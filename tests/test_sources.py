@@ -82,6 +82,65 @@ def test_write_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS bt_b")
 
 
+def test_ivf_index_persist_probe_bucket_pruned(spark, tmp_path, sf_dir):
+    """The production IVF shape: build the index ONCE, persist it
+    bucketed by cell, then probe the read-back table. Asserts (a) the
+    probe results are identical to the in-memory ivf_ann_topk_centers
+    path, (b) the probed ``cell IN (...)`` filter prunes buckets at
+    the scan (SelectedBucketsCount < total), and (c) the index side
+    reaches the broadcast probe join with no cell-keyed exchange."""
+    import re
+
+    from kmeans_mapreduce_spark import plans
+    from kmeans_mapreduce_spark.operators import similarity as sim
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    crows = (
+        emb.filter(F.col("vec_id").isin([0, 1, 2, 3]))
+        .orderBy("vec_id")
+        .collect()
+    )
+    centers = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(crows)
+    ]
+    qids = [5, 17]
+    qvecs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id").isin(qids)).collect()
+    }
+    expect = {
+        (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+        for r in sim.ivf_ann_topk_centers(
+            emb, centers, qids, k=3, nprobe=2
+        ).collect()
+    }
+
+    sim.persist_ivf_index(
+        emb, centers, "ivf_idx_test", buckets=8,
+        path=str(tmp_path / "ivf_idx"),
+    )
+    try:
+        out = sim.probe_ivf_index(
+            spark.table("ivf_idx_test"), centers, qvecs, k=3, nprobe=2
+        )
+        plan = plans.explain_str(out)
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m, "bucketed scan must report bucket pruning"
+        assert int(m.group(1)) < int(m.group(2))
+        assert "BroadcastHashJoin" in plan
+        # the only exchange is the final Q-row rank window; the index
+        # side is never reshuffled on cell
+        assert "hashpartitioning(cell" not in plan
+        got = {
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in out.collect()
+        }
+        assert got == expect and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+
+
 def test_documents_jsonl_roundtrip(spark, tmp_path):
     """JSONL source/sink roundtrip: schema'd read (no inference pass),
     values and types survive, and the parquet-sourced operators run
