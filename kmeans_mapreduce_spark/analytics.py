@@ -116,6 +116,61 @@ def q_embeddings_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pca.pca_pipeline(load_table(spark, sf_dir, "embeddings"))
 
 
+def q_embeddings_pca_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GATED half of embeddings_pca: the distributed sufficient
+    statistics (n, Σx, ΣxxT) that feed the driver-side eigh, emitted as
+    one row per upper-triangle (i, j) pair — `sum_i`/`sum_j` carry Σx,
+    `gram_ij` the Gram entry, all HALF_UP-rounded to 6 so the oracle's
+    independent SUM replay hash-matches despite float-summation order.
+    This pins the distributed pass the way kmpp_round1 pins init;
+    `embeddings_pca` itself stays rows-only (eigh is numerical)."""
+    from kmeans_mapreduce_spark.operators import pca
+    from kmeans_mapreduce_spark.operators.kmeans import round_half_up
+
+    n, s, g = pca._suffstats(
+        load_table(spark, sf_dir, "embeddings"), "embedding"
+    )
+    d = len(s)
+    rows = [
+        (
+            i + 1,
+            j + 1,
+            int(n),
+            round_half_up(float(s[i]), 6),
+            round_half_up(float(s[j]), 6),
+            round_half_up(float(g[i][j]), 6),
+        )
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    return spark.createDataFrame(
+        rows, "i INT, j INT, n BIGINT, sum_i DOUBLE, sum_j DOUBLE, gram_ij DOUBLE"
+    )
+
+
+PCA_EMB_DIM = 64  # embeddings.parquet dim (TESTDATA.md); DuckDB range()
+# can't take a lateral column, so the twin pins it while the Spark side
+# still derives d from the data (a dim change breaks the row count
+# loudly, not silently)
+
+_PCA_SUFFSTATS_ORACLE = f"""
+WITH e0 AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+p AS (
+  SELECT t1.i::INTEGER AS i, t2.j::INTEGER AS j
+  FROM range(1, {PCA_EMB_DIM + 1}) t1(i), range(1, {PCA_EMB_DIM + 1}) t2(j)
+  WHERE t1.i <= t2.j
+)
+SELECT p.i, p.j,
+       COUNT(*)::BIGINT AS n,
+       ROUND(SUM(v[p.i]), 6) AS sum_i,
+       ROUND(SUM(v[p.j]), 6) AS sum_j,
+       ROUND(SUM(v[p.i] * v[p.j]), 6) AS gram_ij
+FROM e0 CROSS JOIN p
+GROUP BY p.i, p.j"""
+
+
 ORDER_PRIORITIES = [
     "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
 ]
@@ -743,6 +798,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunks": q_text_chunks,
         "text_chunks_fast": q_text_chunks_fast,
         "embeddings_pca": q_embeddings_pca,
+        "embeddings_pca_suffstats": q_embeddings_pca_suffstats,
         "quality_report_orders": q_quality_report_orders,
         "events_first_touch": q_events_first_touch,
         "text_surprisal": q_text_surprisal,
@@ -768,6 +824,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "lineitem_bloom_prune": _BLOOM_PRUNE_ORACLE,
         "text_chunks": _TEXT_CHUNKS_ORACLE,
         "text_chunks_fast": _TEXT_CHUNKS_ORACLE,
+        "embeddings_pca_suffstats": _PCA_SUFFSTATS_ORACLE,
         "quality_report_orders": _QUALITY_REPORT_ORACLE,
         "events_first_touch": _FIRST_TOUCH_ORACLE,
         "text_surprisal": _SURPRISAL_ORACLE,
