@@ -1106,35 +1106,46 @@ def fuzzy_prefix_pairs(
 
     Tiny prefixes (< ``max_dist + 1`` chars, unsegmentable) fall back
     to a pool with their only possible partners (length <=
-    2·max_dist). The pool pairs DISTINCT prefixes, not docs — identical
-    tiny prefixes collapse to one representative before the crossJoin
-    and expand back to members afterward, so pool work is quadratic in
-    the distinct-short-prefix count (trivially bounded), never in the
-    count of near-empty documents.
+    2·max_dist), joined as a crossJoin over the (trivially bounded)
+    distinct-short-prefix set.
 
-    Scale shape: probe fan-out is a constant per doc (segments ×
-    shifts × partner length classes, ~6·11·|lens| rows); the shuffle
-    is the (len-class, seg-idx, segment) equi-join — segment strings
-    are long enough to spread the key space, and the verify join
-    touches candidates only. At 100 TB, exact-identical prefixes
-    should first collapse to one representative per group (their
-    pairwise output alone is quadratic in group size — an output-size
-    problem no candidate algorithm can beat); length classes make the
-    join hit only ±max_dist neighbors.
+    Identical prefixes collapse FIRST, everywhere (round 6): the
+    whole candidate+verify machinery runs over the DISTINCT-prefix
+    set, and doc pairs come back through two output-sized equi-joins
+    at the end (identical-prefix groups rejoin as dist-0 pairs via a
+    count>1 group scan, never through the segment join). A crawl
+    corpus's boilerplate/mirror pages make prefix multiplicity the
+    dominant growth axis — measured on the 16×-replica probe, where
+    distinct prefixes stay constant while docs grow 16×: the
+    segment-join + levenshtein cost is now flat in the replica count
+    and only the (irreducible, answer-sized) expansion grows.
+
+    Scale shape: probe fan-out is a constant per distinct prefix
+    (segments × shifts × partner length classes, ~6·11·|lens| rows);
+    the shuffle is the (len-class, seg-idx, segment) equi-join —
+    segment strings are long enough to spread the key space, and the
+    verify join touches candidate prefix pairs only. Length classes
+    make the join hit only ±max_dist neighbors.
     """
     k = max_dist + 1
-    pre = docs.select(
+    docpre = docs.select(
         "doc_id", F.substring("text", 1, prefix_len).alias("p")
-    ).withColumn("plen", F.length("p").cast("int"))
-    pre = pre.localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False)
+    # the distinct-prefix working set: all candidate generation and
+    # all levenshtein verification happen at this granularity
+    pre = (
+        docpre.select("p")
+        .distinct()
+        .withColumn("plen", F.length("p").cast("int"))
+        .localCheckpoint(eager=False)
+    )
 
     idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
     L = F.col("plen")
     segs = (
         pre.filter(L >= k)
-        .select("doc_id", "p", "plen", idx)
+        .select("p", "plen", idx)
         .select(
-            F.col("doc_id").alias("doc_s"),
             F.col("p").alias("p_s"),
             F.col("plen").alias("L"),
             "i",
@@ -1168,15 +1179,14 @@ def fuzzy_prefix_pairs(
             (F.col("L") <= F.col("plen"))
             & (F.col("plen") - F.col("L") <= max_dist),
         )
-        .select("doc_id", "p", "plen", "L", idx)
-        .select("doc_id", "p", "plen", "L", "i", shift)
+        .select("p", "plen", "L", idx)
+        .select("p", "plen", "L", "i", shift)
         .filter(
             (st >= 1)
             & (st + sl - 1 <= F.col("plen"))
             & (F.abs(F.col("d")) + F.abs(delta - F.col("d")) <= max_dist)
         )
         .select(
-            F.col("doc_id").alias("doc_p"),
             F.col("p").alias("p_p"),
             "L",
             "i",
@@ -1193,43 +1203,59 @@ def fuzzy_prefix_pairs(
     # returns -1 above the threshold, hence the 0 <= dist guard below
     matched = (
         segs.join(probe, ["L", "i", "s"])
-        .filter(F.col("doc_s") != F.col("doc_p"))
+        .filter(F.col("p_s") != F.col("p_p"))
         .select(
-            F.least("doc_s", "doc_p").alias("doc_a"),
-            F.greatest("doc_s", "doc_p").alias("doc_b"),
+            F.least("p_s", "p_p").alias("pa"),
+            F.greatest("p_s", "p_p").alias("pb"),
             F.levenshtein("p_s", "p_p", max_dist).cast("long").alias("dist"),
         )
     )
-    pool = pre.filter(L <= 2 * max_dist).select("doc_id", "p")
-    # collapse identical tiny prefixes BEFORE pairing: the crossJoin +
-    # levenshtein run over DISTINCT prefixes only (bounded by the
-    # distinct-short-string count, <= sum over L<=2d of |alphabet|^L),
-    # then distinct pairs expand back to group members with two
-    # equi-joins whose cost is output-sized. A crawl snapshot's
-    # millions of boilerplate-short docs would otherwise make the raw
-    # doc-level crossJoin quadratic in the POOL size; after the
-    # collapse only the (irreducible) pairwise OUTPUT of identical
-    # prefixes is quadratic in group size.
-    reps = pool.select("p").distinct()
+    # tiny-prefix pool: crossJoin over the distinct short prefixes
+    # (bounded by the distinct-short-string count, <= sum over L<=2d
+    # of |alphabet|^L); p_s <= p_p keeps the identical pair so tiny
+    # identical groups expand too
+    reps = pre.filter(L <= 2 * max_dist).select("p")
     rep_pairs = (
-        reps.select(F.col("p").alias("p_s"))
-        .crossJoin(reps.select(F.col("p").alias("p_p")))
-        .filter(F.col("p_s") <= F.col("p_p"))
+        reps.select(F.col("p").alias("pa"))
+        .crossJoin(reps.select(F.col("p").alias("pb")))
+        .filter(F.col("pa") <= F.col("pb"))
         .select(
-            "p_s",
-            "p_p",
-            F.levenshtein("p_s", "p_p", max_dist).cast("long").alias("dist"),
+            "pa",
+            "pb",
+            F.levenshtein("pa", "pb", max_dist).cast("long").alias("dist"),
         )
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
     )
-    pool_pairs = (
-        rep_pairs.join(
-            pool.select(F.col("doc_id").alias("da"), F.col("p").alias("p_s")),
-            "p_s",
+    # identical-prefix groups in the segmentable region (>1 member):
+    # dist-0 pairs by definition — a narrow count scan, never the
+    # segment join (their pairwise OUTPUT alone is quadratic in group
+    # size; no candidate algorithm beats output size)
+    ident = (
+        docpre.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") > 1) & (F.length("p") > 2 * max_dist))
+        .select(
+            F.col("p").alias("pa"),
+            F.col("p").alias("pb"),
+            F.lit(0).cast("long").alias("dist"),
+        )
+    )
+    prefix_pairs = (
+        matched.unionByName(rep_pairs)
+        .unionByName(ident)
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+        .distinct()
+    )
+    # expand back to doc pairs: two equi-joins whose cost is the
+    # answer itself (each doc carries exactly one prefix, so a doc
+    # pair arises from exactly one prefix pair)
+    return (
+        prefix_pairs.join(
+            docpre.select(F.col("doc_id").alias("da"), F.col("p").alias("pa")),
+            "pa",
         )
         .join(
-            pool.select(F.col("doc_id").alias("db"), F.col("p").alias("p_p")),
-            "p_p",
+            docpre.select(F.col("doc_id").alias("db"), F.col("p").alias("pb")),
+            "pb",
         )
         .filter(F.col("da") != F.col("db"))
         .select(
@@ -1237,10 +1263,6 @@ def fuzzy_prefix_pairs(
             F.greatest("da", "db").alias("doc_b"),
             "dist",
         )
-    )
-    return (
-        matched.unionByName(pool_pairs)
-        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
         .distinct()
     )
 
