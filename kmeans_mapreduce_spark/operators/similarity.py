@@ -634,9 +634,7 @@ def ivf_pq_ann_topk_quantizers(
     codebooks (the real FAISS PQ ``train()``). Index build, probe,
     ADC scoring identical either way."""
     import numpy as np
-    import pandas as pd
 
-    spark = emb.sparkSession
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
     _check_cell_ids(centers, "ivf_pq_ann_topk_quantizers")
@@ -660,6 +658,39 @@ def ivf_pq_ann_topk_quantizers(
                 F.col("vec_id").isin(sorted(set(query_ids)))
             ).collect()
         }
+
+    df = build_pq_index(emb, centers, CBm).localCheckpoint(eager=False)
+    return probe_pq_index(
+        df, centers, CBm, _qvecs, k=k, nprobe=nprobe, digits=digits
+    )
+
+
+def build_pq_index(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    codebooks,
+) -> DataFrame:
+    """ONE corpus pass builds the IVF-PQ index rows ``(vec_id, cell,
+    codes)``: coarse cell (argmin raw-d2, tie→lowest cell) plus the
+    ``m`` per-subspace codes of the normalized vector (argmin sub-d2
+    over the codebook, tie→lowest code) — ``m`` ints per vector
+    instead of ``dim`` floats, the memory-bound payload that makes
+    100 TB ANN scans feasible. All numpy folds run in ascending index
+    order (≡ the oracle's ``list_sum`` replays)."""
+    import numpy as np
+    import pandas as pd
+
+    centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
+    _check_cell_ids(centers, "build_pq_index")
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    C = np.array([cvec for _, cvec in centers], dtype=np.float64)
+    n_cells, dim = C.shape
+    CBm = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(CBm)
+    if m == 0 or dim % m != 0:
+        raise ValueError(f"build_pq_index: dim ({dim}) not divisible into m={m}")
+    sub = dim // m
+    n_codes = CBm[0].shape[0]
 
     def build_index(batches):
         for pdf in batches:
@@ -695,18 +726,65 @@ def ivf_pq_ann_topk_quantizers(
                 }
             )
 
-    df = e0.mapInPandas(
+    return e0.mapInPandas(
         build_index, "vec_id LONG, cell INT, codes ARRAY<INT>"
-    ).localCheckpoint(eager=False)
+    )
+
+
+def persist_pq_index(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    codebooks,
+    table: str,
+    buckets: int = IVF_INDEX_BUCKETS,
+    path: str | None = None,
+) -> None:
+    """Materialize the IVF-PQ codes table BUCKETED by cell — the same
+    built-once-queried-many shape as :func:`persist_ivf_index`, with
+    the PQ payload (m ints/vector): later probes over
+    ``spark.table(table)`` read only the probed cells' buckets, and
+    the scanned bytes per candidate are the codes, never vectors."""
+    from ..sources.loaders import write_bucketed
+
+    write_bucketed(
+        build_pq_index(emb, centers, codebooks), table, "cell", buckets,
+        path=path,
+    )
+
+
+def probe_pq_index(
+    index: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    codebooks,
+    qvecs: dict[int, list[float]],
+    k: int = 3,
+    nprobe: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """ADC-score an EXISTING IVF-PQ codes table (from
+    :func:`build_pq_index`, in-memory or read back from
+    :func:`persist_pq_index`): per-query lookup tables are driver
+    metadata math, candidates ride a broadcast probe join, and the
+    scan is pre-filtered to the probed cells (bucket pruning on a
+    persisted index)."""
+    import numpy as np
+    import pandas as pd
+
+    spark = index.sparkSession
+    centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
+    _check_cell_ids(centers, "probe_pq_index")
+    CBm = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(CBm)
+    n_codes = CBm[0].shape[0]
+    sub = CBm[0].shape[1]
 
     # probe list + per-query ADC lookup tables (driver metadata math:
     # Q×K coarse distances, Q×m×n_codes sub-dots — same sequential op
     # order as the oracle's SQL folds)
-    qrows = _qvecs
     probe_rows = []
     luts = {}
-    for qid in sorted(qrows):
-        qv = qrows[qid]
+    for qid in sorted(qvecs):
+        qv = qvecs[qid]
         ranked = sorted(
             (sum((a - b) * (a - b) for a, b in zip(qv, cvec)), cid)
             for cid, cvec in centers
@@ -722,8 +800,11 @@ def ivf_pq_ann_topk_quantizers(
                 lut[mi, c] = s
         luts[qid] = lut
     probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
-    cand = df.join(F.broadcast(probes), "cell").filter(
-        F.col("vec_id") != F.col("query_id")
+    probed_cells = sorted({cid for _, cid in probe_rows})
+    cand = (
+        index.filter(F.col("cell").isin(probed_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
     )
 
     def score(batches):

@@ -141,6 +141,57 @@ def test_ivf_index_persist_probe_bucket_pruned(spark, tmp_path, sf_dir):
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
 
 
+def test_pq_index_persist_probe_bucket_pruned(spark, tmp_path, sf_dir):
+    """Same built-once-queried-many contract for the IVF-PQ codes
+    table: persisted bucketed by cell, the read-back ADC probe prunes
+    buckets and matches the in-memory ivf_pq_ann_topk_quantizers
+    ranking exactly."""
+    import re
+
+    import numpy as np
+
+    from kmeans_mapreduce_spark import plans
+    from kmeans_mapreduce_spark.operators import similarity as sim
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    fetch = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in emb.filter(F.col("vec_id") < 24).collect()
+    }
+    centers = [(i, fetch[vid]) for i, vid in enumerate(range(4))]
+    dim = len(centers[0][1])
+    m, n_codes = 4, 8
+    sub = dim // m
+    CB = np.array([sim._norm_py(fetch[vid]) for vid in range(8, 24, 2)])
+    books = [CB[:, mi * sub : (mi + 1) * sub].tolist() for mi in range(m)]
+    qids = [5, 17]
+    qvecs = {q: fetch[q] for q in qids}
+
+    expect = {
+        tuple(r)
+        for r in sim.ivf_pq_ann_topk_quantizers(
+            emb, centers, books, qids, k=3, nprobe=2
+        ).collect()
+    }
+    sim.persist_pq_index(
+        emb, centers, books, "pq_idx_test", buckets=8,
+        path=str(tmp_path / "pq_idx"),
+    )
+    try:
+        out = sim.probe_pq_index(
+            spark.table("pq_idx_test"), centers, books, qvecs, k=3, nprobe=2
+        )
+        plan = plans.explain_str(out)
+        mt = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert mt and int(mt.group(1)) < int(mt.group(2))
+        assert "hashpartitioning(cell" not in plan
+        got = {tuple(r) for r in out.collect()}
+        assert got == expect and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pq_idx_test")
+
+
 def test_documents_jsonl_roundtrip(spark, tmp_path):
     """JSONL source/sink roundtrip: schema'd read (no inference pass),
     values and types survive, and the parquet-sourced operators run

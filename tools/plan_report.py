@@ -59,6 +59,8 @@ REPORT_QUERIES = [
     ("dedup_substring", "stride-1 window keep-first + token-level anti-join; covered explode ∝ duplicated occurrences, no self-join"),
     ("similarity_ann_ivf_trained", "trained-quantizer IVF: same broadcast-probe/cell-join plan as the fixed-row index"),
     ("dedup_simhash_pairs", "4×15-bit pigeonhole band self-join + JVM popcount verify (60-bit sketch)"),
+    ("similarity_ann_pq_trained", "trained per-subspace codebooks; same code-only candidate payload + broadcast probe join"),
+    ("embeddings_pca_suffstats", "one Arrow suffstats pass; driver-built (i,j) rows — no corpus shuffle"),
 ]
 
 
