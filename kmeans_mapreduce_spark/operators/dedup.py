@@ -717,10 +717,17 @@ def simhash_pairs(
     leave at least one band untouched, so every qualifying pair shares
     some exact band value. Candidates are therefore an equi-join on
     (band_idx, band_value) — never all-pairs — and the verify is one
-    popcount over XOR, fully JVM-side. Scale shape: band values spread
-    the key space (skew bounded by the most common band value, i.e.
-    near-identical template docs — the same population the minhash
-    path already caps); verify touches candidates only.
+    popcount over XOR, fully JVM-side.
+
+    Scale shape: the Hamming verify AND a first-matching-band emit
+    rule both live INSIDE the join condition, so each qualifying pair
+    leaves the join exactly once (from the lowest band whose value
+    matches) and failing candidates die inside the join operator —
+    there is no post-join ``distinct`` and no shuffle of the O(n²_bucket)
+    candidate volume, only of surviving pairs. Skew is bounded by the
+    most common band value (near-identical template docs — the same
+    population the minhash path caps), and AQE skew-split applies to
+    the join itself.
     """
     nb = max_hamming + 1
     if bits % nb:
@@ -741,22 +748,31 @@ def simhash_pairs(
         )
     )
     x, y = banded.alias("x"), banded.alias("y")
+    xor = F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    # lowest band index whose w bits of the XOR are all zero — the one
+    # band allowed to emit this pair (dedup without a distinct()).
+    # The fallback arm is unreachable: bv equality guarantees band x.b
+    # of the XOR is zero for every row the equi-join produces.
+    first_match = F.lit(nb - 1)
+    for b in range(nb - 2, -1, -1):
+        band_zero = (
+            F.shiftright(xor, b * w).bitwiseAND(F.lit((1 << w) - 1)) == 0
+        )
+        first_match = F.when(band_zero, F.lit(b)).otherwise(first_match)
     return (
         x.join(
             y,
             (F.col("x.b") == F.col("y.b"))
             & (F.col("x.bv") == F.col("y.bv"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
+            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.bit_count(xor) <= max_hamming)
+            & (F.col("x.b") == first_match),
         )
         .select(
             F.col("x.doc_id").alias("doc_a"),
             F.col("y.doc_id").alias("doc_b"),
-            F.bit_count(
-                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
-            ).cast("long").alias("hamming"),
+            F.bit_count(xor).cast("long").alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
     )
 
 
