@@ -47,6 +47,7 @@ PQ_M = 8  # product-quantization subspaces (EMB_DIM/PQ_M dims each)
 PQ_CODEBOOK_IDS = list(range(8, 168, 10))  # 16 fixed corpus rows
 PQ_RERANK_K = 8  # ADC shortlist width for the exact-rerank refinement
 TFIDF_K = 3
+BM25_QUERY_TERMS = ["dup", "hash", "merge"]  # rare + two common terms
 TOPCUST_K = 3
 ANTI_MIN_QTY = 45.0
 CLEAN_MIN_QUALITY = 0.5
@@ -993,6 +994,32 @@ def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (similarity.hard_negatives):
     top-5 nearest different-label vectors per probe."""
     return sim.hard_negatives(
+        load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, TOPK_K
+    )
+
+
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (textops.bm25_topk): top-10 documents for
+    a 3-term query mixing a rare term (df≈25 at sf0.01) with two common
+    ones — pins the idf curve, the dl/avgdl normalization, and the
+    integer micro-unit cross-term sum."""
+    return tx.bm25_topk(
+        load_table(spark, sf_dir, "documents"), BM25_QUERY_TERMS
+    )
+
+
+def q_embeddings_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization (similarity.quantize_int8): one row
+    per (vector, dimension) pins every quantized value, the per-vector
+    scale, and the reconstruction error."""
+    return sim.quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+def q_similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized retrieval (similarity.int8_cosine_topk): cosine top-k
+    on int8-quantized unit vectors — exact integer dots, two float
+    multiplies."""
+    return sim.int8_cosine_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, TOPK_K
     )
 
@@ -2655,6 +2682,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_compression_ratio": q_text_compression_ratio,
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
+        "text_bm25": q_text_bm25,
+        "embeddings_int8_quant": q_embeddings_int8_quant,
+        "similarity_int8_topk": q_similarity_int8_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_ivf_trained": q_similarity_ann_ivf_trained,
@@ -3439,6 +3469,119 @@ p2 AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) 
 c AS (SELECT pair, COUNT(*)::BIGINT AS n FROM p2 GROUP BY pair)
 SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT {tx.BPE_MERGE_TOPK}""",
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
+        # BM25: per-term double math with identical association, then an
+        # integer micro-unit cross-term sum (order-independent) — the
+        # same fixed-point discipline as pagerank_loop2
+        "text_bm25": f"""
+WITH d AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n,
+         SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+  FROM dl
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+hits AS (
+  SELECT doc_id, term FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM hits GROUP BY doc_id, term
+),
+dfq AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM hits GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ((ln(CAST(1.0 AS DOUBLE)
+                + ((stats.n - dfq.df) + CAST(0.5 AS DOUBLE))
+                  / (dfq.df + CAST(0.5 AS DOUBLE)))
+             * (tf.tf * CAST({tx.BM25_K1 + 1.0!r} AS DOUBLE)))
+            / (tf.tf + CAST({tx.BM25_K1!r} AS DOUBLE)
+                       * (CAST({1.0 - tx.BM25_B!r} AS DOUBLE)
+                          + CAST({tx.BM25_B!r} AS DOUBLE)
+                            * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+           * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+         ) AS BIGINT) AS c_micro
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+s AS (SELECT doc_id, SUM(c_micro)::BIGINT AS score_micro FROM scored GROUP BY doc_id),
+ranked AS (
+  SELECT doc_id, score_micro,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+  FROM s
+)
+SELECT doc_id, rank::INTEGER AS rank,
+       ROUND(CAST(score_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS score
+FROM ranked WHERE rank <= {tx.BM25_TOPK}""",
+        # parallel unnest zips (i, x_i); q is integral so the INTEGER
+        # cast after floor is exact
+        "embeddings_int8_quant": f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE) AS scale
+  FROM e
+),
+x AS (
+  SELECT vec_id, scale,
+         unnest(range(1, {EMB_DIM + 1}))::INTEGER AS i, unnest(v) AS xv
+  FROM s
+),
+q AS (
+  SELECT vec_id, i, scale, xv,
+         CASE WHEN scale = 0 THEN 0
+              ELSE CAST(floor(xv / scale + CAST(0.5 AS DOUBLE)) AS INTEGER)
+         END AS q
+  FROM x
+)
+SELECT vec_id, i, q, ROUND(scale, 6) AS scale,
+       ROUND((xv - CAST(q AS DOUBLE) * scale) * (xv - CAST(q AS DOUBLE) * scale),
+             6) AS dim_err
+FROM q""",
+        "similarity_int8_topk": f"""
+WITH e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings
+),
+e1 AS (SELECT vec_id, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM e0),
+ev AS (
+  SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM e1 WHERE nrm > 0
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE) AS scale
+  FROM ev
+),
+q8 AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+             ELSE CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INTEGER)
+         END) AS qv
+  FROM s
+),
+qs AS (
+  SELECT vec_id AS query_id, qv AS qa, scale AS sa FROM q8
+  WHERE vec_id IN ({", ".join(str(i) for i in TOPK_QUERY_IDS)})
+),
+scored AS (
+  SELECT qs.query_id, q8.vec_id AS neighbor_id,
+         ROUND(CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                 i -> CAST(qa[i] AS BIGINT) * CAST(qv[i] AS BIGINT))) AS DOUBLE)
+               * sa * scale, 6) AS score_q
+  FROM q8 JOIN qs ON q8.vec_id != qs.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_q DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, score_q
+FROM ranked WHERE rank <= {TOPK_K}""",
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
         "similarity_ann_ivf": _ivf_ann_sql(),

@@ -723,3 +723,95 @@ def vocab_coverage(
             ),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = BM25_TOPK,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    digits: int = 6,
+) -> DataFrame:
+    """BM25 retrieval: top-k documents for a bag of query terms — the
+    ranked-search half of a curation pipeline (decontamination probes,
+    topic pulls, hard-negative text mining all reduce to this).
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
+    with the Robertson/Lucene idf  ln(1 + (N − df + 0.5)/(df + 0.5)).
+
+    Scale shape: one tokenize pass filtered DOWN TO THE QUERY TERMS
+    before any shuffle (the per-(doc, term) tf aggregate only sees
+    matching postings — O(matching tokens), not O(corpus tokens)); df
+    and the corpus stats (N, avgdl) are 1-row/`|q|`-row broadcast
+    aggregates riding the same plan, so the whole query is one job
+    with no driver-side count. dl comes from a narrow per-doc
+    projection, not a second explode.
+
+    Exactness discipline: the cross-term sum runs in integer
+    MICRO-UNITS (each per-term contribution is floor(c·1e6 + 0.5) as a
+    BIGINT — the pagerank_loop2 fixed-point trick) so the final score
+    is order-independent and bit-identical across engines; the
+    per-term double math is written with identical association on both
+    sides. Ranking uses (score DESC, doc_id) on the exact integer.
+
+    Output: (doc_id, rank, score) — score rounded to ``digits``.
+    """
+    from pyspark.sql import Window
+
+    terms = [str(t) for t in query_terms]
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("term")
+    )
+    dl = docs.select(
+        "doc_id",
+        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("dl"),
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("__avgdl"),
+    )
+    hits = tok.filter(F.col("term").isin(terms))
+    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    df_ = hits.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("__n") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    num = F.col("tf") * F.lit(k1 + 1.0)
+    den = F.col("tf") + F.lit(k1) * (
+        (F.lit(1.0) - F.lit(b))
+        + F.lit(b) * (F.col("dl").cast("double") / F.col("__avgdl"))
+    )
+    contrib = (idf * num) / den
+    micro = F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", micro.alias("c_micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micro").alias("score_micro"))
+    )
+    # top-k via orderBy+limit → TakeOrderedAndProject: each partition
+    # keeps its own k, the driver merges Kparts·k rows — never a global
+    # single-reducer sort. The rank window then runs over ≤ k rows.
+    topk = scored.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(k)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (
+        topk.withColumn("rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.round(
+                F.col("score_micro").cast("double") / F.lit(1000000.0), digits
+            ).alias("score"),
+        )
+    )

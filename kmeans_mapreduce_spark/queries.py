@@ -419,6 +419,9 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "embeddings_outliers",
     "events_key_skew",
     "corpus_pack_fragments",
+    "text_bm25",
+    "embeddings_int8_quant",
+    "similarity_int8_topk",
 }
 
 

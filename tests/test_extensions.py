@@ -1330,3 +1330,95 @@ def test_resize_skips_malformed_image_payload(spark):
     out = mmod.resize_images(media, width=1, height=1).collect()
     assert [r["media_id"] for r in out] == [0]
     assert out[0]["out_width"] == 1 and out[0]["out_height"] == 1
+
+
+# ---------------------------------------------------------------------------
+# round 6: BM25 retrieval + int8 quantization
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_idf_favors_rare_term(spark):
+    """At equal match counts, the rarer query term scores higher than a
+    common one (idf curve), and zero-match docs never appear."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup alpha beta"),            # one rare-term match (df=1)
+            (2, "hash merge hash merge"),     # two common-term matches
+            (3, "hash beta gamma"),           # one common-term match (df=2)
+            (4, "alpha beta gamma"),          # no query terms at all
+        ],
+        "doc_id long, text string",
+    )
+    out = tx.bm25_topk(docs, ["dup", "hash", "merge"], k=10).collect()
+    scores = {r.doc_id: r.score for r in out}
+    assert scores[1] > scores[3]  # same match count, rarer term wins
+    assert 4 not in scores  # zero-match docs excluded
+    assert all(out[i].score >= out[i + 1].score for i in range(len(out) - 1))
+    assert [r.rank for r in out] == list(range(1, len(out) + 1))
+
+
+def test_bm25_length_normalization(spark):
+    """Same tf, shorter doc → higher BM25 score (b > 0)."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    docs = spark.createDataFrame(
+        [
+            (1, "dup x"),
+            (2, "dup " + " ".join(f"w{i}" for i in range(40))),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.score for r in tx.bm25_topk(docs, ["dup"], k=10).collect()}
+    assert out[1] > out[2]
+
+
+def test_quantize_int8_bounds_and_error(spark):
+    """Quantized values stay in [-127, 127]; per-dim reconstruction
+    error is bounded by (scale/2)² + rounding slack; an all-zero vector
+    takes the scale=0 branch with q ≡ 0."""
+    from kmeans_mapreduce_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, -2.0, 0.5, 2.0]),
+            (2, [0.0, 0.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = quantize_int8(emb).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    assert all(-127 <= r.q <= 127 for r in rows)
+    for r in by_vec[1]:
+        assert r.dim_err <= (r.scale / 2.0) ** 2 + 1e-9
+    assert {r.q for r in by_vec[2]} == {0}
+    assert {r.scale for r in by_vec[2]} == {0.0}
+    # extreme components hit ±127 exactly
+    qs = {r.i: r.q for r in by_vec[1]}
+    assert qs[2] == -127 and qs[4] == 127
+
+
+def test_int8_topk_agrees_with_exact(spark):
+    """Int8-quantized retrieval on real embeddings: ≥ 80% of the exact
+    cosine top-5 survives quantization (64-dim unit vectors quantize at
+    ~2.5e-3 RMS error — far below typical neighbor gaps)."""
+    from kmeans_mapreduce_spark.operators.similarity import (
+        cosine_topk,
+        int8_cosine_topk,
+    )
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qids = [0, 1, 2, 3]
+    exact = cosine_topk(emb, qids, k=5).collect()
+    quant = int8_cosine_topk(emb, qids, k=5).collect()
+    ex = {(r.query_id, r.neighbor_id) for r in exact}
+    qu = {(r.query_id, r.neighbor_id) for r in quant}
+    assert len(ex & qu) >= int(0.8 * len(ex))
+    ranks = {}
+    for r in quant:
+        ranks.setdefault(r.query_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, 6)) for v in ranks.values())
