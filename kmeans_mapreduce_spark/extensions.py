@@ -3508,7 +3508,10 @@ scored AS (
          ) AS BIGINT) AS c_micro
   FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
 ),
-s AS (SELECT doc_id, SUM(c_micro)::BIGINT AS score_micro FROM scored GROUP BY doc_id),
+s AS (
+  SELECT doc_id, SUM(c_micro)::BIGINT AS score_micro FROM scored
+  GROUP BY doc_id HAVING SUM(c_micro) > 0
+),
 ranked AS (
   SELECT doc_id, score_micro,
          row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank

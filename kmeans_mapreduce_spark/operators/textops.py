@@ -730,6 +730,12 @@ BM25_B = 0.75
 BM25_TOPK = 10
 
 
+def _eq_term(t: str):
+    """One-arg HOF lambda factory — a default-arg lambda would have two
+    parameters and Spark would bind the second as the element INDEX."""
+    return lambda x: x == F.lit(t)
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -745,13 +751,18 @@ def bm25_topk(
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl))
     with the Robertson/Lucene idf  ln(1 + (N − df + 0.5)/(df + 0.5)).
 
-    Scale shape: one tokenize pass filtered DOWN TO THE QUERY TERMS
-    before any shuffle (the per-(doc, term) tf aggregate only sees
-    matching postings — O(matching tokens), not O(corpus tokens)); df
-    and the corpus stats (N, avgdl) are 1-row/`|q|`-row broadcast
-    aggregates riding the same plan, so the whole query is one job
-    with no driver-side count. dl comes from a narrow per-doc
-    projection, not a second explode.
+    Scale shape: ZERO corpus shuffles. The query terms are plan-time
+    literals, so per-term tf and dl are a NARROW array-filter
+    projection over one (doc_id, text) scan — no token explode, no
+    (doc, term) aggregate, no tf⋈dl join. The corpus-wide stats the
+    score needs (N, avgdl, per-term df) are one |q|+2-column 1-row
+    aggregate of that same projection, broadcast back via cross-join —
+    the whole query is one scan + one TakeOrderedAndProject; the only
+    exchanges carry 1 row and ≤ k·partitions rows. (The classic
+    inverted-index formulation — explode → postings filter → tf/df
+    aggregates → joins — computes the identical numbers; the DuckDB
+    twin uses it, which makes the gate an independent-formulation
+    check, not a replay.)
 
     Exactness discipline: the cross-term sum runs in integer
     MICRO-UNITS (each per-term contribution is floor(c·1e6 + 0.5) as a
@@ -765,40 +776,55 @@ def bm25_topk(
     from pyspark.sql import Window
 
     terms = [str(t) for t in query_terms]
-    tok = docs.select(
-        "doc_id", F.explode(tokens(F.coalesce(F.col("text"), F.lit("")))).alias("term")
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    base = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
     )
-    dl = docs.select(
+    proj = base.select(
         "doc_id",
-        F.size(tokens(F.coalesce(F.col("text"), F.lit("")))).cast("long").alias("dl"),
+        F.size("toks").cast("long").alias("dl"),
+        *[
+            F.size(F.filter(F.col("toks"), _eq_term(t)))
+            .cast("double")
+            .alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
     )
-    stats = dl.agg(
+    stats = proj.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("__avgdl"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "__avgdl"
+        ),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long"))
+            .cast("double")
+            .alias(f"df{i}")
+            for i in range(len(terms))
+        ],
     )
-    hits = tok.filter(F.col("term").isin(terms))
-    tf = hits.groupBy("doc_id", "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
-    df_ = hits.groupBy("term").agg(
-        F.countDistinct("doc_id").cast("double").alias("df")
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + ((F.col("__n") - F.col("df")) + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    num = F.col("tf") * F.lit(k1 + 1.0)
-    den = F.col("tf") + F.lit(k1) * (
-        (F.lit(1.0) - F.lit(b))
-        + F.lit(b) * (F.col("dl").cast("double") / F.col("__avgdl"))
-    )
-    contrib = (idf * num) / den
-    micro = F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    def term_micro(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0) + ((F.col("__n") - df) + F.lit(0.5)) / (df + F.lit(0.5))
+        )
+        num = tf * F.lit(k1 + 1.0)
+        den = tf + F.lit(k1) * (
+            (F.lit(1.0) - F.lit(b))
+            + F.lit(b) * (F.col("dl").cast("double") / F.col("__avgdl"))
+        )
+        contrib = (idf * num) / den
+        return F.when(
+            tf > 0, F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+
+    total = term_micro(0)
+    for i in range(1, len(terms)):
+        total = total + term_micro(i)
     scored = (
-        tf.join(F.broadcast(df_), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("doc_id", micro.alias("c_micro"))
-        .groupBy("doc_id")
-        .agg(F.sum("c_micro").alias("score_micro"))
+        proj.crossJoin(F.broadcast(stats))
+        .select("doc_id", total.alias("score_micro"))
+        .filter(F.col("score_micro") > 0)
     )
     # top-k via orderBy+limit → TakeOrderedAndProject: each partition
     # keeps its own k, the driver merges Kparts·k rows — never a global
