@@ -998,6 +998,12 @@ def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM surprisal (textops.lm_surprisal_bigram): add-one
+    smoothed p(w2|w1), micro-unit per-doc mean."""
+    return tx.lm_surprisal_bigram(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (textops.bm25_topk): top-10 documents for
     a 3-term query mixing a rare term (df≈25 at sf0.01) with two common
@@ -2683,6 +2689,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_topk": q_similarity_topk,
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "text_bm25": q_text_bm25,
+        "text_surprisal_bigram": q_text_surprisal_bigram,
         "embeddings_int8_quant": q_embeddings_int8_quant,
         "similarity_int8_topk": q_similarity_int8_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -3520,6 +3527,36 @@ ranked AS (
 SELECT doc_id, rank::INTEGER AS rank,
        ROUND(CAST(score_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS score
 FROM ranked WHERE rank <= {tx.BM25_TOPK}""",
+        # bigram LM: add-one smoothing over the corpus vocabulary;
+        # per-bigram bits go through the integer micro-unit sum so the
+        # per-doc mean is order-independent (same trick as text_bm25)
+        "text_surprisal_bigram": """
+WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS s
+  FROM d
+),
+p2 AS (SELECT doc_id, s.w1 AS w1, s.w2 AS w2 FROM bg),
+cu AS (
+  SELECT term, COUNT(*) AS c1
+  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term
+),
+v AS (SELECT COUNT(*) AS v FROM cu),
+cb AS (SELECT w1, w2, COUNT(*) AS c12 FROM p2 GROUP BY w1, w2),
+m AS (
+  SELECT p2.doc_id,
+         CAST(floor(-log2(CAST(cb.c12 + 1 AS DOUBLE)
+                          / CAST(cu.c1 + v.v AS DOUBLE))
+                    * CAST(1000000.0 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS m
+  FROM p2 JOIN cb USING (w1, w2) JOIN cu ON cu.term = p2.w1 CROSS JOIN v
+)
+SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+       ROUND((SUM(m)::DOUBLE / CAST(1000000.0 AS DOUBLE)) / COUNT(*)::DOUBLE,
+             4) AS bits_per_bigram
+FROM m GROUP BY doc_id""",
         # parallel unnest zips (i, x_i); q is integral so the INTEGER
         # cast after floor is exact
         "embeddings_int8_quant": f"""

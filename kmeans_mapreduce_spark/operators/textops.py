@@ -841,3 +841,71 @@ def bm25_topk(
             ).alias("score"),
         )
     )
+
+
+def lm_surprisal_bigram(docs: DataFrame, digits: int = 4) -> DataFrame:
+    """Bigram-LM quality score: average surprisal −log2 p(w2|w1) in
+    bits per bigram, with add-one smoothing over the corpus vocabulary
+    — one Markov order above :func:`lm_surprisal`, the same signal
+    family as CCNet's KenLM perplexity filter (Wenzek et al. 2020)
+    but with an exactly-replayable model:
+
+        p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V)
+
+    (c12 ≤ c(w1) always, so p ≤ 1 and surprisal ≥ 0). Repetitive
+    boilerplate scores LOW (its bigrams are corpus-frequent);
+    shuffled/gibberish text scores HIGH even when its unigrams are
+    common — exactly the case the unigram model cannot see.
+
+    Scale shape: bigrams are a narrow slice-zip projection (no
+    positional window); ONE bigram explode, materialized once,
+    feeds both the bigram-count aggregate and the scoring join (both
+    map-side combined, shuffles bounded by |distinct bigrams|); the
+    unigram table and V ride broadcast here, and at web scale both
+    scoring joins degrade to shuffle joins keyed by bigram/prefix —
+    still never quadratic. Docs with < 2 tokens have no bigrams and
+    are not emitted (declared contract, mirrored by the twin).
+
+    Exactness: per-bigram bits go through the integer micro-unit sum
+    (floor(bits·1e6 + 0.5) as BIGINT) so the per-doc mean is
+    order-independent and bit-identical across engines.
+
+    Output: (doc_id, n_bigrams, bits_per_bigram).
+    """
+    from kmeans_mapreduce_spark.functions.text import tokens
+
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    pairs = base.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("toks"), 1, F.greatest(F.size("toks") - 1, F.lit(0))),
+                F.slice(F.col("toks"), 2, F.greatest(F.size("toks") - 1, F.lit(0))),
+                lambda a, b_: F.struct(a.alias("w1"), b_.alias("w2")),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    pairs = pairs.localCheckpoint(eager=False)
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    cu = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = cu.agg(F.count(F.lit(1)).alias("v"))
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    p = (F.col("c12") + F.lit(1)).cast("double") / (
+        F.col("c1") + F.col("v")
+    ).cast("double")
+    micro = F.floor(-F.log2(p) * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return (
+        pairs.join(F.broadcast(cb), ["w1", "w2"])
+        .join(F.broadcast(cu.withColumnRenamed("term", "w1")), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", micro.alias("m"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                (F.sum("m").cast("double") / F.lit(1000000.0))
+                / F.count(F.lit(1)).cast("double"),
+                digits,
+            ).alias("bits_per_bigram"),
+        )
+    )

@@ -422,6 +422,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "text_bm25",
     "embeddings_int8_quant",
     "similarity_int8_topk",
+    "text_surprisal_bigram",
 }
 
 

@@ -1422,3 +1422,32 @@ def test_int8_topk_agrees_with_exact(spark):
     for r in quant:
         ranks.setdefault(r.query_id, []).append(r.rank)
     assert all(sorted(v) == list(range(1, 6)) for v in ranks.values())
+
+
+def test_bigram_surprisal_flags_shuffled_text(spark):
+    """Bigrams the corpus has never seen (shuffled word order) must
+    score higher than corpus-frequent phrasing built from the SAME
+    unigrams — the case the unigram model cannot distinguish."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    common = "the quick fox jumps over the lazy dog"
+    docs = spark.createDataFrame(
+        [(i, common) for i in range(1, 9)]
+        + [(9, common), (10, "dog the over lazy jumps quick the fox")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r.bits_per_bigram for r in tx.lm_surprisal_bigram(docs).collect()}
+    assert out[10] > out[9]
+    assert len(out) == 10
+
+
+def test_bigram_surprisal_short_docs_excluded(spark):
+    """Docs with < 2 tokens have no bigrams and are not emitted."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two tokens here")], "doc_id long, text string"
+    )
+    out = tx.lm_surprisal_bigram(docs).collect()
+    assert {r.doc_id for r in out} == {2}
+    assert out[0].n_bigrams == 2
