@@ -775,7 +775,10 @@ def bm25_topk(
     """
     from pyspark.sql import Window
 
-    terms = [str(t) for t in query_terms]
+    # dedupe, order-preserving: a repeated term would add its
+    # contribution twice here while the bag-of-terms contract (and the
+    # inverted-index twin's IN-list) counts each distinct term once
+    terms = list(dict.fromkeys(str(t) for t in query_terms))
     if not terms:
         raise ValueError("bm25_topk: query_terms must be non-empty")
     base = docs.select(

@@ -230,9 +230,13 @@ def main() -> int:
             ("token_shards", lambda d=d: sp.token_shard_plan(d)),
         ):
             fn().write.format("noop").mode("overwrite").save()  # warm
-            t = time.time()
-            fn().write.format("noop").mode("overwrite").save()
-            out[f"{probe}_sec_{factor}x"] = round(time.time() - t, 3)
+            durs = []
+            for _ in range(3):
+                t = time.time()
+                fn().write.format("noop").mode("overwrite").save()
+                durs.append(time.time() - t)
+            durs.sort()
+            out[f"{probe}_sec_{factor}x"] = round(durs[1], 3)
         d.unpersist()
     for probe in ("span_clean", "token_shards"):
         out[f"{probe}_4x_slope"] = round(
@@ -275,9 +279,16 @@ def main() -> int:
         d.count()
         for probe, fn in pair_probes.items():
             fn(d).write.format("noop").mode("overwrite").save()  # warm
-            t = time.time()
-            fn(d).write.format("noop").mode("overwrite").save()
-            out[f"{probe}_sec_{factor}x"] = round(time.time() - t, 3)
+            # median of 3 timed runs — a single timing swung ≥2.5× run
+            # to run on this box (page cache / JIT / GC state), which
+            # made cross-round slope comparisons meaningless
+            durs = []
+            for _ in range(3):
+                t = time.time()
+                fn(d).write.format("noop").mode("overwrite").save()
+                durs.append(time.time() - t)
+            durs.sort()
+            out[f"{probe}_sec_{factor}x"] = round(durs[1], 3)
         out[f"pairgen_docs_{factor}x"] = nd0 * factor
         d.unpersist()
     for probe in pair_probes:
