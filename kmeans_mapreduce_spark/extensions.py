@@ -998,6 +998,52 @@ def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship end-to-end pretraining-data build: Gopher/C4 rule
+    filter → exact dedup (keep lowest doc_id per text fingerprint) →
+    benchmark decontamination (contaminated docs AND benchmark members
+    dropped) → deterministic shuffle → equal-TOKEN shard layout. The
+    output is the actual training-data layout a run materializes: one
+    row per shard with its doc count and token total.
+
+    Every stage is a proven gated operator composed as DataFrames
+    (rule_filter_report / fingerprint window / decontaminate /
+    token_shard_plan), so the whole build keeps the component scale
+    shapes: row-local verdicts, one fingerprint exchange, a broadcast
+    decontam semi-join, and the two-level prefix-sum scan — no stage
+    collects or re-scans the corpus.
+    """
+    from kmeans_mapreduce_spark.operators import decontam as dc_op
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    passing = _sel.rule_filter_report(docs).filter(F.col("pass_all")).select(
+        "doc_id"
+    )
+    p = docs.select("doc_id", F.md5("text").alias("fp")).join(passing, "doc_id")
+    s2 = (
+        p.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("fp").orderBy("doc_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id")
+    )
+    s3 = s2.filter(F.col("doc_id") % dc_op.BENCH_MOD != 0).join(
+        dc_op.decontaminate(docs).select("doc_id"), "doc_id", "left_anti"
+    )
+    survivors = docs.join(s3, "doc_id")
+    plan = sp.token_shard_plan(survivors)
+    return (
+        plan.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select("shard", "n_docs", "n_tokens")
+    )
+
+
 def q_text_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM surprisal (textops.lm_surprisal_bigram): add-one
     smoothed p(w2|w1), micro-unit per-doc mean."""
@@ -2031,6 +2077,51 @@ SELECT 3, 'decontam', COUNT(*)::BIGINT,
 """
 
 
+def _pretrain_corpus_sql() -> str:
+    """Twin of q_pipeline_pretrain_corpus: the curation-funnel survivor
+    CTEs compose verbatim, then the flat-window shard plan runs over
+    the survivor join instead of raw documents."""
+    from kmeans_mapreduce_spark.analytics import (
+        _decontaminate_oracle,
+        _rule_filter_oracle,
+    )
+    from kmeans_mapreduce_spark.operators.decontam import BENCH_MOD as dc_mod
+
+    return f"""
+WITH rf AS ({_rule_filter_oracle()}),
+contam AS (SELECT doc_id FROM ({_decontaminate_oracle()}) z),
+p AS (
+  SELECT d.doc_id, md5(d.text) AS fp
+  FROM documents d JOIN rf ON rf.doc_id = d.doc_id AND rf.pass_all
+),
+k AS (
+  SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+  FROM p
+),
+s3 AS (
+  SELECT doc_id FROM k WHERE rn = 1
+    AND doc_id % {dc_mod} <> 0
+    AND doc_id NOT IN (SELECT doc_id FROM contam)
+),
+b AS (
+  SELECT d.doc_id,
+         {h64_sql(f"'{sp.SHUFFLE_SALT}:' || d.doc_id::VARCHAR")} AS shuffle_key,
+         len(string_split(COALESCE(d.text, ''), ' '))::BIGINT AS n_tok
+  FROM documents d JOIN s3 ON s3.doc_id = d.doc_id
+),
+c AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (
+           ORDER BY shuffle_key, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_before
+  FROM b
+)
+SELECT (cum_before // {sp.SHARD_TOKENS})::INTEGER AS shard,
+       COUNT(*)::BIGINT AS n_docs, SUM(n_tok)::BIGINT AS n_tokens
+FROM c GROUP BY shard"""
+
+
 def _token_shards_sql() -> str:
     """Twin of sampling.token_shard_plan: ONE flat global window — the
     engine's two-level scan must match it bit-for-bit (exact integer
@@ -2690,6 +2781,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "text_bm25": q_text_bm25,
         "text_surprisal_bigram": q_text_surprisal_bigram,
+        "pipeline_pretrain_corpus": q_pipeline_pretrain_corpus,
         "embeddings_int8_quant": q_embeddings_int8_quant,
         "similarity_int8_topk": q_similarity_int8_topk,
         "similarity_ann_lsh": q_similarity_ann_lsh,
@@ -3280,6 +3372,7 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "pipeline_label_propagation": _label_propagation_sql(),
         "pipeline_pagerank_loop2": _pagerank_loop2_sql(),
         "pipeline_curation_funnel": _curation_funnel_sql(),
+        "pipeline_pretrain_corpus": _pretrain_corpus_sql(),
         "embeddings_outliers": _embedding_outliers_sql(),
         # all-integer interval math: `div`/greatest/least mirror //,
         # and range(a, b+1) ≡ Spark's inclusive sequence(a, b)

@@ -423,6 +423,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "embeddings_int8_quant",
     "similarity_int8_topk",
     "text_surprisal_bigram",
+    "pipeline_pretrain_corpus",
 }
 
 

