@@ -61,9 +61,11 @@ REPORT_QUERIES = [
     ("dedup_simhash_pairs", "4×15-bit pigeonhole band self-join + JVM popcount verify (60-bit sketch)"),
     ("similarity_ann_pq_trained", "trained per-subspace codebooks; same code-only candidate payload + broadcast probe join"),
     ("embeddings_pca_suffstats", "one Arrow suffstats pass; driver-built (i,j) rows — no corpus shuffle"),
-    ("text_bm25", "postings filtered to query terms before any shuffle; broadcast df/N/avgdl; TakeOrderedAndProject top-k"),
+    ("text_bm25", "zero corpus shuffles: literal-term tf projection, broadcast 1-row stats, TakeOrderedAndProject top-k"),
     ("embeddings_int8_quant", "narrow per-row quantization: no join, no exchange"),
     ("similarity_int8_topk", "broadcast quantized probes; integer dot in the join projection"),
+    ("text_surprisal_bigram", "one bigram explode materialized once; count + scoring joins broadcast"),
+    ("pipeline_pretrain_corpus", "filter→dedup→decontam→shard composition keeps component scale shapes"),
 ]
 
 
