@@ -1076,6 +1076,57 @@ def q_similarity_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix against the ground-truth ``lang``
+    column — the eval a heuristic classifier ships with: one row per
+    (lang, pred_lang) with its count and the cell's share of that
+    true-lang row (exact-ratio double, one division). Composes the
+    gated langid operator with a ground-truth join; both sides are
+    map-side-combined aggregates over one scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.langid(docs).select("doc_id", "pred_lang")
+    per_lang = docs.select("doc_id", "lang").join(pred, "doc_id").groupBy(
+        "lang", "pred_lang"
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = per_lang.groupBy("lang").agg(F.sum("n_docs").alias("__t"))
+    return per_lang.join(tot, "lang").select(
+        "lang",
+        "pred_lang",
+        "n_docs",
+        F.round(
+            F.col("n_docs").cast("double") / F.col("__t").cast("double"), 6
+        ).alias("share"),
+    )
+
+
+def q_similarity_int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality eval: recall@k of int8-quantized retrieval
+    against exact float cosine top-k, per query — the number that says
+    whether the 4× storage cut costs answer quality (the int8 analog
+    of similarity_ann_recall). Composes two engine operators; the twin
+    composes their two SQL replays."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q8t = sim.int8_cosine_topk(emb, TOPK_QUERY_IDS, TOPK_K).select(
+        "query_id", "neighbor_id"
+    )
+    brute = sim.cosine_topk(emb, TOPK_QUERY_IDS, TOPK_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        q8t.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.lit(TOPK_K).cast("long").alias("k"),
+            F.round(
+                F.col("n_hit").cast("double") / F.lit(float(TOPK_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def q_similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_ann_topk(
         load_table(spark, sf_dir, "embeddings"), TOPK_QUERY_IDS, ANN_K
@@ -2367,6 +2418,52 @@ FROM ranked WHERE rank <= {k}
     )
 
 
+def _int8_topk_sql(k: int) -> str:
+    """Twin of similarity.int8_cosine_topk: L2-normalize with the
+    sequential-fold norm, quantize per vector (scale = max|x|/127,
+    q = floor(x/scale + ½)), score = exact integer dot × the two
+    scales. Shared by the topk entry and the recall eval."""
+    ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings
+),
+e1 AS (SELECT vec_id, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM e0),
+ev AS (
+  SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM e1 WHERE nrm > 0
+),
+s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE) AS scale
+  FROM ev
+),
+q8 AS (
+  SELECT vec_id, scale,
+         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+             ELSE CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INTEGER)
+         END) AS qv
+  FROM s
+),
+qs AS (
+  SELECT vec_id AS query_id, qv AS qa, scale AS sa FROM q8
+  WHERE vec_id IN ({ids})
+),
+scored AS (
+  SELECT qs.query_id, q8.vec_id AS neighbor_id,
+         ROUND(CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
+                 i -> CAST(qa[i] AS BIGINT) * CAST(qv[i] AS BIGINT))) AS DOUBLE)
+               * sa * scale, 6) AS score_q
+  FROM q8 JOIN qs ON q8.vec_id != qs.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score_q DESC, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, score_q
+FROM ranked WHERE rank <= {k}"""
+
+
 def _nd_trained_ctr_cte() -> str:
     """Trained-quantizer CTE chain (appended after an ``e0(vec_id,
     v0)`` CTE): the 2-iteration fixed-init Lloyd unroll of
@@ -2784,6 +2881,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_pretrain_corpus": q_pipeline_pretrain_corpus,
         "embeddings_int8_quant": q_embeddings_int8_quant,
         "similarity_int8_topk": q_similarity_int8_topk,
+        "similarity_int8_recall": q_similarity_int8_recall,
+        "text_langid_eval": q_text_langid_eval,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_ivf_trained": q_similarity_ann_ivf_trained,
@@ -3079,6 +3178,20 @@ SELECT ((ts_sec // {ev.WINDOW_SEC}) * {ev.WINDOW_SEC})::BIGINT AS window_start,
        event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
 FROM e GROUP BY 1, 2""",
         "text_langid": _langid_sql(),
+        "text_langid_eval": f"""
+WITH pred AS ({_langid_sql()}),
+j AS (
+  SELECT d.lang, p.pred_lang
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+),
+cm AS (
+  SELECT lang, pred_lang, COUNT(*)::BIGINT AS n_docs
+  FROM j GROUP BY lang, pred_lang
+),
+tot AS (SELECT lang, SUM(n_docs)::BIGINT AS t FROM cm GROUP BY lang)
+SELECT cm.lang, cm.pred_lang, cm.n_docs,
+       ROUND(cm.n_docs::DOUBLE / tot.t::DOUBLE, 6) AS share
+FROM cm JOIN tot ON tot.lang = cm.lang""",
         "text_fingerprint": (
             f"SELECT doc_id, {h64_sql('lower(trim(text))')} AS fingerprint "
             "FROM documents"
@@ -3677,44 +3790,17 @@ SELECT vec_id, i, q, ROUND(scale, 6) AS scale,
        ROUND((xv - CAST(q AS DOUBLE) * scale) * (xv - CAST(q AS DOUBLE) * scale),
              6) AS dim_err
 FROM q""",
-        "similarity_int8_topk": f"""
-WITH e0 AS (
-  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings
-),
-e1 AS (SELECT vec_id, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM e0),
-ev AS (
-  SELECT vec_id, list_transform(v0, x -> x / nrm) AS v FROM e1 WHERE nrm > 0
-),
-s AS (
-  SELECT vec_id, v,
-         list_max(list_transform(v, x -> abs(x))) / CAST(127.0 AS DOUBLE) AS scale
-  FROM ev
-),
-q8 AS (
-  SELECT vec_id, scale,
-         list_transform(v, x -> CASE WHEN scale = 0 THEN 0
-             ELSE CAST(floor(x / scale + CAST(0.5 AS DOUBLE)) AS INTEGER)
-         END) AS qv
-  FROM s
-),
-qs AS (
-  SELECT vec_id AS query_id, qv AS qa, scale AS sa FROM q8
-  WHERE vec_id IN ({", ".join(str(i) for i in TOPK_QUERY_IDS)})
-),
-scored AS (
-  SELECT qs.query_id, q8.vec_id AS neighbor_id,
-         ROUND(CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
-                 i -> CAST(qa[i] AS BIGINT) * CAST(qv[i] AS BIGINT))) AS DOUBLE)
-               * sa * scale, 6) AS score_q
-  FROM q8 JOIN qs ON q8.vec_id != qs.query_id
-),
-ranked AS (
-  SELECT *, row_number() OVER (
-    PARTITION BY query_id ORDER BY score_q DESC, neighbor_id
-  ) AS rank FROM scored
-)
-SELECT query_id, neighbor_id, rank::INTEGER AS rank, score_q
-FROM ranked WHERE rank <= {TOPK_K}""",
+        "similarity_int8_topk": _int8_topk_sql(TOPK_K),
+        "similarity_int8_recall": f"""
+WITH q8t AS (SELECT query_id, neighbor_id FROM ({_int8_topk_sql(TOPK_K)}) t1),
+brute AS (SELECT query_id, neighbor_id FROM ({_topk_sql(TOPK_K, bucketed=False)}) t2)
+SELECT i.query_id,
+       COUNT(b.neighbor_id)::BIGINT AS n_hit,
+       {TOPK_K}::BIGINT AS k,
+       ROUND(COUNT(b.neighbor_id)::DOUBLE / {TOPK_K}::DOUBLE, 6) AS recall_at_k
+FROM q8t i LEFT JOIN brute b
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY i.query_id""",
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
         "similarity_ann_ivf": _ivf_ann_sql(),

@@ -424,6 +424,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "similarity_int8_topk",
     "text_surprisal_bigram",
     "pipeline_pretrain_corpus",
+    "similarity_int8_recall",
+    "text_langid_eval",
 }
 
 
