@@ -388,3 +388,48 @@ def test_vocab_coverage_truncates_before_ranking(spark):
     docs = load_table(spark, SF, "documents")
     s = plans.explain_str(tx.vocab_coverage(docs), "simple")
     assert "TakeOrderedAndProject" in s
+
+
+def test_bm25_never_exchanges_the_corpus(spark):
+    """BM25's only exchanges are the 1-row stats aggregate and its
+    broadcast: no hashpartitioning exchange keyed by doc/term, no
+    token explode, top-k via TakeOrderedAndProject."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    docs = load_table(spark, SF, "documents")
+    plan = plans.explain_str(tx.bm25_topk(docs, ["dup", "hash", "merge"]))
+    assert "Exchange hashpartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Generate" not in plan  # no explode anywhere
+    assert plans.scan_columns(tx.bm25_topk(docs, ["dup"])) == [
+        "doc_id", "text",
+    ]
+
+
+def test_int8_quantization_is_narrow(spark):
+    """quantize_int8 is scan → project → posexplode: no join, no
+    exchange of any kind."""
+    from kmeans_mapreduce_spark.operators.similarity import quantize_int8
+
+    emb = load_table(spark, SF, "embeddings")
+    plan = plans.explain_str(quantize_int8(emb))
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_int8_topk_broadcasts_probes_only(spark):
+    """int8_cosine_topk: the corpus side reaches the probe join with no
+    hash exchange — only the broadcast of the quantized query rows and
+    the small top-k window shuffle keyed by query_id."""
+    from kmeans_mapreduce_spark.operators.similarity import int8_cosine_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    df = int8_cosine_topk(emb, [0, 1, 2, 3], k=5)
+    plan = plans.explain_str(df)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df)
+    # the only hashpartitioning exchange is the query_id-keyed window
+    import re
+
+    keys = re.findall(r"Exchange hashpartitioning\(([a-zA-Z_0-9#]+)", plan)
+    assert all(k.startswith("query_id") for k in keys), keys
