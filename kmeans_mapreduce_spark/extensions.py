@@ -46,6 +46,8 @@ IVF_NPROBE = 2
 PQ_M = 8  # product-quantization subspaces (EMB_DIM/PQ_M dims each)
 PQ_CODEBOOK_IDS = list(range(8, 168, 10))  # 16 fixed corpus rows
 PQ_RERANK_K = 8  # ADC shortlist width for the exact-rerank refinement
+LR_CAL_ITERS = 10  # GD iterations behind the calibration table (p spread
+# needs a further-trained model than loop2's 2 steps: 8 deciles vs 1)
 TFIDF_K = 3
 BM25_QUERY_TERMS = ["dup", "hash", "merge"]  # rare + two common terms
 TOPCUST_K = 3
@@ -901,6 +903,71 @@ def q_corpus_lr_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     w, b = lg.fit_logreg(feats, iters=2)
     rows = [(-1, float(b))] + [(i, float(w[i])) for i in range(lg.LR_BUCKETS)]
     return spark.createDataFrame(rows, "bucket INT, w DOUBLE")
+
+
+def q_corpus_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration table for the gated 2-iteration LR classifier: score
+    every doc with the trained weights, bucket predicted probability
+    into deciles, and report each decile's size, positive count,
+    empirical positive rate, and mean predicted p — the reliability
+    diagram a shipped quality filter is audited with.
+
+    Exactness: the trained weights are exact 6-decimal values (HALF_UP
+    rounding is part of the gated fit), so they convert to integer
+    MICRO-UNITS losslessly and the per-doc score sum Σ w[bkt(t)] runs
+    in exact int64 — z, p = σ(z), and the decile are then bit-identical
+    across engines (no boundary flips from float-sum order). Weights
+    ship as a 1024-literal array in the plan (O16 broadcast-params
+    shape, same as the bloom bitmap literals); scoring is one narrow
+    array fold, and the decile aggregate is map-side combined — ≤ 11
+    groups shuffle.
+    """
+    import math
+
+    from kmeans_mapreduce_spark.operators import logreg as lg
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = lg.featurized(docs)
+    w, b = lg.fit_logreg(feats, iters=LR_CAL_ITERS)
+    wm = [int(math.floor(float(x) * 1e6 + 0.5)) for x in w]
+    bm = int(math.floor(float(b) * 1e6 + 0.5))
+    warr = F.array(*[F.lit(m).cast("long") for m in wm])
+    zm = F.aggregate(
+        F.transform(F.col("fb"), lambda bkt: F.element_at(warr, bkt + 1)),
+        F.lit(bm).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    p = F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(zm.cast("double") / F.lit(1000000.0)))
+    )
+    staged = feats.select(
+        "doc_id",
+        "y",
+        F.floor(p * F.lit(10.0)).cast("int").alias("p_bucket"),
+        F.floor(p * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("pm"),
+    )
+    return (
+        staged.groupBy("p_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("y").cast("long")).alias("n_pos"),
+            F.sum("pm").alias("spm"),
+        )
+        .select(
+            "p_bucket",
+            "n_docs",
+            "n_pos",
+            F.round(
+                F.col("n_pos").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("frac_pos"),
+            F.round(
+                (F.col("spm").cast("double") / F.lit(1000000.0))
+                / F.col("n_docs").cast("double"),
+                6,
+            ).alias("mean_p"),
+        )
+    )
 
 
 def q_corpus_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2245,48 +2312,136 @@ SELECT vec_id, deg::INTEGER AS degree, pr AS pr_units FROM rt2
 """
 
 
-def _lr_loop2_sql() -> str:
-    """Twin of q_corpus_lr_loop2 — the 2-iteration GD unrolled.
+def _lr_unrolled_sql(iters: int) -> str:
+    """N-iteration GD unroll of the in-engine LR fit.
 
     Iteration 1 is EXACT on both engines: w0=0 → σ(0)=0.5 → residuals
     are ±0.5, so gradient sums are exact binary fractions and the
-    rounded step matches bit-for-bit. Iteration 2's float-sum noise
-    (~1e-12) is absorbed by the 6-digit HALF_UP rounding, the same
-    regime as kmeans_nd_loop2."""
+    rounded step matches bit-for-bit. Every later iteration's
+    float-sum noise (~1e-12) is absorbed by the per-iteration 6-digit
+    HALF_UP rounding — iterations compound only through the ROUNDED
+    weights, so drift does not accumulate (same regime as
+    kmeans_nd_loop2; ``fit_logreg`` applies the identical per-iteration
+    rounding)."""
     from kmeans_mapreduce_spark.operators.logreg import LR_BUCKETS, LR_RATE
     from kmeans_mapreduce_spark.operators.selection import DSIR_QUALITY_TAU
 
     d = LR_BUCKETS
     lr = LR_RATE
-    return f"""
-WITH q AS ({_quality_sql()}),
-lab AS (SELECT doc_id,
+    # lab/inst/nn are AS MATERIALIZED: the unroll references inst twice
+    # per iteration, and DuckDB inlines plain CTEs — at 10 iterations
+    # that is ~20 re-scans of the parquet (it actually hit the open-file
+    # limit) where one materialization serves them all
+    ctes = [
+        f"q AS ({_quality_sql()})",
+        f"""lab AS MATERIALIZED (SELECT doc_id,
         CASE WHEN quality_score >= {DSIR_QUALITY_TAU} THEN 1.0 ELSE 0.0 END AS y
-        FROM q),
+        FROM q)""",
+        "toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term "
+        "FROM documents)",
+        f"inst AS MATERIALIZED "
+        f"(SELECT doc_id, {h64_sql('term')} % {d} AS bkt FROM toks)",
+        "nn AS MATERIALIZED (SELECT COUNT(*)::DOUBLE AS n FROM documents)",
+        "r1 AS MATERIALIZED (SELECT doc_id, 0.5 - y AS r FROM lab)",
+        "g1 AS (SELECT bkt, SUM(r) AS g FROM inst JOIN r1 USING (doc_id) "
+        "GROUP BY bkt)",
+        "gb1 AS (SELECT SUM(r) AS gb FROM r1)",
+        f"w1 AS MATERIALIZED (SELECT bkt, ROUND(-{lr} * (g / nn.n), 6) AS w "
+        "FROM g1 CROSS JOIN nn)",
+        f"b1 AS MATERIALIZED (SELECT ROUND(-{lr} * (gb / nn.n), 6) AS b "
+        "FROM gb1 CROSS JOIN nn)",
+    ]
+    # w{k}/b{k}/r{k} are each referenced TWICE downstream; without AS
+    # MATERIALIZED DuckDB inlines plain CTEs, so the w-chain would
+    # duplicate its whole subtree per reference — a 2^iters plan blowup
+    # (the 10-iteration unroll never finished before this)
+    for k in range(2, iters + 1):
+        p = k - 1
+        ctes += [
+            f"""zs{k} AS (SELECT inst.doc_id, SUM(w{p}.w) AS sw
+       FROM inst JOIN w{p} USING (bkt) GROUP BY inst.doc_id)""",
+            f"""z{k} AS (SELECT l.doc_id, b{p}.b + COALESCE(zs{k}.sw, 0) AS z, l.y
+       FROM lab l CROSS JOIN b{p} LEFT JOIN zs{k} ON zs{k}.doc_id = l.doc_id)""",
+            f"r{k} AS MATERIALIZED "
+            f"(SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z{k})",
+            f"""g{k} AS (SELECT bkt, SUM(r) AS g FROM inst JOIN r{k} USING (doc_id)
+       GROUP BY bkt)""",
+            f"gb{k} AS (SELECT SUM(r) AS gb FROM r{k})",
+            f"""w{k} AS MATERIALIZED (SELECT g{k}.bkt,
+       ROUND(COALESCE(w{p}.w, 0) - {lr} * (g{k}.g / nn.n), 6) AS w
+       FROM g{k} LEFT JOIN w{p} USING (bkt) CROSS JOIN nn)""",
+            f"""b{k} AS MATERIALIZED (SELECT ROUND(b{p}.b - {lr} * (gb{k}.gb / nn.n), 6) AS b
+       FROM b{p} CROSS JOIN gb{k} CROSS JOIN nn)""",
+        ]
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT t.i::INTEGER AS bucket, COALESCE(w{iters}.w, 0.0) AS w
+FROM range(0, {d}) t(i) LEFT JOIN w{iters} ON w{iters}.bkt = t.i
+UNION ALL
+SELECT -1, b FROM b{iters}
+"""
+
+
+def _lr_loop2_sql() -> str:
+    """Twin of q_corpus_lr_loop2 — the 2-iteration unroll."""
+    return _lr_unrolled_sql(2)
+
+
+def _lr_calibration_sql() -> str:
+    """Twin of q_corpus_lr_calibration: re-derives the trained weights
+    via the unrolled loop2 twin, converts the exact 6-decimal values to
+    integer micro-units, and replays the int64 score sum — z, σ(z), and
+    the decile are bit-identical, so no boundary negotiation."""
+    from kmeans_mapreduce_spark.operators.logreg import LR_BUCKETS
+    from kmeans_mapreduce_spark.operators.selection import DSIR_QUALITY_TAU
+
+    d = LR_BUCKETS
+    return f"""
+WITH wt AS (SELECT bucket, w FROM ({_lr_unrolled_sql(LR_CAL_ITERS)}) lw),
+wm AS (
+  SELECT bucket,
+         CAST(floor(w * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS m
+  FROM wt
+),
+q AS ({_quality_sql()}),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN quality_score >= {DSIR_QUALITY_TAU} THEN 1 ELSE 0 END AS y
+  FROM q
+),
 toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
 inst AS (SELECT doc_id, {h64_sql('term')} % {d} AS bkt FROM toks),
-nn AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
-r1 AS (SELECT doc_id, 0.5 - y AS r FROM lab),
-g1 AS (SELECT bkt, SUM(r) AS g FROM inst JOIN r1 USING (doc_id) GROUP BY bkt),
-gb1 AS (SELECT SUM(r) AS gb FROM r1),
-w1 AS (SELECT bkt, ROUND(-{lr} * (g / nn.n), 6) AS w FROM g1 CROSS JOIN nn),
-b1 AS (SELECT ROUND(-{lr} * (gb / nn.n), 6) AS b FROM gb1 CROSS JOIN nn),
-zs AS (SELECT inst.doc_id, SUM(w1.w) AS sw
-       FROM inst JOIN w1 USING (bkt) GROUP BY inst.doc_id),
-z2 AS (SELECT l.doc_id, b1.b + COALESCE(zs.sw, 0) AS z, l.y
-       FROM lab l CROSS JOIN b1 LEFT JOIN zs ON zs.doc_id = l.doc_id),
-r2 AS (SELECT doc_id, 1.0 / (1.0 + exp(-z)) - y AS r FROM z2),
-g2 AS (SELECT bkt, SUM(r) AS g FROM inst JOIN r2 USING (doc_id) GROUP BY bkt),
-gb2 AS (SELECT SUM(r) AS gb FROM r2),
-w2 AS (SELECT g2.bkt, ROUND(COALESCE(w1.w, 0) - {lr} * (g2.g / nn.n), 6) AS w
-       FROM g2 LEFT JOIN w1 USING (bkt) CROSS JOIN nn),
-b2 AS (SELECT ROUND(b1.b - {lr} * (gb2.gb / nn.n), 6) AS b
-       FROM b1 CROSS JOIN gb2 CROSS JOIN nn)
-SELECT t.i::INTEGER AS bucket, COALESCE(w2.w, 0.0) AS w
-FROM range(0, {d}) t(i) LEFT JOIN w2 ON w2.bkt = t.i
-UNION ALL
-SELECT -1, b FROM b2
-"""
+zs AS (
+  SELECT inst.doc_id, SUM(wm.m)::BIGINT AS sm
+  FROM inst JOIN wm ON wm.bucket = inst.bkt GROUP BY inst.doc_id
+),
+z AS (
+  SELECT l.doc_id, l.y,
+         ((SELECT m FROM wm WHERE bucket = -1) + COALESCE(zs.sm, 0))::BIGINT
+           AS zmm
+  FROM lab l LEFT JOIN zs ON zs.doc_id = l.doc_id
+),
+p AS (
+  SELECT doc_id, y,
+         CAST(1 AS DOUBLE)
+         / (CAST(1 AS DOUBLE)
+            + exp(-(zmm::DOUBLE / CAST(1000000.0 AS DOUBLE)))) AS p
+  FROM z
+),
+s AS (
+  SELECT doc_id, y,
+         floor(p * CAST(10.0 AS DOUBLE))::INTEGER AS p_bucket,
+         CAST(floor(p * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS pm
+  FROM p
+)
+SELECT p_bucket, COUNT(*)::BIGINT AS n_docs, SUM(y)::BIGINT AS n_pos,
+       ROUND(SUM(y)::DOUBLE / COUNT(*)::DOUBLE, 6) AS frac_pos,
+       ROUND((SUM(pm)::DOUBLE / CAST(1000000.0 AS DOUBLE))
+             / COUNT(*)::DOUBLE, 6) AS mean_p
+FROM s GROUP BY p_bucket"""
 
 
 def _simhash_sql() -> str:
@@ -2862,6 +3017,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_pack_fragments": q_corpus_pack_fragments,
         "pipeline_semantic_clusters": q_pipeline_semantic_clusters,
         "corpus_lr_loop2": q_corpus_lr_loop2,
+        "corpus_lr_calibration": q_corpus_lr_calibration,
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_merges2": q_text_bpe_merges2,
@@ -3023,8 +3179,26 @@ SELECT lang, COUNT(DISTINCT bin_id) AS n_bins, COUNT(*) AS n_docs,
 FROM packed GROUP BY lang"""
 
 
+def _ieee_round_pos_sql(expr: str, digits: int = 6) -> str:
+    """floor(x·10^d + 0.5)/10^d — the twin of functions.text.
+    ieee_round_pos: both engines run the identical IEEE float ops, so
+    boundary-straddling values round the same way (DuckDB's native
+    ROUND disagreed with Spark's exact-decimal HALF_UP within one ulp
+    of the .5 boundary — measured at sf0.1). Non-negative inputs only."""
+    s = float(10**digits)
+    return (
+        f"(floor(({expr}) * CAST({s} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / CAST({s} AS DOUBLE))"
+    )
+
+
 def _quality_sql() -> str:
     sw = _sql_str_list(STOPWORDS)
+    score = (
+        "CAST(0.4 AS DOUBLE) * LEAST(n_tokens / CAST(100.0 AS DOUBLE), "
+        "CAST(1.0 AS DOUBLE)) + CAST(0.3 AS DOUBLE) * swr "
+        "+ CAST(0.3 AS DOUBLE) * ttr"
+    )
     return f"""
 WITH t AS ({_toks_cte()}),
 m AS (
@@ -3036,11 +3210,10 @@ m AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-       ROUND(atl, 6) AS avg_token_len,
-       ROUND(swr, 6) AS stopword_ratio,
-       ROUND(ttr, 6) AS type_token_ratio,
-       ROUND(CAST(0.4 AS DOUBLE) * LEAST(n_tokens / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
-             + CAST(0.3 AS DOUBLE) * swr + CAST(0.3 AS DOUBLE) * ttr, 6) AS quality_score
+       {_ieee_round_pos_sql('atl')} AS avg_token_len,
+       {_ieee_round_pos_sql('swr')} AS stopword_ratio,
+       {_ieee_round_pos_sql('ttr')} AS type_token_ratio,
+       {_ieee_round_pos_sql(score)} AS quality_score
 FROM m
 """
 
@@ -3543,6 +3716,7 @@ WITH RECURSIVE {_cc_cte(
 )}
 SELECT doc_id, cluster_rep FROM cc""",
         "corpus_lr_loop2": _lr_loop2_sql(),
+        "corpus_lr_calibration": _lr_calibration_sql(),
         # the rule verdicts compose the ONE rule-filter twin (same
         # reuse as the curation funnel) — no second hand-maintained
         # rendering of the five Gopher/C4 rules

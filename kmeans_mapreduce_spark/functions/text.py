@@ -76,6 +76,20 @@ def avg_token_len(toks: Column) -> Column:
     return total / F.size(toks)
 
 
+def ieee_round_pos(col: Column, digits: int = 6) -> Column:
+    """HALF-UP rounding of a NON-NEGATIVE double as the literal IEEE
+    expression floor(x·10^d + 0.5)/10^d — the same float ops DuckDB
+    runs, so the two engines agree even within one ulp of a rounding
+    boundary. Spark's ``F.round`` converts the double to exact decimal
+    first (BigDecimal HALF_UP) while DuckDB's ``ROUND`` uses float
+    arithmetic; on a boundary-straddling value like
+    0.42943749999999997 they disagree (measured: one sf0.1 doc flipped
+    the quality gate). Only valid for x ≥ 0 — floor(x+0.5) is
+    round-half-toward-+inf, which differs from HALF_UP for negatives."""
+    scale = float(10**digits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
 def quality_score_expr(toks: Column) -> Column:
     """The engine's quality-score formula — ONE definition shared by
     ``textops.quality`` and ``logreg.featurized`` (whose labels distill

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.hashing import h64
 from kmeans_mapreduce_spark.functions.text import (
+    ieee_round_pos,
     quality_score_expr,
     stopword_ratio,
     tokens,
@@ -86,7 +87,9 @@ def featurized(
         "doc_id",
         fb.alias("fb"),
         fx.alias("fx"),
-        (F.round(score, 6) >= tau).cast("double").alias("y"),
+        # ieee_round_pos keeps the label gate boundary-safe across
+        # engines (see textops.quality)
+        (ieee_round_pos(score, 6) >= tau).cast("double").alias("y"),
     )
 
 

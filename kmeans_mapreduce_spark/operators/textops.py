@@ -19,6 +19,7 @@ from kmeans_mapreduce_spark.functions.hashing import h64
 from kmeans_mapreduce_spark.functions.text import (
     LANG_MARKERS,
     avg_token_len,
+    ieee_round_pos,
     n_tokens,
     quality_score_expr,
     stopword_ratio,
@@ -80,6 +81,11 @@ def quality(docs: DataFrame, digits: int = 6) -> DataFrame:
     # stage the token array once: five output expressions consume it,
     # and inlining split(text) into each would re-run it per column
     # under interpreted HOFs (same staging as langid's __toks)
+    # ieee_round_pos, not F.round: the ratios are non-negative and the
+    # quality gate (>= tau comparisons downstream) must not flip on
+    # values within one ulp of a rounding boundary — F.round's exact-
+    # decimal HALF_UP and DuckDB's float ROUND disagree there (measured
+    # at sf0.1, doc 1432: 0.42943749999999997 → 0.429437 vs 0.429438)
     staged = docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
     toks = F.col("__toks")
     nt = F.size(toks).cast("double")
@@ -89,10 +95,10 @@ def quality(docs: DataFrame, digits: int = 6) -> DataFrame:
     return staged.select(
         "doc_id",
         nt.cast("long").alias("n_tokens"),
-        F.round(avg_token_len(toks), digits).alias("avg_token_len"),
-        F.round(sw, digits).alias("stopword_ratio"),
-        F.round(ttr, digits).alias("type_token_ratio"),
-        F.round(score, digits).alias("quality_score"),
+        ieee_round_pos(avg_token_len(toks), digits).alias("avg_token_len"),
+        ieee_round_pos(sw, digits).alias("stopword_ratio"),
+        ieee_round_pos(ttr, digits).alias("type_token_ratio"),
+        ieee_round_pos(score, digits).alias("quality_score"),
     )
 
 

@@ -426,6 +426,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "pipeline_pretrain_corpus",
     "similarity_int8_recall",
     "text_langid_eval",
+    "corpus_lr_calibration",
 }
 
 
