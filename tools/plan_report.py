@@ -66,6 +66,7 @@ REPORT_QUERIES = [
     ("similarity_int8_topk", "broadcast quantized probes; integer dot in the join projection"),
     ("text_surprisal_bigram", "one bigram explode materialized once; count + scoring joins broadcast"),
     ("pipeline_pretrain_corpus", "filter→dedup→decontam→shard composition keeps component scale shapes"),
+    ("corpus_lr_calibration", "1024-literal weight array fold (O16 shape); ≤11-group decile aggregate"),
 ]
 
 
