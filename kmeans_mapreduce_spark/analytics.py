@@ -120,26 +120,28 @@ def q_embeddings_pca_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The GATED half of embeddings_pca: the distributed sufficient
     statistics (n, Σx, ΣxxT) that feed the driver-side eigh, emitted as
     one row per upper-triangle (i, j) pair — `sum_i`/`sum_j` carry Σx,
-    `gram_ij` the Gram entry, all HALF_UP-rounded to 6 so the oracle's
-    independent SUM replay hash-matches despite float-summation order.
-    This pins the distributed pass the way kmpp_round1 pins init;
-    `embeddings_pca` itself stays rows-only (eigh is numerical)."""
+    `gram_ij` the Gram entry, all rounded to 6 with the IEEE
+    floor(x·1e6 + ½)/1e6 expression ON BOTH SIDES (sign-safe:
+    half-toward-+inf by pinned definition). Decimal HALF_UP here vs
+    DuckDB's float ROUND in the twin was the same divergent pairing
+    the sf0.1 sweep caught in the quality score — the floor form
+    removes that source, leaving only the inherent float-sum-order
+    noise the 6-digit rounding absorbs. This pins the distributed
+    pass the way kmpp_round1 pins init; `embeddings_pca` itself stays
+    rows-only (eigh is numerical)."""
+    import math
+
     from kmeans_mapreduce_spark.operators import pca
-    from kmeans_mapreduce_spark.operators.kmeans import round_half_up
+
+    def r6(x: float) -> float:
+        return math.floor(float(x) * 1e6 + 0.5) / 1e6
 
     n, s, g = pca._suffstats(
         load_table(spark, sf_dir, "embeddings"), "embedding"
     )
     d = len(s)
     rows = [
-        (
-            i + 1,
-            j + 1,
-            int(n),
-            round_half_up(float(s[i]), 6),
-            round_half_up(float(s[j]), 6),
-            round_half_up(float(g[i][j]), 6),
-        )
+        (i + 1, j + 1, int(n), r6(s[i]), r6(s[j]), r6(g[i][j]))
         for i in range(d)
         for j in range(i, d)
     ]
@@ -164,9 +166,12 @@ p AS (
 )
 SELECT p.i, p.j,
        COUNT(*)::BIGINT AS n,
-       ROUND(SUM(v[p.i]), 6) AS sum_i,
-       ROUND(SUM(v[p.j]), 6) AS sum_j,
-       ROUND(SUM(v[p.i] * v[p.j]), 6) AS gram_ij
+       floor(SUM(v[p.i]) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         / CAST(1000000.0 AS DOUBLE) AS sum_i,
+       floor(SUM(v[p.j]) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         / CAST(1000000.0 AS DOUBLE) AS sum_j,
+       floor(SUM(v[p.i] * v[p.j]) * CAST(1000000.0 AS DOUBLE)
+             + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) AS gram_ij
 FROM e0 CROSS JOIN p
 GROUP BY p.i, p.j"""
 

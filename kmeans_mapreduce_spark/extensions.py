@@ -915,8 +915,13 @@ def q_corpus_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness: the trained weights are exact 6-decimal values (HALF_UP
     rounding is part of the gated fit), so they convert to integer
     MICRO-UNITS losslessly and the per-doc score sum Σ w[bkt(t)] runs
-    in exact int64 — z, p = σ(z), and the decile are then bit-identical
-    across engines (no boundary flips from float-sum order). Weights
+    in exact int64 — z is bit-identical across engines by construction
+    (no float-sum-order noise). p = σ(z) then rides on exp(), which is
+    only ~1-ulp-accurate in each engine's libm; the decile/micro floor
+    could in principle flip on a doc whose p sits within one ulp of a
+    boundary — the same accepted exp/ln-parity regime every gated
+    σ/ln query already lives in (corpus_lr_loop2's iteration 2,
+    text_surprisal, text_tfidf). Weights
     ship as a 1024-literal array in the plan (O16 broadcast-params
     shape, same as the bloom bitmap literals); scoring is one narrow
     array fold, and the decile aggregate is map-side combined — ≤ 11
@@ -2761,6 +2766,14 @@ def _pq_codebook_cte(trained: bool) -> str:
 )"""
     if not trained:
         return head
+    # the training pass excludes zero-norm vectors exactly like
+    # fit_pq_codebooks (x/0 would be NaN subvectors); code ASSIGNMENT
+    # below still covers every vector
+    head += f""",
+etr AS (
+  SELECT vec_id, list_transform(v0, x -> x / nrm) AS nv
+  FROM e1 WHERE nrm > 0
+)"""
 
     def _iter(prev: str, out: str, tag: str) -> str:
         return f""",
@@ -2769,7 +2782,7 @@ ps{tag} AS (
          list_sum(list_transform(range(1, {sub + 1}),
            i -> (x.nv[c.m * {sub} + i] - c.cbv[i])
               * (x.nv[c.m * {sub} + i] - c.cbv[i]))) AS sd2
-  FROM e x CROSS JOIN {prev} c
+  FROM etr x CROSS JOIN {prev} c
 ),
 pa{tag} AS (
   SELECT vec_id, m, code FROM (
@@ -2779,7 +2792,7 @@ pa{tag} AS (
 ),
 pm{tag} AS (
   SELECT a.m, a.code, t.i, ROUND(AVG(x.nv[a.m * {sub} + t.i]), 6) AS c_val
-  FROM pa{tag} a JOIN e x ON x.vec_id = a.vec_id
+  FROM pa{tag} a JOIN etr x ON x.vec_id = a.vec_id
   CROSS JOIN range(1, {sub + 1}) t(i)
   GROUP BY a.m, a.code, t.i
 ),

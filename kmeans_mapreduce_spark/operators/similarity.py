@@ -594,8 +594,13 @@ def fit_pq_codebooks(
         raise ValueError(f"fit_pq_codebooks: dim ({dim}) not divisible by m={m}")
     sub = dim // m
     init_rows = [_norm_py(fetched[vid]) for vid in ids]
+    # nrm > 0: a zero vector has no direction to train on, and x/0
+    # would emit NaN subvectors that silently poison every per-subspace
+    # mean (numpy argmin over a NaN row returns 0) — the sibling build
+    # paths guard this with nv=0 / a filter; the DuckDB twin's training
+    # CTE applies the identical WHERE
     e1 = e0.select("vec_id", "v0", norm_nd(F.col("v0")).alias("nrm"))
-    e = e1.select(
+    e = e1.filter(F.col("nrm") > 0).select(
         "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("nv")
     )
     books: list[list[list[float]]] = []
@@ -635,22 +640,11 @@ def ivf_pq_ann_topk_quantizers(
     ADC scoring identical either way."""
     import numpy as np
 
+    # validation (cell ids, dim % m, codebook shapes) lives in
+    # build_pq_index — one enforcement point, invoked right below
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
-    _check_cell_ids(centers, "ivf_pq_ann_topk_quantizers")
-    C = np.array([cvec for _, cvec in centers], dtype=np.float64)
-    n_cells, dim = C.shape
     CBm = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
-    m = len(CBm)
-    if m == 0 or dim % m != 0:
-        raise ValueError(f"ivf_pq: dim ({dim}) not divisible into m={m}")
-    sub = dim // m
-    n_codes = CBm[0].shape[0]
-    for mi, cb in enumerate(CBm):
-        if cb.shape != (n_codes, sub):
-            raise ValueError(
-                f"ivf_pq: codebook {mi} shape {cb.shape} != ({n_codes}, {sub})"
-            )
     if _qvecs is None:
         _qvecs = {
             r["vec_id"]: list(r["v0"])
@@ -691,6 +685,12 @@ def build_pq_index(
         raise ValueError(f"build_pq_index: dim ({dim}) not divisible into m={m}")
     sub = dim // m
     n_codes = CBm[0].shape[0]
+    for mi, cb in enumerate(CBm):
+        if cb.shape != (n_codes, sub):
+            raise ValueError(
+                f"build_pq_index: codebook {mi} shape {cb.shape} != "
+                f"({n_codes}, {sub})"
+            )
 
     def build_index(batches):
         for pdf in batches:

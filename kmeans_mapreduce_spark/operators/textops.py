@@ -762,9 +762,9 @@ def bm25_topk(
     projection over one (doc_id, text) scan — no token explode, no
     (doc, term) aggregate, no tf⋈dl join. The corpus-wide stats the
     score needs (N, avgdl, per-term df) are one |q|+2-column 1-row
-    aggregate of that same projection, broadcast back via cross-join —
-    the whole query is one scan + one TakeOrderedAndProject; the only
-    exchanges carry 1 row and ≤ k·partitions rows. (The classic
+    aggregate of that same projection (materialized once — see the
+    localCheckpoint note below), broadcast back via cross-join; the
+    only exchanges carry 1 row and ≤ k·partitions rows. (The classic
     inverted-index formulation — explode → postings filter → tf/df
     aggregates → joins — computes the identical numbers; the DuckDB
     twin uses it, which makes the gate an independent-formulation
@@ -790,6 +790,11 @@ def bm25_topk(
     base = docs.select(
         "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
     )
+    # localCheckpoint: the stats aggregate AND the scoring pass both
+    # consume proj — left as lineage each would re-run the tokenize +
+    # per-term array filters over the corpus (two full scans). The
+    # materialized relation is narrow (doc_id + |q|+1 numbers, no
+    # text), so this is the cheap side of the trade at any scale.
     proj = base.select(
         "doc_id",
         F.size("toks").cast("long").alias("dl"),
@@ -799,7 +804,7 @@ def bm25_topk(
             .alias(f"tf{i}")
             for i, t in enumerate(terms)
         ],
-    )
+    ).localCheckpoint(eager=False)
     stats = proj.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(

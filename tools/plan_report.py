@@ -60,7 +60,11 @@ REPORT_QUERIES = [
     ("similarity_ann_ivf_trained", "trained-quantizer IVF: same broadcast-probe/cell-join plan as the fixed-row index"),
     ("dedup_simhash_pairs", "4×15-bit pigeonhole band self-join + JVM popcount verify (60-bit sketch)"),
     ("similarity_ann_pq_trained", "trained per-subspace codebooks; same code-only candidate payload + broadcast probe join"),
-    ("embeddings_pca_suffstats", "one Arrow suffstats pass; driver-built (i,j) rows — no corpus shuffle"),
+    # embeddings_pca_suffstats intentionally absent: the query runs the
+    # distributed pass at CONSTRUCTION time and returns driver-built
+    # rows, so its "plan" is a vacuous LocalTableScan — the no-shuffle
+    # claim is pinned by tests/test_plans + the operator docstring, not
+    # by this artifact
     ("text_bm25", "zero corpus shuffles: literal-term tf projection, broadcast 1-row stats, TakeOrderedAndProject top-k"),
     ("embeddings_int8_quant", "narrow per-row quantization: no join, no exchange"),
     ("similarity_int8_topk", "broadcast quantized probes; integer dot in the join projection"),
