@@ -308,3 +308,36 @@ def test_pack_fragments_tiles_exactly(tok_counts, budget):
     for b, total in bins.items():
         assert total == budget or (b == last_bin and total <= budget)
     assert sum(bins.values()) == sum(n_tok.values())
+
+
+@given(
+    st.integers(min_value=-(10**8), max_value=10**8),
+    st.integers(min_value=-3, max_value=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_ieee_round_pos_matches_duckdb_even_at_boundaries(k, ulps):
+    """The round-6 rounding discipline, fuzzed ADVERSARIALLY: values
+    constructed within a few ulps of an exact x.xxxxxx5 boundary — the
+    region where Spark F.round (exact-decimal HALF_UP) and DuckDB's
+    float ROUND disagree (the sf0.1 quality-score flip). The IEEE
+    floor(x·1e6 + ½)/1e6 form must agree between a pure-Python replay
+    and DuckDB's identical expression for EVERY such value, because
+    both run the same float ops. (Plain random floats never land near
+    a boundary, which is why the older ROUND fuzz test above never
+    caught the divergence.)"""
+    import math
+
+    import duckdb
+
+    x = (k + 0.5) / 1e6
+    for _ in range(abs(ulps)):
+        x = math.nextafter(x, math.inf if ulps > 0 else -math.inf)
+    if x < 0:
+        return  # discipline is pinned for non-negative inputs
+    py = math.floor(x * 1e6 + 0.5) / 1e6
+    duck = duckdb.connect().execute(
+        "SELECT floor(CAST(? AS DOUBLE) * CAST(1000000.0 AS DOUBLE)"
+        " + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)",
+        [x],
+    ).fetchone()[0]
+    assert py == duck
