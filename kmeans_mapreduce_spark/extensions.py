@@ -1775,6 +1775,28 @@ def q_events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.value_gini(load_table(spark, sf_dir, "events"))
 
 
+def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType surface: ``parse_json`` encodes the props
+    column into the binary variant form once, ``variant_get`` extracts
+    typed fields from it — the open-format semi-structured encoding
+    (also Parquet/Iceberg/Delta variant shredding) that replaces
+    re-parsing JSON text per field at scale. Same narrow in-scan shape
+    as events_json_props; exact-integer aggregates so the twin
+    (DuckDB json_extract — an independent parser) hash-matches with no
+    float negotiation."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.countDistinct("k").alias("n_distinct_k"),
+        )
+    )
+
+
 def q_orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar/date functions (§2.2 gap): order count + revenue per
     (year, month) extracted from the TIMESTAMP order date. Session
@@ -3089,6 +3111,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": q_events_range_join,
         "events_cube": q_events_cube,
         "events_json_props": q_events_json_props,
+        "events_variant_props": q_events_variant_props,
         "orders_by_month": q_orders_by_month,
         "events_value_gini": q_events_value_gini,
         "sql_revenue_by_nation": q_sql_revenue_by_nation,
@@ -4147,6 +4170,14 @@ FROM orders GROUP BY 1, 2""",
         "events_json_props": """
 SELECT event_type, COUNT(*) AS n_events,
        MIN(k) AS k_min, MAX(k) AS k_max, ROUND(AVG(k), 6) AS k_avg
+FROM (
+  SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events
+)
+GROUP BY event_type""",
+        "events_variant_props": """
+SELECT event_type, COUNT(*) AS n_events,
+       SUM(k)::BIGINT AS k_sum,
+       COUNT(DISTINCT k)::BIGINT AS n_distinct_k
 FROM (
   SELECT event_type, json_extract(props, '$.k')::BIGINT AS k FROM events
 )

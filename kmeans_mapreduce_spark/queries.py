@@ -427,6 +427,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "similarity_int8_recall",
     "text_langid_eval",
     "corpus_lr_calibration",
+    "events_variant_props",
 }
 
 
