@@ -838,3 +838,74 @@ def stream_span_first_seen(
     return spans.groupBy("span_fp").applyInPandasWithState(
         fn, out_schema, state_schema, "update", "NoTimeout"
     )
+
+
+def stream_dedup_exact_tws(stream: DataFrame) -> DataFrame:
+    """:func:`stream_dedup_exact` on Spark 4's
+    ``transformWithStateInPandas`` — the NEW arbitrary-state API
+    (SPARK-46815): a ``StatefulProcessor`` object with named,
+    schema'd state primitives (``ValueState`` here; ListState/MapState
+    and per-key timers exist) instead of applyInPandasWithState's
+    single implicit tuple. Same semantics, same output schema, same
+    shared ``content_fp`` — a test asserts the two APIs produce
+    identical rows on identical input. Requires the RocksDB state
+    store provider (the API is built on its changelog support), which
+    is the production backend anyway.
+
+    DEPENDENCY: the TWS driver-side protocol needs the ``protobuf``
+    Python package (``pyspark.sql.streaming.proto``), which this
+    container does not ship — the test skips cleanly when
+    ``google.protobuf`` is absent, and the applyInPandasWithState form
+    above remains the tested default. On a real cluster (protobuf is
+    in pyspark's install_requires) this path runs as written.
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from kmeans_mapreduce_spark.operators.dedup import content_fp
+
+    class _DedupProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._st = handle.getValueState(
+                "dedup", "keep_doc_id LONG, min_doc_id LONG, n_copies BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            fp = key[0]
+            if self._st.exists():
+                keep, mn, n = self._st.get()
+                new = False
+            else:
+                keep, mn, n = None, None, 0
+                new = True
+            for pdf in rows:
+                for d in sorted(int(x) for x in pdf["doc_id"]):
+                    if keep is None:
+                        keep = d
+                    mn = d if mn is None else min(mn, d)
+                    n += 1
+            self._st.update((keep, mn, n))
+            yield pd.DataFrame(
+                {
+                    "fp": [fp],
+                    "keep_doc_id": [keep],
+                    "min_doc_id": [mn],
+                    "n_copies": [n],
+                    "is_new": [new],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    fps = stream.select(content_fp(F.col("text")).alias("fp"), "doc_id")
+    return fps.groupBy("fp").transformWithStateInPandas(
+        statefulProcessor=_DedupProcessor(),
+        outputStructType=(
+            "fp LONG, keep_doc_id LONG, min_doc_id LONG, n_copies BIGINT, "
+            "is_new BOOLEAN"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )

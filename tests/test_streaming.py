@@ -870,3 +870,65 @@ def test_stream_trainers_refuse_reused_checkpoint(tmp_path):
         so._require_fresh_checkpoint(str(ckpt), "stream_kmeans_minibatch")
     # a fresh dir passes silently
     so._require_fresh_checkpoint(str(tmp_path / "fresh"), "x")
+
+
+def test_stream_dedup_tws_matches_applyinpandas_api(spark, tmp_path_factory):
+    """Spark 4 transformWithStateInPandas variant: identical rows to
+    the applyInPandasWithState form on the same 2-batch input
+    (cross-batch keeper, running min, is_new transition). Skips when
+    the protobuf package TWS's driver protocol needs is absent (this
+    container doesn't ship it; real clusters do — it is in pyspark's
+    install_requires)."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("docs_tws"))
+    pd.DataFrame(
+        {"doc_id": [5, 6], "text": ["hello world", "hello world"]}
+    ).to_parquet(f"{out}/00.parquet")
+    pd.DataFrame({"doc_id": [2], "text": ["hello world"]}).to_parquet(
+        f"{out}/01.parquet"
+    )
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema("doc_id LONG, text STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        so.run_stream_to_memory(
+            so.stream_dedup_exact_tws(stream), "dedup_tws", "update"
+        )
+    finally:
+        if prev is not None:
+            spark.conf.set(prov, prev)
+        else:
+            spark.conf.unset(prov)
+    rows = spark.table("dedup_tws").collect()
+    assert [
+        (r["keep_doc_id"], r["min_doc_id"], r["n_copies"], r["is_new"])
+        for r in sorted(rows, key=lambda r: r["n_copies"])
+    ] == [(5, 5, 2, True), (5, 2, 3, False)]
+
+
+def test_stream_dedup_tws_analyzes_without_protobuf(spark):
+    """The TWS plan must ANALYZE (schema + API wiring) even where the
+    protobuf runtime dependency is absent — only execution needs it."""
+    df = (
+        spark.readStream.format("rate")
+        .load()
+        .selectExpr("value AS doc_id", "CAST(value AS STRING) AS text")
+    )
+    out = so.stream_dedup_exact_tws(df)
+    assert out.schema.simpleString() == (
+        "struct<fp:bigint,keep_doc_id:bigint,min_doc_id:bigint,"
+        "n_copies:bigint,is_new:boolean>"
+    )
+    assert out.isStreaming
