@@ -1124,6 +1124,13 @@ def q_pipeline_pretrain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC + whitespace canonicalization (textops.
+    normalize_text): the pre-dedup hygiene pass, twinned by DuckDB's
+    independent nfc_normalize + regexp_replace."""
+    return tx.normalize_text(load_table(spark, sf_dir, "documents"))
+
+
 def q_text_surprisal_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM surprisal (textops.lm_surprisal_bigram): add-one
     smoothed p(w2|w1), micro-unit per-doc mean."""
@@ -3077,6 +3084,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_hard_negatives": q_similarity_hard_negatives,
         "text_bm25": q_text_bm25,
         "text_surprisal_bigram": q_text_surprisal_bigram,
+        "text_normalize": q_text_normalize,
         "pipeline_pretrain_corpus": q_pipeline_pretrain_corpus,
         "embeddings_int8_quant": q_embeddings_int8_quant,
         "similarity_int8_topk": q_similarity_int8_topk,
@@ -3951,6 +3959,19 @@ ranked AS (
 SELECT doc_id, rank::INTEGER AS rank,
        ROUND(CAST(score_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS score
 FROM ranked WHERE rank <= {tx.BM25_TOPK}""",
+        # explicit [ \t\n\f\r] class: Python's \s and RE2's \s disagree
+        # on \x0b, so the whitespace set is spelled out on both sides
+        "text_normalize": r"""
+WITH n AS (
+  SELECT doc_id,
+         trim(regexp_replace(nfc_normalize(COALESCE(text, '')),
+                             '[ \t\n\f\r]+', ' ', 'g'), ' ') AS norm_text,
+         COALESCE(text, '') AS t0
+  FROM documents
+)
+SELECT doc_id, norm_text, norm_text != t0 AS changed,
+       length(norm_text)::BIGINT AS n_chars
+FROM n""",
         # bigram LM: add-one smoothing over the corpus vocabulary;
         # per-bigram bits go through the integer micro-unit sum so the
         # per-doc mean is order-independent (same trick as text_bm25)

@@ -923,3 +923,49 @@ def lm_surprisal_bigram(docs: DataFrame, digits: int = 4) -> DataFrame:
             ).alias("bits_per_bigram"),
         )
     )
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Unicode NFC normalization + whitespace canonicalization — the
+    hygiene pass every dedup pipeline runs FIRST (NFC 'café' and
+    decomposed 'café' hash to different fingerprints but are the same
+    text; stray whitespace runs likewise defeat exact dedup).
+
+    out = trim(collapse_ws(NFC(text))): NFC via stdlib unicodedata in
+    an Arrow-batched narrow map (no shuffle), whitespace collapsed
+    with the EXPLICIT class [ \\t\\n\\f\\r] — Python's \\s and RE2's
+    \\s disagree on \\x0b (the BPE_SPLIT_RE lesson), so the class is
+    spelled out and shared with the DuckDB twin (nfc_normalize +
+    regexp_replace), which replays the identical pipeline.
+
+    Output: (doc_id, norm_text, changed, n_chars) — ``changed`` flags
+    docs the pass actually rewrote, ``n_chars`` the normalized length.
+    """
+    import re
+    import unicodedata
+
+    import pandas as pd
+
+    ws = re.compile(r"[ \t\n\f\r]+")
+
+    def norm(batches):
+        for pdf in batches:
+            out, chg, ln = [], [], []
+            for text in pdf["text"]:
+                t = text if text is not None else ""
+                n = ws.sub(" ", unicodedata.normalize("NFC", t)).strip(" ")
+                out.append(n)
+                chg.append(n != t)
+                ln.append(len(n))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "norm_text": out,
+                    "changed": chg,
+                    "n_chars": ln,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        norm, "doc_id LONG, norm_text STRING, changed BOOLEAN, n_chars LONG"
+    )

@@ -428,6 +428,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "text_langid_eval",
     "corpus_lr_calibration",
     "events_variant_props",
+    "text_normalize",
 }
 
 

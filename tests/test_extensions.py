@@ -1483,3 +1483,40 @@ def test_pretrain_corpus_shards_are_exact_and_complete(spark):
     ).collect()[0][0]
     for r in out[:-1]:
         assert r.n_tokens >= SHARD_TOKENS - max_doc
+
+
+def test_normalize_text_unicode_and_whitespace(spark):
+    """NFC unification (composed == normalized(decomposed)), explicit
+    whitespace-class collapse (incl. NOT touching \\x0b — the Python-
+    vs-RE2 \\s divergence), and changed-flag semantics."""
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    decomposed = "café latte"       # e + combining accent
+    composed = "café latte"
+    docs = spark.createDataFrame(
+        [
+            (1, decomposed),
+            (2, composed),
+            (3, "a  b\t\nc "),           # runs collapse, trailing strip
+            (4, "a\x0bb"),               # \x0b is NOT in the ws class
+            (5, None),                   # NULL → empty, unchanged=False? ('' != None→'' path)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in tx.normalize_text(docs).collect()}
+    assert out[1].norm_text == out[2].norm_text == composed
+    assert out[1].changed and not out[2].changed
+    assert out[3].norm_text == "a b c" and out[3].changed
+    assert out[4].norm_text == "a\x0bb" and not out[4].changed
+    assert out[5].norm_text == "" and not out[5].changed
+    # normalized text now fingerprints identically (the dedup motivation)
+    from kmeans_mapreduce_spark.operators.dedup import content_fp
+    from pyspark.sql import functions as F
+
+    fps = (
+        tx.normalize_text(docs)
+        .filter(F.col("doc_id").isin([1, 2]))
+        .select(content_fp(F.col("norm_text")).alias("fp"))
+        .collect()
+    )
+    assert fps[0].fp == fps[1].fp
