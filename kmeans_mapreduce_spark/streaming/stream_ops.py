@@ -283,6 +283,44 @@ def stream_funnel(stream: DataFrame, steps=None) -> DataFrame:
     )
 
 
+def _dedup_fold_batch(prior, pdfs):
+    """The cross-batch dedup fold SHARED by both stateful-API variants
+    (applyInPandasWithState and transformWithStateInPandas) — one
+    definition so the two APIs cannot drift on keeper/min/count
+    semantics. ``prior`` is (keep, min, n) or None; returns the updated
+    tuple plus the is_new flag. Arrival order decides the keeper
+    (streaming first-wins); the running MIN is tracked separately so a
+    bounded replay can recover the batching-invariant global minimum
+    whatever the micro-batch split."""
+    if prior is not None:
+        keep, mn, n = prior
+        new = False
+    else:
+        keep, mn, n = None, None, 0
+        new = True
+    for pdf in pdfs:
+        for d in sorted(int(x) for x in pdf["doc_id"]):
+            if keep is None:
+                keep = d
+            mn = d if mn is None else min(mn, d)
+            n += 1
+    return keep, mn, n, new
+
+
+def _dedup_out_row(fp, keep, mn, n, new):
+    import pandas as pd
+
+    return pd.DataFrame(
+        {
+            "fp": [fp],
+            "keep_doc_id": [keep],
+            "min_doc_id": [mn],
+            "n_copies": [n],
+            "is_new": [new],
+        }
+    )
+
+
 def stream_dedup_exact(stream: DataFrame) -> DataFrame:
     """Stateful streaming exact-dedup: emit each document fingerprint's
     FIRST occurrence, drop every later duplicate — across micro-batches
@@ -317,32 +355,10 @@ def stream_dedup_exact(stream: DataFrame) -> DataFrame:
 
     def fn(key, pdfs, state):
         fp = key[0]
-        if state.exists:
-            keep, mn, n = state.get
-            new = False
-        else:
-            keep, mn, n = None, None, 0
-            new = True
-        for pdf in pdfs:
-            for d in sorted(int(x) for x in pdf["doc_id"]):
-                if keep is None:
-                    keep = d
-                # arrival order decides the keeper (streaming first-wins
-                # semantics); the running MIN is tracked separately so a
-                # bounded replay can recover the batching-invariant
-                # global minimum whatever the micro-batch split
-                mn = d if mn is None else min(mn, d)
-                n += 1
+        prior = tuple(state.get) if state.exists else None
+        keep, mn, n, new = _dedup_fold_batch(prior, pdfs)
         state.update((keep, mn, n))
-        yield pd.DataFrame(
-            {
-                "fp": [fp],
-                "keep_doc_id": [keep],
-                "min_doc_id": [mn],
-                "n_copies": [n],
-                "is_new": [new],
-            }
-        )
+        yield _dedup_out_row(fp, keep, mn, n, new)
 
     fps = stream.select(
         content_fp(F.col("text")).alias("fp"), "doc_id"
@@ -847,8 +863,10 @@ def stream_dedup_exact_tws(stream: DataFrame) -> DataFrame:
     schema'd state primitives (``ValueState`` here; ListState/MapState
     and per-key timers exist) instead of applyInPandasWithState's
     single implicit tuple. Same semantics, same output schema, same
-    shared ``content_fp`` — a test asserts the two APIs produce
-    identical rows on identical input. Requires the RocksDB state
+    shared ``content_fp`` — and the per-key fold itself is ONE shared
+    function (``_dedup_fold_batch``), so the two APIs cannot drift;
+    each API's test pins the same expected rows (the TWS one only runs
+    where protobuf exists — see below). Requires the RocksDB state
     store provider (the API is built on its changelog support), which
     is the production backend anyway.
 
@@ -873,28 +891,10 @@ def stream_dedup_exact_tws(stream: DataFrame) -> DataFrame:
 
         def handleInputRows(self, key, rows, timerValues):
             fp = key[0]
-            if self._st.exists():
-                keep, mn, n = self._st.get()
-                new = False
-            else:
-                keep, mn, n = None, None, 0
-                new = True
-            for pdf in rows:
-                for d in sorted(int(x) for x in pdf["doc_id"]):
-                    if keep is None:
-                        keep = d
-                    mn = d if mn is None else min(mn, d)
-                    n += 1
+            prior = tuple(self._st.get()) if self._st.exists() else None
+            keep, mn, n, new = _dedup_fold_batch(prior, rows)
             self._st.update((keep, mn, n))
-            yield pd.DataFrame(
-                {
-                    "fp": [fp],
-                    "keep_doc_id": [keep],
-                    "min_doc_id": [mn],
-                    "n_copies": [n],
-                    "is_new": [new],
-                }
-            )
+            yield _dedup_out_row(fp, keep, mn, n, new)
 
         def close(self) -> None:
             pass

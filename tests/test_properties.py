@@ -328,12 +328,15 @@ def test_ieee_round_pos_matches_duckdb_even_at_boundaries(k, ulps):
     import math
 
     import duckdb
+    from hypothesis import assume
 
     x = (k + 0.5) / 1e6
     for _ in range(abs(ulps)):
         x = math.nextafter(x, math.inf if ulps > 0 else -math.inf)
-    if x < 0:
-        return  # discipline is pinned for non-negative inputs
+    # discipline is pinned for non-negative inputs; assume (not an
+    # early return) so hypothesis regenerates instead of counting a
+    # vacuous pass
+    assume(x >= 0)
     py = math.floor(x * 1e6 + 0.5) / 1e6
     duck = duckdb.connect().execute(
         "SELECT floor(CAST(? AS DOUBLE) * CAST(1000000.0 AS DOUBLE)"
