@@ -43,6 +43,7 @@ ANN_K = 3
 ND_CENTROID_IDS = [0, 1, 2, 3]
 EMB_DIM = 64
 IVF_NPROBE = 2
+ANN_FILTER_LABEL = 1  # metadata predicate for the filtered-ANN query
 PQ_M = 8  # product-quantization subspaces (EMB_DIM/PQ_M dims each)
 PQ_CODEBOOK_IDS = list(range(8, 168, 10))  # 16 fixed corpus rows
 PQ_RERANK_K = 8  # ADC shortlist width for the exact-rerank refinement
@@ -1225,6 +1226,21 @@ def q_similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"),
         ND_CENTROID_IDS,
         TOPK_QUERY_IDS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    )
+
+
+def q_similarity_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered ANN (similarity.ivf_ann_topk_filtered): top-k among
+    label == ANN_FILTER_LABEL only — the vector-DB metadata-predicate
+    search; the label rides in the index rows and prunes candidates
+    before scoring."""
+    return sim.ivf_ann_topk_filtered(
+        load_table(spark, sf_dir, "embeddings"),
+        ND_CENTROID_IDS,
+        TOPK_QUERY_IDS,
+        ANN_FILTER_LABEL,
         k=ANN_K,
         nprobe=IVF_NPROBE,
     )
@@ -2717,18 +2733,27 @@ ctr AS (
 )"""
 
 
-def _ivf_ann_sql(trained: bool = False) -> str:
+def _ivf_ann_sql(trained: bool = False, filter_label: int | None = None) -> str:
     """Twin of similarity.ivf_ann_topk: cell = argmin raw-d2 over the
     coarse centers (tie→lowest cell), probes = nprobe nearest cells
     per query, re-rank = normalized dot (same op order as
     embedding_near_dup). ``trained=True`` twins ivf_ann_topk_centers
     on the fit_nd quantizer: centers come from the unrolled Lloyd
-    chain of _nd_trained_ctr_cte instead of fixed corpus rows."""
+    chain of _nd_trained_ctr_cte instead of fixed corpus rows.
+    ``filter_label`` twins ivf_ann_topk_filtered: the label predicate
+    restricts the CANDIDATE side (the index carries the label), never
+    the probe side."""
     cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
     qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
     d2 = (
         f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "i -> (e0.v0[i] - c.cvec[i]) * (e0.v0[i] - c.cvec[i])))"
+    )
+    label_pred = (
+        f"JOIN embeddings lb ON lb.vec_id = n.vec_id "
+        f"AND lb.label = {int(filter_label)}"
+        if filter_label is not None
+        else ""
     )
     if trained:
         centers_cte = (
@@ -2760,6 +2785,7 @@ e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS nv FROM e1),
 cand AS (
   SELECT p.query_id, n.vec_id AS neighbor_id
   FROM probes p JOIN cells n ON n.cell = p.cell AND n.vec_id != p.query_id
+  {label_pred}
 ),
 scored AS (
   SELECT cand.query_id, cand.neighbor_id, ROUND({_dot_sql('q.nv', 'x.nv')}, 6) AS cosine
@@ -3093,6 +3119,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_ivf_trained": q_similarity_ann_ivf_trained,
+        "similarity_ann_filtered": q_similarity_ann_filtered,
         "similarity_ann_recall": q_similarity_ann_recall,
         "similarity_ann_recall_trained": q_similarity_ann_recall_trained,
         "dedup_semantic_trained": q_dedup_semantic_trained,
@@ -4058,6 +4085,9 @@ GROUP BY i.query_id""",
         # recall@k: the IVF replay left-joined to the exact top-k
         # replay (DuckDB allows WITH inside subqueries, so both full
         # twins compose verbatim)
+        "similarity_ann_filtered": _ivf_ann_sql(
+            filter_label=ANN_FILTER_LABEL
+        ),
         "similarity_ann_recall": f"""
 WITH ivf AS (SELECT query_id, neighbor_id FROM ({_ivf_ann_sql()}) t1),
 brute AS (SELECT query_id, neighbor_id FROM ({_topk_sql(ANN_K, bucketed=False)}) t2)

@@ -191,6 +191,57 @@ def ivf_ann_topk(
     )
 
 
+def ivf_ann_topk_filtered(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    query_ids: list[int],
+    target_label: int,
+    k: int = 3,
+    nprobe: int = 2,
+    digits: int = 6,
+) -> DataFrame:
+    """FILTERED ANN: top-k nearest neighbors whose ``label`` equals
+    ``target_label`` — vector-DB "filtered search" (every production
+    retrieval API takes a metadata predicate next to the query vector).
+
+    The label rides IN the index rows (``build_ivf_index(carry_cols=
+    ("label",))`` — the layout real vector stores use: filterable
+    attributes beside the vector so predicates prune candidates BEFORE
+    scoring, never a join back to the corpus), and the filter is
+    applied to the index relation ahead of the probe join, so
+    non-matching vectors are dropped pre-candidate, pre-score,
+    pre-top-k. Probing is otherwise :func:`probe_ivf_index` verbatim.
+
+    Recall caveat (inherent to post-filtered IVF): a query probes its
+    nprobe nearest CELLS, and matching vectors outside them are missed
+    — selective filters want a larger nprobe, the standard vector-DB
+    dial.
+    """
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    wanted = sorted(set(centroid_ids) | set(query_ids))
+    fetched = {
+        r["vec_id"]: list(r["v0"])
+        for r in e0.filter(F.col("vec_id").isin(wanted)).collect()
+    }
+    missing = [vid for vid in centroid_ids if vid not in fetched]
+    if missing:
+        raise ValueError(
+            f"ivf_ann_topk_filtered: centroid vec_ids not in corpus: {missing}"
+        )
+    centers = [
+        (i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))
+    ]
+    qvecs = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    idx = build_ivf_index(emb, centers, carry_cols=("label",))
+    filtered = idx.filter(F.col("label") == int(target_label)).select(
+        "vec_id", "cell", "nv"
+    )
+    return probe_ivf_index(
+        filtered.localCheckpoint(eager=False), centers, qvecs,
+        k=k, nprobe=nprobe, digits=digits,
+    )
+
+
 def ivf_ann_topk_centers(
     emb: DataFrame,
     centers: list[tuple[int, list[float]]],
@@ -236,7 +287,9 @@ def ivf_ann_topk_centers(
 
 
 def build_ivf_index(
-    emb: DataFrame, centers: list[tuple[int, list[float]]]
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """ONE corpus pass builds the IVF index rows ``(vec_id, cell,
     nv)``: cell (argmin raw-d2 over ``centers``, tie→lowest cell) AND
@@ -245,13 +298,21 @@ def build_ivf_index(
     index order, so d2, the argmin, and nv are bit-identical to the
     Catalyst ``sq_dist_nd``/``dot_nd`` sequential folds the oracle
     mirrors (interpreted HOFs cost ~64 per-element interpreter hops
-    per row; this is the same math at numpy speed)."""
+    per row; this is the same math at numpy speed).
+
+    ``carry_cols``: extra metadata columns stored ALONGSIDE the index
+    rows (the vector-DB layout for filtered search — predicates prune
+    candidates before any scoring instead of joining back to the
+    corpus). See :func:`ivf_ann_topk_filtered`."""
     import numpy as np
     import pandas as pd
 
     centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
     _check_cell_ids(centers, "build_ivf_index")
-    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    carry = list(carry_cols or ())
+    e0 = emb.select(
+        "vec_id", _as_double_vec(F.col("embedding")).alias("v0"), *carry
+    )
     C = np.array([cvec for _, cvec in centers], dtype=np.float64)
     n_cells, dim = C.shape
 
@@ -272,16 +333,21 @@ def build_ivf_index(
                 nv = np.where(
                     acc[:, None] > 0.0, V / np.sqrt(acc)[:, None], 0.0
                 )
-            yield pd.DataFrame(
-                {
-                    "vec_id": pdf["vec_id"],
-                    "cell": cell.astype("int32"),
-                    "nv": [r.tolist() for r in nv],
-                }
-            )
+            out = {
+                "vec_id": pdf["vec_id"],
+                "cell": cell.astype("int32"),
+                "nv": [r.tolist() for r in nv],
+            }
+            for c in carry:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
+    carry_schema = "".join(
+        f", {f.name} {f.dataType.simpleString()}"
+        for f in emb.schema if f.name in carry
+    )
     return e0.mapInPandas(
-        build_index, "vec_id LONG, cell INT, nv ARRAY<DOUBLE>"
+        build_index, "vec_id LONG, cell INT, nv ARRAY<DOUBLE>" + carry_schema
     )
 
 

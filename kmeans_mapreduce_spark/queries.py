@@ -429,6 +429,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_lr_calibration",
     "events_variant_props",
     "text_normalize",
+    "similarity_ann_filtered",
 }
 
 

@@ -1520,3 +1520,43 @@ def test_normalize_text_unicode_and_whitespace(spark):
         .collect()
     )
     assert fps[0].fp == fps[1].fp
+
+
+def test_filtered_ann_only_returns_matching_labels(spark):
+    """Every returned neighbor carries the target label; results equal
+    the unfiltered probe's rows restricted to matching neighbors and
+    re-ranked (the post-filter contract), and never exceed k."""
+    import kmeans_mapreduce_spark.extensions as ex
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    emb = ex.load_table(spark, sf, "embeddings")
+    got = sim.ivf_ann_topk_filtered(
+        emb, ex.ND_CENTROID_IDS, ex.TOPK_QUERY_IDS, ex.ANN_FILTER_LABEL,
+        k=ex.ANN_K, nprobe=ex.IVF_NPROBE,
+    ).collect()
+    labels = {
+        r.vec_id: r.label for r in emb.select("vec_id", "label").collect()
+    }
+    assert got, "filtered probe returned nothing"
+    assert all(labels[r.neighbor_id] == ex.ANN_FILTER_LABEL for r in got)
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert all(len(v) <= ex.ANN_K for v in per_q.values())
+    # parity with filter-after-the-fact over a WIDE unfiltered probe:
+    # k'=len(cell) large enough that the filtered top-k is a prefix
+    wide = sim.ivf_ann_topk(
+        emb, ex.ND_CENTROID_IDS, ex.TOPK_QUERY_IDS,
+        k=10**6, nprobe=ex.IVF_NPROBE,
+    ).collect()
+    for qid, rows in per_q.items():
+        want = [
+            r.neighbor_id
+            for r in sorted(
+                (r for r in wide if r.query_id == qid
+                 and labels[r.neighbor_id] == ex.ANN_FILTER_LABEL),
+                key=lambda r: (-r.cosine, r.neighbor_id),
+            )
+        ][: ex.ANN_K]
+        assert [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)] == want
