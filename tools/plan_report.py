@@ -71,6 +71,8 @@ REPORT_QUERIES = [
     ("text_surprisal_bigram", "one bigram explode materialized once; count + scoring joins broadcast"),
     ("pipeline_pretrain_corpus", "filter→dedup→decontam→shard composition keeps component scale shapes"),
     ("corpus_lr_calibration", "1024-literal weight array fold (O16 shape); ≤11-group decile aggregate"),
+    ("similarity_ann_filtered", "label predicate prunes the index relation BEFORE the broadcast probe join"),
+    ("text_normalize", "Arrow-batched narrow map; (doc_id, text) pruned scan, no shuffle"),
 ]
 
 
