@@ -96,19 +96,42 @@ def main() -> int:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "sf": sf,
-                **extra,
-            }
-        )
-    )
+    # Evidence contract (round-7 fix): the driver keeps only the LAST
+    # 2000 chars of stdout, so the per-query MEDIAN map must come last
+    # in the printed JSON (round 6's tail captured only the spread map
+    # and lost every median). Also persist the full result to
+    # tools/bench_r{N}.json so cross-round diffs never depend on the
+    # driver's truncation.
+    result = {
+        "metric": "headline_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        **extra,
+        "spread": spread,
+        "queries": timings,
+    }
+    line = json.dumps(result)
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        rnd = os.environ.get("SPARK_GRAFT_ROUND")
+        if not rnd:
+            import glob
+
+            prior = glob.glob(os.path.join(here, "BENCH_r*.json"))
+            nums = [
+                int(os.path.basename(p)[7:-5])
+                for p in prior
+                if os.path.basename(p)[7:-5].isdigit()
+            ]
+            rnd = f"{(max(nums) + 1) if nums else 1:02d}"
+        out_path = os.path.join(here, "tools", f"bench_r{rnd}.json")
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"[bench] full result written to {out_path}", file=sys.stderr)
+    except OSError as exc:  # never let evidence persistence fail the bench
+        print(f"[bench] could not persist full result: {exc}", file=sys.stderr)
+    print(line)
     return 0
 
 

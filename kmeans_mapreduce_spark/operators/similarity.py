@@ -639,12 +639,23 @@ def fit_pq_codebooks(
     Returns the ``codebooks`` argument of
     :func:`ivf_pq_ann_topk_quantizers`: m arrays of (n_codes × sub).
 
-    Scale shape: each iteration is one corpus pass of constant-width
-    suffstats per partition (``fit_nd``'s Arrow loop) over a
-    ``dim/m``-wide projection; training cost is O(iters · corpus) and
-    independent of query volume — train once, persist, serve.
+    Scale shape (round 7 — fused): ONE ``mapInPandas`` corpus pass per
+    Lloyd iteration emits suffstats for ALL m subspaces side by side
+    (``(subspace, code, n, vsum)``, ≤ m·n_codes rows per partition) —
+    the same fusion ``lloyd_step_arrow`` applies across K, applied
+    across subspaces. Round 6 ran m sequential ``fit_nd`` loops =
+    m·iters corpus passes where ``iters`` suffice; at 100 TB that is
+    m× the necessary training I/O. Training cost is O(iters · corpus)
+    and independent of query volume — train once, persist, serve.
+    Output is value-identical to the sequential per-subspace form
+    (same rows, same batch/partition accumulation order per subspace
+    — asserted by ``tests/test_similarity.py``'s fused-vs-sequential
+    equivalence test), so the DuckDB twin is unchanged.
     """
-    from .kmeans_nd import fit_nd
+    import numpy as np
+    import pandas as pd
+
+    from .kmeans import normalize_partitions, round_half_up
 
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     ids = sorted(set(codebook_ids))
@@ -659,6 +670,7 @@ def fit_pq_codebooks(
     if m <= 0 or dim % m != 0:
         raise ValueError(f"fit_pq_codebooks: dim ({dim}) not divisible by m={m}")
     sub = dim // m
+    n_codes = len(ids)
     init_rows = [_norm_py(fetched[vid]) for vid in ids]
     # nrm > 0: a zero vector has no direction to train on, and x/0
     # would emit NaN subvectors that silently poison every per-subspace
@@ -669,22 +681,77 @@ def fit_pq_codebooks(
     e = e1.filter(F.col("nrm") > 0).select(
         "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("nv")
     )
-    books: list[list[list[float]]] = []
-    for mi in range(m):
-        pts = e.select(
-            F.col("vec_id").alias("point_id"),
-            F.slice(F.col("nv"), mi * sub + 1, sub).alias("vec"),
-        )
-        init = [
-            (code, row[mi * sub : (mi + 1) * sub])
-            for code, row in enumerate(init_rows)
+    pts = normalize_partitions(e.select("nv")).cache()
+    try:
+        # books[mi][code] — init: the codebook rows' mi-th subvectors
+        books = [
+            [row[mi * sub : (mi + 1) * sub] for row in init_rows]
+            for mi in range(m)
         ]
-        centers, _hist, _sizes = fit_nd(
-            pts, k=len(init), max_iter=iters, tol=0.0,
-            init_centers=init, round_digits=round_digits,
-        )
-        books.append([v for _, v in centers])
-    return books
+        for _ in range(iters):
+            CB = np.array(books, dtype=np.float64)  # m × n_codes × sub
+
+            def suffstats(batches, _CB=CB):
+                sq_c = (_CB ** 2).sum(axis=2)  # m × n_codes
+                n_acc = np.zeros((m, n_codes), dtype=np.int64)
+                vsum_acc = np.zeros((m, n_codes, sub))
+                seen = False
+                for pdf in batches:
+                    if not len(pdf):
+                        continue
+                    seen = True
+                    x = np.stack(pdf["nv"].to_numpy())  # N × dim
+                    for mi in range(m):
+                        xm = np.ascontiguousarray(
+                            x[:, mi * sub : (mi + 1) * sub]
+                        )
+                        # argmin_c |x|² − 2x·c + |c|² (|x|² const per row)
+                        scores = -2.0 * (xm @ _CB[mi].T) + sq_c[mi]
+                        code = scores.argmin(axis=1)
+                        n_acc[mi] += np.bincount(code, minlength=n_codes)
+                        np.add.at(vsum_acc[mi], code, xm)
+                if seen:
+                    mi_ix, code_ix = np.nonzero(n_acc > 0)
+                    yield pd.DataFrame(
+                        {
+                            "mi": mi_ix.astype(np.int32),
+                            "code": code_ix.astype(np.int32),
+                            "n": n_acc[mi_ix, code_ix],
+                            "vsum": [
+                                v.tolist() for v in vsum_acc[mi_ix, code_ix]
+                            ],
+                        }
+                    )
+
+            partials = pts.mapInPandas(
+                suffstats,
+                schema="mi INT, code INT, n LONG, vsum ARRAY<DOUBLE>",
+            )
+            sums: dict[tuple[int, int], np.ndarray] = {}
+            counts: dict[tuple[int, int], int] = {}
+            # accumulate in collect() row order (partition order) — the
+            # same float-summation order as the per-subspace fit_nd
+            # reduce, so results stay value-identical to the sequential
+            # form the DuckDB twin replays
+            for r in partials.collect():
+                key = (r["mi"], r["code"])
+                sums[key] = sums.get(key, np.zeros(sub)) + np.array(r["vsum"])
+                counts[key] = counts.get(key, 0) + r["n"]
+            for mi in range(m):
+                books[mi] = [
+                    [
+                        round_half_up(x, round_digits)
+                        for x in (sums[(mi, c)] / counts[(mi, c)]).tolist()
+                    ]
+                    if (mi, c) in sums
+                    # empty codes keep their previous entry (fit_nd /
+                    # sequential-kmeans.py:46-48 policy)
+                    else books[mi][c]
+                    for c in range(n_codes)
+                ]
+        return books
+    finally:
+        pts.unpersist()
 
 
 def ivf_pq_ann_topk_quantizers(

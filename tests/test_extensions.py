@@ -1044,6 +1044,55 @@ def test_fit_pq_codebooks_shape(spark, sf_dir):
             assert all(_math.isfinite(x) for x in entry)
 
 
+def test_fit_pq_codebooks_fused_matches_sequential(spark, sf_dir):
+    """Round-7 fusion guard: fit_pq_codebooks now emits all m
+    subspaces' suffstats from ONE Arrow pass per Lloyd iteration;
+    the DuckDB twin still unrolls the loop per subspace, so the fused
+    result must be VALUE-IDENTICAL to the round-6 sequential form
+    (m independent fit_nd loops over the sliced subvectors)."""
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark import extensions as ex
+    from kmeans_mapreduce_spark.operators import similarity as sim
+    from kmeans_mapreduce_spark.operators.kmeans_nd import fit_nd
+
+    emb = ex.load_table(spark, sf_dir, "embeddings")
+    fused = sim.fit_pq_codebooks(emb, ex.PQ_CODEBOOK_IDS, m=ex.PQ_M)
+
+    # the round-6 sequential reference, inlined
+    e0 = emb.select(
+        "vec_id", sim._as_double_vec(F.col("embedding")).alias("v0")
+    )
+    ids = sorted(set(ex.PQ_CODEBOOK_IDS))
+    fetched = {
+        r["vec_id"]: list(r["v0"])
+        for r in e0.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    dim = len(fetched[ids[0]])
+    sub = dim // ex.PQ_M
+    init_rows = [sim._norm_py(fetched[vid]) for vid in ids]
+    e1 = e0.select("vec_id", "v0", sim.norm_nd(F.col("v0")).alias("nrm"))
+    e = e1.filter(F.col("nrm") > 0).select(
+        "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("nv")
+    )
+    seq = []
+    for mi in range(ex.PQ_M):
+        pts = e.select(
+            F.col("vec_id").alias("point_id"),
+            F.slice(F.col("nv"), mi * sub + 1, sub).alias("vec"),
+        )
+        init = [
+            (code, row[mi * sub : (mi + 1) * sub])
+            for code, row in enumerate(init_rows)
+        ]
+        centers, _h, _s = fit_nd(
+            pts, k=len(init), max_iter=2, tol=0.0,
+            init_centers=init, round_digits=6,
+        )
+        seq.append([v for _, v in centers])
+    assert fused == seq
+
+
 def test_ivf_centers_guard_rejects_non_contiguous_cids(spark):
     """Cells are assigned by argmin POSITION; a centers list whose
     cids aren't exactly 0..K-1 in order must be rejected, not
