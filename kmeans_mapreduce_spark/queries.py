@@ -430,6 +430,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "events_variant_props",
     "text_normalize",
     "similarity_ann_filtered",
+    "similarity_ann_pq_full_trained",
 }
 
 

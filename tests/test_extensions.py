@@ -1044,6 +1044,64 @@ def test_fit_pq_codebooks_shape(spark, sf_dir):
             assert all(_math.isfinite(x) for x in entry)
 
 
+def test_pq_full_trained_recall_not_worse_than_ablations(spark, sf_dir):
+    """The fully-trained IVF-PQ (trained coarse quantizer + trained
+    codebooks — the FAISS production config) must recall at least as
+    well as BOTH single-trained ablations: trained-codebooks-only
+    (similarity_ann_pq_trained) and trained-coarse-only (computed
+    inline — fixed normalized-row codebooks on the trained cells)."""
+    import math as _math
+
+    from kmeans_mapreduce_spark import extensions as ex
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    emb = ex.load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, ex.TOPK_QUERY_IDS, ex.ANN_K).collect()
+    }
+
+    def hits(df):
+        return sum(
+            1
+            for r in df.collect()
+            if (r["query_id"], r["neighbor_id"]) in brute
+        )
+
+    full = hits(ex.q_similarity_ann_pq_full_trained(spark, sf_dir))
+    cb_only = hits(ex.q_similarity_ann_pq_trained(spark, sf_dir))
+
+    # trained-coarse-only ablation: fixed codebooks from the
+    # PQ_CODEBOOK_IDS rows (normalized, sliced per subspace)
+    rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in emb.filter(emb.vec_id.isin(ex.PQ_CODEBOOK_IDS)).collect()
+    )
+    dim = len(rows[0][1])
+    sub = dim // ex.PQ_M
+
+    def norm(v):
+        n = _math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    nr = [norm(v) for _, v in rows]
+    fixed_books = [
+        [r[mi * sub : (mi + 1) * sub] for r in nr] for mi in range(ex.PQ_M)
+    ]
+    ctr_only = hits(
+        sim.ivf_pq_ann_topk_quantizers(
+            emb,
+            ex._nd_trained_centers_cached(spark, sf_dir, emb),
+            fixed_books,
+            ex.TOPK_QUERY_IDS,
+            k=ex.ANN_K,
+            nprobe=ex.IVF_NPROBE,
+        )
+    )
+    assert full >= cb_only
+    assert full >= ctr_only
+
+
 def test_fit_pq_codebooks_fused_matches_sequential(spark, sf_dir):
     """Round-7 fusion guard: fit_pq_codebooks now emits all m
     subspaces' suffstats from ONE Arrow pass per Lloyd iteration;
