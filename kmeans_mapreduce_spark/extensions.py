@@ -49,6 +49,7 @@ PQ_CODEBOOK_IDS = list(range(8, 168, 10))  # 16 fixed corpus rows
 PQ_RERANK_K = 8  # ADC shortlist width for the exact-rerank refinement
 LR_CAL_ITERS = 10  # GD iterations behind the calibration table (p spread
 # needs a further-trained model than loop2's 2 steps: 8 deciles vs 1)
+LR_SCORE_TOPN = 50  # inference top-N for the gated corpus_lr_scores
 TFIDF_K = 3
 BM25_QUERY_TERMS = ["dup", "hash", "merge"]  # rare + two common terms
 TOPCUST_K = 3
@@ -906,6 +907,67 @@ def q_corpus_lr_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "bucket INT, w DOUBLE")
 
 
+def _lr_micro_scored(
+    spark: SparkSession, feats: DataFrame, w, b
+) -> DataFrame:
+    """Score featurized docs with trained LR weights in exact int64
+    micro-units: (doc_id, y, z_micro). The 6-decimal HALF_UP-rounded
+    weights convert to micro-units losslessly, so Σ w[bkt(t)] runs in
+    exact int64 — z_micro is bit-identical across engines by
+    construction (no float-sum-order noise). Weights ship as a
+    BROADCAST 1-row table, not a 1024-element literal array: the
+    literal form measured ~2.4 s of plan-analysis time per run at ANY
+    scale (same lesson as the bloom bitmap literals in sketches.py)."""
+    import math
+
+    wm = [int(math.floor(float(x) * 1e6 + 0.5)) for x in w]
+    bm = int(math.floor(float(b) * 1e6 + 0.5))
+    wdf = spark.createDataFrame([(wm, bm)], "warr ARRAY<BIGINT>, bm BIGINT")
+    zm = F.aggregate(
+        F.transform(
+            F.col("fb"), lambda bkt: F.element_at(F.col("warr"), bkt + 1)
+        ),
+        F.col("bm"),
+        lambda acc, x: acc + x,
+    )
+    return feats.crossJoin(F.broadcast(wdf)).select(
+        "doc_id", "y", zm.alias("z_micro")
+    )
+
+
+def q_corpus_lr_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quality classifier's INFERENCE half under the hash gate
+    (VERDICT r6 task 7): score every doc with the trained gated
+    weights (the calibration table's 10-iteration fit, via the same
+    train-once memo) and return the top-N docs by logit. The gated
+    columns are the exact int64 micro-unit logit and its sign — no
+    exp() in the gate, so there is no libm-parity exposure at all;
+    ordering ties break on doc_id. Free-form TRAINING stays rows-only
+    (corpus_quality_classifier); inference is SQL-expressible and now
+    hash-gated."""
+    from kmeans_mapreduce_spark.operators import logreg as lg
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = lg.featurized(docs)
+    w, b = _train_once(
+        spark,
+        sf_dir,
+        "lr_cal_weights",
+        lambda: lg.fit_logreg(feats, iters=LR_CAL_ITERS),
+    )
+    return (
+        _lr_micro_scored(spark, feats, w, b)
+        .select(
+            "doc_id",
+            "z_micro",
+            (F.col("z_micro") >= 0).alias("pred"),
+            (F.col("y") >= 0.5).alias("y_true"),
+        )
+        .orderBy(F.col("z_micro").desc(), "doc_id")
+        .limit(LR_SCORE_TOPN)
+    )
+
+
 def q_corpus_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration table for the gated 2-iteration LR classifier: score
     every doc with the trained weights, bucket predicted probability
@@ -923,10 +985,9 @@ def q_corpus_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary — the same accepted exp/ln-parity regime every gated
     σ/ln query already lives in (corpus_lr_loop2's iteration 2,
     text_surprisal, text_tfidf). Weights
-    ship as a 1024-literal array in the plan (O16 broadcast-params
-    shape, same as the bloom bitmap literals); scoring is one narrow
-    array fold, and the decile aggregate is map-side combined — ≤ 11
-    groups shuffle.
+    ship as a BROADCAST 1-row table (O16 broadcast-params shape);
+    scoring is one narrow array fold over the joined array, and the
+    decile aggregate is map-side combined — ≤ 11 groups shuffle.
     """
     import math
 
@@ -943,18 +1004,11 @@ def q_corpus_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lr_cal_weights",
         lambda: lg.fit_logreg(feats, iters=LR_CAL_ITERS),
     )
-    wm = [int(math.floor(float(x) * 1e6 + 0.5)) for x in w]
-    bm = int(math.floor(float(b) * 1e6 + 0.5))
-    warr = F.array(*[F.lit(m).cast("long") for m in wm])
-    zm = F.aggregate(
-        F.transform(F.col("fb"), lambda bkt: F.element_at(warr, bkt + 1)),
-        F.lit(bm).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    zm = F.col("z_micro")
     p = F.lit(1.0) / (
         F.lit(1.0) + F.exp(-(zm.cast("double") / F.lit(1000000.0)))
     )
-    staged = feats.select(
+    staged = _lr_micro_scored(spark, feats, w, b).select(
         "doc_id",
         "y",
         F.floor(p * F.lit(10.0)).cast("int").alias("p_bucket"),
@@ -2493,6 +2547,48 @@ def _lr_loop2_sql() -> str:
     return _lr_unrolled_sql(2)
 
 
+def _lr_scores_sql() -> str:
+    """Twin of q_corpus_lr_scores: re-derives the trained weights via
+    the unrolled loop twin, replays the exact int64 micro-unit score
+    sum, and ranks top-N by (z_micro DESC, doc_id). No exp() anywhere
+    — the gate is pure integer arithmetic + the label rule."""
+    from kmeans_mapreduce_spark.operators.logreg import LR_BUCKETS
+    from kmeans_mapreduce_spark.operators.selection import DSIR_QUALITY_TAU
+
+    d = LR_BUCKETS
+    return f"""
+WITH wt AS (SELECT bucket, w FROM ({_lr_unrolled_sql(LR_CAL_ITERS)}) lw),
+wm AS (
+  SELECT bucket,
+         CAST(floor(w * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS m
+  FROM wt
+),
+q AS ({_quality_sql()}),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN quality_score >= {DSIR_QUALITY_TAU} THEN 1 ELSE 0 END AS y
+  FROM q
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+inst AS (SELECT doc_id, {h64_sql('term')} % {d} AS bkt FROM toks),
+zs AS (
+  SELECT inst.doc_id, SUM(wm.m)::BIGINT AS sm
+  FROM inst JOIN wm ON wm.bucket = inst.bkt GROUP BY inst.doc_id
+),
+z AS (
+  SELECT l.doc_id, l.y,
+         ((SELECT m FROM wm WHERE bucket = -1) + COALESCE(zs.sm, 0))::BIGINT
+           AS z_micro
+  FROM lab l LEFT JOIN zs ON zs.doc_id = l.doc_id
+)
+SELECT doc_id, z_micro, z_micro >= 0 AS pred, y = 1 AS y_true
+FROM z
+ORDER BY z_micro DESC, doc_id
+LIMIT {LR_SCORE_TOPN}
+"""
+
+
 def _lr_calibration_sql() -> str:
     """Twin of q_corpus_lr_calibration: re-derives the trained weights
     via the unrolled loop2 twin, converts the exact 6-decimal values to
@@ -3156,6 +3252,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_semantic_clusters": q_pipeline_semantic_clusters,
         "corpus_lr_loop2": q_corpus_lr_loop2,
         "corpus_lr_calibration": q_corpus_lr_calibration,
+        "corpus_lr_scores": q_corpus_lr_scores,
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_merges2": q_text_bpe_merges2,
@@ -3860,6 +3957,7 @@ WITH RECURSIVE {_cc_cte(
 SELECT doc_id, cluster_rep FROM cc""",
         "corpus_lr_loop2": _lr_loop2_sql(),
         "corpus_lr_calibration": _lr_calibration_sql(),
+        "corpus_lr_scores": _lr_scores_sql(),
         # the rule verdicts compose the ONE rule-filter twin (same
         # reuse as the curation funnel) — no second hand-maintained
         # rendering of the five Gopher/C4 rules

@@ -169,20 +169,26 @@ def score_logreg(
     digits: int = 4,
 ) -> DataFrame:
     """Apply a trained model: (doc_id, p, pred, y_true, correct). The
-    logit folds a literal weight array per token bucket plus the
-    engineered-feature dot — a narrow map, the production inference
-    shape (no join, no shuffle)."""
-    warr = F.array(*[F.lit(float(x)) for x in w[:buckets]])
+    weights ship as a BROADCAST 1-row table and the logit folds the
+    joined weight array per token bucket plus the engineered-feature
+    dot — a narrow map over a 1-row broadcast join, the production
+    inference shape (a literal weight array costs ~seconds of
+    plan-analysis per run; measured on corpus_lr_calibration and the
+    bloom bitmap literals)."""
+    extra = [float(x) for x in w[buckets:]]
+    wdf = feats.sparkSession.createDataFrame(
+        [([float(x) for x in w[:buckets]], extra, float(b))],
+        "warr ARRAY<DOUBLE>, wx ARRAY<DOUBLE>, b DOUBLE",
+    )
+    feats = feats.crossJoin(F.broadcast(wdf))
     z = F.aggregate(
         F.col("fb"),
-        F.lit(float(b)),
-        lambda acc, fb: acc + F.element_at(warr, fb + 1),
+        F.col("b"),
+        lambda acc, fb: acc + F.element_at(F.col("warr"), fb + 1),
     )
-    extra = w[buckets:]
     if extra:
-        wx = F.array(*[F.lit(float(x)) for x in extra])
         z = z + F.aggregate(
-            F.zip_with(F.col("fx"), wx, lambda a, c: a * c),
+            F.zip_with(F.col("fx"), F.col("wx"), lambda a, c: a * c),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
