@@ -19,6 +19,7 @@ from kmeans_mapreduce_spark.functions.hashing import MINHASH_P, h64_sql, hash_fa
 from kmeans_mapreduce_spark.functions.text import (
     LANG_MARKERS,
     STOPWORDS,
+    ieee_round_pos,
     n_tokens as tx_n_tokens,
 )
 from kmeans_mapreduce_spark.operators import dedup as dd
@@ -1025,11 +1026,14 @@ def q_corpus_lr_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_bucket",
             "n_docs",
             "n_pos",
-            F.round(
+            # pinned floor-form rounding (non-negative ratios): F.round
+            # vs DuckDB ROUND is the pairing that can flip within one
+            # ulp of a .5 boundary (ADVICE r6)
+            ieee_round_pos(
                 F.col("n_pos").cast("double") / F.col("n_docs").cast("double"),
                 6,
             ).alias("frac_pos"),
-            F.round(
+            ieee_round_pos(
                 (F.col("spm").cast("double") / F.lit(1000000.0))
                 / F.col("n_docs").cast("double"),
                 6,
@@ -1235,7 +1239,8 @@ def q_text_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "pred_lang",
         "n_docs",
-        F.round(
+        # pinned floor-form rounding (non-negative ratio) — ADVICE r6
+        ieee_round_pos(
             F.col("n_docs").cast("double") / F.col("__t").cast("double"), 6
         ).alias("share"),
     )
@@ -1900,16 +1905,19 @@ def q_events_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_events_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 VariantType surface: ``parse_json`` encodes the props
-    column into the binary variant form once, ``variant_get`` extracts
-    typed fields from it — the open-format semi-structured encoding
-    (also Parquet/Iceberg/Delta variant shredding) that replaces
-    re-parsing JSON text per field at scale. Same narrow in-scan shape
-    as events_json_props; exact-integer aggregates so the twin
-    (DuckDB json_extract — an independent parser) hash-matches with no
-    float negotiation."""
+    """Spark 4 VariantType surface: ``try_parse_json`` encodes the
+    props column into the binary variant form once, ``variant_get``
+    extracts typed fields from it — the open-format semi-structured
+    encoding (also Parquet/Iceberg/Delta variant shredding) that
+    replaces re-parsing JSON text per field at scale. try_ (not strict
+    parse_json) so a malformed row degrades to NULL k — ignored by
+    SUM/COUNT DISTINCT — like the schema'd from_json sibling
+    (events_json_props), instead of failing the whole query (ADVICE
+    r6). Same narrow in-scan shape; exact-integer aggregates so the
+    twin (DuckDB json_extract — an independent parser) hash-matches
+    with no float negotiation."""
     e = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return (
         e.select("event_type", k.alias("k"))
         .groupBy("event_type")
@@ -2478,10 +2486,13 @@ def _lr_unrolled_sql(iters: int) -> str:
     are ±0.5, so gradient sums are exact binary fractions and the
     rounded step matches bit-for-bit. Every later iteration's
     float-sum noise (~1e-12) is absorbed by the per-iteration 6-digit
-    HALF_UP rounding — iterations compound only through the ROUNDED
-    weights, so drift does not accumulate (same regime as
-    kmeans_nd_loop2; ``fit_logreg`` applies the identical per-iteration
-    rounding)."""
+    rounding — iterations compound only through the ROUNDED weights,
+    so drift does not accumulate (same regime as kmeans_nd_loop2;
+    ``fit_logreg`` applies the identical per-iteration rounding).
+    The rounding is the PINNED IEEE floor(x·1e6 + ½)/1e6 form on both
+    sides (sign-safe half-toward-+inf, as in the PCA suffstats) — not
+    decimal-HALF_UP-vs-float-ROUND, the pairing that can flip within
+    one ulp of a .5 boundary."""
     from kmeans_mapreduce_spark.operators.logreg import LR_BUCKETS, LR_RATE
     from kmeans_mapreduce_spark.operators.selection import DSIR_QUALITY_TAU
 
@@ -2505,9 +2516,11 @@ def _lr_unrolled_sql(iters: int) -> str:
         "g1 AS (SELECT bkt, SUM(r) AS g FROM inst JOIN r1 USING (doc_id) "
         "GROUP BY bkt)",
         "gb1 AS (SELECT SUM(r) AS gb FROM r1)",
-        f"w1 AS MATERIALIZED (SELECT bkt, ROUND(-{lr} * (g / nn.n), 6) AS w "
+        f"w1 AS MATERIALIZED (SELECT bkt, "
+        f"{_ieee_round_signed_sql(f'-{lr} * (g / nn.n)')} AS w "
         "FROM g1 CROSS JOIN nn)",
-        f"b1 AS MATERIALIZED (SELECT ROUND(-{lr} * (gb / nn.n), 6) AS b "
+        f"b1 AS MATERIALIZED (SELECT "
+        f"{_ieee_round_signed_sql(f'-{lr} * (gb / nn.n)')} AS b "
         "FROM gb1 CROSS JOIN nn)",
     ]
     # w{k}/b{k}/r{k} are each referenced TWICE downstream; without AS
@@ -2527,9 +2540,9 @@ def _lr_unrolled_sql(iters: int) -> str:
        GROUP BY bkt)""",
             f"gb{k} AS (SELECT SUM(r) AS gb FROM r{k})",
             f"""w{k} AS MATERIALIZED (SELECT g{k}.bkt,
-       ROUND(COALESCE(w{p}.w, 0) - {lr} * (g{k}.g / nn.n), 6) AS w
+       {_ieee_round_signed_sql(f'COALESCE(w{p}.w, 0) - {lr} * (g{k}.g / nn.n)')} AS w
        FROM g{k} LEFT JOIN w{p} USING (bkt) CROSS JOIN nn)""",
-            f"""b{k} AS MATERIALIZED (SELECT ROUND(b{p}.b - {lr} * (gb{k}.gb / nn.n), 6) AS b
+            f"""b{k} AS MATERIALIZED (SELECT {_ieee_round_signed_sql(f'b{p}.b - {lr} * (gb{k}.gb / nn.n)')} AS b
        FROM b{p} CROSS JOIN gb{k} CROSS JOIN nn)""",
         ]
     body = ",\n".join(ctes)
@@ -2639,9 +2652,8 @@ s AS (
   FROM p
 )
 SELECT p_bucket, COUNT(*)::BIGINT AS n_docs, SUM(y)::BIGINT AS n_pos,
-       ROUND(SUM(y)::DOUBLE / COUNT(*)::DOUBLE, 6) AS frac_pos,
-       ROUND((SUM(pm)::DOUBLE / CAST(1000000.0 AS DOUBLE))
-             / COUNT(*)::DOUBLE, 6) AS mean_p
+       {_ieee_round_pos_sql('SUM(y)::DOUBLE / COUNT(*)::DOUBLE')} AS frac_pos,
+       {_ieee_round_pos_sql('(SUM(pm)::DOUBLE / CAST(1000000.0 AS DOUBLE)) / COUNT(*)::DOUBLE')} AS mean_p
 FROM s GROUP BY p_bucket"""
 
 
@@ -2806,9 +2818,11 @@ qs AS (
 ),
 scored AS (
   SELECT qs.query_id, q8.vec_id AS neighbor_id,
-         ROUND(CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}),
-                 i -> CAST(qa[i] AS BIGINT) * CAST(qv[i] AS BIGINT))) AS DOUBLE)
-               * sa * scale, 6) AS score_q
+         {_ieee_round_signed_sql(
+             f'CAST(list_sum(list_transform(range(1, {EMB_DIM + 1}), '
+             'i -> CAST(qa[i] AS BIGINT) * CAST(qv[i] AS BIGINT))) AS DOUBLE)'
+             ' * sa * scale'
+         )} AS score_q
   FROM q8 JOIN qs ON q8.vec_id != qs.query_id
 ),
 ranked AS (
@@ -3432,6 +3446,20 @@ def _ieee_round_pos_sql(expr: str, digits: int = 6) -> str:
     )
 
 
+def _ieee_round_signed_sql(expr: str, digits: int = 6) -> str:
+    """The same pinned floor(x·10^d + ½)/10^d expression as
+    _ieee_round_pos_sql, used on SIGNED values (LR weights, PCA
+    suffstats) where both engines apply the identical IEEE float ops —
+    half-toward-+inf for negatives BY PINNED DEFINITION, which is fine
+    because the engine side runs the same expression (math.floor form
+    in fit_logreg / the PCA suffstats), not decimal HALF_UP."""
+    s = float(10**digits)
+    return (
+        f"(floor(({expr}) * CAST({s} AS DOUBLE) + CAST(0.5 AS DOUBLE))"
+        f" / CAST({s} AS DOUBLE))"
+    )
+
+
 def _quality_sql() -> str:
     sw = _sql_str_list(STOPWORDS)
     score = (
@@ -3603,7 +3631,7 @@ cm AS (
 ),
 tot AS (SELECT lang, SUM(n_docs)::BIGINT AS t FROM cm GROUP BY lang)
 SELECT cm.lang, cm.pred_lang, cm.n_docs,
-       ROUND(cm.n_docs::DOUBLE / tot.t::DOUBLE, 6) AS share
+       {_ieee_round_pos_sql('cm.n_docs::DOUBLE / tot.t::DOUBLE')} AS share
 FROM cm JOIN tot ON tot.lang = cm.lang""",
         "text_fingerprint": (
             f"SELECT doc_id, {h64_sql('lower(trim(text))')} AS fingerprint "
@@ -4214,9 +4242,10 @@ q AS (
          END AS q
   FROM x
 )
-SELECT vec_id, i, q, ROUND(scale, 6) AS scale,
-       ROUND((xv - CAST(q AS DOUBLE) * scale) * (xv - CAST(q AS DOUBLE) * scale),
-             6) AS dim_err
+SELECT vec_id, i, q, {_ieee_round_pos_sql('scale')} AS scale,
+       {_ieee_round_pos_sql(
+           '(xv - CAST(q AS DOUBLE) * scale) * (xv - CAST(q AS DOUBLE) * scale)'
+       )} AS dim_err
 FROM q""",
         "similarity_int8_topk": _int8_topk_sql(TOPK_K),
         "similarity_int8_recall": f"""

@@ -90,6 +90,17 @@ def ieee_round_pos(col: Column, digits: int = 6) -> Column:
     return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
 
+def ieee_round_signed(col: Column, digits: int = 6) -> Column:
+    """The same pinned floor(x·10^d + 0.5)/10^d expression as
+    :func:`ieee_round_pos`, used on SIGNED values (cosine scores, LR
+    weights): half-toward-+inf for negatives BY PINNED DEFINITION —
+    fine because the DuckDB twin runs the identical expression
+    (extensions._ieee_round_signed_sql), so neither engine is trying
+    to emulate decimal HALF_UP."""
+    scale = float(10**digits)
+    return F.floor(col * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
 def quality_score_expr(toks: Column) -> Column:
     """The engine's quality-score formula — ONE definition shared by
     ``textops.quality`` and ``logreg.featurized`` (whose labels distill

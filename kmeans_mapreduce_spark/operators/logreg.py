@@ -134,17 +134,25 @@ def fit_logreg(
     lr: float = LR_RATE,
     round_digits: int = LR_ROUND_DIGITS,
 ) -> tuple[list[float], float]:
-    """Full-batch GD from w=0, b=0; per-iteration HALF_UP rounding to
+    """Full-batch GD from w=0, b=0; per-iteration rounding to
     ``round_digits`` keeps every iteration's inputs bit-identical to
     the unrolled SQL twin (same discipline as ``kmeans_nd_loop2``).
-    Returns (weights, bias); weights [0, buckets) are hashed-token
-    coefficients, the tail ``n_extra`` the engineered-feature ones."""
+    The rounding is the PINNED IEEE floor(x·10^d + ½)/10^d form on
+    both sides (sign-safe: half-toward-+inf by definition, the same
+    pinning as the PCA suffstats) — decimal HALF_UP here vs DuckDB's
+    float ROUND in the twin is the divergent pairing that can flip
+    within one ulp of a .5 boundary, and 10 iterations × 1025 rounded
+    values is material boundary exposure. Returns (weights, bias);
+    weights [0, buckets) are hashed-token coefficients, the tail
+    ``n_extra`` the engineered-feature ones."""
+    import math
+
     import numpy as np
 
-    from kmeans_mapreduce_spark.operators.kmeans import round_half_up
+    scale = float(10**round_digits)
 
     def r6(x: float) -> float:
-        return round_half_up(float(x), round_digits)
+        return math.floor(float(x) * scale + 0.5) / scale
 
     feats = feats.localCheckpoint(eager=False)
     w = np.zeros(buckets + n_extra)

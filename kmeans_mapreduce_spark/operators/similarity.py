@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.distance import cosine_sim, dot_nd, norm_nd
+from kmeans_mapreduce_spark.functions.text import ieee_round_pos, ieee_round_signed
 
 NUM_PLANES = 8
 DIM = 64
@@ -342,9 +343,16 @@ def build_ivf_index(
                 out[c] = pdf[c]
             yield pd.DataFrame(out)
 
+    # schema in CARRY-TUPLE order (not emb.schema field order): the
+    # emitted frame appends carry columns in carry order, and the two
+    # must agree positionally — trusting Arrow assign-by-name would
+    # make out-of-schema-order carries silently order-dependent
+    fields = {f.name: f for f in emb.schema}
+    missing = [c for c in carry if c not in fields]
+    if missing:
+        raise ValueError(f"build_ivf_index: carry_cols not in schema: {missing}")
     carry_schema = "".join(
-        f", {f.name} {f.dataType.simpleString()}"
-        for f in emb.schema if f.name in carry
+        f", {c} {fields[c].dataType.simpleString()}" for c in carry
     )
     return e0.mapInPandas(
         build_index, "vec_id LONG, cell INT, nv ARRAY<DOUBLE>" + carry_schema
@@ -649,7 +657,7 @@ def fit_pq_codebooks(
     and independent of query volume — train once, persist, serve.
     Output is value-identical to the sequential per-subspace form
     (same rows, same batch/partition accumulation order per subspace
-    — asserted by ``tests/test_similarity.py``'s fused-vs-sequential
+    — asserted by ``tests/test_extensions.py``'s fused-vs-sequential
     equivalence test), so the DuckDB twin is unchanged.
     """
     import numpy as np
@@ -1520,8 +1528,9 @@ def quantize_int8(emb: DataFrame, digits: int = 6) -> DataFrame:
         "vec_id",
         "i",
         "q",
-        F.round("scale", digits).alias("scale"),
-        F.round(err, digits).alias("dim_err"),
+        # pinned floor-form rounding (both non-negative) — ADVICE r6
+        ieee_round_pos(F.col("scale"), digits).alias("scale"),
+        ieee_round_pos(err, digits).alias("dim_err"),
     )
 
 
@@ -1577,7 +1586,9 @@ def int8_cosine_topk(
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(
+            # pinned floor-form rounding (signed score; twin runs the
+            # identical expression) — ADVICE r6
+            ieee_round_signed(
                 idot.cast("double") * F.col("sa") * F.col("scale"), digits
             ).alias("score_q"),
         )
