@@ -733,7 +733,13 @@ def simhash_pairs(
     if bits % nb:
         raise ValueError("simhash_pairs: bits must divide into max_hamming+1 bands")
     w = bits // nb
-    sh = simhash(docs, bits)
+    # materialize the sketch ONCE: a self-join re-executes its whole
+    # subtree (tokenize + explode + 64-counter groupBy over every
+    # token) on BOTH sides otherwise — the sketch table is O(docs)
+    # rows of (id, int64), exactly what a production pipeline persists
+    # before the banded lookup (r6 verdict task 6: this was most of
+    # the small-scale wall)
+    sh = simhash(docs, bits).localCheckpoint(eager=False)
     banded = (
         sh.select(
             "doc_id",
