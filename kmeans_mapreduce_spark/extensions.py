@@ -1575,6 +1575,52 @@ def q_similarity_ann_pq_recall_full_trained(
     )
 
 
+def q_similarity_ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoding IVF-PQ (similarity.ivf_pq_residual_ann_topk)
+    — FAISS's actual IVFPQ layout: PQ codes describe nv − cn[cell],
+    the within-cell displacement, instead of the whole vector; ADC
+    adds the per-(query, cell) coarse dot back. Fixed coarse cells +
+    fixed residual codebook rows keep the whole index SQL-expressible."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_pq_residual_ann_topk(
+        emb,
+        _fixed_cell_centers(emb),
+        PQ_CODEBOOK_IDS,
+        TOPK_QUERY_IDS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+    )
+
+
+def q_similarity_ann_pq_recall_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """recall@k of the residual-encoded ADC ranking vs exact brute
+    force — the ablation showing what residual encoding buys over
+    flat-PQ at the same code budget (Jégou et al. §IV-A)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pq = q_similarity_ann_pq_residual(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    brute = sim.cosine_topk(emb, TOPK_QUERY_IDS, ANN_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        pq.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.lit(ANN_K).cast("long").alias("k"),
+            F.round(
+                F.col("n_hit").cast("double") / F.lit(float(ANN_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 def q_similarity_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """recall@k of the TRAINED-quantizer IVF index vs exact brute
     force — the judge's bar: >= the fixed-centroid variant's recall
@@ -3141,6 +3187,107 @@ ranked AS (
 """
 
 
+def _ivf_pq_residual_sql() -> str:
+    """Twin of similarity.ivf_pq_residual_ann_topk (FAISS-faithful
+    residual IVFPQ): residual rv = nv − cn[cell] (cn = normalized
+    coarse center); codebook = the PQ_CODEBOOK_IDS rows' own residual
+    sub-vectors (code = vec_id rank per subspace); codes = argmin
+    sub-d2 of rv (tie→lowest code); ADC = qdotc + Σ_m pdot — the
+    per-(query, cell) coarse dot added to the ascending-m fold (IEEE
+    addition is commutative, so engine-side fold+bias ≡ bias+fold)."""
+    cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
+    cbids = ", ".join(str(c) for c in PQ_CODEBOOK_IDS)
+    qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
+    sub = EMB_DIM // PQ_M
+    d2 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v0[i] - c.cvec[i]) * (e0.v0[i] - c.cvec[i])))"
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
+c AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cell, v0 AS cvec
+  FROM e0 WHERE vec_id IN ({cids})
+),
+sc AS (SELECT e0.vec_id, c.cell, {d2} AS d2 FROM e0 CROSS JOIN c),
+cells AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn FROM sc
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM sc WHERE vec_id IN ({qids})
+  ) WHERE rn <= {IVF_NPROBE}
+),
+e1 AS (SELECT vec_id, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM e0),
+e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS nv FROM e1),
+cn AS (
+  SELECT cell, list_transform(cvec, x -> x / sqrt({_dot_sql('cvec', 'cvec')})) AS cnv
+  FROM c
+),
+res AS (
+  SELECT e.vec_id, cl.cell,
+         list_transform(range(1, {EMB_DIM + 1}), i -> e.nv[i] - cn.cnv[i]) AS rv
+  FROM e JOIN cells cl ON cl.vec_id = e.vec_id JOIN cn ON cn.cell = cl.cell
+),
+cb AS (
+  SELECT m.m::INTEGER AS m,
+         (row_number() OVER (PARTITION BY m.m ORDER BY vec_id) - 1)::INTEGER AS code,
+         list_transform(range(1, {sub + 1}), j -> rv[m.m * {sub} + j]) AS cbv
+  FROM res CROSS JOIN range(0, {PQ_M}) m(m)
+  WHERE vec_id IN ({cbids})
+),
+subd AS (
+  SELECT x.vec_id, cb.m, cb.code,
+         list_sum(list_transform(range(1, {sub + 1}),
+           i -> (x.rv[cb.m * {sub} + i] - cb.cbv[i])
+              * (x.rv[cb.m * {sub} + i] - cb.cbv[i]))) AS sd2
+  FROM res x CROSS JOIN cb
+),
+codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id, m ORDER BY sd2, code) AS rn
+    FROM subd
+  ) WHERE rn = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, cb.m, cb.code,
+         list_sum(list_transform(range(1, {sub + 1}),
+           i -> q.nv[cb.m * {sub} + i] * cb.cbv[i])) AS pdot
+  FROM e q CROSS JOIN cb
+  WHERE q.vec_id IN ({qids})
+),
+qc AS (
+  SELECT q.vec_id AS query_id, cn.cell,
+         list_sum(list_transform(range(1, {EMB_DIM + 1}),
+           i -> q.nv[i] * cn.cnv[i])) AS qdotc
+  FROM e q CROSS JOIN cn
+  WHERE q.vec_id IN ({qids})
+),
+cand AS (
+  SELECT p.query_id, n.vec_id AS neighbor_id, p.cell
+  FROM probes p JOIN cells n ON n.cell = p.cell AND n.vec_id != p.query_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         ROUND(qc.qdotc + list_sum(list(l.pdot ORDER BY l.m)), 6) AS approx_cosine
+  FROM cand
+  JOIN codes n ON n.vec_id = cand.neighbor_id
+  JOIN lut l ON l.query_id = cand.query_id AND l.m = n.m AND l.code = n.code
+  JOIN qc ON qc.query_id = cand.query_id AND qc.cell = cand.cell
+  GROUP BY cand.query_id, cand.neighbor_id, qc.qdotc
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, approx_cosine
+FROM ranked WHERE rank <= {ANN_K}
+"""
+
+
 def _kmeans_nd_loop2_sql() -> str:
     """Twin of q_kmeans_nd_loop2. Iteration-1 per-dimension means are
     ROUNDed to 6 before feeding iteration 2, so second-iteration
@@ -3303,6 +3450,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_pq_recall_trained": q_similarity_ann_pq_recall_trained,
         "similarity_ann_pq_full_trained": q_similarity_ann_pq_full_trained,
         "similarity_ann_pq_recall_full_trained": q_similarity_ann_pq_recall_full_trained,
+        "similarity_ann_pq_residual": q_similarity_ann_pq_residual,
+        "similarity_ann_pq_recall_residual": q_similarity_ann_pq_recall_residual,
         "kmeans_nd_assign": q_kmeans_nd_assign,
         "kmeans_nd_loop2": q_kmeans_nd_loop2,
         "kmeans_nd_fit": q_kmeans_nd_fit,
@@ -4309,6 +4458,18 @@ GROUP BY p.query_id""",
         "similarity_ann_pq_full_trained": _ivf_pq_ann_sql(
             trained_cb=True, trained_ctr=True
         ),
+        "similarity_ann_pq_residual": _ivf_pq_residual_sql(),
+        "similarity_ann_pq_recall_residual": f"""
+WITH pq AS (SELECT query_id, neighbor_id
+            FROM ({_ivf_pq_residual_sql()}) t1),
+brute AS (SELECT query_id, neighbor_id FROM ({_topk_sql(ANN_K, bucketed=False)}) t2)
+SELECT p.query_id,
+       COUNT(b.neighbor_id)::BIGINT AS n_hit,
+       {ANN_K}::BIGINT AS k,
+       ROUND(COUNT(b.neighbor_id)::DOUBLE / {ANN_K}::DOUBLE, 6) AS recall_at_k
+FROM pq p LEFT JOIN brute b
+  ON b.query_id = p.query_id AND b.neighbor_id = p.neighbor_id
+GROUP BY p.query_id""",
         "similarity_ann_pq_recall_full_trained": f"""
 WITH pq AS (SELECT query_id, neighbor_id
             FROM ({_ivf_pq_ann_sql(trained_cb=True, trained_ctr=True)}) t1),

@@ -800,10 +800,84 @@ def ivf_pq_ann_topk_quantizers(
     )
 
 
+def ivf_pq_residual_ann_topk(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    codebook_ids: list[int],
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = 2,
+    m: int = 8,
+    digits: int = 6,
+) -> DataFrame:
+    """FAISS-faithful IVFPQ: PQ over RESIDUALS. Each vector is encoded
+    as (cell, codes of ``nv − cn[cell]``) where cn is the
+    L2-normalized coarse center — the codebook describes the small
+    within-cell displacement instead of the whole vector, which is
+    why production IVFPQ recalls better than flat PQ at the same code
+    budget (Jégou et al., "Product Quantization for Nearest Neighbor
+    Search", §IV-A: "it is preferable to encode the residual vector").
+    Codebook entries are the ``codebook_ids`` rows' OWN residuals
+    (code = rank in sorted vec_id order — the fixed-row determinism
+    contract of ivf_pq_ann_topk, applied to residuals; a trained
+    analog would run fit_pq_codebooks over the residual table). ADC
+    score = ``dot(qn, cn[cell]) + Σ_m lut[m, code]``; the coarse bias
+    is Q×nprobe driver metadata math.
+
+    Scale shape: identical to the flat-PQ path — one build pass, m
+    ints per vector, broadcast probe join, per-query LUTs driver-side.
+    """
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
+    _check_cell_ids(centers, "ivf_pq_residual_ann_topk")
+    cb_ids = sorted(set(codebook_ids))
+    want = sorted(set(cb_ids) | set(query_ids))
+    fetched = {
+        r["vec_id"]: list(r["v0"])
+        for r in e0.filter(F.col("vec_id").isin(want)).collect()
+    }
+    missing = [vid for vid in want if vid not in fetched]
+    if missing:
+        raise ValueError(
+            f"ivf_pq_residual_ann_topk: vec_ids not in corpus: {missing}"
+        )
+    dim = len(centers[0][1])
+    if m <= 0 or dim % m != 0:
+        raise ValueError(
+            f"ivf_pq_residual_ann_topk: dim ({dim}) must divide into m={m}"
+        )
+    sub = dim // m
+    cn = [_norm_py(cvec) for _, cvec in centers]
+    # codebook rows' residuals: cell by the same raw-d2 argmin
+    # (tie→lowest cell) the index build uses, residual vs the
+    # NORMALIZED center — driver metadata math over |codebook_ids| rows
+    books_rows = []
+    for vid in cb_ids:
+        v0 = fetched[vid]
+        _, cell = min(
+            (sum((a - b) * (a - b) for a, b in zip(v0, cvec)), cid)
+            for cid, cvec in centers
+        )
+        nv = _norm_py(v0)
+        books_rows.append([x - c for x, c in zip(nv, cn[cell])])
+    codebooks = [
+        [row[mi * sub : (mi + 1) * sub] for row in books_rows]
+        for mi in range(m)
+    ]
+    qvecs = {qid: fetched[qid] for qid in sorted(set(query_ids))}
+    idx = build_pq_index(emb, centers, codebooks, residual=True)
+    idx = idx.localCheckpoint(eager=False)
+    return probe_pq_index(
+        idx, centers, codebooks, qvecs,
+        k=k, nprobe=nprobe, digits=digits, residual=True,
+    )
+
+
 def build_pq_index(
     emb: DataFrame,
     centers: list[tuple[int, list[float]]],
     codebooks,
+    residual: bool = False,
 ) -> DataFrame:
     """ONE corpus pass builds the IVF-PQ index rows ``(vec_id, cell,
     codes)``: coarse cell (argmin raw-d2, tie→lowest cell) plus the
@@ -811,7 +885,15 @@ def build_pq_index(
     over the codebook, tie→lowest code) — ``m`` ints per vector
     instead of ``dim`` floats, the memory-bound payload that makes
     100 TB ANN scans feasible. All numpy folds run in ascending index
-    order (≡ the oracle's ``list_sum`` replays)."""
+    order (≡ the oracle's ``list_sum`` replays).
+
+    ``residual=True`` encodes the RESIDUAL ``nv − cn[cell]`` (cn = the
+    L2-normalized coarse center) instead of ``nv`` — FAISS's actual
+    IVFPQ layout, where the codebook describes the (much smaller)
+    within-cell displacement rather than the whole vector; codebooks
+    must then hold residual sub-vectors and the probe must add the
+    per-(query, cell) ``dot(qn, cn)`` bias back (probe_pq_index
+    ``residual=True``)."""
     import numpy as np
     import pandas as pd
 
@@ -820,6 +902,11 @@ def build_pq_index(
     e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
     C = np.array([cvec for _, cvec in centers], dtype=np.float64)
     n_cells, dim = C.shape
+    CN = (
+        np.array([_norm_py(cvec) for _, cvec in centers], dtype=np.float64)
+        if residual
+        else None
+    )
     CBm = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
     m = len(CBm)
     if m == 0 or dim % m != 0:
@@ -850,12 +937,13 @@ def build_pq_index(
                 nv = np.where(
                     acc[:, None] > 0.0, V / np.sqrt(acc)[:, None], 0.0
                 )
+            enc = nv - CN[cell] if residual else nv
             codes = np.zeros((len(V), m), dtype=np.int32)
             for mi in range(m):
                 Dm = np.zeros((len(V), n_codes))
                 for d in range(sub):
                     diff = (
-                        nv[:, mi * sub + d][:, None] - CBm[mi][:, d][None, :]
+                        enc[:, mi * sub + d][:, None] - CBm[mi][:, d][None, :]
                     )
                     Dm += diff * diff
                 codes[:, mi] = Dm.argmin(axis=1)  # first min → lowest code
@@ -901,13 +989,20 @@ def probe_pq_index(
     k: int = 3,
     nprobe: int = 2,
     digits: int = 6,
+    residual: bool = False,
 ) -> DataFrame:
     """ADC-score an EXISTING IVF-PQ codes table (from
     :func:`build_pq_index`, in-memory or read back from
     :func:`persist_pq_index`): per-query lookup tables are driver
     metadata math, candidates ride a broadcast probe join, and the
     scan is pre-filtered to the probed cells (bucket pruning on a
-    persisted index)."""
+    persisted index).
+
+    ``residual=True`` scores a residual-encoded index: the ADC score
+    becomes ``dot(qn, cn[cell]) + Σ_m lut[m, code]`` — the
+    per-(query, cell) coarse bias is Q×nprobe driver metadata math
+    added after the ascending-m fold (IEEE addition is commutative,
+    so ``bias + fold ≡ fold + bias`` matches the twin exactly)."""
     import numpy as np
     import pandas as pd
 
@@ -918,12 +1013,14 @@ def probe_pq_index(
     m = len(CBm)
     n_codes = CBm[0].shape[0]
     sub = CBm[0].shape[1]
+    cn = [_norm_py(cvec) for _, cvec in centers] if residual else None
 
     # probe list + per-query ADC lookup tables (driver metadata math:
     # Q×K coarse distances, Q×m×n_codes sub-dots — same sequential op
     # order as the oracle's SQL folds)
     probe_rows = []
     luts = {}
+    biases: dict[tuple[int, int], float] = {}
     for qid in sorted(qvecs):
         qv = qvecs[qid]
         ranked = sorted(
@@ -940,6 +1037,12 @@ def probe_pq_index(
                     s += qn[mi * sub + d] * CBm[mi][c][d]
                 lut[mi, c] = s
         luts[qid] = lut
+        if residual:
+            for _, cid in ranked[:nprobe]:
+                s = 0.0
+                for d in range(len(qn)):  # ascending-d ≡ list_sum fold
+                    s += qn[d] * cn[cid][d]
+                biases[(qid, cid)] = s
     probes = spark.createDataFrame(probe_rows, "query_id LONG, cell INT")
     probed_cells = sorted({cid for _, cid in probe_rows})
     cand = (
@@ -958,6 +1061,13 @@ def probe_pq_index(
             rows = np.arange(len(Cd))
             for mi in range(m):  # ascending-m fold ≡ list_sum ORDER BY m
                 acc += Ls[rows, mi, Cd[:, mi]]
+            if residual:
+                acc += np.array(
+                    [
+                        biases[(q, c)]
+                        for q, c in zip(pdf["query_id"], pdf["cell"])
+                    ]
+                )
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -967,7 +1077,7 @@ def probe_pq_index(
             )
 
     scored = (
-        cand.select("query_id", "vec_id", "codes")
+        cand.select("query_id", "vec_id", "codes", "cell")
         .mapInPandas(score, "query_id LONG, neighbor_id LONG, dot DOUBLE")
         .select(
             "query_id",

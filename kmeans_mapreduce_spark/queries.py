@@ -431,6 +431,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "text_normalize",
     "similarity_ann_filtered",
     "similarity_ann_pq_full_trained",
+    "similarity_ann_pq_residual",
 }
 
 

@@ -1102,6 +1102,31 @@ def test_pq_full_trained_recall_not_worse_than_ablations(spark, sf_dir):
     assert full >= ctr_only
 
 
+def test_pq_residual_recall_not_worse_than_flat(spark, sf_dir):
+    """Residual encoding (FAISS IVFPQ proper) must recall at least as
+    well as flat PQ at the SAME fixed code budget — the point of
+    encoding nv − cn[cell] instead of nv (Jégou et al. §IV-A)."""
+    from kmeans_mapreduce_spark import extensions as ex
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    emb = ex.load_table(spark, sf_dir, "embeddings")
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, ex.TOPK_QUERY_IDS, ex.ANN_K).collect()
+    }
+
+    def hits(df):
+        return sum(
+            1
+            for r in df.collect()
+            if (r["query_id"], r["neighbor_id"]) in brute
+        )
+
+    flat = hits(ex.q_similarity_ann_pq(spark, sf_dir))
+    resid = hits(ex.q_similarity_ann_pq_residual(spark, sf_dir))
+    assert resid >= flat
+
+
 def test_fit_pq_codebooks_fused_matches_sequential(spark, sf_dir):
     """Round-7 fusion guard: fit_pq_codebooks now emits all m
     subspaces' suffstats from ONE Arrow pass per Lloyd iteration;
