@@ -1593,6 +1593,38 @@ def q_similarity_ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_residual_trained_codebooks_cached(
+    spark: SparkSession, sf_dir: str, emb: DataFrame
+):
+    return _train_once(
+        spark,
+        sf_dir,
+        "pq_residual_codebooks",
+        lambda: sim.fit_pq_codebooks(
+            emb, PQ_CODEBOOK_IDS, m=PQ_M, centers=_fixed_cell_centers(emb)
+        ),
+    )
+
+
+def q_similarity_ann_pq_residual_trained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual IVF-PQ with codebooks TRAINED on the residual table
+    (fit_pq_codebooks(centers=...)) — FAISS IVFPQ's actual train()
+    recipe: the quantizer learns the within-cell displacement
+    distribution, not the raw vectors. Coarse cells stay fixed so the
+    delta vs similarity_ann_pq_residual is attributable to training."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_pq_residual_ann_topk_quantizers(
+        emb,
+        _fixed_cell_centers(emb),
+        _pq_residual_trained_codebooks_cached(spark, sf_dir, emb),
+        TOPK_QUERY_IDS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    )
+
+
 def q_similarity_ann_pq_recall_residual(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -3003,7 +3035,7 @@ FROM ranked WHERE rank <= {ANN_K}
 """
 
 
-def _pq_codebook_cte(trained: bool) -> str:
+def _pq_codebook_cte(trained: bool, residual: bool = False) -> str:
     """Codebook CTE chain ending in ``cb(m, code, cbv)`` — per-subspace
     sub-vectors of length EMB_DIM/PQ_M, code = rank of the codebook
     row's vec_id. ``trained=False``: the fixed normalized corpus rows,
@@ -3012,14 +3044,21 @@ def _pq_codebook_cte(trained: bool) -> str:
     tie→lowest code; means ROUNDed to 6 per iteration; empty codes
     COALESCE to the previous generation) — the exact codebooks
     ``similarity.fit_pq_codebooks(iters=2, round_digits=6)`` returns.
-    Assumes an ``e(vec_id, nv)`` CTE of normalized vectors upstream."""
+    Assumes an ``e(vec_id, nv)`` CTE of normalized vectors upstream.
+
+    ``residual=True`` sources the RESIDUAL table instead: codebook
+    rows and training vectors are ``res(vec_id, rv)`` entries (rv
+    aliased to nv so the iteration body is shared) — the twin of
+    ``fit_pq_codebooks(centers=...)`` / the fixed residual rows.
+    Additionally assumes ``res`` and ``e1`` CTEs upstream."""
     cbids = ", ".join(str(c) for c in PQ_CODEBOOK_IDS)
     sub = EMB_DIM // PQ_M
+    src, vcol = ("res", "rv") if residual else ("e", "nv")
     head = f"""{'cb0' if trained else 'cb'} AS (
   SELECT m.m::INTEGER AS m,
          (row_number() OVER (PARTITION BY m.m ORDER BY vec_id) - 1)::INTEGER AS code,
-         list_transform(range(1, {sub + 1}), j -> nv[m.m * {sub} + j]) AS cbv
-  FROM e CROSS JOIN range(0, {PQ_M}) m(m)
+         list_transform(range(1, {sub + 1}), j -> {vcol}[m.m * {sub} + j]) AS cbv
+  FROM {src} CROSS JOIN range(0, {PQ_M}) m(m)
   WHERE vec_id IN ({cbids})
 )"""
     if not trained:
@@ -3027,7 +3066,15 @@ def _pq_codebook_cte(trained: bool) -> str:
     # the training pass excludes zero-norm vectors exactly like
     # fit_pq_codebooks (x/0 would be NaN subvectors); code ASSIGNMENT
     # below still covers every vector
-    head += f""",
+    if residual:
+        head += """,
+etr AS (
+  SELECT r.vec_id, r.rv AS nv
+  FROM res r JOIN e1 ON e1.vec_id = r.vec_id
+  WHERE e1.nrm > 0
+)"""
+    else:
+        head += """,
 etr AS (
   SELECT vec_id, list_transform(v0, x -> x / nrm) AS nv
   FROM e1 WHERE nrm > 0
@@ -3187,16 +3234,21 @@ ranked AS (
 """
 
 
-def _ivf_pq_residual_sql() -> str:
+def _ivf_pq_residual_sql(trained_cb: bool = False) -> str:
     """Twin of similarity.ivf_pq_residual_ann_topk (FAISS-faithful
     residual IVFPQ): residual rv = nv − cn[cell] (cn = normalized
     coarse center); codebook = the PQ_CODEBOOK_IDS rows' own residual
     sub-vectors (code = vec_id rank per subspace); codes = argmin
     sub-d2 of rv (tie→lowest code); ADC = qdotc + Σ_m pdot — the
     per-(query, cell) coarse dot added to the ascending-m fold (IEEE
-    addition is commutative, so engine-side fold+bias ≡ bias+fold)."""
+    addition is commutative, so engine-side fold+bias ≡ bias+fold).
+
+    ``trained_cb=True`` twins ``fit_pq_codebooks(centers=...)``: the
+    fixed residual rows become the INIT of a per-subspace 2-iteration
+    Lloyd unroll over the RESIDUAL table
+    (``_pq_codebook_cte(trained=True, residual=True)``) — FAISS
+    IVFPQ's actual train-on-residuals recipe."""
     cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
-    cbids = ", ".join(str(c) for c in PQ_CODEBOOK_IDS)
     qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
     sub = EMB_DIM // PQ_M
     d2 = (
@@ -3232,13 +3284,7 @@ res AS (
          list_transform(range(1, {EMB_DIM + 1}), i -> e.nv[i] - cn.cnv[i]) AS rv
   FROM e JOIN cells cl ON cl.vec_id = e.vec_id JOIN cn ON cn.cell = cl.cell
 ),
-cb AS (
-  SELECT m.m::INTEGER AS m,
-         (row_number() OVER (PARTITION BY m.m ORDER BY vec_id) - 1)::INTEGER AS code,
-         list_transform(range(1, {sub + 1}), j -> rv[m.m * {sub} + j]) AS cbv
-  FROM res CROSS JOIN range(0, {PQ_M}) m(m)
-  WHERE vec_id IN ({cbids})
-),
+{_pq_codebook_cte(trained_cb, residual=True)},
 subd AS (
   SELECT x.vec_id, cb.m, cb.code,
          list_sum(list_transform(range(1, {sub + 1}),
@@ -3452,6 +3498,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_pq_recall_full_trained": q_similarity_ann_pq_recall_full_trained,
         "similarity_ann_pq_residual": q_similarity_ann_pq_residual,
         "similarity_ann_pq_recall_residual": q_similarity_ann_pq_recall_residual,
+        "similarity_ann_pq_residual_trained": q_similarity_ann_pq_residual_trained,
         "kmeans_nd_assign": q_kmeans_nd_assign,
         "kmeans_nd_loop2": q_kmeans_nd_loop2,
         "kmeans_nd_fit": q_kmeans_nd_fit,
@@ -4459,6 +4506,9 @@ GROUP BY p.query_id""",
             trained_cb=True, trained_ctr=True
         ),
         "similarity_ann_pq_residual": _ivf_pq_residual_sql(),
+        "similarity_ann_pq_residual_trained": _ivf_pq_residual_sql(
+            trained_cb=True
+        ),
         "similarity_ann_pq_recall_residual": f"""
 WITH pq AS (SELECT query_id, neighbor_id
             FROM ({_ivf_pq_residual_sql()}) t1),

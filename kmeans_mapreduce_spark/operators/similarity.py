@@ -632,6 +632,7 @@ def fit_pq_codebooks(
     m: int = 8,
     iters: int = 2,
     round_digits: int = 6,
+    centers: list[tuple[int, list[float]]] | None = None,
 ) -> list[list[list[float]]]:
     """TRAIN per-subspace PQ codebooks — the real FAISS PQ ``train()``
     — as ``m`` independent k-means fits over the m-th subvectors of
@@ -659,6 +660,13 @@ def fit_pq_codebooks(
     (same rows, same batch/partition accumulation order per subspace
     — asserted by ``tests/test_extensions.py``'s fused-vs-sequential
     equivalence test), so the DuckDB twin is unchanged.
+
+    ``centers``: train over RESIDUALS instead — each vector
+    contributes ``nv − cn[cell]`` (cell = raw-d2 argmin vs ``centers``,
+    cn = the normalized center), and the init is the codebook rows'
+    OWN residual subvectors — the trained half of FAISS IVFPQ proper
+    (PQ ``train()`` runs on the residual table). Same fused one-pass
+    scan; the cell assignment and residual ride inside it.
     """
     import numpy as np
     import pandas as pd
@@ -679,16 +687,40 @@ def fit_pq_codebooks(
         raise ValueError(f"fit_pq_codebooks: dim ({dim}) not divisible by m={m}")
     sub = dim // m
     n_codes = len(ids)
-    init_rows = [_norm_py(fetched[vid]) for vid in ids]
+    C = CN = None
+    if centers is not None:
+        centers = [(int(cid), [float(x) for x in v]) for cid, v in centers]
+        _check_cell_ids(centers, "fit_pq_codebooks")
+        C = np.array([cvec for _, cvec in centers], dtype=np.float64)
+        CN = np.array(
+            [_norm_py(cvec) for _, cvec in centers], dtype=np.float64
+        )
+        init_rows = []
+        for vid in ids:
+            v0 = fetched[vid]
+            _, cell = min(
+                (sum((a - b) * (a - b) for a, b in zip(v0, cvec)), cid)
+                for cid, cvec in centers
+            )
+            nv = _norm_py(v0)
+            init_rows.append([x - c for x, c in zip(nv, CN[cell].tolist())])
+    else:
+        init_rows = [_norm_py(fetched[vid]) for vid in ids]
     # nrm > 0: a zero vector has no direction to train on, and x/0
     # would emit NaN subvectors that silently poison every per-subspace
     # mean (numpy argmin over a NaN row returns 0) — the sibling build
     # paths guard this with nv=0 / a filter; the DuckDB twin's training
     # CTE applies the identical WHERE
     e1 = e0.select("vec_id", "v0", norm_nd(F.col("v0")).alias("nrm"))
-    e = e1.filter(F.col("nrm") > 0).select(
-        "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("nv")
-    )
+    if centers is not None:
+        # residual mode: feed v0 — cell assignment (raw-d2 argmin) and
+        # nv both derive inside the pass, same per-dim ascending
+        # accumulation as build_pq_index so the values are identical
+        e = e1.filter(F.col("nrm") > 0).select(F.col("v0").alias("nv"))
+    else:
+        e = e1.filter(F.col("nrm") > 0).select(
+            "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("nv")
+        )
     pts = normalize_partitions(e.select("nv")).cache()
     try:
         # books[mi][code] — init: the codebook rows' mi-th subvectors
@@ -699,7 +731,7 @@ def fit_pq_codebooks(
         for _ in range(iters):
             CB = np.array(books, dtype=np.float64)  # m × n_codes × sub
 
-            def suffstats(batches, _CB=CB):
+            def suffstats(batches, _CB=CB, _C=C, _CN=CN):
                 sq_c = (_CB ** 2).sum(axis=2)  # m × n_codes
                 n_acc = np.zeros((m, n_codes), dtype=np.int64)
                 vsum_acc = np.zeros((m, n_codes, sub))
@@ -709,6 +741,19 @@ def fit_pq_codebooks(
                         continue
                     seen = True
                     x = np.stack(pdf["nv"].to_numpy())  # N × dim
+                    if _C is not None:
+                        # residual mode: x holds RAW v0 — assign cells
+                        # and normalize with the same per-dim ascending
+                        # folds as build_pq_index, then take residuals
+                        D = np.zeros((len(x), _C.shape[0]))
+                        for d in range(dim):
+                            diff = x[:, d][:, None] - _C[:, d][None, :]
+                            D += diff * diff
+                        cell = D.argmin(axis=1)
+                        acc_n = np.zeros(len(x))
+                        for d in range(dim):
+                            acc_n += x[:, d] * x[:, d]
+                        x = x / np.sqrt(acc_n)[:, None] - _CN[cell]
                     for mi in range(m):
                         xm = np.ascontiguousarray(
                             x[:, mi * sub : (mi + 1) * sub]
@@ -865,10 +910,39 @@ def ivf_pq_residual_ann_topk(
         for mi in range(m)
     ]
     qvecs = {qid: fetched[qid] for qid in sorted(set(query_ids))}
+    return ivf_pq_residual_ann_topk_quantizers(
+        emb, centers, codebooks, query_ids,
+        k=k, nprobe=nprobe, digits=digits, _qvecs=qvecs,
+    )
+
+
+def ivf_pq_residual_ann_topk_quantizers(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    codebooks,
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = 2,
+    digits: int = 6,
+    _qvecs: dict[int, list[float]] | None = None,
+) -> DataFrame:
+    """Residual IVF-PQ probe with EXPLICIT codebooks — fixed residual
+    rows via :func:`ivf_pq_residual_ann_topk`, or
+    ``fit_pq_codebooks(centers=...)`` output for codebooks TRAINED on
+    the residual table (FAISS IVFPQ's actual ``train()``). Build,
+    probe, ADC identical either way (``residual=True`` mode)."""
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    if _qvecs is None:
+        _qvecs = {
+            r["vec_id"]: list(r["v0"])
+            for r in e0.filter(
+                F.col("vec_id").isin(sorted(set(query_ids)))
+            ).collect()
+        }
     idx = build_pq_index(emb, centers, codebooks, residual=True)
     idx = idx.localCheckpoint(eager=False)
     return probe_pq_index(
-        idx, centers, codebooks, qvecs,
+        idx, centers, codebooks, _qvecs,
         k=k, nprobe=nprobe, digits=digits, residual=True,
     )
 

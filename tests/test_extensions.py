@@ -1125,6 +1125,10 @@ def test_pq_residual_recall_not_worse_than_flat(spark, sf_dir):
     flat = hits(ex.q_similarity_ann_pq(spark, sf_dir))
     resid = hits(ex.q_similarity_ann_pq_residual(spark, sf_dir))
     assert resid >= flat
+    # and training the codebooks ON the residual table (FAISS's
+    # actual recipe) must not lose recall vs the fixed residual rows
+    resid_tr = hits(ex.q_similarity_ann_pq_residual_trained(spark, sf_dir))
+    assert resid_tr >= resid
 
 
 def test_fit_pq_codebooks_fused_matches_sequential(spark, sf_dir):
