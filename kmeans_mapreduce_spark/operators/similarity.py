@@ -712,15 +712,14 @@ def fit_pq_codebooks(
     # paths guard this with nv=0 / a filter; the DuckDB twin's training
     # CTE applies the identical WHERE
     e1 = e0.select("vec_id", "v0", norm_nd(F.col("v0")).alias("nrm"))
-    if centers is not None:
-        # residual mode: feed v0 — cell assignment (raw-d2 argmin) and
-        # nv both derive inside the pass, same per-dim ascending
-        # accumulation as build_pq_index so the values are identical
-        e = e1.filter(F.col("nrm") > 0).select(F.col("v0").alias("nv"))
-    else:
-        e = e1.filter(F.col("nrm") > 0).select(
-            "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("nv")
-        )
+    # feed RAW v0 — normalization (and, in residual mode, cell
+    # assignment + residual) derive inside the Arrow pass with the
+    # same per-dim ascending accumulation as build_pq_index, so the
+    # values are bit-identical to the Spark-expression x/nrm form
+    # while skipping its interpreted-HOF cost (measured: the
+    # F.transform normalize was ~5 s of the 6.5 s flat training wall
+    # at sf0.1; numpy-side it is ~0)
+    e = e1.filter(F.col("nrm") > 0).select(F.col("v0").alias("nv"))
     pts = normalize_partitions(e.select("nv")).cache()
     try:
         # books[mi][code] — init: the codebook rows' mi-th subvectors
@@ -740,20 +739,21 @@ def fit_pq_codebooks(
                     if not len(pdf):
                         continue
                     seen = True
-                    x = np.stack(pdf["nv"].to_numpy())  # N × dim
+                    x = np.stack(pdf["nv"].to_numpy())  # N × dim, RAW v0
                     if _C is not None:
-                        # residual mode: x holds RAW v0 — assign cells
-                        # and normalize with the same per-dim ascending
-                        # folds as build_pq_index, then take residuals
+                        # residual mode: assign cells on the raw
+                        # vectors first (same fold as build_pq_index)
                         D = np.zeros((len(x), _C.shape[0]))
                         for d in range(dim):
                             diff = x[:, d][:, None] - _C[:, d][None, :]
                             D += diff * diff
                         cell = D.argmin(axis=1)
-                        acc_n = np.zeros(len(x))
-                        for d in range(dim):
-                            acc_n += x[:, d] * x[:, d]
-                        x = x / np.sqrt(acc_n)[:, None] - _CN[cell]
+                    acc_n = np.zeros(len(x))
+                    for d in range(dim):
+                        acc_n += x[:, d] * x[:, d]
+                    x = x / np.sqrt(acc_n)[:, None]
+                    if _C is not None:
+                        x = x - _CN[cell]
                     for mi in range(m):
                         xm = np.ascontiguousarray(
                             x[:, mi * sub : (mi + 1) * sub]
