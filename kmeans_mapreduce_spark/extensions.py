@@ -1680,6 +1680,60 @@ def q_similarity_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+NPROBE_SWEEP = [1, 2, 3, 4]  # the recall-vs-cost tuning dial values
+
+
+def q_similarity_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF tuning artifact every production vector index ships
+    with: recall@k (and candidate volume) at each nprobe — the dial
+    that trades probe cost for recall. Built ONCE
+    (build_ivf_index + localCheckpoint), probed once per nprobe
+    (probe cost scales with nprobe by construction — each probe scans
+    only the probed cells' rows); brute-force ground truth computed
+    once and reused. Output: one row per nprobe with total hits,
+    returned candidates, and macro recall = hits / (Q·k)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers = _fixed_cell_centers(emb)
+    e0 = emb.select(
+        "vec_id", sim._as_double_vec(F.col("embedding")).alias("v0")
+    )
+    qvecs = {
+        r["vec_id"]: list(r["v0"])
+        for r in e0.filter(
+            F.col("vec_id").isin(sorted(set(TOPK_QUERY_IDS)))
+        ).collect()
+    }
+    idx = sim.build_ivf_index(emb, centers).localCheckpoint(eager=False)
+    brute = (
+        sim.cosine_topk(emb, TOPK_QUERY_IDS, ANN_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=False)
+    )
+    denom = float(len(set(TOPK_QUERY_IDS)) * ANN_K)
+    out = None
+    for np_ in NPROBE_SWEEP:
+        ivf = sim.probe_ivf_index(
+            idx, centers, qvecs, k=ANN_K, nprobe=np_
+        ).select("query_id", "neighbor_id")
+        row = (
+            ivf.join(brute, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count("hit").alias("n_hit"),
+                F.count(F.lit(1)).alias("n_returned"),
+            )
+            .select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_hit",
+                "n_returned",
+                ieee_round_pos(
+                    F.col("n_hit").cast("double") / F.lit(denom), 6
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 def q_dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup on the trained coarse quantizer: fit_nd cells shard
     the pair space instead of fixed corpus rows (the paper's actual
@@ -2968,7 +3022,11 @@ ctr AS (
 )"""
 
 
-def _ivf_ann_sql(trained: bool = False, filter_label: int | None = None) -> str:
+def _ivf_ann_sql(
+    trained: bool = False,
+    filter_label: int | None = None,
+    nprobe: int | None = None,
+) -> str:
     """Twin of similarity.ivf_ann_topk: cell = argmin raw-d2 over the
     coarse centers (tie→lowest cell), probes = nprobe nearest cells
     per query, re-rank = normalized dot (same op order as
@@ -2977,9 +3035,11 @@ def _ivf_ann_sql(trained: bool = False, filter_label: int | None = None) -> str:
     chain of _nd_trained_ctr_cte instead of fixed corpus rows.
     ``filter_label`` twins ivf_ann_topk_filtered: the label predicate
     restricts the CANDIDATE side (the index carries the label), never
-    the probe side."""
+    the probe side. ``nprobe`` overrides IVF_NPROBE (the nprobe-sweep
+    eval twin)."""
     cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
     qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
+    nprobe = IVF_NPROBE if nprobe is None else int(nprobe)
     d2 = (
         f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "i -> (e0.v0[i] - c.cvec[i]) * (e0.v0[i] - c.cvec[i])))"
@@ -3013,7 +3073,7 @@ probes AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
     FROM sc WHERE vec_id IN ({qids})
-  ) WHERE rn <= {IVF_NPROBE}
+  ) WHERE rn <= {nprobe}
 ),
 e1 AS (SELECT vec_id, v0, sqrt({_dot_sql('v0', 'v0')}) AS nrm FROM e0),
 e AS (SELECT vec_id, list_transform(v0, x -> x / nrm) AS nv FROM e1),
@@ -3499,6 +3559,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_pq_residual": q_similarity_ann_pq_residual,
         "similarity_ann_pq_recall_residual": q_similarity_ann_pq_recall_residual,
         "similarity_ann_pq_residual_trained": q_similarity_ann_pq_residual_trained,
+        "similarity_ann_nprobe_sweep": q_similarity_ann_nprobe_sweep,
         "kmeans_nd_assign": q_kmeans_nd_assign,
         "kmeans_nd_loop2": q_kmeans_nd_loop2,
         "kmeans_nd_fit": q_kmeans_nd_fit,
@@ -4508,6 +4569,22 @@ GROUP BY p.query_id""",
         "similarity_ann_pq_residual": _ivf_pq_residual_sql(),
         "similarity_ann_pq_residual_trained": _ivf_pq_residual_sql(
             trained_cb=True
+        ),
+        "similarity_ann_nprobe_sweep": "\nUNION ALL\n".join(
+            f"""
+SELECT {np_}::INTEGER AS nprobe,
+       COUNT(b.neighbor_id)::BIGINT AS n_hit,
+       COUNT(*)::BIGINT AS n_returned,
+       {_ieee_round_pos_sql(
+           f'COUNT(b.neighbor_id)::DOUBLE'
+           f' / CAST({float(len(set(TOPK_QUERY_IDS)) * ANN_K)} AS DOUBLE)'
+       )} AS recall_at_k
+FROM (SELECT query_id, neighbor_id
+      FROM ({_ivf_ann_sql(nprobe=np_)}) s{np_}) i
+LEFT JOIN (SELECT query_id, neighbor_id
+           FROM ({_topk_sql(ANN_K, bucketed=False)}) b{np_}) b
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id"""
+            for np_ in NPROBE_SWEEP
         ),
         "similarity_ann_pq_recall_residual": f"""
 WITH pq AS (SELECT query_id, neighbor_id

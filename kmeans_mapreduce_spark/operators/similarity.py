@@ -1041,17 +1041,20 @@ def persist_pq_index(
     table: str,
     buckets: int = IVF_INDEX_BUCKETS,
     path: str | None = None,
+    residual: bool = False,
 ) -> None:
     """Materialize the IVF-PQ codes table BUCKETED by cell — the same
     built-once-queried-many shape as :func:`persist_ivf_index`, with
     the PQ payload (m ints/vector): later probes over
     ``spark.table(table)`` read only the probed cells' buckets, and
-    the scanned bytes per candidate are the codes, never vectors."""
+    the scanned bytes per candidate are the codes, never vectors.
+    ``residual=True`` persists residual-encoded codes (probe with
+    ``probe_pq_index(residual=True)`` and the same centers/codebooks)."""
     from ..sources.loaders import write_bucketed
 
     write_bucketed(
-        build_pq_index(emb, centers, codebooks), table, "cell", buckets,
-        path=path,
+        build_pq_index(emb, centers, codebooks, residual=residual),
+        table, "cell", buckets, path=path,
     )
 
 

@@ -1102,6 +1102,23 @@ def test_pq_full_trained_recall_not_worse_than_ablations(spark, sf_dir):
     assert full >= ctr_only
 
 
+def test_nprobe_sweep_recall_monotone(spark, sf_dir):
+    """More probed cells can only ADD candidates, so hits and returned
+    volume are non-decreasing in nprobe — the contract that makes the
+    sweep a tuning dial (and recall at nprobe=K is the IVF ceiling)."""
+    from kmeans_mapreduce_spark import extensions as ex
+
+    rows = sorted(
+        (r["nprobe"], r["n_hit"], r["n_returned"])
+        for r in ex.q_similarity_ann_nprobe_sweep(spark, sf_dir).collect()
+    )
+    assert [r[0] for r in rows] == ex.NPROBE_SWEEP
+    hits = [r[1] for r in rows]
+    ret = [r[2] for r in rows]
+    assert hits == sorted(hits)
+    assert ret == sorted(ret)
+
+
 def test_pq_residual_recall_not_worse_than_flat(spark, sf_dir):
     """Residual encoding (FAISS IVFPQ proper) must recall at least as
     well as flat PQ at the SAME fixed code budget — the point of
