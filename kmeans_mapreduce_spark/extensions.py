@@ -1680,6 +1680,54 @@ def q_similarity_ann_recall_trained(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_embeddings_binary_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit sign quantization (similarity.binary_quantize): the 32×
+    storage point of the ladder float32 → int8 → 1-bit; one row per
+    vector pins both packed words exactly (pure integer gate)."""
+    return sim.binary_quantize(
+        load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM
+    )
+
+
+def q_similarity_binary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming top-k served FROM the 1-bit form
+    (similarity.binary_hamming_topk) — candidate generation over 8
+    bytes/vector; exact integer popcount, no float anywhere."""
+    return sim.binary_hamming_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        TOPK_QUERY_IDS,
+        k=TOPK_K,
+        dim=EMB_DIM,
+    )
+
+
+def q_similarity_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-quality eval for the 1-bit form: recall@k of
+    Hamming retrieval against exact float cosine top-k — the number
+    that says what the 32× storage cut costs (and why binary stores
+    re-rank a widened shortlist with floats)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bq = sim.binary_hamming_topk(
+        emb, TOPK_QUERY_IDS, k=TOPK_K, dim=EMB_DIM
+    ).select("query_id", "neighbor_id")
+    brute = sim.cosine_topk(emb, TOPK_QUERY_IDS, TOPK_K).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bq.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hit"))
+        .select(
+            "query_id",
+            "n_hit",
+            F.lit(TOPK_K).cast("long").alias("k"),
+            ieee_round_pos(
+                F.col("n_hit").cast("double") / F.lit(float(TOPK_K)), 6
+            ).alias("recall_at_k"),
+        )
+    )
+
+
 NPROBE_SWEEP = [1, 2, 3, 4]  # the recall-vs-cost tuning dial values
 
 
@@ -2918,6 +2966,57 @@ FROM ranked WHERE rank <= {k}
     )
 
 
+def _binary_words_sql() -> str:
+    """The packed sign-word expressions (w0, w1, ...) over an
+    ``e0(vec_id, v0)`` CTE — literal 2^d constants (d < 32), each CASE
+    cast to BIGINT so the fold never touches int32 range."""
+    from kmeans_mapreduce_spark.operators.similarity import BINARY_WORD_BITS
+
+    words = []
+    for w in range(EMB_DIM // BINARY_WORD_BITS):
+        terms = " + ".join(
+            f"(CASE WHEN v0[{w * BINARY_WORD_BITS + d + 1}] > 0 "
+            f"THEN CAST({1 << d} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+            for d in range(BINARY_WORD_BITS)
+        )
+        words.append(f"({terms}) AS w{w}")
+    return ",\n         ".join(words)
+
+
+def _binary_topk_sql(k: int) -> str:
+    """Twin of similarity.binary_hamming_topk: identical packed words,
+    hamming = Σ bit_count(xor(word, qword)), rank (hamming, neighbor)."""
+    from kmeans_mapreduce_spark.operators.similarity import BINARY_WORD_BITS
+
+    ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
+    n_words = EMB_DIM // BINARY_WORD_BITS
+    ham = " + ".join(
+        f"bit_count(xor(b.w{w}, q.qw{w}))" for w in range(n_words)
+    )
+    qcols = ", ".join(f"w{w} AS qw{w}" for w in range(n_words))
+    return f"""
+WITH e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings
+),
+bq AS (
+  SELECT vec_id,
+         {_binary_words_sql()}
+  FROM e0
+),
+q AS (SELECT vec_id AS query_id, {qcols} FROM bq WHERE vec_id IN ({ids})),
+scored AS (
+  SELECT q.query_id, b.vec_id AS neighbor_id, ({ham})::BIGINT AS hamming
+  FROM bq b JOIN q ON b.vec_id != q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, neighbor_id
+  ) AS rank FROM scored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, hamming
+FROM ranked WHERE rank <= {k}"""
+
+
 def _int8_topk_sql(k: int) -> str:
     """Twin of similarity.int8_cosine_topk: L2-normalize with the
     sequential-fold norm, quantize per vector (scale = max|x|/127,
@@ -3560,6 +3659,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_pq_recall_residual": q_similarity_ann_pq_recall_residual,
         "similarity_ann_pq_residual_trained": q_similarity_ann_pq_residual_trained,
         "similarity_ann_nprobe_sweep": q_similarity_ann_nprobe_sweep,
+        "embeddings_binary_quant": q_embeddings_binary_quant,
+        "similarity_binary_topk": q_similarity_binary_topk,
+        "similarity_binary_recall": q_similarity_binary_recall,
         "kmeans_nd_assign": q_kmeans_nd_assign,
         "kmeans_nd_loop2": q_kmeans_nd_loop2,
         "kmeans_nd_fit": q_kmeans_nd_fit,
@@ -4505,6 +4607,24 @@ SELECT vec_id, i, q, {_ieee_round_pos_sql('scale')} AS scale,
        )} AS dim_err
 FROM q""",
         "similarity_int8_topk": _int8_topk_sql(TOPK_K),
+        "embeddings_binary_quant": f"""
+WITH e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings
+)
+SELECT vec_id,
+       {_binary_words_sql()}
+FROM e0""",
+        "similarity_binary_topk": _binary_topk_sql(TOPK_K),
+        "similarity_binary_recall": f"""
+WITH bt AS (SELECT query_id, neighbor_id FROM ({_binary_topk_sql(TOPK_K)}) t1),
+brute AS (SELECT query_id, neighbor_id FROM ({_topk_sql(TOPK_K, bucketed=False)}) t2)
+SELECT i.query_id,
+       COUNT(b.neighbor_id)::BIGINT AS n_hit,
+       {TOPK_K}::BIGINT AS k,
+       {_ieee_round_pos_sql(f'COUNT(b.neighbor_id)::DOUBLE / {TOPK_K}::DOUBLE')} AS recall_at_k
+FROM bt i LEFT JOIN brute b
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+GROUP BY i.query_id""",
         "similarity_int8_recall": f"""
 WITH q8t AS (SELECT query_id, neighbor_id FROM ({_int8_topk_sql(TOPK_K)}) t1),
 brute AS (SELECT query_id, neighbor_id FROM ({_topk_sql(TOPK_K, bucketed=False)}) t2)

@@ -1669,6 +1669,83 @@ def embedding_outliers(
 # Int8 embedding quantization (storage / retrieval path for 100-TB stores)
 # ---------------------------------------------------------------------------
 
+BINARY_WORD_BITS = 32  # sign bits packed per int64 word — 32 keeps
+# every 2^d literal ≤ 2^31, exactly representable and positive in
+# BOTH engines (the simhash ≤62-bit lesson, with margin)
+
+
+def binary_quantize(emb: DataFrame, dim: int = 64) -> DataFrame:
+    """1-BIT (sign) quantization — the extreme point of the storage
+    ladder after int8: bit d = 1 iff v[d] > 0, packed into
+    ``ceil(dim/32)`` int64 words → a 64-d float32 embedding becomes 8
+    bytes (32× smaller; the shape binary-vector stores like FAISS
+    IndexBinaryFlat serve). Sign is invariant to the positive L2
+    scale, so this quantizes raw v0 and normalized nv identically —
+    no normalization pass at all. Narrow projection, pure Catalyst
+    integer arithmetic, no shuffle.
+
+    Output: (vec_id, w0, w1, ...) flat BIGINT word columns."""
+    if dim <= 0 or dim % BINARY_WORD_BITS:
+        raise ValueError(
+            f"binary_quantize: dim ({dim}) must be a multiple of "
+            f"{BINARY_WORD_BITS}"
+        )
+    e = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v"))
+    cols = []
+    for w in range(dim // BINARY_WORD_BITS):
+        acc = None
+        for d in range(BINARY_WORD_BITS):
+            term = F.when(
+                F.element_at("v", w * BINARY_WORD_BITS + d + 1) > 0,
+                F.lit(1 << d).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            acc = term if acc is None else acc + term
+        cols.append(acc.alias(f"w{w}"))
+    return e.select("vec_id", *cols)
+
+
+def binary_hamming_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 5, dim: int = 64
+) -> DataFrame:
+    """Retrieval FROM the 1-bit form: per query, the k corpus vectors
+    with the smallest Hamming distance between sign sketches
+    (tie→lowest neighbor_id) — the candidate-generation stage a
+    binary-quantized store runs before any float re-rank. Exact
+    integer popcount end-to-end: zero float ops, zero rounding, the
+    hash gate is airtight by construction. Query sketches ride a
+    broadcast join; the corpus side reads 8 bytes per vector."""
+    n_words = dim // BINARY_WORD_BITS
+    bq = binary_quantize(emb, dim=dim)
+    qrows = bq.filter(
+        F.col("vec_id").isin(sorted(set(query_ids)))
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"w{w}").alias(f"qw{w}") for w in range(n_words)],
+    )
+    cand = bq.join(
+        F.broadcast(qrows), F.col("vec_id") != F.col("query_id")
+    )
+    ham = None
+    for w in range(n_words):
+        term = F.bit_count(
+            F.col(f"w{w}").bitwiseXOR(F.col(f"qw{w}"))
+        ).cast("long")
+        ham = term if ham is None else ham + term
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        ham.alias("hamming"),
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.asc("hamming"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "hamming")
+    )
+
+
 INT8_QMAX = 127  # symmetric signed-int8 range
 
 

@@ -1102,6 +1102,38 @@ def test_pq_full_trained_recall_not_worse_than_ablations(spark, sf_dir):
     assert full >= ctr_only
 
 
+def test_binary_quantize_planted_hamming(spark):
+    """Hand-computed sign sketches: a vector, its sign-identical
+    scaled copy (hamming 0 — sign is scale-invariant), and a copy
+    with exactly one flipped dimension (hamming 1) rank in that
+    order; packed words match the 2^d fold exactly."""
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    base = [1.0 if d % 3 else -1.0 for d in range(64)]
+    scaled = [x * 7.5 for x in base]
+    flipped = list(base)
+    flipped[5] = -flipped[5]
+    emb = spark.createDataFrame(
+        [(0, base), (1, scaled), (2, flipped)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    words = {
+        r["vec_id"]: (r["w0"], r["w1"])
+        for r in sim.binary_quantize(emb).collect()
+    }
+    exp_w0 = sum(1 << d for d in range(32) if base[d] > 0)
+    exp_w1 = sum(1 << d for d in range(32) if base[32 + d] > 0)
+    assert words[0] == (exp_w0, exp_w1)
+    assert words[1] == words[0]  # sign-invariant to positive scale
+    assert bin(words[0][0] ^ words[2][0]).count("1") == 1  # dim 5 < 32
+    top = {
+        (r["query_id"], r["rank"]): (r["neighbor_id"], r["hamming"])
+        for r in sim.binary_hamming_topk(emb, [0], k=2).collect()
+    }
+    assert top[(0, 1)] == (1, 0)  # scaled copy first, hamming 0
+    assert top[(0, 2)] == (2, 1)  # one-bit flip second
+
+
 def test_nprobe_sweep_recall_monotone(spark, sf_dir):
     """More probed cells can only ADD candidates, so hits and returned
     volume are non-decreasing in nprobe — the contract that makes the
