@@ -1728,6 +1728,52 @@ def q_similarity_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DIM_SWEEP = [16, 32, 64]  # truncation points (full dim last = sanity 1.0)
+
+
+def q_similarity_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-dimension retrieval eval (the Matryoshka-embedding
+    serving question): recall@k of brute cosine over only the FIRST d
+    dimensions vs the full-dim exact top-k, for d in DIM_SWEEP — the
+    dimension-vs-recall table that decides how much of each vector a
+    serving tier must read (d=64 is the full dim, recall 1.0 by
+    construction — the sweep's sanity anchor). Truncation is a plain
+    array slice feeding the SAME brute top-k operator; ground truth
+    computed once and reused."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    brute = (
+        sim.cosine_topk(emb, TOPK_QUERY_IDS, TOPK_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+        .localCheckpoint(eager=False)
+    )
+    denom = float(len(set(TOPK_QUERY_IDS)) * TOPK_K)
+    out = None
+    for d in DIM_SWEEP:
+        sub = emb.select(
+            "vec_id", F.slice("embedding", 1, d).alias("embedding")
+        )
+        tk = sim.cosine_topk(sub, TOPK_QUERY_IDS, TOPK_K).select(
+            "query_id", "neighbor_id"
+        )
+        row = (
+            tk.join(brute, ["query_id", "neighbor_id"], "left")
+            .agg(
+                F.count("hit").alias("n_hit"),
+                F.count(F.lit(1)).alias("n_returned"),
+            )
+            .select(
+                F.lit(d).cast("int").alias("dim"),
+                "n_hit",
+                "n_returned",
+                ieee_round_pos(
+                    F.col("n_hit").cast("double") / F.lit(denom), 6
+                ).alias("recall_at_k"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 NPROBE_SWEEP = [1, 2, 3, 4]  # the recall-vs-cost tuning dial values
 
 
@@ -3662,6 +3708,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embeddings_binary_quant": q_embeddings_binary_quant,
         "similarity_binary_topk": q_similarity_binary_topk,
         "similarity_binary_recall": q_similarity_binary_recall,
+        "similarity_dim_sweep": q_similarity_dim_sweep,
         "kmeans_nd_assign": q_kmeans_nd_assign,
         "kmeans_nd_loop2": q_kmeans_nd_loop2,
         "kmeans_nd_fit": q_kmeans_nd_fit,
@@ -4689,6 +4736,37 @@ GROUP BY p.query_id""",
         "similarity_ann_pq_residual": _ivf_pq_residual_sql(),
         "similarity_ann_pq_residual_trained": _ivf_pq_residual_sql(
             trained_cb=True
+        ),
+        "similarity_dim_sweep": "\nUNION ALL\n".join(
+            f"""
+SELECT {d}::INTEGER AS dim,
+       COUNT(b.neighbor_id)::BIGINT AS n_hit,
+       COUNT(*)::BIGINT AS n_returned,
+       {_ieee_round_pos_sql(
+           f'COUNT(b.neighbor_id)::DOUBLE'
+           f' / CAST({float(len(set(TOPK_QUERY_IDS)) * TOPK_K)} AS DOUBLE)'
+       )} AS recall_at_k
+FROM (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+    ) AS rank FROM (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             ROUND({_cosine_sql('q.qv', 'e.v', d)}, 6) AS cosine
+      FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+            FROM embeddings) e
+      JOIN (SELECT vec_id AS query_id,
+                   list_transform(embedding, x -> x::DOUBLE) AS qv
+            FROM embeddings
+            WHERE vec_id IN ({', '.join(str(i) for i in TOPK_QUERY_IDS)})) q
+        ON e.vec_id != q.query_id
+    ) s{d}
+  ) r{d} WHERE rank <= {TOPK_K}
+) i
+LEFT JOIN (SELECT query_id, neighbor_id
+           FROM ({_topk_sql(TOPK_K, bucketed=False)}) fb{d}) b
+  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id"""
+            for d in DIM_SWEEP
         ),
         "similarity_ann_nprobe_sweep": "\nUNION ALL\n".join(
             f"""

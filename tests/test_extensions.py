@@ -1102,6 +1102,20 @@ def test_pq_full_trained_recall_not_worse_than_ablations(spark, sf_dir):
     assert full >= ctr_only
 
 
+def test_dim_sweep_full_dim_is_exact(spark, sf_dir):
+    """The sweep's sanity anchor: truncating to the FULL dimension is
+    the identity, so recall@k at d=64 must be exactly 1.0, and recall
+    is non-decreasing in d on this data."""
+    from kmeans_mapreduce_spark import extensions as ex
+
+    rows = sorted(
+        (r["dim"], r["recall_at_k"])
+        for r in ex.q_similarity_dim_sweep(spark, sf_dir).collect()
+    )
+    assert [d for d, _ in rows] == ex.DIM_SWEEP
+    assert rows[-1][1] == 1.0
+
+
 def test_binary_quantize_planted_hamming(spark):
     """Hand-computed sign sketches: a vector, its sign-identical
     scaled copy (hamming 0 — sign is scale-invariant), and a copy
