@@ -70,9 +70,13 @@ REPORT_QUERIES = [
     ("similarity_int8_topk", "broadcast quantized probes; integer dot in the join projection"),
     ("text_surprisal_bigram", "one bigram explode materialized once; count + scoring joins broadcast"),
     ("pipeline_pretrain_corpus", "filter→dedup→decontam→shard composition keeps component scale shapes"),
-    ("corpus_lr_calibration", "1024-literal weight array fold (O16 shape); ≤11-group decile aggregate"),
+    ("corpus_lr_calibration", "broadcast 1-row weight table (O16 shape; was a 1024-literal array — ~2.4s plan time); ≤11-group decile aggregate"),
     ("similarity_ann_filtered", "label predicate prunes the index relation BEFORE the broadcast probe join"),
     ("text_normalize", "Arrow-batched narrow map; (doc_id, text) pruned scan, no shuffle"),
+    ("corpus_lr_scores", "broadcast weight table + int64 logit fold; TakeOrderedAndProject top-N"),
+    ("similarity_ann_pq_residual", "residual-encoded codes; same broadcast-probe/code-payload plan as flat PQ"),
+    ("similarity_binary_topk", "1-bit sign words; popcount-XOR scoring inside a broadcast query join"),
+    ("similarity_ann_pq_full_trained", "trained coarse + trained codebooks; plan shape unchanged from fixed variants"),
 ]
 
 
