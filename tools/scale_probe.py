@@ -296,6 +296,44 @@ def main() -> int:
             out[f"{probe}_sec_16x"] / out[f"{probe}_sec_1x"] / 16.0, 3
         )
 
+    # --- fused PQ training: 1x / 16x vectors --------------------------
+    # Round 7 fused fit_pq_codebooks into one Arrow pass per Lloyd
+    # iteration (was m sequential fit_nd loops); verify the training
+    # wall stays ~linear in corpus size. Replicas shift vec_id only —
+    # identical vectors don't change the suffstats shape, and the
+    # codebook/center ids stay in the 1x range so the fit is valid.
+    from kmeans_mapreduce_spark import extensions as ex
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    embF = load_table(spark, sf_dir, "embeddings")
+    ne0 = embF.count()
+    for factor in (1, 16):
+        d = embF
+        for i in range(factor - 1):
+            d = d.unionByName(
+                embF.select(
+                    (F.col("vec_id") + F.lit(1_000_000 * (i + 1))).alias(
+                        "vec_id"
+                    ),
+                    *[c for c in embF.columns if c != "vec_id"],
+                )
+            )
+        d = d.cache()
+        d.count()
+        sim.fit_pq_codebooks(d, ex.PQ_CODEBOOK_IDS, m=ex.PQ_M)  # warm
+        durs = []
+        for _ in range(3):
+            t = time.time()
+            sim.fit_pq_codebooks(d, ex.PQ_CODEBOOK_IDS, m=ex.PQ_M)
+            durs.append(time.time() - t)
+        durs.sort()
+        out[f"pq_train_sec_{factor}x"] = round(durs[1], 3)
+        out[f"pq_train_vecs_{factor}x"] = ne0 * factor
+        d.unpersist()
+    out["pq_train_16x_slope"] = round(
+        out["pq_train_sec_16x"] / out["pq_train_sec_1x"] / 16.0, 3
+    )
+
     print(json.dumps(out))
     return 0
 
