@@ -1593,6 +1593,25 @@ def q_similarity_ann_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ann_pq_rerank_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Residual-ADC shortlist + exact-cosine refinement
+    (sim.ivf_pq_residual_rerank_topk) — the full IVFPQ+refine stack
+    with residual codes end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_pq_residual_rerank_topk(
+        emb,
+        _fixed_cell_centers(emb),
+        PQ_CODEBOOK_IDS,
+        TOPK_QUERY_IDS,
+        k=ANN_K,
+        k_prime=PQ_RERANK_K,
+        nprobe=IVF_NPROBE,
+        m=PQ_M,
+    )
+
+
 def _pq_residual_trained_codebooks_cached(
     spark: SparkSession, sf_dir: str, emb: DataFrame
 ):
@@ -3439,7 +3458,9 @@ ranked AS (
 """
 
 
-def _ivf_pq_residual_sql(trained_cb: bool = False) -> str:
+def _ivf_pq_residual_sql(
+    trained_cb: bool = False, rerank: bool = False
+) -> str:
     """Twin of similarity.ivf_pq_residual_ann_topk (FAISS-faithful
     residual IVFPQ): residual rv = nv − cn[cell] (cn = normalized
     coarse center); codebook = the PQ_CODEBOOK_IDS rows' own residual
@@ -3452,7 +3473,10 @@ def _ivf_pq_residual_sql(trained_cb: bool = False) -> str:
     fixed residual rows become the INIT of a per-subspace 2-iteration
     Lloyd unroll over the RESIDUAL table
     (``_pq_codebook_cte(trained=True, residual=True)``) — FAISS
-    IVFPQ's actual train-on-residuals recipe."""
+    IVFPQ's actual train-on-residuals recipe. ``rerank=True`` twins
+    ivf_pq_residual_rerank_topk: the residual-ADC ranking keeps a
+    widened top-PQ_RERANK_K shortlist re-scored with the exact
+    normalized dot."""
     cids = ", ".join(str(c) for c in ND_CENTROID_IDS)
     qids = ", ".join(str(q) for q in TOPK_QUERY_IDS)
     sub = EMB_DIM // PQ_M
@@ -3460,6 +3484,26 @@ def _ivf_pq_residual_sql(trained_cb: bool = False) -> str:
         f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
         "i -> (e0.v0[i] - c.cvec[i]) * (e0.v0[i] - c.cvec[i])))"
     )
+    if rerank:
+        tail = f""",
+topc AS (SELECT query_id, neighbor_id FROM ranked WHERE rank <= {PQ_RERANK_K}),
+rescored AS (
+  SELECT t.query_id, t.neighbor_id,
+         ROUND({_dot_sql('q.nv', 'x.nv')}, 6) AS cosine
+  FROM topc t
+  JOIN e q ON q.vec_id = t.query_id
+  JOIN e x ON x.vec_id = t.neighbor_id
+),
+rr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM rescored
+)
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, cosine
+FROM rr WHERE rank <= {ANN_K}"""
+    else:
+        tail = f"""
+SELECT query_id, neighbor_id, rank::INTEGER AS rank, approx_cosine
+FROM ranked WHERE rank <= {ANN_K}"""
     return f"""
 WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v0 FROM embeddings),
 c AS (
@@ -3533,9 +3577,7 @@ scored AS (
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY approx_cosine DESC, neighbor_id) AS rank
   FROM scored
-)
-SELECT query_id, neighbor_id, rank::INTEGER AS rank, approx_cosine
-FROM ranked WHERE rank <= {ANN_K}
+){tail}
 """
 
 
@@ -3704,6 +3746,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_pq_residual": q_similarity_ann_pq_residual,
         "similarity_ann_pq_recall_residual": q_similarity_ann_pq_recall_residual,
         "similarity_ann_pq_residual_trained": q_similarity_ann_pq_residual_trained,
+        "similarity_ann_pq_rerank_residual": q_similarity_ann_pq_rerank_residual,
         "similarity_ann_nprobe_sweep": q_similarity_ann_nprobe_sweep,
         "embeddings_binary_quant": q_embeddings_binary_quant,
         "similarity_binary_topk": q_similarity_binary_topk,
@@ -4737,6 +4780,7 @@ GROUP BY p.query_id""",
         "similarity_ann_pq_residual_trained": _ivf_pq_residual_sql(
             trained_cb=True
         ),
+        "similarity_ann_pq_rerank_residual": _ivf_pq_residual_sql(rerank=True),
         "similarity_dim_sweep": "\nUNION ALL\n".join(
             f"""
 SELECT {d}::INTEGER AS dim,

@@ -1237,6 +1237,29 @@ def ivf_pq_rerank_topk_quantizers(
     return _exact_rerank(emb, cand, query_ids, k, digits)
 
 
+def ivf_pq_residual_rerank_topk(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    codebook_ids: list[int],
+    query_ids: list[int],
+    k: int = 3,
+    k_prime: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    digits: int = 6,
+) -> DataFrame:
+    """Residual-ADC shortlist + exact-cosine refinement — the full
+    production IVFPQ+refine stack with residual codes: the residual
+    quantizer picks a widened top-k' (cheap, 8 bytes/candidate), true
+    floats pick the winners. Same broadcast-shortlist scale shape as
+    :func:`ivf_pq_rerank_topk`."""
+    cand = ivf_pq_residual_ann_topk(
+        emb, centers, codebook_ids, query_ids,
+        k=k_prime, nprobe=nprobe, m=m, digits=digits,
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(emb, cand, query_ids, k, digits)
+
+
 def _exact_rerank(
     emb: DataFrame, cand: DataFrame, query_ids: list[int], k: int, digits: int
 ) -> DataFrame:
