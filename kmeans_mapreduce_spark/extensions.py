@@ -611,6 +611,44 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.semantic_dedup_pairs(emb, centers, SEMANTIC_COSINE_THRESHOLD)
 
 
+def q_pipeline_vector_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-PRODUCT vector-corpus build — the embedding-side analog of
+    pipeline_pretrain_corpus: SemDeDup the embedding store (drop every
+    vector that appears as the GREATER id in a ≥-threshold same-cell
+    pair — keep-first, the deterministic per-pair policy), then report
+    the retained store's per-cell layout with exact storage accounting
+    (float32 vs int8 bytes — the 4× the int8 path buys, per cell, on
+    the corpus you'd actually serve). Pure composition of two gated
+    operators; assignment is per-vector deterministic, so survivors
+    keep their original cells and the twin filters the shared
+    assignment CTE instead of re-deriving it.
+
+    Scale shape: SemDeDup's cell-blocked pair join (never all-pairs) +
+    one broadcast anti-join of the small dropped-id set + one ≤K-group
+    aggregate — no corpus-scale shuffle anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    pairs = dd.semantic_dedup_pairs(emb, centers, SEMANTIC_COSINE_THRESHOLD)
+    drop = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    surv = emb.join(F.broadcast(drop), "vec_id", "left_anti")
+    assigned = dd.assign_cells(surv, centers, out="cell")
+    return (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .select(
+            "cell",
+            "n_vecs",
+            (F.col("n_vecs") * F.lit(EMB_DIM * 4)).cast("long").alias(
+                "bytes_fp32"
+            ),
+            # int8 payload: 1 byte/dim + an 8-byte float64 scale/vector
+            (F.col("n_vecs") * F.lit(EMB_DIM + 8)).cast("long").alias(
+                "bytes_int8"
+            ),
+        )
+    )
+
+
 def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cell-blocked exact k-NN graph with mutual-edge marking (the
     label-propagation / graph-clustering input). Same fixed-centroid
@@ -3695,6 +3733,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding": q_dedup_embedding,
         "dedup_incremental": q_dedup_incremental,
         "dedup_semantic": q_dedup_semantic,
+        "pipeline_vector_corpus": q_pipeline_vector_corpus,
         "dedup_lsh_recall": q_dedup_lsh_recall,
         "similarity_knn_graph": q_similarity_knn_graph,
         "pipeline_label_propagation": q_pipeline_label_propagation,
@@ -4370,6 +4409,26 @@ WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "dedup_embedding": _embedding_near_dup_sql(),
         "dedup_incremental": _incremental_pairs_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
+        "pipeline_vector_corpus": f"""
+WITH {_nd_assign_cte()},
+p AS (
+  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+         ROUND({_dot_sql('x.v', 'y.v')}, 6) AS cosine
+  FROM e x JOIN e y ON x.cid = y.cid AND x.vec_id < y.vec_id
+),
+dropd AS (
+  SELECT DISTINCT vec_b AS vec_id FROM p
+  WHERE cosine >= {SEMANTIC_COSINE_THRESHOLD}
+),
+surv AS (
+  SELECT a.vec_id, a.cid FROM a
+  WHERE a.vec_id NOT IN (SELECT vec_id FROM dropd)
+)
+SELECT cid::INTEGER AS cell,
+       COUNT(*)::BIGINT AS n_vecs,
+       (COUNT(*) * {EMB_DIM * 4})::BIGINT AS bytes_fp32,
+       (COUNT(*) * {EMB_DIM + 8})::BIGINT AS bytes_int8
+FROM surv GROUP BY cid""",
         "dedup_lsh_recall": _lsh_recall_sql(),
         "similarity_knn_graph": _knn_graph_sql(),
         "pipeline_label_propagation": _label_propagation_sql(),

@@ -1102,6 +1102,26 @@ def test_pq_full_trained_recall_not_worse_than_ablations(spark, sf_dir):
     assert full >= ctr_only
 
 
+def test_vector_corpus_accounting(spark, sf_dir):
+    """Survivors + dropped == corpus (no vector silently lost), every
+    dropped id really is the greater side of a ≥-threshold pair, and
+    the per-cell byte math is exact."""
+    from kmeans_mapreduce_spark import extensions as ex
+
+    emb = ex.load_table(spark, sf_dir, "embeddings")
+    centers, _ = ex._nd_centers_and_points(emb)
+    pairs = ex.dd.semantic_dedup_pairs(
+        emb, centers, ex.SEMANTIC_COSINE_THRESHOLD
+    )
+    dropped = {r["vec_b"] for r in pairs.collect()}
+    out = ex.q_pipeline_vector_corpus(spark, sf_dir).collect()
+    n_total = emb.count()
+    assert sum(r["n_vecs"] for r in out) == n_total - len(dropped)
+    for r in out:
+        assert r["bytes_fp32"] == r["n_vecs"] * ex.EMB_DIM * 4
+        assert r["bytes_int8"] == r["n_vecs"] * (ex.EMB_DIM + 8)
+
+
 def test_dim_sweep_full_dim_is_exact(spark, sf_dir):
     """The sweep's sanity anchor: truncating to the FULL dimension is
     the identity, so recall@k at d=64 must be exactly 1.0, and recall
