@@ -501,6 +501,16 @@ def q_events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the per-(type, hour) rollup
+    kept as mergeable (count, int64-cents sum) partials — history state
+    + delta partials merged without rescanning history. The oracle is a
+    FULL RECOMPUTE, so the gate checks the maintenance invariant
+    (merge ≡ recompute) cross-engine; exact int arithmetic makes that
+    invariant bit-tight where float sums could not."""
+    return ev.incremental_rollup(load_table(spark, sf_dir, "events"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_exact(load_table(spark, sf_dir, "documents"))
 
@@ -3713,6 +3723,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_shipping_priority": q_join_shipping_priority,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_rollup": q_events_rollup,
+        "events_rollup_incremental": q_events_rollup_incremental,
         "events_stream_replay": q_events_stream_replay,
         "corpus_stream_dedup_replay": q_corpus_stream_dedup_replay,
         "corpus_stream_span_replay": q_corpus_stream_span_replay,
@@ -4065,6 +4076,16 @@ FROM (
   FROM events
 )
 GROUP BY ROLLUP(event_type, hour)""",
+        # full from-scratch recompute in exact int64 cents — the gate
+        # thereby checks the incremental-maintenance invariant
+        # (history-state ⊎ delta ≡ recompute) across engines
+        "events_rollup_incremental": """
+SELECT event_type,
+       (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS hour,
+       COUNT(*)::BIGINT AS n_events,
+       (SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT / 100.0) AS value_sum
+FROM events
+GROUP BY 1, 2""",
         # batch twin of the STATEFUL streaming dedup: a full bounded
         # replay collapses the fingerprint state to this GROUP BY
         "corpus_stream_dedup_replay": f"""

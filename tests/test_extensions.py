@@ -336,6 +336,47 @@ def test_asof_latest_semantics(spark):
     assert got == {2: (100, 12.0), 3: (100, 12.0), 5: (200, 20.0), 8: (60, 5.0)}
 
 
+def test_incremental_rollup_merge_equals_recompute(spark):
+    """The maintenance invariant: history-state ⊎ delta partials must
+    be BIT-identical to a from-scratch recompute — exact because the
+    mergeable state carries int64 cents, not float sums. Boundary rows
+    land in the delta (>= semantics); groups that exist only in one
+    side survive the merge."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    B = 7200  # boundary: 2h epoch — hour 0/1 = history, hour 2+ = delta
+    rows = [
+        # (event_id, ts_sec, user, type, value)
+        (0, 100, 1, "click", 1.01),
+        (1, 200, 1, "click", 2.02),     # same (type, hour-0) group
+        (2, 3700, 2, "view", 0.10),     # hour 1, history only
+        (3, B, 1, "click", 4.04),       # exactly at boundary → delta
+        (4, B + 100, 2, "click", 0.55), # delta, merges into hour-2 group
+        (5, B + 3600, 3, "buy", 9.99),  # delta-only group (hour 3)
+    ]
+    e = spark.createDataFrame(
+        [(i, ts * S, u, t, v, "") for i, ts, u, t, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["value_sum"])
+        for r in ev.incremental_rollup(e, boundary_sec=B).collect()
+    }
+    assert got == {
+        ("click", 0): (2, 3.03),
+        ("view", 1): (1, 0.10),
+        ("click", 2): (2, 4.59),
+        ("buy", 3): (1, 9.99),
+    }
+    # full recompute (boundary past everything → all history, no merge)
+    full = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["value_sum"])
+        for r in ev.incremental_rollup(e, boundary_sec=10**9).collect()
+    }
+    assert full == got
+
+
 def test_range_join_counts_semantics(spark):
     """Half-open [ts, ts+h): boundary rows excluded, cross-bucket
     matches found, left rows with no match dropped."""
