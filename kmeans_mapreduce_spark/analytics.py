@@ -795,6 +795,48 @@ def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_day_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent per-day content digest of the events table —
+    the replica/migration verification primitive: both sides run one
+    narrow scan and diff O(days) digest rows instead of shipping 100 TB
+    (see :func:`sketches.table_digest` for the sum/xor pairing
+    rationale). Canonical row rendering is all exact-integer text
+    (value in floor-pinned cents — float formatting is not portable);
+    null-propagating concat so a NULL field nulls the hash identically
+    on both engines rather than being silently skipped."""
+    from kmeans_mapreduce_spark.operators.events import floor_div
+
+    e = load_table(spark, sf_dir, "events")
+    sep = F.lit("|")
+    row_str = F.concat(
+        F.col("event_id").cast("string"), sep,
+        F.col("ts").cast("string"), sep,
+        F.col("user_id").cast("string"), sep,
+        F.coalesce(F.col("event_type"), F.lit("")), sep,
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").cast("string"), sep,
+        F.coalesce(F.col("props"), F.lit("")),
+    )
+    day = F.expr(floor_div(floor_div("ts", 1_000_000_000), 86400))
+    return sk.table_digest(e, row_str, day).withColumnRenamed("bucket", "day")
+
+
+_DAY_DIGEST_ORACLE = f"""
+WITH rows_h AS (
+  SELECT (epoch_ns(ts) // 1000000000 // 86400)::BIGINT AS day,
+         ('0x' || substr(md5(
+            event_id::VARCHAR || '|' || epoch_ns(ts)::VARCHAR || '|' ||
+            user_id::VARCHAR || '|' || COALESCE(event_type, '') || '|' ||
+            CAST(floor(value * 100 + 0.5) AS BIGINT)::VARCHAR || '|' ||
+            COALESCE(props, '')
+         ), 1, 15))::BIGINT AS h
+  FROM events
+)
+SELECT day, COUNT(*)::BIGINT AS n_rows,
+       (SUM(h) % {sk.DIGEST_MOD})::BIGINT AS digest_sum,
+       bit_xor(h)::BIGINT AS digest_xor
+FROM rows_h GROUP BY day"""
+
+
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_hll_distinct": q_events_hll_distinct,
@@ -819,6 +861,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rule_filter": q_corpus_rule_filter,
         "events_key_skew": q_events_key_skew,
         "corpus_dsir_weights": q_corpus_dsir_weights,
+        "events_day_digest": q_events_day_digest,
     }
 
 
@@ -851,6 +894,7 @@ SELECT s.n_keys, s.max_n, s.med_n,
        ROUND(s.max_n::DOUBLE / s.med_n, 6) AS skew_ratio, t.top_key
 FROM s, t""",
         "corpus_dsir_weights": _dsir_oracle(),
+        "events_day_digest": _DAY_DIGEST_ORACLE,
         "events_hist_quantiles": "WITH " + sk.hist_sql(
             "value", "event_type", "events", HIST_QS, HIST_LO, HIST_HI,
             gname="event_type",

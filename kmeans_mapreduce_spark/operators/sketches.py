@@ -563,3 +563,49 @@ def bloom_sql(key_expr: str, relation: str) -> str:
         f" bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits"
         f" FROM bloom_pos GROUP BY 1)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Order-independent table digest (replica / migration verification)
+# ---------------------------------------------------------------------------
+
+DIGEST_MOD = 16 ** 15  # 2^60 — keeps the summed digest in BIGINT range
+
+
+def table_digest(df: DataFrame, row_str: Column, bucket: Column) -> DataFrame:
+    """Per-bucket order-independent content digest — the cheap way to
+    verify a 100 TB replica, migration, or backfill: each side runs ONE
+    narrow scan and compares O(buckets) digest rows instead of shipping
+    or sorting data. ``row_str`` is the caller's canonical row
+    rendering (exact-integer fields only — float text formatting is not
+    portable across engines); ``bucket`` is the partition key the
+    comparison is reported at (e.g. the ingest day).
+
+    Two digests per bucket, both commutative/associative and therefore
+    map-side combinable and partition-mergeable:
+
+    - ``digest_sum``: Σ h64(row) mod 2^60 — multiset-sensitive, so a
+      row duplicated on one side (which XOR silently cancels at even
+      counts) still shifts the sum;
+    - ``digest_xor``: XOR of h64(row) — any single-row content
+      difference flips it with certainty.
+
+    With ``n_rows`` alongside, the triple detects every practical
+    divergence class (missing, extra, corrupted, duplicated rows). The
+    sum accumulates in DECIMAL(38,0) before the mod — Spark 4 runs
+    ANSI mode, where a raw BIGINT SUM over 2^60-sized values would
+    overflow-throw at scale (DuckDB widens to HUGEINT; the decimal
+    route is the portable one).
+    """
+    h = h64(row_str)
+    return (
+        df.select(bucket.alias("bucket"), h.alias("h"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                f"cast(sum(cast(h as decimal(38,0))) % {DIGEST_MOD} as long)"
+            ).alias("digest_sum"),
+            F.bit_xor("h").alias("digest_xor"),
+        )
+    )

@@ -479,3 +479,34 @@ def test_surprisal_ranks_rare_tokens_above_common_prose(spark):
     assert got[99]["n_tokens"] == 4
     common = max(got[i]["bits_per_token"] for i in range(20))
     assert got[99]["bits_per_token"] > common + 1.0  # clearly separated
+
+
+def test_table_digest_detects_each_divergence_class(spark):
+    """digest_sum + digest_xor + n_rows together catch: corruption
+    (both flip), a duplicated row (xor cancels at even copies — the
+    sum and count still move), and reordering (nothing moves)."""
+    rows = [(i, f"payload-{i}") for i in range(8)]
+    schema = "id LONG, payload STRING"
+    mk = lambda rs: spark.createDataFrame(rs, schema)
+    dig = lambda df: sk.table_digest(
+        df,
+        F.concat(F.col("id").cast("string"), F.lit("|"), F.col("payload")),
+        F.lit(0),
+    ).collect()[0]
+    base = dig(mk(rows))
+    # order independence: reversed input → identical digest triple
+    rev = dig(mk(rows[::-1]))
+    assert (base["n_rows"], base["digest_sum"], base["digest_xor"]) == (
+        rev["n_rows"], rev["digest_sum"], rev["digest_xor"])
+    # single-row corruption flips both digests, count unchanged
+    corrupt = dig(mk(rows[:3] + [(3, "payload-X")] + rows[4:]))
+    assert corrupt["n_rows"] == base["n_rows"]
+    assert corrupt["digest_sum"] != base["digest_sum"]
+    assert corrupt["digest_xor"] != base["digest_xor"]
+    # a row present twice: xor cancels back to the 7-row value, but
+    # sum and count still catch it — why both digests ship
+    dup = dig(mk(rows + [rows[0]]))
+    without = dig(mk(rows[1:]))
+    assert dup["digest_xor"] == without["digest_xor"]  # the xor blind spot
+    assert dup["n_rows"] == base["n_rows"] + 1
+    assert dup["digest_sum"] != base["digest_sum"]
