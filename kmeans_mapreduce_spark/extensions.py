@@ -460,6 +460,30 @@ def q_join_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: quarter's orders with ≥1 late-shipping lineitem,
+    per priority — EXISTS as a left-semi hash join with the cross-table
+    inequality as join residual (never a correlated rescan)."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.order_priority_check(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_join_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo parts' share of one month's revenue —
+    conditional aggregation over a broadcast part join; share derived
+    from the two cents-rounded sums with the floor-pinned round."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: quality-filter → exact-dedup keepers → per-language
     stats. The operators compose as DataFrames — one chained plan, not
@@ -3721,6 +3745,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_parts_never_ordered": q_join_parts_never_ordered,
         "join_suppliers_per_region": q_join_suppliers_per_region,
         "join_shipping_priority": q_join_shipping_priority,
+        "join_priority_check": q_join_priority_check,
+        "join_promo_share": q_join_promo_share,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_rollup": q_events_rollup,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -4261,6 +4287,30 @@ WHERE c.c_mktsegment = 'BUILDING'
 GROUP BY 1, 2
 ORDER BY revenue DESC, l.l_orderkey
 LIMIT 10""",
+        "join_priority_check": """
+SELECT o.o_orderpriority, COUNT(*)::BIGINT AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1998-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o.o_orderpriority""",
+        "join_promo_share": f"""
+WITH agg AS (
+  SELECT ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                        THEN l.l_extendedprice * (1 - l.l_discount)
+                        ELSE CAST(0.0 AS DOUBLE) END), 2) AS promo_revenue,
+         ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue,
+         COUNT(*)::BIGINT AS n_items
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1998-06-01'
+    AND l.l_shipdate < TIMESTAMP '1998-07-01'
+)
+SELECT promo_revenue, total_revenue, n_items,
+       {_ieee_round_pos_sql('CAST(100.0 AS DOUBLE) * promo_revenue / total_revenue')} AS promo_share
+FROM agg""",
         "join_suppliers_per_region": """
 SELECT r.r_name, COUNT(*) AS n_suppliers
 FROM supplier s

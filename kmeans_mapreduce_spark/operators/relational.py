@@ -266,3 +266,94 @@ def shipping_priority(
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(k)
     )
+
+
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    start: str = "1998-01-01",
+    end: str = "1998-04-01",
+) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: orders placed in one
+    quarter that have AT LEAST ONE late-shipping lineitem (shipdate
+    after the order date — the synthetic schema's stand-in for Q4's
+    commitdate < receiptdate), counted per priority class.
+
+    Scale shape: the quarter predicate pushes down to the orders scan
+    (3 months of years shrinks the left side before any join — on a
+    date-partitioned production table this is partition pruning); the
+    EXISTS becomes a LEFT SEMI hash join on orderkey whose cross-table
+    inequality rides as the join residual — never a per-order subquery
+    rescan (the row-at-a-time trap a correlated EXISTS invites), never
+    a cartesian. Semi-join semantics dedupe multiple qualifying
+    lineitems for free: no DISTINCT, no post-join collapse. The final
+    aggregate is 5 groups — pure map-side combine.
+    """
+    ts0 = F.lit(start).cast("timestamp")
+    ts1 = F.lit(end).cast("timestamp")
+    o = orders.filter(
+        (F.col("o_orderdate") >= ts0) & (F.col("o_orderdate") < ts1)
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = lineitem.select("l_orderkey", "l_shipdate")
+    return (
+        o.join(
+            l,
+            (F.col("o_orderkey") == F.col("l_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    start: str = "1998-06-01",
+    end: str = "1998-07-01",
+    promo_type: str = "PROMO",
+    sum_digits: int = 2,
+) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the share of one month's
+    revenue from promo-class parts, via conditional aggregation over a
+    broadcast dimension join.
+
+    Scale shape: the month predicate pushes to the lineitem scan; part
+    is the broadcast side (the fact table never shuffles — with no
+    grouping key there is no exchange at all beyond the final 1-row
+    partial-aggregate collapse). Float discipline: both revenue sums
+    round to cents FIRST, then the share is one identical IEEE
+    multiply/divide over those pinned doubles on both engines, with the
+    floor-pinned 6-digit display round (F.round vs ROUND flip within
+    one ulp of .5 otherwise).
+    """
+    from kmeans_mapreduce_spark.functions.text import ieee_round_pos
+
+    ts0 = F.lit(start).cast("timestamp")
+    ts1 = F.lit(end).cast("timestamp")
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= ts0) & (F.col("l_shipdate") < ts1)
+    ).select("l_partkey", REVENUE)
+    p = part.select("p_partkey", "p_type")
+    agg = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("p_type") == promo_type, F.col("rev")).otherwise(
+                        F.lit(0.0)
+                    )
+                ),
+                sum_digits,
+            ).alias("promo_revenue"),
+            F.round(F.sum("rev"), sum_digits).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    return agg.withColumn(
+        "promo_share",
+        ieee_round_pos(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
+        ),
+    )

@@ -439,3 +439,32 @@ def test_int8_topk_broadcasts_probes_only(spark):
 
     keys = re.findall(r"Exchange hashpartitioning\(([a-zA-Z_0-9#]+)", plan)
     assert all(k.startswith("query_id") for k in keys), keys
+
+
+def test_priority_check_is_semi_join_with_pushed_quarter(spark):
+    """The Q4-shape EXISTS must run as ONE left-semi hash join (the
+    inequality riding as residual), never a correlated rescan or a
+    cartesian; the quarter predicate must reach the orders scan."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    df = rel.order_priority_check(
+        load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem")
+    )
+    plan = plans.explain_str(df)
+    assert "LeftSemi" in plan
+    assert not plans.has_cartesian(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plans.has_pushed_filters(df)
+
+
+def test_promo_share_broadcasts_the_dimension(spark):
+    """Q14 shape: part is the broadcast side — the month-filtered fact
+    never shuffles for the join (no Exchange below the join)."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    df = rel.promo_revenue_share(
+        load_table(spark, SF, "lineitem"), load_table(spark, SF, "part")
+    )
+    plan = plans.explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert not plans.has_cartesian(df)
