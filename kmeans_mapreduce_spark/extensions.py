@@ -74,6 +74,18 @@ KNN_GRAPH_K = 4  # neighbors per vector in the cell-blocked k-NN graph
 LABEL_PROP_HIDE_MOD = 5  # vec_id % 5 == 0 nodes are "unlabeled"
 
 
+# full from-scratch per-(type, hour) recompute in exact int64 cents:
+# the shared twin for both the batch incremental rollup and the
+# streaming rollup maintainer (same mergeable state either way)
+_ROLLUP_RECOMPUTE_SQL = """
+SELECT event_type,
+       (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS hour,
+       COUNT(*)::BIGINT AS n_events,
+       (SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT / 100.0) AS value_sum
+FROM events
+GROUP BY 1, 2"""
+
+
 def _sql_str_list(items: list[str]) -> str:
     inner = ", ".join("'" + s.replace("'", "''") + "'" for s in items)
     return f"[{inner}]"
@@ -308,6 +320,45 @@ def q_corpus_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("min_doc_id").alias("keep_doc_id"),
             F.max("n_copies").alias("n_copies"),
         )
+    )
+
+
+def q_events_stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_rollup_incremental`` under the gate:
+    the bounded events table replayed through
+    ``stream_rollup_maintain`` — per-micro-batch mergeable partials
+    folded additively into a parquet state table (state in the target,
+    batch-id idempotence) — then the final state read back. The oracle
+    is the SAME full-recompute SQL as the batch incremental rollup, so
+    the gate certifies that the streaming maintainer and a from-scratch
+    aggregate agree bit-for-bit (exact int64-cents state)."""
+    import tempfile
+    import uuid
+
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    work = tempfile.mkdtemp(prefix=f"rollup_state_{uuid.uuid4().hex[:8]}_")
+    target = f"{work}/state"
+    q = so.stream_rollup_maintain(stream, target, f"{work}/ckpt")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_rollup_replay: streaming replay did not finish "
+            "in 300 s — refusing to gate a partially-maintained state"
+        )
+    return spark.read.parquet(target).select(
+        "event_type",
+        "hour",
+        "n_events",
+        (F.col("cents_sum") / F.lit(100.0)).alias("value_sum"),
     )
 
 
@@ -3751,6 +3802,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": q_events_rollup,
         "events_rollup_incremental": q_events_rollup_incremental,
         "events_stream_replay": q_events_stream_replay,
+        "events_stream_rollup_replay": q_events_stream_rollup_replay,
         "corpus_stream_dedup_replay": q_corpus_stream_dedup_replay,
         "corpus_stream_span_replay": q_corpus_stream_span_replay,
         "events_stream_session_replay": q_events_stream_session_replay,
@@ -4104,14 +4156,10 @@ FROM (
 GROUP BY ROLLUP(event_type, hour)""",
         # full from-scratch recompute in exact int64 cents — the gate
         # thereby checks the incremental-maintenance invariant
-        # (history-state ⊎ delta ≡ recompute) across engines
-        "events_rollup_incremental": """
-SELECT event_type,
-       (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS hour,
-       COUNT(*)::BIGINT AS n_events,
-       (SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT / 100.0) AS value_sum
-FROM events
-GROUP BY 1, 2""",
+        # (history-state ⊎ delta ≡ recompute) across engines; the SAME
+        # twin gates the streaming maintainer (same mergeable state)
+        "events_rollup_incremental": _ROLLUP_RECOMPUTE_SQL,
+        "events_stream_rollup_replay": _ROLLUP_RECOMPUTE_SQL,
         # batch twin of the STATEFUL streaming dedup: a full bounded
         # replay collapses the fingerprint state to this GROUP BY
         "corpus_stream_dedup_replay": f"""

@@ -909,3 +909,80 @@ def stream_dedup_exact_tws(stream: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_rollup_maintain(
+    stream: DataFrame, target_path: str, checkpoint_dir: str
+):
+    """Streaming side of
+    :func:`~kmeans_mapreduce_spark.operators.events.incremental_rollup`:
+    each micro-batch's per-(event_type, hour) partials — (count, exact
+    int64-cents sum) — fold ADDITIVELY into a parquet state table via
+    ``foreachBatch``. Same mergeable state, same arithmetic, batch and
+    streaming: the maintained table is bit-identical to a full batch
+    recompute at any point the stream drains.
+
+    State lives in the TARGET TABLE, not the state store — so the
+    group count is unbounded for free (no watermark needed for an
+    ever-growing hour axis) and the serving table IS the state, the
+    shape a 100 TB rollup needs. The additive merge is NOT naturally
+    idempotent (a replayed batch would double-count — unlike
+    :func:`stream_merge_upsert`, whose latest-version-wins merge
+    re-applies harmlessly), so every state row carries the applying
+    micro-batch id and a batch with id ≤ the committed max is skipped:
+    idempotence at micro-batch granularity over at-least-once delivery,
+    the standard transactional-sink recipe without a transaction log
+    (file-source + availableNow batch ids are deterministic on
+    replay). The write reuses ``merge_upsert``'s staged-rename
+    generation swap, so a crash mid-write never loses the committed
+    generation.
+    """
+    from kmeans_mapreduce_spark.sources.loaders import (
+        _recover_generation,
+        _swap_generations,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        _recover_generation(target_path)
+        cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+        part = (
+            batch_df.select(
+                "event_type",
+                F.expr(floor_div(floor_div("ts", 1_000_000_000), 3600)).alias(
+                    "hour"
+                ),
+                cents.alias("cents"),
+            )
+            .groupBy("event_type", "hour")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("cents").alias("cents_sum"),
+            )
+            .withColumn("batch_id", F.lit(int(batch_id)))
+        )
+        if os.path.isdir(target_path):
+            state = spark.read.parquet(target_path)
+            committed = state.agg(F.max("batch_id")).collect()[0][0]
+            if committed is not None and int(batch_id) <= int(committed):
+                return  # replayed batch — already folded in
+            part = state.unionByName(part)
+        merged = part.groupBy("event_type", "hour").agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("cents_sum").alias("cents_sum"),
+            F.max("batch_id").alias("batch_id"),
+        )
+        merged.write.mode("overwrite").parquet(f"{target_path}._staged")
+        _swap_generations(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -932,3 +932,66 @@ def test_stream_dedup_tws_analyzes_without_protobuf(spark):
         "n_copies:bigint,is_new:boolean>"
     )
     assert out.isStreaming
+
+
+def test_stream_rollup_maintain_additive_and_replay_safe(spark, tmp_path_factory):
+    """Two micro-batches fold additively into the state table (groups
+    merge across batches; exact cents); a fresh-checkpoint rerun over
+    the same files re-delivers batches with the SAME deterministic ids,
+    which the committed-batch-id guard must skip — state unchanged, no
+    double counting (the additive-merge idempotence recipe)."""
+    import os
+
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    base = tmp_path_factory.mktemp("rollup_stream")
+    src = str(base / "src")
+    os.makedirs(src)
+    S = 1_000_000_000
+    pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [100 * S, 200 * S],          # both hour 0
+            "user_id": [1, 2],
+            "event_type": ["click", "click"],
+            "value": [1.01, 2.02],
+            "props": ["", ""],
+        }
+    ).to_parquet(f"{src}/00.parquet")
+    pd.DataFrame(
+        {
+            "event_id": [2, 3],
+            "ts": [300 * S, 4000 * S],         # hour 0 again + hour 1
+            "user_id": [3, 4],
+            "event_type": ["click", "view"],
+            "value": [0.97, 5.00],
+            "props": ["", ""],
+        }
+    ).to_parquet(f"{src}/01.parquet")
+
+    target = str(base / "state")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(
+                "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+                "value DOUBLE, props STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = so.stream_rollup_maintain(stream, target, ckpt)
+        q.awaitTermination(120)
+        return {
+            (r["event_type"], r["hour"]): (r["n_events"], r["cents_sum"])
+            for r in spark.read.parquet(target).collect()
+        }
+
+    got = run(str(base / "ck1"))
+    assert got == {("click", 0): (3, 400), ("view", 1): (1, 500)}
+    # fresh checkpoint, same files: batch ids restart at 0 → every
+    # batch is ≤ the committed max and must be skipped
+    got2 = run(str(base / "ck2"))
+    assert got2 == got
