@@ -44,6 +44,32 @@ K3_FAR_CENTERS: list[tuple[int, float, float]] = [
     (2, 10000.0, 10000.0),
 ]
 
+# Elbow-sweep fixed inits: one deterministic init per candidate k, all
+# inside the data bounding box. Choosing k is THE model-selection loop
+# around the reference's driver (its master exposes the WSSSE cost per
+# run precisely so a user can run this sweep by hand); here it is one
+# gated query.
+K2_CENTERS: list[tuple[int, float, float]] = [
+    (0, 30.0, 15.0),
+    (1, 80.0, 35.0),
+]
+K8_CENTERS: list[tuple[int, float, float]] = [
+    (0, 15.0, 8.0),
+    (1, 30.0, 15.0),
+    (2, 45.0, 22.0),
+    (3, 60.0, 30.0),
+    (4, 75.0, 38.0),
+    (5, 90.0, 45.0),
+    (6, 25.0, 40.0),
+    (7, 100.0, 10.0),
+]
+ELBOW_SWEEP: list[tuple[int, list[tuple[int, float, float]]]] = [
+    (2, K2_CENTERS),
+    (4, K4_CENTERS),
+    (8, K8_CENTERS),
+]
+ELBOW_ITERS = 2  # Lloyd iterations per candidate k
+
 MEAN_DIGITS = 6  # rounding for AVG-derived values
 SUM_DIGITS = 2  # rounding for big SUMs (wssse)
 KMPP_L = 16  # k-means|| oversampling factor (2k for the k=8 fit)
@@ -160,6 +186,63 @@ FROM {prev} GROUP BY cid
     return "".join(parts)
 
 
+def _unrolled_wssse_sql(
+    centers: list[tuple[int, float, float]], n_iters: int
+) -> str:
+    """One candidate k's unrolled Lloyd chain ending in
+    ``(wssse, n_points)`` — an elbow-table cell. Same per-iteration
+    MEAN_DIGITS rounding and COALESCE-1e300 empty-cluster guard as
+    :func:`_unrolled_loop_sql`; the final ``LEAST`` over the last
+    generation's distance columns IS min_d2 of the final assignment,
+    so no extra distance pass is needed."""
+    parts = [_assign_sql(centers)]
+    prev = "assigned"
+    last_dists = "dists"
+    for i in range(1, n_iters):
+        parts.append(f""",
+c{i} AS (
+  SELECT cid, ROUND(AVG(x), {MEAN_DIGITS}) AS cx, ROUND(AVG(y), {MEAN_DIGITS}) AS cy
+  FROM {prev} GROUP BY cid
+)""")
+        it_n = [
+            (
+                str(cid),
+                f"COALESCE((SELECT cx FROM c{i} WHERE cid = {cid}), 1e300)",
+                f"COALESCE((SELECT cy FROM c{i} WHERE cid = {cid}), 1e300)",
+            )
+            for cid, _, _ in centers
+        ]
+        d2 = _d2_exprs(it_n)
+        dists = ", ".join(f"{e} AS d{j}" for j, e in enumerate(d2))
+        case, _ = _argmin_select_sql(it_n)
+        parts.append(f""",
+dists{i + 1} AS (
+  SELECT point_id, x, y, {dists} FROM pts
+),
+assigned{i + 1} AS (
+  SELECT point_id, x, y, CAST({case} AS INTEGER) AS cid FROM dists{i + 1}
+)""")
+        last_dists = f"dists{i + 1}"
+        prev = f"assigned{i + 1}"
+    least = f"LEAST({', '.join(f'd{j}' for j in range(len(centers)))})"
+    parts.append(f"""
+SELECT ROUND(SUM({least}), {SUM_DIGITS}) AS wssse, COUNT(*) AS n_points
+FROM {last_dists}
+""")
+    return "".join(parts)
+
+
+def _elbow_sweep_sql() -> str:
+    """UNION ALL of one unrolled chain per candidate k — each chain in
+    its own parenthesized subquery so the CTE names don't collide."""
+    subs = [
+        f"SELECT {k} AS k, wssse, n_points"
+        f" FROM ({_unrolled_wssse_sql(c, ELBOW_ITERS)})"
+        for k, c in ELBOW_SWEEP
+    ]
+    return " UNION ALL ".join(subs)
+
+
 # ---------------------------------------------------------------------------
 # Query implementations (Spark side)
 # ---------------------------------------------------------------------------
@@ -238,6 +321,44 @@ def q_kmeans_loop2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     return out
+
+
+def q_kmeans_elbow_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-selection elbow table: WSSSE after ELBOW_ITERS fixed-init
+    Lloyd iterations for each candidate k — the k-vs-cost curve a user
+    reads the "elbow" off. One cached point scan feeds every candidate;
+    per-k work is the same narrow literal-argmin assignment as
+    ``kmeans_assign`` (zero joins), so the sweep is K_candidates × the
+    single-fit cost, embarrassingly parallel across candidates at
+    scale. Centroids round to MEAN_DIGITS between iterations (the
+    cross-engine determinism pin); the K-row collect per iteration is
+    model state, not data."""
+    from functools import reduce
+
+    pts = points_2d(spark, sf_dir).cache()
+    outs = []
+    for k, c0 in ELBOW_SWEEP:
+        centers = c0
+        for _ in range(1, ELBOW_ITERS):
+            rows = (
+                km.recompute(km.assign(pts, centers))
+                .select(
+                    "cid",
+                    F.round("cx", MEAN_DIGITS).alias("cx"),
+                    F.round("cy", MEAN_DIGITS).alias("cy"),
+                )
+                .collect()
+            )
+            centers = [(r["cid"], r["cx"], r["cy"]) for r in rows]
+        a = km.assign(pts, centers)
+        outs.append(
+            a.agg(
+                F.round(F.sum("min_d2"), SUM_DIGITS).alias("wssse"),
+                F.count(F.lit(1)).alias("n_points"),
+            ).select(F.lit(k).alias("k"), "wssse", "n_points")
+        )
+    pts.unpersist()
+    return reduce(lambda x, y: x.unionByName(y), outs)
 
 
 def q_kmeans_fit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -460,6 +581,7 @@ def core_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_wssse": q_kmeans_wssse,
         "kmeans_repair_empty": q_kmeans_repair_empty,
         "kmeans_loop2": q_kmeans_loop2,
+        "kmeans_elbow_sweep": q_kmeans_elbow_sweep,
         "kmeans_fit_fixed": q_kmeans_fit_fixed,
         "kmeans_kmpp_round1": q_kmeans_kmpp_round1,
         "kmeans_kmpp_round2": q_kmeans_kmpp_round2,
@@ -489,6 +611,7 @@ FROM pts""",
 FROM cents c
 WHERE c.cid NOT IN (SELECT DISTINCT cid FROM assigned)""",
         "kmeans_loop2": _unrolled_loop_sql(2),
+        "kmeans_elbow_sweep": _elbow_sweep_sql(),
         "kmeans_fit_fixed": _unrolled_loop_sql(3),
         "kmeans_kmpp_round1": _kmpp_round1_sql(),
         "kmeans_kmpp_round2": _kmpp_round2_sql(),

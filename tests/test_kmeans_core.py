@@ -168,3 +168,19 @@ def test_round_half_up_matches_both_engines(spark):
     sp = [row["r"] for row in df.orderBy("i").collect()]
     assert py == duck
     assert py == sp
+
+
+def test_elbow_sweep_wssse_monotone_in_k(spark):
+    """The elbow table's point: more clusters → lower cost. With the
+    fixed in-box inits, WSSSE must strictly decrease across the
+    candidate ks, and every row must cover the full point set."""
+    from kmeans_mapreduce_spark.queries import q_kmeans_elbow_sweep
+
+    rows = sorted(
+        q_kmeans_elbow_sweep(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == [2, 4, 8]
+    assert len({r["n_points"] for r in rows}) == 1
+    ws = [r["wssse"] for r in rows]
+    assert ws[0] > ws[1] > ws[2]
