@@ -586,6 +586,28 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.incremental_rollup(load_table(spark, sf_dir, "events"))
 
 
+def q_events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucket gap filling with LOCF (events.gapfill_locf) — the
+    hypertable ``time_bucket_gapfill`` + ``locf`` pattern: dense
+    hourly series per event_type, empty buckets carrying the exact
+    int64-cents value sum forward."""
+    return ev.gapfill_locf(load_table(spark, sf_dir, "events"))
+
+
+def q_events_twa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average per user (events.time_weighted_avg) —
+    hold-time-weighted mean over irregular samples, exact int64
+    cents·seconds numerator, one pinned rounding at the end."""
+    return ev.time_weighted_avg(load_table(spark, sf_dir, "events"))
+
+
+def q_events_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 chart downsampling (events.m4_downsample): per (type, hour)
+    min/max/first/last — pixel-exact line rendering from O(buckets)
+    rows instead of the raw series."""
+    return ev.m4_downsample(load_table(spark, sf_dir, "events"))
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_exact(load_table(spark, sf_dir, "documents"))
 
@@ -3801,6 +3823,9 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_rollup": q_events_rollup,
         "events_rollup_incremental": q_events_rollup_incremental,
+        "events_gapfill": q_events_gapfill,
+        "events_twa": q_events_twa,
+        "events_m4": q_events_m4,
         "events_stream_replay": q_events_stream_replay,
         "events_stream_rollup_replay": q_events_stream_rollup_replay,
         "corpus_stream_dedup_replay": q_corpus_stream_dedup_replay,
@@ -4160,6 +4185,74 @@ GROUP BY ROLLUP(event_type, hour)""",
         # twin gates the streaming maintainer (same mergeable state)
         "events_rollup_incremental": _ROLLUP_RECOMPUTE_SQL,
         "events_stream_rollup_replay": _ROLLUP_RECOMPUTE_SQL,
+        # dense hourly axis from a 1-row bounds aggregate; LOCF =
+        # last_value IGNORE NULLS over the exact cents sum
+        "events_gapfill": """
+WITH agg AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS bucket,
+         COUNT(*)::BIGINT AS n_events,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents_sum
+  FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg),
+dense AS (
+  SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS bucket
+  FROM (SELECT DISTINCT event_type FROM agg) t, b)
+SELECT d.event_type, d.bucket,
+       COALESCE(a.n_events, 0)::BIGINT AS n_events,
+       a.n_events IS NULL AS is_gap,
+       last_value(a.cents_sum IGNORE NULLS) OVER (
+         PARTITION BY d.event_type ORDER BY d.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS value_sum_locf
+FROM dense d LEFT JOIN agg a
+  ON d.event_type = a.event_type AND d.bucket = a.bucket""",
+        # hold-time-weighted mean: exact int64 cents·seconds numerator,
+        # one division + the pinned floor-round at the end
+        "events_twa": f"""
+WITH e AS (
+  SELECT user_id, event_id,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+stepped AS (
+  SELECT user_id, ts_sec, cents,
+         lead(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+           - ts_sec AS dt
+  FROM e),
+agg AS (
+  SELECT user_id, COUNT(*)::BIGINT AS n_events,
+         SUM(cents * dt)::BIGINT AS num,
+         (MAX(ts_sec) - MIN(ts_sec))::BIGINT AS duration_sec
+  FROM stepped GROUP BY 1)
+SELECT user_id, n_events, duration_sec,
+       CASE WHEN duration_sec > 0 THEN
+         {_ieee_round_pos_sql("CAST(num AS DOUBLE) / (duration_sec * 100.0)")}
+       END AS twa
+FROM agg""",
+        # M4 downsampling: first/last resolved by the unique
+        # (ts_sec, event_id) row_number against the partition count
+        "events_m4": """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS bucket,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec,
+         event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, bucket, cents,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts_sec, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, bucket) AS cnt
+  FROM base)
+SELECT event_type, bucket,
+       MAX(cnt)::BIGINT AS n_events,
+       MIN(cents) / 100.0 AS v_min,
+       MAX(cents) / 100.0 AS v_max,
+       MAX(CASE WHEN rn = 1 THEN cents END) / 100.0 AS v_first,
+       MAX(CASE WHEN rn = cnt THEN cents END) / 100.0 AS v_last
+FROM r GROUP BY 1, 2""",
         # batch twin of the STATEFUL streaming dedup: a full bounded
         # replay collapses the fingerprint state to this GROUP BY
         "corpus_stream_dedup_replay": f"""

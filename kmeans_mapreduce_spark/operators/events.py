@@ -474,3 +474,179 @@ def session_paths(
         )
         .limit(k)
     )
+
+
+GAPFILL_BUCKET_SEC = 3600  # hypertable gap-fill granularity (hourly)
+
+
+def gapfill_locf(
+    events: DataFrame, bucket_sec: int = GAPFILL_BUCKET_SEC
+) -> DataFrame:
+    """Time-bucket gap filling with last-observation-carried-forward —
+    the hypertable ``time_bucket_gapfill(..., locf(...))`` pattern: a
+    dense per-(event_type, bucket) series over the GLOBAL observed
+    bucket range, empty buckets emitted with n_events = 0 and the
+    value sum carried forward from the series' latest prior bucket.
+
+    Exactness: the carried value is the exact int64-cents sum (the
+    incremental_rollup pin), so LOCF propagates a bit-identical value
+    in both engines; the display division /100.0 is one identical IEEE
+    op per row. Buckets before a series' first observation stay NULL
+    (nothing to carry) — same contract as TimescaleDB's locf.
+
+    Scale shape: the heavy work is the per-(type, bucket) aggregate —
+    one map-side-combined shuffle over the raw events; the dense axis
+    is |types| × buckets rows (for a year of hourly buckets, ~9k rows
+    per series) built from a 1-row bounds aggregate exploded with
+    ``sequence`` — never a row-per-event structure. The LOCF window
+    sorts only the dense frame, not the corpus; the rollup is
+    materialized once (see below) so the corpus scan never repeats.
+    """
+    e = with_epoch_seconds(events)
+    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    agg = (
+        e.select(
+            "event_type",
+            F.expr(floor_div("ts_sec", bucket_sec)).alias("bucket"),
+            cents.alias("cents"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    # the rollup feeds THREE consumers (bounds, type list, the join):
+    # materialize its O(|types|·buckets) rows eagerly so the corpus
+    # scan underneath runs once, not three times
+    agg = agg.localCheckpoint(eager=True)
+    bounds = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+    dense = (
+        agg.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi)")).alias("bucket"),
+        )
+    )
+    filled = dense.join(agg, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    locf = F.last("cents_sum", ignorenulls=True).over(w)
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+        (locf / F.lit(100.0)).alias("value_sum_locf"),
+    )
+
+
+def time_weighted_avg(events: DataFrame, digits: int = 6) -> DataFrame:
+    """Time-weighted average per user — the hypertable
+    ``time_weight('LOCF', ts, value)`` aggregate: each observation is
+    weighted by how long it REMAINED the latest observation
+    (Σ vᵢ·(tᵢ₊₁−tᵢ) / (t_N−t_1)), the correct mean for irregularly
+    sampled series where a plain AVG over-weights bursts.
+
+    Exactness: value rides as exact int64 cents and the hold time as
+    integer seconds, so the numerator Σ cents·dt is an exact
+    (order-independent) int64 sum — max |value| ~5e4 cents × ~2.6e6 s
+    span × 1e4 rows/series ≪ 2^63; the single final division and the
+    pinned floor-round are the only float ops, identical both engines.
+    Series with zero duration (one observation, or all within one
+    second) emit twa = NULL.
+
+    Scale shape: one user-keyed shuffle for the lead() window; the
+    aggregate reuses the same partitioning (no second exchange); output
+    is O(|users|).
+    """
+    e = with_epoch_seconds(events)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    stepped = e.select(
+        "user_id",
+        "ts_sec",
+        cents.alias("cents"),
+        (F.lead("ts_sec").over(w) - F.col("ts_sec")).alias("dt"),
+    )
+    agg = stepped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("cents") * F.col("dt")).alias("num"),
+        (F.max("ts_sec") - F.min("ts_sec")).alias("duration_sec"),
+    )
+    from kmeans_mapreduce_spark.functions.text import ieee_round_pos
+
+    twa = ieee_round_pos(
+        F.col("num") / (F.col("duration_sec") * F.lit(100.0)), digits
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        "duration_sec",
+        F.when(F.col("duration_sec") > 0, twa).alias("twa"),
+    )
+
+
+M4_BUCKET_SEC = 3600  # chart-downsampling bucket (hourly)
+
+
+def m4_downsample(
+    events: DataFrame, bucket_sec: int = M4_BUCKET_SEC
+) -> DataFrame:
+    """M4 downsampling (Jugel et al., VLDB 2014): per (event_type,
+    bucket) the min, max, first, and last values — the four points
+    that make a line-chart rendering of the bucket pixel-identical to
+    rendering every raw point, and the standard way a dashboard reads
+    a 100 TB series without scanning it into the client.
+
+    Determinism: first/last are resolved by the unique (ts_sec,
+    event_id) order via row_number against the partition count (one
+    window sort; rn == 1 is first, rn == cnt is last), so both engines
+    pick identical rows even with intra-second ties; values ride as
+    exact int64 cents until the final display division.
+
+    Scale shape: one shuffle keyed by (type, bucket) feeds the window
+    sort AND the same-keyed aggregate (no second exchange); output is
+    O(|types| × buckets), independent of row count.
+    """
+    e = with_epoch_seconds(events)
+    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    base = e.select(
+        "event_type",
+        F.expr(floor_div("ts_sec", bucket_sec)).alias("bucket"),
+        "ts_sec",
+        "event_id",
+        cents.alias("cents"),
+    )
+    w = Window.partitionBy("event_type", "bucket").orderBy(
+        "ts_sec", "event_id"
+    )
+    wp = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    r = base.select(
+        "event_type",
+        "bucket",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("cnt"),
+    )
+    return r.groupBy("event_type", "bucket").agg(
+        F.max("cnt").cast("long").alias("n_events"),
+        (F.min("cents") / F.lit(100.0)).alias("v_min"),
+        (F.max("cents") / F.lit(100.0)).alias("v_max"),
+        (F.max(F.when(F.col("rn") == 1, F.col("cents"))) / F.lit(100.0)).alias(
+            "v_first"
+        ),
+        (
+            F.max(F.when(F.col("rn") == F.col("cnt"), F.col("cents")))
+            / F.lit(100.0)
+        ).alias("v_last"),
+    )

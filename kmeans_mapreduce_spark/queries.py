@@ -555,6 +555,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "similarity_ann_pq_residual",
     "similarity_binary_topk",
     "pipeline_vector_corpus",
+    "events_gapfill",
 }
 
 

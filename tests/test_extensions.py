@@ -1820,3 +1820,101 @@ def test_filtered_ann_only_returns_matching_labels(spark):
             )
         ][: ex.ANN_K]
         assert [r.neighbor_id for r in sorted(rows, key=lambda r: r.rank)] == want
+
+
+def test_gapfill_locf_dense_axis_and_carry(spark):
+    """Dense global bucket axis per type; empty buckets carry the
+    latest prior exact-cents sum forward; buckets before a series'
+    first observation stay NULL (nothing to carry)."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = [
+        (0, 100, 1, "A", 1.00),      # hour 0
+        (1, 7300, 1, "A", 2.50),     # hour 2
+        (2, 11000, 2, "B", 4.00),    # hour 3 (sets global hi)
+    ]
+    e = spark.createDataFrame(
+        [(i, ts * S, u, t, v, "") for i, ts, u, t, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        (r["event_type"], r["bucket"]): (
+            r["n_events"], r["is_gap"], r["value_sum_locf"]
+        )
+        for r in ev.gapfill_locf(e).collect()
+    }
+    assert got == {
+        ("A", 0): (1, False, 1.00),
+        ("A", 1): (0, True, 1.00),   # carried forward
+        ("A", 2): (1, False, 2.50),
+        ("A", 3): (0, True, 2.50),   # carried forward
+        ("B", 0): (0, True, None),   # before first observation
+        ("B", 1): (0, True, None),
+        ("B", 2): (0, True, None),
+        ("B", 3): (1, False, 4.00),
+    }
+
+
+def test_time_weighted_avg_hold_time_weighting(spark):
+    """TWA weights each value by its hold time: v=10 held 10 s then
+    v=20 held 20 s → (10·10+20·20)/30 = 16.666667 — NOT the plain
+    mean 15. Zero-duration series (single event, or all events in one
+    second) emit twa = NULL."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = [
+        (0, 0, 1, "x", 10.00),
+        (1, 10, 1, "x", 20.00),
+        (2, 30, 1, "x", 2.00),    # last observation: no hold time
+        (3, 50, 2, "x", 9.99),    # singleton → NULL
+        (4, 70, 3, "x", 1.00),    # same-second pair → duration 0
+        (5, 70, 3, "x", 2.00),
+    ]
+    e = spark.createDataFrame(
+        [(i, ts * S, u, t, v, "") for i, ts, u, t, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["duration_sec"], r["twa"])
+        for r in ev.time_weighted_avg(e).collect()
+    }
+    assert got == {
+        1: (3, 30, 16.666667),
+        2: (1, 0, None),
+        3: (2, 0, None),
+    }
+
+
+def test_m4_downsample_min_max_first_last(spark):
+    """Per (type, bucket): min/max over values, first/last by the
+    unique (ts_sec, event_id) order — intra-second ties resolve by
+    event_id identically in both engines."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = [
+        (1, 10, 1, "A", 5.00),
+        (2, 20, 1, "A", 1.00),
+        (3, 30, 1, "A", 9.00),
+        (4, 40, 1, "A", 3.00),
+        (5, 50, 2, "B", 7.00),   # same second as next row:
+        (6, 50, 2, "B", 2.00),   # event_id breaks the tie
+        (7, 7300, 1, "A", 4.00), # hour 2, singleton bucket
+    ]
+    e = spark.createDataFrame(
+        [(i, ts * S, u, t, v, "") for i, ts, u, t, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        (r["event_type"], r["bucket"]): (
+            r["n_events"], r["v_min"], r["v_max"], r["v_first"], r["v_last"]
+        )
+        for r in ev.m4_downsample(e).collect()
+    }
+    assert got == {
+        ("A", 0): (4, 1.00, 9.00, 5.00, 3.00),
+        ("B", 0): (2, 2.00, 7.00, 7.00, 2.00),
+        ("A", 2): (1, 4.00, 4.00, 4.00, 4.00),
+    }
