@@ -608,6 +608,84 @@ def q_events_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.m4_downsample(load_table(spark, sf_dir, "events"))
 
 
+def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-type value quantiles (events.exact_quantiles) — the
+    sort-based exact complement to the mergeable histogram sketch
+    (events_hist_quantiles is the 100 TB approximate path); pure
+    integer nearest-rank selection, no float interpolation."""
+    return ev.exact_quantiles(load_table(spark, sf_dir, "events"))
+
+
+def q_corpus_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney AUC of the gated LR classifier — the eval
+    number that goes next to the calibration table. Ranks come from
+    the exact int64 micro-unit logits, ties handled by average rank
+    (2·avg_rank = 2·cum_before + tie_n + 1 stays integer), so
+    U₂ = 2·R₊ − n₊(n₊+1) is exact int64 and the single division + the
+    pinned floor-round are the only float ops — bit-identical both
+    engines.
+
+    Scale shape: scoring is the broadcast-weights fold; the tie
+    groupBy compresses to distinct logits; the global cum-count window
+    then runs over O(|distinct scores|) aggregate rows, not the
+    corpus — the same post-aggregate-window pattern as BM25. A truly
+    corpus-scale AUC would bucket logits into the histogram sketch
+    (approximate); this is the exact eval-set form.
+    """
+    from kmeans_mapreduce_spark.operators import logreg as lg
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = lg.featurized(docs)
+    w, b = _train_once(
+        spark,
+        sf_dir,
+        "lr_cal_weights",
+        lambda: lg.fit_logreg(feats, iters=LR_CAL_ITERS),
+    )
+    return auc_exact(_lr_micro_scored(spark, feats, w, b))
+
+
+def auc_exact(scored: DataFrame) -> DataFrame:
+    """Exact tie-aware Mann-Whitney AUC over (y, z_micro) rows —
+    integer average-rank fold; see q_corpus_lr_auc for the contract."""
+    from pyspark.sql.window import Window
+
+    g = scored.groupBy("z_micro").agg(
+        F.count(F.lit(1)).alias("n_z"),
+        F.sum(F.when(F.col("y") >= 0.5, 1).otherwise(0)).alias("pos_z"),
+    )
+    wc = Window.orderBy("z_micro").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = g.select(
+        "pos_z",
+        "n_z",
+        F.coalesce(F.sum("n_z").over(wc), F.lit(0)).alias("cum_before"),
+    )
+    a = r.agg(
+        F.sum("pos_z").cast("long").alias("n_pos"),
+        F.sum("n_z").cast("long").alias("n"),
+        F.sum(
+            F.col("pos_z")
+            * (F.lit(2) * F.col("cum_before") + F.col("n_z") + F.lit(1))
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    n_pos = F.col("n_pos")
+    n_neg = F.col("n") - n_pos
+    u2 = F.col("r2") - n_pos * (n_pos + F.lit(1))
+    auc = ieee_round_pos(
+        u2.cast("double") / (F.lit(2.0) * n_pos * n_neg), 6
+    )
+    return a.select(
+        n_pos.alias("n_pos"),
+        n_neg.cast("long").alias("n_neg"),
+        F.when((n_pos > 0) & (n_neg > 0), auc).alias("auc"),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_exact(load_table(spark, sf_dir, "documents"))
 
@@ -2992,6 +3070,67 @@ LIMIT {LR_SCORE_TOPN}
 """
 
 
+def _lr_auc_sql() -> str:
+    """Twin of q_corpus_lr_auc: the same weight-unroll + int64
+    micro-unit scoring CTEs as _lr_scores_sql, then the exact
+    average-rank Mann-Whitney fold — 2·R₊ and U₂ stay integer; the
+    division and the pinned floor-round are the only float ops."""
+    from kmeans_mapreduce_spark.operators.logreg import LR_BUCKETS
+    from kmeans_mapreduce_spark.operators.selection import DSIR_QUALITY_TAU
+
+    d = LR_BUCKETS
+    auc = _ieee_round_pos_sql(
+        "CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)"
+        " / (2.0 * n_pos * (n - n_pos))"
+    )
+    return f"""
+WITH wt AS (SELECT bucket, w FROM ({_lr_unrolled_sql(LR_CAL_ITERS)}) lw),
+wm AS (
+  SELECT bucket,
+         CAST(floor(w * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+              AS BIGINT) AS m
+  FROM wt
+),
+q AS ({_quality_sql()}),
+lab AS (
+  SELECT doc_id,
+         CASE WHEN quality_score >= {DSIR_QUALITY_TAU} THEN 1 ELSE 0 END AS y
+  FROM q
+),
+toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+inst AS (SELECT doc_id, {h64_sql('term')} % {d} AS bkt FROM toks),
+zs AS (
+  SELECT inst.doc_id, SUM(wm.m)::BIGINT AS sm
+  FROM inst JOIN wm ON wm.bucket = inst.bkt GROUP BY inst.doc_id
+),
+z AS (
+  SELECT l.doc_id, l.y,
+         ((SELECT m FROM wm WHERE bucket = -1) + COALESCE(zs.sm, 0))::BIGINT
+           AS z_micro
+  FROM lab l LEFT JOIN zs ON zs.doc_id = l.doc_id
+),
+g AS (
+  SELECT z_micro, COUNT(*)::BIGINT AS n_z,
+         SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END)::BIGINT AS pos_z
+  FROM z GROUP BY 1
+),
+r AS (
+  SELECT pos_z, n_z,
+         COALESCE(SUM(n_z) OVER (ORDER BY z_micro
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM g
+),
+a AS (
+  SELECT SUM(pos_z)::BIGINT AS n_pos, SUM(n_z)::BIGINT AS n,
+         SUM(pos_z * (2 * cum_before + n_z + 1))::BIGINT AS r2
+  FROM r
+)
+SELECT n_pos, (n - n_pos)::BIGINT AS n_neg,
+       CASE WHEN n_pos > 0 AND n - n_pos > 0 THEN {auc} END AS auc
+FROM a
+"""
+
+
 def _lr_calibration_sql() -> str:
     """Twin of q_corpus_lr_calibration: re-derives the trained weights
     via the unrolled loop2 twin, converts the exact 6-decimal values to
@@ -3860,6 +3999,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lr_loop2": q_corpus_lr_loop2,
         "corpus_lr_calibration": q_corpus_lr_calibration,
         "corpus_lr_scores": q_corpus_lr_scores,
+        "corpus_lr_auc": q_corpus_lr_auc,
+        "events_exact_quantiles": q_events_exact_quantiles,
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_merges2": q_text_bpe_merges2,
@@ -4706,6 +4847,24 @@ SELECT doc_id, cluster_rep FROM cc""",
         "corpus_lr_loop2": _lr_loop2_sql(),
         "corpus_lr_calibration": _lr_calibration_sql(),
         "corpus_lr_scores": _lr_scores_sql(),
+        "corpus_lr_auc": _lr_auc_sql(),
+        # exact nearest-rank quantiles: pure integer rank math over
+        # exact cents — no float interpolation on either engine
+        "events_exact_quantiles": """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base)
+SELECT event_type,
+       MAX(n)::BIGINT AS n_events,
+       MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN cents END) / 100.0 AS p50,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) / 100.0 AS p90,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) / 100.0 AS p99
+FROM r GROUP BY 1""",
         # the rule verdicts compose the ONE rule-filter twin (same
         # reuse as the curation funnel) — no second hand-maintained
         # rendering of the five Gopher/C4 rules

@@ -650,3 +650,49 @@ def m4_downsample(
             / F.lit(100.0)
         ).alias("v_last"),
     )
+
+
+def exact_quantiles(events: DataFrame) -> DataFrame:
+    """EXACT per-group quantiles (p50/p90/p99, nearest-rank
+    ceil(p·n)) — the sort-based exact complement to the mergeable
+    histogram sketch (``analytics.hist_quantiles``): the sketch is the
+    100 TB serving path (fixed-width state, merge-only), this is the
+    exact answer when the per-group sort is affordable (eval sets,
+    percentile SLAs that must be exact, sketch-calibration checks).
+
+    Determinism: ranks are pure integer math (ceil(p·n) =
+    (p_num·n + p_den − 1) // p_den) over exact int64 cents, and the
+    value AT a rank is well-defined regardless of how row_number
+    breaks ties between equal cents — both engines agree bit-exactly
+    with no float quantile interpolation anywhere.
+
+    Scale shape: ONE window sort keyed by event_type whose shuffle the
+    same-keyed aggregate reuses; the honest cost of exactness is that
+    per-group sort (skew = largest group) — that is precisely what the
+    histogram sketch avoids, which is why both exist.
+    """
+    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    base = events.select("event_type", cents.alias("cents"))
+    w = Window.partitionBy("event_type").orderBy("cents")
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    r = base.select(
+        "event_type",
+        "cents",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+
+    def at(p_num: int, p_den: int):
+        rk = F.expr(f"({p_num} * n + {p_den} - 1) div {p_den}")
+        return F.max(F.when(F.col("rn") == rk, F.col("cents")))
+
+    return r.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_events"),
+        (at(1, 2) / F.lit(100.0)).alias("p50"),
+        (at(9, 10) / F.lit(100.0)).alias("p90"),
+        (at(99, 100) / F.lit(100.0)).alias("p99"),
+    )

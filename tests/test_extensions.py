@@ -1918,3 +1918,50 @@ def test_m4_downsample_min_max_first_last(spark):
         ("B", 0): (2, 2.00, 7.00, 7.00, 2.00),
         ("A", 2): (1, 4.00, 4.00, 4.00, 4.00),
     }
+
+
+def test_exact_quantiles_nearest_rank(spark):
+    """ceil(p·n) nearest-rank selection over exact cents: 1..10 →
+    p50 = 5, p90 = 9, p99 = 10; a singleton group returns its only
+    value for every percentile."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = [(i, i * S, 1, "A", float(v)) for i, v in enumerate(range(1, 11))]
+    rows.append((99, 99 * S, 2, "B", 7.25))
+    e = spark.createDataFrame(
+        [(i, ts, u, t, v, "") for i, ts, u, t, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        r["event_type"]: (r["n_events"], r["p50"], r["p90"], r["p99"])
+        for r in ev.exact_quantiles(e).collect()
+    }
+    assert got == {
+        "A": (10, 5.0, 9.0, 10.0),
+        "B": (1, 7.25, 7.25, 7.25),
+    }
+
+
+def test_auc_exact_separation_ties_and_degenerate(spark):
+    """Tie-aware Mann-Whitney: perfect separation → 1.0; reversed →
+    0.0; a fully tied score → 0.5; hand-computed mixed case; all-one-
+    class → NULL."""
+    from kmeans_mapreduce_spark.extensions import auc_exact
+
+    def auc(pairs):
+        df = spark.createDataFrame(pairs, "y DOUBLE, z_micro LONG")
+        return auc_exact(df).collect()[0]
+
+    r = auc([(1.0, 10), (1.0, 9), (0.0, 2), (0.0, 1)])
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 2, 1.0)
+    r = auc([(0.0, 10), (0.0, 9), (1.0, 2), (1.0, 1)])
+    assert r["auc"] == 0.0
+    r = auc([(1.0, 5), (0.0, 5), (1.0, 5), (0.0, 5)])
+    assert r["auc"] == 0.5
+    # mixed: pos scores {3, 1}, neg {2, 1}: pairs (3>2)=1, (3>1)=1,
+    # (1<2)=0, (1=1)=0.5 → U = 2.5 → AUC = 2.5/4 = 0.625
+    r = auc([(1.0, 3), (1.0, 1), (0.0, 2), (0.0, 1)])
+    assert r["auc"] == 0.625
+    r = auc([(1.0, 3), (1.0, 1)])
+    assert r["auc"] is None and r["n_neg"] == 0
