@@ -1528,6 +1528,24 @@ def q_similarity_ann_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_similarity_ann_ivf_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Append-only IVF index maintenance
+    (similarity.ivf_incremental_topk): history index + delta vectors
+    assigned to the same fixed cells, probed without a rebuild. The
+    oracle is the FULL IVF replay — the gate checks the maintenance
+    invariant (history ⊎ delta ≡ rebuild) cross-engine, the vector-
+    index analog of events_rollup_incremental's recompute twin."""
+    return sim.ivf_incremental_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        ND_CENTROID_IDS,
+        TOPK_QUERY_IDS,
+        k=ANN_K,
+        nprobe=IVF_NPROBE,
+    )
+
+
 def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation — recall@k of the IVF index against the
     exact brute-force top-k, per query (the metric an ANN deployment
@@ -4025,6 +4043,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_langid_eval": q_text_langid_eval,
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
+        "similarity_ann_ivf_incremental": q_similarity_ann_ivf_incremental,
         "similarity_ann_ivf_trained": q_similarity_ann_ivf_trained,
         "similarity_ann_filtered": q_similarity_ann_filtered,
         "similarity_ann_recall": q_similarity_ann_recall,
@@ -5158,6 +5177,9 @@ GROUP BY i.query_id""",
         "similarity_hard_negatives": _hard_negatives_sql(TOPK_K),
         "similarity_ann_lsh": _topk_sql(ANN_K, bucketed=True),
         "similarity_ann_ivf": _ivf_ann_sql(),
+        # full IVF replay — the gate thereby checks the append-only
+        # maintenance invariant (history-index ⊎ delta ≡ rebuild)
+        "similarity_ann_ivf_incremental": _ivf_ann_sql(),
         "similarity_ann_ivf_trained": _ivf_ann_sql(trained=True),
         "dedup_semantic_trained": _semantic_dedup_sql(trained=True),
         "similarity_ann_recall_trained": f"""

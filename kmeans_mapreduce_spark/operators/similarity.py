@@ -1888,3 +1888,61 @@ def int8_cosine_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "score_q")
     )
+
+
+def ivf_incremental_topk(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    query_ids: list[int],
+    k: int = 3,
+    nprobe: int = 2,
+    digits: int = 6,
+    delta_mod: int = 5,
+) -> DataFrame:
+    """Append-only IVF index MAINTENANCE (the vector-index analog of
+    ``events.incremental_rollup``): the history index is built once,
+    new vectors are assigned to the SAME fixed coarse cells and
+    appended — one pass over the DELTA only, zero history rescans, no
+    retrain, no rebuild. This is how a production vector index absorbs
+    a daily embedding drop: per-refresh work is O(|delta|), and cell
+    assignment with fixed centers is deterministic, so
+
+        history-index ⊎ delta-index ≡ full-rebuild index, exactly —
+
+    the probe over the maintained index returns bit-identical top-k to
+    a from-scratch build. The oracle IS the full IVF replay, so the
+    gate checks that maintenance invariant cross-engine (the same
+    contract the incremental rollup's full-recompute twin pins).
+
+    The history/delta split here is a deterministic ``vec_id %
+    delta_mod`` partition standing in for the arrival boundary; both
+    passes run :func:`build_ivf_index` (one Arrow corpus pass each
+    over disjoint rows = one pass over the whole corpus total).
+
+    When cells drift (the trained quantizer moves), incremental append
+    stops being exact by construction — that is the rebuild trigger,
+    exactly as FAISS re-trains its coarse quantizer offline.
+    """
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    wanted = sorted(set(centroid_ids) | set(query_ids))
+    fetched = {
+        r["vec_id"]: list(r["v0"])
+        for r in e0.filter(F.col("vec_id").isin(wanted)).collect()
+    }
+    missing = [vid for vid in centroid_ids if vid not in fetched]
+    if missing:
+        raise ValueError(
+            f"ivf_incremental_topk: centroid vec_ids not in corpus: {missing}"
+        )
+    centers = [
+        (i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))
+    ]
+    qvecs = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    history = emb.filter(F.col("vec_id") % delta_mod != 0)
+    delta = emb.filter(F.col("vec_id") % delta_mod == 0)
+    index = build_ivf_index(history, centers).unionByName(
+        build_ivf_index(delta, centers)
+    )
+    return probe_ivf_index(
+        index, centers, qvecs, k=k, nprobe=nprobe, digits=digits
+    )

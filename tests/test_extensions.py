@@ -1965,3 +1965,23 @@ def test_auc_exact_separation_ties_and_degenerate(spark):
     assert r["auc"] == 0.625
     r = auc([(1.0, 3), (1.0, 1)])
     assert r["auc"] is None and r["n_neg"] == 0
+
+
+def test_ivf_incremental_index_equals_rebuild(spark, sf_dir):
+    """The maintenance invariant: history-index ⊎ delta-index probed ≡
+    a from-scratch single-build probe, bit-identically — cell
+    assignment with fixed centers is deterministic, so append-only
+    maintenance loses nothing."""
+    from kmeans_mapreduce_spark.operators import similarity as sim
+    from kmeans_mapreduce_spark.sources.loaders import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    args = dict(centroid_ids=[0, 1, 2, 3], query_ids=[0, 1, 2],
+                k=3, nprobe=2)
+    inc = sorted(
+        tuple(r) for r in sim.ivf_incremental_topk(emb, **args).collect()
+    )
+    full = sorted(
+        tuple(r) for r in sim.ivf_ann_topk(emb, **args).collect()
+    )
+    assert inc == full and len(inc) > 0
