@@ -608,6 +608,15 @@ def q_events_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.m4_downsample(load_table(spark, sf_dir, "events"))
 
 
+def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling distinct active users per day
+    (events.rolling_active_users): contribution-expansion over distinct
+    (day, user) — one corpus shuffle, bounded W× inflation, never W
+    rescans; exact set semantics (the HLL register table is the
+    approximate 100 TB path)."""
+    return ev.rolling_active_users(load_table(spark, sf_dir, "events"))
+
+
 def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-type value quantiles (events.exact_quantiles) — the
     sort-based exact complement to the mergeable histogram sketch
@@ -4019,6 +4028,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lr_scores": q_corpus_lr_scores,
         "corpus_lr_auc": q_corpus_lr_auc,
         "events_exact_quantiles": q_events_exact_quantiles,
+        "events_rolling_active": q_events_rolling_active,
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_merges2": q_text_bpe_merges2,
@@ -4867,6 +4877,20 @@ SELECT doc_id, cluster_rep FROM cc""",
         "corpus_lr_calibration": _lr_calibration_sql(),
         "corpus_lr_scores": _lr_scores_sql(),
         "corpus_lr_auc": _lr_auc_sql(),
+        # same contribution expansion: distinct (day,user) → explode
+        # to the W trailing report days → distinct → count
+        "events_rolling_active": """
+WITH per AS (
+  SELECT DISTINCT (epoch_ns(ts) // 1000000000 // 86400)::BIGINT AS day,
+         user_id
+  FROM events),
+contrib AS (
+  SELECT DISTINCT unnest(generate_series(day, day + 6)) AS day, user_id
+  FROM per)
+SELECT c.day, COUNT(*)::BIGINT AS n_active
+FROM contrib c
+WHERE c.day IN (SELECT day FROM per)
+GROUP BY 1""",
         # exact nearest-rank quantiles: pure integer rank math over
         # exact cents — no float interpolation on either engine
         "events_exact_quantiles": """

@@ -696,3 +696,51 @@ def exact_quantiles(events: DataFrame) -> DataFrame:
         (at(9, 10) / F.lit(100.0)).alias("p90"),
         (at(99, 100) / F.lit(100.0)).alias("p99"),
     )
+
+
+ROLLING_ACTIVE_DAYS = 7  # the "WAU per day" window
+
+
+def rolling_active_users(
+    events: DataFrame, window_days: int = ROLLING_ACTIVE_DAYS
+) -> DataFrame:
+    """Rolling distinct actives — for each observed day, the number of
+    DISTINCT users active in the trailing ``window_days`` (the "7-day
+    active users, daily" dashboard metric). Sliding COUNT(DISTINCT) is
+    the classically hard OLAP aggregate: distinct is not mergeable
+    across overlapping windows, so naive per-day recount rescans the
+    corpus ``window_days`` times.
+
+    Distributed shape (contribution expansion): reduce the corpus to
+    distinct (day, user) once — THE corpus-scale shuffle, map-side
+    combined; each such row then contributes to at most
+    ``window_days`` report days, so a ``sequence`` explode + second
+    distinct + count runs on |days×users| rows inflated a bounded W×,
+    never on raw events, and never W corpus rescans. Report days are
+    semi-joined back to observed days so trailing windows after the
+    last event emit nothing. Exact (set semantics, pure ints) — the
+    approximate/mergeable path at 100 TB is the HLL-sketch register
+    table (events_hll_distinct), same contrast as exact-vs-histogram
+    quantiles.
+
+    Output: (day, n_active) — day = floor(epoch_sec / 86400).
+    """
+    e = with_epoch_seconds(events)
+    per = (
+        e.select(
+            F.expr(floor_div("ts_sec", 86400)).alias("day"), "user_id"
+        )
+        .distinct()
+    )
+    contrib = per.select(
+        F.explode(
+            F.expr(f"sequence(day, day + {int(window_days) - 1})")
+        ).alias("day"),
+        "user_id",
+    ).distinct()
+    observed = per.select("day").distinct()
+    return (
+        contrib.join(observed, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

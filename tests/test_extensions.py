@@ -1985,3 +1985,27 @@ def test_ivf_incremental_index_equals_rebuild(spark, sf_dir):
         tuple(r) for r in sim.ivf_ann_topk(emb, **args).collect()
     )
     assert inc == full and len(inc) > 0
+
+
+def test_rolling_active_users_window_semantics(spark):
+    """Each observed day counts DISTINCT users over the trailing 7
+    days: overlap dedups (user 2 active on day 0 and 3 counts once on
+    day 3), expiry drops (day-0 users gone by day 10), and
+    unobserved days emit no row."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    D = 86400 * 1_000_000_000
+    rows = [
+        (0, 0, 1), (1, 0, 2),        # day 0: users 1, 2
+        (2, 3, 2),                   # day 3: user 2 again
+        (3, 10, 3),                  # day 10: user 3 only
+    ]
+    e = spark.createDataFrame(
+        [(i, d * D, u, "click", 1.0, "") for i, d, u in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        r["day"]: r["n_active"]
+        for r in ev.rolling_active_users(e).collect()
+    }
+    assert got == {0: 2, 3: 2, 10: 1}
