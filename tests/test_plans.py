@@ -468,3 +468,68 @@ def test_promo_share_broadcasts_the_dimension(spark):
     plan = plans.explain_str(df)
     assert "BroadcastHashJoin" in plan
     assert not plans.has_cartesian(df)
+
+
+def test_m4_window_and_aggregate_share_one_exchange(spark):
+    """m4_downsample's window sort and its aggregate key on the same
+    (event_type, bucket) — the aggregate must reuse the window's
+    shuffle, so the whole plan carries exactly ONE hash exchange (plus
+    zero joins): the O(types×buckets) output never costs a second
+    corpus shuffle."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    import re
+
+    e = load_table(spark, SF, "events")
+    plan = plans.explain_str(ev.m4_downsample(e))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(event_type" in plan
+    assert "Join" not in plan
+
+
+def test_exact_quantiles_single_exchange(spark):
+    """exact_quantiles: one type-keyed shuffle feeds both the window
+    sort and the same-keyed aggregate."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    import re
+
+    e = load_table(spark, SF, "events")
+    plan = plans.explain_str(ev.exact_quantiles(e))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(event_type" in plan
+    assert "Join" not in plan
+
+
+def test_twa_single_user_exchange(spark):
+    """time_weighted_avg: the lead() window's user-keyed shuffle is
+    reused by the user-keyed aggregate — one exchange, no join."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    import re
+
+    e = load_table(spark, SF, "events")
+    plan = plans.explain_str(ev.time_weighted_avg(e))
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "Join" not in plan
+
+
+def test_rolling_active_never_explodes_raw_events(spark):
+    """rolling_active_users: the sequence explode must sit ABOVE the
+    distinct (day,user) aggregate, not on raw events — the plan's
+    Generate node consumes an aggregated child."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    e = load_table(spark, SF, "events")
+    plan = plans.explain_str(ev.rolling_active_users(e))
+    gen = plan.find("Generate")
+    agg = plan.find("HashAggregate")
+    assert gen != -1 and agg != -1
+    # formatted plans list operators leaves-last: the first
+    # HashAggregate printed is the plan root's side; instead assert
+    # via the simple string that Generate's child is an Aggregate
+    simple = plans.explain_str(ev.rolling_active_users(e), mode="simple")
+    import re
+    m = re.search(r"Generate explode[\s\S]{0,400}?(HashAggregate|Exchange)", simple)
+    assert m is not None and "HashAggregate" in m.group(0)
