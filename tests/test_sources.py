@@ -666,3 +666,57 @@ def test_write_token_shards_budgets_and_order(spark, tmp_path):
     one = spark.read.parquet(f"{out}/shard={shards[0]}")
     got = [r["shuffle_key"] for r in one.collect()]
     assert got == sorted(got)
+
+
+def test_merge_scd2_history_suppression_and_backfill(spark, tmp_path):
+    """SCD-2: changed attrs open a new version and close the old one;
+    unchanged re-sends collapse into the existing run (idempotent);
+    a late-arriving middle version re-links the surrounding
+    intervals."""
+    from kmeans_mapreduce_spark.sources.loaders import merge_scd2
+
+    target = str(tmp_path / "dim")
+    schema = "k LONG, ver LONG, city STRING"
+
+    def snap():
+        rows = spark.read.parquet(target).collect()
+        return sorted(
+            (r["k"], r["valid_from"], r["valid_to"], r["is_current"], r["city"])
+            for r in rows
+        )
+
+    b1 = spark.createDataFrame([(1, 10, "nyc"), (2, 10, "sf")], schema)
+    merge_scd2(spark, target, b1, key="k", version_col="ver")
+    assert snap() == [
+        (1, 10, None, True, "nyc"),
+        (2, 10, None, True, "sf"),
+    ]
+
+    # change for k=1 opens v30 and closes v10; k=2 unchanged re-send
+    # at a later version is suppressed entirely
+    b2 = spark.createDataFrame([(1, 30, "tokyo"), (2, 30, "sf")], schema)
+    merge_scd2(spark, target, b2, key="k", version_col="ver")
+    assert snap() == [
+        (1, 10, 30, False, "nyc"),
+        (1, 30, None, True, "tokyo"),
+        (2, 10, None, True, "sf"),
+    ]
+
+    # idempotent re-apply
+    merge_scd2(spark, target, b2, key="k", version_col="ver")
+    assert snap() == [
+        (1, 10, 30, False, "nyc"),
+        (1, 30, None, True, "tokyo"),
+        (2, 10, None, True, "sf"),
+    ]
+
+    # late backfill: k=1 was "paris" from v20 — inserts mid-timeline,
+    # nyc now closes at 20, paris spans [20, 30)
+    b3 = spark.createDataFrame([(1, 20, "paris")], schema)
+    merge_scd2(spark, target, b3, key="k", version_col="ver")
+    assert snap() == [
+        (1, 10, 20, False, "nyc"),
+        (1, 20, 30, False, "paris"),
+        (1, 30, None, True, "tokyo"),
+        (2, 10, None, True, "sf"),
+    ]
