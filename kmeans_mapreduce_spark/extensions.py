@@ -852,6 +852,19 @@ def q_similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.knn_graph(emb, centers, KNN_GRAPH_K)
 
 
+def q_similarity_graph_triangles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-node triangle counts over the symmetrized k-NN graph
+    (similarity.triangle_counts): compact-forward with degree
+    orientation — every wedge enumerated at its lowest-(degree, id)
+    corner, so hub skew never blows up the join. Pure integer
+    arithmetic end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    return sim.triangle_counts(sim.knn_graph(emb, centers, KNN_GRAPH_K))
+
+
 def q_pipeline_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-supervised labeling over the k-NN graph: every 5th vector's
     label is held out and re-predicted by neighbor majority vote, with
@@ -4054,6 +4067,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_ivf_incremental": q_similarity_ann_ivf_incremental,
+        "similarity_graph_triangles": q_similarity_graph_triangles,
         "similarity_ann_ivf_trained": q_similarity_ann_ivf_trained,
         "similarity_ann_filtered": q_similarity_ann_filtered,
         "similarity_ann_recall": q_similarity_ann_recall,
@@ -5204,6 +5218,34 @@ GROUP BY i.query_id""",
         # full IVF replay — the gate thereby checks the append-only
         # maintenance invariant (history-index ⊎ delta ≡ rebuild)
         "similarity_ann_ivf_incremental": _ivf_ann_sql(),
+        # same compact-forward degree orientation in SQL: tuple
+        # comparison picks the lower-(deg, id) endpoint, wedges build
+        # at it, the canonical edge closes the triangle
+        "similarity_graph_triangles": f"""
+WITH g AS ({_knn_graph_sql()}),
+und AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM g WHERE src <> dst),
+deg AS (
+  SELECT v, COUNT(*)::BIGINT AS deg
+  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+  GROUP BY 1),
+o AS (
+  SELECT CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+              THEN und.a ELSE und.b END AS u,
+         CASE WHEN (da.deg, und.a) < (db.deg, und.b)
+              THEN und.b ELSE und.a END AS w
+  FROM und JOIN deg da ON da.v = und.a JOIN deg db ON db.v = und.b),
+tri AS (
+  SELECT o1.u, o1.w AS w1, o2.w AS w2
+  FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.w < o2.w
+  JOIN und ON und.a = o1.w AND und.b = o2.w)
+SELECT vec_id, COUNT(*)::BIGINT AS n_triangles
+FROM (
+  SELECT u AS vec_id FROM tri
+  UNION ALL SELECT w1 FROM tri
+  UNION ALL SELECT w2 FROM tri)
+GROUP BY 1""",
         "similarity_ann_ivf_trained": _ivf_ann_sql(trained=True),
         "dedup_semantic_trained": _semantic_dedup_sql(trained=True),
         "similarity_ann_recall_trained": f"""

@@ -1946,3 +1946,71 @@ def ivf_incremental_topk(
     return probe_ivf_index(
         index, centers, qvecs, k=k, nprobe=nprobe, digits=digits
     )
+
+
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the symmetrized k-NN graph — the
+    local-clustering / community-density primitive (a node's triangles
+    measure how interconnected its neighborhood is; the global sum/3
+    is the graph's triangle count).
+
+    Algorithm: compact-forward with DEGREE ORIENTATION — the classic
+    distributed-triangle trick (Cohen's MapReduce formulation): each
+    undirected edge is oriented from its lower-(degree, id) endpoint
+    to the higher one, so every wedge is enumerated at its LOWEST-
+    degree vertex and the join fan-out per vertex is bounded by its
+    oriented out-degree — a hub of in-degree D generates no wedges
+    itself, killing the quadratic skew blowup a naive edge-edge
+    self-join has. Each triangle is found exactly once (at its
+    lowest-(degree, id) corner), then credited to all three vertices
+    via one explode.
+
+    Scale shape: inputs are the O(N·k) k-NN edge rows, never the
+    corpus; two equi-joins (wedge build on the pivot vertex, closure
+    probe on the canonical edge) + one explode + one count — all keys
+    uniform after orientation. Pure integer/id arithmetic: no floats
+    anywhere, so cross-engine exactness is structural.
+
+    Output: (vec_id, n_triangles), nodes with ≥1 triangle.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    lower_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+        )
+    )
+    o1 = oriented.select(F.col("u"), F.col("w").alias("w1"))
+    o2 = oriented.select(F.col("u"), F.col("w").alias("w2"))
+    wedges = o1.join(o2, "u").filter(F.col("w1") < F.col("w2"))
+    # w1 < w2 already holds, so the canonical closure edge is (w1, w2)
+    tri = wedges.join(
+        und, (F.col("a") == F.col("w1")) & (F.col("b") == F.col("w2"))
+    ).select("u", "w1", "w2")
+    return (
+        tri.select(
+            F.explode(F.array("u", "w1", "w2")).alias("vec_id")
+        )
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

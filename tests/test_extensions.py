@@ -2009,3 +2009,19 @@ def test_rolling_active_users_window_semantics(spark):
         for r in ev.rolling_active_users(e).collect()
     }
     assert got == {0: 2, 3: 2, 10: 1}
+
+
+def test_triangle_counts_hand_graph(spark):
+    """K4 on {1,2,3,4} (4 triangles, every vertex in 3) plus a
+    pendant edge (no triangles) plus an isolated triangle {10,11,12};
+    directed/duplicate input edges collapse before counting."""
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    k4 = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a != b]
+    edges = k4 + [(4, 5)] + [(10, 11), (11, 12), (12, 10), (11, 10)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {
+        r["vec_id"]: r["n_triangles"]
+        for r in sim.triangle_counts(df).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
