@@ -617,6 +617,13 @@ def q_events_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.rolling_active_users(load_table(spark, sf_dir, "events"))
 
 
+def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS value trend (events.value_trend): exact
+    DECIMAL(38,0) sufficient statistics, one pinned division at the
+    end — the metric-drift primitive."""
+    return ev.value_trend(load_table(spark, sf_dir, "events"))
+
+
 def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT per-type value quantiles (events.exact_quantiles) — the
     sort-based exact complement to the mergeable histogram sketch
@@ -4042,6 +4049,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lr_auc": q_corpus_lr_auc,
         "events_exact_quantiles": q_events_exact_quantiles,
         "events_rolling_active": q_events_rolling_active,
+        "events_trend": q_events_trend,
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_merges2": q_text_bpe_merges2,
@@ -4891,6 +4899,31 @@ SELECT doc_id, cluster_rep FROM cc""",
         "corpus_lr_calibration": _lr_calibration_sql(),
         "corpus_lr_scores": _lr_scores_sql(),
         "corpus_lr_auc": _lr_auc_sql(),
+        # same exact suffstats: DuckDB integer SUM widens to HUGEINT,
+        # Spark accumulates DECIMAL(38,0) — identical integers, one
+        # correctly-rounded cast + division + the signed pinned round
+        "events_trend": f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+         ts_sec - MIN(ts_sec) OVER (PARTITION BY event_type) AS x, y
+  FROM e),
+a AS (
+  SELECT event_type, COUNT(*)::HUGEINT AS n,
+         SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+         SUM(x * y)::HUGEINT AS sxy, SUM(x * x)::HUGEINT AS sxx
+  FROM m GROUP BY 1)
+SELECT event_type, n::BIGINT AS n_events,
+       CASE WHEN (n * sxx - sx * sx) > 0 THEN
+         {_ieee_round_signed_sql(
+             "CAST(n * sxy - sx * sy AS DOUBLE)"
+             " / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0)")}
+       END AS slope
+FROM a""",
         # same contribution expansion: distinct (day,user) → explode
         # to the W trailing report days → distinct → count
         "events_rolling_active": """

@@ -744,3 +744,55 @@ def rolling_active_users(
         .groupBy("day")
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+def value_trend(events: DataFrame, digits: int = 6) -> DataFrame:
+    """Per-type linear trend: the OLS slope of value against time —
+    the "is this metric drifting" dashboard primitive, computed exactly
+    from closed-form sufficient statistics:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    with x = seconds since the type's first event (re-basing keeps x
+    small) and y = exact cents. Every per-row product fits int64, but
+    n·Σxy does NOT at corpus scale, so the sufficient statistics
+    accumulate as DECIMAL(38,0) (the table-digest lesson: ANSI-mode
+    BIGINT SUM overflow-throws; DuckDB's integer SUM widens to HUGEINT
+    — same values either way) and the final combination stays exact
+    integer arithmetic. The one division + the signed pinned round are
+    the only float ops; a zero-variance time axis (all events in one
+    second) yields NULL.
+
+    Scale shape: the unordered per-type MIN window and the same-keyed
+    aggregate share ONE type-keyed exchange; suffstats are map-side
+    combinable. Output: (event_type, n_events, slope) in value-units
+    per second.
+    """
+    e = with_epoch_seconds(events)
+    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    wp = Window.partitionBy("event_type")
+    m = e.select(
+        "event_type",
+        (F.col("ts_sec") - F.min("ts_sec").over(wp)).alias("x"),
+        cents.alias("y"),
+    )
+    dec = "decimal(38,0)"
+    a = m.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    from kmeans_mapreduce_spark.functions.text import ieee_round_signed
+
+    slope = ieee_round_signed(
+        num.cast("double") / (den.cast("double") * F.lit(100.0)), digits
+    )
+    return a.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        F.when(den > 0, slope).alias("slope"),
+    )

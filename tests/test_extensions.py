@@ -2025,3 +2025,30 @@ def test_triangle_counts_hand_graph(spark):
         for r in sim.triangle_counts(df).collect()
     }
     assert got == {1: 3, 2: 3, 3: 3, 4: 3, 10: 1, 11: 1, 12: 1}
+
+
+def test_value_trend_slope_exact(spark):
+    """Perfect line → exact slope (0.1 units/sec); descending pair →
+    negative slope via the signed pinned round; zero time variance →
+    NULL."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = [
+        (0, 0, 1, "A", 1.00), (1, 10, 1, "A", 2.00), (2, 20, 1, "A", 3.00),
+        (3, 5, 2, "B", 9.99), (4, 5, 3, "B", 1.23),
+        (5, 0, 4, "C", 1.00), (6, 10, 4, "C", 0.50),
+    ]
+    e = spark.createDataFrame(
+        [(i, ts * S, u, t, v, "") for i, ts, u, t, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        r["event_type"]: (r["n_events"], r["slope"])
+        for r in ev.value_trend(e).collect()
+    }
+    assert got == {
+        "A": (3, 0.1),
+        "B": (2, None),
+        "C": (2, -0.05),
+    }
