@@ -86,6 +86,92 @@ FROM events
 GROUP BY 1, 2"""
 
 
+_GAPFILL_SQL = """
+WITH agg AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS bucket,
+         COUNT(*)::BIGINT AS n_events,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents_sum
+  FROM events GROUP BY 1, 2),
+b AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg),
+dense AS (
+  SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS bucket
+  FROM (SELECT DISTINCT event_type FROM agg) t, b)
+SELECT d.event_type, d.bucket,
+       COALESCE(a.n_events, 0)::BIGINT AS n_events,
+       a.n_events IS NULL AS is_gap,
+       last_value(a.cents_sum IGNORE NULLS) OVER (
+         PARTITION BY d.event_type ORDER BY d.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
+         AS value_sum_locf
+FROM dense d LEFT JOIN agg a
+  ON d.event_type = a.event_type AND d.bucket = a.bucket"""
+
+_M4_SQL = """
+WITH base AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS bucket,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec,
+         event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, bucket, cents,
+         row_number() OVER (PARTITION BY event_type, bucket
+                            ORDER BY ts_sec, event_id) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type, bucket) AS cnt
+  FROM base)
+SELECT event_type, bucket,
+       MAX(cnt)::BIGINT AS n_events,
+       MIN(cents) / 100.0 AS v_min,
+       MAX(cents) / 100.0 AS v_max,
+       MAX(CASE WHEN rn = 1 THEN cents END) / 100.0 AS v_first,
+       MAX(CASE WHEN rn = cnt THEN cents END) / 100.0 AS v_last
+FROM r GROUP BY 1, 2"""
+
+_EXACT_QUANTILES_SQL = """
+WITH base AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events),
+r AS (
+  SELECT event_type, cents,
+         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM base)
+SELECT event_type,
+       MAX(n)::BIGINT AS n_events,
+       MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN cents END) / 100.0 AS p50,
+       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) / 100.0 AS p90,
+       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) / 100.0 AS p99
+FROM r GROUP BY 1"""
+
+# f-string at module level: _ieee_round_signed_sql is defined below, so
+# build lazily via a plain format at first import of the oracle dict
+def _trend_sql() -> str:
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+  FROM events),
+m AS (
+  SELECT event_type,
+         ts_sec - MIN(ts_sec) OVER (PARTITION BY event_type) AS x, y
+  FROM e),
+a AS (
+  SELECT event_type, COUNT(*)::HUGEINT AS n,
+         SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+         SUM(x * y)::HUGEINT AS sxy, SUM(x * x)::HUGEINT AS sxx
+  FROM m GROUP BY 1)
+SELECT event_type, n::BIGINT AS n_events,
+       CASE WHEN (n * sxx - sx * sx) > 0 THEN
+         {_ieee_round_signed_sql(
+             "CAST(n * sxy - sx * sy AS DOUBLE)"
+             " / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0)")}
+       END AS slope
+FROM a"""
+
+
 def _sql_str_list(items: list[str]) -> str:
     inner = ", ".join("'" + s.replace("'", "''") + "'" for s in items)
     return f"[{inner}]"
@@ -622,6 +708,48 @@ def q_events_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     DECIMAL(38,0) sufficient statistics, one pinned division at the
     end — the metric-drift primitive."""
     return ev.value_trend(load_table(spark, sf_dir, "events"))
+
+
+def q_pipeline_events_dashboard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Flagship time-series composition — the per-type observability
+    dashboard row, composing four round-7 operators over ONE events
+    table: exact p50/p99 (exact_quantiles), OLS drift slope
+    (value_trend), gap fraction of the dense hourly axis
+    (gapfill_locf), and the latest hour's closing value
+    (m4_downsample). Each input is an O(|types|)-row aggregate, so the
+    joins are trivially broadcast and the composition adds ZERO
+    corpus-scale shuffles beyond what each operator already does —
+    the whole dashboard is four map-side-combined aggregations wide.
+    """
+    e = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window
+
+    q = ev.exact_quantiles(e).select("event_type", "n_events", "p50", "p99")
+    t = ev.value_trend(e).select("event_type", "slope")
+    g = (
+        ev.gapfill_locf(e)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum(F.col("is_gap").cast("long")).alias("n_gaps"),
+        )
+        .select(
+            "event_type",
+            ieee_round_pos(
+                F.col("n_gaps").cast("double") / F.col("n_buckets"), 6
+            ).alias("gap_frac"),
+        )
+    )
+    wm = Window.partitionBy("event_type").orderBy(F.desc("bucket"))
+    m = (
+        ev.m4_downsample(e)
+        .withColumn("_rn", F.row_number().over(wm))
+        .filter(F.col("_rn") == 1)
+        .select("event_type", F.col("v_last").alias("last_close"))
+    )
+    return q.join(t, "event_type").join(g, "event_type").join(m, "event_type")
 
 
 def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4050,6 +4178,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_exact_quantiles": q_events_exact_quantiles,
         "events_rolling_active": q_events_rolling_active,
         "events_trend": q_events_trend,
+        "pipeline_events_dashboard": q_pipeline_events_dashboard,
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_merges2": q_text_bpe_merges2,
@@ -4379,26 +4508,7 @@ GROUP BY ROLLUP(event_type, hour)""",
         "events_stream_rollup_replay": _ROLLUP_RECOMPUTE_SQL,
         # dense hourly axis from a 1-row bounds aggregate; LOCF =
         # last_value IGNORE NULLS over the exact cents sum
-        "events_gapfill": """
-WITH agg AS (
-  SELECT event_type,
-         (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS bucket,
-         COUNT(*)::BIGINT AS n_events,
-         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS cents_sum
-  FROM events GROUP BY 1, 2),
-b AS (SELECT MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg),
-dense AS (
-  SELECT t.event_type, unnest(generate_series(b.lo, b.hi)) AS bucket
-  FROM (SELECT DISTINCT event_type FROM agg) t, b)
-SELECT d.event_type, d.bucket,
-       COALESCE(a.n_events, 0)::BIGINT AS n_events,
-       a.n_events IS NULL AS is_gap,
-       last_value(a.cents_sum IGNORE NULLS) OVER (
-         PARTITION BY d.event_type ORDER BY d.bucket
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
-         AS value_sum_locf
-FROM dense d LEFT JOIN agg a
-  ON d.event_type = a.event_type AND d.bucket = a.bucket""",
+        "events_gapfill": _GAPFILL_SQL,
         # hold-time-weighted mean: exact int64 cents·seconds numerator,
         # one division + the pinned floor-round at the end
         "events_twa": f"""
@@ -4424,27 +4534,7 @@ SELECT user_id, n_events, duration_sec,
 FROM agg""",
         # M4 downsampling: first/last resolved by the unique
         # (ts_sec, event_id) row_number against the partition count
-        "events_m4": """
-WITH base AS (
-  SELECT event_type,
-         (epoch_ns(ts) // 1000000000 // 3600)::BIGINT AS bucket,
-         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec,
-         event_id,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-  FROM events),
-r AS (
-  SELECT event_type, bucket, cents,
-         row_number() OVER (PARTITION BY event_type, bucket
-                            ORDER BY ts_sec, event_id) AS rn,
-         COUNT(*) OVER (PARTITION BY event_type, bucket) AS cnt
-  FROM base)
-SELECT event_type, bucket,
-       MAX(cnt)::BIGINT AS n_events,
-       MIN(cents) / 100.0 AS v_min,
-       MAX(cents) / 100.0 AS v_max,
-       MAX(CASE WHEN rn = 1 THEN cents END) / 100.0 AS v_first,
-       MAX(CASE WHEN rn = cnt THEN cents END) / 100.0 AS v_last
-FROM r GROUP BY 1, 2""",
+        "events_m4": _M4_SQL,
         # batch twin of the STATEFUL streaming dedup: a full bounded
         # replay collapses the fingerprint state to this GROUP BY
         "corpus_stream_dedup_replay": f"""
@@ -4902,28 +4992,31 @@ SELECT doc_id, cluster_rep FROM cc""",
         # same exact suffstats: DuckDB integer SUM widens to HUGEINT,
         # Spark accumulates DECIMAL(38,0) — identical integers, one
         # correctly-rounded cast + division + the signed pinned round
-        "events_trend": f"""
-WITH e AS (
+        "events_trend": _trend_sql(),
+        # composition twin: the four operator twins as subqueries,
+        # joined on the O(|types|) key — same single-source reuse rule
+        # as the other pipeline twins
+        "pipeline_events_dashboard": f"""
+WITH q AS (SELECT event_type, n_events, p50, p99
+           FROM ({_EXACT_QUANTILES_SQL}) t1),
+tr AS (SELECT event_type, slope FROM ({_trend_sql()}) t2),
+g AS (
   SELECT event_type,
-         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec,
-         CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
-  FROM events),
+         {_ieee_round_pos_sql(
+             "SUM(CASE WHEN is_gap THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)")}
+           AS gap_frac
+  FROM ({_GAPFILL_SQL}) t3 GROUP BY 1),
 m AS (
-  SELECT event_type,
-         ts_sec - MIN(ts_sec) OVER (PARTITION BY event_type) AS x, y
-  FROM e),
-a AS (
-  SELECT event_type, COUNT(*)::HUGEINT AS n,
-         SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
-         SUM(x * y)::HUGEINT AS sxy, SUM(x * x)::HUGEINT AS sxx
-  FROM m GROUP BY 1)
-SELECT event_type, n::BIGINT AS n_events,
-       CASE WHEN (n * sxx - sx * sx) > 0 THEN
-         {_ieee_round_signed_sql(
-             "CAST(n * sxy - sx * sy AS DOUBLE)"
-             " / (CAST(n * sxx - sx * sx AS DOUBLE) * 100.0)")}
-       END AS slope
-FROM a""",
+  SELECT event_type, v_last AS last_close
+  FROM (SELECT event_type, v_last,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY bucket DESC) AS _rn
+        FROM ({_M4_SQL}) t4)
+  WHERE _rn = 1)
+SELECT q.event_type, q.n_events, q.p50, q.p99, tr.slope, g.gap_frac,
+       m.last_close
+FROM q JOIN tr USING (event_type) JOIN g USING (event_type)
+       JOIN m USING (event_type)""",
         # same contribution expansion: distinct (day,user) → explode
         # to the W trailing report days → distinct → count
         "events_rolling_active": """
@@ -4940,21 +5033,7 @@ WHERE c.day IN (SELECT day FROM per)
 GROUP BY 1""",
         # exact nearest-rank quantiles: pure integer rank math over
         # exact cents — no float interpolation on either engine
-        "events_exact_quantiles": """
-WITH base AS (
-  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-  FROM events),
-r AS (
-  SELECT event_type, cents,
-         row_number() OVER (PARTITION BY event_type ORDER BY cents) AS rn,
-         COUNT(*) OVER (PARTITION BY event_type) AS n
-  FROM base)
-SELECT event_type,
-       MAX(n)::BIGINT AS n_events,
-       MAX(CASE WHEN rn = (1 * n + 1) // 2 THEN cents END) / 100.0 AS p50,
-       MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) / 100.0 AS p90,
-       MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) / 100.0 AS p99
-FROM r GROUP BY 1""",
+        "events_exact_quantiles": _EXACT_QUANTILES_SQL,
         # the rule verdicts compose the ONE rule-filter twin (same
         # reuse as the curation funnel) — no second hand-maintained
         # rendering of the five Gopher/C4 rules

@@ -334,6 +334,85 @@ def main() -> int:
         out["pq_train_sec_16x"] / out["pq_train_sec_1x"] / 16.0, 3
     )
 
+    # Round 7: triangle counting over the k-NN graph (compact-forward
+    # with degree orientation) at 1x / 4x vectors with K ∝ N (the
+    # bounded-cell production dial — same replicas as the knn probe);
+    # the claim under test is that the orientation keeps the wedge
+    # join linear-ish in edges, never quadratic in hub degree.
+    for factor in (1, 4):
+        d = emb0
+        for i in range(factor - 1):
+            d = d.union(
+                emb0.select(
+                    (F.col("vec_id") + F.lit(1_000_000 * (i + 1))).alias(
+                        "vec_id"
+                    ),
+                    "label",
+                    F.transform(
+                        F.col("embedding"),
+                        lambda v: v + F.lit(0.001 * (i + 1)),
+                    ).alias("embedding"),
+                )
+            )
+        d = d.cache()
+        d.count()
+        ctrs = centers_knn if factor == 1 else centers16
+        tg = sim.triangle_counts(sim.knn_graph(d, ctrs, k=4))
+        tg.write.format("noop").mode("overwrite").save()  # warm
+        durs = []
+        for _ in range(3):
+            t = time.time()
+            tg.write.format("noop").mode("overwrite").save()
+            durs.append(time.time() - t)
+        durs.sort()
+        out[f"triangles_sec_{factor}x"] = round(durs[1], 3)
+        d.unpersist()
+    out["triangles_4x_slope"] = round(
+        out["triangles_sec_4x"] / out["triangles_sec_1x"] / 4.0, 3
+    )
+
+    # Round 7: rolling distinct actives (contribution expansion) at
+    # 1x / 16x events — replicas shift user_id so the distinct sets
+    # genuinely grow; the claim is linearity in distinct (day, user).
+    from kmeans_mapreduce_spark.operators import events as evops
+
+    ev0 = load_table(spark, sf_dir, "events")
+    nev0 = ev0.count()
+    for factor in (1, 16):
+        d = ev0
+        for i in range(factor - 1):
+            d = d.unionByName(
+                ev0.select(
+                    "event_id",
+                    "ts",
+                    (F.col("user_id") + F.lit(1_000_000 * (i + 1))).alias(
+                        "user_id"
+                    ),
+                    *[
+                        c
+                        for c in ev0.columns
+                        if c not in ("event_id", "ts", "user_id")
+                    ],
+                )
+            )
+        d = d.cache()
+        d.count()
+        ra = evops.rolling_active_users(d)
+        ra.write.format("noop").mode("overwrite").save()  # warm
+        durs = []
+        for _ in range(3):
+            t = time.time()
+            ra.write.format("noop").mode("overwrite").save()
+            durs.append(time.time() - t)
+        durs.sort()
+        out[f"rolling_active_sec_{factor}x"] = round(durs[1], 3)
+        out[f"rolling_active_events_{factor}x"] = nev0 * factor
+        d.unpersist()
+    out["rolling_active_16x_slope"] = round(
+        out["rolling_active_sec_16x"] / out["rolling_active_sec_1x"] / 16.0,
+        3,
+    )
+
     print(json.dumps(out))
     return 0
 
