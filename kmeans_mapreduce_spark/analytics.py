@@ -314,6 +314,41 @@ def q_events_hist_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hist_quantiles(hist, ["event_type"], HIST_QS, HIST_LO, HIST_HI)
 
 
+def q_events_quantile_sketch_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sketch-calibration eval: the 64-bin histogram quantile estimate
+    against the EXACT sort-based quantile, per (type, quantile) — the
+    number that justifies serving the mergeable sketch at 100 TB (its
+    error is bounded by bin width; this measures it on real data).
+    Joins two O(|types|)-row aggregates — the exact side is the
+    expensive one, which is the point of the comparison.
+
+    Output: (event_type, q, exact_v, est_v, abs_err)."""
+    from kmeans_mapreduce_spark.operators import events as ev_ops
+
+    e = load_table(spark, sf_dir, "events")
+    hist = sk.hist_sketch(e, "value", ["event_type"], HIST_LO, HIST_HI)
+    est = sk.hist_quantiles(
+        hist, ["event_type"], HIST_QS, HIST_LO, HIST_HI
+    ).select("event_type", "q", F.col("quantile_est").alias("est_v"))
+    exact_long = ev_ops.exact_quantiles(e).selectExpr(
+        "event_type",
+        "stack(3, 0.5D, p50, 0.9D, p90, 0.99D, p99) AS (q, exact_v)",
+    )
+    from kmeans_mapreduce_spark.functions.text import ieee_round_pos
+
+    return exact_long.join(est, ["event_type", "q"]).select(
+        "event_type",
+        "q",
+        "exact_v",
+        "est_v",
+        ieee_round_pos(F.abs(F.col("est_v") - F.col("exact_v")), 6).alias(
+            "abs_err"
+        ),
+    )
+
+
 def q_corpus_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-proportional deterministic sampling: each doc kept with
     probability = its quality score (hash-threshold membership, no RNG,
@@ -857,6 +892,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_cms_terms": q_text_cms_terms,
         "corpus_sample_weighted": q_corpus_sample_weighted,
         "events_hist_quantiles": q_events_hist_quantiles,
+        "events_quantile_sketch_error": q_events_quantile_sketch_error,
         "pipeline_series_similarity": q_pipeline_series_similarity,
         "corpus_rule_filter": q_corpus_rule_filter,
         "events_key_skew": q_events_key_skew,
@@ -899,4 +935,32 @@ FROM s, t""",
             "value", "event_type", "events", HIST_QS, HIST_LO, HIST_HI,
             gname="event_type",
         ),
+        "events_quantile_sketch_error": _quantile_sketch_error_sql(),
     }
+
+def _quantile_sketch_error_sql() -> str:
+    """Twin of q_events_quantile_sketch_error: the hist-sketch twin and
+    the exact-quantile twin (single-source reuse from extensions) as
+    subqueries, unpivoted exact side, identical abs-err rounding."""
+    from kmeans_mapreduce_spark.extensions import (
+        _EXACT_QUANTILES_SQL,
+        _ieee_round_pos_sql,
+    )
+
+    est = "WITH " + sk.hist_sql(
+        "value", "event_type", "events", HIST_QS, HIST_LO, HIST_HI,
+        gname="event_type",
+    )
+    err = _ieee_round_pos_sql("abs(est.quantile_est - x.exact_v)")
+    return f"""
+SELECT x.event_type, x.q, x.exact_v, est.quantile_est AS est_v,
+       {err} AS abs_err
+FROM (
+  SELECT event_type, 0.5::DOUBLE AS q, p50 AS exact_v FROM ({_EXACT_QUANTILES_SQL}) e1
+  UNION ALL
+  SELECT event_type, 0.9::DOUBLE, p90 FROM ({_EXACT_QUANTILES_SQL}) e2
+  UNION ALL
+  SELECT event_type, 0.99::DOUBLE, p99 FROM ({_EXACT_QUANTILES_SQL}) e3
+) x
+JOIN ({est}) est ON est.event_type = x.event_type AND est.q = x.q
+"""
