@@ -1509,6 +1509,67 @@ def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_C = 60  # the standard reciprocal-rank-fusion constant
+HYBRID_QUERY_ID = 0  # doc_id == vec_id by testdata construction
+HYBRID_TOPN = 10
+
+
+def q_similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval with reciprocal-rank fusion — the production
+    vector+keyword search every serving stack ships (Elasticsearch /
+    Vespa / Weaviate all fuse exactly this way): the lexical BM25
+    top-k and the vector cosine top-k for the same query are merged by
+    rrf(d) = Σ_lists 1/(C + rank_d), C = 60 — rank fusion needs no
+    score normalization across incommensurable scorers, which is the
+    whole point.
+
+    The testdata embeds documents 1:1 (vec_id == doc_id), so the
+    vector list for query doc 0 and the BM25 list for the fixed term
+    bag fuse on doc_id. Exactness: ranks are exact integers from both
+    engines' pinned orderings; 1/(C+r) and the two-term sum are the
+    identical IEEE expression on both sides (vector contribution
+    first, lexical second). Docs present in only one list contribute
+    only that list's term — standard RRF.
+
+    Scale shape: both inputs are top-k aggregates (k rows each); the
+    fusion is a full-outer join + sort of ≤ 2k rows — free. The
+    corpus-side costs are each retriever's own documented shape (BM25
+    zero-corpus-shuffle scan; brute cosine here, IVF in production).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = sim.cosine_topk(emb, [HYBRID_QUERY_ID], TOPK_K).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("rank_vec"),
+    )
+    lex = tx.bm25_topk(docs, BM25_QUERY_TERMS).select(
+        "doc_id", F.col("rank").alias("rank_lex")
+    )
+    c = F.lit(float(RRF_C))
+    rrf = F.coalesce(
+        F.lit(1.0) / (c + F.col("rank_vec").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (c + F.col("rank_lex").cast("double")), F.lit(0.0)
+    )
+    fused = v.join(lex, "doc_id", "full_outer").select(
+        "doc_id", "rank_vec", "rank_lex", rrf.alias("rrf")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= HYBRID_TOPN)
+        .select(
+            "doc_id",
+            "fused_rank",
+            "rank_vec",
+            "rank_lex",
+            ieee_round_pos(F.col("rrf"), 6).alias("rrf_score"),
+        )
+    )
+
+
 def q_similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining (similarity.hard_negatives):
     top-5 nearest different-label vectors per probe."""
@@ -3444,6 +3505,59 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _bm25_sql() -> str:
+    """Twin of textops.bm25_topk (inverted-index formulation — an
+    independent derivation of the same numbers, see q_text_bm25)."""
+    return f"""
+WITH d AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents
+),
+dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
+stats AS (
+  SELECT COUNT(*)::DOUBLE AS n,
+         SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl
+  FROM dl
+),
+tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
+hits AS (
+  SELECT doc_id, term FROM tok
+  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
+),
+tf AS (
+  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM hits GROUP BY doc_id, term
+),
+dfq AS (
+  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM hits GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         CAST(floor(
+           ((ln(CAST(1.0 AS DOUBLE)
+                + ((stats.n - dfq.df) + CAST(0.5 AS DOUBLE))
+                  / (dfq.df + CAST(0.5 AS DOUBLE)))
+             * (tf.tf * CAST({tx.BM25_K1 + 1.0!r} AS DOUBLE)))
+            / (tf.tf + CAST({tx.BM25_K1!r} AS DOUBLE)
+                       * (CAST({1.0 - tx.BM25_B!r} AS DOUBLE)
+                          + CAST({tx.BM25_B!r} AS DOUBLE)
+                            * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
+           * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)
+         ) AS BIGINT) AS c_micro
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+),
+s AS (
+  SELECT doc_id, SUM(c_micro)::BIGINT AS score_micro FROM scored
+  GROUP BY doc_id HAVING SUM(c_micro) > 0
+),
+ranked AS (
+  SELECT doc_id, score_micro,
+         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+  FROM s
+)
+SELECT doc_id, rank::INTEGER AS rank,
+       ROUND(CAST(score_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS score
+FROM ranked WHERE rank <= {tx.BM25_TOPK}"""
+
+
 def _topk_sql(k: int, bucketed: bool) -> str:
     ids = ", ".join(str(i) for i in TOPK_QUERY_IDS)
     planes = sim.plane_signs()
@@ -4205,6 +4319,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_ivf_incremental": q_similarity_ann_ivf_incremental,
         "similarity_graph_triangles": q_similarity_graph_triangles,
+        "similarity_hybrid_rrf": q_similarity_hybrid_rrf,
         "similarity_ann_ivf_trained": q_similarity_ann_ivf_trained,
         "similarity_ann_filtered": q_similarity_ann_filtered,
         "similarity_ann_recall": q_similarity_ann_recall,
@@ -5173,57 +5288,34 @@ p2 AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) 
 c AS (SELECT pair, COUNT(*)::BIGINT AS n FROM p2 GROUP BY pair)
 SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT {tx.BPE_MERGE_TOPK}""",
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
+        # hybrid fusion: the two retriever twins as subqueries, ranks
+        # fused with the identical 1/(C+r) + 1/(C+r) IEEE expression
+        # (vector term first, lexical second, missing list -> 0)
+        "similarity_hybrid_rrf": f"""
+WITH v AS (
+  SELECT neighbor_id AS doc_id, rank AS rank_vec
+  FROM ({_topk_sql(TOPK_K, bucketed=False)}) tv
+  WHERE query_id = {HYBRID_QUERY_ID}),
+lex AS (SELECT doc_id, rank AS rank_lex FROM ({_bm25_sql()}) tl),
+fused AS (
+  SELECT COALESCE(v.doc_id, lex.doc_id) AS doc_id, rank_vec, rank_lex,
+         COALESCE(CAST(1.0 AS DOUBLE)
+                  / (CAST({float(RRF_C)!r} AS DOUBLE) + CAST(rank_vec AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE))
+         + COALESCE(CAST(1.0 AS DOUBLE)
+                  / (CAST({float(RRF_C)!r} AS DOUBLE) + CAST(rank_lex AS DOUBLE)),
+                  CAST(0.0 AS DOUBLE)) AS rrf
+  FROM v FULL OUTER JOIN lex ON v.doc_id = lex.doc_id),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS fused_rank
+  FROM fused)
+SELECT doc_id, fused_rank::INTEGER AS fused_rank, rank_vec, rank_lex,
+       {_ieee_round_pos_sql("rrf")} AS rrf_score
+FROM r WHERE fused_rank <= {HYBRID_TOPN}""",
         # BM25: per-term double math with identical association, then an
         # integer micro-unit cross-term sum (order-independent) — the
         # same fixed-point discipline as pagerank_loop2
-        "text_bm25": f"""
-WITH d AS (
-  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS toks FROM documents
-),
-dl AS (SELECT doc_id, len(toks)::BIGINT AS dl FROM d),
-stats AS (
-  SELECT COUNT(*)::DOUBLE AS n,
-         SUM(dl)::DOUBLE / COUNT(*)::DOUBLE AS avgdl
-  FROM dl
-),
-tok AS (SELECT doc_id, unnest(toks) AS term FROM d),
-hits AS (
-  SELECT doc_id, term FROM tok
-  WHERE term IN ({", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)})
-),
-tf AS (
-  SELECT doc_id, term, COUNT(*)::DOUBLE AS tf FROM hits GROUP BY doc_id, term
-),
-dfq AS (
-  SELECT term, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM hits GROUP BY term
-),
-scored AS (
-  SELECT tf.doc_id,
-         CAST(floor(
-           ((ln(CAST(1.0 AS DOUBLE)
-                + ((stats.n - dfq.df) + CAST(0.5 AS DOUBLE))
-                  / (dfq.df + CAST(0.5 AS DOUBLE)))
-             * (tf.tf * CAST({tx.BM25_K1 + 1.0!r} AS DOUBLE)))
-            / (tf.tf + CAST({tx.BM25_K1!r} AS DOUBLE)
-                       * (CAST({1.0 - tx.BM25_B!r} AS DOUBLE)
-                          + CAST({tx.BM25_B!r} AS DOUBLE)
-                            * (CAST(dl.dl AS DOUBLE) / stats.avgdl))))
-           * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)
-         ) AS BIGINT) AS c_micro
-  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-),
-s AS (
-  SELECT doc_id, SUM(c_micro)::BIGINT AS score_micro FROM scored
-  GROUP BY doc_id HAVING SUM(c_micro) > 0
-),
-ranked AS (
-  SELECT doc_id, score_micro,
-         row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
-  FROM s
-)
-SELECT doc_id, rank::INTEGER AS rank,
-       ROUND(CAST(score_micro AS DOUBLE) / CAST(1000000.0 AS DOUBLE), 6) AS score
-FROM ranked WHERE rank <= {tx.BM25_TOPK}""",
+        "text_bm25": _bm25_sql(),
         # explicit [ \t\n\f\r] class: Python's \s and RE2's \s disagree
         # on \x0b, so the whitespace set is spelled out on both sides
         "text_normalize": r"""

@@ -2052,3 +2052,32 @@ def test_value_trend_slope_exact(spark):
         "B": (2, None),
         "C": (2, -0.05),
     }
+
+
+def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
+    """RRF invariants on the real fixture: every fused row carries at
+    least one source rank; a doc in BOTH lists outranks the same-rank
+    single-list docs; scores strictly follow (rrf DESC, doc_id)."""
+    from kmeans_mapreduce_spark.extensions import q_similarity_hybrid_rrf
+
+    rows = q_similarity_hybrid_rrf(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        assert r["rank_vec"] is not None or r["rank_lex"] is not None
+    # fused_rank is consistent with the score ordering
+    ordered = sorted(
+        rows, key=lambda r: (-r["rrf_score"], r["doc_id"])
+    )
+    assert [r["doc_id"] for r in ordered] == [
+        r["doc_id"] for r in sorted(rows, key=lambda r: r["fused_rank"])
+    ]
+    # any doc present in both lists must beat a doc whose best (only)
+    # rank is not better than both of its ranks
+    both = [r for r in rows if r["rank_vec"] and r["rank_lex"]]
+    single = [r for r in rows if (r["rank_vec"] is None) != (r["rank_lex"] is None)]
+    for b in both:
+        worst_b = max(b["rank_vec"], b["rank_lex"])
+        for s in single:
+            s_rank = s["rank_vec"] or s["rank_lex"]
+            if s_rank >= worst_b:
+                assert b["fused_rank"] < s["fused_rank"]

@@ -366,9 +366,21 @@ def main() -> int:
             durs.append(time.time() - t)
         durs.sort()
         out[f"triangles_sec_{factor}x"] = round(durs[1], 3)
+        # attribute the slope: jittered replicas collapse each node's
+        # neighborhood onto its twins, so the TRIANGLE OUTPUT itself
+        # grows superlinearly in the factor — record it so a >1 wall
+        # slope reads as output-bound, not join blowup
+        from pyspark.sql import functions as FF
+
+        tot = tg.agg(FF.sum("n_triangles")).collect()[0][0]
+        out[f"triangles_total_{factor}x"] = int(tot or 0)
         d.unpersist()
     out["triangles_4x_slope"] = round(
         out["triangles_sec_4x"] / out["triangles_sec_1x"] / 4.0, 3
+    )
+    out["triangles_4x_output_growth"] = round(
+        out["triangles_total_4x"] / max(out["triangles_total_1x"], 1) / 4.0,
+        3,
     )
 
     # Round 7: rolling distinct actives (contribution expansion) at
