@@ -556,6 +556,9 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "similarity_binary_topk",
     "pipeline_vector_corpus",
     "events_gapfill",
+    "events_trend",
+    "similarity_hybrid_rrf",
+    "pipeline_events_dashboard",
 }
 
 

@@ -77,6 +77,15 @@ REPORT_QUERIES = [
     ("similarity_ann_pq_residual", "residual-encoded codes; same broadcast-probe/code-payload plan as flat PQ"),
     ("similarity_binary_topk", "1-bit sign words; popcount-XOR scoring inside a broadcast query join"),
     ("similarity_ann_pq_full_trained", "trained coarse + trained codebooks; plan shape unchanged from fixed variants"),
+    ("events_gapfill", "dense axis from a 1-row bounds explode; LOCF window over O(types×buckets) rows; rollup materialized once"),
+    ("events_m4", "one (type,bucket)-keyed exchange shared by window sort and aggregate"),
+    ("events_exact_quantiles", "one type-keyed exchange shared by rank window and aggregate"),
+    ("events_rolling_active", "sequence explode ABOVE the distinct (day,user) aggregate — bounded W× inflation, no W rescans"),
+    ("events_trend", "DECIMAL(38,0) suffstats; unordered MIN window + aggregate share one exchange"),
+    ("similarity_ann_ivf_incremental", "history+delta index union probed with the same broadcast-probe plan as a single build"),
+    ("similarity_graph_triangles", "degree-oriented wedge join over O(N·k) edges; hub skew bounded by orientation"),
+    ("similarity_hybrid_rrf", "two top-k retriever outputs full-outer joined — ≤2k fusion rows"),
+    ("pipeline_events_dashboard", "four O(|types|) aggregates broadcast-joined; zero added corpus shuffles"),
 ]
 
 
