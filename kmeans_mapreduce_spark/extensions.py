@@ -448,6 +448,48 @@ def q_events_stream_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_events_stream_m4_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_m4`` under the gate: the bounded
+    events table replayed through ``stream_m4_maintain`` (mergeable
+    min/max/struct-extrema M4 partials, state in the target table,
+    batch-id idempotence), final state read back and rendered as the
+    batch M4 columns. The oracle is the SAME full-recompute M4 twin —
+    the gate certifies maintained ≡ recomputed for the dashboard
+    state, exactly as the rollup replay does for count/sum."""
+    import tempfile
+    import uuid
+
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    work = tempfile.mkdtemp(prefix=f"m4_state_{uuid.uuid4().hex[:8]}_")
+    target = f"{work}/state"
+    q = so.stream_m4_maintain(stream, target, f"{work}/ckpt")
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_m4_replay: streaming replay did not finish "
+            "in 300 s — refusing to gate a partially-maintained state"
+        )
+    s = spark.read.parquet(target)
+    return s.select(
+        "event_type",
+        "bucket",
+        "n_events",
+        (F.col("min_cents") / F.lit(100.0)).alias("v_min"),
+        (F.col("max_cents") / F.lit(100.0)).alias("v_max"),
+        (F.col("first_key.cents") / F.lit(100.0)).alias("v_first"),
+        (F.col("last_key.cents") / F.lit(100.0)).alias("v_last"),
+    )
+
+
 def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming artifact under the batch correctness gate:
     replay the bounded events table through the streaming tumbling-
@@ -4256,6 +4298,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_m4": q_events_m4,
         "events_stream_replay": q_events_stream_replay,
         "events_stream_rollup_replay": q_events_stream_rollup_replay,
+        "events_stream_m4_replay": q_events_stream_m4_replay,
         "corpus_stream_dedup_replay": q_corpus_stream_dedup_replay,
         "corpus_stream_span_replay": q_corpus_stream_span_replay,
         "events_stream_session_replay": q_events_stream_session_replay,
@@ -4621,6 +4664,9 @@ GROUP BY ROLLUP(event_type, hour)""",
         # twin gates the streaming maintainer (same mergeable state)
         "events_rollup_incremental": _ROLLUP_RECOMPUTE_SQL,
         "events_stream_rollup_replay": _ROLLUP_RECOMPUTE_SQL,
+        # the SAME full-recompute M4 twin gates the streaming
+        # maintainer: maintained ≡ recomputed, the rollup contract
+        "events_stream_m4_replay": _M4_SQL,
         # dense hourly axis from a 1-row bounds aggregate; LOCF =
         # last_value IGNORE NULLS over the exact cents sum
         "events_gapfill": _GAPFILL_SQL,

@@ -986,3 +986,78 @@ def stream_rollup_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_m4_maintain(
+    stream: DataFrame, target_path: str, checkpoint_dir: str
+):
+    """Streaming side of
+    :func:`~kmeans_mapreduce_spark.operators.events.m4_downsample` —
+    the live dashboard maintainer: each micro-batch's per-(event_type,
+    hour-bucket) M4 partials fold into a parquet state table via
+    ``foreachBatch``. All four M4 components are MERGEABLE, which is
+    why M4 (unlike, say, an exact median) can be maintained
+    incrementally at all: count and min/max cents merge trivially;
+    first/last merge as struct MIN/MAX over (ts_sec, event_id, cents)
+    — the unique (ts_sec, event_id) prefix decides every comparison,
+    so the merged state is bit-identical to a from-scratch batch M4
+    whenever the stream drains.
+
+    Same state-in-the-target / batch-id-idempotence / staged-swap
+    contract as :func:`stream_rollup_maintain` (min/max/struct-extrema
+    ARE naturally idempotent, but count is not — the batch-id guard
+    covers the union).
+    """
+    from kmeans_mapreduce_spark.sources.loaders import (
+        _recover_generation,
+        _swap_generations,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        if not batch_df.take(1):
+            return
+        spark = batch_df.sparkSession
+        _recover_generation(target_path)
+        cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+        ts_sec = floor_div("ts", 1_000_000_000)
+        base = batch_df.select(
+            "event_type",
+            F.expr(floor_div(ts_sec, 3600)).alias("bucket"),
+            F.expr(ts_sec).alias("ts_sec"),
+            "event_id",
+            cents.alias("cents"),
+        )
+        key = F.struct("ts_sec", "event_id", "cents")
+        part = base.groupBy("event_type", "bucket").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+            F.min(key).alias("first_key"),
+            F.max(key).alias("last_key"),
+        ).withColumn("batch_id", F.lit(int(batch_id)))
+        if os.path.isdir(target_path):
+            state = spark.read.parquet(target_path)
+            committed = state.agg(F.max("batch_id")).collect()[0][0]
+            if committed is not None and int(batch_id) <= int(committed):
+                return  # replayed batch — already folded in
+            part = state.unionByName(part)
+        merged = part.groupBy("event_type", "bucket").agg(
+            F.sum("n_events").alias("n_events"),
+            F.min("min_cents").alias("min_cents"),
+            F.max("max_cents").alias("max_cents"),
+            F.min("first_key").alias("first_key"),
+            F.max("last_key").alias("last_key"),
+            F.max("batch_id").alias("batch_id"),
+        )
+        merged.write.mode("overwrite").parquet(f"{target_path}._staged")
+        _swap_generations(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -995,3 +995,73 @@ def test_stream_rollup_maintain_additive_and_replay_safe(spark, tmp_path_factory
     # batch is ≤ the committed max and must be skipped
     got2 = run(str(base / "ck2"))
     assert got2 == got
+
+
+def test_stream_m4_maintain_merges_extrema_across_batches(
+    spark, tmp_path_factory
+):
+    """M4 state merges across micro-batches: min/max fold, first keeps
+    batch 1's earliest event, last moves to batch 2's latest; a
+    fresh-checkpoint replay of the same files leaves state unchanged
+    (batch-id guard)."""
+    import os
+
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    base = tmp_path_factory.mktemp("m4_stream")
+    src = str(base / "src")
+    os.makedirs(src)
+    S = 1_000_000_000
+    pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [100 * S, 200 * S],          # hour 0
+            "user_id": [1, 2],
+            "event_type": ["click", "click"],
+            "value": [5.00, 1.00],
+            "props": ["", ""],
+        }
+    ).to_parquet(f"{src}/00.parquet")
+    pd.DataFrame(
+        {
+            "event_id": [2, 3],
+            "ts": [50 * S, 300 * S],           # hour 0: earlier + latest
+            "user_id": [3, 4],
+            "event_type": ["click", "click"],
+            "value": [9.00, 3.00],
+            "props": ["", ""],
+        }
+    ).to_parquet(f"{src}/01.parquet")
+
+    target = str(base / "state")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema(
+                "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+                "value DOUBLE, props STRING"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = so.stream_m4_maintain(stream, target, ckpt)
+        q.awaitTermination(120)
+        return {
+            (r["event_type"], r["bucket"]): (
+                r["n_events"],
+                r["min_cents"],
+                r["max_cents"],
+                r["first_key"]["cents"],
+                r["last_key"]["cents"],
+            )
+            for r in spark.read.parquet(target).collect()
+        }
+
+    got = run(str(base / "ckpt1"))
+    # file order is lexicographic: batch 0 = 00.parquet, batch 1 = 01
+    assert got == {("click", 0): (4, 100, 900, 900, 300)}
+    # fresh checkpoint replays both batches with the same ids → skipped
+    again = run(str(base / "ckpt2"))
+    assert again == got
