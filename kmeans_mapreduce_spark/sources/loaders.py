@@ -91,6 +91,57 @@ def read_points_csv(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_points_csv_quarantine(spark: SparkSession, path: str):
+    """PERMISSIVE twin of :func:`read_points_csv` for dirty inputs —
+    the reference crashes on its first malformed ``x,y`` line
+    (``float()`` ValueError, ``master.py:286-288``); production can't.
+    Returns (good, quarantined): good rows parsed with the point
+    schema, malformed lines captured verbatim in ``raw`` from ONE scan
+    (same corrupt-column recipe as the JSONL quarantine — PERMISSIVE
+    requires the corrupt column present in the read schema AND a
+    cache()/materialization barrier before filtering on it, or Spark
+    silently re-parses and drops the evidence).
+
+    A NULL in either coordinate also quarantines: the CSV reader maps
+    an unparseable field to NULL without marking the record corrupt
+    when the OTHER field parses."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        list(POINTS_2D_CSV.fields)
+        + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+        .cache()
+    )
+    raw.count()  # materialization barrier (see docstring)
+    bad = raw.filter(
+        F.col("_corrupt_record").isNotNull()
+        | F.col("x").isNull()
+        | F.col("y").isNull()
+    ).select(
+        F.coalesce(
+            F.col("_corrupt_record"),
+            F.concat_ws(",", F.col("x"), F.col("y")),
+        ).alias("raw")
+    )
+    good = (
+        raw.filter(
+            F.col("_corrupt_record").isNull()
+            & F.col("x").isNotNull()
+            & F.col("y").isNotNull()
+        )
+        .select(
+            F.monotonically_increasing_id().alias("point_id"), "x", "y"
+        )
+    )
+    return good, bad
+
+
 DOCUMENTS_DDL = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
 
 

@@ -720,3 +720,24 @@ def test_merge_scd2_history_suppression_and_backfill(spark, tmp_path):
         (1, 30, None, True, "tokyo"),
         (2, 10, None, True, "sf"),
     ]
+
+
+def test_read_points_csv_quarantine_splits_good_and_bad(spark, tmp_path):
+    """Malformed x,y lines land verbatim in the quarantine; partially
+    parseable lines (one NULL coordinate) quarantine too; good rows
+    parse with the point schema — one scan, nothing dropped."""
+    from kmeans_mapreduce_spark.sources.loaders import (
+        read_points_csv_quarantine,
+    )
+
+    p = tmp_path / "pts.csv"
+    p.write_text("1.5,2.5\nnot,a,point\n3.0,oops\n4.0,5.0\n")
+    good, bad = read_points_csv_quarantine(spark, str(p))
+    assert sorted((r["x"], r["y"]) for r in good.collect()) == [
+        (1.5, 2.5),
+        (4.0, 5.0),
+    ]
+    bad_rows = sorted(r["raw"] for r in bad.collect())
+    assert len(bad_rows) == 2
+    assert "not,a,point" in bad_rows
+    assert any("oops" in b or "3.0" in b for b in bad_rows)
