@@ -1806,6 +1806,16 @@ def q_similarity_ann_ivf_incremental(
     )
 
 
+def q_similarity_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell drift between the history/delta halves of the vector
+    corpus (similarity.index_drift) — the measured rebuild trigger for
+    the append-only IVF maintenance: population per half + micro-unit
+    mean displacement per coarse cell."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    return sim.index_drift(emb, centers)
+
+
 def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN quality evaluation — recall@k of the IVF index against the
     exact brute-force top-k, per query (the metric an ANN deployment
@@ -4361,6 +4371,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_similarity_ann_lsh,
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_ivf_incremental": q_similarity_ann_ivf_incremental,
+        "similarity_index_drift": q_similarity_index_drift,
         "similarity_graph_triangles": q_similarity_graph_triangles,
         "similarity_hybrid_rrf": q_similarity_hybrid_rrf,
         "similarity_ann_ivf_trained": q_similarity_ann_ivf_trained,
@@ -5468,6 +5479,33 @@ GROUP BY i.query_id""",
         # full IVF replay — the gate thereby checks the append-only
         # maintenance invariant (history-index ⊎ delta ≡ rebuild)
         "similarity_ann_ivf_incremental": _ivf_ann_sql(),
+        # drift twin: same assignment CTE, per-dim micro-unit means
+        # via a range lateral, exact int64 sum of squared diffs
+        "similarity_index_drift": f"""
+WITH {_nd_assign_cte(normalize=False)},
+x AS (
+  SELECT a.cid AS cell, (a.vec_id % 5 = 0) AS is_new,
+         t.d::INTEGER AS dim, a.v0[t.d] AS val
+  FROM a, range(1, {EMB_DIM + 1}) t(d)),
+m AS (
+  SELECT cell, is_new, dim,
+         CAST(floor((SUM(val) / COUNT(*)) * CAST(1000000.0 AS DOUBLE)
+                    + CAST(0.5 AS DOUBLE)) AS BIGINT) AS mm
+  FROM x GROUP BY 1, 2, 3),
+counts AS (
+  SELECT cid AS cell,
+         SUM(CASE WHEN vec_id % 5 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_hist,
+         SUM(CASE WHEN vec_id % 5 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_new
+  FROM a GROUP BY 1),
+ssq AS (
+  SELECT h.cell, SUM((h.mm - w.mm) * (h.mm - w.mm))::BIGINT AS ss
+  FROM (SELECT cell, dim, mm FROM m WHERE NOT is_new) h
+  JOIN (SELECT cell, dim, mm FROM m WHERE is_new) w
+    ON h.cell = w.cell AND h.dim = w.dim
+  GROUP BY 1)
+SELECT c.cell, c.n_hist, c.n_new,
+       {_ieee_round_pos_sql("sqrt(CAST(ss AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)")} AS drift
+FROM counts c LEFT JOIN ssq ON ssq.cell = c.cell""",
         # same compact-forward degree orientation in SQL: tuple
         # comparison picks the lower-(deg, id) endpoint, wedges build
         # at it, the canonical edge closes the triangle

@@ -2014,3 +2014,82 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+def index_drift(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    delta_mod: int = 5,
+    digits: int = 6,
+) -> DataFrame:
+    """Per-cell DRIFT between the historical and new halves of a
+    vector corpus — the measured REBUILD TRIGGER for the append-only
+    IVF maintenance (:func:`ivf_incremental_topk` stays exact only
+    while the coarse cells still describe the data; this is the number
+    that says when they stop): for each coarse cell, the population of
+    each half and the Euclidean displacement between the two halves'
+    mean vectors.
+
+    Exactness: per-(cell, half, dim) means convert to signed MICRO-UNIT
+    integers (the floor(x·1e6 + ½) pin), so the displacement's
+    sum-of-squared-diffs runs in exact int64 (|diff| ≤ 2e6 micro →
+    Σ over 64 dims ≤ 2.6e14 ≪ 2^63); sqrt + the pinned round are the
+    only trailing float ops. The float mean itself carries the usual
+    summation-order noise the micro rounding absorbs (boundary-scanned,
+    like every rounded aggregate).
+
+    Scale shape: assignment is the shared literal-argmin (no join, no
+    shuffle); the per-dim explode shuffles (cell, half, dim)-keyed rows
+    — d× the corpus rows but map-side combined into O(K·2·d) groups
+    (production would fuse this into the PCA-style Arrow suffstats
+    pass; the explode form is the SQL-parallel gate shape). Cells
+    missing either half emit drift = NULL.
+
+    Output: (cell, n_hist, n_new, drift).
+    """
+    from kmeans_mapreduce_spark.operators.dedup import assign_cells
+
+    assigned = assign_cells(emb, centers, out="cell")
+    half = (F.col("vec_id") % F.lit(int(delta_mod)) == 0).alias("is_new")
+    counts = assigned.select("vec_id", "cell", half).groupBy("cell").agg(
+        F.sum(F.when(~F.col("is_new"), 1).otherwise(0)).alias("n_hist"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("n_new"),
+    )
+    x = assigned.select(
+        "cell",
+        half,
+        F.posexplode(F.col("embedding")).alias("pos", "val"),
+    ).select(
+        "cell",
+        "is_new",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("val").cast("double").alias("val"),
+    )
+    m = x.groupBy("cell", "is_new", "dim").agg(
+        F.expr(
+            "cast(floor((sum(val) / count(1)) * 1000000.0 + 0.5) as bigint)"
+        ).alias("mm")
+    )
+    h = m.filter(~F.col("is_new")).select(
+        "cell", "dim", F.col("mm").alias("mh")
+    )
+    w = m.filter(F.col("is_new")).select(
+        "cell", "dim", F.col("mm").alias("mw")
+    )
+    ss = (
+        h.join(w, ["cell", "dim"])
+        .groupBy("cell")
+        .agg(
+            F.sum(
+                (F.col("mh") - F.col("mw")) * (F.col("mh") - F.col("mw"))
+            ).alias("ss")
+        )
+    )
+    from kmeans_mapreduce_spark.functions.text import ieee_round_pos
+
+    drift = ieee_round_pos(
+        F.sqrt(F.col("ss").cast("double")) / F.lit(1_000_000.0), digits
+    )
+    return counts.join(ss, "cell", "left").select(
+        "cell", "n_hist", "n_new", drift.alias("drift")
+    )

@@ -2081,3 +2081,39 @@ def test_hybrid_rrf_fusion_semantics(spark, sf_dir):
             s_rank = s["rank_vec"] or s["rank_lex"]
             if s_rank >= worst_b:
                 assert b["fused_rank"] < s["fused_rank"]
+
+
+def test_index_drift_planted_displacement(spark):
+    """Two planted cells: cell 0's halves share the same mean (drift
+    0); cell 1's new half is shifted by +0.3 in dim 1 only (drift
+    0.3); a cell with one half missing emits NULL."""
+    from kmeans_mapreduce_spark.operators import similarity as sim
+
+    def vec(a, b):
+        return [float(a), float(b)] + [0.0] * 0  # 2-dim for clarity
+
+    rows = [
+        # cell 0 (near center [0,0]): hist {(-0.1,0),(0.1,0)} mean (0,0)
+        #                              new  {(-0.2,0),(0.2,0)} mean (0,0)
+        (1, vec(-0.1, 0.0)), (2, vec(0.1, 0.0)),
+        (5, vec(-0.2, 0.0)), (10, vec(0.2, 0.0)),
+        # cell 1 (near center [10,0]): hist mean (10,0); new (10.3,0)
+        (3, vec(9.9, 0.0)), (4, vec(10.1, 0.0)),
+        (15, vec(10.3, 0.0)),
+        # cell 2 (near [20,0]): hist only → NULL drift
+        (7, vec(20.0, 0.0)),
+    ]
+    emb = spark.createDataFrame(
+        [(i, v, 0) for i, v in rows],
+        "vec_id LONG, embedding ARRAY<DOUBLE>, label INT",
+    )
+    centers = [(0, [0.0, 0.0]), (1, [10.0, 0.0]), (2, [20.0, 0.0])]
+    got = {
+        r["cell"]: (r["n_hist"], r["n_new"], r["drift"])
+        for r in sim.index_drift(emb, centers).collect()
+    }
+    assert got == {
+        0: (2, 2, 0.0),
+        1: (2, 1, 0.3),
+        2: (1, 0, None),
+    }
