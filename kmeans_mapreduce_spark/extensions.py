@@ -663,6 +663,19 @@ def q_join_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue of line items below one fifth of their
+    part's average quantity — the correlated scalar subquery
+    decorrelated into a same-key aggregate+join; the threshold test is
+    exact int64 (5·qty·n < Σqty), so no float-average ulp flips rows."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: quality-filter → exact-dedup keepers → per-language
     stats. The operators compose as DataFrames — one chained plan, not
@@ -4300,6 +4313,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_shipping_priority": q_join_shipping_priority,
         "join_priority_check": q_join_priority_check,
         "join_promo_share": q_join_promo_share,
+        "join_small_quantity": q_join_small_quantity,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_rollup": q_events_rollup,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -4906,6 +4920,20 @@ WITH agg AS (
 SELECT promo_revenue, total_revenue, n_items,
        {_ieee_round_pos_sql('CAST(100.0 AS DOUBLE) * promo_revenue / total_revenue')} AS promo_share
 FROM agg""",
+        # Q17 shape: decorrelated per-part aggregate; exact-integer
+        # below-one-fifth predicate (5*qty*n < sum)
+        "join_small_quantity": """
+WITH s AS (
+  SELECT l_partkey, COUNT(*)::BIGINT AS n_q,
+         SUM(CAST(l_quantity AS BIGINT))::BIGINT AS s_q
+  FROM lineitem GROUP BY 1)
+SELECT p.p_brand, COUNT(*)::BIGINT AS n_small,
+       ROUND(SUM(l.l_extendedprice), 2) AS revenue
+FROM lineitem l
+JOIN s ON s.l_partkey = l.l_partkey
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.n_q < s.s_q
+GROUP BY 1""",
         "join_suppliers_per_region": """
 SELECT r.r_name, COUNT(*) AS n_suppliers
 FROM supplier s

@@ -357,3 +357,43 @@ def promo_revenue_share(
             F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")
         ),
     )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, digits: int = 2
+) -> DataFrame:
+    """TPC-H Q17 shape — the correlated-scalar-subquery pattern
+    ("line items ordered below one fifth of their part's average
+    quantity"), DECORRELATED: the per-part average becomes one
+    map-side-combined per-part aggregate joined back to the fact on
+    the SAME l_partkey key (the aggregate's shuffle partitioning is
+    reused by the join — never a per-row rescan of lineitem, which is
+    what a naive correlated execution does N times).
+
+    Exactness: quantities are integral, so the below-one-fifth test is
+    evaluated as 5·qty·n < Σqty in exact int64 — a float average's
+    last-ulp wobble can never flip a row across engines. The brand
+    dimension broadcasts.
+
+    Output: (p_brand, n_small, revenue).
+    """
+    q = F.col("l_quantity").cast("bigint")
+    stats = lineitem.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_q"),
+        F.sum(q).alias("s_q"),
+    )
+    fact = lineitem.select("l_partkey", q.alias("qty"), "l_extendedprice")
+    small = fact.join(stats, "l_partkey").filter(
+        F.lit(5) * F.col("qty") * F.col("n_q") < F.col("s_q")
+    )
+    dim = part.select("p_partkey", "p_brand")
+    return (
+        small.join(
+            F.broadcast(dim), small["l_partkey"] == dim["p_partkey"]
+        )
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(F.sum("l_extendedprice"), digits).alias("revenue"),
+        )
+    )
