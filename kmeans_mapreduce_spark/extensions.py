@@ -676,6 +676,19 @@ def q_join_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: high-balance customers with no urgent order,
+    per nation — broadcast scalar threshold (exact int64
+    cents·n > Σcents) + anti-join on the urgent-filtered orders fact
+    (the unfiltered form is vacuous on this synthetic data)."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.idle_customer_balance(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composition: quality-filter → exact-dedup keepers → per-language
     stats. The operators compose as DataFrames — one chained plan, not
@@ -4314,6 +4327,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_priority_check": q_join_priority_check,
         "join_promo_share": q_join_promo_share,
         "join_small_quantity": q_join_small_quantity,
+        "join_idle_customers": q_join_idle_customers,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_rollup": q_events_rollup,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -4933,6 +4947,23 @@ FROM lineitem l
 JOIN s ON s.l_partkey = l.l_partkey
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.n_q < s.s_q
+GROUP BY 1""",
+        # Q22 shape: exact-integer above-average membership + anti-join
+        "join_idle_customers": """
+WITH c AS (
+  SELECT c_custkey, c_nationkey,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+  FROM customer),
+pos AS (
+  SELECT COUNT(*)::BIGINT AS n_pos, SUM(bal_cents)::BIGINT AS s_pos
+  FROM c WHERE bal_cents > 0)
+SELECT c.c_nationkey, COUNT(*)::BIGINT AS n_custs,
+       (SUM(c.bal_cents)::BIGINT / 100.0) AS total_bal
+FROM c, pos
+WHERE c.bal_cents * pos.n_pos > pos.s_pos
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 GROUP BY 1""",
         "join_suppliers_per_region": """
 SELECT r.r_name, COUNT(*) AS n_suppliers

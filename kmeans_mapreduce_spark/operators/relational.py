@@ -397,3 +397,46 @@ def small_quantity_revenue(
             F.round(F.sum("l_extendedprice"), digits).alias("revenue"),
         )
     )
+
+
+def idle_customer_balance(
+    customer: DataFrame, orders: DataFrame, digits: int = 2
+) -> DataFrame:
+    """TPC-H Q22 shape — "high-balance customers with no URGENT
+    order", per nation: an anti-join against the (filtered) orders
+    fact plus a global scalar-aggregate threshold (balance above the
+    average POSITIVE balance). The urgent-only fact side keeps the
+    predicate selective on this synthetic data (every customer has
+    SOME order, so the textbook never-ordered form is vacuous —
+    0/0/1 rows across the three SFs, a gate that can't fail).
+
+    Exactness: balances are cents-precision, so the above-average test
+    runs as cents·n > Σcents in exact int64 (the Q17 trick — a float
+    average's last ulp can never flip a membership decision across
+    engines). Scale shape: the threshold is a 1-row broadcast; the
+    anti-join shuffles on custkey (or broadcasts the distinct custkey
+    set when small — AQE's call); output is O(|nations|).
+
+    Output: (c_nationkey, n_custs, total_bal).
+    """
+    cents = F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")
+    c = customer.select(
+        "c_custkey", "c_nationkey", cents.alias("bal_cents")
+    )
+    pos = c.filter(F.col("bal_cents") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum("bal_cents").alias("s_pos"),
+    )
+    rich = c.crossJoin(F.broadcast(pos)).filter(
+        F.col("bal_cents") * F.col("n_pos") > F.col("s_pos")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    idle = rich.join(
+        urgent.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey",
+        "left_anti",
+    )
+    return idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        (F.sum("bal_cents") / F.lit(100.0)).alias("total_bal"),
+    )
