@@ -939,6 +939,25 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup report: the duplicate-cluster SIZE DISTRIBUTION (how many
+    clusters of 2, of 3, ... — the number a dedup run is judged by:
+    mass in big clusters = template spam, mass in pairs = true
+    near-dups). Composes connected components with two tiny
+    aggregates; singletons (docs in no pair) are excluded by
+    construction, so sizes start at 2."""
+    pairs = dd.minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"), JACCARD_LSH_THRESHOLD
+    ).select("doc_a", "doc_b")
+    cc = dd.connected_components(pairs)
+    return (
+        cc.groupBy("cluster_rep")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+    )
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retained corpus after near-dup dedup: one row per cluster,
     keeping the highest-quality member (dedup.keep_best_per_cluster
@@ -1840,6 +1859,38 @@ def q_similarity_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centers, _pts = _nd_centers_and_points(emb)
     return sim.index_drift(emb, centers)
+
+
+def q_similarity_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report: per-cell population plus the balance
+    ratio (cell size / ideal N/K, floor-pinned) — probe latency at
+    nprobe=const is bounded by the LARGEST probed cell, so a skewed
+    quantizer silently costs what the recall dial appears to buy;
+    this is the one-row-per-cell number an index build ships with.
+    One literal-argmin assignment (no join, no shuffle) + a K-group
+    aggregate + a 1-row broadcast total."""
+    from kmeans_mapreduce_spark.operators.dedup import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    counts = (
+        assign_cells(emb, centers, out="cell")
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+    total = counts.agg(
+        F.sum("n_vecs").alias("n_total"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+    bal = ieee_round_pos(
+        F.col("n_vecs")
+        * F.col("n_cells")
+        / F.col("n_total").cast("double"),
+        6,
+    )
+    return counts.crossJoin(F.broadcast(total)).select(
+        "cell", "n_vecs", bal.alias("balance")
+    )
 
 
 def q_similarity_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4344,6 +4395,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
         "dedup_clusters": q_dedup_clusters,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "dedup_keep_best": q_dedup_keep_best,
         "corpus_split": q_corpus_split,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
@@ -4400,6 +4452,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf": q_similarity_ann_ivf,
         "similarity_ann_ivf_incremental": q_similarity_ann_ivf_incremental,
         "similarity_index_drift": q_similarity_index_drift,
+        "similarity_cell_balance": q_similarity_cell_balance,
         "similarity_graph_triangles": q_similarity_graph_triangles,
         "similarity_hybrid_rrf": q_similarity_hybrid_rrf,
         "similarity_ann_ivf_trained": q_similarity_ann_ivf_trained,
@@ -4981,6 +5034,13 @@ SELECT doc_id, j::INTEGER AS h_idx, minhash FROM s""",
         "dedup_clusters": f"""
 WITH RECURSIVE {_cc_cte(_minhash_pairs_sql())}
 SELECT doc_id, cluster_rep FROM cc""",
+        # same components CTE folded to the size histogram
+        "dedup_cluster_sizes": f"""
+WITH RECURSIVE {_cc_cte(_minhash_pairs_sql())},
+sz AS (SELECT cluster_rep, COUNT(*)::BIGINT AS cluster_size
+       FROM cc GROUP BY 1)
+SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters
+FROM sz GROUP BY 1""",
         "dedup_keep_best": f"""
 WITH RECURSIVE {_cc_cte(_minhash_pairs_sql())},
 j AS (
@@ -5538,6 +5598,15 @@ GROUP BY i.query_id""",
         # full IVF replay — the gate thereby checks the append-only
         # maintenance invariant (history-index ⊎ delta ≡ rebuild)
         "similarity_ann_ivf_incremental": _ivf_ann_sql(),
+        # same assignment CTE folded to per-cell counts + balance
+        "similarity_cell_balance": f"""
+WITH {_nd_assign_cte(normalize=False)},
+counts AS (SELECT cid AS cell, COUNT(*)::BIGINT AS n_vecs FROM a GROUP BY 1),
+t AS (SELECT SUM(n_vecs)::BIGINT AS n_total, COUNT(*)::BIGINT AS n_cells
+      FROM counts)
+SELECT c.cell, c.n_vecs,
+       {_ieee_round_pos_sql("c.n_vecs * t.n_cells / CAST(t.n_total AS DOUBLE)")} AS balance
+FROM counts c, t""",
         # drift twin: same assignment CTE, per-dim micro-unit means
         # via a range lateral, exact int64 sum of squared diffs
         "similarity_index_drift": f"""
