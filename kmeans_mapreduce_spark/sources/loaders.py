@@ -753,3 +753,116 @@ def write_token_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def commit_version(
+    spark: SparkSession, table_path: str, df: DataFrame, mode: str = "overwrite"
+) -> int:
+    """Versioned-table COMMIT — the poor man's transaction log the
+    generation-swap sinks stop short of: every commit writes its data
+    files into a fresh immutable directory and then publishes a
+    manifest ``_log/<N>.json`` naming the snapshot's directories. The
+    manifest CREATE is the commit point and it is atomic-exclusive
+    (``os.link`` of a temp file onto the final name — fails, never
+    replaces, if version N already exists), so:
+
+    - readers see version N fully or not at all (no torn tables);
+    - a crash before publish leaves ORPHAN data files, never a bad
+      table (a vacuum can sweep dirs no manifest references);
+    - two racing writers conflict on the same N and the loser RETRIES
+      against the new latest — optimistic concurrency, the
+      Delta/Iceberg protocol shape in one file per commit.
+
+    ``mode="append"`` publishes the previous snapshot's directories
+    plus the new one — O(1) metadata, zero data rewrite, the lakehouse
+    append that the plain parquet ``overwrite`` sinks cannot give.
+    Returns the committed version number.
+    """
+    import json
+    import os
+    import uuid
+
+    log_dir = os.path.join(table_path, "_log")
+    os.makedirs(log_dir, exist_ok=True)
+    data_dir = os.path.join(
+        table_path, "data", f"{uuid.uuid4().hex[:12]}"
+    )
+    df.write.mode("error").parquet(data_dir)
+    rel = os.path.relpath(data_dir, table_path)
+    for _ in range(100):  # optimistic-concurrency retry budget
+        latest = _latest_version(table_path)
+        if mode == "append" and latest is not None:
+            prev = _read_manifest(table_path, latest)["dirs"]
+        else:
+            prev = []
+        n = 0 if latest is None else latest + 1
+        manifest = {"version": n, "mode": mode, "dirs": prev + [rel]}
+        tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:12]}")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        final = os.path.join(log_dir, f"{n}.json")
+        try:
+            os.link(tmp, final)  # atomic create-exclusive = the commit
+            os.unlink(tmp)
+            return n
+        except FileExistsError:
+            os.unlink(tmp)  # lost the race — re-derive against new latest
+    raise RuntimeError(
+        f"commit_version: gave up after 100 optimistic-concurrency "
+        f"retries on {table_path}"
+    )
+
+
+def _latest_version(table_path: str) -> int | None:
+    import os
+
+    log_dir = os.path.join(table_path, "_log")
+    if not os.path.isdir(log_dir):
+        return None
+    versions = [
+        int(f[:-5])
+        for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    ]
+    return max(versions) if versions else None
+
+
+def _read_manifest(table_path: str, version: int) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(table_path, "_log", f"{version}.json")) as f:
+        return json.load(f)
+
+
+def read_version(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """TIME TRAVEL read of a :func:`commit_version` table: load exactly
+    the directories the (latest or pinned) manifest names. Old
+    versions stay readable until explicitly vacuumed — the audit /
+    reproduce-last-week's-training-set primitive."""
+    import os
+
+    if version is None:
+        version = _latest_version(table_path)
+    if version is None:
+        raise FileNotFoundError(f"read_version: no commits at {table_path}")
+    m = _read_manifest(table_path, version)
+    dirs = [os.path.join(table_path, d) for d in m["dirs"]]
+    return spark.read.parquet(*dirs)
+
+
+def table_history(table_path: str) -> list[dict]:
+    """The commit log, oldest first: (version, mode, n_dirs) per
+    manifest — what an auditor reads before a time-travel query."""
+    latest = _latest_version(table_path)
+    if latest is None:
+        return []
+    out = []
+    for v in range(latest + 1):
+        m = _read_manifest(table_path, v)
+        out.append(
+            {"version": v, "mode": m["mode"], "n_dirs": len(m["dirs"])}
+        )
+    return out

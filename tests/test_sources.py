@@ -741,3 +741,51 @@ def test_read_points_csv_quarantine_splits_good_and_bad(spark, tmp_path):
     assert len(bad_rows) == 2
     assert "not,a,point" in bad_rows
     assert any("oops" in b or "3.0" in b for b in bad_rows)
+
+
+def test_versioned_table_commit_time_travel_and_append(spark, tmp_path):
+    """commit_version/read_version: overwrite replaces the snapshot,
+    append extends it with zero data rewrite, every prior version
+    stays readable (time travel), history lists the log, and a
+    pre-occupied version number forces the optimistic-concurrency
+    retry onto the next slot."""
+    import json
+    import os
+
+    from kmeans_mapreduce_spark.sources.loaders import (
+        commit_version,
+        read_version,
+        table_history,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = lambda rows: spark.createDataFrame(rows, "k LONG, v STRING")
+
+    v0 = commit_version(spark, t, df([(1, "a"), (2, "b")]))
+    v1 = commit_version(spark, t, df([(1, "a2")]))               # overwrite
+    v2 = commit_version(spark, t, df([(3, "c")]), mode="append") # extend v1
+    assert (v0, v1, v2) == (0, 1, 2)
+
+    snap = lambda v=None: sorted(
+        (r["k"], r["v"]) for r in read_version(spark, t, v).collect()
+    )
+    assert snap(0) == [(1, "a"), (2, "b")]
+    assert snap(1) == [(1, "a2")]
+    assert snap(2) == [(1, "a2"), (3, "c")]
+    assert snap() == snap(2)  # latest
+    assert table_history(t) == [
+        {"version": 0, "mode": "overwrite", "n_dirs": 1},
+        {"version": 1, "mode": "overwrite", "n_dirs": 1},
+        {"version": 2, "mode": "append", "n_dirs": 2},
+    ]
+
+    # simulate a racing writer owning version 3: the next commit must
+    # NOT clobber it (atomic create-exclusive) and lands on 4
+    foreign = {"version": 3, "mode": "overwrite", "dirs": []}
+    with open(os.path.join(t, "_log", "3.json"), "w") as f:
+        json.dump(foreign, f)
+    v4 = commit_version(spark, t, df([(9, "z")]))
+    assert v4 == 4
+    with open(os.path.join(t, "_log", "3.json")) as f:
+        assert json.load(f) == foreign  # loser never replaced the winner
+    assert snap(4) == [(9, "z")]
