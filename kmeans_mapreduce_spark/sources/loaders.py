@@ -861,8 +861,51 @@ def table_history(table_path: str) -> list[dict]:
         return []
     out = []
     for v in range(latest + 1):
-        m = _read_manifest(table_path, v)
+        try:
+            m = _read_manifest(table_path, v)
+        except FileNotFoundError:
+            continue  # vacuumed — retained versions still listed
         out.append(
             {"version": v, "mode": m["mode"], "n_dirs": len(m["dirs"])}
         )
     return out
+
+
+def vacuum_versions(table_path: str, keep_last: int = 2) -> dict:
+    """VACUUM a :func:`commit_version` table: delete data directories
+    referenced ONLY by manifests older than the last ``keep_last``
+    versions, then the old manifests themselves — plus orphan dirs no
+    manifest ever referenced (crash residue before a commit point).
+    Retained versions stay fully time-travelable; the commit point's
+    atomicity means vacuum can run concurrently with readers OF
+    RETAINED VERSIONS (the deleted dirs are, by construction, not in
+    any retained manifest). Returns counts for the audit log.
+    """
+    import os
+    import shutil
+
+    latest = _latest_version(table_path)
+    if latest is None:
+        return {"removed_dirs": 0, "removed_manifests": 0}
+    keep_floor = max(0, latest - int(keep_last) + 1)
+    keep_dirs: set[str] = set()
+    for v in range(keep_floor, latest + 1):
+        keep_dirs.update(_read_manifest(table_path, v)["dirs"])
+    removed_dirs = 0
+    data_root = os.path.join(table_path, "data")
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            rel = os.path.join("data", d)
+            if rel not in keep_dirs:
+                shutil.rmtree(os.path.join(data_root, d))
+                removed_dirs += 1
+    removed_manifests = 0
+    for v in range(keep_floor):
+        p = os.path.join(table_path, "_log", f"{v}.json")
+        if os.path.exists(p):
+            os.unlink(p)
+            removed_manifests += 1
+    return {
+        "removed_dirs": removed_dirs,
+        "removed_manifests": removed_manifests,
+    }

@@ -1061,3 +1061,57 @@ def stream_m4_maintain(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_versioned_append(
+    stream: DataFrame, table_path: str, checkpoint_dir: str
+):
+    """Exactly-once STREAM → VERSIONED TABLE: each micro-batch commits
+    one ``mode="append"`` version via the transaction log
+    (:func:`~kmeans_mapreduce_spark.sources.loaders.commit_version`),
+    with the micro-batch id recorded in the manifest — a replayed
+    batch (id ≤ the latest committed batch id; file-source +
+    availableNow ids are deterministic) is SKIPPED before writing any
+    data, so at-least-once delivery becomes exactly-once table
+    contents. This completes the transactional-sink story: the rollup
+    maintainers fold into mutable state tables; this appends immutable
+    versions a reader can time-travel — the raw-ingest landing zone
+    shape.
+    """
+    import json
+    import os
+
+    from kmeans_mapreduce_spark.sources.loaders import (
+        _latest_version,
+        _read_manifest,
+        commit_version,
+    )
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        latest = _latest_version(table_path)
+        if latest is not None:
+            committed = _read_manifest(table_path, latest).get("batch_id")
+            if committed is not None and int(batch_id) <= int(committed):
+                return  # replayed batch — version already committed
+        v = commit_version(batch_df.sparkSession, table_path, batch_df,
+                           mode="append")
+        # stamp the batch id into the manifest we just won (single
+        # writer per stream: the rewrite of our OWN manifest is safe)
+        p = os.path.join(table_path, "_log", f"{v}.json")
+        with open(p) as f:
+            m = json.load(f)
+        m["batch_id"] = int(batch_id)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f)
+        os.replace(tmp, p)
+
+    return (
+        stream.writeStream.foreachBatch(apply)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -789,3 +789,38 @@ def test_versioned_table_commit_time_travel_and_append(spark, tmp_path):
     with open(os.path.join(t, "_log", "3.json")) as f:
         assert json.load(f) == foreign  # loser never replaced the winner
     assert snap(4) == [(9, "z")]
+
+
+def test_vacuum_versions_keeps_retained_reads(spark, tmp_path):
+    """Vacuum removes only dirs unreferenced by the retained manifests
+    (plus orphans); retained versions read identically after."""
+    import os
+
+    from kmeans_mapreduce_spark.sources.loaders import (
+        commit_version,
+        read_version,
+        table_history,
+        vacuum_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = lambda rows: spark.createDataFrame(rows, "k LONG, v STRING")
+    commit_version(spark, t, df([(1, "a")]))                      # v0
+    commit_version(spark, t, df([(2, "b")]))                      # v1
+    commit_version(spark, t, df([(3, "c")]), mode="append")       # v2 = v1+new
+    os.makedirs(os.path.join(t, "data", "orphan-crash-residue"))
+
+    before = sorted(
+        (r["k"], r["v"]) for r in read_version(spark, t, 2).collect()
+    )
+    stats = vacuum_versions(t, keep_last=2)
+    # v0's dir is unreferenced by v1/v2 → removed, plus the orphan
+    assert stats == {"removed_dirs": 2, "removed_manifests": 1}
+    after = sorted(
+        (r["k"], r["v"]) for r in read_version(spark, t, 2).collect()
+    )
+    assert after == before
+    assert sorted(
+        (r["k"], r["v"]) for r in read_version(spark, t, 1).collect()
+    ) == [(2, "b")]
+    assert [h["version"] for h in table_history(t)] == [1, 2]

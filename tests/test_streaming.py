@@ -1065,3 +1065,51 @@ def test_stream_m4_maintain_merges_extrema_across_batches(
     # fresh checkpoint replays both batches with the same ids → skipped
     again = run(str(base / "ckpt2"))
     assert again == got
+
+
+def test_stream_versioned_append_exactly_once(spark, tmp_path_factory):
+    """Each micro-batch commits one append version; the final table
+    equals the full input; a fresh-checkpoint replay re-delivers the
+    same deterministic batch ids and commits NOTHING new."""
+    import os
+
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.sources.loaders import (
+        read_version,
+        table_history,
+    )
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    base = tmp_path_factory.mktemp("ver_stream")
+    src = str(base / "src")
+    os.makedirs(src)
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(
+        f"{src}/00.parquet"
+    )
+    pd.DataFrame({"k": [3], "v": ["c"]}).to_parquet(f"{src}/01.parquet")
+    target = str(base / "tbl")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("k LONG, v STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = so.stream_versioned_append(stream, target, ckpt)
+        q.awaitTermination(120)
+
+    run(str(base / "ckpt1"))
+    rows = sorted(
+        (r["k"], r["v"]) for r in read_version(spark, target).collect()
+    )
+    assert rows == [(1, "a"), (2, "b"), (3, "c")]
+    hist = table_history(target)
+    assert [h["mode"] for h in hist] == ["append", "append"]
+
+    run(str(base / "ckpt2"))  # replay: same batch ids → all skipped
+    assert table_history(target) == hist
+    rows2 = sorted(
+        (r["k"], r["v"]) for r in read_version(spark, target).collect()
+    )
+    assert rows2 == rows
