@@ -676,6 +676,18 @@ def q_join_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_points_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial radius join over the 2-D point set
+    (relational.radius_join_counts): per fixed probe, the population
+    and pinned-rounded nearest d² within r=5 — grid-blocked 3×3 cell
+    neighborhood, broadcast probe side, exact IEEE d² residual."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+    from kmeans_mapreduce_spark.queries import K4_CENTERS
+    from kmeans_mapreduce_spark.sources.derive import points_2d
+
+    return rel.radius_join_counts(points_2d(spark, sf_dir), K4_CENTERS)
+
+
 def q_join_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: high-balance customers with no urgent order,
     per nation — broadcast scalar threshold (exact int64
@@ -3634,6 +3646,38 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def _radius_join_sql(radius: float = 5.0) -> str:
+    """Twin of relational.radius_join_counts over the shared probe
+    constants: grid membership via floor(coord/r) BETWEEN the probe
+    cell ±1 (same cells as the engine's explicit 9-row expansion),
+    identical d² op order, pinned min rounding."""
+    from kmeans_mapreduce_spark.queries import K4_CENTERS
+    from kmeans_mapreduce_spark.sources.derive import POINTS_2D_SQL
+
+    r = float(radius)
+    probes = ", ".join(
+        f"({int(pid)}, CAST({px!r} AS DOUBLE), CAST({py!r} AS DOUBLE))"
+        for pid, px, py in K4_CENTERS
+    )
+    d2 = "((p.x - q.px) * (p.x - q.px) + (p.y - q.py) * (p.y - q.py))"
+    return f"""
+WITH pts AS ({POINTS_2D_SQL}),
+p AS (SELECT x, y, floor(x / CAST({r!r} AS DOUBLE)) AS gx,
+             floor(y / CAST({r!r} AS DOUBLE)) AS gy FROM pts),
+q AS (SELECT * FROM (VALUES {probes}) v(probe_id, px, py)),
+hits AS (
+  SELECT q.probe_id, {d2} AS d2
+  FROM p JOIN q
+    ON p.gx BETWEEN floor(q.px / CAST({r!r} AS DOUBLE)) - 1
+                AND floor(q.px / CAST({r!r} AS DOUBLE)) + 1
+   AND p.gy BETWEEN floor(q.py / CAST({r!r} AS DOUBLE)) - 1
+                AND floor(q.py / CAST({r!r} AS DOUBLE)) + 1
+  WHERE {d2} <= CAST({r * r!r} AS DOUBLE))
+SELECT probe_id::INTEGER AS probe_id, COUNT(*)::BIGINT AS n_within,
+       {_ieee_round_pos_sql("MIN(d2)")} AS min_d2
+FROM hits GROUP BY 1"""
+
+
 def _bm25_sql() -> str:
     """Twin of textops.bm25_topk (inverted-index formulation — an
     independent derivation of the same numbers, see q_text_bm25)."""
@@ -4379,6 +4423,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_promo_share": q_join_promo_share,
         "join_small_quantity": q_join_small_quantity,
         "join_idle_customers": q_join_idle_customers,
+        "points_radius_join": q_points_radius_join,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_rollup": q_events_rollup,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -5001,6 +5046,9 @@ JOIN s ON s.l_partkey = l.l_partkey
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.n_q < s.s_q
 GROUP BY 1""",
+        # spatial radius join: 3x3 grid-neighborhood blocking, exact
+        # IEEE d2 <= r2 residual, pinned min rounding
+        "points_radius_join": _radius_join_sql(),
         # Q22 shape: exact-integer above-average membership + anti-join
         "join_idle_customers": """
 WITH c AS (

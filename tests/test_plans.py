@@ -533,3 +533,17 @@ def test_rolling_active_never_explodes_raw_events(spark):
     import re
     m = re.search(r"Generate explode[\s\S]{0,400}?(HashAggregate|Exchange)", simple)
     assert m is not None and "HashAggregate" in m.group(0)
+
+
+def test_radius_join_is_broadcast_equi_no_bnlj(spark):
+    """The spatial radius join must block on grid cells: broadcast
+    probe side, cell equi-join, d² as a residual — never a
+    BroadcastNestedLoopJoin or cartesian over the corpus."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+    from kmeans_mapreduce_spark.queries import K4_CENTERS
+    from kmeans_mapreduce_spark.sources.derive import points_2d
+
+    df = rel.radius_join_counts(points_2d(spark, SF), K4_CENTERS)
+    plan = plans.explain_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
