@@ -21,6 +21,7 @@ from kmeans_mapreduce_spark.functions.text import (
     STOPWORDS,
     ieee_round_pos,
     n_tokens as tx_n_tokens,
+    tokens as tx_tokens,
 )
 from kmeans_mapreduce_spark.operators import dedup as dd
 from kmeans_mapreduce_spark.operators import events as ev
@@ -673,6 +674,40 @@ def q_join_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rel.small_quantity_revenue(
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "part"),
+    )
+
+
+HEAPS_PREFIXES = [64, 128, 256, 512, 1024, 4096]
+
+
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth — |vocab| after the first N docs for
+    a ladder of N (the curve that sizes a tokenizer's vocab budget and
+    predicts how much NEW vocabulary another 10 TB of corpus buys).
+    One token explode + one per-term MIN(doc_id) aggregate answers
+    EVERY ladder point: vocab(N) = #terms whose first-seen doc_id < N —
+    no per-N rescans, the same one-pass trick as the mergeable
+    sketches. Exact integers end-to-end.
+
+    Output: (prefix_docs, vocab_size), one row per ladder point
+    (prefixes beyond the corpus count the full vocab)."""
+    docs = load_table(spark, sf_dir, "documents")
+    first = (
+        docs.select(
+            "doc_id", F.explode(tx_tokens(F.col("text"))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    ladder = ", ".join(str(int(n)) for n in HEAPS_PREFIXES)
+    return (
+        first.select(
+            F.explode(F.expr(f"array({ladder})")).alias("prefix_docs"),
+            "first_doc",
+        )
+        .filter(F.col("first_doc") < F.col("prefix_docs"))
+        .groupBy("prefix_docs")
+        .agg(F.count(F.lit(1)).alias("vocab_size"))
     )
 
 
@@ -4424,6 +4459,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_small_quantity": q_join_small_quantity,
         "join_idle_customers": q_join_idle_customers,
         "points_radius_join": q_points_radius_join,
+        "text_heaps_law": q_text_heaps_law,
         "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "events_rollup": q_events_rollup,
         "events_rollup_incremental": q_events_rollup_incremental,
@@ -5049,6 +5085,18 @@ GROUP BY 1""",
         # spatial radius join: 3x3 grid-neighborhood blocking, exact
         # IEEE d2 <= r2 residual, pinned min rounding
         "points_radius_join": _radius_join_sql(),
+        # Heaps curve: per-term first-seen doc, ladder via range join
+        "text_heaps_law": f"""
+WITH first AS (
+  SELECT term, MIN(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents)
+  GROUP BY 1),
+ladder AS (SELECT unnest([{", ".join(str(n) for n in HEAPS_PREFIXES)}])
+           AS prefix_docs)
+SELECT l.prefix_docs::BIGINT AS prefix_docs, COUNT(*)::BIGINT AS vocab_size
+FROM first f JOIN ladder l ON f.first_doc < l.prefix_docs
+GROUP BY 1""",
         # Q22 shape: exact-integer above-average membership + anti-join
         "join_idle_customers": """
 WITH c AS (
