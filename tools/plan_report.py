@@ -86,6 +86,11 @@ REPORT_QUERIES = [
     ("similarity_graph_triangles", "degree-oriented wedge join over O(N·k) edges; hub skew bounded by orientation"),
     ("similarity_hybrid_rrf", "two top-k retriever outputs full-outer joined — ≤2k fusion rows"),
     ("pipeline_events_dashboard", "four O(|types|) aggregates broadcast-joined; zero added corpus shuffles"),
+    ("points_radius_join", "grid-cell broadcast equi-join with d2 residual — no BNLJ/cartesian"),
+    ("text_heaps_law", "one explode + per-term MIN answers the whole prefix ladder"),
+    ("similarity_cell_balance", "literal-argmin assignment + K-group aggregate + 1-row broadcast total"),
+    ("join_small_quantity", "decorrelated per-part aggregate joined back on the same key"),
+    ("join_idle_customers", "1-row broadcast threshold + anti-join on the filtered fact"),
 ]
 
 
