@@ -953,14 +953,15 @@ def _quantile_sketch_error_sql() -> str:
     )
     err = _ieee_round_pos_sql("abs(est.quantile_est - x.exact_v)")
     return f"""
+WITH exact AS ({_EXACT_QUANTILES_SQL})
 SELECT x.event_type, x.q, x.exact_v, est.quantile_est AS est_v,
        {err} AS abs_err
 FROM (
-  SELECT event_type, 0.5::DOUBLE AS q, p50 AS exact_v FROM ({_EXACT_QUANTILES_SQL}) e1
+  SELECT event_type, 0.5::DOUBLE AS q, p50 AS exact_v FROM exact
   UNION ALL
-  SELECT event_type, 0.9::DOUBLE, p90 FROM ({_EXACT_QUANTILES_SQL}) e2
+  SELECT event_type, 0.9::DOUBLE, p90 FROM exact
   UNION ALL
-  SELECT event_type, 0.99::DOUBLE, p99 FROM ({_EXACT_QUANTILES_SQL}) e3
+  SELECT event_type, 0.99::DOUBLE, p99 FROM exact
 ) x
 JOIN ({est}) est ON est.event_type = x.event_type AND est.q = x.q
 """

@@ -892,7 +892,6 @@ def q_corpus_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (approximate); this is the exact eval-set form.
     """
     from kmeans_mapreduce_spark.operators import logreg as lg
-    from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
     feats = lg.featurized(docs)

@@ -499,8 +499,10 @@ def gapfill_locf(
     is |types| × buckets rows (for a year of hourly buckets, ~9k rows
     per series) built from a 1-row bounds aggregate exploded with
     ``sequence`` — never a row-per-event structure. The LOCF window
-    sorts only the dense frame, not the corpus; the rollup is
-    materialized once (see below) so the corpus scan never repeats.
+    sorts only the dense frame, not the corpus; bounds and the type
+    list come from one driver job (metadata-scale by contract), so the
+    corpus rollup is computed exactly twice — the metadata job and the
+    final query — with nothing pinned in storage memory.
     """
     e = with_epoch_seconds(events)
     cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
@@ -516,20 +518,31 @@ def gapfill_locf(
             F.sum("cents").alias("cents_sum"),
         )
     )
-    # the rollup feeds THREE consumers (bounds, type list, the join):
-    # materialize its O(|types|·buckets) rows eagerly so the corpus
-    # scan underneath runs once, not three times
-    agg = agg.localCheckpoint(eager=True)
-    bounds = agg.agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
-    dense = (
-        agg.select("event_type")
-        .distinct()
-        .crossJoin(F.broadcast(bounds))
-        .select(
+    # the rollup feeds THREE consumers (bounds, type list, the join).
+    # Bounds and the type list are METADATA-SCALE by the operator's own
+    # contract (a handful of types, two bucket numbers), so ONE driver
+    # job fetches both and the dense axis is built from literals —
+    # the rollup is computed exactly twice (this job + the final
+    # query), with no localCheckpoint blocks left pinned in storage
+    # memory across repeated invocations (the bench re-invokes the
+    # builder every repeat; eager checkpoints accumulated)
+    meta = agg.agg(
+        F.min("bucket").alias("lo"),
+        F.max("bucket").alias("hi"),
+        F.collect_set("event_type").alias("types"),
+    ).collect()[0]
+    spark = events.sparkSession
+    if meta["lo"] is None:
+        dense = spark.createDataFrame([], "event_type STRING, bucket LONG")
+    else:
+        dense = spark.createDataFrame(
+            [(t,) for t in sorted(meta["types"])], "event_type STRING"
+        ).select(
             "event_type",
-            F.explode(F.expr("sequence(lo, hi)")).alias("bucket"),
+            F.explode(
+                F.expr(f"sequence({int(meta['lo'])}L, {int(meta['hi'])}L)")
+            ).alias("bucket"),
         )
-    )
     filled = dense.join(agg, ["event_type", "bucket"], "left")
     w = (
         Window.partitionBy("event_type")

@@ -147,6 +147,32 @@ def cosine_topk(
     raise ValueError(f"unknown form: {form!r}")
 
 
+def _fetch_centers_and_queries(
+    emb: DataFrame,
+    centroid_ids: list[int],
+    query_ids: list[int],
+    who: str,
+) -> tuple[list[tuple[int, list[float]]], dict[int, list[float]]]:
+    """ONE driver job fetches centroid AND query rows (both tiny) —
+    two separate collects would each scan the corpus. Cell id = rank
+    of the centroid's vec_id in sorted order (the shared contract of
+    every fixed-row IVF path and its oracle twin)."""
+    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
+    wanted = sorted(set(centroid_ids) | set(query_ids))
+    fetched = {
+        r["vec_id"]: list(r["v0"])
+        for r in e0.filter(F.col("vec_id").isin(wanted)).collect()
+    }
+    missing = [vid for vid in centroid_ids if vid not in fetched]
+    if missing:
+        raise ValueError(f"{who}: centroid vec_ids not in corpus: {missing}")
+    centers = [
+        (i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))
+    ]
+    qvecs = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    return centers, qvecs
+
+
 def ivf_ann_topk(
     emb: DataFrame,
     centroid_ids: list[int],
@@ -171,21 +197,9 @@ def ivf_ann_topk(
     (tie→lowest cell); re-rank uses normalized-dot cosine (rounded,
     neighbor_id tiebreak).
     """
-    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
-    # ONE driver job fetches centroid AND query rows (both tiny) —
-    # two separate collects would each scan the corpus
-    wanted = sorted(set(centroid_ids) | set(query_ids))
-    fetched = {
-        r["vec_id"]: list(r["v0"])
-        for r in e0.filter(F.col("vec_id").isin(wanted)).collect()
-    }
-    missing = [vid for vid in centroid_ids if vid not in fetched]
-    if missing:
-        raise ValueError(f"ivf_ann_topk: centroid vec_ids not in corpus: {missing}")
-    centers = [
-        (i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))
-    ]
-    qvecs = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    centers, qvecs = _fetch_centers_and_queries(
+        emb, centroid_ids, query_ids, "ivf_ann_topk"
+    )
     return ivf_ann_topk_centers(
         emb, centers, query_ids, k=k, nprobe=nprobe, digits=digits,
         _qvecs=qvecs,
@@ -1923,25 +1937,20 @@ def ivf_incremental_topk(
     stops being exact by construction — that is the rebuild trigger,
     exactly as FAISS re-trains its coarse quantizer offline.
     """
-    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
-    wanted = sorted(set(centroid_ids) | set(query_ids))
-    fetched = {
-        r["vec_id"]: list(r["v0"])
-        for r in e0.filter(F.col("vec_id").isin(wanted)).collect()
-    }
-    missing = [vid for vid in centroid_ids if vid not in fetched]
-    if missing:
-        raise ValueError(
-            f"ivf_incremental_topk: centroid vec_ids not in corpus: {missing}"
-        )
-    centers = [
-        (i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))
-    ]
-    qvecs = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    centers, qvecs = _fetch_centers_and_queries(
+        emb, centroid_ids, query_ids, "ivf_incremental_topk"
+    )
     history = emb.filter(F.col("vec_id") % delta_mod != 0)
     delta = emb.filter(F.col("vec_id") % delta_mod == 0)
-    index = build_ivf_index(history, centers).unionByName(
-        build_ivf_index(delta, centers)
+    # the same INDEX BUILD BARRIER every probe path applies
+    # (ivf_ann_topk_centers documents why): without it each probe join
+    # re-executes BOTH build passes and derived-predicate pushdown can
+    # reshape the build tree — the maintained index, like any index, is
+    # built once and then queried
+    index = (
+        build_ivf_index(history, centers)
+        .unionByName(build_ivf_index(delta, centers))
+        .localCheckpoint(eager=False)
     )
     return probe_ivf_index(
         index, centers, qvecs, k=k, nprobe=nprobe, digits=digits

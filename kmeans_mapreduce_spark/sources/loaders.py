@@ -119,15 +119,24 @@ def read_points_csv_quarantine(spark: SparkSession, path: str):
         .cache()
     )
     raw.count()  # materialization barrier (see docstring)
+    # token-count-corrupt lines are captured VERBATIM via the corrupt
+    # column; null-field lines (right token count, unparseable field)
+    # never populate it, so their quarantine row is RECONSTRUCTED with
+    # explicit empty-string placeholders — concat_ws would silently
+    # DROP the null field and erase which field was bad ("3.0," must
+    # not quarantine as "3.0"). Float re-formatting may differ from
+    # the raw bytes on this path; the corrupt-column path never does.
+    rebuilt = F.concat(
+        F.coalesce(F.col("x").cast("string"), F.lit("")),
+        F.lit(","),
+        F.coalesce(F.col("y").cast("string"), F.lit("")),
+    )
     bad = raw.filter(
         F.col("_corrupt_record").isNotNull()
         | F.col("x").isNull()
         | F.col("y").isNull()
     ).select(
-        F.coalesce(
-            F.col("_corrupt_record"),
-            F.concat_ws(",", F.col("x"), F.col("y")),
-        ).alias("raw")
+        F.coalesce(F.col("_corrupt_record"), rebuilt).alias("raw")
     )
     good = (
         raw.filter(
@@ -756,7 +765,11 @@ def write_token_shards(
 
 
 def commit_version(
-    spark: SparkSession, table_path: str, df: DataFrame, mode: str = "overwrite"
+    spark: SparkSession,
+    table_path: str,
+    df: DataFrame,
+    mode: str = "overwrite",
+    extra: dict | None = None,
 ) -> int:
     """Versioned-table COMMIT — the poor man's transaction log the
     generation-swap sinks stop short of: every commit writes its data
@@ -797,6 +810,12 @@ def commit_version(
             prev = []
         n = 0 if latest is None else latest + 1
         manifest = {"version": n, "mode": mode, "dirs": prev + [rel]}
+        if extra:
+            # caller metadata (e.g. the streaming appender's batch_id)
+            # rides INSIDE the atomically-linked manifest — stamping it
+            # after the link would open a crash window in which the
+            # commit exists but its idempotence key does not
+            manifest.update(extra)
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
@@ -871,7 +890,9 @@ def table_history(table_path: str) -> list[dict]:
     return out
 
 
-def vacuum_versions(table_path: str, keep_last: int = 2) -> dict:
+def vacuum_versions(
+    table_path: str, keep_last: int = 2, orphan_min_age_sec: float = 86400.0
+) -> dict:
     """VACUUM a :func:`commit_version` table: delete data directories
     referenced ONLY by manifests older than the last ``keep_last``
     versions, then the old manifests themselves — plus orphan dirs no
@@ -879,7 +900,11 @@ def vacuum_versions(table_path: str, keep_last: int = 2) -> dict:
     Retained versions stay fully time-travelable; the commit point's
     atomicity means vacuum can run concurrently with readers OF
     RETAINED VERSIONS (the deleted dirs are, by construction, not in
-    any retained manifest). Returns counts for the audit log.
+    any retained manifest). Unreferenced dirs younger than
+    ``orphan_min_age_sec`` are LEFT ALONE: an in-flight commit writes
+    its data before publishing its manifest, and sweeping that window
+    would corrupt the commit — the grace period is the writer
+    exclusion. Returns counts for the audit log.
     """
     import os
     import shutil
@@ -894,11 +919,27 @@ def vacuum_versions(table_path: str, keep_last: int = 2) -> dict:
     removed_dirs = 0
     data_root = os.path.join(table_path, "data")
     if os.path.isdir(data_root):
+        import time as _time
+
+        now = _time.time()
         for d in os.listdir(data_root):
             rel = os.path.join("data", d)
-            if rel not in keep_dirs:
-                shutil.rmtree(os.path.join(data_root, d))
-                removed_dirs += 1
+            if rel in keep_dirs:
+                continue
+            p = os.path.join(data_root, d)
+            # GRACE PERIOD: an in-flight commit_version has already
+            # written its data dir but not yet published the manifest —
+            # deleting a young unreferenced dir would corrupt that
+            # commit the moment its os.link lands. Only dirs older than
+            # the grace window are safely orphaned crash residue.
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue  # racing writer just (re)moved it
+            if age < float(orphan_min_age_sec):
+                continue
+            shutil.rmtree(p)
+            removed_dirs += 1
     removed_manifests = 0
     for v in range(keep_floor):
         p = os.path.join(table_path, "_log", f"{v}.json")

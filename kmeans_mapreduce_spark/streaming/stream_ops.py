@@ -1078,9 +1078,6 @@ def stream_versioned_append(
     versions a reader can time-travel — the raw-ingest landing zone
     shape.
     """
-    import json
-    import os
-
     from kmeans_mapreduce_spark.sources.loaders import (
         _latest_version,
         _read_manifest,
@@ -1095,18 +1092,17 @@ def stream_versioned_append(
             committed = _read_manifest(table_path, latest).get("batch_id")
             if committed is not None and int(batch_id) <= int(committed):
                 return  # replayed batch — version already committed
-        v = commit_version(batch_df.sparkSession, table_path, batch_df,
-                           mode="append")
-        # stamp the batch id into the manifest we just won (single
-        # writer per stream: the rewrite of our OWN manifest is safe)
-        p = os.path.join(table_path, "_log", f"{v}.json")
-        with open(p) as f:
-            m = json.load(f)
-        m["batch_id"] = int(batch_id)
-        tmp = p + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(m, f)
-        os.replace(tmp, p)
+        # the batch id rides INSIDE the atomically-linked manifest
+        # (commit_version extra): a post-commit stamp would leave a
+        # crash window where the version exists without its idempotence
+        # key and the replayed batch would commit the rows twice
+        commit_version(
+            batch_df.sparkSession,
+            table_path,
+            batch_df,
+            mode="append",
+            extra={"batch_id": int(batch_id)},
+        )
 
     return (
         stream.writeStream.foreachBatch(apply)
