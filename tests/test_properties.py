@@ -344,3 +344,128 @@ def test_ieee_round_pos_matches_duckdb_even_at_boundaries(k, ulps):
         [x],
     ).fetchone()[0]
     assert py == duck
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=500_000),   # ts_sec
+            st.integers(min_value=1, max_value=49_000),    # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_twa_of_constant_series_is_the_constant_and_bounded(series):
+    """TWA invariants for arbitrary irregular series: a constant-value
+    series averages to exactly that constant (whatever the gaps), and
+    any series' TWA lies within [min, max] of its values."""
+    from kmeans_mapreduce_spark.operators import events as ev
+    from kmeans_mapreduce_spark.session import get_spark
+
+    spark = get_spark("prop-tests")
+    S = 1_000_000_000
+    const_cents = series[0][1]
+    rows = []
+    for i, (ts, cents) in enumerate(series):
+        rows.append((2 * i, ts * S, 1, "x", const_cents / 100.0, ""))
+        rows.append((2 * i + 1, ts * S, 2, "x", cents / 100.0, ""))
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {r["user_id"]: r for r in ev.time_weighted_avg(df).collect()}
+    dur = max(t for t, _ in series) - min(t for t, _ in series)
+    if dur == 0:
+        assert got[1]["twa"] is None and got[2]["twa"] is None
+        return
+    assert abs(got[1]["twa"] - const_cents / 100.0) < 1e-6
+    vals = [c / 100.0 for _, c in series]
+    # the last observation carries no hold time, so the bound is over
+    # the values that DO get weight (every non-final one in ts order)
+    ordered = sorted(series, key=lambda p: p[0])
+    weighted = [c / 100.0 for _, c in ordered[:-1]] or vals
+    assert min(weighted) - 1e-6 <= got[2]["twa"] <= max(weighted) + 1e-6
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=50_000),  # ts_sec
+            st.integers(min_value=1, max_value=49_000),  # cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_m4_bounds_and_membership(series):
+    """M4 invariants: per bucket, min ≤ first/last ≤ max, every
+    reported value is an actual member of the bucket, and bucket
+    counts sum to the row count."""
+    from collections import defaultdict
+
+    from kmeans_mapreduce_spark.operators import events as ev
+    from kmeans_mapreduce_spark.session import get_spark
+
+    spark = get_spark("prop-tests")
+    S = 1_000_000_000
+    rows = [
+        (i, ts * S, 1, "x", cents / 100.0, "")
+        for i, (ts, cents) in enumerate(series)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {r["bucket"]: r for r in ev.m4_downsample(df).collect()}
+    buckets = defaultdict(list)
+    for ts, cents in series:
+        buckets[ts // 3600].append(cents / 100.0)
+    assert set(got) == set(buckets)
+    assert sum(r["n_events"] for r in got.values()) == len(series)
+    for b, vals in buckets.items():
+        r = got[b]
+        assert r["v_min"] == min(vals) and r["v_max"] == max(vals)
+        for c in ("v_first", "v_last"):
+            assert r["v_min"] <= r[c] <= r["v_max"]
+            assert any(abs(r[c] - v) < 1e-9 for v in vals)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),    # day
+            st.integers(min_value=1, max_value=25),    # user
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_rolling_active_matches_bruteforce_window(pairs):
+    """rolling_active_users ≡ the brute-force definition (distinct
+    users over the trailing 7 days) for arbitrary (day, user)
+    activity."""
+    from kmeans_mapreduce_spark.operators import events as ev
+    from kmeans_mapreduce_spark.session import get_spark
+
+    spark = get_spark("prop-tests")
+    D = 86400 * 1_000_000_000
+    rows = [
+        (i, d * D, u, "click", 1.0, "") for i, (d, u) in enumerate(pairs)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        r["day"]: r["n_active"]
+        for r in ev.rolling_active_users(df).collect()
+    }
+    days = sorted({d for d, _ in pairs})
+    want = {
+        d: len({u for dd, u in pairs if d - 6 <= dd <= d}) for d in days
+    }
+    assert got == want
