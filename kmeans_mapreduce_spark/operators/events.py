@@ -526,17 +526,24 @@ def gapfill_locf(
     # query), with no localCheckpoint blocks left pinned in storage
     # memory across repeated invocations (the bench re-invokes the
     # builder every repeat; eager checkpoints accumulated)
+    # collect_set drops NULLs, which would silently lose a NULL-typed
+    # series the oracle's DISTINCT keeps — ride NULL through a sentinel
+    # (the join itself never matches NULL keys, identically on both
+    # engines, so the NULL series is all-gap either way)
+    _sent = "\x00null\x00"
     meta = agg.agg(
         F.min("bucket").alias("lo"),
         F.max("bucket").alias("hi"),
-        F.collect_set("event_type").alias("types"),
+        F.collect_set(F.coalesce("event_type", F.lit(_sent))).alias("types"),
     ).collect()[0]
     spark = events.sparkSession
     if meta["lo"] is None:
         dense = spark.createDataFrame([], "event_type STRING, bucket LONG")
     else:
+        types = [None if t == _sent else t for t in meta["types"]]
         dense = spark.createDataFrame(
-            [(t,) for t in sorted(meta["types"])], "event_type STRING"
+            [(t,) for t in sorted(types, key=lambda x: (x is None, x or ""))],
+            "event_type STRING",
         ).select(
             "event_type",
             F.explode(

@@ -232,21 +232,9 @@ def ivf_ann_topk_filtered(
     — selective filters want a larger nprobe, the standard vector-DB
     dial.
     """
-    e0 = emb.select("vec_id", _as_double_vec(F.col("embedding")).alias("v0"))
-    wanted = sorted(set(centroid_ids) | set(query_ids))
-    fetched = {
-        r["vec_id"]: list(r["v0"])
-        for r in e0.filter(F.col("vec_id").isin(wanted)).collect()
-    }
-    missing = [vid for vid in centroid_ids if vid not in fetched]
-    if missing:
-        raise ValueError(
-            f"ivf_ann_topk_filtered: centroid vec_ids not in corpus: {missing}"
-        )
-    centers = [
-        (i, fetched[vid]) for i, vid in enumerate(sorted(centroid_ids))
-    ]
-    qvecs = {vid: fetched[vid] for vid in query_ids if vid in fetched}
+    centers, qvecs = _fetch_centers_and_queries(
+        emb, centroid_ids, query_ids, "ivf_ann_topk_filtered"
+    )
     idx = build_ivf_index(emb, centers, carry_cols=("label",))
     filtered = idx.filter(F.col("label") == int(target_label)).select(
         "vec_id", "cell", "nv"

@@ -815,6 +815,12 @@ def commit_version(
             # rides INSIDE the atomically-linked manifest — stamping it
             # after the link would open a crash window in which the
             # commit exists but its idempotence key does not
+            reserved = {"version", "mode", "dirs"} & set(extra)
+            if reserved:
+                raise ValueError(
+                    f"commit_version: extra may not override reserved "
+                    f"manifest keys {sorted(reserved)}"
+                )
             manifest.update(extra)
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as f:
@@ -936,7 +942,11 @@ def vacuum_versions(
                 age = now - os.path.getmtime(p)
             except OSError:
                 continue  # racing writer just (re)moved it
-            if age < float(orphan_min_age_sec):
+            # min_age == 0 means "sweep everything now" even under
+            # clock skew that makes age slightly negative
+            if float(orphan_min_age_sec) > 0 and age < float(
+                orphan_min_age_sec
+            ):
                 continue
             shutil.rmtree(p)
             removed_dirs += 1

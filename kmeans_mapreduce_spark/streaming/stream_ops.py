@@ -1087,11 +1087,21 @@ def stream_versioned_append(
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # the guard scans ALL retained manifests, not just the latest:
+        # an interleaved commit_version by another job (no batch_id)
+        # must not mask the stream's high-water mark
         latest = _latest_version(table_path)
+        committed = -1
         if latest is not None:
-            committed = _read_manifest(table_path, latest).get("batch_id")
-            if committed is not None and int(batch_id) <= int(committed):
-                return  # replayed batch — version already committed
+            for v in range(latest + 1):
+                try:
+                    b = _read_manifest(table_path, v).get("batch_id")
+                except FileNotFoundError:
+                    continue  # vacuumed
+                if b is not None:
+                    committed = max(committed, int(b))
+        if int(batch_id) <= committed:
+            return  # replayed batch — version already committed
         # the batch id rides INSIDE the atomically-linked manifest
         # (commit_version extra): a post-commit stamp would leave a
         # crash window where the version exists without its idempotence

@@ -381,11 +381,12 @@ def test_twa_of_constant_series_is_the_constant_and_bounded(series):
         assert got[1]["twa"] is None and got[2]["twa"] is None
         return
     assert abs(got[1]["twa"] - const_cents / 100.0) < 1e-6
-    vals = [c / 100.0 for _, c in series]
     # the last observation carries no hold time, so the bound is over
     # the values that DO get weight (every non-final one in ts order)
+    # ordered[:-1] is non-empty here: a 1-row series has dur == 0 and
+    # returned above
     ordered = sorted(series, key=lambda p: p[0])
-    weighted = [c / 100.0 for _, c in ordered[:-1]] or vals
+    weighted = [c / 100.0 for _, c in ordered[:-1]]
     assert min(weighted) - 1e-6 <= got[2]["twa"] <= max(weighted) + 1e-6
 
 
