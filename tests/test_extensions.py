@@ -2117,3 +2117,28 @@ def test_index_drift_planted_displacement(spark):
         1: (2, 1, 0.3),
         2: (1, 0, None),
     }
+
+
+def test_gapfill_null_type_series_survives_all_gap(spark):
+    """A NULL event_type series must still appear on the dense axis
+    (the fix: collect_set drops NULLs; the sentinel keeps them) — and
+    per SQL join-on-NULL semantics, identical in DuckDB, its rows are
+    all-gap (NULL keys never match), so both engines agree."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = [(0, 100, 1, "A", 1.0), (1, 7300, 2, None, 2.0)]
+    e = spark.createDataFrame(
+        [(i, ts * S, u, t, v, "") for i, ts, u, t, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        (r["event_type"], r["bucket"]): (r["n_events"], r["is_gap"])
+        for r in ev.gapfill_locf(e).collect()
+    }
+    # global axis spans hours 0..2 (the NULL event sets hi); the NULL
+    # series exists on every bucket, all-gap
+    assert got == {
+        ("A", 0): (1, False), ("A", 1): (0, True), ("A", 2): (0, True),
+        (None, 0): (0, True), (None, 1): (0, True), (None, 2): (0, True),
+    }
