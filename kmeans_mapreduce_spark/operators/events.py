@@ -18,6 +18,14 @@ WINDOW_SEC = 300  # 5-minute tumbling windows
 SESSION_GAP_SEC = 1800  # 30-minute session gap
 
 
+def value_cents() -> F.Column:
+    """events.value as EXACT int64 cents — floor(v·100 + ½), the pin
+    every mergeable/exact aggregate in this module shares with its
+    DuckDB twin (one definition so the rounding rule cannot drift
+    between operators; values are cents-precision by construction)."""
+    return F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+
+
 def floor_div(expr: str, n: int) -> str:
     """SQL floor division matching DuckDB's ``//``: Spark's ``div``
     truncates toward zero, which differs on negatives (pre-epoch
@@ -361,7 +369,7 @@ def incremental_rollup(
     |state| + |delta-groups| rows — never a join, never a rescan.
     """
     e = with_epoch_seconds(events)
-    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    cents = value_cents()
     base = e.select(
         "event_type",
         F.expr(floor_div("ts_sec", 3600)).alias("hour"),
@@ -505,7 +513,7 @@ def gapfill_locf(
     final query — with nothing pinned in storage memory.
     """
     e = with_epoch_seconds(events)
-    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    cents = value_cents()
     agg = (
         e.select(
             "event_type",
@@ -587,7 +595,7 @@ def time_weighted_avg(events: DataFrame, digits: int = 6) -> DataFrame:
     """
     e = with_epoch_seconds(events)
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
-    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    cents = value_cents()
     stepped = e.select(
         "user_id",
         "ts_sec",
@@ -635,7 +643,7 @@ def m4_downsample(
     O(|types| × buckets), independent of row count.
     """
     e = with_epoch_seconds(events)
-    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    cents = value_cents()
     base = e.select(
         "event_type",
         F.expr(floor_div("ts_sec", bucket_sec)).alias("bucket"),
@@ -691,7 +699,7 @@ def exact_quantiles(events: DataFrame) -> DataFrame:
     per-group sort (skew = largest group) — that is precisely what the
     histogram sketch avoids, which is why both exist.
     """
-    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    cents = value_cents()
     base = events.select("event_type", cents.alias("cents"))
     w = Window.partitionBy("event_type").orderBy("cents")
     wp = (
@@ -789,7 +797,7 @@ def value_trend(events: DataFrame, digits: int = 6) -> DataFrame:
     per second.
     """
     e = with_epoch_seconds(events)
-    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    cents = value_cents()
     wp = Window.partitionBy("event_type")
     m = e.select(
         "event_type",

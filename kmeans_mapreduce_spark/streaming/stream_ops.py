@@ -949,7 +949,8 @@ def stream_rollup_maintain(
             return
         spark = batch_df.sparkSession
         _recover_generation(target_path)
-        cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+        from kmeans_mapreduce_spark.operators.events import value_cents
+        cents = value_cents()
         part = (
             batch_df.select(
                 "event_type",
@@ -1020,7 +1021,8 @@ def stream_m4_maintain(
             return
         spark = batch_df.sparkSession
         _recover_generation(target_path)
-        cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+        from kmeans_mapreduce_spark.operators.events import value_cents
+        cents = value_cents()
         ts_sec = floor_div("ts", 1_000_000_000)
         base = batch_df.select(
             "event_type",
