@@ -536,6 +536,71 @@ def lloyd_step_arrow(
     return means, sizes, f_cur
 
 
+# Below this many cached rows, one iteration's interpreted-eval cost is
+# smaller than Janino's ~0.2 s whole-stage-codegen compile of the fresh
+# literal plan, so the loop runs faster with codegen off. Above it, the
+# compile amortizes over the scan and codegen wins (and at 100 TB it is
+# not even a rounding error). Measured crossover at sf0.1 (600 K rows):
+# interpreted step ≈ 0.31 s vs codegen step ≈ 0.5 s (compile-dominated).
+CODEGEN_MIN_ROWS = 5_000_000
+
+
+def lloyd_step_sql(
+    points_xy: DataFrame, centers: list[Center]
+) -> tuple[dict[int, tuple[float, float]], dict[int, int], float]:
+    """One Lloyd iteration as a single string-built Catalyst plan.
+
+    Same contract and semantics as :func:`lloyd_step` — squared
+    Euclidean ``(x−cx)²+(y−cy)²`` in the identical IEEE op order, ties
+    break first-wins to the lowest cid (reference ``mapper.py:43``) —
+    but the expression tree arrives as ONE ``selectExpr`` string batch
+    instead of thousands of Py4J ``Column`` calls. Why: profiling the
+    sf0.1 loop showed ~0.3 s/iteration spent *driver-side in Python*
+    building ``struct``/``array_min`` trees one Py4J round-trip at a
+    time; the JVM parses the same expressions from text in ~5 ms.
+
+    The plan itself is the right one at every scale: a narrow literal
+    arg-min map (no join, no shuffle of points) into a partial+final
+    hash aggregate whose exchange carries K rows per partition. The
+    caller decides whether whole-stage codegen pays for itself (see
+    ``CODEGEN_MIN_ROWS`` — fresh literals mean a fresh compile every
+    iteration, which dominates at bench scale and vanishes at 100 TB).
+    """
+    ordered = sorted((int(c), float(x), float(y)) for c, x, y in centers)
+    k = len(ordered)
+    d_exprs = [
+        f"((x - ({x!r}))*(x - ({x!r})) + (y - ({y!r}))*(y - ({y!r}))) AS d{i}"
+        for i, (_, x, y) in enumerate(ordered)
+    ]
+    min_expr = (
+        "least(" + ",".join(f"d{i}" for i in range(k)) + ")" if k > 1 else "d0"
+    )
+    case_expr = (
+        "CASE "
+        + " ".join(
+            f"WHEN d{i} = min_d2 THEN {int(cid)}" for i, (cid, _, _) in enumerate(ordered)
+        )
+        + " END AS cid"
+    )
+    rows = (
+        points_xy.selectExpr("x", "y", *d_exprs)
+        .selectExpr("x", "y", f"{min_expr} AS min_d2", *[f"d{i}" for i in range(k)])
+        .selectExpr("x", "y", "min_d2", case_expr)
+        .groupBy("cid")
+        .agg(
+            F.avg("x").alias("cx"),
+            F.avg("y").alias("cy"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("min_d2").alias("sse"),
+        )
+        .collect()
+    )
+    means = {r["cid"]: (r["cx"], r["cy"]) for r in rows}
+    sizes = {r["cid"]: r["n"] for r in rows}
+    f_cur = float(sum(r["sse"] for r in rows))
+    return means, sizes, f_cur
+
+
 def fit(
     points: DataFrame,
     k: int,
@@ -544,7 +609,7 @@ def fit(
     seed: int = 42,
     init_centers: list[Center] | None = None,
     empty_policy: str = "reseed",
-    impl: str = "arrow",
+    impl: str = "auto",
     init: str = "random",
     round_digits: int | None = None,
 ) -> KMeansResult:
@@ -556,10 +621,15 @@ def fit(
     times per iteration); plans are rebuilt from driver-held centers
     each iteration so lineage does not grow across iterations.
 
-    ``impl``: ``"arrow"`` (default) iterates with
-    :func:`lloyd_step_arrow` — constant plan, no per-iteration codegen
-    recompile; ``"expr"`` uses the pure-Catalyst :func:`lloyd_step`.
-    Same textbook semantics either way.
+    ``impl``: ``"auto"`` (default) resolves to ``"sql"`` —
+    :func:`lloyd_step_sql`, a pure-Catalyst string-built step with
+    whole-stage codegen toggled off for small inputs (the per-iteration
+    Janino compile of fresh centroid literals costs more than
+    interpreted eval below ``CODEGEN_MIN_ROWS``; above it codegen stays
+    on and amortizes). ``"arrow"`` iterates with
+    :func:`lloyd_step_arrow` (constant plan, Arrow partial agg);
+    ``"expr"`` uses the Py4J-built :func:`lloyd_step`. Same textbook
+    semantics in every mode.
 
     ``round_digits``: round each iteration's means to this many decimals
     before they become the next generation's centers. With a fixed init
@@ -568,7 +638,9 @@ def fit(
     the ``kmeans_fit_fixed`` query puts ``fit`` itself — repair path
     included — under the DuckDB hash gate.
     """
-    cols = ["x", "y"] if impl == "arrow" else ["point_id", "x", "y"]
+    if impl == "auto":
+        impl = "sql"
+    cols = ["x", "y"] if impl in ("arrow", "sql") else ["point_id", "x", "y"]
     points = points.select(*cols)
     points = normalize_partitions(points).cache()
     if impl == "arrow":
@@ -577,6 +649,8 @@ def fit(
         def step(pts, cs):
             return lloyd_step_arrow(pts, cs, n_parts=cached_parts)
 
+    elif impl == "sql":
+        step = lloyd_step_sql
     else:
         step = lloyd_step
     spark = points.sparkSession
@@ -585,18 +659,30 @@ def fit(
     # iteration (20% of iteration wall at sf0.1). Disable for the loop,
     # restore after — large one-shot queries elsewhere keep AQE.
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    cg_before = spark.conf.get("spark.sql.codegen.wholeStage", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
+        # ONE pre-loop job: bounding box (init/repair sampling range)
+        # plus the row count that decides the codegen strategy — the
+        # count rides the same partial+final agg for free.
+        b = (
+            points.agg(
+                F.min("x").alias("min_x"),
+                F.max("x").alias("max_x"),
+                F.min("y").alias("min_y"),
+                F.max("y").alias("max_y"),
+                F.count(F.lit(1)).alias("n_rows"),
+            ).collect()
+        )[0]
+        bounds = (b["min_x"], b["max_x"], b["min_y"], b["max_y"])
+        if impl == "sql" and b["n_rows"] < CODEGEN_MIN_ROWS:
+            spark.conf.set("spark.sql.codegen.wholeStage", "false")
         if init_centers is None:
-            b = bbox(points).collect()[0]
-            bounds = (b["min_x"], b["max_x"], b["min_y"], b["max_y"])
             if init == "k-means||":
                 centers = init_kmeans_parallel(points, k, seed)
             else:
                 centers = init_random(k, bounds, seed)
         else:
-            b = bbox(points).collect()[0]
-            bounds = (b["min_x"], b["max_x"], b["min_y"], b["max_y"])
             centers = [(int(c), float(x), float(y)) for c, x, y in init_centers]
 
         rng = random.Random(seed + 1)
@@ -624,4 +710,5 @@ def fit(
         return result
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        spark.conf.set("spark.sql.codegen.wholeStage", cg_before)
         points.unpersist()
