@@ -485,26 +485,56 @@ def lm_surprisal(docs: DataFrame, digits: int = 4) -> DataFrame:
 
 BPE_MERGE_TOPK = 20
 
-def _char_pairs(word):  # noqa: ANN001 - Column helper
-    """Adjacent character-pair array of a (1-symbol-per-char) word —
-    shared by both BPE rounds; empty for 1-char words (Spark sequence
-    is INCLUSIVE and would run descending for length 1)."""
-    return F.when(
-        F.length(word) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.length(word) - 1),
-            lambda i: word.substr(i, F.lit(2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-
 def _count_top_pairs(words: DataFrame, word_col: str, k: int) -> DataFrame:
-    """groupBy pair count → deterministic top-k — the shared tail of
-    both BPE rounds."""
+    """Partial per-partition pair counts → tiny merge → deterministic
+    top-k — the shared tail of both BPE rounds.
+
+    Round 7 shipped this as explode(substr pairs) → groupBy: the shuffle
+    was bounded by |alphabet|² but the plan materialized one row per
+    character of the corpus, and each ``substr(i, 2)`` re-seeks the
+    string from the start — O(len²) per word on the JVM's UTF-aware
+    path. Measured 6.4 s at sf0.1 (the slowest query in the suite, a
+    ~30× regression vs the round-6 form). Now one Arrow pass per
+    partition counts pairs vectorized (numpy over UTF-32 code units:
+    join words with NUL, fold adjacent code-point pairs into uint64
+    keys, ``np.unique``) and emits ≤ |alphabet|² partial rows; the
+    groupBy merge and TakeOrderedAndProject shapes are unchanged —
+    the same partial-agg contract as ``lloyd_step_arrow``. Pair
+    identity is by code POINT, which is also how the DuckDB twin
+    counts; the corpus is BMP-only so the former UTF-16 substr agreed.
+    """
+
+    def pair_counts(batches):
+        import numpy as np
+        import pandas as pd
+
+        totals: dict[int, int] = {}
+        for pdf in batches:
+            col = pdf[word_col].dropna()
+            if not len(col):
+                continue
+            joined = "\x00".join(col.tolist())
+            if len(joined) < 2:
+                continue
+            a = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+            keys = (a[:-1].astype(np.uint64) << np.uint64(32)) | a[1:].astype(
+                np.uint64
+            )
+            keys = keys[(a[:-1] != 0) & (a[1:] != 0)]
+            uniq, counts = np.unique(keys, return_counts=True)
+            for key, n in zip(uniq.tolist(), counts.tolist()):
+                totals[key] = totals.get(key, 0) + n
+        yield pd.DataFrame(
+            {
+                "pair": [chr(key >> 32) + chr(key & 0xFFFFFFFF) for key in totals],
+                "n": list(totals.values()),
+            }
+        )
+
+    partials = words.mapInPandas(pair_counts, "pair STRING, n BIGINT")
     return (
-        words.select(F.explode(_char_pairs(F.col(word_col))).alias("pair"))
-        .groupBy("pair")
-        .agg(F.count(F.lit(1)).alias("n"))
+        partials.groupBy("pair")
+        .agg(F.sum("n").alias("n"))
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(k)
     )
