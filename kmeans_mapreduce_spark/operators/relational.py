@@ -468,10 +468,18 @@ def radius_join_counts(
 
     Output: (probe_id, n_within, min_d2).
     """
+    import math
+
     r = float(radius)
     rows = []
     for pid, px, py in probes:
-        gx, gy = int(px // r), int(py // r)
+        # math.floor(px / r), NOT px // r: the corpus side (and the
+        # SQL twin) compute floor() of the IEEE-rounded quotient, while
+        # Python's // floors the exact quotient — they disagree by one
+        # cell when px/r rounds across an integer, silently shifting
+        # the 3×3 neighborhood. Same divide-then-floor op sequence on
+        # every engine (round-8 advice fix).
+        gx, gy = math.floor(px / r), math.floor(py / r)
         for dx in (-1, 0, 1):
             for dy in (-1, 0, 1):
                 rows.append(

@@ -502,8 +502,6 @@ def merge_scd2(
     """
     import os
 
-    from pyspark.sql.window import Window
-
     staged = f"{target_path}._staged"
     _recover_generation(target_path)
 
@@ -514,36 +512,70 @@ def merge_scd2(
         key, F.col(version_col).alias("valid_from"), *attr_cols
     ).withColumn("_prio", F.lit(1))
     if os.path.isdir(target_path):
-        current = spark.read.parquet(target_path).select(
-            key, "valid_from", *attr_cols
-        ).withColumn("_prio", F.lit(0))
-        src = current.unionByName(src)
+        current = spark.read.parquet(target_path)
+        # Shape guard (round-8 fix): attr_cols comes from the UPDATE
+        # batch; silently projecting history down to it would DROP any
+        # attribute column the batch forgot — across all history, on
+        # every merge. A mis-shaped batch must fail loudly instead
+        # (merge_upsert already does, via unionByName).
+        hist_attrs = sorted(
+            c
+            for c in current.columns
+            if c not in (key, "valid_from", "valid_to", "is_current")
+        )
+        if hist_attrs != attr_cols:
+            raise ValueError(
+                f"merge_scd2: update attribute columns {attr_cols} do not "
+                f"match history's {hist_attrs} at {target_path}; refusing "
+                "to rewrite history with a projected schema"
+            )
+        src = (
+            current.select(key, "valid_from", *attr_cols)
+            .withColumn("_prio", F.lit(0))
+            .unionByName(src)
+        )
+
+    timeline = scd2_timeline(src, key, attr_cols)
+    timeline.select(
+        key, "valid_from", "valid_to", "is_current", *attr_cols
+    ).write.mode("overwrite").parquet(staged)
+    _swap_generations(target_path)
+
+
+def scd2_timeline(src: DataFrame, key: str, attr_cols: list[str]) -> DataFrame:
+    """The pure SCD-2 timeline computation shared by :func:`merge_scd2`
+    and the ``dim_scd2_timeline`` registered query: ``src`` is the
+    unioned change stream — ``(key, valid_from, *attr_cols)`` plus a
+    ``_prio`` tiebreak column (1 = update batch, 0 = existing history;
+    callers with a single batch can set a constant) — and the result is
+    the linked dimension history with half-open validity intervals.
+
+    Two window passes over the SAME key-partitioned sort (one
+    shuffle): dedupe same ``(key, valid_from)`` (update wins, then
+    attrs desc for determinism), suppress no-change versions (a rerun
+    or a noisy source re-sending unchanged rows cannot bloat history),
+    then re-link ``valid_to`` = next surviving version's
+    ``valid_from`` (NULL → ``is_current``). Late-arriving versions
+    insert mid-timeline and the intervals re-link around them because
+    valid_to is always recomputed, never trusted from state."""
+    from pyspark.sql.window import Window
 
     w = Window.partitionBy(key).orderBy("valid_from")
-    # dedupe same (key, valid_from): the update wins; ties inside one
-    # batch resolve by attr order for determinism
     wd = Window.partitionBy(key, "valid_from").orderBy(
         F.col("_prio").desc(),
         *[F.col(c).desc_nulls_last() for c in attr_cols],
     )
     attrs = F.struct(*[F.col(c) for c in attr_cols])
-    timeline = (
+    return (
         src.withColumn("_rn", F.row_number().over(wd))
         .filter(F.col("_rn") == 1)
         .drop("_rn", "_prio")
-        # no-change suppression: keep a row only if it's the first
-        # version or its attributes differ from the previous version's
         .withColumn("_prev", F.lag(attrs).over(w))
         .filter(F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(attrs))
         .drop("_prev")
-        # re-link: valid_to = next surviving version's valid_from
         .withColumn("valid_to", F.lead("valid_from").over(w))
         .withColumn("is_current", F.col("valid_to").isNull())
     )
-    timeline.select(
-        key, "valid_from", "valid_to", "is_current", *attr_cols
-    ).write.mode("overwrite").parquet(staged)
-    _swap_generations(target_path)
 
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024
@@ -825,10 +857,23 @@ def commit_version(
         tmp = os.path.join(log_dir, f".tmp-{uuid.uuid4().hex[:12]}")
         with open(tmp, "w") as f:
             json.dump(manifest, f)
+            # Durability (round-8 fix): without fsync-before-link a
+            # power loss can surface version N with a torn/empty
+            # manifest — visible-but-corrupt, the one state the commit
+            # point promises never to show. fsync the manifest bytes
+            # BEFORE the link makes it visible, then the directory
+            # entry after — the Delta/Iceberg log-publish discipline.
+            f.flush()
+            os.fsync(f.fileno())
         final = os.path.join(log_dir, f"{n}.json")
         try:
             os.link(tmp, final)  # atomic create-exclusive = the commit
             os.unlink(tmp)
+            dfd = os.open(log_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             return n
         except FileExistsError:
             os.unlink(tmp)  # lost the race — re-derive against new latest

@@ -1080,11 +1080,43 @@ def stream_versioned_append(
     versions a reader can time-travel — the raw-ingest landing zone
     shape.
     """
+    import json
+    import os
+    import uuid
+
     from kmeans_mapreduce_spark.sources.loaders import (
         _latest_version,
         _read_manifest,
         commit_version,
     )
+
+    # The stream's high-water batch id ALSO lives in a sidecar that
+    # vacuum never prunes (vacuum_versions deletes only numbered
+    # <N>.json manifests): without it, retention could sweep every
+    # manifest carrying a batch_id, and a later checkpoint reset would
+    # silently lower the guard and re-commit replayed batches
+    # (round-8 advice fix). The sidecar is advisory-redundant with the
+    # manifests while they live; it becomes the guard of record after
+    # they are vacuumed.
+    hwm_path = os.path.join(table_path, "_log", "_stream_hwm.json")
+
+    def _read_hwm() -> int:
+        try:
+            with open(hwm_path) as f:
+                return int(json.load(f)["batch_id"])
+        except (OSError, ValueError, KeyError):
+            return -1
+
+    def _advance_hwm(batch_id: int) -> None:
+        # monotonic publish: fsync-then-rename, never lowering the mark
+        if _read_hwm() >= batch_id:
+            return
+        tmp = f"{hwm_path}.tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": int(batch_id)}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, hwm_path)
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
@@ -1093,7 +1125,7 @@ def stream_versioned_append(
         # an interleaved commit_version by another job (no batch_id)
         # must not mask the stream's high-water mark
         latest = _latest_version(table_path)
-        committed = -1
+        committed = _read_hwm()
         if latest is not None:
             for v in range(latest + 1):
                 try:
@@ -1115,6 +1147,10 @@ def stream_versioned_append(
             mode="append",
             extra={"batch_id": int(batch_id)},
         )
+        # sidecar advance AFTER the commit point: a crash between the
+        # two leaves the manifest as the (sufficient) guard; the next
+        # successful batch re-advances the sidecar
+        _advance_hwm(int(batch_id))
 
     return (
         stream.writeStream.foreachBatch(apply)

@@ -722,6 +722,37 @@ def test_merge_scd2_history_suppression_and_backfill(spark, tmp_path):
     ]
 
 
+def test_merge_scd2_rejects_mismatched_attribute_schema(spark, tmp_path):
+    """An update batch missing (or adding) an attribute column the
+    history has must FAIL, not silently rewrite all history projected
+    to the batch's columns — that would be column-level data loss."""
+    import pytest
+
+    from kmeans_mapreduce_spark.sources.loaders import merge_scd2
+
+    target = str(tmp_path / "dim")
+    b1 = spark.createDataFrame(
+        [(1, 10, "nyc", "us")], "k LONG, ver LONG, city STRING, country STRING"
+    )
+    merge_scd2(spark, target, b1, key="k", version_col="ver")
+
+    # batch drops the country column → refused, history intact
+    b2 = spark.createDataFrame([(1, 20, "sf")], "k LONG, ver LONG, city STRING")
+    with pytest.raises(ValueError, match="do not match history"):
+        merge_scd2(spark, target, b2, key="k", version_col="ver")
+    cols = set(spark.read.parquet(target).columns)
+    assert "country" in cols
+
+    # batch adds a column history lacks → refused too (explicit
+    # migration, not an implicit schema change)
+    b3 = spark.createDataFrame(
+        [(1, 20, "sf", "us", "ca")],
+        "k LONG, ver LONG, city STRING, country STRING, state STRING",
+    )
+    with pytest.raises(ValueError, match="do not match history"):
+        merge_scd2(spark, target, b3, key="k", version_col="ver")
+
+
 def test_read_points_csv_quarantine_splits_good_and_bad(spark, tmp_path):
     """Malformed x,y lines land verbatim in the quarantine; partially
     parseable lines (one NULL coordinate) quarantine too; good rows

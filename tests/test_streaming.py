@@ -1113,3 +1113,61 @@ def test_stream_versioned_append_exactly_once(spark, tmp_path_factory):
         (r["k"], r["v"]) for r in read_version(spark, target).collect()
     )
     assert rows2 == rows
+
+
+def test_stream_versioned_append_guard_survives_vacuum(
+    spark, tmp_path_factory
+):
+    """The exactly-once guard must hold even after vacuum prunes every
+    manifest carrying a batch_id: interleaved non-stream commits push
+    the stream's manifests past keep_last, retention sweeps them, and a
+    fresh-checkpoint replay would re-commit duplicates if the
+    high-water mark lived only in the manifests. The _stream_hwm
+    sidecar (which vacuum never touches) is the guard of record."""
+    import os
+
+    import pandas as pd
+
+    from kmeans_mapreduce_spark.sources.loaders import (
+        commit_version,
+        read_version,
+        vacuum_versions,
+    )
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    base = tmp_path_factory.mktemp("ver_stream_vac")
+    src = str(base / "src")
+    os.makedirs(src)
+    pd.DataFrame({"k": [1, 2], "v": ["a", "b"]}).to_parquet(
+        f"{src}/00.parquet"
+    )
+    pd.DataFrame({"k": [3], "v": ["c"]}).to_parquet(f"{src}/01.parquet")
+    target = str(base / "tbl")
+
+    def run(ckpt):
+        stream = (
+            spark.readStream.schema("k LONG, v STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = so.stream_versioned_append(stream, target, ckpt)
+        q.awaitTermination(120)
+
+    run(str(base / "ckpt1"))
+    # two interleaved NON-stream commits (no batch_id), then vacuum
+    # keep_last=2: both batch_id-bearing manifests are pruned
+    extra = spark.createDataFrame([(9, "z")], "k LONG, v STRING")
+    commit_version(spark, target, extra, mode="append")
+    commit_version(spark, target, extra, mode="append")
+    vacuum_versions(target, keep_last=2, orphan_min_age_sec=0.0)
+    assert not os.path.exists(os.path.join(target, "_log", "0.json"))
+    assert not os.path.exists(os.path.join(target, "_log", "1.json"))
+
+    before = sorted(
+        (r["k"], r["v"]) for r in read_version(spark, target).collect()
+    )
+    run(str(base / "ckpt2"))  # checkpoint reset → replays batches 0, 1
+    after = sorted(
+        (r["k"], r["v"]) for r in read_version(spark, target).collect()
+    )
+    assert after == before  # no duplicate re-commits
