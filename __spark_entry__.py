@@ -22,9 +22,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from kmeans_mapreduce_spark.queries import core_queries, extension_queries
+    from kmeans_mapreduce_spark.queries import (
+        core_queries,
+        driver_ordered,
+        extension_queries,
+    )
 
-    return {**core_queries(), **extension_queries()}
+    # ordered so the driver's 50-query CORRECTNESS window samples every
+    # operator family (see queries.DRIVER_WINDOW_QUERIES)
+    return driver_ordered({**core_queries(), **extension_queries()})
 
 
 def oracle_sql() -> dict[str, str]:

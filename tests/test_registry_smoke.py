@@ -38,6 +38,40 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q), sorted(set(o) - set(q))
 
 
+def test_driver_window_samples_every_family():
+    """The grading driver verifies only the first 50 queries() entries;
+    that prefix must (a) exactly realize DRIVER_WINDOW_QUERIES — every
+    listed name registered, no typos silently shrinking the window —
+    and (b) keep one representative of each operator family inside the
+    window, with all but the declared rows-only queries oracle-gated."""
+    import __spark_entry__ as entry
+    from kmeans_mapreduce_spark.queries import DRIVER_WINDOW_QUERIES
+
+    q, o = entry.queries(), entry.oracle_sql()
+    assert len(DRIVER_WINDOW_QUERIES) == 50
+    missing = [n for n in DRIVER_WINDOW_QUERIES if n not in q]
+    assert not missing, f"window names not registered: {missing}"
+    first50 = list(q)[:50]
+    assert first50 == DRIVER_WINDOW_QUERIES
+
+    families = {
+        "minhash-lsh": "dedup_minhash_pairs",
+        "ivf-ann": "similarity_ann_ivf",
+        "pq-ann": "similarity_ann_pq",
+        "trained-serving": "similarity_ann_pq_rerank_trained",
+        "hybrid-rrf": "similarity_hybrid_rrf",
+        "multimodal": "multimodal_resize",
+        "sketch-hll": "events_hll_distinct",
+        "sketch-cms": "text_cms_terms",
+        "sketch-bloom": "lineitem_bloom_prune",
+        "scd2": "dim_scd2_timeline",
+        "streaming": "events_stream_replay",
+    }
+    for fam, name in families.items():
+        assert name in first50, f"family {fam} missing from driver window"
+        assert name in o, f"family {fam} representative lost its oracle"
+
+
 @pytest.mark.parametrize("name", _registry())
 def test_query_executes(spark, name):
     import __spark_entry__ as entry
