@@ -2999,10 +2999,19 @@ b AS (
          {h64_sql(f"string_agg({band_item}, ',' ORDER BY {band_item})")} AS band_hash
   FROM s GROUP BY doc_id, j // {dd.ROWS_PER_BAND}
 ),
+bc AS (
+  -- hot-bucket star rule mirror (dedup.candidate_pairs bucket_cap):
+  -- oversized buckets pair only their min-doc_id representative
+  SELECT band_id, band_hash, COUNT(*) AS n, MIN(doc_id) AS rep
+  FROM b GROUP BY band_id, band_hash
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
-  FROM b a JOIN b c
+  FROM b a
+  JOIN bc ON bc.band_id = a.band_id AND bc.band_hash = a.band_hash
+  JOIN b c
     ON a.band_id = c.band_id AND a.band_hash = c.band_hash AND a.doc_id < c.doc_id
+  WHERE bc.n <= {dd.LSH_BUCKET_CAP} OR a.doc_id = bc.rep
 ),
 ts AS (SELECT doc_id, toks AS s FROM t),
 verified AS (

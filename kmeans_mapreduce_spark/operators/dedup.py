@@ -272,10 +272,50 @@ def lsh_bands(
     )
 
 
-def candidate_pairs(bands_df: DataFrame) -> DataFrame:
-    """LSH candidates: pairs sharing any band bucket (distinct)."""
-    a = bands_df.alias("a")
+# Above this many members, a band bucket switches from all-pairs to
+# star expansion. 256 keeps worst-case per-bucket pair emission at
+# cap·(cap−1)/2 ≈ 33 K rows for normal buckets and N−1 for hot ones —
+# bounded per task — while leaving every bucket the tested SFs actually
+# produce (≤ a few members) on the exact all-pairs path.
+LSH_BUCKET_CAP = 256
+
+
+def candidate_pairs(
+    bands_df: DataFrame, bucket_cap: int | None = LSH_BUCKET_CAP
+) -> DataFrame:
+    """LSH candidates: pairs sharing any band bucket (distinct), with a
+    HOT-BUCKET guard (round-8 fix): a boilerplate-heavy crawl shard can
+    put N near-identical docs in one bucket, and the unguarded
+    self-join emits O(N²) pairs in that single task — the classic LSH
+    skew failure at corpus scale. Buckets with more than ``bucket_cap``
+    members switch to STAR expansion: only the bucket's minimum doc_id
+    pairs with the other members (N−1 pairs). The star preserves
+    exactly what downstream needs — connectivity for the
+    connected-components clustering, and rep↔member verification for
+    the Jaccard filter (members of a genuinely-near-dup bucket all
+    match the representative) — while bounding any bucket's emission
+    linearly. Same shape as the n-gram path's posting df-cap
+    (:func:`ngram_jaccard_pairs`); the SQL twins mirror the rule, so
+    the gate checks it rather than assuming it. The bucket-stats
+    aggregate is map-side combined and keyed identically to the
+    self-join — no extra shuffle pattern, one more exchange of
+    O(distinct buckets) stat rows."""
     b = bands_df.alias("b")
+    left = bands_df
+    if bucket_cap is not None:
+        stats = bands_df.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("doc_id").alias("__rep"),
+        )
+        left = (
+            bands_df.join(stats, ["band_id", "band_hash"])
+            .filter(
+                (F.col("__n") <= F.lit(int(bucket_cap)))
+                | (F.col("doc_id") == F.col("__rep"))
+            )
+            .select("doc_id", "band_id", "band_hash")
+        )
+    a = left.alias("a")
     return (
         a.join(
             b,

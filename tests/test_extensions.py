@@ -42,6 +42,39 @@ def test_minhash_lsh_finds_near_dup(docs):
     # may not bucket it, but identical signatures guarantee (0,1).
 
 
+def test_lsh_hot_bucket_cap_bounds_candidates(spark):
+    """The degenerate LSH fixture: N identical docs share every band
+    bucket, and the unguarded self-join would emit N·(N−1)/2 candidate
+    pairs per band. With the bucket cap the hot bucket star-expands —
+    exactly N−1 distinct pairs (min doc_id × others), connectivity
+    preserved for downstream clustering — while uncapped candidates
+    show the quadratic blowup is real. Normal-size buckets (a disjoint
+    near-dup pair) stay on the exact all-pairs path."""
+    n = 300  # > LSH_BUCKET_CAP
+    rows = [
+        (i, "the same boilerplate navigation footer text", "en", "s", 44)
+        for i in range(n)
+    ] + [
+        (1000, "one genuinely unique document body", "en", "s", 34),
+        (1001, "one genuinely unique document body", "en", "s", 34),
+    ]
+    docs = spark.createDataFrame(rows, DOCS_SCHEMA)
+    bands = dd.lsh_bands_from_array(dd.minhash_signature_array(docs))
+
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.candidate_pairs(bands).collect()
+    }
+    star = {(0, i) for i in range(1, n)}
+    assert star <= capped  # every member pairs with the representative
+    assert (1000, 1001) in capped  # cold bucket: exact path untouched
+    assert len(capped) == n - 1 + 1  # and nothing quadratic
+    assert (1, 2) not in capped
+
+    uncapped = dd.candidate_pairs(bands, bucket_cap=None)
+    assert uncapped.count() == n * (n - 1) // 2 + 1
+
+
 def test_jaccard_pairs_values(docs, spark):
     pairs = spark.createDataFrame([(0, 2)], "doc_a LONG, doc_b LONG")
     out = dd.jaccard_pairs(docs, pairs, threshold=0.0).collect()
