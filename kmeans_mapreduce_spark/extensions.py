@@ -5986,17 +5986,22 @@ WITH m AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS kind,
          (doc_id % 64 + 64) AS w, (doc_id % 48 + 48) AS h,
-         (doc_id % 500 + 100) AS ns
+         (doc_id % 500 + 100) AS ns, (doc_id % 4 + 2) AS nf
   FROM documents
 )
 SELECT media_id, kind,
        (CASE kind
           WHEN 'image' THEN 9 + length(w::VARCHAR) + length(h::VARCHAR) + 3 * w * h
           WHEN 'audio' THEN 44 + 2 * ns
-          ELSE 16 END)::BIGINT AS n_bytes,
-       w::INTEGER AS width,
-       h::INTEGER AS height
-FROM m""",
+          ELSE {avi_fixed} + nf * (8 + {frame_bytes}) END)::BIGINT AS n_bytes,
+       (CASE WHEN kind = 'video' THEN {vid_w} ELSE w END)::INTEGER AS width,
+       (CASE WHEN kind = 'video' THEN {vid_h} ELSE h END)::INTEGER AS height
+FROM m""".format(
+            avi_fixed=mm.AVI_FIXED_BYTES,
+            frame_bytes=mm.VID_FRAME_BYTES,
+            vid_w=mm.VID_W,
+            vid_h=mm.VID_H,
+        ),
         "events_asof_join": f"""
 WITH e AS (
   SELECT user_id, event_id, event_type, value,
@@ -6255,20 +6260,21 @@ SELECT doc_id AS media_id, 'image' AS kind,
        (9 + length('{RESIZE_W}') + length('{RESIZE_H}')
           + 3 * {RESIZE_W} * {RESIZE_H})::BIGINT AS n_bytes
 FROM documents WHERE doc_id % 3 = 0""",
-        # video payloads are the raw 16-byte digest → 4 four-byte
-        # 'frames', sampled every FRAME_EVERY_N
+        # real AVI frame sampling: F = doc_id%4+2 frames of
+        # 3*VID_W*VID_H raw RGB24 bytes, every FRAME_EVERY_N-th emitted
         "multimodal_frames": f"""
-SELECT doc_id AS media_id, i::INTEGER AS frame_idx, 4::INTEGER AS frame_len
+SELECT doc_id AS media_id,
+       unnest(range(0, doc_id % 4 + 2, {FRAME_EVERY_N}))::INTEGER AS frame_idx,
+       {mm.VID_FRAME_BYTES}::INTEGER AS frame_len
 FROM documents
-CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(0, max(16 // 4, 1), FRAME_EVERY_N))}) t(i)
 WHERE doc_id % 3 = 2""",
         # real-decode twin, replayed arithmetically from the md5 hex
         # (DuckDB cannot subscript BLOBs): digest byte j = 16*hex[2j] +
         # hex[2j+1]; decoded content is the digest cycled to the
-        # content length L (3wh pixels / 2·ns PCM bytes / raw digest),
-        # so content_sum = (L//16)·digest_sum + prefix_sum(L%16) — all
-        # small exact integers, so the single double division is
-        # bit-identical to the engine's sum/len
+        # content length L (3wh pixels / 2·ns PCM bytes / nf·(3·16·12)
+        # AVI frame bytes), so content_sum = (L//16)·digest_sum +
+        # prefix_sum(L%16) — all small exact integers, so the single
+        # double division is bit-identical to the engine's sum/len
         "multimodal_features": """
 WITH m AS (
   SELECT doc_id AS media_id,
@@ -6276,7 +6282,7 @@ WITH m AS (
               WHEN doc_id % 3 = 1 THEN 'audio'
               ELSE 'video' END AS kind,
          (doc_id % 64 + 64) AS w, (doc_id % 48 + 48) AS h,
-         (doc_id % 500 + 100) AS ns,
+         (doc_id % 500 + 100) AS ns, (doc_id % 4 + 2) AS nf,
          md5(text) AS hx
   FROM documents
 ),
@@ -6287,22 +6293,27 @@ d AS (
               + (strpos('0123456789abcdef', substr(hx, 2 * CAST(j AS INTEGER) + 2, 1)) - 1)) AS db,
          CASE kind WHEN 'image' THEN 3 * w * h
                    WHEN 'audio' THEN 2 * ns
-                   ELSE 16 END AS clen
+                   ELSE nf * {frame_bytes} END AS clen
   FROM m
 )
 SELECT media_id, kind,
        (CASE kind
           WHEN 'image' THEN 9 + length(w::VARCHAR) + length(h::VARCHAR) + 3 * w * h
           WHEN 'audio' THEN 44 + 2 * ns
-          ELSE 16 END)::BIGINT AS n_bytes,
-       (kind <> 'video') AS decoded,
-       (CASE WHEN kind = 'image' THEN w END)::INTEGER AS dec_width,
-       (CASE WHEN kind = 'image' THEN h END)::INTEGER AS dec_height,
-       (CASE WHEN kind = 'audio' THEN ns END)::BIGINT AS n_samples,
+          ELSE {avi_fixed} + nf * (8 + {frame_bytes}) END)::BIGINT AS n_bytes,
+       TRUE AS decoded,
+       (CASE kind WHEN 'image' THEN w WHEN 'video' THEN {vid_w} END)::INTEGER AS dec_width,
+       (CASE kind WHEN 'image' THEN h WHEN 'video' THEN {vid_h} END)::INTEGER AS dec_height,
+       (CASE kind WHEN 'audio' THEN ns WHEN 'video' THEN nf END)::BIGINT AS n_samples,
        ROUND(((clen // 16) * list_sum(db)
               + COALESCE(list_sum(db[1:(clen % 16)]), 0))::DOUBLE
              / clen::DOUBLE, 6) AS byte_mean
-FROM d""",
+FROM d""".format(
+            avi_fixed=mm.AVI_FIXED_BYTES,
+            frame_bytes=mm.VID_FRAME_BYTES,
+            vid_w=mm.VID_W,
+            vid_h=mm.VID_H,
+        ),
         # rows-only (no SQL-expressible oracle): dedup via driver's weaker
         # gate — kmeans_nd_fit (iterative numpy path), kmeans_mllib
         # (MLlib RNG).

@@ -8,10 +8,14 @@ One REAL format per modality, decoded with the standard library only
   out; resize is a real nearest-neighbor resample over the pixel grid.
 - audio: RIFF/WAVE PCM via the stdlib ``wave`` module — canonical
   44-byte header, 16-bit mono frames out.
-- video: NO stdlib codec exists; decode stays a clearly-marked stub
-  (``NotImplementedError``) and frame sampling slices the payload
-  deterministically. Swap in pyav/ffmpeg on a real cluster; the plan,
-  schema, and batch shapes are unchanged.
+- video: UNCOMPRESSED RIFF/AVI (``vids``/``DIB``, raw RGB24 ``00db``
+  frames) — written and parsed with stdlib ``struct`` (RIFF is the
+  same container family the stdlib already reads for WAV): real
+  headers (avih/strh/BITMAPINFOHEADER), real chunk walking, real
+  frames out. Codec-BOUND formats (h264 etc.) still raise a
+  clearly-marked ``NotImplementedError`` (``_decode_stub``) — swap in
+  pyav/ffmpeg on a real cluster; the plan, schema, and batch shapes
+  are unchanged.
 
 Scale notes: payloads live in a ``binary`` column (parquet column
 pruning keeps them out of unrelated scans); decode/feature extraction
@@ -42,9 +46,28 @@ MEDIA_SCHEMA = (
 )
 
 KINDS = ["image", "audio", "video"]
-FORMATS = {"image": "image/ppm", "audio": "audio/wav", "video": "video/synthetic"}
+FORMATS = {"image": "image/ppm", "audio": "audio/wav", "video": "video/avi"}
 
 WAV_RATE = 8000  # Hz, mono 16-bit PCM
+
+# Uncompressed-AVI video geometry: small fixed frames keep synthesized
+# payloads tiny (584 B/frame incl. chunk header) while the container is
+# fully real. 3·16·12 = 576 is a multiple of 16, so digest-cycled frame
+# content keeps the byte_mean oracle formula exact (zero remainder).
+VID_W, VID_H = 16, 12
+VID_FPS = 10
+VID_FRAME_BYTES = 3 * VID_W * VID_H  # RGB24
+# total file size for F frames: fixed header scaffolding (224 B — see
+# _encode_avi layout) + F·(8-byte chunk header + frame)
+AVI_FIXED_BYTES = 224
+
+
+def avi_total_bytes(n_frames: int) -> int:
+    return AVI_FIXED_BYTES + n_frames * (8 + VID_FRAME_BYTES)
+
+
+def _vid_frames(doc_id: int) -> int:
+    return doc_id % 4 + 2
 
 
 def _repeat_trunc(blob: bytes, n: int) -> bytes:
@@ -65,8 +88,9 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
     formats: kind cycles by doc_id; images are valid binary PPMs whose
     pixel bytes cycle the text's md5 digest, audio is a valid PCM WAV
     (stdlib ``wave`` writer, so the 44-byte header is canonical) whose
-    sample bytes cycle the digest, video is the raw 16-byte digest
-    (codec-bound, no container format exists in the stdlib). Pixel/PCM
+    sample bytes cycle the digest, video is a valid UNCOMPRESSED AVI
+    (:func:`_encode_avi` — real RIFF headers, raw-RGB24 ``00db``
+    frames) whose frame pixels cycle the digest. Pixel/PCM/frame
     content cycling a known digest keeps every downstream feature
     oracle-replayable while the decoders exercise real parsers."""
 
@@ -94,7 +118,11 @@ def media_from_documents(docs: DataFrame) -> DataFrame:
                         )
                     payload = buf.getvalue()
                 else:
-                    payload = digest
+                    frame = _repeat_trunc(digest, VID_FRAME_BYTES)
+                    payload = _encode_avi(
+                        VID_W, VID_H, [frame] * _vid_frames(did)
+                    )
+                    w, h = VID_W, VID_H  # the container's real geometry
                 rows.append((did, kind, payload, FORMATS[kind], w, h, len(payload)))
             yield pd.DataFrame(
                 rows,
@@ -142,24 +170,100 @@ def _decode_wav(payload: bytes) -> tuple[int, int, bytes]:
         return n, wv.getframerate(), wv.readframes(n)
 
 
+def _encode_avi(w: int, h: int, frames: list[bytes], fps: int = VID_FPS) -> bytes:
+    """Minimal VALID uncompressed AVI: RIFF('AVI ') → LIST('hdrl')
+    with a real avih main header + one 'vids'/'DIB ' stream
+    (strh + BITMAPINFOHEADER strf) → LIST('movi') of raw-RGB24
+    ``00db`` frame chunks. Layout (fixed scaffolding = 224 bytes):
+
+        12  RIFF header           8+56  avih
+        12  LIST hdrl             12    LIST strl
+        8+56  strh                8+40  strf (BITMAPINFOHEADER)
+        12  LIST movi             F×(8+frame)  00db chunks
+    """
+    import struct
+
+    fsz = 3 * w * h
+    for fr in frames:
+        if len(fr) != fsz:
+            raise ValueError(f"frame is {len(fr)} bytes, want {fsz}")
+    avih = struct.pack(
+        "<10I4I",
+        1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, fsz, w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sI2H8I4H",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames), fsz, 0, fsz,
+        0, 0, w, h,
+    )
+    strf = struct.pack("<I2i2H6I", 40, w, h, 1, 24, 0, fsz, 0, 0, 0, 0)
+    strl = b"strl" + b"strh" + struct.pack("<I", 56) + strh \
+        + b"strf" + struct.pack("<I", 40) + strf
+    hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + avih \
+        + b"LIST" + struct.pack("<I", len(strl)) + strl
+    movi = b"movi" + b"".join(
+        b"00db" + struct.pack("<I", fsz) + fr for fr in frames
+    )
+    riff = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl \
+        + b"LIST" + struct.pack("<I", len(movi)) + movi
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
+    """Parse an uncompressed AVI: validate RIFF/'AVI ' magic, read
+    width/height from the avih main header, walk the chunk tree to the
+    'movi' list and collect raw ``00db``/``00dc`` frame chunks.
+    Returns (width, height, frames). Raises ValueError on anything
+    that is not a well-formed uncompressed AVI."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    w = h = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, i: int, end: int) -> None:
+        nonlocal w, h
+        while i + 8 <= end:
+            fourcc = buf[i : i + 4]
+            (size,) = struct.unpack("<I", buf[i + 4 : i + 8])
+            body = buf[i + 8 : i + 8 + size]
+            if fourcc == b"LIST":
+                walk(buf, i + 12, i + 8 + size)  # skip the list type tag
+            elif fourcc == b"avih" and size >= 40:
+                w, h = struct.unpack("<2I", body[32:40])
+            elif fourcc in (b"00db", b"00dc"):
+                frames.append(body)
+            i += 8 + size + (size & 1)  # RIFF chunks pad to even
+
+    walk(payload, 12, len(payload))
+    if w is None or h is None:
+        raise ValueError("AVI without an avih main header")
+    return int(w), int(h), frames
+
+
 def _decode_stub(kind: str, payload: bytes):
-    """Genuinely codec-bound formats land here: no video codec exists
-    in the stdlib, so this raises rather than fake a decode. Swap for
-    pyav/ffmpeg on a real cluster."""
+    """Genuinely codec-bound payloads land here: compressed video/
+    unknown kinds have no stdlib codec, so this raises rather than
+    fake a decode. Swap for pyav/ffmpeg on a real cluster."""
     raise NotImplementedError(f"no stdlib decoder for kind={kind!r}")
 
 
 def decode_media(kind: str, payload: bytes) -> tuple[bytes, int | None, int | None, int | None]:
     """Dispatch to the real per-modality decoder. Returns
     ``(content_bytes, width, height, n_samples)`` where content is the
-    decoded payload body (RGB pixels / PCM frames). Raises
-    ``NotImplementedError`` for codec-bound kinds (video)."""
+    decoded payload body (RGB pixels / PCM frames / concatenated video
+    frames; n_samples = PCM samples or frame count). Raises
+    ``NotImplementedError`` for codec-bound kinds."""
     if kind == "image":
         w, h, pixels = _decode_ppm(payload)
         return pixels, w, h, None
     if kind == "audio":
         n, _rate, frames = _decode_wav(payload)
         return frames, None, None, n
+    if kind == "video":
+        w, h, frames = _decode_avi(payload)
+        return b"".join(frames), w, h, len(frames)
     return _decode_stub(kind, payload)
 
 
@@ -198,8 +302,9 @@ def media_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
 def extract_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary payloads, with a
     REAL decode step per modality: images report their parsed PPM
-    dimensions and mean pixel byte, audio reports its wave frame count
-    and mean PCM byte, codec-bound kinds (video) degrade to
+    dimensions and mean pixel byte, audio its wave frame count and
+    mean PCM byte, video its AVI geometry, frame count and mean frame
+    byte; codec-bound or malformed payloads degrade to
     ``decoded=false`` with byte stats over the raw payload. byte_mean
     is an exact integer sum divided once, so the DuckDB twin is
     bit-identical."""
@@ -298,25 +403,29 @@ def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFr
 
 
 def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
-    """Video frame sampling: one output row per sampled 'frame'.
+    """Video frame sampling: one output row per sampled REAL frame.
 
-    Demonstrates the 1→N multimodal fan-out shape (mapInPandas emitting
-    multiple rows per input). Video decode is codec-bound (see
-    :func:`_decode_stub`), so frames are deterministic 4-byte slices of
-    the payload standing in for decoded frames — swap for pyav/ffmpeg
-    keyframe extraction in production; schema, batching, and the
-    explode-like output contract stay identical."""
+    The 1→N multimodal fan-out shape (mapInPandas emitting multiple
+    rows per input): each AVI payload is container-parsed
+    (:func:`_decode_avi`) and every ``every_n``-th raw-RGB24 frame is
+    emitted with its true frame index. A malformed payload is SKIPPED
+    (degrade-don't-die, same contract as resize). Swap the parser for
+    pyav/ffmpeg keyframe extraction on compressed codecs in
+    production; schema, batching, and the explode-like output contract
+    stay identical."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_idx, out_bytes = [], [], []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
-                blob = bytes(p)
-                n_frames = max(len(blob) // 4, 1)
-                for i in range(0, n_frames, every_n):
+                try:
+                    _w, _h, frames = _decode_avi(bytes(p))
+                except ValueError:
+                    continue
+                for i in range(0, len(frames), every_n):
                     out_ids.append(mid)
                     out_idx.append(i)
-                    out_bytes.append(blob[i * 4 : i * 4 + 4] or blob[:4])
+                    out_bytes.append(frames[i])
             if out_ids:
                 yield pd.DataFrame(
                     {

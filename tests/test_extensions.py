@@ -264,7 +264,8 @@ def test_ivf_trained_quantizer_cells_follow_training(spark):
 def test_multimodal_real_decode(docs):
     """Images decode through the real PPM parser (dims recovered from
     the header), audio through the stdlib wave reader (frame count
-    recovered), video degrades to decoded=false over raw bytes."""
+    recovered), video through the real AVI chunk walker (geometry and
+    frame count recovered from the container)."""
     media = mm.media_from_documents(docs)
     feats = {r["media_id"]: r for r in mm.extract_features(media).collect()}
     assert len(feats) == 5
@@ -282,8 +283,10 @@ def test_multimodal_real_decode(docs):
             assert r["n_samples"] == mm._wav_samples(mid)
             assert r["n_bytes"] == 44 + 2 * mm._wav_samples(mid)
         else:
-            assert not r["decoded"]
-            assert r["n_bytes"] == 16
+            assert r["decoded"]
+            assert (r["dec_width"], r["dec_height"]) == (mm.VID_W, mm.VID_H)
+            assert r["n_samples"] == mm._vid_frames(mid)
+            assert r["n_bytes"] == mm.avi_total_bytes(mm._vid_frames(mid))
 
 
 def test_ppm_wav_decoders_roundtrip_known_bytes():
@@ -326,16 +329,32 @@ def test_multimodal_resize_and_frame_sample(docs):
     frames = mm.sample_frames(media, every_n=2).collect()
     vids = [r["media_id"] for r in media.collect() if r["kind"] == "video"]
     assert {f["media_id"] for f in frames} == set(vids)
-    # 16-byte payload → 4 frames → sampled every 2 → 2 per video
+    # F = mid%4+2 real AVI frames, sampled every 2 → ceil(F/2) rows of
+    # full raw-RGB24 frames
+    for v in vids:
+        want = -(-mm._vid_frames(v) // 2)
+        assert sum(1 for f in frames if f["media_id"] == v) == want
     assert all(
-        sum(1 for f in frames if f["media_id"] == v) == 2 for v in vids
+        len(f["frame_bytes"]) == mm.VID_FRAME_BYTES for f in frames
     )
-    assert all(len(f["frame_bytes"]) == 4 for f in frames)
 
 
-def test_multimodal_video_decode_is_declared_stub():
-    with pytest.raises(NotImplementedError):
-        mm.decode_media("video", b"\x00" * 16)
+def test_avi_roundtrip_and_codec_stub():
+    """_encode_avi → _decode_avi is the identity on geometry and frame
+    bytes; the documented size model holds; malformed payloads raise
+    ValueError; genuinely codec-bound kinds still hit the declared
+    NotImplementedError stub."""
+    fr = [bytes([i]) * mm.VID_FRAME_BYTES for i in range(3)]
+    payload = mm._encode_avi(mm.VID_W, mm.VID_H, fr)
+    assert len(payload) == mm.avi_total_bytes(3)
+    w, h, out = mm._decode_avi(payload)
+    assert (w, h) == (mm.VID_W, mm.VID_H)
+    assert out == fr
+    content, dw, dh, nf = mm.decode_media("video", payload)
+    assert (dw, dh, nf) == (mm.VID_W, mm.VID_H, 3)
+    assert content == b"".join(fr)
+    with pytest.raises(ValueError):
+        mm.decode_media("video", b"\x00" * 16)  # not a RIFF container
     with pytest.raises(NotImplementedError):
         mm._decode_stub("hologram", b"\x00")
 
