@@ -550,26 +550,35 @@ def scd2_timeline(src: DataFrame, key: str, attr_cols: list[str]) -> DataFrame:
     callers with a single batch can set a constant) — and the result is
     the linked dimension history with half-open validity intervals.
 
-    Two window passes over the SAME key-partitioned sort (one
-    shuffle): dedupe same ``(key, valid_from)`` (update wins, then
-    attrs desc for determinism), suppress no-change versions (a rerun
-    or a noisy source re-sending unchanged rows cannot bloat history),
-    then re-link ``valid_to`` = next surviving version's
-    ``valid_from`` (NULL → ``is_current``). Late-arriving versions
-    insert mid-timeline and the intervals re-link around them because
-    valid_to is always recomputed, never trusted from state."""
+    Three window passes over ONE key-partitioned sort (a single
+    Exchange — plan-asserted): dedupe same ``(key, valid_from)``
+    (update wins, then attrs desc for determinism — expressed as
+    keep-first-of-each-valid_from-run under the shared sort, so it
+    does not need its own (key, valid_from) partitioning), suppress
+    no-change versions (a rerun or a noisy source re-sending unchanged
+    rows cannot bloat history), then re-link ``valid_to`` = next
+    surviving version's ``valid_from`` (NULL → ``is_current``).
+    Late-arriving versions insert mid-timeline and the intervals
+    re-link around them because valid_to is always recomputed, never
+    trusted from state."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(key).orderBy("valid_from")
-    wd = Window.partitionBy(key, "valid_from").orderBy(
+    order = [
+        F.col("valid_from").asc(),
         F.col("_prio").desc(),
         *[F.col(c).desc_nulls_last() for c in attr_cols],
-    )
+    ]
+    wd = Window.partitionBy(key).orderBy(*order)
+    w = Window.partitionBy(key).orderBy("valid_from")
     attrs = F.struct(*[F.col(c) for c in attr_cols])
     return (
-        src.withColumn("_rn", F.row_number().over(wd))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "_prio")
+        # first row of each valid_from run under the shared sort IS the
+        # per-(key, valid_from) winner (update beats history, then
+        # attrs desc) — same survivors as a row_number over
+        # (key, valid_from), without a second partitioning
+        src.withColumn("_pv", F.lag("valid_from").over(wd))
+        .filter(F.col("_pv").isNull() | (F.col("_pv") != F.col("valid_from")))
+        .drop("_pv", "_prio")
         .withColumn("_prev", F.lag(attrs).over(w))
         .filter(F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(attrs))
         .drop("_prev")

@@ -78,6 +78,8 @@ REPORT_QUERIES = [
     ("similarity_binary_topk", "1-bit sign words; popcount-XOR scoring inside a broadcast query join"),
     ("similarity_ann_pq_full_trained", "trained coarse + trained codebooks; plan shape unchanged from fixed variants"),
     ("events_gapfill", "dense axis from a 1-row bounds explode; LOCF window over O(types×buckets) rows; rollup materialized once"),
+    ("dim_scd2_timeline", "one key-partitioned sort shared by the dedupe/suppress/re-link window passes; no joins"),
+    ("multimodal_frames", "real AVI chunk-parse 1→N fan-out inside one mapInPandas; video filter pushed to scan"),
     ("events_m4", "one (type,bucket)-keyed exchange shared by window sort and aggregate"),
     ("events_exact_quantiles", "one type-keyed exchange shared by rank window and aggregate"),
     ("events_rolling_active", "sequence explode ABOVE the distinct (day,user) aggregate — bounded W× inflation, no W rescans"),
