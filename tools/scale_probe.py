@@ -65,8 +65,33 @@ def main() -> int:
             times.append(time.time() - t)
         out[f"lloyd_iter_sec_{factor}x"] = round(min(times), 3)
         out[f"rows_{factor}x"] = n0 * factor
+        # fit()'s DEFAULT step since round 8 (string-built Catalyst,
+        # codegen chosen by input size like fit does). Jitter the
+        # centers per call so every plan carries FRESH literals —
+        # measuring the loop's real per-iteration cost including any
+        # codegen recompile, not a compile-cache hit.
+        n_rows = n0 * factor
+        cg = "false" if n_rows < km.CODEGEN_MIN_ROWS else "true"
+        cg_before = spark.conf.get("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.wholeStage", cg)
+        try:
+            def jitter(i):
+                return [(c, x + 1e-9 * (i + 1), y) for c, x, y in centers]
+
+            km.lloyd_step_sql(df, jitter(99))  # warm workers
+            times = []
+            for i in range(3):
+                t = time.time()
+                km.lloyd_step_sql(df, jitter(i))
+                times.append(time.time() - t)
+        finally:
+            spark.conf.set("spark.sql.codegen.wholeStage", cg_before)
+        out[f"lloyd_sql_iter_sec_{factor}x"] = round(min(times), 3)
         df.unpersist()
 
+    out["lloyd_sql_16x_slope"] = round(
+        out["lloyd_sql_iter_sec_16x"] / out["lloyd_sql_iter_sec_1x"] / 16.0, 3
+    )
     s1 = out["lloyd_iter_sec_1x"]
     s16 = out["lloyd_iter_sec_16x"]
     out["lloyd_16x_slope"] = round(s16 / s1 / 16.0, 3)  # 1.0 = perfectly linear
