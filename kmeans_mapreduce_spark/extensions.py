@@ -1073,6 +1073,60 @@ def q_dim_scd2_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL under the hash gate: build a real versioned table
+    (two ``commit_version`` appends of deterministic orders slices
+    into a fresh scratch dir — actual ``_log`` manifests, actual
+    atomic commit points), then ``read_version`` each pinned version
+    and report per-version row count and an exact cents total. The
+    filesystem mechanics (atomic link, fsync, vacuum, crash recovery)
+    stay pytest-gated; this pins what a USER of time travel sees —
+    version 0 keeps showing last week's snapshot after version 1
+    lands — against a DuckDB twin that derives both snapshots
+    relationally."""
+    import tempfile
+
+    from kmeans_mapreduce_spark.sources.loaders import (
+        commit_version,
+        read_version,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b2 = orders.filter(F.col("o_orderkey") % 7 == 1).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    path = tempfile.mkdtemp(prefix="spark_graft_ttd_")
+    try:
+        commit_version(spark, path, b1, mode="append")
+        commit_version(spark, path, b2, mode="append")
+        rows = []
+        for v in (0, 1):
+            r = (
+                read_version(spark, path, v)
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.sum(
+                        F.round(F.col("o_totalprice") * 100).cast("long")
+                    ).alias("total_cents"),
+                )
+                .collect()[0]
+            )
+            rows.append((v, r["n_rows"], r["total_cents"]))
+    finally:
+        # the two aggregate rows are collected above, so the scratch
+        # table (tiny, per-invocation) can be removed eagerly instead
+        # of leaking one dir per run
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "version INT, n_rows BIGINT, total_cents BIGINT"
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load_table(spark, sf_dir, "documents"))
 
@@ -4524,6 +4578,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_split": q_corpus_split,
         "corpus_snapshot_diff": q_corpus_snapshot_diff,
         "dim_scd2_timeline": q_dim_scd2_timeline,
+        "table_time_travel": q_table_time_travel,
         "corpus_profile": q_corpus_profile,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_fuzzy_prefix": q_dedup_fuzzy_prefix,
@@ -5059,6 +5114,23 @@ dups AS (
 SELECT n_docs, n_langs, total_chars, avg_chars, total_tokens, dup_docs,
        ROUND(dup_docs::DOUBLE / n_docs::DOUBLE, 6) AS dup_frac
 FROM base CROSS JOIN dups""",
+        "table_time_travel": """
+WITH b1 AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+  FROM orders WHERE o_orderkey % 7 = 0
+),
+b2 AS (
+  SELECT COUNT(*) AS n_rows,
+         SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS total_cents
+  FROM orders WHERE o_orderkey % 7 = 1
+)
+SELECT 0::INTEGER AS version, n_rows::BIGINT AS n_rows, total_cents FROM b1
+UNION ALL
+SELECT 1::INTEGER AS version,
+       (b1.n_rows + b2.n_rows)::BIGINT AS n_rows,
+       (b1.total_cents + b2.total_cents)::BIGINT AS total_cents
+FROM b1, b2""",
         "dim_scd2_timeline": """
 WITH d AS (
   SELECT o_custkey, valid_from, o_orderstatus FROM (
