@@ -23,17 +23,54 @@ from hypothesis import given, settings, strategies as st
 @settings(max_examples=200, deadline=None)
 def test_round_half_up_always_matches_duckdb(vals, digits):
     """Driver-side rounding ≡ DuckDB ROUND for arbitrary doubles and
-    scales (the oracle-gate contract, fuzzed)."""
+    scales (the oracle-gate contract, fuzzed) — EXCEPT the one case
+    where Spark and DuckDB themselves disagree: when the double's
+    SHORTEST repr lands exactly on a decimal half-tie at this scale
+    but the binary value sits on the other side of it (hypothesis
+    found 524288.626390965 at 8 digits: binary ≈ …96497 < the .965
+    tie, so DuckDB's value-based ROUND gives …96 while Spark's
+    BigDecimal-of-toString HALF_UP — which round_half_up mirrors, by
+    contract — gives …97). round_half_up must side with SPARK there;
+    the carve-out below excludes exactly those repr-ties, and the
+    oracle discipline (round aggregate means, ≤8 digits) makes a real
+    mean landing on one a measure-zero event."""
+    import decimal
+
     import duckdb
 
     from kmeans_mapreduce_spark.operators.kmeans import round_half_up
 
     con = duckdb.connect()
     for v in vals:
+        srepr = decimal.Decimal(repr(v))
+        exact = decimal.Decimal(v)  # full binary expansion
+        scaled = srepr.scaleb(digits)
+        if scaled % 1 == decimal.Decimal("0.5") and exact != srepr:
+            # repr-tie the binary value doesn't confirm: Spark and
+            # DuckDB legitimately differ by one unit in the last
+            # rounded digit; round_half_up is defined to match Spark
+            continue
         duck = con.execute(
             f"SELECT ROUND(CAST(? AS DOUBLE), {digits})", [v]
         ).fetchone()[0]
         assert round_half_up(v, digits) == duck
+
+
+def test_round_half_up_sides_with_spark_on_repr_ties(spark):
+    """The carve-out above, pinned from the other side: on the
+    hypothesis-found repr-tie, round_half_up equals Spark's F.round
+    (the value that re-enters gated loop plans), not DuckDB's."""
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.operators.kmeans import round_half_up
+
+    v = 524288.626390965
+    spark_val = (
+        spark.range(1)
+        .select(F.round(F.lit(v), 8).alias("r"))
+        .collect()[0]["r"]
+    )
+    assert round_half_up(v, 8) == spark_val == 524288.62639097
 
 
 @given(
