@@ -570,7 +570,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
 # hash-gated representative of every extension family (text, sampling,
 # relational joins, dedup exact/MinHash/SimHash/n-gram/embedding/
 # semantic/substring, brute+IVF+PQ+trained-serving ANN, hybrid RRF,
-# graph, multimodal, HLL/CMS/Bloom sketches, snapshot diff, SCD2,
+# graph, multimodal, HLL/CMS/Bloom sketches, time travel, SCD2,
 # events, streaming replays). Everything else still runs in the
 # builder's full three-scale sweep.
 DRIVER_WINDOW_QUERIES: list[str] = [
@@ -625,8 +625,8 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "events_hll_distinct",
     "text_cms_terms",
     "lineitem_bloom_prune",
-    # -- versioned / dimension history --
-    "corpus_snapshot_diff",
+    # -- versioned / dimension history / time travel --
+    "table_time_travel",
     "dim_scd2_timeline",
     # -- events / time series --
     "events_sessionize",

@@ -65,6 +65,7 @@ def test_driver_window_samples_every_family():
         "sketch-cms": "text_cms_terms",
         "sketch-bloom": "lineitem_bloom_prune",
         "scd2": "dim_scd2_timeline",
+        "time-travel": "table_time_travel",
         "streaming": "events_stream_replay",
     }
     for fam, name in families.items():
