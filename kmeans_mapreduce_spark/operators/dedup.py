@@ -384,9 +384,20 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline. Bands come straight
     from the signature array (no re-aggregation shuffle); the only
-    exchanges left are the band-bucket self-join and the verify join."""
-    cands = candidate_pairs(lsh_bands_from_array(minhash_signature_array(docs)))
-    return jaccard_pairs(docs, cands, threshold)
+    exchanges left are the band-bucket self-join and the verify join.
+
+    The bands are MATERIALIZED (localCheckpoint) before
+    :func:`candidate_pairs`: its hot-bucket guard makes the bands feed
+    THREE consumers (both self-join sides + the bucket-stats
+    aggregate), and left as lineage each would re-run the Arrow
+    signature build over the full corpus — the same
+    build-once-query-many barrier as ``ngram_jaccard_pairs``'s posting
+    index (measured at sf0.1: 2.3 → 2.0 s warm; at cluster scale the
+    index would be persisted instead)."""
+    bands = lsh_bands_from_array(minhash_signature_array(docs)).localCheckpoint(
+        eager=False
+    )
+    return jaccard_pairs(docs, candidate_pairs(bands), threshold)
 
 
 def shingle_postings(docs: DataFrame) -> DataFrame:
