@@ -6050,7 +6050,8 @@ FROM r WHERE rank <= {TOPIC_TOP_TERMS}""",
         "kmeans_nd_loop2": _kmeans_nd_loop2_sql(),
         # payload sizes replayed arithmetically: PPM = "P6\n{w} {h}\n255\n"
         # header + 3wh pixels; WAV = canonical 44-byte PCM header + 2
-        # bytes/sample; video = the raw 16-byte digest
+        # bytes/sample; video = uncompressed AVI, 224 fixed header
+        # bytes + F frames of (8-byte chunk header + 3*16*12 RGB24)
         "multimodal_meta": """
 WITH m AS (
   SELECT doc_id AS media_id,

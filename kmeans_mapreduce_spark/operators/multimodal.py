@@ -227,6 +227,16 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
         while i + 8 <= end:
             fourcc = buf[i : i + 4]
             (size,) = struct.unpack("<I", buf[i + 4 : i + 8])
+            if i + 8 + size > end:
+                # a chunk whose declared size overruns its container is
+                # a truncated/corrupt file — raise, never return a
+                # silently-short frame (review fix: the documented
+                # contract is ValueError on malformed, and the
+                # degrade-don't-die callers rely on it)
+                raise ValueError(
+                    f"truncated AVI: chunk {fourcc!r} claims {size} bytes "
+                    f"past its container"
+                )
             body = buf[i + 8 : i + 8 + size]
             if fourcc == b"LIST":
                 walk(buf, i + 12, i + 8 + size)  # skip the list type tag
@@ -239,6 +249,13 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
     walk(payload, 12, len(payload))
     if w is None or h is None:
         raise ValueError("AVI without an avih main header")
+    fsz = 3 * int(w) * int(h)
+    for fr in frames:
+        if len(fr) != fsz:
+            raise ValueError(
+                f"AVI frame is {len(fr)} bytes, want {fsz} (uncompressed "
+                "RGB24 contract — compressed codecs are out of scope)"
+            )
     return int(w), int(h), frames
 
 
@@ -272,10 +289,15 @@ def media_embedding(media: DataFrame, dim: int = 16) -> DataFrame:
     content bytes, zero-padded) — the deterministic stand-in for a
     real encoder model, with the REAL plumbing a GPU-batched embedder
     needs: binary column in, real decode, Arrow batch iteration,
-    ``array<double>`` column out, narrow map (no shuffle). Undecodable
-    kinds (video) fall back to raw payload bytes. Swap the byte slice
-    for a model forward pass and nothing else changes. Output:
-    (media_id, vec ARRAY<DOUBLE>)."""
+    ``array<double>`` column out, narrow map (no shuffle). MALFORMED
+    payloads fall back to raw payload bytes (degrade-don't-die). The
+    oracle equivalence the media-cluster twin relies on: every
+    synthesized modality's decoded content STARTS with the text's md5
+    digest cycle (PPM pixels, PCM samples, and AVI frame bytes alike),
+    so the first ``dim`` content bytes equal the first ``dim`` digest
+    bytes regardless of kind. Swap the byte slice for a model forward
+    pass and nothing else changes. Output: (media_id, vec
+    ARRAY<DOUBLE>)."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -575,10 +575,20 @@ def scd2_timeline(src: DataFrame, key: str, attr_cols: list[str]) -> DataFrame:
         # first row of each valid_from run under the shared sort IS the
         # per-(key, valid_from) winner (update beats history, then
         # attrs desc) — same survivors as a row_number over
-        # (key, valid_from), without a second partitioning
-        src.withColumn("_pv", F.lag("valid_from").over(wd))
-        .filter(F.col("_pv").isNull() | (F.col("_pv") != F.col("valid_from")))
-        .drop("_pv", "_prio")
+        # (key, valid_from), without a second partitioning. Null-safe
+        # run detection (review fix): a plain `_pv != valid_from` would
+        # keep EVERY NULL-versioned row (lag NULL ≠ NULL) where the old
+        # (key, valid_from) partitioning collapsed them to one — the
+        # rn==1-or-distinct form reproduces that exactly, NULL group
+        # included. row_number rides the same window spec, so still
+        # one Exchange.
+        src.withColumn("_rn", F.row_number().over(wd))
+        .withColumn("_pv", F.lag("valid_from").over(wd))
+        .filter(
+            (F.col("_rn") == 1)
+            | ~F.col("_pv").eqNullSafe(F.col("valid_from"))
+        )
+        .drop("_rn", "_pv", "_prio")
         .withColumn("_prev", F.lag(attrs).over(w))
         .filter(F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(attrs))
         .drop("_prev")

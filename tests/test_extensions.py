@@ -355,6 +355,18 @@ def test_avi_roundtrip_and_codec_stub():
     assert content == b"".join(fr)
     with pytest.raises(ValueError):
         mm.decode_media("video", b"\x00" * 16)  # not a RIFF container
+    with pytest.raises(ValueError):
+        mm._decode_avi(payload[:-10])  # truncated mid-frame: never a short frame
+    with pytest.raises(ValueError):
+        # well-formed container whose frames don't match the declared
+        # geometry: patch avih dwWidth (offset 64 = RIFF 12 + LIST hdrl
+        # 12 + avih chunk header 8 + 32) from 16 to 8 — frames are now
+        # 576 bytes where 3*8*12=288 is required
+        import struct as _struct
+
+        bad = bytearray(payload)
+        bad[64:68] = _struct.pack("<I", 8)
+        mm._decode_avi(bytes(bad))
     with pytest.raises(NotImplementedError):
         mm._decode_stub("hologram", b"\x00")
 

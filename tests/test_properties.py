@@ -45,7 +45,10 @@ def test_round_half_up_always_matches_duckdb(vals, digits):
         srepr = decimal.Decimal(repr(v))
         exact = decimal.Decimal(v)  # full binary expansion
         scaled = srepr.scaleb(digits)
-        if scaled % 1 == decimal.Decimal("0.5") and exact != srepr:
+        # abs(): Decimal % carries the dividend's sign, so a negative
+        # repr-tie lands on -0.5 (review fix — the carve-out must
+        # exclude -524288.626390965 exactly like its positive twin)
+        if abs(scaled % 1) == decimal.Decimal("0.5") and exact != srepr:
             # repr-tie the binary value doesn't confirm: Spark and
             # DuckDB legitimately differ by one unit in the last
             # rounded digit; round_half_up is defined to match Spark

@@ -722,6 +722,31 @@ def test_merge_scd2_history_suppression_and_backfill(spark, tmp_path):
     ]
 
 
+def test_merge_scd2_null_version_rows_collapse_to_one(spark, tmp_path):
+    """Review regression: NULL-versioned rows for one key must dedupe
+    to a single survivor (the old (key, valid_from) partitioning
+    collapsed the NULL group; the shared-sort rewrite must too) — and
+    never produce two is_current rows for one key."""
+    from kmeans_mapreduce_spark.sources.loaders import merge_scd2
+
+    target = str(tmp_path / "dim")
+    b1 = spark.createDataFrame(
+        [(1, None, "nyc"), (1, None, "sf"), (1, 20, "tokyo")],
+        "k LONG, ver LONG, city STRING",
+    )
+    merge_scd2(spark, target, b1, key="k", version_col="ver")
+    rows = sorted(
+        (
+            (r["valid_from"], r["is_current"], r["city"])
+            for r in spark.read.parquet(target).collect()
+        ),
+        key=lambda t: (t[0] is not None, t[0] or 0),
+    )
+    # one NULL-version survivor (attrs desc → 'sf'), one current row
+    assert rows == [(None, False, "sf"), (20, True, "tokyo")]
+    assert sum(1 for _, cur, _ in rows if cur) == 1
+
+
 def test_merge_scd2_rejects_mismatched_attribute_schema(spark, tmp_path):
     """An update batch missing (or adding) an attribute column the
     history has must FAIL, not silently rewrite all history projected
