@@ -47,6 +47,21 @@ def test_assign_tiebreak_lowest_cid(spark, f4):
     assert row["min_d2"] == 50.0
 
 
+def test_lloyd_step_sql_matches_expr_and_arrow(spark, f4):
+    """The three step implementations are one contract: identical
+    means, sizes, and WSSSE on the golden fixture — INCLUDING the
+    first-wins tie-break (the (6,6) point is exactly equidistant from
+    both centroids and must count toward cid 0 in every impl)."""
+    extra = spark.createDataFrame([(99, 6.0, 6.0)], POINTS_2D)
+    pts = f4.unionByName(extra)
+    expr = km.lloyd_step(pts, F4_CENTERS)
+    sql = km.lloyd_step_sql(pts.select("x", "y"), F4_CENTERS)
+    arrow = km.lloyd_step_arrow(pts.select("x", "y"), F4_CENTERS, n_parts=2)
+    assert expr == sql == arrow
+    means, sizes, _ = sql
+    assert sizes[0] == 5  # the tie went to cid 0 everywhere
+
+
 def test_assign_df_matches_assign(spark, f4):
     cents = spark.createDataFrame(
         [(c, x, y) for c, x, y in F4_CENTERS], "cid INT, cx DOUBLE, cy DOUBLE"
