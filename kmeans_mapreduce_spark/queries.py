@@ -559,6 +559,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "events_trend",
     "similarity_hybrid_rrf",
     "pipeline_events_dashboard",
+    "dim_scd2_timeline",
+    "table_time_travel",
 }
 
 
