@@ -75,6 +75,55 @@ def test_lsh_hot_bucket_cap_bounds_candidates(spark):
     assert uncapped.count() == n * (n - 1) // 2 + 1
 
 
+def test_lsh_star_cap_mirrored_by_sql_twin_on_hot_corpus(spark, tmp_path):
+    """Cross-engine check the oracle gate can't reach at the tested
+    SFs (their data has no hot buckets, so the capped branch never
+    fires there): on a corpus where the star rule DOES fire — 300
+    identical docs, one disjoint near-dup pair — the Spark pipeline
+    and the DuckDB twin must still produce the identical verified pair
+    set. If the SQL mirror of the bucket-cap rule ever drifts from the
+    Spark rule, THIS fails, not a future crawl shard."""
+    import duckdb
+
+    from kmeans_mapreduce_spark.extensions import (
+        extension_oracle_sql,
+        extension_queries,
+    )
+
+    rows = [
+        (i, "the same boilerplate navigation footer text block", "en", "s", 49)
+        for i in range(300)
+    ] + [
+        (1000, "one genuinely unique document body here", "en", "s", 39),
+        (1001, "one genuinely unique document body there", "en", "s", 40),
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in extension_queries()["dedup_minhash_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.sql(
+            extension_oracle_sql()["dedup_minhash_pairs"]
+        ).fetchall()
+    }
+    assert got == want
+    # and the star actually fired: linear pair count, not 300·299/2
+    hot_pairs = [p for p in got if p[0] < 300 and p[1] < 300]
+    assert len(hot_pairs) == 299
+    assert all(a == 0 for a, _, _ in hot_pairs)
+
+
 def test_jaccard_pairs_values(docs, spark):
     pairs = spark.createDataFrame([(0, 2)], "doc_a LONG, doc_b LONG")
     out = dd.jaccard_pairs(docs, pairs, threshold=0.0).collect()
