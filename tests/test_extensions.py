@@ -124,6 +124,53 @@ def test_lsh_star_cap_mirrored_by_sql_twin_on_hot_corpus(spark, tmp_path):
     assert all(a == 0 for a, _, _ in hot_pairs)
 
 
+def test_ngram_df_cap_mirrored_by_sql_twin_on_hot_corpus(spark, tmp_path):
+    """Same cross-engine discipline for the n-gram posting df cap: no
+    shingle exceeds the cap at the tested SFs (measured: max df ≤ 64
+    vs cap 100 at sf0.01), so the capped branch of the SQL twin only
+    runs here. 150 docs share one stopword-like shingle (df 150 >
+    cap); a disjoint true near-dup pair sits in another block. Spark
+    pipeline and DuckDB twin must agree on the verified pair set."""
+    import duckdb
+
+    from kmeans_mapreduce_spark.extensions import (
+        extension_oracle_sql,
+        extension_queries,
+    )
+
+    rows = [
+        (i, f"alpha beta gamma u{i} v{i} w{i}", "en", "s", 50)
+        for i in range(150)
+    ] + [
+        (1000, "tokens one two three four five six seven", "en", "s", 40),
+        (1001, "tokens one two three four five six eight", "en", "s", 40),
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in extension_queries()["dedup_ngram_jaccard"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.sql(
+            extension_oracle_sql()["dedup_ngram_jaccard"]
+        ).fetchall()
+    }
+    assert got == want
+    # the capped hot shingle contributed no pairs; the near-dup did
+    assert (1000, 1001) in {(a, b) for a, b, _ in got}
+    assert not any(a < 150 and b < 150 for a, b, _ in got)
+
+
 def test_jaccard_pairs_values(docs, spark):
     pairs = spark.createDataFrame([(0, 2)], "doc_a LONG, doc_b LONG")
     out = dd.jaccard_pairs(docs, pairs, threshold=0.0).collect()
