@@ -3115,12 +3115,21 @@ b AS (
 ),
 sp AS (SELECT (MAX(doc_id) * {INCR_SPLIT_NUM}) // {INCR_SPLIT_DEN} AS split_id
        FROM documents),
+ob AS (SELECT b.* FROM b CROSS JOIN sp WHERE b.doc_id < sp.split_id),
+oc AS (
+  -- hot-bucket star mirror (incremental_minhash_pairs bucket_cap):
+  -- oversized HISTORICAL buckets probe only their min-doc_id rep
+  SELECT band_id, band_hash, COUNT(*) AS n, MIN(doc_id) AS rep
+  FROM ob GROUP BY band_id, band_hash
+),
 cand AS (
   SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
-  FROM b n JOIN b o
-    ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+  FROM b n
   CROSS JOIN sp
-  WHERE n.doc_id >= sp.split_id AND o.doc_id < sp.split_id
+  JOIN ob o ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+  JOIN oc ON oc.band_id = o.band_id AND oc.band_hash = o.band_hash
+  WHERE n.doc_id >= sp.split_id
+    AND (oc.n <= {dd.LSH_BUCKET_CAP} OR o.doc_id = oc.rep)
 ),
 ts AS (SELECT doc_id, toks AS s FROM t),
 verified AS (

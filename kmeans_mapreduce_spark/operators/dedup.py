@@ -1346,6 +1346,7 @@ def incremental_minhash_pairs(
     split_num: int = 4,
     split_den: int = 5,
     digits: int = 6,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
 ) -> DataFrame:
     """Incremental near-dup: dedupe a NEW document batch against the
     HISTORICAL corpus without re-pairing the history with itself — the
@@ -1383,6 +1384,26 @@ def incremental_minhash_pairs(
     old_bands = flagged.filter(F.col("doc_id") < F.col("split_id")).select(
         "doc_id", "band_id", "band_hash"
     )
+    if bucket_cap is not None:
+        # same hot-bucket star guard as candidate_pairs, applied to the
+        # HISTORICAL side: a boilerplate bucket with N old members would
+        # otherwise emit |new_in_bucket|·N probe rows; capping the old
+        # side to its min-doc_id representative bounds that to
+        # |new_in_bucket| while each colliding new doc still gets its
+        # dup_of verdict (members of a genuinely-hot bucket all verify
+        # against the representative). Mirrored in the SQL twin.
+        old_stats = old_bands.groupBy("band_id", "band_hash").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min("doc_id").alias("__rep"),
+        )
+        old_bands = (
+            old_bands.join(old_stats, ["band_id", "band_hash"])
+            .filter(
+                (F.col("__n") <= F.lit(int(bucket_cap)))
+                | (F.col("doc_id") == F.col("__rep"))
+            )
+            .select("doc_id", "band_id", "band_hash")
+        )
     cand = (
         F.broadcast(new_bands.alias("n"))
         .join(

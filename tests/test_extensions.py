@@ -171,6 +171,64 @@ def test_ngram_df_cap_mirrored_by_sql_twin_on_hot_corpus(spark, tmp_path):
     assert not any(a < 150 and b < 150 for a, b, _ in got)
 
 
+def test_incremental_star_cap_mirrored_by_sql_twin_on_hot_corpus(
+    spark, tmp_path
+):
+    """Incremental dedup's historical-side star guard, cross-engine on
+    a corpus where it fires: 400 identical docs in history, their
+    duplicates continuing into the new batch (ids ≥ the 4/5 boundary),
+    plus a disjoint cross-boundary near-dup pair. Each colliding new
+    doc must still get its dup_of verdict — against the historical
+    REPRESENTATIVE (min doc_id) only — identically on both engines."""
+    import duckdb
+
+    from kmeans_mapreduce_spark.extensions import (
+        extension_oracle_sql,
+        extension_queries,
+    )
+
+    # max id 601 → boundary 601*4//5 = 480: identical docs 0..479 are
+    # HISTORY (a 480-member hot bucket > cap 256), 480..499 are the
+    # same boilerplate arriving in the NEW batch; 600/601 are a
+    # near-dup pair that lands entirely in the new zone
+    rows = [
+        (i, "the same boilerplate navigation footer text block", "en", "s", 49)
+        for i in range(500)
+    ] + [
+        (600, "tokens one two three four five six seven", "en", "s", 40),
+        (601, "tokens one two three four five six eight", "en", "s", 40),
+    ]
+    df = spark.createDataFrame(rows, DOCS_SCHEMA)
+    sf_dir = str(tmp_path)
+    df.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    got = {
+        (r["doc_id"], r["dup_of"], r["jaccard"])
+        for r in extension_queries()["dedup_incremental"](
+            spark, sf_dir
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    want = {
+        (r[0], r[1], r[2])
+        for r in con.sql(
+            extension_oracle_sql()["dedup_incremental"]
+        ).fetchall()
+    }
+    assert got == want
+    # boundary = 601*4//5 = 480: every hot NEW doc (480..499) matched
+    # the historical representative 0, exactly once each
+    hot_new = {d for d, dup, _ in got if dup == 0}
+    assert hot_new == set(range(480, 500))
+    assert all(dup == 0 for d, dup, _ in got if d < 600)
+    # 600 and 601 are both ≥ 480 → both NEW; their near-dup is a
+    # new-new pair, deliberately out of incremental scope on both sides
+    assert not any(d in (600, 601) or dup in (600, 601) for d, dup, _ in got)
+
+
 def test_jaccard_pairs_values(docs, spark):
     pairs = spark.createDataFrame([(0, 2)], "doc_a LONG, doc_b LONG")
     out = dd.jaccard_pairs(docs, pairs, threshold=0.0).collect()
