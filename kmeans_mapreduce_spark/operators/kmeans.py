@@ -22,6 +22,18 @@ Semantics are textbook Lloyd's, fixing the reference's accidents
 partition index), init/repair sample uniformly within the true bounding
 box, ties break to the lowest cid (strict ``<`` first-wins,
 mapper.py:43), convergence on |ΔWSSSE| < tol with an iteration cap.
+
+Investigated and rejected (round 8): running the WHOLE loop as ONE
+barrier-mode job with ``BarrierTaskContext.allGather`` syncing the
+K-row partials per iteration. The idea is sound (job-submission
+overhead paid once) but Spark 4.1.2's ``runBarrier`` polls its RPC
+future with a hardcoded ``Thread.sleep(1000)`` (BarrierTaskContext,
+bytecode-verified), so every global sync costs ≥1 s wall — measured
+1.002 s/allGather flat, i.e. 10 s of pure sleep for a 10-iteration
+fit that the per-job loop finishes in <3 s. Barrier scheduling also
+requires every partition concurrently resident (caps input at cluster
+slots). If the poll interval ever becomes tunable, the one-job design
+is worth revisiting for many-iteration fits.
 """
 
 from __future__ import annotations
