@@ -289,12 +289,21 @@ def candidate_pairs(
     self-join emits O(N²) pairs in that single task — the classic LSH
     skew failure at corpus scale. Buckets with more than ``bucket_cap``
     members switch to STAR expansion: only the bucket's minimum doc_id
-    pairs with the other members (N−1 pairs). The star preserves
-    exactly what downstream needs — connectivity for the
-    connected-components clustering, and rep↔member verification for
-    the Jaccard filter (members of a genuinely-near-dup bucket all
-    match the representative) — while bounding any bucket's emission
-    linearly. Same shape as the n-gram path's posting df-cap
+    pairs with the other members (N−1 pairs), bounding any bucket's
+    emission linearly.
+
+    RECALL TRADEOFF (deliberate): the star drops member–member pairs,
+    so two docs in a hot bucket that are near-dups of EACH OTHER but
+    not of the min-doc_id representative are never Jaccard-verified —
+    verified-pair recall is strictly ≤ the unguarded join's (the
+    cluster stays connected only when members verify against the rep).
+    This is the standard skew/recall dial every production LSH dedup
+    ships (cap, sample, or drop hot buckets); the SQL twins mirror the
+    SAME rule, so the hash gate pins the capped semantics — it does
+    not certify exact all-pairs LSH. The exact-vs-capped delta is
+    pinned by a fixture
+    (``test_star_cap_recall_delta_vs_exact_is_pinned``) on a planted
+    corpus where the two differ. Same shape as the n-gram path's posting df-cap
     (:func:`ngram_jaccard_pairs`); the SQL twins mirror the rule, so
     the gate checks it rather than assuming it. The bucket-stats
     aggregate is map-side combined and keyed identically to the
@@ -835,21 +844,106 @@ def simhash_pairs(
 
 EMBED_BLOCK_ROW_CAP = 8192  # tile oversized cosine blocks above this
 
+# K·dim ceiling for the literal-argmin plan. Above it, Catalyst
+# analysis time on the K·d F.lit() nodes dominates execution (the same
+# lesson measured twice in this repo: bloom literal bitmaps ~10× plan
+# time, LR weight literals ~2.4 s/plan), so assign_cells switches to
+# the Arrow matmul path — bit-identical distances via dim-sequential
+# float64 folds (see _assign_cells_arrow). 4096 keeps every gated
+# fixture (K≤64 × d=64) on the zero-Python literal plan; a production
+# SemDeDup/IVF quantizer (K≈10⁴ × d≥64) lands on Arrow.
+CELL_LITERAL_MAX_KD = 4096
+
+
+def _assign_cells_arrow(
+    emb: DataFrame,
+    centers: list[tuple[int, list[float]]],
+    out: str,
+    keep_d2: str | None,
+) -> DataFrame:
+    """Arrow/matmul twin of the literal ``assign_cells`` plan: one
+    ``mapInPandas`` pass, numpy argmin per batch. Bit-identical to the
+    literal path by construction — the squared distance accumulates
+    DIM-SEQUENTIALLY in float64 (``acc += (x_d − c_d)²`` for d in index
+    order), the exact IEEE-754 op sequence of ``sq_dist_nd``'s
+    ``F.aggregate`` fold, and ties break to the lowest cid (centers
+    sorted by cid; ``argmin`` keeps the first minimum). Plan size is
+    O(1) in K·d — the centers ride in the task closure, not the plan —
+    which is what survives a K≈10⁴ production quantizer."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    order = sorted((int(c), [float(x) for x in v]) for c, v in centers)
+    cids = np.array([c for c, _ in order], dtype=np.int32)
+    C = np.array([v for _, v in order], dtype=np.float64)  # K×d
+
+    fields = [emb.schema["vec_id"], emb.schema["embedding"]]
+    fields.append(StructField(out, IntegerType(), False))
+    if keep_d2 is not None:
+        fields.append(StructField(keep_d2, DoubleType(), False))
+    schema = StructType(fields)
+
+    def fn(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            acc = np.zeros((len(X), len(cids)))
+            for d in range(C.shape[1]):
+                diff = X[:, d, None] - C[None, :, d]
+                acc += diff * diff
+            w = acc.argmin(axis=1)
+            cols = {
+                "vec_id": pdf["vec_id"],
+                "embedding": pdf["embedding"],
+                out: cids[w],
+            }
+            if keep_d2 is not None:
+                cols[keep_d2] = acc[np.arange(len(X)), w]
+            yield pd.DataFrame(cols)
+
+    return emb.select("vec_id", "embedding").mapInPandas(fn, schema=schema)
+
 
 def assign_cells(
     emb: DataFrame,
     centers: list[tuple[int, list[float]]],
     out: str = "label",
     keep_d2: str | None = None,
+    impl: str = "auto",
 ) -> DataFrame:
-    """Literal-argmin coarse-cell assignment shared by the cell-blocked
-    embedding ops (semantic dedup, k-NN graph): centers ship inside the
-    plan (O6/O16 shape — no join, no shuffle), tie-break (d2, cid)
+    """Coarse-cell assignment shared by the cell-blocked embedding ops
+    (semantic dedup, k-NN graph, IVF cell maps): tie-break (d2, cid)
     matches the twins' ``ORDER BY d2, cid``. One definition so the
     tie-break/fold rules cannot drift between consumers. ``keep_d2``
     additionally emits the winning squared distance under that name
-    (the outlier detector's input)."""
+    (the outlier detector's input).
+
+    Two physical plans, same bits (``impl='auto'`` picks by K·dim
+    against :data:`CELL_LITERAL_MAX_KD`):
+
+    - ``'literal'`` — centers ship inside the plan as K·d ``F.lit``
+      nodes (O6/O16 shape — no join, no shuffle, whole-stage codegen).
+      Optimal while the expression tree stays small.
+    - ``'arrow'`` — one ``mapInPandas`` matmul-style pass with
+      dim-sequential float64 folds; O(1) plan size, the 100 TB path
+      for production K (SemDeDup/IVF coarse quantizers).
+    """
     from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
+
+    if not centers:
+        raise ValueError("assign_cells: empty centers")
+    if impl == "auto":
+        kd = len(centers) * len(centers[0][1])
+        impl = "literal" if kd <= CELL_LITERAL_MAX_KD else "arrow"
+    if impl == "arrow":
+        return _assign_cells_arrow(emb, centers, out, keep_d2)
+    if impl != "literal":
+        raise ValueError(f"assign_cells: unknown impl {impl!r}")
 
     cands = [
         F.struct(

@@ -38,6 +38,7 @@ is worth revisiting for many-iteration fits.
 
 from __future__ import annotations
 
+import math
 import random
 from dataclasses import dataclass, field
 
@@ -487,6 +488,12 @@ def lloyd_step_arrow(
             dx = x[:, None] - cx[None, :]
             dy = y[:, None] - cy[None, :]
             d2 = dx * dx + dy * dy
+            # a nan center (or inf−inf) yields nan distances; np.argmin
+            # would return the nan column AND the nan partial would
+            # cross the Arrow boundary as NULL (pandas nan_as_null),
+            # crashing the driver merge. A non-finite center simply
+            # never wins: nan → +inf before the argmin.
+            d2 = np.where(np.isnan(d2), np.inf, d2)
             a = d2.argmin(axis=1)
             n += np.bincount(a, minlength=k)
             sx += np.bincount(a, weights=x, minlength=k)
@@ -579,6 +586,15 @@ def lloyd_step_sql(
     iteration, which dominates at bench scale and vanishes at 100 TB).
     """
     ordered = sorted((int(c), float(x), float(y)) for c, x, y in centers)
+    # repr() of a finite double round-trips exactly through the SQL
+    # parser (shortest-repr → decimal literal → double); nan/inf would
+    # produce unparseable or always-false SQL text, so route those
+    # centers through the numerically-safe Arrow step instead (same
+    # contract, centers ride in the closure, not in SQL text).
+    if not all(
+        math.isfinite(x) and math.isfinite(y) for _, x, y in ordered
+    ):
+        return lloyd_step_arrow(points_xy, centers)
     k = len(ordered)
     d_exprs = [
         f"((x - ({x!r}))*(x - ({x!r})) + (y - ({y!r}))*(y - ({y!r}))) AS d{i}"
@@ -649,6 +665,17 @@ def fit(
     engines (rounding absorbs float summation-order noise), which is how
     the ``kmeans_fit_fixed`` query puts ``fit`` itself — repair path
     included — under the DuckDB hash gate.
+
+    .. warning:: session-global conf toggle. For the duration of the
+       loop, ``fit`` sets ``spark.sql.adaptive.enabled=false`` and (for
+       small inputs on the sql path) ``spark.sql.codegen.wholeStage=
+       false`` on the shared ``SparkSession``, restoring both in a
+       ``finally``. Any query run CONCURRENTLY on the same session
+       executes with those settings (interpreted, non-adaptive) —
+       harmless for a single-threaded driver, a footgun for
+       multi-threaded library use. Spark has no per-query scope for
+       these confs; callers who need isolation should run ``fit`` on
+       its own session (``spark.newSession()``).
     """
     if impl == "auto":
         impl = "sql"

@@ -502,6 +502,14 @@ def _count_top_pairs(words: DataFrame, word_col: str, k: int) -> DataFrame:
     the same partial-agg contract as ``lloyd_step_arrow``. Pair
     identity is by code POINT, which is also how the DuckDB twin
     counts; the corpus is BMP-only so the former UTF-16 substr agreed.
+
+    Word boundaries are masked by POSITION (cumulative word lengths),
+    not by a sentinel value, so a word that itself contains ``'\\x00'``
+    counts its NUL-adjacent pairs exactly like the per-word substr path
+    did. The UTF-32 encode uses ``surrogatepass``: input arriving from
+    Spark via Arrow is always valid UTF-8 (lone surrogates cannot
+    occur), but a driver-built test frame could carry one, and counting
+    it beats failing the whole task.
     """
 
     def pair_counts(batches):
@@ -511,16 +519,27 @@ def _count_top_pairs(words: DataFrame, word_col: str, k: int) -> DataFrame:
         totals: dict[int, int] = {}
         for pdf in batches:
             col = pdf[word_col].dropna()
+            col = col[col.str.len() > 0]
             if not len(col):
                 continue
-            joined = "\x00".join(col.tolist())
+            words = col.tolist()
+            joined = "".join(words)
             if len(joined) < 2:
                 continue
-            a = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+            a = np.frombuffer(
+                joined.encode("utf-32-le", errors="surrogatepass"),
+                dtype=np.uint32,
+            )
             keys = (a[:-1].astype(np.uint64) << np.uint64(32)) | a[1:].astype(
                 np.uint64
             )
-            keys = keys[(a[:-1] != 0) & (a[1:] != 0)]
+            # drop pairs that straddle two words: positions just before
+            # each word's first code point (offsets are in code POINTS,
+            # == len() for str)
+            ends = np.cumsum(np.fromiter(map(len, words), dtype=np.int64))
+            valid = np.ones(len(a) - 1, dtype=bool)
+            valid[ends[:-1] - 1] = False
+            keys = keys[valid]
             uniq, counts = np.unique(keys, return_counts=True)
             for key, n in zip(uniq.tolist(), counts.tolist()):
                 totals[key] = totals.get(key, 0) + n

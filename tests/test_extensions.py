@@ -2360,3 +2360,96 @@ def test_gapfill_null_type_series_survives_all_gap(spark):
         ("A", 0): (1, False), ("A", 1): (0, True), ("A", 2): (0, True),
         (None, 0): (0, True), (None, 1): (0, True), (None, 2): (0, True),
     }
+
+
+def test_assign_cells_arrow_matches_literal_bitwise(spark):
+    """Task: the literal-argmin plan does not survive production K
+    (K·d F.lit nodes stall Catalyst analysis), so assign_cells
+    auto-switches to an Arrow matmul path above CELL_LITERAL_MAX_KD.
+    The switch is only safe if the two paths are BIT-identical —
+    dim-sequential float64 folds, (d2, cid) tie-break — so compare
+    them on the real sf0.001 embeddings, unrounded, with keep_d2."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # centers: real corpus rows (first 6 by vec_id) → realistic floats
+    first = emb.orderBy("vec_id").limit(6).collect()
+    centers = [
+        (i, [float(x) for x in r["embedding"]]) for i, r in enumerate(first)
+    ]
+    lit = {
+        r["vec_id"]: (r["cell"], r["d2"])
+        for r in dd.assign_cells(
+            emb, centers, out="cell", keep_d2="d2", impl="literal"
+        ).collect()
+    }
+    arr = {
+        r["vec_id"]: (r["cell"], r["d2"])
+        for r in dd.assign_cells(
+            emb, centers, out="cell", keep_d2="d2", impl="arrow"
+        ).collect()
+    }
+    assert len(lit) == 500
+    # exact equality, doubles unrounded — same IEEE-754 op sequence
+    assert lit == arr
+
+
+def test_assign_cells_arrow_tie_breaks_to_lowest_cid(spark):
+    """Duplicate centers under different cids: both paths must pick
+    the LOWEST cid (lexicographic (d2, cid) struct-min ≡ argmin over
+    cid-sorted rows), and auto must switch at CELL_LITERAL_MAX_KD."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [5.0, 5.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    # cid 2 listed FIRST but duplicates cid 1's vector → 1 must win
+    centers = [(2, [1.0, 1.0]), (1, [1.0, 1.0]), (3, [5.0, 5.0])]
+    for impl in ("literal", "arrow"):
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in dd.assign_cells(emb, centers, impl=impl, out="cell").collect()
+        }
+        assert got == {0: 1, 1: 3}, impl
+    # auto dispatch: K*d=6 → literal (no mapInPandas in the plan);
+    # forcing the threshold down → arrow (plan contains a Python map)
+    plan_lit = dd.assign_cells(emb, centers, out="cell")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan_lit
+    import unittest.mock as _m
+
+    with _m.patch.object(dd, "CELL_LITERAL_MAX_KD", 5):
+        plan_arr = dd.assign_cells(emb, centers, out="cell")._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan_arr
+
+
+def test_star_cap_recall_delta_vs_exact_is_pinned(spark):
+    """ADVICE r8: the hot-bucket star guard trades recall for bounded
+    emission — member–member pairs of a >cap bucket are never emitted,
+    so two docs that are near-dups of EACH OTHER but not of the
+    min-doc_id representative can never be Jaccard-verified. This
+    fixture pins the exact delta on a synthetic hot bucket instead of
+    leaving it implied: capped = star only (N−1 pairs), exact = all
+    pairs (N·(N−1)/2), and the lost set is precisely the member–member
+    pairs."""
+    n = 300  # > LSH_BUCKET_CAP
+    bands = spark.createDataFrame(
+        [(i, 0, 777) for i in range(n)],
+        "doc_id LONG, band_id INT, band_hash LONG",
+    )
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.candidate_pairs(bands, bucket_cap=None).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"]) for r in dd.candidate_pairs(bands).collect()
+    }
+    star = {(0, i) for i in range(1, n)}
+    assert capped == star
+    assert len(exact) == n * (n - 1) // 2
+    lost = exact - capped
+    # the delta is exactly the member–member pairs — e.g. (5, 6) would
+    # verify if docs 5 and 6 matched each other but not doc 0, and the
+    # guard drops it by design
+    assert lost == {(a, b) for a in range(1, n) for b in range(a + 1, n)}
+    assert (5, 6) in lost

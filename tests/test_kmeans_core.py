@@ -199,3 +199,23 @@ def test_elbow_sweep_wssse_monotone_in_k(spark):
     assert len({r["n_points"] for r in rows}) == 1
     ws = [r["wssse"] for r in rows]
     assert ws[0] > ws[1] > ws[2]
+
+
+def test_lloyd_step_sql_nonfinite_center_falls_back(spark):
+    """ADVICE r8: repr() of nan/inf makes unparseable/always-false SQL
+    text, so lloyd_step_sql must route non-finite centers through the
+    Arrow step instead of crashing — and still produce the numeric
+    answer for the finite centers."""
+    from kmeans_mapreduce_spark.operators import kmeans as km
+
+    pts = spark.createDataFrame(
+        [(0.0, 0.0), (1.0, 1.0), (10.0, 10.0)], "x DOUBLE, y DOUBLE"
+    )
+    bad = [(0, float("nan"), 0.0), (1, 10.0, 10.0)]
+    means, sizes, sse = km.lloyd_step_sql(pts, bad)
+    # every point lands on the one finite center (nan distances never
+    # win an argmin against a finite one in the Arrow step)
+    assert sizes == {1: 3}
+    inf_c = [(0, float("inf"), 0.0), (1, 0.0, 0.0)]
+    means2, sizes2, _ = km.lloyd_step_sql(pts, inf_c)
+    assert sizes2 == {1: 3}

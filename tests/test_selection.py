@@ -555,3 +555,25 @@ def test_fourth_hardening_wave(spark):
         h64_seeded(F2.col("k"), 3).alias("h")
     ).collect()[0]
     assert row["h"] is None
+
+
+def test_bpe_pair_counts_nul_in_word_and_boundaries(spark):
+    """ADVICE r8: the vectorized pair counter used a NUL sentinel to
+    join words — a word CONTAINING '\\x00' silently split. Boundaries
+    are now masked by position, so NUL-adjacent pairs count exactly
+    like the per-word substr path, while cross-word pairs still never
+    count."""
+    from collections import Counter
+
+    from kmeans_mapreduce_spark.operators import textops as tx
+
+    words = ["a\x00b", "a\x00b", "xy", "yx", "q"]
+    df = spark.createDataFrame([(w,) for w in words], "w STRING")
+    got = [
+        (r["pair"], r["n"])
+        for r in tx._count_top_pairs(df, "w", 10).collect()
+    ]
+    ref = Counter(w[i : i + 2] for w in words for i in range(len(w) - 1))
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
+    assert ("a\x00", 2) in got  # the NUL pair is real, not a boundary
