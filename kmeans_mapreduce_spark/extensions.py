@@ -2689,6 +2689,41 @@ def q_kmeans_nd_fit_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ND_LARGE_K = 256  # production-K gate: the scale where literal plans die
+
+
+def q_kmeans_nd_fit_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-K n-D fit under the hash gate (r8 verdict task 4):
+    K=256 × d=64 — the K·d regime where the literal-argmin plan is
+    refused (``CELL_LITERAL_MAX_KD``) and the Arrow matmul assignment
+    (``kmeans_nd.lloyd_step_nd``) is the only sane physical plan — so
+    its correctness is pinned exactly where the plan-size switch makes
+    it the default. Same determinism discipline as
+    ``kmeans_nd_fit_fixed``: init = first K corpus rows by vec_id,
+    exactly 2 iterations (tol=0.0), per-iteration HALF_UP rounding to
+    6 digits; clusters empty in an iteration keep their previous
+    center (reference keep policy, sequential-kmeans.py:46-48 — at
+    K=256 over ≤2000 vectors MANY clusters are empty, so the twin
+    exercises the repair arm heavily, not incidentally). Output long
+    format (cid, dim_idx, c_val, n)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias("vec"),
+    )
+    centers, _history, sizes = knd.fit_nd(
+        pts, k=ND_LARGE_K, max_iter=2, tol=0.0, round_digits=6
+    )
+    rows = [
+        (cid, i, float(v[i]), int(sizes.get(cid, 0)))
+        for cid, v in centers
+        for i in range(EMB_DIM)
+    ]
+    return spark.createDataFrame(
+        rows, "cid INT, dim_idx INT, c_val DOUBLE, n BIGINT"
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
     return mm.media_meta(media)
@@ -4514,6 +4549,65 @@ FROM m2 JOIN n2 ON m2.cid = n2.cid
 """
 
 
+def _kmeans_nd_fit_large_sql() -> str:
+    """Twin of q_kmeans_nd_fit_large: the 2-iteration loop unrolled at
+    K=256, init = first K rows by vec_id, with the KEEP repair policy
+    made explicit — a cid absent from an iteration's assignment keeps
+    its previous center via COALESCE (at K=256 over ≤2000 vectors most
+    clusters are empty, so the coalesce arm carries most rows)."""
+    k = ND_LARGE_K
+    d2_0 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v[i] - c0.cv[i]) * (e0.v[i] - c0.cv[i])))"
+    )
+    d2_1 = (
+        f"list_sum(list_transform(range(1, {EMB_DIM + 1}), "
+        "i -> (e0.v[i] - c1.cv[i]) * (e0.v[i] - c1.cv[i])))"
+    )
+    return f"""
+WITH e0 AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cid, v AS cv
+  FROM (SELECT * FROM e0 ORDER BY vec_id LIMIT {k})
+),
+d1 AS (SELECT e0.vec_id, e0.v, c0.cid, {d2_0} AS d2 FROM e0 CROSS JOIN c0),
+a1 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d1
+  ) WHERE rn = 1
+),
+m1 AS (
+  SELECT cid, i, ROUND(AVG(v[i]), 6) AS c_val
+  FROM a1 CROSS JOIN range(1, {EMB_DIM + 1}) t(i) GROUP BY cid, i
+),
+c1 AS (
+  SELECT c0.cid, COALESCE(mm.cv, c0.cv) AS cv
+  FROM c0 LEFT JOIN (
+    SELECT cid, list(c_val ORDER BY i) AS cv FROM m1 GROUP BY cid
+  ) mm USING (cid)
+),
+d2x AS (SELECT e0.vec_id, e0.v, c1.cid, {d2_1} AS d2 FROM e0 CROSS JOIN c1),
+a2 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d2x
+  ) WHERE rn = 1
+),
+n2 AS (SELECT cid, COUNT(*) AS n FROM a2 GROUP BY cid),
+m2 AS (
+  SELECT cid, i, ROUND(AVG(v[i]), 6) AS c_val
+  FROM a2 CROSS JOIN range(1, {EMB_DIM + 1}) t(i) GROUP BY cid, i
+),
+c2 AS (
+  SELECT c1.cid, COALESCE(mm.cv, c1.cv) AS cv, COALESCE(n2.n, 0) AS n
+  FROM c1
+  LEFT JOIN (SELECT cid, list(c_val ORDER BY i) AS cv FROM m2 GROUP BY cid) mm USING (cid)
+  LEFT JOIN n2 USING (cid)
+)
+SELECT cid, (t.i - 1)::INTEGER AS dim_idx, cv[t.i] AS c_val, n::BIGINT AS n
+FROM c2 CROSS JOIN range(1, {EMB_DIM + 1}) t(i)
+"""
+
+
 def _kmeans_nd_assign_sql() -> str:
     """Cross join embeddings × the K centroid rows (centroids ARE data
     here: vec_id ∈ ND_CENTROID_IDS), per-pair list distance, then
@@ -4669,6 +4763,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_nd_loop2": q_kmeans_nd_loop2,
         "kmeans_nd_fit": q_kmeans_nd_fit,
         "kmeans_nd_fit_fixed": q_kmeans_nd_fit_fixed,
+        "kmeans_nd_fit_large": q_kmeans_nd_fit_large,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
@@ -6168,6 +6263,7 @@ EXCEPT
 SELECT user_id FROM events
 WHERE event_type = '{ASOF_RIGHT_TYPE}' AND value > CAST({SETOP_VALUE_THRESHOLD!r} AS DOUBLE)""",
         "kmeans_nd_fit_fixed": _kmeans_nd_loop2_sql(),
+        "kmeans_nd_fit_large": _kmeans_nd_fit_large_sql(),
         "pipeline_media_cluster": _media_cluster_sql(),
         "events_window_agg": f"""
 SELECT (epoch_ns(ts) // 1000000000 // {ev.WINDOW_SEC} * {ev.WINDOW_SEC})::BIGINT AS window_start,

@@ -565,78 +565,75 @@ BENCH_EXTENSION_QUERIES: set[str] = {
 
 
 # The grading driver's CORRECTNESS gate verifies only the FIRST 50
-# entries of queries() (dict insertion order). Round 7's ordering meant
-# no MinHash, ANN, multimodal, sketch, SCD2, or hybrid query was ever
-# driver-verified — only builder-sweep-verified. This list pins the
-# window: all 13 core reference-parity queries first, then ≥1
-# hash-gated representative of every extension family (text, sampling,
-# relational joins, dedup exact/MinHash/SimHash/n-gram/embedding/
-# semantic/substring, brute+IVF+PQ+trained-serving ANN, hybrid RRF,
-# graph, multimodal, HLL/CMS/Bloom sketches, time travel, SCD2,
-# events, streaming replays). Everything else still runs in the
-# builder's full three-scale sweep.
+# entries of queries() (dict insertion order). The window ROTATES each
+# round to pay down verification debt: rounds 1-8 cumulatively gated
+# 92 of 189 registered queries, so round 9's window keeps ONE
+# previously-green anchor per operator family (regression canary) and
+# fills the other 40 slots with queries the independent gate has NEVER
+# sampled (r8 verdict task 1). Queries rotated out remain covered by
+# the builder's full three-scale oracle sweep
+# (tools/oracle_sweep_r*.log) and the pytest suite; next rounds keep
+# rotating until the never-verified set is exhausted.
 DRIVER_WINDOW_QUERIES: list[str] = [
-    # -- core reference parity (SURVEY §2.1) --
-    "points_source",
-    "kmeans_assign",
-    "kmeans_recompute",
-    "kmeans_bbox",
-    "kmeans_wssse",
-    "kmeans_repair_empty",
-    "kmeans_loop2",
-    "kmeans_elbow_sweep",
-    "kmeans_fit_fixed",
-    "kmeans_kmpp_round1",
-    "kmeans_kmpp_round2",
-    "kmeans_fit",
-    "kmeans_fit_kmpp",
-    # -- text analysis --
-    "text_tokens",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "text_tfidf",
-    "text_bpe_merges",
-    "text_chunks",
-    # -- sampling / curation --
-    "corpus_shuffle",
-    "corpus_temperature_mix",
-    # -- relational / TPC-H classics --
-    "join_revenue_by_nation",
-    "lineitem_pricing_summary",
-    # -- deduplication --
-    "dedup_exact",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_ngram_jaccard",
-    "dedup_embedding",
-    "dedup_semantic",
-    "dedup_substring",
-    # -- similarity search / ANN / graph --
-    "similarity_topk",
-    "similarity_ann_ivf",
-    "similarity_ann_pq",
-    "similarity_ann_pq_rerank_trained",
-    "similarity_hybrid_rrf",
-    "similarity_knn_graph",
-    # -- multimodal --
-    "multimodal_meta",
-    "multimodal_resize",
-    "multimodal_frames",
-    # -- sketches --
-    "events_hll_distinct",
-    "text_cms_terms",
-    "lineitem_bloom_prune",
-    # -- versioned / dimension history / time travel --
-    "table_time_travel",
-    "dim_scd2_timeline",
-    # -- events / time series --
-    "events_sessionize",
-    "events_asof_join",
-    "events_gapfill",
-    # -- streaming (replay twins) --
-    "events_stream_replay",
-    "events_stream_session_replay",
+    # -- anchors: previously driver-green, one per family --
+    "points_source",        # core source
+    "kmeans_fit_fixed",     # core Lloyd loop (assign+recompute+repair)
+    "text_tokens",          # text analysis
+    "corpus_shuffle",       # sampling / curation
+    "dedup_minhash_pairs",  # MinHash-LSH dedup
+    "similarity_ann_ivf",   # IVF ANN
+    "similarity_hybrid_rrf",  # hybrid lexical+vector retrieval
+    "multimodal_meta",      # multimodal
+    "events_stream_replay",  # streaming
+    "table_time_travel",    # versioned tables
+    # -- first-time gated: core n-D k-means --
+    "kmeans_nd_fit_fixed",
+    "kmeans_nd_fit_large",   # K=256×d=64: the Arrow-assignment regime
+    # -- first-time: text analysis --
+    "text_bm25",
+    "text_surprisal_bigram",
+    "text_normalize",
+    "text_langid_eval",
+    "text_repetition",
+    "text_redact_pii",
+    # -- first-time: sampling / curation --
+    "corpus_pack_fragments",
+    "corpus_curriculum",
+    "corpus_source_cap",
+    "corpus_token_shards",
+    "corpus_decontaminate",
+    # -- first-time: quality classifier (LR) --
+    "corpus_lr_loop2",
+    "corpus_lr_calibration",
+    "corpus_lr_auc",
+    "corpus_lr_scores",
+    # -- first-time: deduplication --
+    "dedup_incremental",
+    "dedup_lsh_recall",
+    "dedup_cluster_sizes",
+    "dedup_span_clean",
+    # -- first-time: ANN / quantization / graph --
+    "similarity_ann_pq_full_trained",
+    "similarity_ann_pq_recall_trained",
+    "similarity_ann_pq_residual",
+    "similarity_ann_filtered",
+    "similarity_int8_topk",
+    "similarity_binary_topk",
+    "similarity_graph_triangles",
+    "similarity_ann_ivf_incremental",
+    # -- first-time: graph / pipeline compositions --
+    "pipeline_pagerank_loop2",
+    "pipeline_label_propagation",
+    "pipeline_pretrain_corpus",
+    # -- first-time: events / relational / sketches --
+    "events_pivot",
+    "events_cube",
+    "events_range_join",
+    "events_retention",
+    "pipeline_events_dashboard",
+    "orders_by_month",
+    "orders_bloom_registers",
+    "events_hist_quantiles",
 ]
 
 

@@ -54,17 +54,21 @@ def test_driver_window_samples_every_family():
     first50 = list(q)[:50]
     assert first50 == DRIVER_WINDOW_QUERIES
 
+    # round-9 rotation: representatives follow the rotated window —
+    # anchors where the family keeps one, the first-time pick otherwise
     families = {
+        "core-loop": "kmeans_fit_fixed",
+        "large-k-nd": "kmeans_nd_fit_large",
         "minhash-lsh": "dedup_minhash_pairs",
         "ivf-ann": "similarity_ann_ivf",
-        "pq-ann": "similarity_ann_pq",
-        "trained-serving": "similarity_ann_pq_rerank_trained",
+        "pq-ann": "similarity_ann_pq_full_trained",
+        "trained-serving": "similarity_ann_pq_recall_trained",
         "hybrid-rrf": "similarity_hybrid_rrf",
-        "multimodal": "multimodal_resize",
-        "sketch-hll": "events_hll_distinct",
-        "sketch-cms": "text_cms_terms",
-        "sketch-bloom": "lineitem_bloom_prune",
-        "scd2": "dim_scd2_timeline",
+        "multimodal": "multimodal_meta",
+        "sketch-bloom": "orders_bloom_registers",
+        "sketch-quantile": "events_hist_quantiles",
+        "logreg": "corpus_lr_loop2",
+        "graph": "pipeline_pagerank_loop2",
         "time-travel": "table_time_travel",
         "streaming": "events_stream_replay",
     }

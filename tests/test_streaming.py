@@ -9,8 +9,12 @@ sessions that straddle the batch boundary.
 
 from __future__ import annotations
 
+import pathlib
+
 import pytest
 from pyspark.sql import functions as F
+
+PBSHIM_DIR = pathlib.Path(__file__).resolve().parent.parent / "tools" / "pbshim"
 
 from kmeans_mapreduce_spark.operators import events as ev
 from kmeans_mapreduce_spark.sources.loaders import load_table
@@ -876,24 +880,31 @@ def test_stream_dedup_tws_matches_applyinpandas_api(spark, tmp_path_factory):
     """Spark 4 transformWithStateInPandas variant: identical rows to
     the applyInPandasWithState form on the same 2-batch input
     (cross-batch keeper, running min, is_new transition). Skips when
-    the protobuf package TWS's driver protocol needs is absent (this
-    container doesn't ship it; real clusters do — it is in pyspark's
-    install_requires)."""
+    no protobuf runtime can be found (TWS's driver/worker protocol
+    needs it; it is in pyspark's install_requires on real clusters)."""
     import pytest
 
-    # Exact dependency (round-8 audit): the PyPI wheel `protobuf`
-    # (imports as `google.protobuf`), needed at runtime by pyspark's
-    # generated pyspark/sql/streaming/proto/StateMessage_pb2.py —
-    # pyspark SHIPS the generated module but not the runtime. This
-    # container has no protobuf runtime anywhere on disk (only typeshed
-    # stubs) and no network (`pip download protobuf` returns nothing),
-    # so it cannot be installed or vendored from here; on a real
-    # cluster `pip install protobuf` unskips this test as written.
+    # Dependency: the `protobuf` runtime (imports as `google.protobuf`)
+    # behind pyspark's generated StateMessage_pb2. The wheel is not
+    # installed and there is no network, but the google-cloud-sdk on
+    # this image bundles a pure-Python 6.32 runtime —
+    # tools/pbshim/sitecustomize.py (activated for workers via
+    # PYTHONPATH in tests/conftest.py) makes it importable and relaxes
+    # the one-minor-behind gencode check. Activate the same shim here
+    # for the driver process, then skip only if even that is absent.
+    import importlib.util as _ilu
+
+    if _ilu.find_spec("google") is None or _ilu.find_spec("google.protobuf") is None:
+        import runpy
+
+        runpy.run_path(
+            str(PBSHIM_DIR / "sitecustomize.py"), run_name="pbshim"
+        )
     pytest.importorskip(
         "google.protobuf",
         reason="missing wheel: protobuf (google.protobuf runtime for "
-        "pyspark.sql.streaming.proto.StateMessage_pb2); container has "
-        "no network to fetch it",
+        "pyspark.sql.streaming.proto.StateMessage_pb2); not installed, "
+        "no network, and no google-cloud-sdk bundled copy on this host",
     )
     import pandas as pd
 
