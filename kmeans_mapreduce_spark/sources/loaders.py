@@ -842,17 +842,36 @@ def commit_version(
     append that the plain parquet ``overwrite`` sinks cannot give.
     Returns the committed version number.
     """
+    import os
+    import uuid
+
+    data_dir = os.path.join(
+        table_path, "data", f"{uuid.uuid4().hex[:12]}"
+    )
+    df.write.mode("error").parquet(data_dir)
+    rel = os.path.relpath(data_dir, table_path)
+    return publish_version(table_path, rel, mode=mode, extra=extra)
+
+
+def publish_version(
+    table_path: str,
+    rel: str,
+    mode: str = "overwrite",
+    extra: dict | None = None,
+) -> int:
+    """The Spark-free COMMIT POINT of :func:`commit_version`: publish
+    an already-written data directory (``rel``, relative to the table
+    root) as the next version via the atomic-exclusive manifest link.
+    Split out so the optimistic-concurrency protocol can be exercised
+    (and stress-tested across processes) without a SparkSession — the
+    data write above it is embarrassingly parallel; THIS loop is the
+    entire serialization surface of the log."""
     import json
     import os
     import uuid
 
     log_dir = os.path.join(table_path, "_log")
     os.makedirs(log_dir, exist_ok=True)
-    data_dir = os.path.join(
-        table_path, "data", f"{uuid.uuid4().hex[:12]}"
-    )
-    df.write.mode("error").parquet(data_dir)
-    rel = os.path.relpath(data_dir, table_path)
     for _ in range(100):  # optimistic-concurrency retry budget
         latest = _latest_version(table_path)
         if mode == "append" and latest is not None:
@@ -897,7 +916,7 @@ def commit_version(
         except FileExistsError:
             os.unlink(tmp)  # lost the race — re-derive against new latest
     raise RuntimeError(
-        f"commit_version: gave up after 100 optimistic-concurrency "
+        f"publish_version: gave up after 100 optimistic-concurrency "
         f"retries on {table_path}"
     )
 
