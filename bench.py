@@ -61,6 +61,23 @@ def main() -> int:
     # the queries, not session startup
     timed("warmup_count", lambda: pts.count(), repeat=1)
 
+    # ALSO warm the Python worker pool: the session's first
+    # mapInPandas spawns one interpreter per core (~3 s on 32 cores),
+    # a one-time cost that was previously billed to whatever Arrow
+    # query ran first (train:nd_centers, measured 3.87 s cold vs
+    # 0.87 s warm at sf0.1). A count() is JVM-only and does not pay it.
+    def _warm_python_workers():
+        return (
+            spark.range(
+                512,
+                numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+            )
+            .mapInPandas(lambda it: it, "id LONG")
+            .count()
+        )
+
+    timed("warmup_python_workers", _warm_python_workers, repeat=1)
+
     res = timed(
         "kmeans_fit10",
         lambda: km.fit(pts, k=8, max_iter=10, tol=0.0, seed=42),
