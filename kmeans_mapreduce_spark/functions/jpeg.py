@@ -1,0 +1,450 @@
+"""Minimal baseline JPEG (ITU T.81) codec — pure Python + numpy.
+
+Why this exists: the multimodal pipeline's video column supports real
+UNCOMPRESSED RIFF/AVI (``multimodal._decode_avi``); the honest next
+step past it is MJPEG — an AVI whose frame chunks are baseline JPEGs —
+which needs an actual JPEG entropy/DCT decode. This container has no
+codec packages (no PIL/pyav/ffmpeg), so the decode is implemented here
+from the public spec, stdlib + numpy only.
+
+Decoder (:func:`decode_baseline_jpeg`): a GENERIC baseline sequential
+decoder — parses SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS from the stream
+(arbitrary quantization + Huffman tables, restart markers honored),
+entropy-decodes with byte-unstuffing, dequantizes, inverse-zigzags,
+8×8 IDCT via an orthonormal DCT matrix multiply, JFIF YCbCr→RGB for
+3-component scans. Supported sampling: 4:4:4 and single-component
+grayscale (one 8×8 block per component per MCU). Chroma-subsampled
+(4:2:0/4:2:2) and progressive (SOF2) streams raise ``ValueError`` with
+the exact unsupported feature named — degrade-don't-die callers turn
+that into ``decoded=false`` rows.
+
+Encoder (:func:`encode_baseline_jpeg`): a fixture generator for tests
+and synthetic corpora — 4:4:4 (or grayscale) with ALL-ONES
+quantization tables (near-lossless: roundtrip error comes only from
+the RGB↔YCbCr rounding and float DCT, ≤ ~2/255 per channel) and
+simple fixed-length Huffman tables declared in the DHT segment (valid
+canonical codes; the decoder reads whatever DHT declares, so
+spec-standard Annex-K tables in real files decode identically).
+
+Reference parity note: the reference engine has no media path at all —
+this extends SURVEY §2's LLM-pipeline surface (multimodal decode),
+not a reference operator.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# zigzag scan order: ZIGZAG[k] = raster index of the k-th scanned coeff
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8×8 DCT-II matrix C: forward = C @ B @ C.T."""
+    k = np.arange(8)
+    C = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    C *= np.sqrt(2.0 / 8.0)
+    C[0, :] *= np.sqrt(0.5)
+    return C
+
+
+_C = _dct_matrix()
+
+
+# ---------------------------------------------------------------- bits
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing inside entropy-coded data
+                self.out.append(0x00)
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker (0xFF followed by non-zero, non-RST)."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        p = self.pos
+        if p >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos = p + 2  # stuffed 0xFF data byte
+            elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                # real marker (EOI etc.) — no more entropy bits; the
+                # spec pads the tail with 1s, so synthesize them
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos = p + 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_to_marker(self) -> None:
+        """Drop partial byte and consume an RST marker (after a
+        restart interval)."""
+        self.nbits = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and not (d[p] == 0xFF and d[p + 1] != 0x00):
+            p += 1
+        if p + 1 < len(d) and 0xD0 <= d[p + 1] <= 0xD7:
+            p += 2
+        self.pos = p
+
+
+class _RestartMarker(ValueError):
+    """An RST marker reached mid-entropy-read. With restart intervals
+    consumed proactively (``align_to_marker`` before each interval)
+    this only fires on corrupt streams, so it doubles as the
+    malformed-stream ValueError callers already handle."""
+
+    def __init__(self, marker: int) -> None:
+        super().__init__(f"unexpected restart marker {marker:#x} mid-MCU")
+        self.marker = marker
+
+
+# ------------------------------------------------------------- huffman
+class _HuffTable:
+    """Canonical JPEG Huffman table from the DHT (BITS, HUFFVAL)."""
+
+    def __init__(self, bits: list[int], values: list[int]) -> None:
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                self.lookup[(length, code)] = values[k]
+                k += 1
+                code += 1
+            code <<= 1
+        self.bits = bits
+        self.values = values
+        # encoder view: symbol -> (code, length)
+        self.enc: dict[int, tuple[int, int]] = {
+            v: (c, l) for (l, c), v in self.lookup.items()
+        }
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | br.read_bit()
+            sym = self.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """DC/AC magnitude decode (T.81 F.2.2.1 EXTEND)."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+# encoder's simple tables: every DC category at 8 bits, every AC
+# (run, size) symbol at 12 bits — valid canonical codes; bulkier than
+# Annex K but unambiguous and trivially correct.
+_ENC_DC_BITS = [0] * 16
+_ENC_DC_BITS[7] = 12  # 12 symbols, all length 8
+_ENC_DC_VALUES = list(range(12))
+_ENC_AC_BITS = [0] * 16
+_ENC_AC_BITS[10] = 128  # symbols 0x00-0x7f at length 11
+_ENC_AC_BITS[11] = 128  # symbols 0x80-0xff at length 12 (BITS is u8,
+_ENC_AC_VALUES = list(range(256))  # so 256 can't share one length)
+
+
+# ------------------------------------------------------------- encoder
+def encode_baseline_jpeg(width: int, height: int, content: bytes) -> bytes:
+    """Encode RGB24 (len == 3*w*h) or grayscale (len == w*h) content as
+    a baseline 4:4:4 / single-component JPEG with all-ones quant
+    tables. Near-lossless by construction — the test fixture and MJPEG
+    frame generator."""
+    n = width * height
+    if len(content) == 3 * n:
+        rgb = np.frombuffer(content, np.uint8).reshape(height, width, 3)
+        rgb = rgb.astype(np.float64)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    elif len(content) == n:
+        planes = [
+            np.frombuffer(content, np.uint8)
+            .reshape(height, width)
+            .astype(np.float64)
+        ]
+    else:
+        raise ValueError(
+            f"content is {len(content)} bytes; want {3 * n} (RGB) or {n} (gray)"
+        )
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # DQT: 8-bit table 0, all ones (near-lossless)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([1] * 64)
+    # SOF0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack("BBB", cid, 0x11, 0)  # 1x1 sampling, QT 0
+    # DHT: DC table 0 and AC table 0 (shared by all components)
+    dc_tbl = _HuffTable(_ENC_DC_BITS, _ENC_DC_VALUES)
+    ac_tbl = _HuffTable(_ENC_AC_BITS, _ENC_AC_VALUES)
+    dht = b"\x00" + bytes(_ENC_DC_BITS) + bytes(_ENC_DC_VALUES)
+    dht += b"\x10" + bytes(_ENC_AC_BITS) + bytes(_ENC_AC_VALUES)
+    out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(1, ncomp + 1):
+        out += struct.pack("BB", cid, 0x00)
+    out += b"\x00\x3f\x00"
+
+    bw = _BitWriter()
+    bw_pred = [0] * ncomp
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    # edge-pad planes to block multiples (replicate border)
+    padded = []
+    for pl in planes:
+        p = np.empty((by * 8, bx * 8))
+        p[:height, :width] = pl
+        p[height:, :width] = pl[height - 1 : height, :]
+        p[:, width:] = p[:, width - 1 : width]
+        padded.append(p)
+    for yb in range(by):
+        for xb in range(bx):
+            for ci in range(ncomp):
+                block = padded[ci][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+                coeffs = _C @ (block - 128.0) @ _C.T
+                q = np.rint(coeffs).astype(np.int64)  # quant table = 1
+                zz = q.flatten()[ZIGZAG]
+                diff = int(zz[0]) - bw_pred[ci]
+                bw_pred[ci] = int(zz[0])
+                t = _category(diff)
+                code, ln = dc_tbl.enc[t]
+                bw.write(code, ln)
+                if t:
+                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    if k > last_nz:
+                        break
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = ac_tbl.enc[0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    t = _category(v)
+                    code, ln = ac_tbl.enc[(run << 4) | t]
+                    bw.write(code, ln)
+                    bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tbl.enc[0x00]  # EOB
+                    bw.write(code, ln)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------- decoder
+def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline sequential JPEG. Returns
+    ``(width, height, n_components, content)`` where content is RGB24
+    (3 components, JFIF YCbCr→RGB) or grayscale bytes (1 component).
+    Raises ``ValueError`` naming the unsupported feature for
+    progressive scans or subsampled chroma."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], _HuffTable] = {}  # (class, id)
+    restart_interval = 0
+    frame = None  # (h, w, comps) comps: list of (cid, qt_id)
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"bad marker byte at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        seg = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if pq == 0:
+                    tbl = np.frombuffer(seg[i : i + 64], np.uint8).astype(np.int64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(
+                        seg[i : i + 128], ">u2"
+                    ).astype(np.int64)
+                    i += 128
+                qt[tq] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                values = list(seg[i + 17 : i + 17 + nvals])
+                huff[(tc, th)] = _HuffTable(bits, values)
+                i += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise ValueError(f"unsupported precision {prec}")
+            comps = []
+            for c in range(nc):
+                cid, sampling, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if sampling != 0x11:
+                    raise ValueError(
+                        "unsupported chroma subsampling "
+                        f"(component {cid} sampling {sampling:#x}; only "
+                        "4:4:4 / grayscale baseline is implemented — use "
+                        "pyav/ffmpeg on a real cluster)"
+                    )
+                comps.append((cid, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(
+                f"unsupported JPEG frame type SOF{marker - 0xC0} "
+                "(only baseline sequential SOF0 is implemented)"
+            )
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = seg[0]
+            scan_tables = {}
+            for c in range(ns):
+                cid, tbls = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tables[cid] = (tbls >> 4, tbls & 0xF)
+            return _decode_scan(
+                data, pos + 2 + seglen, frame, qt, huff, scan_tables,
+                restart_interval,
+            )
+        # APPn/COM/others: skip
+        pos += 2 + seglen
+    raise ValueError("no SOS marker — not a decodable JPEG stream")
+
+
+def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
+    h, w, comps = frame
+    ncomp = len(comps)
+    bx = (w + 7) // 8
+    by = (h + 7) // 8
+    planes = [np.empty((by * 8, bx * 8)) for _ in comps]
+    br = _BitReader(data, pos)
+    preds = [0] * ncomp
+    mcu = 0
+    for yb in range(by):
+        for xb in range(bx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                br.align_to_marker()
+                preds = [0] * ncomp
+            for ci, (cid, tq) in enumerate(comps):
+                dc_id, ac_id = scan_tables[cid]
+                dc = huff[(0, dc_id)]
+                ac = huff[(1, ac_id)]
+                zz = np.zeros(64, np.int64)
+                t = dc.decode(br)
+                diff = _extend(br.read_bits(t), t) if t else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = ac.decode(br)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError(f"bad AC symbol {sym:#x}")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(br.read_bits(size), size)
+                    k += 1
+                block = np.zeros(64, np.int64)
+                block[ZIGZAG] = zz * qt[tq]
+                spatial = _C.T @ block.reshape(8, 8).astype(np.float64) @ _C
+                planes[ci][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
+                    spatial + 128.0
+                )
+            mcu += 1
+    planes = [p[:h, :w] for p in planes]
+    if ncomp == 1:
+        gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+        return w, h, 1, gray.tobytes()
+    if ncomp != 3:
+        raise ValueError(f"unsupported component count {ncomp}")
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+    return w, h, 3, rgb.tobytes()

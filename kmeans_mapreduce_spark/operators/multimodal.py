@@ -8,14 +8,17 @@ One REAL format per modality, decoded with the standard library only
   out; resize is a real nearest-neighbor resample over the pixel grid.
 - audio: RIFF/WAVE PCM via the stdlib ``wave`` module — canonical
   44-byte header, 16-bit mono frames out.
-- video: UNCOMPRESSED RIFF/AVI (``vids``/``DIB``, raw RGB24 ``00db``
-  frames) — written and parsed with stdlib ``struct`` (RIFF is the
-  same container family the stdlib already reads for WAV): real
+- video: RIFF/AVI written and parsed with stdlib ``struct`` (RIFF is
+  the same container family the stdlib already reads for WAV): real
   headers (avih/strh/BITMAPINFOHEADER), real chunk walking, real
-  frames out. Codec-BOUND formats (h264 etc.) still raise a
-  clearly-marked ``NotImplementedError`` (``_decode_stub``) — swap in
-  pyav/ffmpeg on a real cluster; the plan, schema, and batch shapes
-  are unchanged.
+  frames out. Two codecs decode for real — UNCOMPRESSED (``DIB ``,
+  raw RGB24 ``00db`` chunks) and MOTION-JPEG (``MJPG``, one baseline
+  JPEG per ``00dc`` chunk, entropy+DCT decoded by
+  ``functions/jpeg.py`` from the public T.81 spec, stdlib+numpy
+  only). Inter-frame codecs (h264 etc.) still raise a clearly-marked
+  error (``_decode_stub`` / the ``_decode_avi`` codec check) — swap
+  in pyav/ffmpeg on a real cluster; the plan, schema, and batch
+  shapes are unchanged.
 
 Scale notes: payloads live in a ``binary`` column (parquet column
 pruning keeps them out of unrelated scans); decode/feature extraction
@@ -170,39 +173,67 @@ def _decode_wav(payload: bytes) -> tuple[int, int, bytes]:
         return n, wv.getframerate(), wv.readframes(n)
 
 
-def _encode_avi(w: int, h: int, frames: list[bytes], fps: int = VID_FPS) -> bytes:
-    """Minimal VALID uncompressed AVI: RIFF('AVI ') → LIST('hdrl')
-    with a real avih main header + one 'vids'/'DIB ' stream
-    (strh + BITMAPINFOHEADER strf) → LIST('movi') of raw-RGB24
-    ``00db`` frame chunks. Layout (fixed scaffolding = 224 bytes):
+def _encode_avi(
+    w: int,
+    h: int,
+    frames: list[bytes],
+    fps: int = VID_FPS,
+    codec: bytes = b"DIB ",
+) -> bytes:
+    """Minimal VALID AVI: RIFF('AVI ') → LIST('hdrl') with a real avih
+    main header + one 'vids' stream (strh + BITMAPINFOHEADER strf) →
+    LIST('movi') of frame chunks. Two codecs:
+
+    - ``b"DIB "`` (default): raw-RGB24 ``00db`` chunks, every frame
+      exactly 3·w·h bytes. Fixed scaffolding = 224 bytes:
 
         12  RIFF header           8+56  avih
         12  LIST hdrl             12    LIST strl
         8+56  strh                8+40  strf (BITMAPINFOHEADER)
         12  LIST movi             F×(8+frame)  00db chunks
+
+    - ``b"MJPG"``: Motion-JPEG — each ``00dc`` chunk is one complete
+      baseline JPEG (:mod:`kmeans_mapreduce_spark.functions.jpeg`),
+      variable-length; odd-sized chunks get the RIFF pad byte.
     """
     import struct
 
     fsz = 3 * w * h
-    for fr in frames:
-        if len(fr) != fsz:
-            raise ValueError(f"frame is {len(fr)} bytes, want {fsz}")
+    if codec == b"DIB ":
+        for fr in frames:
+            if len(fr) != fsz:
+                raise ValueError(f"frame is {len(fr)} bytes, want {fsz}")
+        buf_sz = fsz
+        chunk_id = b"00db"
+        compression = 0
+    elif codec == b"MJPG":
+        for fr in frames:
+            if fr[:2] != b"\xff\xd8":
+                raise ValueError("MJPG frame is not a JPEG (missing SOI)")
+        buf_sz = max((len(fr) for fr in frames), default=0)
+        chunk_id = b"00dc"
+        compression = struct.unpack("<I", b"MJPG")[0]  # BI_FOURCC
+    else:
+        raise ValueError(f"unsupported AVI codec {codec!r}")
     avih = struct.pack(
         "<10I4I",
-        1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, fsz, w, h, 0, 0, 0, 0,
+        1_000_000 // fps, 0, 0, 0, len(frames), 0, 1, buf_sz, w, h, 0, 0, 0, 0,
     )
     strh = struct.pack(
         "<4s4sI2H8I4H",
-        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0, len(frames), fsz, 0, fsz,
+        b"vids", codec, 0, 0, 0, 0, 1, fps, 0, len(frames), buf_sz, 0, fsz,
         0, 0, w, h,
     )
-    strf = struct.pack("<I2i2H6I", 40, w, h, 1, 24, 0, fsz, 0, 0, 0, 0)
+    strf = struct.pack(
+        "<I2i2H6I", 40, w, h, 1, 24, compression, fsz, 0, 0, 0, 0
+    )
     strl = b"strl" + b"strh" + struct.pack("<I", 56) + strh \
         + b"strf" + struct.pack("<I", 40) + strf
     hdrl = b"hdrl" + b"avih" + struct.pack("<I", 56) + avih \
         + b"LIST" + struct.pack("<I", len(strl)) + strl
     movi = b"movi" + b"".join(
-        b"00db" + struct.pack("<I", fsz) + fr for fr in frames
+        chunk_id + struct.pack("<I", len(fr)) + fr + (b"\x00" * (len(fr) & 1))
+        for fr in frames
     )
     riff = b"AVI " + b"LIST" + struct.pack("<I", len(hdrl)) + hdrl \
         + b"LIST" + struct.pack("<I", len(movi)) + movi
@@ -210,11 +241,17 @@ def _encode_avi(w: int, h: int, frames: list[bytes], fps: int = VID_FPS) -> byte
 
 
 def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
-    """Parse an uncompressed AVI: validate RIFF/'AVI ' magic, read
-    width/height from the avih main header, walk the chunk tree to the
-    'movi' list and collect raw ``00db``/``00dc`` frame chunks.
-    Returns (width, height, frames). Raises ValueError on anything
-    that is not a well-formed uncompressed AVI."""
+    """Parse an AVI: validate RIFF/'AVI ' magic, read width/height from
+    the avih main header, walk the chunk tree to the 'movi' list and
+    collect ``00db``/``00dc`` frame chunks. Frames come out as raw
+    RGB24 regardless of codec: uncompressed chunks must be exactly
+    3·w·h bytes; MJPEG chunks (detected by their JPEG SOI magic) are
+    decoded with the stdlib+numpy baseline decoder
+    (:func:`kmeans_mapreduce_spark.functions.jpeg.decode_baseline_jpeg`)
+    and must decode to the container's geometry. Returns (width,
+    height, frames). Raises ValueError on malformed containers and on
+    codec-bound frames neither path can decode (h264 etc. — pyav/
+    ffmpeg territory on a real cluster)."""
     import struct
 
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
@@ -249,14 +286,33 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
     walk(payload, 12, len(payload))
     if w is None or h is None:
         raise ValueError("AVI without an avih main header")
-    fsz = 3 * int(w) * int(h)
+    w, h = int(w), int(h)
+    fsz = 3 * w * h
+    out: list[bytes] = []
     for fr in frames:
-        if len(fr) != fsz:
-            raise ValueError(
-                f"AVI frame is {len(fr)} bytes, want {fsz} (uncompressed "
-                "RGB24 contract — compressed codecs are out of scope)"
+        if len(fr) == fsz:
+            out.append(fr)  # uncompressed RGB24
+        elif fr[:2] == b"\xff\xd8":  # MJPEG: one baseline JPEG per chunk
+            from kmeans_mapreduce_spark.functions.jpeg import (
+                decode_baseline_jpeg,
             )
-    return int(w), int(h), frames
+
+            jw, jh, nc, rgb = decode_baseline_jpeg(fr)
+            if (jw, jh) != (w, h):
+                raise ValueError(
+                    f"MJPEG frame geometry {jw}x{jh} != container {w}x{h}"
+                )
+            if nc == 1:  # grayscale MJPEG: expand to RGB24
+                rgb = bytes(
+                    b for px in rgb for b in (px, px, px)
+                )
+            out.append(rgb)
+        else:
+            raise ValueError(
+                f"AVI frame is {len(fr)} bytes, want {fsz} raw RGB24 or a "
+                "baseline JPEG (MJPG) — other codecs are out of scope"
+            )
+    return w, h, out
 
 
 def _decode_stub(kind: str, payload: bytes):

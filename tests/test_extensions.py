@@ -2453,3 +2453,93 @@ def test_star_cap_recall_delta_vs_exact_is_pinned(spark):
     # guard drops it by design
     assert lost == {(a, b) for a in range(1, n) for b in range(a + 1, n)}
     assert (5, 6) in lost
+
+
+def test_jpeg_baseline_roundtrip_near_lossless():
+    """The stdlib+numpy baseline JPEG codec (functions/jpeg.py):
+    encode(all-ones quant) → decode must reproduce pixels within ±2
+    per channel (rounding in RGB↔YCbCr + DCT-coefficient rounding
+    only), for RGB and
+    grayscale, including non-multiple-of-8 geometry; unsupported
+    features must be NAMED ValueErrors, not wrong pixels."""
+    import hashlib
+
+    import numpy as np
+
+    from kmeans_mapreduce_spark.functions import jpeg as J
+
+    for w, h, chans in ((16, 12, 3), (13, 9, 3), (8, 8, 1), (17, 5, 1)):
+        content = (hashlib.md5(f"{w}x{h}".encode()).digest() * 200)[
+            : chans * w * h
+        ]
+        blob = J.encode_baseline_jpeg(w, h, content)
+        assert blob[:2] == b"\xff\xd8" and blob[-2:] == b"\xff\xd9"
+        dw, dh, nc, out = J.decode_baseline_jpeg(blob)
+        assert (dw, dh, nc) == (w, h, chans)
+        a = np.frombuffer(content, np.uint8).astype(int)
+        b = np.frombuffer(out, np.uint8).astype(int)
+        assert np.abs(a - b).max() <= 2, (w, h, chans)
+    with pytest.raises(ValueError):
+        J.decode_baseline_jpeg(b"\x89PNG\r\n")  # not a JPEG
+    # progressive (SOF2) is refused by NAME
+    blob = J.encode_baseline_jpeg(8, 8, bytes(64))
+    prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(ValueError, match="SOF2"):
+        J.decode_baseline_jpeg(prog)
+    # subsampled chroma is refused by name (patch the SOF sampling)
+    i = blob.index(b"\xff\xc0")
+    bad = bytearray(blob)
+    bad[i + 11] = 0x22  # component 1 sampling 2x2
+    with pytest.raises(ValueError, match="subsampling"):
+        J.decode_baseline_jpeg(bytes(bad))
+
+
+def test_mjpeg_avi_decodes_through_video_path():
+    """MJPG AVI (00dc chunks = one baseline JPEG each) decodes through
+    the SAME _decode_avi contract as uncompressed AVI: geometry from
+    avih, frames out as raw RGB24, near-lossless vs the source pixels;
+    the size-based misfit error still names the supported codecs."""
+    import hashlib
+
+    import numpy as np
+
+    from kmeans_mapreduce_spark.functions import jpeg as J
+
+    w, h = mm.VID_W, mm.VID_H
+    raw_frames = [
+        (hashlib.md5(bytes([i])).digest() * 100)[: 3 * w * h]
+        for i in range(3)
+    ]
+    jfr = [J.encode_baseline_jpeg(w, h, fr) for fr in raw_frames]
+    payload = mm._encode_avi(w, h, jfr, codec=b"MJPG")
+    dw, dh, out = mm._decode_avi(payload)
+    assert (dw, dh) == (w, h)
+    assert len(out) == 3
+    for got, want in zip(out, raw_frames):
+        assert len(got) == 3 * w * h
+        a = np.frombuffer(want, np.uint8).astype(int)
+        b = np.frombuffer(got, np.uint8).astype(int)
+        assert np.abs(a - b).max() <= 2
+    # decode_media dispatch sees MJPEG video identically
+    content, dw, dh, nf = mm.decode_media("video", payload)
+    assert (dw, dh, nf) == (w, h, 3)
+    assert len(content) == 3 * 3 * w * h
+    # a frame that is neither raw-sized nor a JPEG is refused by name:
+    # corrupt one frame's SOI magic IN PLACE (same length, container
+    # sizes stay valid)
+    bad = bytearray(payload)
+    i = bad.index(b"\xff\xd8", bad.index(b"movi"))
+    bad[i : i + 2] = b"\x00\x00"
+    with pytest.raises(ValueError, match="MJPG"):
+        mm._decode_avi(bytes(bad))
+    # grayscale MJPEG frames expand to RGB24
+    gray = (hashlib.md5(b"g").digest() * 100)[: w * h]
+    gpayload = mm._encode_avi(
+        w, h, [J.encode_baseline_jpeg(w, h, gray)], codec=b"MJPG"
+    )
+    _, _, gout = mm._decode_avi(gpayload)
+    assert len(gout[0]) == 3 * w * h
+    g = np.frombuffer(gray, np.uint8).astype(int)
+    got3 = np.frombuffer(gout[0], np.uint8).astype(int).reshape(-1, 3)
+    assert (got3[:, 0] == got3[:, 1]).all() and (got3[:, 1] == got3[:, 2]).all()
+    assert np.abs(got3[:, 0] - g).max() <= 2
