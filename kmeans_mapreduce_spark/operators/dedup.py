@@ -844,15 +844,16 @@ def simhash_pairs(
 
 EMBED_BLOCK_ROW_CAP = 8192  # tile oversized cosine blocks above this
 
-# K·dim ceiling for the literal-argmin plan. Above it, Catalyst
-# analysis time on the K·d F.lit() nodes dominates execution (the same
-# lesson measured twice in this repo: bloom literal bitmaps ~10× plan
-# time, LR weight literals ~2.4 s/plan), so assign_cells switches to
-# the Arrow matmul path — bit-identical distances via dim-sequential
-# float64 folds (see _assign_cells_arrow). 4096 keeps every gated
-# fixture (K≤64 × d=64) on the zero-Python literal plan; a production
-# SemDeDup/IVF quantizer (K≈10⁴ × d≥64) lands on Arrow.
-CELL_LITERAL_MAX_KD = 4096
+# K·dim ceiling for the literal-argmin plan. Above it, building +
+# analyzing the K·d F.lit() nodes dominates execution — measured at
+# sf0.1 (r9): plan wall 0.99 s at K·d=512, 1.54 s at 1024, 2.60 s at
+# 2048, 5.33 s at 4096 (superlinear, Py4J tree building + Catalyst
+# analysis), while the Arrow path plans in ~0.03 s at ANY K·d and is
+# bit-identical (dim-sequential float64 folds, see
+# _assign_cells_arrow). 1024 keeps every registered query (K≤16 ×
+# d=64) on the zero-Python literal plan; production SemDeDup/IVF
+# quantizers (K 10²–10⁴) land on Arrow.
+CELL_LITERAL_MAX_KD = 1024
 
 
 def _assign_cells_arrow(
