@@ -298,6 +298,16 @@ def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MJPEG encode→container→decode roundtrip (round 9): per video
+    doc, frames are JPEG-encoded, wrapped in an MJPG AVI, and decoded
+    back through the real baseline-JPEG entropy/DCT decoder; outputs
+    are structural (frame count, geometry, decoded RGB bytes) so the
+    twin replays them arithmetically — any decode failure drops rows
+    and trips the row-count gate."""
+    return mm.mjpeg_roundtrip_stats(load_table(spark, sf_dir, "documents"))
+
+
 SLIDE_SEC = ev.WINDOW_SEC  # slide = 300 s under a 600 s window → overlap 2
 
 
@@ -4768,6 +4778,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
+        "multimodal_mjpeg": q_multimodal_mjpeg,
         "pipeline_media_cluster": q_pipeline_media_cluster,
         "pipeline_topic_clusters": q_pipeline_topic_clusters,
         "events_window_agg": q_events_window_agg,
@@ -6444,6 +6455,14 @@ FROM documents WHERE doc_id % 3 = 0""",
 SELECT doc_id AS media_id,
        unnest(range(0, doc_id % 4 + 2, {FRAME_EVERY_N}))::INTEGER AS frame_idx,
        {mm.VID_FRAME_BYTES}::INTEGER AS frame_len
+FROM documents
+WHERE doc_id % 3 = 2""",
+        "multimodal_mjpeg": f"""
+SELECT doc_id AS media_id,
+       (doc_id % 4 + 2)::INTEGER AS n_frames,
+       {mm.VID_W}::INTEGER AS dec_width,
+       {mm.VID_H}::INTEGER AS dec_height,
+       ((doc_id % 4 + 2) * {mm.VID_FRAME_BYTES})::BIGINT AS rgb_bytes
 FROM documents
 WHERE doc_id % 3 = 2""",
         # real-decode twin, replayed arithmetically from the md5 hex

@@ -289,10 +289,15 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
     w, h = int(w), int(h)
     fsz = 3 * w * h
     out: list[bytes] = []
+    seen: dict[bytes, bytes] = {}  # within-container identical-chunk memo
     for fr in frames:
         if len(fr) == fsz:
             out.append(fr)  # uncompressed RGB24
         elif fr[:2] == b"\xff\xd8":  # MJPEG: one baseline JPEG per chunk
+            hit = seen.get(fr)
+            if hit is not None:
+                out.append(hit)
+                continue
             from kmeans_mapreduce_spark.functions.jpeg import (
                 decode_baseline_jpeg,
             )
@@ -306,6 +311,7 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
                 rgb = bytes(
                     b for px in rgb for b in (px, px, px)
                 )
+            seen[fr] = rgb
             out.append(rgb)
         else:
             raise ValueError(
@@ -517,4 +523,61 @@ def sample_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
         media.filter(F.col("kind") == "video")
         .select("media_id", "payload")
         .mapInPandas(fn, schema=FRAME_SCHEMA)
+    )
+
+
+MJPEG_STATS_SCHEMA = (
+    "media_id LONG, n_frames INT, dec_width INT, dec_height INT, "
+    "rgb_bytes LONG"
+)
+
+
+def mjpeg_roundtrip_stats(docs: DataFrame) -> DataFrame:
+    """MJPEG exercise, end to end, in ONE narrow mapInPandas pass: for
+    every video-kind document, synthesize the digest-cycled RGB frames,
+    ENCODE each as a baseline JPEG, wrap them in an ``MJPG`` AVI
+    (:func:`_encode_avi`), then DECODE the container back through
+    :func:`_decode_avi` (which entropy+DCT-decodes every frame chunk)
+    and report what the decoder actually saw: frame count, geometry,
+    and total decoded RGB bytes. The outputs are STRUCTURAL — exactly
+    derivable from doc_id arithmetic — so a DuckDB twin hash-gates the
+    whole encode→container→decode path without needing a SQL JPEG
+    decoder (pixel fidelity itself is pinned separately by the ±2
+    roundtrip fixtures). A decode failure drops the row, so any
+    codec-path regression shows up as a row-count mismatch."""
+    import hashlib as _hl
+
+    from kmeans_mapreduce_spark.functions.jpeg import encode_baseline_jpeg
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 3 != 2:  # video kind only (media_from_documents)
+                    continue
+                digest = _hl.md5((text or "").encode()).digest()
+                raw = _repeat_trunc(digest, VID_FRAME_BYTES)
+                jf = encode_baseline_jpeg(VID_W, VID_H, raw)
+                payload = _encode_avi(
+                    VID_W, VID_H, [jf] * _vid_frames(did), codec=b"MJPG"
+                )
+                try:
+                    w, h, frames = _decode_avi(payload)
+                except ValueError:
+                    continue  # degrade-don't-die: row vanishes, gate trips
+                rows.append(
+                    (did, len(frames), w, h, sum(len(fr) for fr in frames))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=[
+                        "media_id", "n_frames", "dec_width", "dec_height",
+                        "rgb_bytes",
+                    ],
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fn, schema=MJPEG_STATS_SCHEMA
     )
