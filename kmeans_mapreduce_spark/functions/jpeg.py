@@ -12,11 +12,13 @@ decoder — parses SOI/APPn/COM/DQT/DHT/DRI/SOF0/SOS from the stream
 (arbitrary quantization + Huffman tables, restart markers honored),
 entropy-decodes with byte-unstuffing, dequantizes, inverse-zigzags,
 8×8 IDCT via an orthonormal DCT matrix multiply, JFIF YCbCr→RGB for
-3-component scans. Supported sampling: 4:4:4 and single-component
-grayscale (one 8×8 block per component per MCU). Chroma-subsampled
-(4:2:0/4:2:2) and progressive (SOF2) streams raise ``ValueError`` with
-the exact unsupported feature named — degrade-don't-die callers turn
-that into ``decoded=false`` rows.
+3-component scans. Sampling is fully general for integer ratios: MCUs
+carry Hi×Vi blocks per component, subsampled planes decode at their
+own resolution and are nearest-neighbor upsampled — so real-world
+4:2:0 and 4:2:2 files decode, not just 4:4:4/grayscale. Progressive
+(SOF2) and other non-baseline frames raise ``ValueError`` with the
+exact unsupported feature named — degrade-don't-die callers turn that
+into ``decoded=false`` rows.
 
 Encoder (:func:`encode_baseline_jpeg`): a fixture generator for tests
 and synthetic corpora — 4:4:4 (or grayscale) with ALL-ONES
@@ -204,11 +206,27 @@ _ENC_AC_VALUES = list(range(256))  # so 256 can't share one length)
 
 
 # ------------------------------------------------------------- encoder
-def encode_baseline_jpeg(width: int, height: int, content: bytes) -> bytes:
+def _edge_pad(pl: np.ndarray, rows: int, cols: int) -> np.ndarray:
+    """Pad a plane to (rows, cols) by replicating the last row/col."""
+    h, w = pl.shape
+    p = np.empty((rows, cols))
+    p[:h, :w] = pl
+    p[h:, :w] = pl[h - 1 : h, :]
+    p[:, w:] = p[:, w - 1 : w]
+    return p
+
+
+def encode_baseline_jpeg(
+    width: int, height: int, content: bytes, subsample: bool = False
+) -> bytes:
     """Encode RGB24 (len == 3*w*h) or grayscale (len == w*h) content as
-    a baseline 4:4:4 / single-component JPEG with all-ones quant
-    tables. Near-lossless by construction — the test fixture and MJPEG
-    frame generator."""
+    a baseline JPEG with all-ones quant tables. Default 4:4:4 (or
+    single-component) is near-lossless by construction — the test
+    fixture and MJPEG frame generator. ``subsample=True`` (RGB only)
+    emits real 4:2:0: chroma box-averaged 2×2, Y at sampling 2×2 —
+    the layout virtually every camera/ffmpeg JPEG uses, kept here so
+    the decoder's general MCU walk is exercised by files this module
+    itself can produce."""
     n = width * height
     if len(content) == 3 * n:
         rgb = np.frombuffer(content, np.uint8).reshape(height, width, 3)
@@ -220,6 +238,8 @@ def encode_baseline_jpeg(width: int, height: int, content: bytes) -> bytes:
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
     elif len(content) == n:
+        if subsample:
+            raise ValueError("subsample=True needs RGB content")
         planes = [
             np.frombuffer(content, np.uint8)
             .reshape(height, width)
@@ -230,6 +250,20 @@ def encode_baseline_jpeg(width: int, height: int, content: bytes) -> bytes:
             f"content is {len(content)} bytes; want {3 * n} (RGB) or {n} (gray)"
         )
     ncomp = len(planes)
+    if subsample:
+        samp = [(2, 2), (1, 1), (1, 1)]
+        # 2×2 box-average chroma at even-padded geometry
+        for ci in (1, 2):
+            p = _edge_pad(
+                planes[ci], (height + 1) // 2 * 2, (width + 1) // 2 * 2
+            )
+            planes[ci] = (
+                p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]
+            ) / 4.0
+    else:
+        samp = [(1, 1)] * ncomp
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
 
     out = bytearray(b"\xff\xd8")  # SOI
     # DQT: 8-bit table 0, all ones (near-lossless)
@@ -237,7 +271,8 @@ def encode_baseline_jpeg(width: int, height: int, content: bytes) -> bytes:
     # SOF0
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
     for cid in range(1, ncomp + 1):
-        out += struct.pack("BBB", cid, 0x11, 0)  # 1x1 sampling, QT 0
+        hi, vi = samp[cid - 1]
+        out += struct.pack("BBB", cid, (hi << 4) | vi, 0)
     # DHT: DC table 0 and AC table 0 (shared by all components)
     dc_tbl = _HuffTable(_ENC_DC_BITS, _ENC_DC_VALUES)
     ac_tbl = _HuffTable(_ENC_AC_BITS, _ENC_AC_VALUES)
@@ -252,51 +287,57 @@ def encode_baseline_jpeg(width: int, height: int, content: bytes) -> bytes:
 
     bw = _BitWriter()
     bw_pred = [0] * ncomp
-    bx = (width + 7) // 8
-    by = (height + 7) // 8
-    # edge-pad planes to block multiples (replicate border)
-    padded = []
-    for pl in planes:
-        p = np.empty((by * 8, bx * 8))
-        p[:height, :width] = pl
-        p[height:, :width] = pl[height - 1 : height, :]
-        p[:, width:] = p[:, width - 1 : width]
-        padded.append(p)
-    for yb in range(by):
-        for xb in range(bx):
-            for ci in range(ncomp):
-                block = padded[ci][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
-                coeffs = _C @ (block - 128.0) @ _C.T
-                q = np.rint(coeffs).astype(np.int64)  # quant table = 1
-                zz = q.flatten()[ZIGZAG]
-                diff = int(zz[0]) - bw_pred[ci]
-                bw_pred[ci] = int(zz[0])
-                t = _category(diff)
-                code, ln = dc_tbl.enc[t]
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    padded = [
+        _edge_pad(pl, mcuy * vi * 8, mcux * hi * 8)
+        for pl, (hi, vi) in zip(planes, samp)
+    ]
+
+    def emit_block(ci: int, block: np.ndarray) -> None:
+        coeffs = _C @ (block - 128.0) @ _C.T
+        q = np.rint(coeffs).astype(np.int64)  # quant table = 1
+        zz = q.flatten()[ZIGZAG]
+        diff = int(zz[0]) - bw_pred[ci]
+        bw_pred[ci] = int(zz[0])
+        t = _category(diff)
+        code, ln = dc_tbl.enc[t]
+        bw.write(code, ln)
+        if t:
+            bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+        for k in range(1, 64):
+            if k > last_nz:
+                break
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_tbl.enc[0xF0]  # ZRL
                 bw.write(code, ln)
-                if t:
-                    bw.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    if k > last_nz:
-                        break
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = ac_tbl.enc[0xF0]  # ZRL
-                        bw.write(code, ln)
-                        run -= 16
-                    t = _category(v)
-                    code, ln = ac_tbl.enc[(run << 4) | t]
-                    bw.write(code, ln)
-                    bw.write(v if v >= 0 else v + (1 << t) - 1, t)
-                    run = 0
-                if last_nz < 63:
-                    code, ln = ac_tbl.enc[0x00]  # EOB
-                    bw.write(code, ln)
+                run -= 16
+            t = _category(v)
+            code, ln = ac_tbl.enc[(run << 4) | t]
+            bw.write(code, ln)
+            bw.write(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_tbl.enc[0x00]  # EOB
+            bw.write(code, ln)
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci in range(ncomp):
+                hi, vi = samp[ci]
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        emit_block(
+                            ci, padded[ci][y0 : y0 + 8, x0 : x0 + 8]
+                        )
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"  # EOI
@@ -308,8 +349,9 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline sequential JPEG. Returns
     ``(width, height, n_components, content)`` where content is RGB24
     (3 components, JFIF YCbCr→RGB) or grayscale bytes (1 component).
-    Raises ``ValueError`` naming the unsupported feature for
-    progressive scans or subsampled chroma."""
+    Any integer sampling layout decodes (4:4:4, 4:2:0, 4:2:2, …);
+    progressive scans (SOF2) and other non-baseline frame types raise
+    ``ValueError`` naming the feature."""
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}
@@ -357,14 +399,22 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for c in range(nc):
                 cid, sampling, tq = seg[6 + 3 * c : 9 + 3 * c]
-                if sampling != 0x11:
+                hi, vi = sampling >> 4, sampling & 0xF
+                if not (1 <= hi <= 4 and 1 <= vi <= 4):
                     raise ValueError(
-                        "unsupported chroma subsampling "
-                        f"(component {cid} sampling {sampling:#x}; only "
-                        "4:4:4 / grayscale baseline is implemented — use "
-                        "pyav/ffmpeg on a real cluster)"
+                        f"bad sampling factors {sampling:#x} for "
+                        f"component {cid}"
                     )
-                comps.append((cid, tq))
+                comps.append((cid, hi, vi, tq))
+            # integer upsampling ratios only (every real-world file)
+            hmax = max(hi for _, hi, _, _ in comps)
+            vmax = max(vi for _, _, vi, _ in comps)
+            for cid, hi, vi, _ in comps:
+                if hmax % hi or vmax % vi:
+                    raise ValueError(
+                        f"non-integer sampling ratio for component {cid} "
+                        f"({hi}x{vi} vs max {hmax}x{vmax})"
+                    )
             frame = (h, w, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -390,52 +440,73 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
 
 
 def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
+    """Interleaved baseline scan, general sampling: each MCU carries
+    Hi×Vi blocks per component (so 4:2:0 = 4 Y + Cb + Cr per 16×16 px
+    MCU); subsampled planes are decoded at their own resolution and
+    nearest-neighbor upsampled by the integer (Hmax/Hi, Vmax/Vi)
+    ratio before color conversion."""
     h, w, comps = frame
     ncomp = len(comps)
-    bx = (w + 7) // 8
-    by = (h + 7) // 8
-    planes = [np.empty((by * 8, bx * 8)) for _ in comps]
+    hmax = max(hi for _, hi, _, _ in comps)
+    vmax = max(vi for _, _, vi, _ in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [
+        np.empty((mcuy * vi * 8, mcux * hi * 8)) for _, hi, vi, _ in comps
+    ]
     br = _BitReader(data, pos)
     preds = [0] * ncomp
     mcu = 0
-    for yb in range(by):
-        for xb in range(bx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 br.align_to_marker()
                 preds = [0] * ncomp
-            for ci, (cid, tq) in enumerate(comps):
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
                 dc_id, ac_id = scan_tables[cid]
                 dc = huff[(0, dc_id)]
                 ac = huff[(1, ac_id)]
-                zz = np.zeros(64, np.int64)
-                t = dc.decode(br)
-                diff = _extend(br.read_bits(t), t) if t else 0
-                preds[ci] += diff
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = ac.decode(br)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError(f"bad AC symbol {sym:#x}")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(br.read_bits(size), size)
-                    k += 1
-                block = np.zeros(64, np.int64)
-                block[ZIGZAG] = zz * qt[tq]
-                spatial = _C.T @ block.reshape(8, 8).astype(np.float64) @ _C
-                planes[ci][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = (
-                    spatial + 128.0
-                )
+                for byy in range(vi):
+                    for bxx in range(hi):
+                        zz = np.zeros(64, np.int64)
+                        t = dc.decode(br)
+                        diff = _extend(br.read_bits(t), t) if t else 0
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = ac.decode(br)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"bad AC symbol {sym:#x}"
+                                    )
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        block = np.zeros(64, np.int64)
+                        block[ZIGZAG] = zz * qt[tq]
+                        spatial = (
+                            _C.T @ block.reshape(8, 8).astype(np.float64) @ _C
+                        )
+                        y0 = (my * vi + byy) * 8
+                        x0 = (mx * hi + bxx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial + 128.0
             mcu += 1
-    planes = [p[:h, :w] for p in planes]
+    # upsample subsampled planes to full geometry, then crop
+    full = []
+    for (cid, hi, vi, tq), p in zip(comps, planes):
+        if hi != hmax or vi != vmax:
+            p = np.repeat(np.repeat(p, vmax // vi, axis=0), hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    planes = full
     if ncomp == 1:
         gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
         return w, h, 1, gray.tobytes()

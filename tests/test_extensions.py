@@ -2486,12 +2486,66 @@ def test_jpeg_baseline_roundtrip_near_lossless():
     prog = blob.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(ValueError, match="SOF2"):
         J.decode_baseline_jpeg(prog)
-    # subsampled chroma is refused by name (patch the SOF sampling)
-    i = blob.index(b"\xff\xc0")
-    bad = bytearray(blob)
-    bad[i + 11] = 0x22  # component 1 sampling 2x2
-    with pytest.raises(ValueError, match="subsampling"):
+    # non-integer sampling ratios are refused by name (patch the SOF:
+    # integer-ratio layouts like 4:2:0 now DECODE — see the 420 test)
+    blob3 = J.encode_baseline_jpeg(8, 8, bytes(3 * 64))
+    i = blob3.index(b"\xff\xc0")
+    bad = bytearray(blob3)
+    bad[i + 11] = 0x31  # Y 3x1 vs chroma 1x1: 3 % 1 ok, but...
+    bad[i + 14] = 0x21  # Cb 2x1 -> hmax=3, 3 % 2 != 0
+    with pytest.raises(ValueError, match="non-integer sampling ratio"):
         J.decode_baseline_jpeg(bytes(bad))
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """The general MCU walk: real 4:2:0 files (4 Y + Cb + Cr per 16x16
+    MCU, chroma upsampled) decode correctly — pinned with fixtures
+    where subsampling is lossless (constant chroma), including odd
+    geometry, and a 4:4:4-vs-4:2:0 size sanity check."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.functions import jpeg as J
+
+    w, h = 16, 12
+    flat = bytes([100, 150, 200]) * (w * h)
+    blob = J.encode_baseline_jpeg(w, h, flat, subsample=True)
+    dw, dh, nc, out = J.decode_baseline_jpeg(blob)
+    assert (dw, dh, nc) == (w, h, 3)
+    assert np.abs(
+        np.frombuffer(flat, np.uint8).astype(int)
+        - np.frombuffer(out, np.uint8).astype(int)
+    ).max() == 0
+    # gray gradient: all detail in Y, chroma constant -> near-lossless
+    g = np.zeros((h, w, 3), np.uint8)
+    for y in range(h):
+        for x in range(w):
+            v = (x * 16 + y * 3) % 256
+            g[y, x] = (v, v, v)
+    dw, dh, nc, out = J.decode_baseline_jpeg(
+        J.encode_baseline_jpeg(w, h, g.tobytes(), subsample=True)
+    )
+    assert np.abs(
+        g.astype(int).ravel() - np.frombuffer(out, np.uint8).astype(int)
+    ).max() <= 2
+    # odd geometry exercises MCU edge padding + crop
+    w2, h2 = 13, 9
+    flat2 = bytes([37, 201, 88]) * (w2 * h2)
+    dw, dh, nc, out = J.decode_baseline_jpeg(
+        J.encode_baseline_jpeg(w2, h2, flat2, subsample=True)
+    )
+    assert (dw, dh) == (w2, h2)
+    assert np.abs(
+        np.frombuffer(flat2, np.uint8).astype(int)
+        - np.frombuffer(out, np.uint8).astype(int)
+    ).max() == 0
+    # subsampling actually shrinks the file (half the chroma blocks)
+    noisy = bytes(range(256)) * ((3 * w * h) // 256 + 1)
+    noisy = noisy[: 3 * w * h]
+    b444 = J.encode_baseline_jpeg(w, h, noisy)
+    b420 = J.encode_baseline_jpeg(w, h, noisy, subsample=True)
+    assert len(b420) < len(b444)
+    with pytest.raises(ValueError, match="needs RGB"):
+        J.encode_baseline_jpeg(w, h, bytes(w * h), subsample=True)
 
 
 def test_mjpeg_avi_decodes_through_video_path():
