@@ -93,6 +93,14 @@ REPORT_QUERIES = [
     ("similarity_cell_balance", "literal-argmin assignment + K-group aggregate + 1-row broadcast total"),
     ("join_small_quantity", "decorrelated per-part aggregate joined back on the same key"),
     ("join_idle_customers", "1-row broadcast threshold + anti-join on the filtered fact"),
+    # kmeans_nd_fit_large intentionally absent for the same reason as
+    # embeddings_pca_suffstats: fit_nd iterates at construction time
+    # and returns driver-built rows (vacuous LocalTableScan). Its
+    # per-iteration physical shape — centers in the mapInPandas
+    # closure, O(partitions×K) partial rows, O(1) plan size in K·d —
+    # is pinned by the cell_assign scale-probe entries and the fit_nd
+    # tests instead.
+    ("multimodal_mjpeg", "MJPEG encode→decode roundtrip inside one mapInPandas; (doc_id, text) pruned scan"),
 ]
 
 
