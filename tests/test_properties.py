@@ -510,3 +510,62 @@ def test_rolling_active_matches_bruteforce_window(pairs):
         d: len({u for dd, u in pairs if d - 6 <= dd <= d}) for d in days
     }
     assert got == want
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.binary(min_size=16, max_size=16),
+    st.booleans(),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_property(w, h, seed, gray):
+    """Baseline JPEG encode→decode with all-ones quant tables is
+    near-lossless (≤±2/channel) for ANY geometry — including sub-block
+    and non-multiple-of-8 sizes where MCU edge padding + crop must be
+    exact — and always reports the true dimensions. No Spark: the
+    codec is a pure function."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.functions import jpeg as J
+
+    chans = 1 if gray else 3
+    need = chans * w * h
+    content = (seed * (need // 16 + 1))[:need]
+    blob = J.encode_baseline_jpeg(w, h, content)
+    dw, dh, nc, out = J.decode_baseline_jpeg(blob)
+    assert (dw, dh, nc) == (w, h, chans)
+    a = np.frombuffer(content, np.uint8).astype(int)
+    b = np.frombuffer(out, np.uint8).astype(int)
+    assert np.abs(a - b).max() <= 2
+
+
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.tuples(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=0, max_value=255),
+    ),
+)
+@settings(max_examples=25, deadline=None)
+def test_jpeg_420_constant_chroma_property(w, h, color):
+    """4:2:0 subsampling is lossless whenever chroma is constant (the
+    2×2 box average of a constant is itself), so flat-color images
+    roundtrip EXACTLY through the subsampled MCU walk at any geometry
+    — this pins the 4-Y+Cb+Cr block order, chroma upsampling, and
+    edge-MCU crop with zero tolerance."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.functions import jpeg as J
+
+    flat = bytes(color) * (w * h)
+    dw, dh, nc, out = J.decode_baseline_jpeg(
+        J.encode_baseline_jpeg(w, h, flat, subsample=True)
+    )
+    assert (dw, dh, nc) == (w, h, 3)
+    assert np.abs(
+        np.frombuffer(flat, np.uint8).astype(int)
+        - np.frombuffer(out, np.uint8).astype(int)
+    ).max() == 0
