@@ -2596,7 +2596,7 @@ def q_kmeans_nd_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers, pts = _nd_centers_and_points(
         load_table(spark, sf_dir, "embeddings")
     )
-    out = knd.assign_nd_expr(pts, centers)
+    out = knd.assign_nd(pts, centers)
     return out.select("point_id", "cid", F.round("min_d2", 6).alias("min_d2"))
 
 
@@ -2841,7 +2841,7 @@ def q_pipeline_media_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     centers = [(i, list(r["vec"])) for i, r in enumerate(cents)]
-    assigned = knd.assign_nd_expr(
+    assigned = knd.assign_nd(
         emb.select(F.col("media_id").alias("point_id"), "vec"), centers
     )
     return assigned.groupBy("cid").agg(
@@ -2867,7 +2867,7 @@ def q_pipeline_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents")
     centers, pts = _nd_centers_and_points(emb)
-    assigned = knd.assign_nd_expr(pts, centers).select("point_id", "cid")
+    assigned = knd.assign_nd(pts, centers).select("point_id", "cid")
     terms = docs.select(
         "doc_id", F.explode(toks_fn(F.lower(F.col("text")))).alias("term")
     ).filter((F.col("term") != "") & ~F.col("term").isin(sorted(STOPWORDS)))

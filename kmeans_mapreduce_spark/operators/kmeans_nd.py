@@ -32,7 +32,9 @@ def assign_nd_expr(points: DataFrame, centers: list[NDCenter]) -> DataFrame:
     """Expression-path assignment: (point_id, cid, min_d2).
 
     ``points`` must have columns (point_id, vec: array<double>).
-    Tie-break: lowest cid (lexicographic struct min), as in 2-D."""
+    Tie-break: lowest cid (lexicographic struct min), as in 2-D.
+    Plan size is O(K·dim) literals — prefer :func:`assign_nd`, which
+    auto-switches to the Arrow path above the plan-size threshold."""
     cands = [
         F.struct(
             sq_dist_nd(
@@ -46,6 +48,62 @@ def assign_nd_expr(points: DataFrame, centers: list[NDCenter]) -> DataFrame:
     return points.select(
         "point_id", best["cid"].alias("cid"), best["d2"].alias("min_d2")
     )
+
+
+def assign_nd_arrow(points: DataFrame, centers: list[NDCenter]) -> DataFrame:
+    """Arrow twin of :func:`assign_nd_expr` — same output contract
+    (point_id, cid, min_d2), bit-identical distances (dim-sequential
+    float64 folds replicate ``sq_dist_nd``'s F.aggregate order), ties
+    to lowest cid (centers sorted; argmin keeps the first minimum),
+    O(1) plan size in K·dim."""
+    order = sorted((int(c), [float(x) for x in v]) for c, v in centers)
+    cids = np.array([c for c, _ in order], dtype=np.int32)
+    C = np.array([v for _, v in order], dtype=np.float64)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
+            )
+            acc = np.zeros((len(x), len(cids)))
+            for d in range(C.shape[1]):
+                diff = x[:, d, None] - C[None, :, d]
+                acc += diff * diff
+            w = acc.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "point_id": pdf["point_id"],
+                    "cid": cids[w],
+                    "min_d2": acc[np.arange(len(x)), w],
+                }
+            )
+
+    return points.select("point_id", "vec").mapInPandas(
+        fn, schema="point_id LONG, cid INT, min_d2 DOUBLE"
+    )
+
+
+def assign_nd(
+    points: DataFrame, centers: list[NDCenter], impl: str = "auto"
+) -> DataFrame:
+    """n-D nearest-centroid assignment with the plan-size auto-switch
+    (same dial as ``dedup.assign_cells``): the K·dim-literal expression
+    plan below ``CELL_LITERAL_MAX_KD``, the O(1)-plan Arrow matmul pass
+    above it. Both paths are bit-identical by construction."""
+    from kmeans_mapreduce_spark.operators.dedup import CELL_LITERAL_MAX_KD
+
+    if not centers:
+        raise ValueError("assign_nd: empty centers")
+    if impl == "auto":
+        kd = len(centers) * len(centers[0][1])
+        impl = "expr" if kd <= CELL_LITERAL_MAX_KD else "arrow"
+    if impl == "expr":
+        return assign_nd_expr(points, centers)
+    if impl == "arrow":
+        return assign_nd_arrow(points, centers)
+    raise ValueError(f"assign_nd: unknown impl {impl!r}")
 
 
 def _assign_batches(centers_arr: np.ndarray):

@@ -219,3 +219,34 @@ def test_lloyd_step_sql_nonfinite_center_falls_back(spark):
     inf_c = [(0, float("inf"), 0.0), (1, 0.0, 0.0)]
     means2, sizes2, _ = km.lloyd_step_sql(pts, inf_c)
     assert sizes2 == {1: 3}
+
+
+def test_assign_nd_arrow_matches_expr_bitwise(spark):
+    """assign_nd's two physical paths (K*d-literal expression vs Arrow
+    matmul) must agree bit-for-bit — unrounded d2 included — and break
+    ties to the lowest cid; auto dispatch picks by plan size."""
+    from kmeans_mapreduce_spark.operators import kmeans_nd as knd
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    from pyspark.sql import functions as F
+
+    pts = emb.select(
+        F.col("vec_id").alias("point_id"),
+        F.transform(F.col("embedding"), lambda v: v.cast("double")).alias(
+            "vec"
+        ),
+    )
+    first = pts.orderBy("point_id").limit(5).collect()
+    centers = [(i, list(r["vec"])) for i, r in enumerate(first)]
+    # plant an exact duplicate center under a higher cid: ties -> 0
+    centers.append((9, centers[0][1]))
+    a = {
+        r["point_id"]: (r["cid"], r["min_d2"])
+        for r in knd.assign_nd(pts, centers, impl="expr").collect()
+    }
+    b = {
+        r["point_id"]: (r["cid"], r["min_d2"])
+        for r in knd.assign_nd(pts, centers, impl="arrow").collect()
+    }
+    assert len(a) == 500 and a == b
+    assert a[first[0]["point_id"]][0] == 0  # duplicate-center tie -> lowest
