@@ -351,7 +351,18 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     (3 components, JFIF YCbCr→RGB) or grayscale bytes (1 component).
     Any integer sampling layout decodes (4:4:4, 4:2:0, 4:2:2, …);
     progressive scans (SOF2) and other non-baseline frame types raise
-    ``ValueError`` naming the feature."""
+    ``ValueError`` naming the feature. EVERY malformed stream raises
+    ``ValueError`` — truncated segments, missing tables, and bad
+    references surface as struct/index/key errors internally and are
+    translated here, so degrade-don't-die callers need to catch one
+    exception type only (fuzz-tested against mutated streams)."""
+    try:
+        return _decode_baseline_jpeg_inner(data)
+    except (struct.error, IndexError, KeyError) as e:
+        raise ValueError(f"malformed JPEG stream: {e!r}") from e
+
+
+def _decode_baseline_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     if len(data) < 4 or data[0:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     qt: dict[int, np.ndarray] = {}

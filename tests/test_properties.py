@@ -569,3 +569,43 @@ def test_jpeg_420_constant_chroma_property(w, h, color):
         np.frombuffer(flat, np.uint8).astype(int)
         - np.frombuffer(out, np.uint8).astype(int)
     ).max() == 0
+
+
+@given(
+    st.binary(min_size=16, max_size=16),
+    st.integers(min_value=0, max_value=3),
+    st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_decoder_never_hangs_on_corrupt_input(seed, mode, data):
+    """Robustness: arbitrary mutations of a valid JPEG (truncation,
+    byte flips, random garbage, marker corruption) must either decode
+    to SOME correctly-shaped output or raise ValueError — never hang,
+    never raise a non-ValueError, never return wrong-shaped bytes.
+    This is the degrade-don't-die contract multimodal callers rely on
+    (a bad frame becomes decoded=false, not a task failure)."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.functions import jpeg as J
+
+    w, h = 16, 12
+    content = (seed * 100)[: 3 * w * h]
+    blob = bytearray(J.encode_baseline_jpeg(w, h, content))
+    if mode == 0:  # truncate
+        cut = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+        blob = blob[:cut]
+    elif mode == 1:  # flip bytes
+        for _ in range(data.draw(st.integers(min_value=1, max_value=8))):
+            i = data.draw(st.integers(min_value=0, max_value=len(blob) - 1))
+            blob[i] = data.draw(st.integers(min_value=0, max_value=255))
+    elif mode == 2:  # pure garbage with a JPEG magic
+        blob = bytearray(b"\xff\xd8") + bytearray(
+            data.draw(st.binary(min_size=0, max_size=64))
+        )
+    # mode 3: leave valid (the control arm)
+    try:
+        dw, dh, nc, out = J.decode_baseline_jpeg(bytes(blob))
+    except ValueError:
+        return  # the allowed failure mode
+    assert len(out) == nc * dw * dh  # shape contract even on mutations
+    assert nc in (1, 3)
