@@ -841,6 +841,17 @@ def commit_version(
     plus the new one — O(1) metadata, zero data rewrite, the lakehouse
     append that the plain parquet ``overwrite`` sinks cannot give.
     Returns the committed version number.
+
+    SCHEMA ENFORCEMENT (round 9): every manifest records the snapshot's
+    schema (``df.schema.json()``). An ``append`` whose schema differs
+    from the latest committed schema is REFUSED with the differing
+    field sets named — without this, the union-of-directories read
+    silently takes one file's schema and drops/nulls the other's
+    columns (measured: a drifted append made ``read_version`` drop a
+    column and null-fill the rest — the torn-table class the log
+    exists to prevent). ``overwrite`` replaces the snapshot, so it may
+    change the schema freely; time travel to an older version still
+    reads THAT version's recorded schema.
     """
     import os
     import uuid
@@ -850,7 +861,10 @@ def commit_version(
     )
     df.write.mode("error").parquet(data_dir)
     rel = os.path.relpath(data_dir, table_path)
-    return publish_version(table_path, rel, mode=mode, extra=extra)
+    return publish_version(
+        table_path, rel, mode=mode, extra=extra,
+        schema_json=df.schema.json(),
+    )
 
 
 def publish_version(
@@ -858,6 +872,7 @@ def publish_version(
     rel: str,
     mode: str = "overwrite",
     extra: dict | None = None,
+    schema_json: str | None = None,
 ) -> int:
     """The Spark-free COMMIT POINT of :func:`commit_version`: publish
     an already-written data directory (``rel``, relative to the table
@@ -865,7 +880,14 @@ def publish_version(
     Split out so the optimistic-concurrency protocol can be exercised
     (and stress-tested across processes) without a SparkSession — the
     data write above it is embarrassingly parallel; THIS loop is the
-    entire serialization surface of the log."""
+    entire serialization surface of the log.
+
+    ``schema_json``: the snapshot's Spark schema (``df.schema.json()``)
+    to record in the manifest. When given and ``mode="append"``, a
+    mismatch against the latest manifest's recorded schema is refused
+    (exact match, field order included — parquet union reads are
+    order- and name-sensitive). ``None`` skips recording/enforcement
+    (schema-less callers, e.g. the cross-process stress harness)."""
     import json
     import os
     import uuid
@@ -874,18 +896,44 @@ def publish_version(
     os.makedirs(log_dir, exist_ok=True)
     for _ in range(100):  # optimistic-concurrency retry budget
         latest = _latest_version(table_path)
+        prev_schema = None
         if mode == "append" and latest is not None:
-            prev = _read_manifest(table_path, latest)["dirs"]
+            prev_manifest = _read_manifest(table_path, latest)
+            prev = prev_manifest["dirs"]
+            prev_schema = prev_manifest.get("schema")
         else:
             prev = []
+        if (
+            mode == "append"
+            and schema_json is not None
+            and prev_schema is not None
+            and schema_json != prev_schema
+        ):
+            old_f = _schema_field_names(prev_schema)
+            new_f = _schema_field_names(schema_json)
+            raise ValueError(
+                "publish_version: append schema mismatch — table has "
+                f"fields {old_f}, append brings {new_f}. A drifted "
+                "append would make the union read silently drop or "
+                "null-fill columns; use mode='overwrite' to change the "
+                "schema (old versions stay time-travelable with their "
+                "own schema)."
+            )
         n = 0 if latest is None else latest + 1
         manifest = {"version": n, "mode": mode, "dirs": prev + [rel]}
+        if schema_json is not None:
+            manifest["schema"] = schema_json
+        elif mode == "append" and prev_schema is not None:
+            # schema-less append onto a schema-tracking table: carry
+            # the table's schema forward rather than silently dropping
+            # the reader's pin
+            manifest["schema"] = prev_schema
         if extra:
             # caller metadata (e.g. the streaming appender's batch_id)
             # rides INSIDE the atomically-linked manifest — stamping it
             # after the link would open a crash window in which the
             # commit exists but its idempotence key does not
-            reserved = {"version", "mode", "dirs"} & set(extra)
+            reserved = {"version", "mode", "dirs", "schema"} & set(extra)
             if reserved:
                 raise ValueError(
                     f"commit_version: extra may not override reserved "
@@ -921,6 +969,19 @@ def publish_version(
     )
 
 
+def _schema_field_names(schema_json: str) -> list[str]:
+    """Top-level field names from a Spark schema JSON — the readable
+    half of the append-refusal message (the full JSON is noise)."""
+    import json
+
+    try:
+        return [
+            f.get("name") for f in json.loads(schema_json).get("fields", [])
+        ]
+    except Exception:
+        return ["<unparseable schema>"]
+
+
 def _latest_version(table_path: str) -> int | None:
     import os
 
@@ -949,7 +1010,14 @@ def read_version(
     """TIME TRAVEL read of a :func:`commit_version` table: load exactly
     the directories the (latest or pinned) manifest names. Old
     versions stay readable until explicitly vacuumed — the audit /
-    reproduce-last-week's-training-set primitive."""
+    reproduce-last-week's-training-set primitive.
+
+    When the manifest records a schema (round 9), the read is PINNED
+    to it — the reader sees that version's schema regardless of file
+    listing order, and an overwritten-then-time-traveled table reads
+    each version with its own schema. Legacy manifests without a
+    schema read as before (schema inferred from the files)."""
+    import json
     import os
 
     if version is None:
@@ -958,7 +1026,12 @@ def read_version(
         raise FileNotFoundError(f"read_version: no commits at {table_path}")
     m = _read_manifest(table_path, version)
     dirs = [os.path.join(table_path, d) for d in m["dirs"]]
-    return spark.read.parquet(*dirs)
+    reader = spark.read
+    if m.get("schema"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(json.loads(m["schema"])))
+    return reader.parquet(*dirs)
 
 
 def table_history(table_path: str) -> list[dict]:

@@ -1014,3 +1014,51 @@ def test_versioned_log_multiprocess_writer_storm(tmp_path):
     m = _read_manifest(table, latest)
     for rel in m["dirs"]:
         assert os.path.isdir(os.path.join(table, rel)), rel
+
+
+def test_versioned_log_schema_enforcement(spark, tmp_path):
+    """Round 9: manifests record the snapshot schema; a drifted APPEND
+    is refused naming both field sets (before this, the union read
+    silently took one file's schema and null-filled the other's rows);
+    OVERWRITE may change schema freely and time travel reads each
+    version with its own recorded schema; legacy schema-less manifests
+    still read."""
+    import json
+
+    from kmeans_mapreduce_spark.sources.loaders import (
+        commit_version,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    v0 = commit_version(spark, t, df([(1, "a")], "k INT, v STRING"))
+    # drifted append: refused, both field lists named
+    with pytest.raises(ValueError, match=r"\['k', 'v'\].*\['k', 'other'\]"):
+        commit_version(
+            spark, t, df([(2, 3.5)], "k INT, other DOUBLE"), mode="append"
+        )
+    # same-schema append: fine
+    v1 = commit_version(spark, t, df([(2, "b")], "k INT, v STRING"), mode="append")
+    assert sorted(
+        (r["k"], r["v"]) for r in read_version(spark, t, v1).collect()
+    ) == [(1, "a"), (2, "b")]
+    # overwrite with a NEW schema: allowed; latest reads new, old reads old
+    v2 = commit_version(spark, t, df([(9, 1.5)], "k INT, other DOUBLE"))
+    assert read_version(spark, t, v2).columns == ["k", "other"]
+    assert read_version(spark, t, v1).columns == ["k", "v"]
+    # legacy manifest without a schema still reads (files infer)
+    m_path = f"{t}/_log/{v2}.json"
+    with open(m_path) as f:
+        m = json.load(f)
+    m.pop("schema")
+    legacy = str(tmp_path / "legacy")
+    import shutil
+
+    shutil.copytree(t, legacy)
+    with open(f"{legacy}/_log/{v2}.json", "w") as f:
+        json.dump(m, f)
+    assert sorted(read_version(spark, legacy, v2).columns) == ["k", "other"]
