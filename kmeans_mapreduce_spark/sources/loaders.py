@@ -821,6 +821,7 @@ def commit_version(
     df: DataFrame,
     mode: str = "overwrite",
     extra: dict | None = None,
+    evolve: bool = False,
 ) -> int:
     """Versioned-table COMMIT — the poor man's transaction log the
     generation-swap sinks stop short of: every commit writes its data
@@ -852,6 +853,15 @@ def commit_version(
     exists to prevent). ``overwrite`` replaces the snapshot, so it may
     change the schema freely; time travel to an older version still
     reads THAT version's recorded schema.
+
+    ``evolve=True`` permits the one LEGAL drift on append — ADDING
+    columns (Delta's mergeSchema shape): the append may bring a
+    superset of the table's fields (existing fields unchanged by name
+    and type, in the table's order); the manifest records the widened
+    schema and the pinned read null-fills the new columns for
+    pre-evolution rows — explicitly, not as an accident of file
+    listing order. Dropping, retyping, or reordering columns is still
+    refused; that is an overwrite.
     """
     import os
     import uuid
@@ -863,7 +873,7 @@ def commit_version(
     rel = os.path.relpath(data_dir, table_path)
     return publish_version(
         table_path, rel, mode=mode, extra=extra,
-        schema_json=df.schema.json(),
+        schema_json=df.schema.json(), evolve=evolve,
     )
 
 
@@ -873,6 +883,7 @@ def publish_version(
     mode: str = "overwrite",
     extra: dict | None = None,
     schema_json: str | None = None,
+    evolve: bool = False,
 ) -> int:
     """The Spark-free COMMIT POINT of :func:`commit_version`: publish
     an already-written data directory (``rel``, relative to the table
@@ -909,16 +920,24 @@ def publish_version(
             and prev_schema is not None
             and schema_json != prev_schema
         ):
-            old_f = _schema_field_names(prev_schema)
-            new_f = _schema_field_names(schema_json)
-            raise ValueError(
-                "publish_version: append schema mismatch — table has "
-                f"fields {old_f}, append brings {new_f}. A drifted "
-                "append would make the union read silently drop or "
-                "null-fill columns; use mode='overwrite' to change the "
-                "schema (old versions stay time-travelable with their "
-                "own schema)."
-            )
+            if evolve and _schema_is_additive(prev_schema, schema_json):
+                pass  # legal widening: manifest records the new schema
+            else:
+                old_f = _schema_field_names(prev_schema)
+                new_f = _schema_field_names(schema_json)
+                hint = (
+                    "pass evolve=True to add columns"
+                    if not evolve
+                    else "the change is not purely additive"
+                )
+                raise ValueError(
+                    "publish_version: append schema mismatch — table has "
+                    f"fields {old_f}, append brings {new_f} ({hint}). A "
+                    "drifted append would make the union read silently "
+                    "drop or null-fill columns; use mode='overwrite' to "
+                    "change the schema (old versions stay "
+                    "time-travelable with their own schema)."
+                )
         n = 0 if latest is None else latest + 1
         manifest = {"version": n, "mode": mode, "dirs": prev + [rel]}
         if schema_json is not None:
@@ -967,6 +986,23 @@ def publish_version(
         f"publish_version: gave up after 100 optimistic-concurrency "
         f"retries on {table_path}"
     )
+
+
+def _schema_is_additive(old_json: str, new_json: str) -> bool:
+    """True iff ``new`` extends ``old`` by APPENDING fields: the first
+    len(old) fields are identical (name, type, nullability — full
+    field spec), and at least one field follows. The strict prefix
+    rule keeps the pinned union read unambiguous: old files bind
+    columns by name; pre-evolution rows null-fill exactly the
+    appended tail."""
+    import json
+
+    try:
+        old_f = json.loads(old_json).get("fields", [])
+        new_f = json.loads(new_json).get("fields", [])
+    except Exception:
+        return False
+    return len(new_f) > len(old_f) and new_f[: len(old_f)] == old_f
 
 
 def _schema_field_names(schema_json: str) -> list[str]:

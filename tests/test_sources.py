@@ -1062,3 +1062,51 @@ def test_versioned_log_schema_enforcement(spark, tmp_path):
     with open(f"{legacy}/_log/{v2}.json", "w") as f:
         json.dump(m, f)
     assert sorted(read_version(spark, legacy, v2).columns) == ["k", "other"]
+
+
+def test_versioned_log_schema_evolution_additive(spark, tmp_path):
+    """evolve=True allows the one legal append drift — appending new
+    columns: the widened schema is recorded, the pinned read
+    null-fills pre-evolution rows for exactly the added tail, and
+    non-additive changes (retype, drop, reorder) stay refused even
+    with evolve=True."""
+    from kmeans_mapreduce_spark.sources.loaders import (
+        commit_version,
+        read_version,
+    )
+
+    t = str(tmp_path / "tbl")
+
+    def df(rows, schema):
+        return spark.createDataFrame(rows, schema)
+
+    commit_version(spark, t, df([(1, "a")], "k INT, v STRING"))
+    # additive evolution: new nullable column appended
+    v1 = commit_version(
+        spark, t, df([(2, "b", 9.5)], "k INT, v STRING, score DOUBLE"),
+        mode="append", evolve=True,
+    )
+    got = sorted(
+        (r["k"], r["v"], r["score"])
+        for r in read_version(spark, t, v1).collect()
+    )
+    assert got == [(1, "a", None), (2, "b", 9.5)]
+    # without evolve the same append is refused with the hint
+    with pytest.raises(ValueError, match="evolve=True"):
+        commit_version(
+            spark, t, df([(3, "c", 1.0, 7)],
+                         "k INT, v STRING, score DOUBLE, extra INT"),
+            mode="append",
+        )
+    # non-additive even with evolve: retype refused
+    with pytest.raises(ValueError, match="not purely additive"):
+        commit_version(
+            spark, t, df([(3, "c", 1)], "k INT, v STRING, score INT"),
+            mode="append", evolve=True,
+        )
+    # reorder refused (prefix rule)
+    with pytest.raises(ValueError, match="not purely additive"):
+        commit_version(
+            spark, t, df([("c", 3, 1.0)], "v STRING, k INT, score DOUBLE"),
+            mode="append", evolve=True,
+        )
