@@ -574,6 +574,33 @@ BENCH_EXTENSION_QUERIES: set[str] = {
 # the builder's full three-scale oracle sweep
 # (tools/oracle_sweep_r*.log) and the pytest suite; next rounds keep
 # rotating until the never-verified set is exhausted.
+#
+# ROUND-10 ROTATION STAGING (mechanical): assuming round 9's window
+# gates green, 59 queries remain never-independently-gated —
+#   pipeline_vector_corpus text_vocab_coverage pipeline_curation_funnel
+#   embeddings_outliers pipeline_semantic_clusters events_exact_quantiles
+#   events_rolling_active events_trend corpus_quality_classifier(^)
+#   text_bpe_merges2 corpus_sample_fixed corpus_datacard
+#   corpus_shard_manifest text_compression_ratio(^) embeddings_int8_quant
+#   similarity_int8_recall similarity_index_drift similarity_cell_balance
+#   similarity_ann_ivf_trained similarity_ann_recall
+#   similarity_ann_recall_trained dedup_semantic_trained
+#   similarity_ann_pq_trained similarity_ann_pq_recall_full_trained
+#   similarity_ann_pq_recall_residual similarity_ann_pq_residual_trained
+#   similarity_ann_pq_rerank_residual similarity_ann_nprobe_sweep
+#   embeddings_binary_quant similarity_binary_recall similarity_dim_sweep
+#   multimodal_mjpeg pipeline_media_cluster pipeline_topic_clusters
+#   events_sessionize_native events_sliding_window events_json_props
+#   events_variant_props events_value_gini sql_revenue_by_nation
+#   events_users_intersect events_users_except events_funnel
+#   events_rolling_zscore events_session_paths text_chunks_fast
+#   embeddings_pca(^) embeddings_pca_suffstats quality_report_orders
+#   events_first_touch text_surprisal orders_running_window
+#   corpus_sample_weighted events_quantile_sketch_error
+#   pipeline_series_similarity corpus_rule_filter events_key_skew
+#   corpus_dsir_weights events_day_digest
+# ((^) = no oracle twin → would appear as rows-only). Round 10: keep
+# ~10 anchors, fill 40 slots from this list; round 11 takes the rest.
 DRIVER_WINDOW_QUERIES: list[str] = [
     # -- anchors: previously driver-green, one per family --
     "points_source",        # core source
