@@ -28,8 +28,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         extension_queries,
     )
 
-    # ordered so the driver's 50-query CORRECTNESS window samples every
-    # operator family (see queries.DRIVER_WINDOW_QUERIES)
+    # ordered so the driver's 50-query CORRECTNESS window ROTATES
+    # verification debt down each round: one previously-green anchor
+    # per operator family plus never-yet-gated queries first (see
+    # queries.DRIVER_WINDOW_QUERIES and its round-10 staging comment)
     return driver_ordered({**core_queries(), **extension_queries()})
 
 

@@ -476,6 +476,9 @@ def lloyd_step_arrow(
     cx = np.array([x for _, x, _ in ordered])
     cy = np.array([y for _, _, y in ordered])
     k = len(ordered)
+    # nan-guard is only needed when a center is non-finite (the
+    # lloyd_step_sql fallback path); keep the hot loop one pass
+    guard_nan = not (np.isfinite(cx).all() and np.isfinite(cy).all())
 
     def partials(batches):
         sx = np.zeros(k)
@@ -488,12 +491,14 @@ def lloyd_step_arrow(
             dx = x[:, None] - cx[None, :]
             dy = y[:, None] - cy[None, :]
             d2 = dx * dx + dy * dy
-            # a nan center (or inf−inf) yields nan distances; np.argmin
-            # would return the nan column AND the nan partial would
-            # cross the Arrow boundary as NULL (pandas nan_as_null),
-            # crashing the driver merge. A non-finite center simply
-            # never wins: nan → +inf before the argmin.
-            d2 = np.where(np.isnan(d2), np.inf, d2)
+            if guard_nan:
+                # a nan center (or inf−inf) yields nan distances;
+                # np.argmin would return the nan column AND the nan
+                # partial would cross the Arrow boundary as NULL
+                # (pandas nan_as_null), crashing the driver merge. A
+                # non-finite center simply never wins: nan → +inf
+                # before the argmin.
+                d2 = np.where(np.isnan(d2), np.inf, d2)
             a = d2.argmin(axis=1)
             n += np.bincount(a, minlength=k)
             sx += np.bincount(a, weights=x, minlength=k)
