@@ -63,6 +63,70 @@ def stream_window_counts(
     ).agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("value_sum"))
 
 
+def _session_fold_batch(user_id, prior, batch, gap):
+    """The per-key session fold shared by BOTH streaming APIs
+    (``stream_sessionize``'s applyInPandasWithState and
+    ``stream_sessionize_tws``'s transformWithStateInPandas) — one
+    function, so the two cannot drift (the ``_dedup_fold_batch``
+    pattern). ``prior`` is the state tuple (session_start, last_ts,
+    n_events, value_sum, prev_end) or None; ``batch`` is the
+    micro-batch frame with (ts_sec, event_id, value). Returns
+    ``(closed_rows, new_state_or_None)`` — the late-event / gap-island
+    / no-cursor-rewind semantics are documented on
+    :func:`stream_sessionize`."""
+    if prior is not None:
+        s0, last, n, vs, prev_end = prior
+    else:
+        s0 = last = prev_end = None
+        n, vs = 0, 0.0
+    closed = []
+    orphan = None  # [start, end, n, value_sum] of a late gap-island
+    batch = batch.sort_values(["ts_sec", "event_id"], kind="mergesort")
+    for ts, val in zip(batch["ts_sec"], batch["value"]):
+        ts = int(ts)
+        if prev_end is not None and ts <= prev_end:
+            # belongs to an already-EMITTED session: append-mode
+            # cannot retract it, and merging would rewind the open
+            # session across the emitted one (see docstring)
+            continue
+        if last is not None and ts < s0 - gap:
+            # late gap-ISLAND: newer than everything emitted but
+            # more than a gap before the open session — its own
+            # session; fold consecutive islanders, emit closed
+            if orphan is None:
+                orphan = [ts, ts, 1, float(val)]
+            elif ts - orphan[1] <= gap:
+                orphan[1] = ts
+                orphan[2] += 1
+                orphan[3] += float(val)
+            else:
+                closed.append((user_id, *orphan))
+                prev_end = orphan[1]
+                orphan = [ts, ts, 1, float(val)]
+            continue
+        if last is None:
+            s0, last, n, vs = ts, ts, 1, float(val)
+        elif ts - last > gap:
+            closed.append((user_id, s0, last, n, vs))
+            prev_end = last
+            s0, last, n, vs = ts, ts, 1, float(val)
+        else:
+            n += 1
+            vs += float(val)
+            # a LATE event (cross-batch, ts < last) merges without
+            # rewinding the cursor: last = ts would shrink the gap
+            # horizon and split/flush the session early, and could
+            # push session_end before events already inside it
+            last = max(last, ts)
+            s0 = min(s0, ts)
+    if orphan is not None:
+        closed.append((user_id, orphan[0], orphan[1], orphan[2], orphan[3]))
+        prev_end = orphan[1] if prev_end is None else max(prev_end, orphan[1])
+    if last is None:
+        return closed, None
+    return closed, (s0, last, n, vs, prev_end)
+
+
 def stream_sessionize(
     stream: DataFrame,
     gap_sec: int | None = None,
@@ -138,62 +202,19 @@ def stream_sessionize(
                 ],
             )
             return
-        if state.exists:
-            s0, last, n, vs, prev_end = state.get
-        else:
-            s0 = last = prev_end = None
-            n, vs = 0, 0.0
-        closed = []
-        orphan = None  # [start, end, n, value_sum] of a late gap-island
+        prior = tuple(state.get) if state.exists else None
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_sec", "event_id"], kind="mergesort")
-        for ts, val in zip(batch["ts_sec"], batch["value"]):
-            ts = int(ts)
-            if prev_end is not None and ts <= prev_end:
-                # belongs to an already-EMITTED session: append-mode
-                # cannot retract it, and merging would rewind the open
-                # session across the emitted one (see docstring)
-                continue
-            if last is not None and ts < s0 - gap:
-                # late gap-ISLAND: newer than everything emitted but
-                # more than a gap before the open session — its own
-                # session; fold consecutive islanders, emit closed
-                if orphan is None:
-                    orphan = [ts, ts, 1, float(val)]
-                elif ts - orphan[1] <= gap:
-                    orphan[1] = ts
-                    orphan[2] += 1
-                    orphan[3] += float(val)
-                else:
-                    closed.append((user_id, *orphan))
-                    prev_end = orphan[1]
-                    orphan = [ts, ts, 1, float(val)]
-                continue
-            if last is None:
-                s0, last, n, vs = ts, ts, 1, float(val)
-            elif ts - last > gap:
-                closed.append((user_id, s0, last, n, vs))
-                prev_end = last
-                s0, last, n, vs = ts, ts, 1, float(val)
-            else:
-                n += 1
-                vs += float(val)
-                # a LATE event (cross-batch, ts < last) merges without
-                # rewinding the cursor: last = ts would shrink the gap
-                # horizon and split/flush the session early, and could
-                # push session_end before events already inside it
-                last = max(last, ts)
-                s0 = min(s0, ts)
-        if orphan is not None:
-            closed.append((user_id, orphan[0], orphan[1], orphan[2], orphan[3]))
-            prev_end = orphan[1] if prev_end is None else max(prev_end, orphan[1])
-        if last is not None:
-            state.update((s0, last, n, vs, prev_end))
+        closed, new_state = _session_fold_batch(user_id, prior, batch, gap)
+        if new_state is not None:
+            state.update(new_state)
             if evict:
                 # arm the idle flush at event-time last+gap; clamp above
                 # the current watermark (Spark rejects stale timestamps)
                 state.setTimeoutTimestamp(
-                    max((last + gap) * 1000, state.getCurrentWatermarkMs() + 1)
+                    max(
+                        (new_state[1] + gap) * 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
                 )
         if closed:
             yield pd.DataFrame(
@@ -908,6 +929,113 @@ def stream_dedup_exact_tws(stream: DataFrame) -> DataFrame:
         ),
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def stream_sessionize_tws(
+    stream: DataFrame,
+    gap_sec: int | None = None,
+    watermark_sec: int | None = None,
+) -> DataFrame:
+    """:func:`stream_sessionize` on Spark 4's
+    ``transformWithStateInPandas`` with PER-KEY EVENT-TIME TIMERS —
+    the state-v2 replacement for applyInPandasWithState's
+    ``EventTimeTimeout``: idle eviction is an explicit
+    ``handle.registerTimer(last+gap)`` re-armed on every update (stale
+    timers deleted via ``listTimers``), and the flush happens in
+    ``handleExpiredTimer`` when the watermark passes the registered
+    event-time. The per-key fold is the SAME function as the v1
+    operator (``_session_fold_batch``), so the two APIs cannot drift;
+    the parity test pins identical closed-session rows from both on
+    the same input. Same RocksDB/protobuf dependencies as
+    :func:`stream_dedup_exact_tws` (tests activate the pbshim runtime;
+    real clusters ship protobuf).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    from kmeans_mapreduce_spark.operators.events import SESSION_GAP_SEC
+
+    gap = SESSION_GAP_SEC if gap_sec is None else gap_sec
+    evict = watermark_sec is not None
+    out_schema = (
+        "user_id BIGINT, session_start BIGINT, session_end BIGINT, "
+        "n_events BIGINT, value_sum DOUBLE"
+    )
+    out_cols = [
+        "user_id", "session_start", "session_end", "n_events", "value_sum",
+    ]
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            self._st = handle.getValueState(
+                "session",
+                "session_start BIGINT, last_ts BIGINT, n_events BIGINT, "
+                "value_sum DOUBLE, prev_end BIGINT",
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            user_id = key[0]
+            prior = tuple(self._st.get()) if self._st.exists() else None
+            batch = pd.concat(list(rows), ignore_index=True)
+            closed, new_state = _session_fold_batch(
+                user_id, prior, batch, gap
+            )
+            if new_state is not None:
+                self._st.update(new_state)
+                if evict:
+                    # re-arm the idle flush: one live timer per key at
+                    # event-time last+gap (ms), clamped above the
+                    # watermark like the v1 setTimeoutTimestamp
+                    for t in list(self._handle.listTimers()):
+                        self._handle.deleteTimer(t)
+                    self._handle.registerTimer(
+                        max(
+                            (new_state[1] + gap) * 1000,
+                            timerValues.getCurrentWatermarkInMs() + 1,
+                        )
+                    )
+            if closed:
+                yield pd.DataFrame(closed, columns=out_cols)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            user_id = key[0]
+            if self._st.exists():
+                s0, last, n, vs, _pe = tuple(self._st.get())
+                self._st.clear()
+                yield pd.DataFrame(
+                    [(user_id, s0, last, n, vs)], columns=out_cols
+                )
+
+        def close(self) -> None:
+            pass
+
+    cols = [
+        "user_id",
+        F.expr(floor_div("ts", 1_000_000_000)).alias("ts_sec"),
+        "event_id",
+        "value",
+    ]
+    if evict:
+        e = (
+            stream.withColumn(
+                "event_time",
+                F.timestamp_seconds(F.expr(floor_div("ts", 1_000_000_000))),
+            )
+            .withWatermark("event_time", f"{watermark_sec} seconds")
+            .select(*cols, "event_time")
+        )
+        time_mode = "EventTime"
+    else:
+        e = stream.select(*cols)
+        time_mode = "None"
+    return e.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_SessionProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode=time_mode,
     )
 
 

@@ -1195,3 +1195,81 @@ def test_stream_versioned_append_guard_survives_vacuum(
         (r["k"], r["v"]) for r in read_version(spark, target).collect()
     )
     assert after == before  # no duplicate re-commits
+
+
+def test_stream_sessionize_tws_matches_v1_api(spark, tmp_path_factory):
+    """Spark 4 transformWithStateInPandas sessionizer with PER-KEY
+    EVENT-TIME TIMERS: identical closed-session rows to the
+    applyInPandasWithState form on the same 3-batch input — including
+    the timer-driven idle eviction (user 1 flushes when the watermark
+    passes last+gap, exactly like v1's EventTimeTimeout). The fold is
+    one shared function so only the timer/state plumbing is under
+    test. Skips when no protobuf runtime can be found."""
+    import importlib.util as _ilu
+
+    if _ilu.find_spec("google") is None or _ilu.find_spec("google.protobuf") is None:
+        import runpy
+
+        runpy.run_path(str(PBSHIM_DIR / "sitecustomize.py"), run_name="pbshim")
+    pytest.importorskip(
+        "google.protobuf",
+        reason="missing wheel: protobuf (TWS driver/worker protocol)",
+    )
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("sess_tws"))
+    S = 1_000_000_000
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] * S for r in rows],
+                "event_id": [r[2] for r in rows],
+                "value": [float(r[3]) for r in rows],
+            }
+        ).to_parquet(f"{out}/{name}.parquet")
+
+    # same fixture as the v1 eviction test (see its comments)
+    write("00", [(1, 1000, 0, 1.0), (1, 1010, 1, 2.0), (2, 1000, 2, 4.0)])
+    write("01", [(2, 6985, 3, 8.0)])
+    write("02", [(3, 7000, 4, 16.0)])
+
+    def drain(build, name):
+        stream = (
+            spark.readStream.schema(
+                "user_id LONG, ts LONG, event_id LONG, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        so.run_stream_to_memory(
+            build(stream, gap_sec=60, watermark_sec=10), name, "update"
+        )
+        return {
+            (
+                r["user_id"], r["session_start"], r["session_end"],
+                r["n_events"],
+            ): r["value_sum"]
+            for r in spark.table(name).collect()
+        }
+
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        tws = drain(so.stream_sessionize_tws, "sess_tws")
+        v1 = drain(so.stream_sessionize, "sess_tws_v1")
+    finally:
+        if prev is not None:
+            spark.conf.set(prov, prev)
+        else:
+            spark.conf.unset(prov)
+    assert tws == v1
+    assert tws == {
+        (1, 1000, 1010, 2): 3.0,  # flushed by the expired TIMER
+        (2, 1000, 1000, 1): 4.0,  # closed normally by the 6985 event
+    }
