@@ -1273,3 +1273,97 @@ def test_stream_sessionize_tws_matches_v1_api(spark, tmp_path_factory):
         (1, 1000, 1010, 2): 3.0,  # flushed by the expired TIMER
         (2, 1000, 1000, 1): 4.0,  # closed normally by the 6985 event
     }
+
+
+def test_stream_sessionize_tws_state_survives_restart(spark, tmp_path_factory):
+    """The TWS sessionizer's ValueState AND registered timers must
+    survive a full stop/restart from the checkpoint: an open session
+    started before the restart closes correctly after it (state
+    carried), and the timer-driven idle flush still fires for a user
+    whose events all predate the restart (timers carried). Skips when
+    no protobuf runtime can be found."""
+    import importlib.util as _ilu
+
+    if _ilu.find_spec("google") is None or _ilu.find_spec("google.protobuf") is None:
+        import runpy
+
+        runpy.run_path(str(PBSHIM_DIR / "sitecustomize.py"), run_name="pbshim")
+    pytest.importorskip("google.protobuf")
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("sess_tws_restart"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt_tws"))
+    sink = str(tmp_path_factory.mktemp("sink_tws")) + "/rows"
+    S = 1_000_000_000
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "ts": [r[1] * S for r in rows],
+                "event_id": [r[2] for r in rows],
+                "value": [float(r[3]) for r in rows],
+            }
+        ).to_parquet(f"{out}/{name}.parquet")
+
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    def run_available():
+        stream = (
+            spark.readStream.schema(
+                "user_id LONG, ts LONG, event_id LONG, value DOUBLE"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        q = (
+            so.stream_sessionize_tws(stream, gap_sec=60, watermark_sec=10)
+            .writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    try:
+        # run 1: users 1 and 2 open sessions; nothing closes
+        write("00", [(1, 1000, 0, 1.0), (1, 1010, 1, 2.0), (2, 1000, 2, 4.0)])
+        run_available()
+        out_schema = (
+            "user_id BIGINT, session_start BIGINT, session_end BIGINT, "
+            "n_events BIGINT, value_sum DOUBLE"
+        )
+        # foreachBatch writes schema-only part files for empty batches;
+        # the contract is zero ROWS closed before the restart
+        assert spark.read.schema(out_schema).parquet(sink).count() == 0
+
+        # restart: user 2's late event extends their session then a far
+        # event closes it (STATE carried across restart), and the
+        # watermark advance fires user 1's idle TIMER (timer carried)
+        write("01", [(2, 1020, 3, 8.0)])
+        write("02", [(2, 6985, 4, 16.0), (3, 7000, 5, 32.0)])
+        run_available()
+        got = {
+            (
+                r["user_id"], r["session_start"], r["session_end"],
+                r["n_events"],
+            ): r["value_sum"]
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert got == {
+            (1, 1000, 1010, 2): 3.0,   # timer flush, pre-restart state
+            (2, 1000, 1020, 2): 12.0,  # closed by the 6985 event
+        }
+    finally:
+        if prev is not None:
+            spark.conf.set(prov, prev)
+        else:
+            spark.conf.unset(prov)
