@@ -358,7 +358,7 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     exception type only (fuzz-tested against mutated streams)."""
     try:
         return _decode_baseline_jpeg_inner(data)
-    except (struct.error, IndexError, KeyError) as e:
+    except (struct.error, IndexError, KeyError, MemoryError, OverflowError) as e:
         raise ValueError(f"malformed JPEG stream: {e!r}") from e
 
 
@@ -370,12 +370,21 @@ def _decode_baseline_jpeg_inner(data: bytes) -> tuple[int, int, int, bytes]:
     restart_interval = 0
     frame = None  # (h, w, comps) comps: list of (cid, qt_id)
     pos = 2
-    while pos + 4 <= len(data):
+    while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"bad marker byte at {pos}")
         marker = data[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: fill bytes before a marker
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            # parameterless markers (TEM, RSTn, stray SOI): no length
+            pos += 2
+            continue
+        if pos + 4 > len(data):
+            raise ValueError("truncated JPEG header")
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seglen]
         if marker == 0xDB:  # DQT
@@ -462,6 +471,19 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
     vmax = max(vi for _, _, vi, _ in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # GEOMETRY SANITY: every 8×8 block costs ≥2 entropy bits (one DC
+    # code + one EOB), so declared dimensions the stream cannot
+    # possibly encode are a corrupt/hostile header — refuse BEFORE the
+    # O(h·w) allocation (a flipped SOF byte can claim 65500×65500 →
+    # ~34 GB of plane + a CPU-hour of MCU loop otherwise).
+    blocks_per_mcu = sum(hi * vi for _, hi, vi, _ in comps)
+    min_bits = mcux * mcuy * blocks_per_mcu * 2
+    if min_bits > 8 * max(0, len(data) - pos):
+        raise ValueError(
+            f"declared geometry {w}x{h} needs ≥{min_bits // 8} entropy "
+            f"bytes but only {max(0, len(data) - pos)} remain — corrupt "
+            "SOF dimensions"
+        )
     planes = [
         np.empty((mcuy * vi * 8, mcux * hi * 8)) for _, hi, vi, _ in comps
     ]

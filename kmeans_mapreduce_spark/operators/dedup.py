@@ -893,18 +893,14 @@ def _assign_cells_arrow(
             X = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
             )
-            acc = np.zeros((len(X), len(cids)))
-            for d in range(C.shape[1]):
-                diff = X[:, d, None] - C[None, :, d]
-                acc += diff * diff
-            w = acc.argmin(axis=1)
+            w, d2 = seq_argmin_d2(X, C)
             cols = {
                 "vec_id": pdf["vec_id"],
                 "embedding": pdf["embedding"],
                 out: cids[w],
             }
             if keep_d2 is not None:
-                cols[keep_d2] = acc[np.arange(len(X)), w]
+                cols[keep_d2] = d2
             yield pd.DataFrame(cols)
 
     return emb.select("vec_id", "embedding").mapInPandas(fn, schema=schema)
@@ -987,6 +983,26 @@ def seq_normalize(V):
         acc += V[:, d] * V[:, d]
     with np.errstate(divide="ignore", invalid="ignore"):
         return V / np.sqrt(acc)[:, None]
+
+
+def seq_argmin_d2(X, C):
+    """Shared nearest-center kernel for the Arrow assignment paths
+    (``_assign_cells_arrow`` here, ``kmeans_nd.assign_nd_arrow``):
+    squared distances accumulated DIM-SEQUENTIALLY in float64
+    (``acc += (x_d − c_d)²`` in index order — the exact IEEE-754 op
+    sequence of ``sq_dist_nd``'s F.aggregate fold), winner =
+    ``argmin`` first-minimum (ties to the lowest row index = lowest
+    cid when C is cid-sorted). ONE implementation so the bit-identity
+    promise to the SQL twins cannot drift between consumers. Returns
+    ``(winner_idx, min_d2)`` arrays."""
+    import numpy as np
+
+    acc = np.zeros((len(X), len(C)))
+    for d in range(C.shape[1]):
+        diff = X[:, d, None] - C[None, :, d]
+        acc += diff * diff
+    w = acc.argmin(axis=1)
+    return w, acc[np.arange(len(X)), w]
 
 
 def seq_fold_gemm(A, B):

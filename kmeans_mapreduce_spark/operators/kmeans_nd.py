@@ -52,10 +52,13 @@ def assign_nd_expr(points: DataFrame, centers: list[NDCenter]) -> DataFrame:
 
 def assign_nd_arrow(points: DataFrame, centers: list[NDCenter]) -> DataFrame:
     """Arrow twin of :func:`assign_nd_expr` — same output contract
-    (point_id, cid, min_d2), bit-identical distances (dim-sequential
-    float64 folds replicate ``sq_dist_nd``'s F.aggregate order), ties
-    to lowest cid (centers sorted; argmin keeps the first minimum),
-    O(1) plan size in K·dim."""
+    (point_id, cid, min_d2), bit-identical distances via the SHARED
+    ``dedup.seq_argmin_d2`` kernel (dim-sequential float64 folds
+    replicate ``sq_dist_nd``'s F.aggregate order, ties to lowest cid:
+    centers sorted; argmin keeps the first minimum), O(1) plan size in
+    K·dim."""
+    from kmeans_mapreduce_spark.operators.dedup import seq_argmin_d2
+
     order = sorted((int(c), [float(x) for x in v]) for c, v in centers)
     cids = np.array([c for c, _ in order], dtype=np.int32)
     C = np.array([v for _, v in order], dtype=np.float64)
@@ -67,16 +70,12 @@ def assign_nd_arrow(points: DataFrame, centers: list[NDCenter]) -> DataFrame:
             x = np.stack(
                 [np.asarray(v, dtype=np.float64) for v in pdf["vec"]]
             )
-            acc = np.zeros((len(x), len(cids)))
-            for d in range(C.shape[1]):
-                diff = x[:, d, None] - C[None, :, d]
-                acc += diff * diff
-            w = acc.argmin(axis=1)
+            w, d2 = seq_argmin_d2(x, C)
             yield pd.DataFrame(
                 {
                     "point_id": pdf["point_id"],
                     "cid": cids[w],
-                    "min_d2": acc[np.arange(len(x)), w],
+                    "min_d2": d2,
                 }
             )
 

@@ -257,7 +257,7 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI payload")
     w = h = None
-    frames: list[bytes] = []
+    frames: list[tuple[bytes, bytes]] = []  # (chunk fourcc, body)
 
     def walk(buf: bytes, i: int, end: int) -> None:
         nonlocal w, h
@@ -280,7 +280,7 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
             elif fourcc == b"avih" and size >= 40:
                 w, h = struct.unpack("<2I", body[32:40])
             elif fourcc in (b"00db", b"00dc"):
-                frames.append(body)
+                frames.append((fourcc, body))
             i += 8 + size + (size & 1)  # RIFF chunks pad to even
 
     walk(payload, 12, len(payload))
@@ -290,14 +290,25 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
     fsz = 3 * w * h
     out: list[bytes] = []
     seen: dict[bytes, bytes] = {}  # within-container identical-chunk memo
-    for fr in frames:
-        if len(fr) == fsz:
-            out.append(fr)  # uncompressed RGB24
-        elif fr[:2] == b"\xff\xd8":  # MJPEG: one baseline JPEG per chunk
+    # dispatch on the CHUNK ID, not the body length: '00db' is
+    # uncompressed by definition, '00dc' is compressed (MJPEG here) —
+    # a JPEG that happens to be exactly 3·w·h bytes must never be
+    # passed through as raw pixels (review fix: silent corruption the
+    # structural gates cannot catch)
+    for fourcc, fr in frames:
+        if fourcc == b"00db":
+            if len(fr) != fsz:
+                raise ValueError(
+                    f"uncompressed AVI frame is {len(fr)} bytes, want {fsz}"
+                )
+            out.append(fr)
+        elif fr[:2] == b"\xff\xd8":  # 00dc: one baseline JPEG per chunk
             hit = seen.get(fr)
             if hit is not None:
                 out.append(hit)
                 continue
+            import numpy as np
+
             from kmeans_mapreduce_spark.functions.jpeg import (
                 decode_baseline_jpeg,
             )
@@ -307,16 +318,16 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
                 raise ValueError(
                     f"MJPEG frame geometry {jw}x{jh} != container {w}x{h}"
                 )
-            if nc == 1:  # grayscale MJPEG: expand to RGB24
-                rgb = bytes(
-                    b for px in rgb for b in (px, px, px)
-                )
+            if nc == 1:  # grayscale MJPEG: expand to RGB24 (vectorized)
+                rgb = np.repeat(
+                    np.frombuffer(rgb, np.uint8), 3
+                ).tobytes()
             seen[fr] = rgb
             out.append(rgb)
         else:
             raise ValueError(
-                f"AVI frame is {len(fr)} bytes, want {fsz} raw RGB24 or a "
-                "baseline JPEG (MJPG) — other codecs are out of scope"
+                f"AVI 00dc frame ({len(fr)} bytes) is not a baseline "
+                "JPEG (MJPG) — other codecs are out of scope"
             )
     return w, h, out
 
