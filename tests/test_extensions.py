@@ -2597,3 +2597,38 @@ def test_mjpeg_avi_decodes_through_video_path():
     got3 = np.frombuffer(gout[0], np.uint8).astype(int).reshape(-1, 3)
     assert (got3[:, 0] == got3[:, 1]).all() and (got3[:, 1] == got3[:, 2]).all()
     assert np.abs(got3[:, 0] - g).max() <= 2
+
+
+def test_jpeg_hostile_sof_and_fill_bytes():
+    """Review regressions pinned deterministically (beyond the
+    probabilistic fuzz): (a) a flipped SOF claiming 65500x65500 must be
+    refused by the geometry-vs-entropy-bytes bound BEFORE any O(h*w)
+    allocation — as ValueError, honoring the decode contract; (b) T.81
+    fill bytes (0xFF padding) before a marker are spec-valid and must
+    not derail the header walk; (c) an MJPEG 00dc chunk whose bytes are
+    NOT a JPEG is refused by name even if its length happens to equal
+    3*w*h (codec dispatch is by chunk id, not length)."""
+    import struct
+
+    from kmeans_mapreduce_spark.functions import jpeg as J
+
+    blob = bytearray(J.encode_baseline_jpeg(16, 12, bytes(3 * 16 * 12)))
+    i = bytes(blob).index(b"\xff\xc0")
+    blob[i + 5 : i + 9] = struct.pack(">HH", 65500, 65500)
+    with pytest.raises(ValueError, match="corrupt SOF"):
+        J.decode_baseline_jpeg(bytes(blob))
+
+    good = J.encode_baseline_jpeg(8, 8, bytes(3 * 64))
+    j = good.index(b"\xff\xdb")
+    padded = good[:j] + b"\xff\xff\xff" + good[j:]
+    assert J.decode_baseline_jpeg(padded)[:3] == (8, 8, 3)
+
+    # raw-sized NON-JPEG bytes in a 00dc chunk: refused, not passed
+    # through as pixels
+    w, h = mm.VID_W, mm.VID_H
+    fake = b"\x00" * (3 * w * h)  # exactly fsz, no SOI
+    payload = bytearray(mm._encode_avi(w, h, [b"\xff\xd8" + fake[2:]], codec=b"MJPG"))
+    k = payload.index(b"\xff\xd8", payload.index(b"movi"))
+    payload[k : k + 2] = b"\x00\x00"  # body is now fsz bytes, not a JPEG
+    with pytest.raises(ValueError, match="MJPG"):
+        mm._decode_avi(bytes(payload))
