@@ -39,6 +39,14 @@ import struct
 
 import numpy as np
 
+# Hard ceiling on decoder plane allocation (bytes of float64 working
+# planes across all components). 1 GiB decodes a ~128 MP 4:4:4 color
+# image — far above any corpus image this pipeline handles — while a
+# hostile SOF claiming 65500×65500 (~34 GB of planes) is refused
+# up-front instead of taking the executor down. Module-level so a
+# cluster deployment with genuinely huge scans can raise it.
+MAX_DECODE_PLANE_BYTES = 1 << 30
+
 # zigzag scan order: ZIGZAG[k] = raster index of the k-th scanned coeff
 ZIGZAG = [
     0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
@@ -355,10 +363,15 @@ def decode_baseline_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     ``ValueError`` — truncated segments, missing tables, and bad
     references surface as struct/index/key errors internally and are
     translated here, so degrade-don't-die callers need to catch one
-    exception type only (fuzz-tested against mutated streams)."""
+    exception type only (fuzz-tested against mutated streams).
+    ``MemoryError`` is deliberately NOT translated: with the
+    ``MAX_DECODE_PLANE_BYTES`` allocation cap, declared geometry can no
+    longer cause one, so a MemoryError here means genuine executor
+    memory exhaustion — degrade-don't-die callers must surface that,
+    not drop the row as \"malformed\"."""
     try:
         return _decode_baseline_jpeg_inner(data)
-    except (struct.error, IndexError, KeyError, MemoryError, OverflowError) as e:
+    except (struct.error, IndexError, KeyError, OverflowError) as e:
         raise ValueError(f"malformed JPEG stream: {e!r}") from e
 
 
@@ -483,6 +496,25 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
             f"declared geometry {w}x{h} needs ≥{min_bits // 8} entropy "
             f"bytes but only {max(0, len(data) - pos)} remain — corrupt "
             "SOF dimensions"
+        )
+    # ABSOLUTE ALLOCATION CAP: the entropy bound above is relative
+    # (2 bits/block ≈ 0.25 B per 64 px vs 8 B/px of float64 plane →
+    # ~2048× amplification still possible: a 10 MB hostile stream can
+    # claim geometry needing ~20 GB of planes and pass it). Cap the
+    # plane bytes absolutely so a decode can never claim more than
+    # MAX_DECODE_PLANE_BYTES regardless of stream size — genuine
+    # memory exhaustion then cannot be triggered via declared
+    # geometry, and MemoryError stays a real signal (it is NOT
+    # translated to ValueError; degrade-don't-die callers must not
+    # silently drop rows on executor memory pressure).
+    plane_bytes = sum(
+        (mcuy * vi * 8) * (mcux * hi * 8) * 8 for _, hi, vi, _ in comps
+    )
+    if plane_bytes > MAX_DECODE_PLANE_BYTES:
+        raise ValueError(
+            f"declared geometry {w}x{h} needs {plane_bytes} plane bytes "
+            f"> cap {MAX_DECODE_PLANE_BYTES} — raise "
+            "jpeg.MAX_DECODE_PLANE_BYTES to decode images this large"
         )
     planes = [
         np.empty((mcuy * vi * 8, mcux * hi * 8)) for _, hi, vi, _ in comps

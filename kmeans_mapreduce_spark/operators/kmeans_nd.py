@@ -57,11 +57,24 @@ def assign_nd_arrow(points: DataFrame, centers: list[NDCenter]) -> DataFrame:
     replicate ``sq_dist_nd``'s F.aggregate order, ties to lowest cid:
     centers sorted; argmin keeps the first minimum), O(1) plan size in
     K·dim."""
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
     from kmeans_mapreduce_spark.operators.dedup import seq_argmin_d2
 
     order = sorted((int(c), [float(x) for x in v]) for c, v in centers)
     cids = np.array([c for c, _ in order], dtype=np.int32)
     C = np.array([v for _, v in order], dtype=np.float64)
+
+    # point_id keeps the INPUT's type (assign_nd_expr preserves it, so
+    # impl='auto' must not widen e.g. INT→LONG when K·dim crosses the
+    # dispatch threshold)
+    out_schema = StructType(
+        [
+            points.schema["point_id"],
+            StructField("cid", IntegerType(), False),
+            StructField("min_d2", DoubleType(), False),
+        ]
+    )
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -79,9 +92,7 @@ def assign_nd_arrow(points: DataFrame, centers: list[NDCenter]) -> DataFrame:
                 }
             )
 
-    return points.select("point_id", "vec").mapInPandas(
-        fn, schema="point_id LONG, cid INT, min_d2 DOUBLE"
-    )
+    return points.select("point_id", "vec").mapInPandas(fn, schema=out_schema)
 
 
 def assign_nd(

@@ -561,6 +561,12 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "pipeline_events_dashboard",
     "dim_scd2_timeline",
     "table_time_travel",
+    # round-10 additions (r9 verdict task 5): the two heavy round-9
+    # features become tracked bench artifacts instead of SURVEY claims —
+    # the MJPEG encode→AVI→decode roundtrip and the K=256×d=64 n-D fit
+    # that exercises the Arrow-assignment regime end-to-end.
+    "multimodal_mjpeg",
+    "kmeans_nd_fit_large",
 }
 
 
@@ -575,32 +581,21 @@ BENCH_EXTENSION_QUERIES: set[str] = {
 # (tools/oracle_sweep_r*.log) and the pytest suite; next rounds keep
 # rotating until the never-verified set is exhausted.
 #
-# ROUND-10 ROTATION STAGING (mechanical): assuming round 9's window
-# gates green, 59 queries remain never-independently-gated —
-#   pipeline_vector_corpus text_vocab_coverage pipeline_curation_funnel
-#   embeddings_outliers pipeline_semantic_clusters events_exact_quantiles
-#   events_rolling_active events_trend corpus_quality_classifier(^)
-#   text_bpe_merges2 corpus_sample_fixed corpus_datacard
-#   corpus_shard_manifest text_compression_ratio(^) embeddings_int8_quant
-#   similarity_int8_recall similarity_index_drift similarity_cell_balance
-#   similarity_ann_ivf_trained similarity_ann_recall
-#   similarity_ann_recall_trained dedup_semantic_trained
-#   similarity_ann_pq_trained similarity_ann_pq_recall_full_trained
-#   similarity_ann_pq_recall_residual similarity_ann_pq_residual_trained
-#   similarity_ann_pq_rerank_residual similarity_ann_nprobe_sweep
-#   embeddings_binary_quant similarity_binary_recall similarity_dim_sweep
-#   multimodal_mjpeg pipeline_media_cluster pipeline_topic_clusters
-#   events_sessionize_native events_sliding_window events_json_props
-#   events_variant_props events_value_gini sql_revenue_by_nation
-#   events_users_intersect events_users_except events_funnel
-#   events_rolling_zscore events_session_paths text_chunks_fast
-#   embeddings_pca(^) embeddings_pca_suffstats quality_report_orders
+# ROUND-10 ROTATION (live below): round 9's window gated green
+# (CORRECTNESS_r09: 50/50, cumulative 132/191), so this round keeps the
+# same 10 family anchors and fills the 40 slots with the next tranche
+# of the never-independently-gated list, staged in round 9 at this
+# spot. 19 queries then remain for ROUND 11, which closes the debt at
+# 191/191 cumulative:
+#   sql_revenue_by_nation events_users_intersect events_users_except
+#   events_funnel events_rolling_zscore events_session_paths
+#   text_chunks_fast embeddings_pca(^) quality_report_orders
 #   events_first_touch text_surprisal orders_running_window
 #   corpus_sample_weighted events_quantile_sketch_error
 #   pipeline_series_similarity corpus_rule_filter events_key_skew
 #   corpus_dsir_weights events_day_digest
-# ((^) = no oracle twin → would appear as rows-only). Round 10: keep
-# ~10 anchors, fill 40 slots from this list; round 11 takes the rest.
+# ((^) = no oracle twin → appears as rows-only; this round carries two
+# such: corpus_quality_classifier, text_compression_ratio).
 DRIVER_WINDOW_QUERIES: list[str] = [
     # -- anchors: previously driver-green, one per family --
     "points_source",        # core source
@@ -613,54 +608,54 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "multimodal_meta",      # multimodal
     "events_stream_replay",  # streaming
     "table_time_travel",    # versioned tables
-    # -- first-time gated: core n-D k-means --
-    "kmeans_nd_fit_fixed",
-    "kmeans_nd_fit_large",   # K=256×d=64: the Arrow-assignment regime
+    # -- first-time gated: pipeline compositions --
+    "pipeline_vector_corpus",
+    "pipeline_curation_funnel",
+    "pipeline_semantic_clusters",
+    "pipeline_media_cluster",
+    "pipeline_topic_clusters",
     # -- first-time: text analysis --
-    "text_bm25",
-    "text_surprisal_bigram",
-    "text_normalize",
-    "text_langid_eval",
-    "text_repetition",
-    "text_redact_pii",
+    "text_vocab_coverage",
+    "text_bpe_merges2",
+    "text_compression_ratio",   # no twin → rows-only
+    # -- first-time: embeddings / quantization --
+    "embeddings_outliers",
+    "embeddings_int8_quant",
+    "embeddings_binary_quant",
+    "embeddings_pca_suffstats",
     # -- first-time: sampling / curation --
-    "corpus_pack_fragments",
-    "corpus_curriculum",
-    "corpus_source_cap",
-    "corpus_token_shards",
-    "corpus_decontaminate",
-    # -- first-time: quality classifier (LR) --
-    "corpus_lr_loop2",
-    "corpus_lr_calibration",
-    "corpus_lr_auc",
-    "corpus_lr_scores",
-    # -- first-time: deduplication --
-    "dedup_incremental",
-    "dedup_lsh_recall",
-    "dedup_cluster_sizes",
-    "dedup_span_clean",
-    # -- first-time: ANN / quantization / graph --
-    "similarity_ann_pq_full_trained",
-    "similarity_ann_pq_recall_trained",
-    "similarity_ann_pq_residual",
-    "similarity_ann_filtered",
-    "similarity_int8_topk",
-    "similarity_binary_topk",
-    "similarity_graph_triangles",
-    "similarity_ann_ivf_incremental",
-    # -- first-time: graph / pipeline compositions --
-    "pipeline_pagerank_loop2",
-    "pipeline_label_propagation",
-    "pipeline_pretrain_corpus",
-    # -- first-time: events / relational / sketches --
-    "events_pivot",
-    "events_cube",
-    "events_range_join",
-    "events_retention",
-    "pipeline_events_dashboard",
-    "orders_by_month",
-    "orders_bloom_registers",
-    "events_hist_quantiles",
+    "corpus_quality_classifier",  # no twin → rows-only
+    "corpus_sample_fixed",
+    "corpus_datacard",
+    "corpus_shard_manifest",
+    # -- first-time: ANN recall/eval surface --
+    "similarity_int8_recall",
+    "similarity_index_drift",
+    "similarity_cell_balance",
+    "similarity_ann_ivf_trained",
+    "similarity_ann_recall",
+    "similarity_ann_recall_trained",
+    "similarity_ann_pq_trained",
+    "similarity_ann_pq_recall_full_trained",
+    "similarity_ann_pq_recall_residual",
+    "similarity_ann_pq_residual_trained",
+    "similarity_ann_pq_rerank_residual",
+    "similarity_ann_nprobe_sweep",
+    "similarity_binary_recall",
+    "similarity_dim_sweep",
+    # -- first-time: dedup --
+    "dedup_semantic_trained",
+    # -- first-time: multimodal --
+    "multimodal_mjpeg",
+    # -- first-time: events second wave --
+    "events_exact_quantiles",
+    "events_rolling_active",
+    "events_trend",
+    "events_sessionize_native",
+    "events_sliding_window",
+    "events_json_props",
+    "events_variant_props",
+    "events_value_gini",
 ]
 
 

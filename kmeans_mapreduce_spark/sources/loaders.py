@@ -938,15 +938,25 @@ def publish_version(
                     "change the schema (old versions stay "
                     "time-travelable with their own schema)."
                 )
+        if mode == "append" and schema_json is None and prev_schema is not None:
+            # A schema-less append onto a schema-TRACKING table would
+            # carry the recorded schema forward without any check that
+            # the new files conform — reintroducing exactly the torn
+            # read the guard exists to prevent (the reader pins a
+            # schema the appended files may not match). Refuse it; the
+            # schema-less path remains valid only for tables that never
+            # recorded a schema (e.g. the cross-process stress harness,
+            # which writes no real parquet).
+            raise ValueError(
+                "publish_version: schema-less append onto a "
+                "schema-tracking table — pass schema_json "
+                "(df.schema.json()) so conformance can be enforced, or "
+                "use mode='overwrite'."
+            )
         n = 0 if latest is None else latest + 1
         manifest = {"version": n, "mode": mode, "dirs": prev + [rel]}
         if schema_json is not None:
             manifest["schema"] = schema_json
-        elif mode == "append" and prev_schema is not None:
-            # schema-less append onto a schema-tracking table: carry
-            # the table's schema forward rather than silently dropping
-            # the reader's pin
-            manifest["schema"] = prev_schema
         if extra:
             # caller metadata (e.g. the streaming appender's batch_id)
             # rides INSIDE the atomically-linked manifest — stamping it

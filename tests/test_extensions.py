@@ -2632,3 +2632,29 @@ def test_jpeg_hostile_sof_and_fill_bytes():
     payload[k : k + 2] = b"\x00\x00"  # body is now fsz bytes, not a JPEG
     with pytest.raises(ValueError, match="MJPG"):
         mm._decode_avi(bytes(payload))
+
+
+def test_jpeg_absolute_plane_cap(monkeypatch):
+    """The entropy bound is RELATIVE (2 bits/block vs 8 B/px of float64
+    plane → ~2048× amplification survives it: a 10 MB hostile stream
+    can claim ~20 GB of planes). MAX_DECODE_PLANE_BYTES caps the
+    allocation absolutely — refused as ValueError BEFORE np.empty — and
+    MemoryError is no longer translated to ValueError, so genuine
+    executor memory exhaustion can't be silently dropped as a
+    \"malformed\" row by degrade-don't-die callers (r9 ADVICE)."""
+    from kmeans_mapreduce_spark.functions import jpeg as J
+
+    blob = J.encode_baseline_jpeg(16, 12, bytes(3 * 16 * 12))
+    assert J.decode_baseline_jpeg(blob)[:3] == (16, 12, 3)
+    # same VALID stream under a tiny cap: the refusal is the cap, not
+    # the entropy bound (16x12 rgb -> 3 planes of 16x16 f64 = 6144 B)
+    monkeypatch.setattr(J, "MAX_DECODE_PLANE_BYTES", 4096)
+    with pytest.raises(ValueError, match="plane bytes"):
+        J.decode_baseline_jpeg(blob)
+    # MemoryError propagates untranslated
+    def boom(data):
+        raise MemoryError("real exhaustion")
+
+    monkeypatch.setattr(J, "_decode_baseline_jpeg_inner", boom)
+    with pytest.raises(MemoryError):
+        J.decode_baseline_jpeg(blob)

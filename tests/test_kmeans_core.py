@@ -250,3 +250,10 @@ def test_assign_nd_arrow_matches_expr_bitwise(spark):
     }
     assert len(a) == 500 and a == b
     assert a[first[0]["point_id"]][0] == 0  # duplicate-center tie -> lowest
+    # r9 ADVICE: the Arrow path must preserve the INPUT's point_id type
+    # (it hardcoded LONG, so impl='auto' silently widened INT ids when
+    # K*d crossed CELL_LITERAL_MAX_KD)
+    pts_int = pts.withColumn("point_id", F.col("point_id").cast("int"))
+    for impl in ("expr", "arrow"):
+        got = dict(knd.assign_nd(pts_int, centers, impl=impl).dtypes)
+        assert got["point_id"] == "int", (impl, got)

@@ -1064,6 +1064,40 @@ def test_versioned_log_schema_enforcement(spark, tmp_path):
     assert sorted(read_version(spark, legacy, v2).columns) == ["k", "other"]
 
 
+def test_versioned_log_schemaless_append_onto_tracking_table_refused(
+    spark, tmp_path
+):
+    """r9 ADVICE: a schema-less publish_version append onto a
+    schema-TRACKING table used to carry the recorded schema forward
+    without validating the appended files — reintroducing the torn
+    read the guard exists to prevent. Now refused. Schema-less appends
+    onto tables that never recorded a schema (the multiprocess stress
+    harness shape) stay legal."""
+    import os
+
+    from kmeans_mapreduce_spark.sources.loaders import (
+        commit_version,
+        publish_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    commit_version(spark, t, spark.createDataFrame([(1, "a")], "k INT, v STRING"))
+    d = os.path.join(t, "data", "rogue")
+    os.makedirs(d)
+    with open(os.path.join(d, "part-00000"), "wb") as f:
+        f.write(b"x")
+    with pytest.raises(ValueError, match="schema-less append"):
+        publish_version(t, os.path.join("data", "rogue"), mode="append")
+    # a never-schema'd table (all commits schema-less) still appends
+    t2 = str(tmp_path / "raw")
+    for i, mode in enumerate(["overwrite", "append", "append"]):
+        d2 = os.path.join(t2, "data", f"w{i}")
+        os.makedirs(d2)
+        with open(os.path.join(d2, "part-00000"), "wb") as f:
+            f.write(b"x")
+        assert publish_version(t2, os.path.join("data", f"w{i}"), mode=mode) == i
+
+
 def test_versioned_log_schema_evolution_additive(spark, tmp_path):
     """evolve=True allows the one legal append drift — appending new
     columns: the widened schema is recorded, the pinned read

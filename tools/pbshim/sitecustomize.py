@@ -40,10 +40,21 @@ def _activate() -> None:
         pass
     if not os.path.isdir(os.path.join(_SDK, "google", "protobuf")):
         return
-    # drop any namespace-package resolution of google(.protobuf) made
-    # before the SDK path existed (e.g. from the spark-core jar)
+    # Drop half-resolved resolutions of google(.protobuf) made before
+    # the SDK path existed (e.g. the spark-core jar's namespace
+    # portions) — but ONLY modules that resolved as NAMESPACE packages
+    # (no __init__.py → module has no __file__). A regular already-
+    # imported google.* package (google-cloud clients, say) must
+    # survive: this file runs in EVERY process inheriting the test
+    # PYTHONPATH, not just Spark workers, and nuking a live package
+    # breaks its importers. Purging only namespace portions is also
+    # sufficient: a regular google/__init__.py would beat the SDK copy
+    # on re-resolution anyway, so deleting it buys nothing.
     for name in [
-        m for m in sys.modules if m == "google" or m.startswith("google.")
+        m
+        for m in list(sys.modules)
+        if (m == "google" or m.startswith("google."))
+        and getattr(sys.modules[m], "__file__", None) is None
     ]:
         del sys.modules[name]
     sys.path.append(_SDK)
