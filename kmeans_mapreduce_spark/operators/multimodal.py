@@ -333,9 +333,27 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
 
 
 def _decode_stub(kind: str, payload: bytes):
-    """Genuinely codec-bound payloads land here: compressed video/
-    unknown kinds have no stdlib codec, so this raises rather than
-    fake a decode. Swap for pyav/ffmpeg on a real cluster."""
+    """Genuinely codec-bound payloads land here: compressed inter-frame
+    video / unknown kinds have no stdlib codec, so this raises rather
+    than fake a decode.
+
+    CLUSTER SWAP (the exact public pyav API this stub stands in for):
+
+        import av, io
+        with av.open(io.BytesIO(payload)) as container:
+            stream = container.streams.video[0]
+            stream.thread_type = "AUTO"          # frame+slice threads
+            for frame in container.decode(stream):  # av.VideoFrame
+                rgb = frame.to_ndarray(format="rgb24")  # H×W×3 uint8
+
+    i.e. ``av.open`` → ``container.decode(video_stream)`` →
+    ``VideoFrame.to_ndarray(format="rgb24")``, which covers h264/h265/
+    vp9/av1 through the bundled FFmpeg. Frame SAMPLING (the
+    ``frame_sample`` path) becomes ``container.seek(pts,
+    stream=stream)`` + decode-next instead of decoding every frame.
+    The Spark-side plumbing is unchanged: this function already runs
+    inside the Arrow-batched ``mapInPandas`` decode pass, so the swap
+    is these ~6 lines plus shipping the ``av`` wheel to executors."""
     raise NotImplementedError(f"no stdlib decoder for kind={kind!r}")
 
 

@@ -54,21 +54,23 @@ def test_driver_window_samples_every_family():
     first50 = list(q)[:50]
     assert first50 == DRIVER_WINDOW_QUERIES
 
-    # round-9 rotation: representatives follow the rotated window —
-    # anchors where the family keeps one, the first-time pick otherwise
+    # round-10 rotation: representatives follow the rotated window —
+    # anchors where the family keeps one, a first-time pick otherwise
     families = {
         "core-loop": "kmeans_fit_fixed",
-        "large-k-nd": "kmeans_nd_fit_large",
         "minhash-lsh": "dedup_minhash_pairs",
+        "semantic-dedup": "dedup_semantic_trained",
         "ivf-ann": "similarity_ann_ivf",
-        "pq-ann": "similarity_ann_pq_full_trained",
-        "trained-serving": "similarity_ann_pq_recall_trained",
+        "pq-ann": "similarity_ann_pq_trained",
+        "trained-serving": "similarity_ann_recall_trained",
         "hybrid-rrf": "similarity_hybrid_rrf",
         "multimodal": "multimodal_meta",
-        "sketch-bloom": "orders_bloom_registers",
-        "sketch-quantile": "events_hist_quantiles",
-        "logreg": "corpus_lr_loop2",
-        "graph": "pipeline_pagerank_loop2",
+        "multimodal-video": "multimodal_mjpeg",
+        "text": "text_vocab_coverage",
+        "sampling": "corpus_sample_fixed",
+        "embeddings-quant": "embeddings_int8_quant",
+        "events": "events_exact_quantiles",
+        "pipelines": "pipeline_vector_corpus",
         "time-travel": "table_time_travel",
         "streaming": "events_stream_replay",
     }

@@ -20,6 +20,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# The TWS sessionizer probe needs a protobuf runtime in EVERY Python
+# process Spark spawns (the streaming runner is its own process), so
+# the pbshim goes on PYTHONPATH BEFORE the JVM launches — same dance as
+# tests/conftest.py. No-op where protobuf is properly installed.
+_PBSHIM = os.path.join(os.path.dirname(os.path.abspath(__file__)), "pbshim")
+os.environ["PYTHONPATH"] = (
+    _PBSHIM + os.pathsep + os.environ["PYTHONPATH"]
+    if os.environ.get("PYTHONPATH")
+    else _PBSHIM
+)
+
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -475,6 +486,146 @@ def main() -> int:
         out["rolling_active_sec_16x"] / out["rolling_active_sec_1x"] / 16.0,
         3,
     )
+
+    # Round 10 (r9 verdict task 6): TWS sessionizer vs the v1
+    # applyInPandasWithState form at 1x/4x/16x events, now that TWS
+    # executes. Both drain the SAME 3-file micro-batch replay (time-
+    # ordered splits so the watermark advances); replicas shift
+    # user_id so the state-store key count genuinely grows with the
+    # factor. Metrics per impl: total drain wall, wall per micro-batch,
+    # closed-session count + value_sum parity (tws == v1 asserted),
+    # and the key count (the state-row bound — one open session per
+    # key at most).
+    import shutil
+    import tempfile
+
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    tws_ok = True
+    try:
+        import importlib.util as _ilu
+
+        if _ilu.find_spec("google.protobuf") is None:
+            raise ImportError("no protobuf runtime")
+    except ImportError:
+        try:
+            import runpy
+
+            runpy.run_path(
+                os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "pbshim",
+                    "sitecustomize.py",
+                ),
+                run_name="pbshim",
+            )
+            import google.protobuf  # noqa: F401
+        except Exception as exc:  # no runtime anywhere: record, skip
+            tws_ok = False
+            out["tws_probe_skipped"] = repr(exc)
+
+    if tws_ok:
+        prov = "spark.sql.streaming.stateStore.providerClass"
+        prev_prov = spark.conf.get(prov, None)
+        spark.conf.set(
+            prov,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        # load_table already normalizes events.ts to epoch-ns BIGINT —
+        # exactly the unit the sessionizers take
+        ev_cols = ev0.select("user_id", "ts", "event_id", "value")
+        tmp_dirs: list[str] = []
+        try:
+            for factor in (1, 4, 16):
+                d = ev_cols
+                for i in range(factor - 1):
+                    d = d.unionByName(
+                        ev_cols.select(
+                            (
+                                F.col("user_id") + F.lit(1_000_000 * (i + 1))
+                            ).alias("user_id"),
+                            "ts",
+                            "event_id",
+                            "value",
+                        )
+                    )
+                pdf = d.toPandas().sort_values("ts").reset_index(drop=True)
+                src = tempfile.mkdtemp(prefix=f"tws_probe_{factor}x_")
+                tmp_dirs.append(src)
+                n = len(pdf)
+                for b in range(3):
+                    pdf.iloc[b * n // 3 : (b + 1) * n // 3].to_parquet(
+                        os.path.join(src, f"{b:02d}.parquet"), index=False
+                    )
+                out[f"sessionize_events_{factor}x"] = n
+                out[f"sessionize_keys_{factor}x"] = int(
+                    pdf["user_id"].nunique()
+                )
+
+                def drain(build, name):
+                    stream = (
+                        spark.readStream.schema(
+                            "user_id LONG, ts LONG, event_id LONG, "
+                            "value DOUBLE"
+                        )
+                        .option("maxFilesPerTrigger", 1)
+                        .parquet(src)
+                    )
+                    t0 = time.time()
+                    so.run_stream_to_memory(
+                        build(stream, gap_sec=None, watermark_sec=600),
+                        name,
+                        "update",
+                    )
+                    wall = time.time() - t0
+                    sess = {
+                        (
+                            r["user_id"],
+                            r["session_start"],
+                            r["session_end"],
+                            r["n_events"],
+                        ): round(r["value_sum"], 6)
+                        for r in spark.table(name).collect()
+                    }
+                    return wall, sess
+
+                w_v1, agg_v1 = drain(
+                    so.stream_sessionize, f"probe_sess_v1_{factor}x"
+                )
+                w_tws, agg_tws = drain(
+                    so.stream_sessionize_tws, f"probe_sess_tws_{factor}x"
+                )
+                assert agg_tws == agg_v1, (factor, agg_tws, agg_v1)
+                out[f"sessionize_v1_sec_{factor}x"] = round(w_v1, 3)
+                out[f"sessionize_tws_sec_{factor}x"] = round(w_tws, 3)
+                out[f"sessionize_v1_per_batch_sec_{factor}x"] = round(
+                    w_v1 / 3, 3
+                )
+                out[f"sessionize_tws_per_batch_sec_{factor}x"] = round(
+                    w_tws / 3, 3
+                )
+                out[f"sessionize_closed_{factor}x"] = len(agg_v1)
+        finally:
+            for p in tmp_dirs:
+                shutil.rmtree(p, ignore_errors=True)
+            if prev_prov is not None:
+                spark.conf.set(prov, prev_prov)
+            else:
+                spark.conf.unset(prov)
+        out["sessionize_v1_16x_slope"] = round(
+            out["sessionize_v1_sec_16x"] / out["sessionize_v1_sec_1x"] / 16.0,
+            3,
+        )
+        out["sessionize_tws_16x_slope"] = round(
+            out["sessionize_tws_sec_16x"]
+            / out["sessionize_tws_sec_1x"]
+            / 16.0,
+            3,
+        )
+        out["sessionize_tws_vs_v1_16x"] = round(
+            out["sessionize_tws_sec_16x"] / out["sessionize_v1_sec_16x"], 3
+        )
 
     print(json.dumps(out))
     return 0
