@@ -567,6 +567,26 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     # that exercises the Arrow-assignment regime end-to-end.
     "multimodal_mjpeg",
     "kmeans_nd_fit_large",
+    # round-10 widening: the driver-window queries worth tracking that
+    # had no bench entry (each ≤2.7 s/rep at sf0.1, ~38 s total at 3
+    # reps). Deliberately NOT added: corpus_quality_classifier (18.8 s
+    # — 50 full-batch GD passes, inherent), the *_sweep/_nprobe evals
+    # (multi-probe loops), pipeline_semantic_clusters (contains a full
+    # k-NN graph build already tracked via similarity_knn_graph), and
+    # events_stream_replay (streaming replay wall is trigger-cadence
+    # noise, not operator cost).
+    "dedup_semantic_trained",
+    "embeddings_binary_quant",
+    "embeddings_pca_suffstats",
+    "events_exact_quantiles",
+    "events_rolling_active",
+    "events_json_props",
+    "events_value_gini",
+    "similarity_ann_recall_trained",
+    "similarity_cell_balance",
+    "similarity_index_drift",
+    "multimodal_meta",
+    "text_tokens",
 }
 
 
