@@ -21,6 +21,7 @@ REPORT_QUERIES = [
     ("kmeans_assign", "narrow literal argmin: no join, no exchange"),
     ("kmeans_recompute", "partial+final HashAggregate (map-side combine)"),
     ("dedup_minhash_pairs", "exchange-free band build; bucket equi self-join"),
+    ("dedup_incremental", "new-batch bands broadcast onto the historical band index (index side never shuffled); star-guard aggregate bounds hot buckets"),
     ("similarity_ann_ivf", "broadcast probes; cell equi-join on the index"),
     ("corpus_decontaminate", "broadcast LEFT SEMI vs the benchmark set"),
     ("text_tfidf", "one scan feeding tf+df; broadcast corpus count"),

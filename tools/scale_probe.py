@@ -141,6 +141,35 @@ def main() -> int:
         out["minhash_pairs_sec_4x"] / out["minhash_pairs_sec_1x"] / 4.0, 3
     )
 
+    # --- incremental dedup (nightly-crawl shape) at 1x / 4x -----------
+    # Round 10: the one r9 "weak"-flagged bench entry gets its own
+    # slope. Same perturbed-replica corpus as the minhash probe above
+    # (replicas of one doc form small near-dup clusters), full
+    # increment pipeline: signatures for BOTH sides, historical-side
+    # star guard, new-side broadcast probe join, Jaccard verification.
+    for factor in (1, 4):
+        d = docs0
+        for i in range(factor - 1):
+            d = d.union(
+                docs0.select(
+                    (F.col("doc_id") + F.lit(1_000_000 * (i + 1))).alias(
+                        "doc_id"
+                    ),
+                    F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
+                )
+            )
+        d = d.cache()
+        d.count()
+        inc = dd.incremental_minhash_pairs(d)
+        t = time.time()
+        n_inc = inc.count()
+        out[f"incremental_sec_{factor}x"] = round(time.time() - t, 3)
+        out[f"incremental_pairs_{factor}x"] = n_inc
+        d.unpersist()
+    out["incremental_4x_slope"] = round(
+        out["incremental_sec_4x"] / out["incremental_sec_1x"] / 4.0, 3
+    )
+
     # --- K x dim scaling: n-D matmul assignment -----------------------
     emb = load_table(spark, sf_dir, "embeddings")
     pts = emb.select(
