@@ -39,13 +39,15 @@ import struct
 
 import numpy as np
 
-# Hard ceiling on decoder plane allocation (bytes of float64 working
-# planes across all components). 1 GiB decodes a ~128 MP 4:4:4 color
-# image — far above any corpus image this pipeline handles — while a
-# hostile SOF claiming 65500×65500 (~34 GB of planes) is refused
-# up-front instead of taking the executor down. Module-level so a
-# cluster deployment with genuinely huge scans can raise it.
-MAX_DECODE_PLANE_BYTES = 1 << 30
+# Hard ceiling on the decoder's estimated PEAK working set (decode
+# planes + upsample copies + the YCbCr→RGB float64 temporaries — see
+# the budget computation in _decode_scan; ~15×8 B/px for 4:4:4 color).
+# 2 GiB decodes a ~17 MP color image — above any corpus image this
+# pipeline handles — while a hostile SOF claiming 65500×65500 (~500 GB
+# peak) is refused up-front instead of taking the executor down.
+# Module-level so a cluster deployment with genuinely huge scans can
+# raise it.
+MAX_DECODE_PLANE_BYTES = 2 << 30
 
 # zigzag scan order: ZIGZAG[k] = raster index of the k-th scanned coeff
 ZIGZAG = [
@@ -500,20 +502,28 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
     # ABSOLUTE ALLOCATION CAP: the entropy bound above is relative
     # (2 bits/block ≈ 0.25 B per 64 px vs 8 B/px of float64 plane →
     # ~2048× amplification still possible: a 10 MB hostile stream can
-    # claim geometry needing ~20 GB of planes and pass it). Cap the
-    # plane bytes absolutely so a decode can never claim more than
-    # MAX_DECODE_PLANE_BYTES regardless of stream size — genuine
-    # memory exhaustion then cannot be triggered via declared
-    # geometry, and MemoryError stays a real signal (it is NOT
-    # translated to ValueError; degrade-don't-die callers must not
-    # silently drop rows on executor memory pressure).
+    # claim geometry needing ~20 GB of working set and pass it). Cap
+    # the decoder's PEAK working set — not just the decode planes: the
+    # tail of this function upsamples subsampled planes to full padded
+    # geometry (np.repeat copies, originals pinned by views) and the
+    # YCbCr→RGB conversion materializes cb/cr/r/g/b plus the stacked
+    # and rounded RGB cube, ~11 full-geometry float64 arrays live at
+    # peak. Budget = decode planes + 12×(padded full plane) bounds
+    # that end-to-end peak, so declared geometry alone can never
+    # exhaust executor memory within the cap — and MemoryError stays
+    # a real signal (it is NOT translated to ValueError;
+    # degrade-don't-die callers must not silently drop rows on genuine
+    # executor memory pressure).
+    full_plane = (mcuy * vmax * 8) * (mcux * hmax * 8) * 8
     plane_bytes = sum(
         (mcuy * vi * 8) * (mcux * hi * 8) * 8 for _, hi, vi, _ in comps
     )
-    if plane_bytes > MAX_DECODE_PLANE_BYTES:
+    peak_bytes = plane_bytes + (12 if ncomp > 1 else 1) * full_plane
+    if peak_bytes > MAX_DECODE_PLANE_BYTES:
         raise ValueError(
-            f"declared geometry {w}x{h} needs {plane_bytes} plane bytes "
-            f"> cap {MAX_DECODE_PLANE_BYTES} — raise "
+            f"declared geometry {w}x{h} needs ~{peak_bytes} decode peak "
+            f"bytes (planes + upsample/RGB working set) > cap "
+            f"{MAX_DECODE_PLANE_BYTES} — raise "
             "jpeg.MAX_DECODE_PLANE_BYTES to decode images this large"
         )
     planes = [

@@ -2637,19 +2637,23 @@ def test_jpeg_hostile_sof_and_fill_bytes():
 def test_jpeg_absolute_plane_cap(monkeypatch):
     """The entropy bound is RELATIVE (2 bits/block vs 8 B/px of float64
     plane → ~2048× amplification survives it: a 10 MB hostile stream
-    can claim ~20 GB of planes). MAX_DECODE_PLANE_BYTES caps the
-    allocation absolutely — refused as ValueError BEFORE np.empty — and
-    MemoryError is no longer translated to ValueError, so genuine
-    executor memory exhaustion can't be silently dropped as a
-    \"malformed\" row by degrade-don't-die callers (r9 ADVICE)."""
+    can claim ~20 GB of working set). MAX_DECODE_PLANE_BYTES caps the
+    estimated END-TO-END decode peak — decode planes PLUS the
+    upsample/RGB-conversion float64 temporaries (~11 full-geometry
+    arrays live at peak, the review finding that a planes-only cap
+    still admitted ~10× more transient allocation) — refused as
+    ValueError BEFORE np.empty. MemoryError is no longer translated to
+    ValueError, so genuine executor memory exhaustion can't be
+    silently dropped as a \"malformed\" row (r9 ADVICE)."""
     from kmeans_mapreduce_spark.functions import jpeg as J
 
     blob = J.encode_baseline_jpeg(16, 12, bytes(3 * 16 * 12))
     assert J.decode_baseline_jpeg(blob)[:3] == (16, 12, 3)
     # same VALID stream under a tiny cap: the refusal is the cap, not
-    # the entropy bound (16x12 rgb -> 3 planes of 16x16 f64 = 6144 B)
+    # the entropy bound (16x12 rgb budget = 3×16×16×8 decode planes +
+    # 12×2048 working set = 30720 B)
     monkeypatch.setattr(J, "MAX_DECODE_PLANE_BYTES", 4096)
-    with pytest.raises(ValueError, match="plane bytes"):
+    with pytest.raises(ValueError, match="decode peak"):
         J.decode_baseline_jpeg(blob)
     # MemoryError propagates untranslated
     def boom(data):

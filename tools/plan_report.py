@@ -21,7 +21,6 @@ REPORT_QUERIES = [
     ("kmeans_assign", "narrow literal argmin: no join, no exchange"),
     ("kmeans_recompute", "partial+final HashAggregate (map-side combine)"),
     ("dedup_minhash_pairs", "exchange-free band build; bucket equi self-join"),
-    ("dedup_incremental", "new-batch bands broadcast onto the historical band index (index side never shuffled); star-guard aggregate bounds hot buckets"),
     ("similarity_ann_ivf", "broadcast probes; cell equi-join on the index"),
     ("corpus_decontaminate", "broadcast LEFT SEMI vs the benchmark set"),
     ("text_tfidf", "one scan feeding tf+df; broadcast corpus count"),
@@ -43,7 +42,7 @@ REPORT_QUERIES = [
     ("corpus_shuffle", "epoch shuffle key: narrow map, doc_id-only scan"),
     ("multimodal_resize", "decode+resample inside one mapInPandas, image filter pushed to scan"),
     ("events_stream_replay", "streaming window agg replay (plan shown post-materialization)"),
-    ("dedup_incremental", "new-batch bands broadcast onto the historical index; verify pruned to colliding docs"),
+    ("dedup_incremental", "new-batch bands broadcast onto the historical band index (index side never shuffled, star-guard aggregate bounds hot buckets); verify pruned to colliding docs"),
     ("dedup_semantic", "literal-argmin cell assignment (no join) + tiled per-cell GEMM"),
     ("similarity_knn_graph", "cell-blocked local top-k emission + one src-keyed window merge"),
     ("corpus_dsir_weights", "one token explode; all bucket-table joins broadcast; corpus never shuffled"),

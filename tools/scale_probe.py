@@ -141,29 +141,45 @@ def main() -> int:
         out["minhash_pairs_sec_4x"] / out["minhash_pairs_sec_1x"] / 4.0, 3
     )
 
-    # --- incremental dedup (nightly-crawl shape) at 1x / 4x -----------
+    # --- incremental dedup (nightly-crawl shape) at 1x / 4x history ---
     # Round 10: the one r9 "weak"-flagged bench entry gets its own
-    # slope. Same perturbed-replica corpus as the minhash probe above
-    # (replicas of one doc form small near-dup clusters), full
-    # increment pipeline: signatures for BOTH sides, historical-side
-    # star guard, new-side broadcast probe join, Jaccard verification.
+    # slope — shaped as the PRODUCTION question: a FIXED increment
+    # (1000 " new"-suffixed variants of base docs 0..999, doc_ids
+    # placed above the 4/5 split at both factors) deduped against a
+    # HISTORY that grows 1x→4x (suffix-perturbed replicas of the base
+    # corpus). Holding the increment fixed makes the two points
+    # comparable: collisions grow exactly with the history replicas
+    # (each new doc gains one near-dup variant per replica), so wall
+    # growth decomposes into history-signature cost (∝ corpus, the
+    # bounded-query shape; a persisted band index at 100 TB) plus
+    # verification (∝ collisions). Slope normalizes by the 4x history
+    # growth; output counts recorded so the collision term is visible.
+    nd_base = nd0
+    new_docs = docs0.filter(F.col("doc_id") < 1000).select(
+        (F.col("doc_id") + F.lit(20 * nd_base)).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" new")).alias("text"),
+    )
     for factor in (1, 4):
-        d = docs0
-        for i in range(factor - 1):
-            d = d.union(
+        hist = docs0.select(
+            "doc_id", F.concat(F.col("text"), F.lit(" rep0")).alias("text")
+        )
+        for i in range(1, factor):
+            hist = hist.union(
                 docs0.select(
-                    (F.col("doc_id") + F.lit(1_000_000 * (i + 1))).alias(
-                        "doc_id"
-                    ),
+                    (F.col("doc_id") + F.lit(i * nd_base)).alias("doc_id"),
                     F.concat(F.col("text"), F.lit(f" rep{i}")).alias("text"),
                 )
             )
-        d = d.cache()
+        # max doc_id = 20*nd_base + 999 → split ≈ 16*nd_base + 799:
+        # every hist id (< 4*nd_base) is historical, every new id
+        # (≥ 20*nd_base) is in the increment, at BOTH factors
+        d = hist.union(new_docs).cache()
         d.count()
         inc = dd.incremental_minhash_pairs(d)
         t = time.time()
         n_inc = inc.count()
         out[f"incremental_sec_{factor}x"] = round(time.time() - t, 3)
+        out[f"incremental_hist_docs_{factor}x"] = nd_base * factor
         out[f"incremental_pairs_{factor}x"] = n_inc
         d.unpersist()
     out["incremental_4x_slope"] = round(
@@ -635,6 +651,12 @@ def main() -> int:
                     w_tws / 3, 3
                 )
                 out[f"sessionize_closed_{factor}x"] = len(agg_v1)
+        except Exception as exc:
+            # This block runs LAST over many minutes of accumulated
+            # metrics — a streaming failure or a parity-assert trip
+            # must not discard the whole run's evidence. Record the
+            # failure (a reviewer sees it) and still print `out`.
+            out["tws_probe_failed"] = repr(exc)
         finally:
             for p in tmp_dirs:
                 shutil.rmtree(p, ignore_errors=True)
@@ -642,19 +664,23 @@ def main() -> int:
                 spark.conf.set(prov, prev_prov)
             else:
                 spark.conf.unset(prov)
-        out["sessionize_v1_16x_slope"] = round(
-            out["sessionize_v1_sec_16x"] / out["sessionize_v1_sec_1x"] / 16.0,
-            3,
-        )
-        out["sessionize_tws_16x_slope"] = round(
-            out["sessionize_tws_sec_16x"]
-            / out["sessionize_tws_sec_1x"]
-            / 16.0,
-            3,
-        )
-        out["sessionize_tws_vs_v1_16x"] = round(
-            out["sessionize_tws_sec_16x"] / out["sessionize_v1_sec_16x"], 3
-        )
+        if "sessionize_tws_sec_16x" in out:
+            out["sessionize_v1_16x_slope"] = round(
+                out["sessionize_v1_sec_16x"]
+                / out["sessionize_v1_sec_1x"]
+                / 16.0,
+                3,
+            )
+            out["sessionize_tws_16x_slope"] = round(
+                out["sessionize_tws_sec_16x"]
+                / out["sessionize_tws_sec_1x"]
+                / 16.0,
+                3,
+            )
+            out["sessionize_tws_vs_v1_16x"] = round(
+                out["sessionize_tws_sec_16x"] / out["sessionize_v1_sec_16x"],
+                3,
+            )
 
     print(json.dumps(out))
     return 0
