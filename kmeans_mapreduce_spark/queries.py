@@ -601,21 +601,17 @@ BENCH_EXTENSION_QUERIES: set[str] = {
 # (tools/oracle_sweep_r*.log) and the pytest suite; next rounds keep
 # rotating until the never-verified set is exhausted.
 #
-# ROUND-10 ROTATION (live below): round 9's window gated green
-# (CORRECTNESS_r09: 50/50, cumulative 132/191), so this round keeps the
-# same 10 family anchors and fills the 40 slots with the next tranche
-# of the never-independently-gated list, staged in round 9 at this
-# spot. 19 queries then remain for ROUND 11, which closes the debt at
-# 191/191 cumulative:
-#   sql_revenue_by_nation events_users_intersect events_users_except
-#   events_funnel events_rolling_zscore events_session_paths
-#   text_chunks_fast embeddings_pca(^) quality_report_orders
-#   events_first_touch text_surprisal orders_running_window
-#   corpus_sample_weighted events_quantile_sketch_error
-#   pipeline_series_similarity corpus_rule_filter events_key_skew
-#   corpus_dsir_weights events_day_digest
-# ((^) = no oracle twin → appears as rows-only; this round carries two
-# such: corpus_quality_classifier, text_compression_ratio).
+# ROUND-11 ROTATION (live below): round 10's window gated green
+# (CORRECTNESS_r10: 48/50 hash + 2 declared rows-only, cumulative
+# 166/184 twins), so this round rotates in the FINAL 19 never-gated
+# queries (18 twins + rows-only embeddings_pca), closing the
+# verification debt at 184/184 twins cumulatively hash-gated. The
+# remaining 21 slots return previously-green queries as regression
+# canaries, chosen to (a) cover every operator family and (b) re-gate
+# the heaviest regimes: dedup_substring (the r10 `weak` probe-slope
+# flag — its correctness stays independently pinned while the probe is
+# adjudicated), kmeans_nd_fit_large (Arrow large-K assignment), and
+# multimodal_mjpeg (full encode→AVI→JPEG-decode roundtrip).
 DRIVER_WINDOW_QUERIES: list[str] = [
     # -- anchors: previously driver-green, one per family --
     "points_source",        # core source
@@ -628,54 +624,48 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "multimodal_meta",      # multimodal
     "events_stream_replay",  # streaming
     "table_time_travel",    # versioned tables
-    # -- first-time gated: pipeline compositions --
-    "pipeline_vector_corpus",
-    "pipeline_curation_funnel",
-    "pipeline_semantic_clusters",
-    "pipeline_media_cluster",
-    "pipeline_topic_clusters",
-    # -- first-time: text analysis --
-    "text_vocab_coverage",
-    "text_bpe_merges2",
-    "text_compression_ratio",   # no twin → rows-only
-    # -- first-time: embeddings / quantization --
-    "embeddings_outliers",
-    "embeddings_int8_quant",
-    "embeddings_binary_quant",
-    "embeddings_pca_suffstats",
-    # -- first-time: sampling / curation --
-    "corpus_quality_classifier",  # no twin → rows-only
-    "corpus_sample_fixed",
-    "corpus_datacard",
-    "corpus_shard_manifest",
-    # -- first-time: ANN recall/eval surface --
-    "similarity_int8_recall",
-    "similarity_index_drift",
-    "similarity_cell_balance",
-    "similarity_ann_ivf_trained",
-    "similarity_ann_recall",
-    "similarity_ann_recall_trained",
+    # -- final never-gated tranche (r10 verdict task 1; staged in r10) --
+    "sql_revenue_by_nation",
+    "events_users_intersect",
+    "events_users_except",
+    "events_funnel",
+    "events_rolling_zscore",
+    "events_session_paths",
+    "text_chunks_fast",
+    "embeddings_pca",        # no twin → rows-only
+    "quality_report_orders",
+    "events_first_touch",
+    "text_surprisal",
+    "orders_running_window",
+    "corpus_sample_weighted",
+    "events_quantile_sketch_error",
+    "pipeline_series_similarity",
+    "corpus_rule_filter",
+    "events_key_skew",
+    "corpus_dsir_weights",
+    "events_day_digest",
+    # -- regression canaries: previously driver-green, family spread --
+    "kmeans_assign",
+    "kmeans_wssse",
+    "kmeans_nd_fit_large",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_incremental",
+    "dedup_substring",
+    "dedup_semantic",
+    "similarity_topk",
     "similarity_ann_pq_trained",
-    "similarity_ann_pq_recall_full_trained",
-    "similarity_ann_pq_recall_residual",
-    "similarity_ann_pq_residual_trained",
-    "similarity_ann_pq_rerank_residual",
-    "similarity_ann_nprobe_sweep",
-    "similarity_binary_recall",
-    "similarity_dim_sweep",
-    # -- first-time: dedup --
-    "dedup_semantic_trained",
-    # -- first-time: multimodal --
+    "similarity_ann_recall_trained",
+    "text_tfidf",
+    "text_bm25",
+    "text_langid",
+    "corpus_sample_stratified",
+    "embeddings_int8_quant",
+    "events_sessionize",
+    "events_retention",
     "multimodal_mjpeg",
-    # -- first-time: events second wave --
-    "events_exact_quantiles",
-    "events_rolling_active",
-    "events_trend",
-    "events_sessionize_native",
-    "events_sliding_window",
-    "events_json_props",
-    "events_variant_props",
-    "events_value_gini",
 ]
 
 

@@ -54,23 +54,24 @@ def test_driver_window_samples_every_family():
     first50 = list(q)[:50]
     assert first50 == DRIVER_WINDOW_QUERIES
 
-    # round-10 rotation: representatives follow the rotated window —
-    # anchors where the family keeps one, a first-time pick otherwise
+    # round-11 rotation: representatives follow the rotated window —
+    # anchors where the family keeps one, a final-tranche or canary
+    # pick otherwise
     families = {
         "core-loop": "kmeans_fit_fixed",
         "minhash-lsh": "dedup_minhash_pairs",
-        "semantic-dedup": "dedup_semantic_trained",
+        "semantic-dedup": "dedup_semantic",
         "ivf-ann": "similarity_ann_ivf",
         "pq-ann": "similarity_ann_pq_trained",
         "trained-serving": "similarity_ann_recall_trained",
         "hybrid-rrf": "similarity_hybrid_rrf",
         "multimodal": "multimodal_meta",
         "multimodal-video": "multimodal_mjpeg",
-        "text": "text_vocab_coverage",
-        "sampling": "corpus_sample_fixed",
+        "text": "text_surprisal",
+        "sampling": "corpus_sample_weighted",
         "embeddings-quant": "embeddings_int8_quant",
-        "events": "events_exact_quantiles",
-        "pipelines": "pipeline_vector_corpus",
+        "events": "events_funnel",
+        "pipelines": "pipeline_series_similarity",
         "time-travel": "table_time_travel",
         "streaming": "events_stream_replay",
     }
