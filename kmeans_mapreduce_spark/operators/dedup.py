@@ -1671,6 +1671,92 @@ def span_dedup(docs: DataFrame, span_words: int = SPAN_WORDS) -> DataFrame:
 SUBSTR_MIN_TOKENS = 15  # minimum duplicated-substring length, in tokens
 
 
+def _substring_staged_covered(
+    docs: DataFrame, min_tokens: int, key_by_text: bool
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared internals of the ExactSubstr pass: returns
+
+    - ``staged``  — (doc_id, __w tokens array),
+    - ``dup``     — one row per rank>1 duplicated-window OCCURRENCE
+      (doc_id, pos), i.e. the population whose processing cost the
+      pass pays beyond scanning, and
+    - ``covered`` — distinct (doc_id, idx) token positions those
+      occurrences cut.
+
+    Split out so :func:`substring_dedup_stats` can report the dup /
+    covered counts from the IDENTICAL plan the operator executes —
+    the scale probe records them per replication factor to
+    distinguish output-bound wall growth from plan regressions.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions.hashing import h64
+
+    L = int(min_tokens)
+    if L < 2:
+        raise ValueError(f"substring_dedup: min_tokens must be >= 2 (got {L})")
+    staged = docs.select(
+        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__w")
+    )
+    w = F.col("__w")
+    # stride-1 window starts: 0 .. n-L (none when the doc is shorter
+    # than L tokens — sequence() would wrap, so gate on size)
+    wins = staged.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size(w) >= L,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(w) - L),
+                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, L)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "win"),
+    )
+    # project the shuffle key BEFORE the window exchange: 8-byte hash
+    # by default (text only for the A/B verification path)
+    wkey = F.col("win") if key_by_text else h64(F.col("win"))
+    wins = wins.select("doc_id", "pos", wkey.alias("__wk"))
+    rn = F.row_number().over(
+        Window.partitionBy("__wk").orderBy("doc_id", "pos")
+    )
+    dup = wins.withColumn("rn", rn).filter(F.col("rn") > 1).select(
+        "doc_id", "pos"
+    )
+    # every token position under a rank>1 duplicated window is cut
+    covered = dup.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
+        ).alias("idx"),
+    ).distinct()
+    return staged, dup, covered
+
+
+def substring_dedup_stats(
+    docs: DataFrame,
+    min_tokens: int = SUBSTR_MIN_TOKENS,
+    key_by_text: bool = False,
+) -> DataFrame:
+    """Output accounting for :func:`substring_dedup` — one row:
+    (n_dup_windows, n_covered_positions). ``n_dup_windows`` counts
+    rank>1 duplicated-window occurrences (the rows the covered-explode
+    pays for); ``n_covered_positions`` counts the distinct token
+    positions cut (the anti-join's right side). Used by
+    tools/scale_probe.py to adjudicate wall-clock slopes: the probe's
+    replica construction makes BOTH grow ~(factor−1)×base-windows while
+    input only grows factor×, so a superlinear wall is expected to be
+    output-bound — these counts prove or refute that per run."""
+    _staged, dup, covered = _substring_staged_covered(
+        docs, min_tokens, key_by_text
+    )
+    return dup.agg(
+        F.count(F.lit(1)).alias("n_dup_windows")
+    ).crossJoin(
+        covered.agg(F.count(F.lit(1)).alias("n_covered_positions"))
+    )
+
+
 def substring_dedup(
     docs: DataFrame,
     min_tokens: int = SUBSTR_MIN_TOKENS,
@@ -1718,50 +1804,8 @@ def substring_dedup(
     input document (documents that are entirely duplicated text come
     back with ``cleaned_text = ''``, never silently dropped).
     """
-    from pyspark.sql.window import Window
-
-    from ..functions.hashing import h64
-
-    L = int(min_tokens)
-    if L < 2:
-        raise ValueError(f"substring_dedup: min_tokens must be >= 2 (got {L})")
-    staged = docs.select(
-        "doc_id", tokens(F.coalesce(F.col("text"), F.lit(""))).alias("__w")
-    )
+    staged, _dup, covered = _substring_staged_covered(docs, min_tokens, key_by_text)
     w = F.col("__w")
-    # stride-1 window starts: 0 .. n-L (none when the doc is shorter
-    # than L tokens — sequence() would wrap, so gate on size)
-    wins = staged.select(
-        "doc_id",
-        F.posexplode(
-            F.when(
-                F.size(w) >= L,
-                F.transform(
-                    F.sequence(F.lit(0), F.size(w) - L),
-                    lambda i: F.concat_ws(" ", F.slice(w, i + 1, L)),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "win"),
-    )
-    # project the shuffle key BEFORE the window exchange: 8-byte hash
-    # by default (text only for the A/B verification path)
-    wkey = F.col("win") if key_by_text else h64(F.col("win"))
-    wins = wins.select("doc_id", "pos", wkey.alias("__wk"))
-    rn = F.row_number().over(
-        Window.partitionBy("__wk").orderBy("doc_id", "pos")
-    )
-    # every token position under a rank>1 duplicated window is cut
-    covered = (
-        wins.withColumn("rn", rn)
-        .filter(F.col("rn") > 1)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(L - 1))
-            ).alias("idx"),
-        )
-        .distinct()
-    )
     toks = staged.select(
         "doc_id", F.posexplode(w).alias("idx", "tok")
     )

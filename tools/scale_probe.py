@@ -396,12 +396,40 @@ def main() -> int:
                 durs.append(time.time() - t)
             durs.sort()
             out[f"{probe}_sec_{factor}x"] = round(durs[1], 3)
+        # output accounting for the substring pass (r10 verdict task 3):
+        # the replica construction duplicates every base window into f
+        # copies, so rank>1 occurrences grow ~(f−1)·W while input grows
+        # only f× — dup/covered counts recorded per factor let a high
+        # wall slope self-adjudicate as output-bound (exactly as the
+        # triangles probe records output_growth) instead of being
+        # indistinguishable from a plan regression.
+        srow = dd.substring_dedup_stats(d).collect()[0]
+        out[f"substring_dup_windows_{factor}x"] = int(srow["n_dup_windows"])
+        out[f"substring_covered_positions_{factor}x"] = int(
+            srow["n_covered_positions"]
+        )
         out[f"pairgen_docs_{factor}x"] = nd0 * factor
         d.unpersist()
     for probe in pair_probes:
         out[f"{probe}_16x_slope"] = round(
             out[f"{probe}_sec_16x"] / out[f"{probe}_sec_1x"] / 16.0, 3
         )
+    # slope normalized by dup-occurrence growth: wall_16x/wall_1x divided
+    # by dup_16x/dup_1x — ≲ historical input-linear band ⇒ output-bound
+    dup1 = max(out["substring_dup_windows_1x"], 1)
+    out["substring_16x_dup_growth"] = round(
+        out["substring_dup_windows_16x"] / dup1, 3
+    )
+    out["substring_16x_covered_growth"] = round(
+        out["substring_covered_positions_16x"]
+        / max(out["substring_covered_positions_1x"], 1),
+        3,
+    )
+    out["substring_16x_slope_per_dup_growth"] = round(
+        (out["substring_dedup_sec_16x"] / out["substring_dedup_sec_1x"])
+        / max(out["substring_16x_dup_growth"], 1e-9),
+        4,
+    )
 
     # --- fused PQ training: 1x / 16x vectors --------------------------
     # Round 7 fused fit_pq_codebooks into one Arrow pass per Lloyd
