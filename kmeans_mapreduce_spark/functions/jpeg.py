@@ -506,19 +506,23 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
     # the decoder's PEAK working set — not just the decode planes: the
     # tail of this function upsamples subsampled planes to full padded
     # geometry (np.repeat copies, originals pinned by views) and the
-    # YCbCr→RGB conversion materializes cb/cr/r/g/b plus the stacked
-    # and rounded RGB cube, ~11 full-geometry float64 arrays live at
-    # peak. Budget = decode planes + 12×(padded full plane) bounds
-    # that end-to-end peak, so declared geometry alone can never
-    # exhaust executor memory within the cap — and MemoryError stays
-    # a real signal (it is NOT translated to ValueError;
-    # degrade-don't-die callers must not silently drop rows on genuine
-    # executor memory pressure).
+    # YCbCr→RGB conversion fills a 3-plane RGB cube. The conversion is
+    # allocation-disciplined (channels written into the preallocated
+    # cube one 1-plane temp at a time, cb/cr copied then their padded
+    # buffers released, rint/clip in-place), so the live set tops out
+    # at ~7–8 full-geometry float64 planes for color (3 pinned padded
+    # planes + 3-plane cube + 1 temp + upsample transients) and ~2 for
+    # grayscale. Budget = decode planes + 12× (color) / 2× (grayscale)
+    # padded full plane bounds that end-to-end peak with margin, so
+    # declared geometry alone can never exhaust executor memory within
+    # the cap — and MemoryError stays a real signal (it is NOT
+    # translated to ValueError; degrade-don't-die callers must not
+    # silently drop rows on genuine executor memory pressure).
     full_plane = (mcuy * vmax * 8) * (mcux * hmax * 8) * 8
     plane_bytes = sum(
         (mcuy * vi * 8) * (mcux * hi * 8) * 8 for _, hi, vi, _ in comps
     )
-    peak_bytes = plane_bytes + (12 if ncomp > 1 else 1) * full_plane
+    peak_bytes = plane_bytes + (12 if ncomp > 1 else 2) * full_plane
     if peak_bytes > MAX_DECODE_PLANE_BYTES:
         raise ValueError(
             f"declared geometry {w}x{h} needs ~{peak_bytes} decode peak "
@@ -583,14 +587,34 @@ def _decode_scan(data, pos, frame, qt, huff, scan_tables, restart_interval):
         full.append(p[:h, :w])
     planes = full
     if ncomp == 1:
-        gray = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
-        return w, h, 1, gray.tobytes()
+        gray = np.rint(planes[0])
+        del planes, full  # release the padded decode buffer
+        np.clip(gray, 0.0, 255.0, out=gray)
+        return w, h, 1, gray.astype(np.uint8).tobytes()
     if ncomp != 3:
         raise ValueError(f"unsupported component count {ncomp}")
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    rgb = np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
-    return w, h, 3, rgb.tobytes()
+    # Allocation-disciplined YCbCr→RGB (keeps the decode inside the
+    # 12×full_plane budget asserted above): channel math is written
+    # into the preallocated cube with at most one 1-plane temporary
+    # live, each source plane is dropped as soon as it is consumed,
+    # and rint/clip run in-place. Evaluation order per channel matches
+    # the previous expression form bit-for-bit:
+    #   r = y + 1.402·cr; g = (y − 0.344136·cb) − 0.714136·cr;
+    #   b = y + 1.772·cb.
+    y, cb, cr = planes
+    del planes, full
+    cb = cb - 128.0  # rebind: exact (h,w) copy, padded buffer released
+    cr = cr - 128.0
+    rgb = np.empty((h, w, 3))
+    rgb[:, :, 0] = y
+    rgb[:, :, 0] += 1.402 * cr
+    rgb[:, :, 1] = y
+    rgb[:, :, 1] -= 0.344136 * cb
+    rgb[:, :, 1] -= 0.714136 * cr
+    rgb[:, :, 2] = y
+    del y
+    rgb[:, :, 2] += 1.772 * cb
+    del cb, cr
+    np.rint(rgb, out=rgb)
+    np.clip(rgb, 0.0, 255.0, out=rgb)
+    return w, h, 3, rgb.astype(np.uint8).tobytes()
