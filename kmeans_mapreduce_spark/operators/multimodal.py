@@ -259,8 +259,16 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
     w = h = None
     frames: list[tuple[bytes, bytes]] = []  # (chunk fourcc, body)
 
-    def walk(buf: bytes, i: int, end: int) -> None:
-        nonlocal w, h
+    # iterative chunk walk (explicit stack of (cursor, container-end)
+    # spans): a hostile payload of nested LISTs is 12 bytes per level,
+    # so a recursive walk would hit Python's recursion limit (and
+    # escape the documented ValueError contract as RecursionError) at
+    # ~60 KB of input — fuzz-found, matching jpeg.py's discipline that
+    # untrusted bytes either parse or raise ValueError, never crash
+    stack: list[tuple[int, int]] = [(12, len(payload))]
+    buf = payload
+    while stack:
+        i, end = stack.pop()
         while i + 8 <= end:
             fourcc = buf[i : i + 4]
             (size,) = struct.unpack("<I", buf[i + 4 : i + 8])
@@ -276,14 +284,20 @@ def _decode_avi(payload: bytes) -> tuple[int, int, list[bytes]]:
                 )
             body = buf[i + 8 : i + 8 + size]
             if fourcc == b"LIST":
-                walk(buf, i + 12, i + 8 + size)  # skip the list type tag
+                # resume THIS container after the list, then descend
+                # (skip the 4-byte list type tag). Real AVI nests ≤ ~4
+                # deep (hdrl→strl, movi→rec); cap keeps hostile
+                # 12-bytes-per-level nesting from ballooning the stack
+                if len(stack) >= 64:
+                    raise ValueError("AVI LIST nesting deeper than 64")
+                stack.append((i + 8 + size + (size & 1), end))
+                i, end = i + 12, i + 8 + size
+                continue
             elif fourcc == b"avih" and size >= 40:
                 w, h = struct.unpack("<2I", body[32:40])
             elif fourcc in (b"00db", b"00dc"):
                 frames.append((fourcc, body))
             i += 8 + size + (size & 1)  # RIFF chunks pad to even
-
-    walk(payload, 12, len(payload))
     if w is None or h is None:
         raise ValueError("AVI without an avih main header")
     w, h = int(w), int(h)

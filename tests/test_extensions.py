@@ -525,6 +525,91 @@ def test_avi_roundtrip_and_codec_stub():
         mm._decode_stub("hologram", b"\x00")
 
 
+def test_avi_walker_nested_lists_never_recursion_error():
+    """Hostile nesting: LIST-in-LIST costs 12 bytes per level, so a
+    ~60 KB payload nests ~5000 deep — the old recursive walk escaped
+    the ValueError contract as RecursionError (fuzz-found r11). The
+    iterative walk must raise ValueError (nesting cap) or parse."""
+    import struct
+
+    inner = b""
+    for _ in range(5000):
+        body = b"list" + inner
+        inner = b"LIST" + struct.pack("<I", len(body)) + body
+    payload = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(ValueError, match="nesting"):
+        mm._decode_avi(payload)
+    # shallow nesting within the cap still parses (no avih → ValueError
+    # from the header gate, NOT the nesting cap)
+    shallow = b""
+    for _ in range(8):
+        body = b"list" + shallow
+        shallow = b"LIST" + struct.pack("<I", len(body)) + body
+    pay2 = b"RIFF" + struct.pack("<I", 4 + len(shallow)) + b"AVI " + shallow
+    with pytest.raises(ValueError, match="avih"):
+        mm._decode_avi(pay2)
+
+
+def _fuzz_avi_base(codec: bytes) -> bytes:
+    if codec == b"MJPG":
+        from kmeans_mapreduce_spark.functions import jpeg as J
+
+        frames = [
+            J.encode_baseline_jpeg(
+                mm.VID_W, mm.VID_H, bytes([i]) * mm.VID_FRAME_BYTES
+            )
+            for i in range(2)
+        ]
+    else:
+        frames = [bytes([i]) * mm.VID_FRAME_BYTES for i in range(2)]
+    return mm._encode_avi(mm.VID_W, mm.VID_H, frames, codec=codec)
+
+
+@pytest.mark.parametrize("codec", [b"DIB ", b"MJPG"])
+def test_avi_walker_fuzz_parse_or_valueerror(codec):
+    """The AVI walker gets the same fuzz discipline jpeg.py got in r9
+    (r10 verdict task 6): arbitrary mutations of a valid container —
+    truncation, byte flips (which corrupt chunk fourccs/sizes/avih
+    geometry), garbage declared chunk sizes — must either decode to
+    correctly-shaped frames or raise ValueError; never IndexError,
+    RecursionError, MemoryError, struct.error, or a hang. Both codec
+    paths share the walker but exercise different frame gates
+    (exact-size 00db vs JPEG-decode 00dc)."""
+    from hypothesis import given, settings, strategies as st
+
+    base = _fuzz_avi_base(codec)
+
+    @given(st.integers(min_value=0, max_value=3), st.data())
+    @settings(max_examples=60, deadline=None)
+    def run(mode, data):
+        blob = bytearray(base)
+        if mode == 0:  # truncate
+            cut = data.draw(st.integers(min_value=0, max_value=len(blob)))
+            blob = blob[:cut]
+        elif mode == 1:  # flip bytes anywhere (headers, sizes, frames)
+            for _ in range(data.draw(st.integers(min_value=1, max_value=8))):
+                i = data.draw(
+                    st.integers(min_value=0, max_value=len(blob) - 1)
+                )
+                blob[i] = data.draw(st.integers(min_value=0, max_value=255))
+        elif mode == 2:  # garbage chunk size: overwrite a random u32
+            import struct
+
+            i = data.draw(st.integers(min_value=4, max_value=len(blob) - 4))
+            blob[i : i + 4] = struct.pack(
+                "<I", data.draw(st.integers(min_value=0, max_value=2**32 - 1))
+            )
+        # mode 3: control arm (valid container)
+        try:
+            w, h, frames = mm._decode_avi(bytes(blob))
+        except ValueError:
+            return  # the allowed failure mode
+        for fr in frames:  # shape contract even on mutations
+            assert len(fr) == 3 * w * h
+
+    run()
+
+
 def test_asof_latest_semantics(spark):
     """Crafted case: inclusive at-or-before match, latest state wins,
     no-prior-state rows dropped, equal-ts right dupes deterministic."""
