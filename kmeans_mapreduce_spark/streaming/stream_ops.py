@@ -950,6 +950,16 @@ def stream_sessionize_tws(
     the same input. Same RocksDB/protobuf dependencies as
     :func:`stream_dedup_exact_tws` (tests activate the pbshim runtime;
     real clusters ship protobuf).
+
+    Protocol-cost note (r10 verdict task 4): every ValueState/timer
+    call is one blocking protobuf round-trip to the JVM state server,
+    and that chatter — not Arrow transfer — is the TWS-vs-v1 gap the
+    16× probe measures. This processor therefore budgets round-trips
+    per key per batch: ``get()`` alone instead of ``exists()+get()``
+    (None signals absence), and the armed timer's timestamp rides in
+    the state row itself so stale-timer eviction is a direct
+    ``deleteTimer(stored)`` with no ``listTimers`` scan — 3–4
+    round-trips per key per batch versus 6 for the naive sequence.
     """
     import pandas as pd
 
@@ -970,40 +980,48 @@ def stream_sessionize_tws(
     class _SessionProcessor(StatefulProcessor):
         def init(self, handle) -> None:
             self._handle = handle
+            # 6th field: the armed timer's timestamp (ms; 0 = none) —
+            # carried in state so stale-timer eviction needs no
+            # listTimers round-trip (this operator registers exactly
+            # one live timer per key, so the stored value is complete)
             self._st = handle.getValueState(
                 "session",
                 "session_start BIGINT, last_ts BIGINT, n_events BIGINT, "
-                "value_sum DOUBLE, prev_end BIGINT",
+                "value_sum DOUBLE, prev_end BIGINT, timer_ms BIGINT",
             )
 
         def handleInputRows(self, key, rows, timerValues):
             user_id = key[0]
-            prior = tuple(self._st.get()) if self._st.exists() else None
+            row = self._st.get()  # None ⇔ absent: no exists() round-trip
+            prior = None if row is None else tuple(row[:5])
+            prev_timer = 0 if row is None else int(row[5])
             batch = pd.concat(list(rows), ignore_index=True)
             closed, new_state = _session_fold_batch(
                 user_id, prior, batch, gap
             )
             if new_state is not None:
-                self._st.update(new_state)
+                t = 0
                 if evict:
                     # re-arm the idle flush: one live timer per key at
                     # event-time last+gap (ms), clamped above the
                     # watermark like the v1 setTimeoutTimestamp
-                    for t in list(self._handle.listTimers()):
-                        self._handle.deleteTimer(t)
-                    self._handle.registerTimer(
-                        max(
-                            (new_state[1] + gap) * 1000,
-                            timerValues.getCurrentWatermarkInMs() + 1,
-                        )
+                    t = max(
+                        (new_state[1] + gap) * 1000,
+                        timerValues.getCurrentWatermarkInMs() + 1,
                     )
+                self._st.update((*new_state, t))
+                if evict and t != prev_timer:
+                    if prev_timer:
+                        self._handle.deleteTimer(prev_timer)
+                    self._handle.registerTimer(t)
             if closed:
                 yield pd.DataFrame(closed, columns=out_cols)
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             user_id = key[0]
-            if self._st.exists():
-                s0, last, n, vs, _pe = tuple(self._st.get())
+            row = self._st.get()
+            if row is not None:
+                s0, last, n, vs, _pe, _t = tuple(row)
                 self._st.clear()
                 yield pd.DataFrame(
                     [(user_id, s0, last, n, vs)], columns=out_cols
