@@ -1164,6 +1164,47 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot dedup over the VERSIONED TABLE LOG (round-11
+    growth query, r10 verdict task 7): build a real two-commit table —
+    v0 = the historical corpus (doc_id % 5 != 0), v1 = an appended
+    nightly crawl (doc_id % 5 == 0) — then extract the increment from
+    the MANIFEST DIFF (``read_version_delta``: reads only the dirs
+    commit 1 added, zero historical data scanned) and near-dup it
+    against the v0 snapshot with the shared new-vs-history LSH core.
+    This is the production nightly shape end-to-end: at 100 TB the
+    increment read costs ∝ |crawl| metadata-extracted, the band probe
+    broadcasts the small new side onto the historical index, and
+    nothing ever re-pairs history with itself. The DuckDB twin derives
+    both snapshots relationally (the same mod-5 slices) and replays
+    the identical signature/band/cap arithmetic."""
+    import shutil
+    import tempfile
+
+    from kmeans_mapreduce_spark.sources.loaders import (
+        commit_version,
+        read_version,
+        read_version_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    crawl = docs.filter(F.col("doc_id") % 5 == 0)
+    path = tempfile.mkdtemp(prefix="spark_graft_xsnap_")
+    try:
+        commit_version(spark, path, hist, mode="append")
+        commit_version(spark, path, crawl, mode="append")
+        new = read_version_delta(spark, path, 1)
+        old = read_version(spark, path, 0)
+        # eager localCheckpoint: materialize the (small) pair list so
+        # the scratch table can be removed before the caller collects
+        return dd.cross_snapshot_minhash_pairs(
+            new, old, JACCARD_LSH_THRESHOLD
+        ).localCheckpoint()
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: k-means-cell blocking (fixed corpus-row centroids so
     the oracle replays the assignment) + intra-cell exact cosine."""
@@ -2004,6 +2045,73 @@ def q_similarity_index_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     centers, _pts = _nd_centers_and_points(emb)
     return sim.index_drift(emb, centers)
+
+
+REBUILD_FIT_ITERS = 10   # Lloyd passes a from-scratch quantizer retrain costs
+INC_BALANCE_REBUILD = 2.0  # increment max-cell balance that flags a rebuild
+
+
+def q_similarity_rebuild_crossover(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """IVF REBUILD-vs-MAINTAIN cost crossover (round-11 growth query,
+    r10 verdict task 7): for nightly increments of 10/20/50% of the
+    corpus (vec_id % 10 buckets), the decision table an index operator
+    reads before choosing between appending into the existing coarse
+    cells (cost ∝ |increment|, one narrow literal-argmin pass) and
+    retraining the quantizer from scratch (cost ∝ (FIT_ITERS+1)·|corpus|
+    scan-rows: the Lloyd passes plus the final reassignment). Reports
+    per fraction: populations, rebuild scan-rows, nights-to-amortize
+    (how many nightly maintain passes one rebuild costs), the
+    increment's max-cell balance (hot-cell append pressure — skewed
+    increments degrade probe latency even while total balance looks
+    fine), and the rebuild_due flag at the declared threshold.
+    Complements similarity_index_drift (WHEN cells stop describing the
+    data) with WHAT the switch costs. One shared fixed-centroid
+    assignment (no join, no shuffle) + K×10-group aggregates."""
+    from kmeans_mapreduce_spark.operators.dedup import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centers, _pts = _nd_centers_and_points(emb)
+    assigned = assign_cells(emb, centers, out="cell").select("vec_id", "cell")
+    per = assigned.groupBy(
+        "cell", (F.col("vec_id") % 10).cast("int").alias("bkt")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    fr = spark.createDataFrame([(1,), (2,), (5,)], "inc_tenths INT")
+    ci = (
+        per.crossJoin(F.broadcast(fr))
+        .filter(F.col("bkt") < F.col("inc_tenths"))
+        .groupBy("inc_tenths", "cell")
+        .agg(F.sum("n").alias("n_cell"))
+    )
+    ag = ci.groupBy("inc_tenths").agg(
+        F.sum("n_cell").alias("n_new"),
+        F.max("n_cell").alias("inc_max_cell"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("n_total"),
+        F.countDistinct("cell").alias("n_cells"),
+    )
+    rebuild_rows = (
+        F.lit(REBUILD_FIT_ITERS + 1).cast("long") * F.col("n_total")
+    )
+    inc_bal = ieee_round_pos(
+        F.col("inc_max_cell")
+        * F.col("n_cells")
+        / F.col("n_new").cast("double"),
+        6,
+    )
+    return ag.crossJoin(F.broadcast(tot)).select(
+        "inc_tenths",
+        F.col("n_new").cast("long").alias("n_new"),
+        (F.col("n_total") - F.col("n_new")).cast("long").alias("n_hist"),
+        rebuild_rows.alias("rebuild_rows"),
+        ieee_round_pos(
+            rebuild_rows / F.col("n_new").cast("double"), 2
+        ).alias("nights_to_amortize"),
+        inc_bal.alias("inc_max_balance"),
+        (inc_bal > F.lit(INC_BALANCE_REBUILD)).alias("rebuild_due"),
+    )
 
 
 def q_similarity_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3174,6 +3282,45 @@ cand AS (
   JOIN ob o ON n.band_id = o.band_id AND n.band_hash = o.band_hash
   JOIN oc ON oc.band_id = o.band_id AND oc.band_hash = o.band_hash
   WHERE n.doc_id >= sp.split_id
+    AND (oc.n <= {dd.LSH_BUCKET_CAP} OR o.doc_id = oc.rep)
+),
+ts AS (SELECT doc_id, toks AS s FROM t),
+verified AS (
+  SELECT doc_a, doc_b, ROUND({_jaccard_expr('x.s', 'y.s')}, 6) AS jaccard
+  FROM cand JOIN ts x ON x.doc_id = doc_a JOIN ts y ON y.doc_id = doc_b
+)
+SELECT doc_b AS doc_id, doc_a AS dup_of, jaccard
+FROM verified WHERE jaccard >= {JACCARD_LSH_THRESHOLD}
+"""
+
+
+def _cross_snapshot_sql() -> str:
+    """Twin of q_dedup_cross_snapshot: the versioned-table mechanics
+    (commit v0 = doc_id%5!=0, append v1 = doc_id%5==0, manifest-diff
+    increment) reduce relationally to the two mod-5 slices, so the
+    twin is _incremental_pairs_sql with the max-based split swapped
+    for the mod-5 side predicates — signatures/bands/cap identical."""
+    band_item = "j::VARCHAR || ':' || minhash::VARCHAR"
+    return f"""
+WITH {_minhash_cte()},
+b AS (
+  SELECT doc_id, (j // {dd.ROWS_PER_BAND})::INTEGER AS band_id,
+         {h64_sql(f"string_agg({band_item}, ',' ORDER BY {band_item})")} AS band_hash
+  FROM s GROUP BY doc_id, j // {dd.ROWS_PER_BAND}
+),
+ob AS (SELECT b.* FROM b WHERE b.doc_id % 5 <> 0),
+oc AS (
+  -- hot-bucket star mirror (cross_snapshot_minhash_pairs bucket_cap):
+  -- oversized HISTORICAL buckets probe only their min-doc_id rep
+  SELECT band_id, band_hash, COUNT(*) AS n, MIN(doc_id) AS rep
+  FROM ob GROUP BY band_id, band_hash
+),
+cand AS (
+  SELECT DISTINCT o.doc_id AS doc_a, n.doc_id AS doc_b
+  FROM b n
+  JOIN ob o ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+  JOIN oc ON oc.band_id = o.band_id AND oc.band_hash = o.band_hash
+  WHERE n.doc_id % 5 = 0
     AND (oc.n <= {dd.LSH_BUCKET_CAP} OR o.doc_id = oc.rep)
 ),
 ts AS (SELECT doc_id, toks AS s FROM t),
@@ -4700,6 +4847,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_embedding": q_dedup_embedding,
         "dedup_incremental": q_dedup_incremental,
+        "dedup_cross_snapshot": q_dedup_cross_snapshot,
         "dedup_semantic": q_dedup_semantic,
         "pipeline_vector_corpus": q_pipeline_vector_corpus,
         "dedup_lsh_recall": q_dedup_lsh_recall,
@@ -4746,6 +4894,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_ivf_incremental": q_similarity_ann_ivf_incremental,
         "similarity_index_drift": q_similarity_index_drift,
         "similarity_cell_balance": q_similarity_cell_balance,
+        "similarity_rebuild_crossover": q_similarity_rebuild_crossover,
         "similarity_graph_triangles": q_similarity_graph_triangles,
         "similarity_hybrid_rrf": q_similarity_hybrid_rrf,
         "similarity_ann_ivf_trained": q_similarity_ann_ivf_trained,
@@ -5547,6 +5696,7 @@ SELECT doc_a, doc_b, hamming FROM cand
 WHERE hamming <= {dd.SIMHASH_MAX_HAMMING}""",
         "dedup_embedding": _embedding_near_dup_sql(),
         "dedup_incremental": _incremental_pairs_sql(),
+        "dedup_cross_snapshot": _cross_snapshot_sql(),
         "dedup_semantic": _semantic_dedup_sql(),
         "pipeline_vector_corpus": f"""
 WITH {_nd_assign_cte()},
@@ -5961,6 +6111,30 @@ t AS (SELECT SUM(n_vecs)::BIGINT AS n_total, COUNT(*)::BIGINT AS n_cells
 SELECT c.cell, c.n_vecs,
        {_ieee_round_pos_sql("c.n_vecs * t.n_cells / CAST(t.n_total AS DOUBLE)")} AS balance
 FROM counts c, t""",
+        # crossover twin: same assignment CTE folded to (cell, bkt)
+        # counts; the cost columns are exact integer arithmetic and
+        # the two rounded ratios replay the floor-pin
+        "similarity_rebuild_crossover": f"""
+WITH {_nd_assign_cte(normalize=False)},
+per AS (SELECT cid AS cell, (vec_id % 10)::INTEGER AS bkt,
+               COUNT(*)::BIGINT AS n
+        FROM a GROUP BY 1, 2),
+tot AS (SELECT SUM(n)::BIGINT AS n_total,
+               COUNT(DISTINCT cell)::BIGINT AS n_cells FROM per),
+fr AS (SELECT * FROM (VALUES (1), (2), (5)) f(inc_tenths)),
+ci AS (SELECT f.inc_tenths, p.cell, SUM(p.n)::BIGINT AS n_cell
+       FROM per p JOIN fr f ON p.bkt < f.inc_tenths GROUP BY 1, 2),
+ag AS (SELECT inc_tenths, SUM(n_cell)::BIGINT AS n_new,
+              MAX(n_cell)::BIGINT AS inc_max_cell
+       FROM ci GROUP BY 1)
+SELECT ag.inc_tenths::INTEGER AS inc_tenths, ag.n_new,
+       (t.n_total - ag.n_new)::BIGINT AS n_hist,
+       ({REBUILD_FIT_ITERS + 1}::BIGINT * t.n_total)::BIGINT AS rebuild_rows,
+       {_ieee_round_pos_sql(f"({REBUILD_FIT_ITERS + 1}::BIGINT * t.n_total) / CAST(ag.n_new AS DOUBLE)", 2)} AS nights_to_amortize,
+       {_ieee_round_pos_sql("ag.inc_max_cell * t.n_cells / CAST(ag.n_new AS DOUBLE)")} AS inc_max_balance,
+       ({_ieee_round_pos_sql("ag.inc_max_cell * t.n_cells / CAST(ag.n_new AS DOUBLE)")}
+        > CAST({INC_BALANCE_REBUILD} AS DOUBLE)) AS rebuild_due
+FROM ag, tot t""",
         # drift twin: same assignment CTE, per-dim micro-unit means
         # via a range lateral, exact int64 sum of squared diffs
         "similarity_index_drift": f"""

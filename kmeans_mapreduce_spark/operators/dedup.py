@@ -1495,6 +1495,25 @@ def incremental_minhash_pairs(
     old_bands = flagged.filter(F.col("doc_id") < F.col("split_id")).select(
         "doc_id", "band_id", "band_hash"
     )
+    return _cross_band_pairs(
+        docs, new_bands, old_bands, threshold, digits, bucket_cap
+    )
+
+
+def _cross_band_pairs(
+    docs_all: DataFrame,
+    new_bands: DataFrame,
+    old_bands: DataFrame,
+    threshold: float,
+    digits: int,
+    bucket_cap: int | None,
+) -> DataFrame:
+    """Shared new-vs-history core of :func:`incremental_minhash_pairs`
+    and :func:`cross_snapshot_minhash_pairs`: hot-bucket star guard on
+    the historical band index, broadcast of the (small) new-batch
+    bands onto it, Jaccard verification of colliding pairs only.
+    ``docs_all`` must contain every doc_id either band side references
+    (verification reads texts from it)."""
     if bucket_cap is not None:
         # same hot-bucket star guard as candidate_pairs, applied to the
         # HISTORICAL side: a boilerplate bucket with N old members would
@@ -1529,11 +1548,42 @@ def incremental_minhash_pairs(
     )
     # jaccard_pairs itself prunes the set build to colliding docs, so
     # verification costs ∝ |collisions|, never ∝ |corpus|
-    verified = jaccard_pairs(docs, cand, threshold, digits)
+    verified = jaccard_pairs(docs_all, cand, threshold, digits)
     return verified.select(
         F.col("doc_b").alias("doc_id"),
         F.col("doc_a").alias("dup_of"),
         "jaccard",
+    )
+
+
+def cross_snapshot_minhash_pairs(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    threshold: float = 0.2,
+    digits: int = 6,
+    bucket_cap: int | None = LSH_BUCKET_CAP,
+) -> DataFrame:
+    """:func:`incremental_minhash_pairs` with the two sides given as
+    SEPARATE DataFrames — the versioned-table-log production shape:
+    ``new_docs`` is a snapshot increment (``read_version_delta`` of
+    commit N, i.e. last night's crawl, extracted from the manifest
+    diff with zero data scanned), ``old_docs`` the previous snapshot
+    (``read_version`` N−1). Emits (doc_id, dup_of, jaccard) for
+    new×history near-dups only, exactly like the split-based variant —
+    the two share :func:`_cross_band_pairs`, so the hot-bucket guard
+    and broadcast-onto-index plan cannot drift between them. doc_ids
+    must be unique across the union of both sides (true for any
+    append-only log whose writer assigns monotone ids)."""
+    new_bands = lsh_bands_from_array(minhash_signature_array(new_docs)).select(
+        "doc_id", "band_id", "band_hash"
+    )
+    old_bands = lsh_bands_from_array(minhash_signature_array(old_docs)).select(
+        "doc_id", "band_id", "band_hash"
+    )
+    cols = [c for c in ("doc_id", "text") if c in new_docs.columns]
+    docs_all = old_docs.select(*cols).unionByName(new_docs.select(*cols))
+    return _cross_band_pairs(
+        docs_all, new_bands, old_bands, threshold, digits, bucket_cap
     )
 
 

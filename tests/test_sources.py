@@ -853,6 +853,44 @@ def test_versioned_table_commit_time_travel_and_append(spark, tmp_path):
     assert snap(4) == [(9, "z")]
 
 
+def test_read_version_delta_manifest_diff(spark, tmp_path):
+    """read_version_delta reads EXACTLY the dirs a commit added vs its
+    predecessor: an append's delta is the appended batch alone, an
+    overwrite's delta is the full new snapshot (shares no dirs),
+    version 0's delta is the whole table, an empty append yields an
+    empty frame with the pinned schema, and the delta of a 3-commit
+    append chain at N=2 excludes BOTH earlier batches."""
+    from kmeans_mapreduce_spark.sources.loaders import (
+        commit_version,
+        read_version_delta,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = lambda rows: spark.createDataFrame(rows, "k LONG, v STRING")
+    commit_version(spark, t, df([(1, "a"), (2, "b")]))                # v0
+    commit_version(spark, t, df([(3, "c")]), mode="append")           # v1
+    commit_version(spark, t, df([(4, "d"), (5, "e")]), mode="append") # v2
+    commit_version(spark, t, df([(9, "z")]))                          # v3 overwrite
+
+    delta = lambda v: sorted(
+        (r["k"], r["v"]) for r in read_version_delta(spark, t, v).collect()
+    )
+    assert delta(0) == [(1, "a"), (2, "b")]  # increment IS the table
+    assert delta(1) == [(3, "c")]
+    assert delta(2) == [(4, "d"), (5, "e")]  # v0+v1 batches excluded
+    assert delta(3) == [(9, "z")]            # overwrite: all-new dirs
+    # latest by default
+    assert delta(None) == [(9, "z")]
+
+    # empty append: delta is an empty frame with the recorded schema
+    commit_version(spark, t, df([]), mode="append")  # v4
+    d4 = read_version_delta(spark, t, 4)
+    assert d4.columns == ["k", "v"] and d4.count() == 0
+
+    with pytest.raises(FileNotFoundError):
+        read_version_delta(spark, str(tmp_path / "nope"))
+
+
 def test_vacuum_versions_keeps_retained_reads(spark, tmp_path):
     """Vacuum removes only dirs unreferenced by the retained manifests
     (plus orphans); retained versions read identically after."""
