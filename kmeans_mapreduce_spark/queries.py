@@ -587,6 +587,31 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "similarity_index_drift",
     "multimodal_meta",
     "text_tokens",
+    # round-11 additions (r10 verdict task 5): the final rotation's
+    # window queries with no bench entry join the tracked set, so
+    # their first independent correctness gate comes with a tracked
+    # cost. Still deliberately absent, same reasons as above:
+    # corpus_quality_classifier, the *_sweep/_nprobe evals,
+    # pipeline_semantic_clusters, events_stream_replay.
+    "sql_revenue_by_nation",
+    "events_users_intersect",
+    "events_users_except",
+    "events_rolling_zscore",
+    "events_session_paths",
+    "orders_running_window",
+    "corpus_sample_weighted",
+    "events_quantile_sketch_error",
+    "pipeline_series_similarity",
+    "events_day_digest",
+    "embeddings_pca",
+    "kmeans_wssse",
+    "dedup_exact",
+    "corpus_sample_stratified",
+    "events_retention",
+    "text_langid",
+    # round-11 growth queries (r10 verdict task 7): tracked from birth
+    "dedup_cross_snapshot",
+    "similarity_rebuild_crossover",
 }
 
 
