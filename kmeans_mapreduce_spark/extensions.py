@@ -2074,9 +2074,13 @@ def q_similarity_rebuild_crossover(
     emb = load_table(spark, sf_dir, "embeddings")
     centers, _pts = _nd_centers_and_points(emb)
     assigned = assign_cells(emb, centers, out="cell").select("vec_id", "cell")
+    # materialize the K×10-row counts once: both the per-fraction and
+    # the totals branches consume it, and without the barrier each
+    # would rescan + reassign the whole corpus (multi-consumer pattern
+    # of incremental_minhash_pairs' band build)
     per = assigned.groupBy(
         "cell", (F.col("vec_id") % 10).cast("int").alias("bkt")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
     fr = spark.createDataFrame([(1,), (2,), (5,)], "inc_tenths INT")
     ci = (
         per.crossJoin(F.broadcast(fr))

@@ -323,6 +323,18 @@ def test_incremental_dedup_band_probe_broadcasts(spark):
     assert not plans.has_cartesian(df)
 
 
+def test_cross_snapshot_dedup_band_probe_broadcasts(spark):
+    # two-snapshot variant of the incremental probe: the (small) new
+    # side's bands broadcast onto the historical band index exactly
+    # like the split-based plan — shared _cross_band_pairs core
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    df = dd.cross_snapshot_minhash_pairs(new, old, threshold=0.2)
+    assert plans.has_broadcast_join(df)
+    assert not plans.has_cartesian(df)
+
+
 def test_dsir_bucket_scores_broadcast_back(spark):
     # the ≤n_buckets scored table must broadcast onto the token
     # explode; a shuffle join would exchange the corpus by bucket
