@@ -60,6 +60,8 @@ CLEAN_MIN_QUALITY = 0.5
 ASOF_LEFT_TYPE = "click"
 ASOF_RIGHT_TYPE = "purchase"
 RANGE_HORIZON_SEC = 3600
+ENRICH_DIM_CUTOFF = 100  # stream-static enrich dim truncation: users at or
+# above this custkey exercise the left join's no-match null path
 SETOP_VALUE_THRESHOLD = 150.0
 SAMPLE_RATES = {"en": 0.5, "de": 0.25}
 SAMPLE_DEFAULT_RATE = 0.1
@@ -589,6 +591,107 @@ def q_events_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFram
         "n_events",
         F.round("value_sum", 2).alias("value_sum"),
     )
+
+
+def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join under the gate: the bounded events table
+    replayed through ``stream_stream_range_join`` (purchases of the
+    same user within one hour after each click — the attribution
+    join) and the matched pairs drained to a memory sink. An INNER
+    stream-stream join emits each pair exactly once, as soon as both
+    sides have arrived — never from a watermark timeout — so the
+    drained sink equals the batch interval join regardless of how
+    availableNow splits micro-batches, and the DuckDB twin is the
+    plain relational interval join. (The left-outer variant's
+    deferred-null emission IS watermark-dependent and stays pinned by
+    tests/test_streaming.py instead.)"""
+    import uuid
+
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    joined = so.stream_stream_range_join(
+        stream, ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE, horizon_sec=RANGE_HORIZON_SEC
+    )
+    qname = f"events_stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_join_replay: streaming replay did not finish "
+            "in 300 s — refusing to gate a partially-populated sink"
+        )
+    return spark.table(qname).select(
+        "user_id", "event_id", "l_ts_sec", "r_ts_sec", "r_value"
+    )
+
+
+def q_events_stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join under the gate: the purchase stream enriched
+    with a batch customer dimension via ``stream_static_enrich``
+    (broadcast left join, stateless — the third join class next to
+    stream-stream and batch-batch). The dim is deliberately truncated
+    to ``c_custkey < ENRICH_DIM_CUTOFF`` so users above the cutoff
+    exercise the no-match null path the left join exists for. A
+    stateless per-batch join over bounded input equals the batch left
+    join row-for-row, so the DuckDB twin is exact."""
+    import uuid
+
+    from kmeans_mapreduce_spark.operators.events import floor_div
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    purchases = stream.filter(
+        F.col("event_type") == ASOF_RIGHT_TYPE
+    ).select(
+        "user_id",
+        "event_id",
+        F.expr(floor_div("ts", 1_000_000_000)).alias("ts_sec"),
+    )
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") < ENRICH_DIM_CUTOFF)
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    qname = f"events_stream_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        so.stream_static_enrich(purchases, dim, key="user_id")
+        .writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_enrich_replay: streaming replay did not finish "
+            "in 300 s — refusing to gate a partially-populated sink"
+        )
+    return spark.table(qname).select("user_id", "event_id", "ts_sec", "segment")
 
 
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4833,6 +4936,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stream_dedup_replay": q_corpus_stream_dedup_replay,
         "corpus_stream_span_replay": q_corpus_stream_span_replay,
         "events_stream_session_replay": q_events_stream_session_replay,
+        "events_stream_join_replay": q_events_stream_join_replay,
+        "events_stream_enrich_replay": q_events_stream_enrich_replay,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
         "dedup_minhash_pairs": q_dedup_minhash_pairs,
@@ -5277,6 +5382,43 @@ WITH e AS (
 SELECT ((ts_sec // {ev.WINDOW_SEC}) * {ev.WINDOW_SEC})::BIGINT AS window_start,
        event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
 FROM e GROUP BY 1, 2""",
+        # batch twin of the STREAMING inner interval join: an inner
+        # stream-stream join emits pairs on arrival (never on watermark
+        # timeout), so over bounded input it equals this relational
+        # interval join row-for-row
+        "events_stream_join_replay": f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+l AS (
+  SELECT user_id, event_id, ts_sec AS l_ts_sec
+  FROM e WHERE event_type = '{ASOF_LEFT_TYPE}'
+),
+r AS (
+  SELECT user_id AS r_user, ts_sec AS r_ts_sec, value AS r_value
+  FROM e WHERE event_type = '{ASOF_RIGHT_TYPE}'
+)
+SELECT l.user_id, l.event_id, l.l_ts_sec, r.r_ts_sec, r.r_value
+FROM l JOIN r
+  ON r.r_user = l.user_id
+ AND r.r_ts_sec >= l.l_ts_sec
+ AND r.r_ts_sec < l.l_ts_sec + {RANGE_HORIZON_SEC}""",
+        # batch twin of the STREAM-STATIC broadcast enrich: stateless
+        # per-batch join over bounded input = the batch left join
+        "events_stream_enrich_replay": f"""
+WITH p AS (
+  SELECT user_id, event_id,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events WHERE event_type = '{ASOF_RIGHT_TYPE}'
+),
+d AS (
+  SELECT c_custkey AS user_id, c_mktsegment AS segment
+  FROM customer WHERE c_custkey < {ENRICH_DIM_CUTOFF}
+)
+SELECT p.user_id, p.event_id, p.ts_sec, d.segment
+FROM p LEFT JOIN d USING (user_id)""",
         "text_langid": _langid_sql(),
         "text_langid_eval": f"""
 WITH pred AS ({_langid_sql()}),

@@ -613,6 +613,10 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "dedup_cross_snapshot",
     "similarity_rebuild_crossover",
 }
+# The round-11 stream-join/enrich replays (events_stream_join_replay,
+# events_stream_enrich_replay) stay unbenched like every *_stream_*
+# replay: their wall is trigger cadence + state-store setup, not
+# operator cost; operator scaling lives in the TWS/sessionize probe.
 
 
 # The grading driver's CORRECTNESS gate verifies only the FIRST 50
