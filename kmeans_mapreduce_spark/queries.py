@@ -612,11 +612,174 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     # round-11 growth queries (r10 verdict task 7): tracked from birth
     "dedup_cross_snapshot",
     "similarity_rebuild_crossover",
+    # round-11 tail widening: one representative per previously
+    # untracked PLAN SHAPE (all ≤3.5 s/rep at sf0.1 in the r10 sweep)
+    "events_window_agg",       # canonical single-shuffle tumbling agg
+    "events_range_join",       # batch event-time interval join
+    "points_radius_join",      # 2-D radius join (distance predicate)
+    "join_top_customers",      # join + agg + window top-k
+    "events_pivot",            # pivot aggregate
+    "text_fingerprint",        # narrow whole-row hash scan
+    "corpus_split",            # broadcast component map, shuffle-free scan
+    "similarity_graph_triangles",  # k-NN graph triangle count (heaviest
+    # graph op; its 4x probe records output growth to self-adjudicate)
 }
-# The round-11 stream-join/enrich replays (events_stream_join_replay,
-# events_stream_enrich_replay) stay unbenched like every *_stream_*
-# replay: their wall is trigger cadence + state-store setup, not
-# operator cost; operator scaling lives in the TWS/sessionize probe.
+# Every registered query is either benched or named in
+# BENCH_EXCLUDED_REASONS below — tests/test_registry_smoke.py enforces
+# the partition, so a query can no longer silently fall through the
+# bench (as kmeans_wssse did in round 10: listed here, never run,
+# because bench.py iterated only extension_queries()).
+_R_STREAM = (
+    "streaming replay: wall is trigger cadence + state-store setup, not "
+    "operator cost; operator scaling lives in the sessionize/TWS probe"
+)
+_R_EVAL = (
+    "multi-probe eval loop (recall/sweep table); the probed operator's "
+    "serving path is benched individually"
+)
+_R_FIT = (
+    "iterative fit variant; the full-fit wall is benched via the core "
+    "kmeans_fit10 / mllib_fit10 / kmeans_nd_fit_large / train:* entries"
+)
+_R_SUBSTEP = (
+    "sub-step of the benched Lloyd fit (assign/recompute/wssse/bbox/"
+    "init/repair are all inside kmeans_fit10's per-iteration wall)"
+)
+_R_JOINFAM = (
+    "broadcast-dim join + aggregate, same plan shape as the benched "
+    "join_revenue_by_nation / join_top_customers / sql_revenue_by_nation"
+)
+_R_EVENTAGG = (
+    "single-shuffle aggregate variant of the benched events family "
+    "(events_window_agg is the tracked canonical shape)"
+)
+_R_TEXTSCAN = (
+    "narrow scan + aggregate variant of the benched text family "
+    "(text_quality / text_tfidf / text_repetition track the shape)"
+)
+BENCH_EXCLUDED_REASONS: dict[str, str] = {
+    "corpus_stream_dedup_replay": _R_STREAM,
+    "corpus_stream_span_replay": _R_STREAM,
+    "events_stream_enrich_replay": _R_STREAM,
+    "events_stream_join_replay": _R_STREAM,
+    "events_stream_m4_replay": _R_STREAM,
+    "events_stream_replay": _R_STREAM,
+    "events_stream_rollup_replay": _R_STREAM,
+    "events_stream_session_replay": _R_STREAM,
+    "dedup_lsh_recall": _R_EVAL,
+    "kmeans_elbow_sweep": _R_EVAL,
+    "similarity_ann_nprobe_sweep": _R_EVAL,
+    "similarity_ann_pq_recall_full_trained": _R_EVAL,
+    "similarity_ann_pq_recall_residual": _R_EVAL,
+    "similarity_ann_pq_recall_trained": _R_EVAL,
+    "similarity_ann_recall": _R_EVAL,
+    "similarity_binary_recall": _R_EVAL,
+    "similarity_dim_sweep": _R_EVAL,
+    "kmeans_fit": _R_FIT,
+    "kmeans_fit_fixed": _R_FIT,
+    "kmeans_fit_kmpp": _R_FIT,
+    "kmeans_loop2": _R_FIT,
+    "kmeans_mllib": _R_FIT,
+    "kmeans_nd_fit": _R_FIT,
+    "kmeans_nd_fit_fixed": _R_FIT,
+    "kmeans_nd_loop2": _R_FIT,
+    "kmeans_bbox": _R_SUBSTEP,
+    "kmeans_kmpp_round1": _R_SUBSTEP,
+    "kmeans_kmpp_round2": _R_SUBSTEP,
+    "kmeans_nd_assign": _R_SUBSTEP,
+    "kmeans_recompute": _R_SUBSTEP,
+    "kmeans_repair_empty": _R_SUBSTEP,
+    "join_idle_customers": _R_JOINFAM,
+    "join_parts_never_ordered": _R_JOINFAM,
+    "join_priority_check": _R_JOINFAM,
+    "join_promo_share": _R_JOINFAM,
+    "join_shipping_priority": _R_JOINFAM,
+    "join_small_quantity": _R_JOINFAM,
+    "join_suppliers_per_region": _R_JOINFAM,
+    "events_cube": _R_EVENTAGG,
+    "events_hist_quantiles": _R_EVENTAGG,
+    "events_m4": _R_EVENTAGG,
+    "events_rollup": _R_EVENTAGG,
+    "events_rollup_incremental": _R_EVENTAGG,
+    "events_twa": _R_EVENTAGG,
+    "orders_by_month": _R_EVENTAGG,
+    "orders_bloom_registers": _R_EVENTAGG,
+    "text_cms_terms": _R_TEXTSCAN,
+    "text_heaps_law": _R_TEXTSCAN,
+    "text_redact_pii": _R_TEXTSCAN,
+    "text_token_quantiles": _R_TEXTSCAN,
+    "text_top_quality": _R_TEXTSCAN,
+    "corpus_lr_auc": (
+        "eval table over the trained LR; training is benched via "
+        "corpus_lr_loop2 / corpus_lr_calibration"
+    ),
+    "corpus_lr_scores": (
+        "top-N inference over the trained LR; same suffstats scan shape "
+        "as the benched corpus_lr_calibration"
+    ),
+    "corpus_quality_classifier": (
+        "50 full-batch GD passes x ~0.38 s fixed per-job overhead at "
+        "bench scale; per-pass shape is right at 100 TB where scan cost "
+        "dominates — inherent, documented since round 10"
+    ),
+    "corpus_profile": (
+        "single-scan conditional aggregate; shape tracked by the benched "
+        "corpus_datacard"
+    ),
+    "corpus_snapshot_diff": (
+        "manifest-diff + anti-join over two table versions; the end-to-"
+        "end nightly path is benched via dedup_cross_snapshot"
+    ),
+    "corpus_training_mix": (
+        "weighted-mix planner over per-source counts; shape tracked by "
+        "the benched corpus_temperature_mix"
+    ),
+    "dedup_cluster_sizes": (
+        "post-aggregation of dedup_clusters output; label propagation is "
+        "benched via pipeline_label_propagation"
+    ),
+    "dedup_clusters": (
+        "min-label propagation loop shared with (and benched via) "
+        "pipeline_label_propagation"
+    ),
+    "dedup_minhash_sig": (
+        "signature-build sub-step of the benched dedup_minhash_pairs"
+    ),
+    "multimodal_features": (
+        "Arrow decode kernel; the heavier end-to-end decode paths are "
+        "benched via multimodal_resize / multimodal_mjpeg / "
+        "pipeline_media_cluster"
+    ),
+    "multimodal_frames": (
+        "frame-sample kernel; end-to-end AVI decode is benched via "
+        "multimodal_mjpeg"
+    ),
+    "pipeline_semantic_clusters": (
+        "contains a full k-NN graph build already benched via "
+        "similarity_knn_graph (documented since round 10)"
+    ),
+    "points_source": (
+        "raw 2-column scan; bench's warmup_count times the same scan"
+    ),
+    "similarity_ann_ivf_incremental": (
+        "index-maintenance variant; the rebuild-vs-maintain economics "
+        "are benched via similarity_rebuild_crossover"
+    ),
+    "similarity_ann_lsh": (
+        "LSH-bucketed ANN variant; the bucketed serving shape is benched "
+        "via similarity_ann_ivf and the banded build via "
+        "dedup_minhash_pairs"
+    ),
+    "similarity_ann_pq_rerank_residual": (
+        "residual-PQ rerank variant; the rerank path is benched via "
+        "similarity_ann_pq_rerank(_trained) and the residual encode via "
+        "similarity_ann_pq_residual"
+    ),
+    "similarity_ann_pq_residual_trained": (
+        "trained residual-PQ variant; covered by the benched "
+        "similarity_ann_pq_residual + similarity_ann_pq_trained pair"
+    ),
+}
 
 
 # The grading driver's CORRECTNESS gate verifies only the FIRST 50
