@@ -67,6 +67,27 @@ def main() -> int:
 
     ticks_start = _cpu_ticks()
 
+    # Effective DRAM bandwidth stamp (round 11): the co-tenant episode
+    # that inflated totals 2-3x showed ~full CPU speed (cache-resident
+    # loops unaffected) but in-place numpy streaming collapsed from
+    # multi-GB/s to ~0.3 GB/s — memory-bandwidth contention is the one
+    # signal neither loadavg nor steal exposes. One 64 MB in-place
+    # triad at start and end (<0.5 s when healthy) makes cross-round
+    # total comparisons divisible by the box's actual streaming rate.
+    def _mem_stream_gbps() -> float:
+        import numpy as _np
+
+        buf = _np.random.rand(8_000_000)  # 64 MB
+        out = _np.empty_like(buf)
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _np.multiply(buf, 2.0, out=out)
+            best = min(best, time.perf_counter() - t0)
+        return round(0.128 / best, 2)  # 64 MB read + 64 MB write
+
+    extra["mem_stream_gbps_start"] = _mem_stream_gbps()
+
     def timed(name: str, fn, repeat: int = 3):
         """Record the MEDIAN wall over ``repeat`` runs — the first run
         pays one-time plan analysis + codegen JIT, the median resists
@@ -193,6 +214,7 @@ def main() -> int:
         extra["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     except OSError:
         pass
+    extra["mem_stream_gbps_end"] = _mem_stream_gbps()
     ticks_end = _cpu_ticks()
     if ticks_start and ticks_end and ticks_end[1] > ticks_start[1]:
         extra["cpu_steal_pct"] = round(
