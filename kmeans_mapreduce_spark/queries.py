@@ -836,23 +836,29 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "events_key_skew",
     "corpus_dsir_weights",
     "events_day_digest",
-    # -- regression canaries: previously driver-green, family spread --
-    "kmeans_assign",
+    # -- gated FROM BIRTH (debt is closed, so new queries take window
+    # slots the round they land): the round-11 growth pair and the two
+    # streaming-join replays, none ever driver-gated before --
+    "dedup_cross_snapshot",
+    "similarity_rebuild_crossover",
+    "events_stream_join_replay",
+    "events_stream_enrich_replay",
+    # -- regression canaries: previously driver-green, family spread
+    # (kmeans_assign / dedup_exact / similarity_topk / text_langid
+    # rotated out for the four above; their families keep richer
+    # representatives below) --
     "kmeans_wssse",
     "kmeans_nd_fit_large",
-    "dedup_exact",
     "dedup_keep_best",
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_incremental",
     "dedup_substring",
     "dedup_semantic",
-    "similarity_topk",
     "similarity_ann_pq_trained",
     "similarity_ann_recall_trained",
     "text_tfidf",
     "text_bm25",
-    "text_langid",
     "corpus_sample_stratified",
     "embeddings_int8_quant",
     "events_sessionize",
