@@ -2974,6 +2974,32 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-domain audio analysis over REAL decoded PCM (stdlib wave +
+    vectorized numpy, one narrow mapInPandas): zero-crossing count,
+    peak amplitude, exact sum of squares, and RMS derived OUTSIDE the
+    UDF from the exact integer parts via the shared IEEE rounding
+    expression — both engines run the identical sqrt/divide/floor ops.
+    The DuckDB twin rebuilds each clip's int16 samples arithmetically
+    from the md5 digest the payload generator cycles (16 digest bytes
+    = an 8-sample period) and computes the same features relationally."""
+    media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
+    feats = mm.audio_features(media)
+    return feats.select(
+        "media_id",
+        "n_samples",
+        "zero_crossings",
+        "peak",
+        "sum_sq",
+        ieee_round_pos(
+            F.sqrt(
+                F.col("sum_sq").cast("double")
+                / F.col("n_samples").cast("double")
+            )
+        ).alias("rms"),
+    )
+
+
 def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click matched to the user's latest purchase
     state at-or-before it (union + running last over one user-keyed
@@ -5034,6 +5060,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_nd_fit_large": q_kmeans_nd_fit_large,
         "multimodal_meta": q_multimodal_meta,
         "multimodal_features": q_multimodal_features,
+        "multimodal_audio": q_multimodal_audio,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frames": q_multimodal_frames,
         "multimodal_mjpeg": q_multimodal_mjpeg,
@@ -6791,6 +6818,48 @@ WHERE doc_id % 3 = 2""",
         # content length L (3wh pixels / 2·ns PCM bytes / nf·(3·16·12)
         # AVI frame bytes), so content_sum = (L//16)·digest_sum +
         # prefix_sum(L%16) — all small exact integers, so the single
+        # audio twin: the WAV payload's PCM bytes are the md5 digest
+        # cycled, so 16 digest bytes = one 8-sample int16 period; the
+        # twin materializes the full (<=599-element) sample list per
+        # clip and computes the identical exact-integer features, with
+        # rms as the shared IEEE floor-round expression
+        "multimodal_audio": f"""
+WITH m AS (
+  SELECT doc_id AS media_id, (doc_id % 500 + 100) AS ns, md5(text) AS hx
+  FROM documents WHERE doc_id % 3 = 1
+),
+d AS (
+  SELECT media_id, ns,
+         list_transform(range(0, 16),
+           j -> (strpos('0123456789abcdef', substr(hx, 2 * CAST(j AS INTEGER) + 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 2 * CAST(j AS INTEGER) + 2, 1)) - 1)) AS db
+  FROM m
+),
+u AS (
+  SELECT media_id, ns,
+         list_transform(range(0, ns),
+           i -> db[2 * (CAST(i AS INTEGER) % 8) + 1]
+              + 256 * db[2 * (CAST(i AS INTEGER) % 8) + 2]) AS uraw
+  FROM d
+),
+s AS (
+  SELECT media_id, ns,
+         list_transform(uraw,
+           v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS sm
+  FROM u
+),
+f AS (
+  SELECT media_id, ns,
+         length(list_filter(range(1, ns),
+           i -> sm[CAST(i AS INTEGER)] * sm[CAST(i AS INTEGER) + 1] < 0)) AS zc,
+         list_max(list_transform(sm, x -> abs(x))) AS pk,
+         list_sum(list_transform(sm, x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS ssq
+  FROM s
+)
+SELECT media_id, ns::BIGINT AS n_samples, zc::BIGINT AS zero_crossings,
+       pk::BIGINT AS peak, ssq::BIGINT AS sum_sq,
+       {_ieee_round_pos_sql('sqrt(ssq::DOUBLE / ns::DOUBLE)')} AS rms
+FROM f""",
         # double division is bit-identical to the engine's sum/len
         "multimodal_features": """
 WITH m AS (

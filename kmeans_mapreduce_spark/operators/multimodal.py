@@ -472,6 +472,68 @@ def media_meta(media: DataFrame) -> DataFrame:
     return media.select("media_id", "kind", "n_bytes", "width", "height")
 
 
+AUDIO_FEATURE_SCHEMA = (
+    "media_id LONG, n_samples LONG, zero_crossings LONG, peak LONG, "
+    "sum_sq LONG, decoded BOOLEAN"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Time-domain audio screening over REAL decoded PCM — the pass an
+    audio-curation pipeline runs before any model hears a clip
+    (silence / clipping / loudness screens). Production plumbing end
+    to end: binary WAV payload in, stdlib decode, zero-copy numpy
+    int16 view, vectorized feature math per Arrow batch, narrow map —
+    payloads never shuffle, so at 100 TB the cost is decode CPU,
+    embarrassingly parallel. Features stay exact-integer where the
+    cross-engine gate needs bit equality: ``zero_crossings`` is the
+    strict sign-flip count (``s[i]·s[i−1] < 0`` — a zero sample breaks
+    the run identically on both engines), ``sum_sq`` an exact int64
+    (32768² · 599 samples ≪ 2⁶³), ``peak`` the max absolute sample.
+    RMS is deliberately NOT computed here: callers derive it from the
+    exact parts with the shared IEEE expression (see
+    extensions.q_multimodal_audio) so both engines run identical
+    float ops. Malformed payloads degrade to ``decoded=false`` with
+    null features rather than failing the stage."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    n, _rate, frames = _decode_wav(bytes(p))
+                    s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+                    rows.append(
+                        (
+                            int(mid),
+                            int(n),
+                            int(np.sum(s[1:] * s[:-1] < 0)),
+                            int(np.max(np.abs(s))) if len(s) else 0,
+                            int(np.dot(s, s)),
+                            True,
+                        )
+                    )
+                except Exception:
+                    rows.append((int(mid), None, None, None, None, False))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "zero_crossings", "peak",
+                    "sum_sq", "decoded",
+                ],
+            )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(fn, schema=AUDIO_FEATURE_SCHEMA)
+    )
+
+
 RESIZE_SCHEMA = (
     "media_id LONG, kind STRING, out_width INT, out_height INT, "
     "n_bytes LONG, payload BINARY"

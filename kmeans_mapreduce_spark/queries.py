@@ -754,6 +754,10 @@ BENCH_EXCLUDED_REASONS: dict[str, str] = {
         "frame-sample kernel; end-to-end AVI decode is benched via "
         "multimodal_mjpeg"
     ),
+    "multimodal_audio": (
+        "Arrow decode kernel (WAV -> PCM features); same narrow "
+        "mapInPandas shape as the benched multimodal_resize"
+    ),
     "pipeline_semantic_clusters": (
         "contains a full k-NN graph build already benched via "
         "similarity_knn_graph (documented since round 10)"

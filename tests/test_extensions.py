@@ -467,6 +467,41 @@ def test_ppm_wav_decoders_roundtrip_known_bytes():
     assert len(buf.getvalue()) == 44 + 6
 
 
+def test_audio_features_known_samples(spark):
+    """audio_features over a hand-built WAV with known samples
+    [1, -1, 0, 5, -5, 32767, -32768]: strict zero-crossing count
+    (zeros break runs: 1→-1 counts, -1→0 and 0→5 do not), peak is the
+    max absolute sample, sum_sq the exact int64 sum; a malformed
+    payload degrades to decoded=false with null features."""
+    import io
+    import struct
+    import wave as wv
+
+    samples = [1, -1, 0, 5, -5, 32767, -32768]
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(struct.pack("<7h", *samples))
+    media = spark.createDataFrame(
+        [(0, "audio", bytearray(buf.getvalue())),
+         (1, "audio", bytearray(b"not a wav")),
+         (2, "image", bytearray(b"filtered out"))],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    rows = {r["media_id"]: r for r in mm.audio_features(media).collect()}
+    assert set(rows) == {0, 1}  # image row filtered by kind
+    good = rows[0]
+    # sign flips: 1→-1, 5→-5, -5→32767, 32767→-32768 = 4 (zeros break)
+    assert good["zero_crossings"] == 4
+    assert good["peak"] == 32768
+    assert good["sum_sq"] == sum(s * s for s in samples)
+    assert good["n_samples"] == 7 and good["decoded"]
+    bad = rows[1]
+    assert bad["decoded"] is False and bad["sum_sq"] is None
+
+
 def test_multimodal_resize_and_frame_sample(docs):
     media = mm.media_from_documents(docs)
     resized = mm.resize_images(media, 32, 32).collect()
