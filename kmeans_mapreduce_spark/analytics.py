@@ -427,6 +427,60 @@ def q_corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Oracle twins
 # ---------------------------------------------------------------------------
 
+def q_events_stream_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming SKETCH maintenance under the gate: the bounded events
+    table replayed through ``stream_hll_registers`` — the HLL register
+    table maintained AS A STREAM with constant state (event_types ×
+    256 max-rho rows forever, no watermark, unlike streaming
+    dropDuplicates whose state grows with distinct keys) — and the
+    final complete-mode register table returned. ``max`` is order- and
+    batch-split-insensitive, so the drained state equals the batch
+    registers bit-for-bit and the DuckDB twin is simply the register
+    stage of the ``events_hll_distinct`` oracle. Exact integers; at
+    100 TB this is nightly distinct-count tracking whose shuffle is
+    bounded by the register count, not the event count."""
+    import uuid
+
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    regs = so.stream_hll_registers(stream, "user_id", ["event_type"])
+    qname = f"events_stream_hll_{uuid.uuid4().hex[:8]}"
+    q = (
+        regs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_hll_replay: streaming replay did not finish "
+            "in 300 s — refusing to gate a partially-maintained sketch"
+        )
+    return spark.table(qname).select(
+        "event_type",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("m_j").cast("long").alias("m_j"),
+    )
+
+
+def _stream_hll_oracle() -> str:
+    u = sk.hll_sql("user_id::VARCHAR", "event_type", "events", "sr")
+    return f"""
+WITH {u}
+SELECT g AS event_type, bucket::BIGINT AS bucket, m_j::BIGINT AS m_j
+FROM reg_sr"""
+
+
 def _hll_oracle() -> str:
     u = sk.hll_sql("user_id::VARCHAR", "event_type", "events", "users_hll")
     v = sk.hll_sql("event_id::VARCHAR", "event_type", "events", "events_hll")
@@ -875,6 +929,7 @@ FROM rows_h GROUP BY day"""
 def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "events_hll_distinct": q_events_hll_distinct,
+        "events_stream_hll_replay": q_events_stream_hll_replay,
         "orders_bloom_registers": q_orders_bloom_registers,
         "lineitem_bloom_prune": q_lineitem_bloom_prune,
         "text_chunks": q_text_chunks,
@@ -904,6 +959,7 @@ def analytics_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def analytics_oracle_sql() -> dict[str, str]:
     return {
         "events_hll_distinct": _hll_oracle(),
+        "events_stream_hll_replay": _stream_hll_oracle(),
         "orders_bloom_registers": _BLOOM_REGISTERS_ORACLE,
         "lineitem_bloom_prune": _BLOOM_PRUNE_ORACLE,
         "text_chunks": _TEXT_CHUNKS_ORACLE,
