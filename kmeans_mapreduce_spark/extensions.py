@@ -593,6 +593,48 @@ def q_events_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_events_stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful streaming FUNNEL under the gate: the bounded events
+    table replayed through ``stream_funnel`` (the
+    ``applyInPandasWithState`` step automaton — one small int of state
+    per user, an event advances the funnel iff its type is the next
+    uncompleted step) and the emitted step-completion rows drained to
+    a memory sink. A step row is emitted exactly once, when its
+    completing event is processed, so with the replay's event-time
+    ordering the drained sink equals the relational running-window
+    formulation row-for-row: step k's timestamp is the first
+    step-k-typed event at-or-after step k−1 completed, ties broken by
+    (ts_sec, event_id) on both sides."""
+    import uuid
+
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    fun = so.stream_funnel(stream)
+    qname = f"events_stream_funnel_{uuid.uuid4().hex[:8]}"
+    q = (
+        fun.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_funnel_replay: streaming replay did not finish "
+            "in 300 s — refusing to gate a partially-populated sink"
+        )
+    return spark.table(qname).select("user_id", "step", "step_type", "ts_sec")
+
+
 def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM join under the gate: the bounded events table
     replayed through ``stream_stream_range_join`` (purchases of the
@@ -4962,6 +5004,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stream_dedup_replay": q_corpus_stream_dedup_replay,
         "corpus_stream_span_replay": q_corpus_stream_span_replay,
         "events_stream_session_replay": q_events_stream_session_replay,
+        "events_stream_funnel_replay": q_events_stream_funnel_replay,
         "events_stream_join_replay": q_events_stream_join_replay,
         "events_stream_enrich_replay": q_events_stream_enrich_replay,
         "dedup_exact": q_dedup_exact,
@@ -6690,6 +6733,52 @@ SELECT user_id,
 FROM sessions GROUP BY user_id, session_idx""",
         # independently-formulated funnel: layered CTEs instead of the
         # engine's chained withColumn windows; same (ts_sec, event_id)
+        # streaming funnel twin: the automaton's emitted rows, stated
+        # relationally — per user, step k's timestamp is the first
+        # step-k-typed event whose row already satisfies step k-1
+        # (running-min chain, (ts_sec, event_id) order); per-user
+        # aggregate MIN of each chained CASE equals the final running
+        # value, and completed steps emit one row each
+        "events_stream_funnel_replay": f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+s0 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{ev.FUNNEL_STEPS[0]}' THEN ts_sec END)
+    OVER w AS q0
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s1 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{ev.FUNNEL_STEPS[1]}'
+                      AND q0 IS NOT NULL THEN ts_sec END) OVER w AS q1
+  FROM s0 WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+s2 AS (
+  SELECT *, MIN(CASE WHEN event_type = '{ev.FUNNEL_STEPS[2]}'
+                      AND q1 IS NOT NULL THEN ts_sec END) OVER w AS q2
+  FROM s1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+pu AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{ev.FUNNEL_STEPS[0]}'
+                  THEN ts_sec END) AS t1,
+         MIN(CASE WHEN event_type = '{ev.FUNNEL_STEPS[1]}'
+                   AND q0 IS NOT NULL THEN ts_sec END) AS t2,
+         MIN(CASE WHEN event_type = '{ev.FUNNEL_STEPS[2]}'
+                   AND q1 IS NOT NULL THEN ts_sec END) AS t3
+  FROM s2 GROUP BY user_id
+)
+SELECT user_id, 1 AS step, '{ev.FUNNEL_STEPS[0]}' AS step_type, t1 AS ts_sec
+FROM pu WHERE t1 IS NOT NULL
+UNION ALL
+SELECT user_id, 2, '{ev.FUNNEL_STEPS[1]}', t2 FROM pu WHERE t2 IS NOT NULL
+UNION ALL
+SELECT user_id, 3, '{ev.FUNNEL_STEPS[2]}', t3 FROM pu WHERE t3 IS NOT NULL""",
         # tie-break and at-or-before qualification
         "events_funnel": f"""
 WITH e AS (

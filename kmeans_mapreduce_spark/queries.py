@@ -662,6 +662,7 @@ BENCH_EXCLUDED_REASONS: dict[str, str] = {
     "corpus_stream_span_replay": _R_STREAM,
     "events_stream_enrich_replay": _R_STREAM,
     "events_stream_join_replay": _R_STREAM,
+    "events_stream_funnel_replay": _R_STREAM,
     "events_stream_hll_replay": _R_STREAM,
     "events_stream_m4_replay": _R_STREAM,
     "events_stream_replay": _R_STREAM,
