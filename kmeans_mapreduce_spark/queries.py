@@ -842,6 +842,12 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "events_key_skew",
     "corpus_dsir_weights",
     "events_day_digest",
+    # ROUND-12 STAGING: three queries landed after this window locked
+    # and have never been driver-gated (builder-gated at 3 scales):
+    # multimodal_audio, events_stream_hll_replay,
+    # events_stream_funnel_replay. Round 12 swaps them in for three
+    # canaries below, same gated-from-birth policy as this round.
+    #
     # -- gated FROM BIRTH (debt is closed, so new queries take window
     # slots the round they land): the round-11 growth pair and the two
     # streaming-join replays, none ever driver-gated before --
