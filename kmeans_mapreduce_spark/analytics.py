@@ -110,10 +110,20 @@ def q_embeddings_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Arrow partial-aggregation pass for the sufficient statistics,
     driver eigh, narrow projection map. Rows-only by declared contract
     (numerical eigendecomposition, like kmeans_fit); numpy-parity and
-    orthonormality tests pin correctness."""
+    orthonormality tests pin correctness.
+
+    Gate shape: the projection's ``pc ARRAY<DOUBLE>`` is posexploded to
+    one scalar ``(vec_id, k, component_value)`` row per dimension — the
+    same flattening q_embeddings_pca_suffstats uses — because the
+    driver's rows-only canonicalizer sorts the pandas frame and
+    list-typed cells are unhashable (the r11 red row). Callers wanting
+    the array form use pca.pca_pipeline directly."""
     from kmeans_mapreduce_spark.operators import pca
 
-    return pca.pca_pipeline(load_table(spark, sf_dir, "embeddings"))
+    out = pca.pca_pipeline(load_table(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", F.posexplode("pc").alias("k", "component_value")
+    )
 
 
 def q_embeddings_pca_suffstats(spark: SparkSession, sf_dir: str) -> DataFrame:
