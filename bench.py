@@ -61,7 +61,10 @@ def main() -> int:
                 parts = f.readline().split()
             vals = [int(x) for x in parts[1:]]
             steal = vals[7] if len(vals) > 7 else 0
-            return steal, sum(vals)
+            # sum user..steal only (fields 0-7): guest/guest_nice are
+            # already accounted inside user/nice, so including them
+            # double-counts guest time and understates the steal pct
+            return steal, sum(vals[:8])
         except (OSError, ValueError, IndexError):
             return None
 

@@ -642,11 +642,16 @@ def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     join) and the matched pairs drained to a memory sink. An INNER
     stream-stream join emits each pair exactly once, as soon as both
     sides have arrived — never from a watermark timeout — so the
-    drained sink equals the batch interval join regardless of how
-    availableNow splits micro-batches, and the DuckDB twin is the
-    plain relational interval join. (The left-outer variant's
-    deferred-null emission IS watermark-dependent and stays pinned by
-    tests/test_streaming.py instead.)"""
+    drained sink equals the batch interval join — PROVIDED no input
+    row is dropped as late. That only holds if micro-batch splits
+    preserve event-time order (an out-of-order split could advance the
+    watermark past still-unread rows), so the reader pins single-batch
+    replay: ``maxFilesPerTrigger`` is set above the file count, making
+    availableNow drain everything in ONE micro-batch where the
+    watermark (computed at batch end) can drop nothing. (The
+    left-outer variant's deferred-null emission IS watermark-dependent
+    even single-batch and stays pinned by tests/test_streaming.py
+    instead.)"""
     import uuid
 
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
@@ -657,6 +662,7 @@ def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = normalize_events_ts(
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1000000")  # single-batch replay
         .parquet(sf_dir)
     )
     joined = so.stream_stream_range_join(

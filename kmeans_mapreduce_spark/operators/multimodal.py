@@ -505,7 +505,17 @@ def audio_features(media: DataFrame) -> DataFrame:
             rows = []
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    n, _rate, frames = _decode_wav(bytes(p))
+                    # The int16-mono view below is only valid for
+                    # sampwidth=2 / nchannels=1 PCM; anything else must
+                    # take the decoded=false degrade path rather than
+                    # yield silently wrong features.
+                    with wave.open(io.BytesIO(bytes(p)), "rb") as wv:
+                        if wv.getsampwidth() != 2 or wv.getnchannels() != 1:
+                            raise ValueError(
+                                "audio_features requires 16-bit mono PCM"
+                            )
+                        n = wv.getnframes()
+                        frames = wv.readframes(n)
                     s = np.frombuffer(frames, dtype="<i2").astype(np.int64)
                     rows.append(
                         (

@@ -472,26 +472,37 @@ def test_audio_features_known_samples(spark):
     [1, -1, 0, 5, -5, 32767, -32768]: strict zero-crossing count
     (zeros break runs: 1→-1 counts, -1→0 and 0→5 do not), peak is the
     max absolute sample, sum_sq the exact int64 sum; a malformed
-    payload degrades to decoded=false with null features."""
+    payload degrades to decoded=false with null features — and so do
+    VALID WAVs the int16-mono feature math can't interpret (8-bit,
+    stereo), which would otherwise decode without error into silently
+    wrong features."""
     import io
     import struct
     import wave as wv
 
+    def _wav(nchannels, sampwidth, frames):
+        b = io.BytesIO()
+        with wv.open(b, "wb") as f:
+            f.setnchannels(nchannels)
+            f.setsampwidth(sampwidth)
+            f.setframerate(8000)
+            f.writeframes(frames)
+        return b.getvalue()
+
     samples = [1, -1, 0, 5, -5, 32767, -32768]
-    buf = io.BytesIO()
-    with wv.open(buf, "wb") as f:
-        f.setnchannels(1)
-        f.setsampwidth(2)
-        f.setframerate(8000)
-        f.writeframes(struct.pack("<7h", *samples))
     media = spark.createDataFrame(
-        [(0, "audio", bytearray(buf.getvalue())),
+        [(0, "audio", bytearray(_wav(1, 2, struct.pack("<7h", *samples)))),
          (1, "audio", bytearray(b"not a wav")),
-         (2, "image", bytearray(b"filtered out"))],
+         (2, "image", bytearray(b"filtered out")),
+         (3, "audio", bytearray(_wav(1, 1, bytes([0, 255, 128])))),
+         (4, "audio", bytearray(_wav(2, 2, struct.pack("<4h", 1, 2, 3, 4))))],
         "media_id LONG, kind STRING, payload BINARY",
     )
     rows = {r["media_id"]: r for r in mm.audio_features(media).collect()}
-    assert set(rows) == {0, 1}  # image row filtered by kind
+    assert set(rows) == {0, 1, 3, 4}  # image row filtered by kind
+    # well-formed but not 16-bit mono → degrade, never silent garbage
+    assert rows[3]["decoded"] is False and rows[3]["sum_sq"] is None
+    assert rows[4]["decoded"] is False and rows[4]["sum_sq"] is None
     good = rows[0]
     # sign flips: 1→-1, 5→-5, -5→32767, 32767→-32768 = 4 (zeros break)
     assert good["zero_crossings"] == 4
