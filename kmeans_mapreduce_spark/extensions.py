@@ -1652,6 +1652,21 @@ def q_text_bpe_merges2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_second_round(load_table(spark, sf_dir, "documents"))
 
 
+def q_text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END BPE: train a 6-rule merge list (scan-once vocab,
+    weighted rounds on the cached metadata-scale vocab table — the
+    Sennrich trainer the merges/merges2 queries only probe one round
+    of) and APPLY it to the corpus as an M-deep native replace chain
+    (textops.bpe_train_merges / bpe_segment_stats). Per-doc token
+    counts under the learned vocab, all exact integers. The DuckDB
+    twin replays the identical training loop in chained CTEs — each
+    round's winner a scalar subquery with the same (count DESC, pair
+    ASC) tie-break and the same chr(0xE000+i) markers — so the gate
+    pins trainer AND segmenter cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_segment_stats(docs, tx.bpe_train_merges(docs))
+
+
 def q_dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style span dedup WITH reassembly: repeated 10-word spans
     removed except their globally-first occurrence, cleaned text
@@ -5054,6 +5069,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_quality_classifier": q_corpus_quality_classifier,
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_merges2": q_text_bpe_merges2,
+        "text_bpe_segment": q_text_bpe_segment,
         "corpus_curriculum": q_corpus_curriculum,
         "corpus_sample_fixed": q_corpus_sample_fixed,
         "corpus_datacard": q_corpus_datacard,
@@ -5309,6 +5325,59 @@ sessions AS (
   FROM flagged
 )
 """
+
+
+def _bpe_segment_sql(n_merges: int = None) -> str:
+    """Replay the full BPE training loop in chained CTEs — round i's
+    winner is a scalar subquery over the vocab with rounds 1..i-1
+    applied, same (count DESC, pair ASC) tie-break and chr(0xE000+i)
+    markers as textops.bpe_train_merges — then apply the learned chain
+    to each doc's text and emit the same exact-integer stats as
+    bpe_segment_stats."""
+    m = n_merges if n_merges is not None else tx.BPE_SEGMENT_MERGES
+    ctes = [
+        "w0 AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents)",
+        "v0 AS (SELECT w, COUNT(*)::BIGINT AS n FROM w0 GROUP BY w)",
+    ]
+    for i in range(1, m + 1):
+        prev = f"v{i - 1}"
+        marker = tx.BPE_MARKER_BASE + (i - 1)
+        ctes.append(
+            f"""m{i} AS (SELECT pair FROM (
+  SELECT pair, SUM(n) AS c FROM (
+    SELECT unnest(list_transform(range(1, length(w)), j -> substr(w, j, 2))) AS pair, n
+    FROM {prev}) GROUP BY pair)
+  ORDER BY c DESC, pair LIMIT 1)"""
+        )
+        if i < m:
+            ctes.append(
+                f"v{i} AS (SELECT replace(w, (SELECT pair FROM m{i}), "
+                f"chr({marker})) AS w, n FROM {prev})"
+            )
+    seg = "text"
+    for i in range(1, m + 1):
+        seg = (
+            f"replace({seg}, (SELECT pair FROM m{i}), "
+            f"chr({tx.BPE_MARKER_BASE + (i - 1)}))"
+        )
+    ctes.append(
+        f"""s AS (
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS n_words,
+         length(text)::BIGINT AS lt,
+         length({seg})::BIGINT AS ls
+  FROM documents)"""
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT doc_id, n_words,
+       (lt - (n_words - 1))::BIGINT AS n_units0,
+       (ls - (n_words - 1))::BIGINT AS n_units,
+       (lt - ls)::BIGINT AS n_merged
+FROM s"""
+    )
 
 
 def extension_oracle_sql() -> dict[str, str]:
@@ -6189,6 +6258,7 @@ w2 AS (SELECT replace(w, (SELECT pair FROM t1), chr(1)) AS w FROM w0),
 p2 AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) AS pair FROM w2),
 c AS (SELECT pair, COUNT(*)::BIGINT AS n FROM p2 GROUP BY pair)
 SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT {tx.BPE_MERGE_TOPK}""",
+        "text_bpe_segment": _bpe_segment_sql(),
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         # hybrid fusion: the two retriever twins as subqueries, ranks
         # fused with the identical 1/(C+r) + 1/(C+r) IEEE expression

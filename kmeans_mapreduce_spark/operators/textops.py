@@ -604,6 +604,143 @@ def bpe_second_round(
     return _count_top_pairs(words, "mw", k)
 
 
+BPE_SEGMENT_MERGES = 6
+BPE_MARKER_BASE = 0xE000  # private-use plane: never in corpus text,
+# single BMP code point on both engines (Spark UTF-16 length == code
+# points, DuckDB chr()/length() by code point)
+
+
+def _weighted_top_pair(vocab: DataFrame, word_col: str, weight_col: str):
+    """One weighted pair-count round over a (word, n) VOCAB table →
+    the single winning (pair, count) row, or None on an empty/
+    single-char vocab. The weighting is what makes training scan-once:
+    counting pairs over distinct words × their corpus frequency equals
+    counting over every word instance, but the input is |V| rows, not
+    the corpus. Same vectorized Arrow pass as ``_count_top_pairs``
+    (UTF-32 code-unit fold, position-masked word boundaries) with the
+    per-pair weight gathered by ``np.repeat`` over word lengths and
+    accumulated exact-integer via ``np.add.at`` — partials stay
+    ≤ |alphabet|² rows per partition, the groupBy merge and the
+    1-row TakeOrderedAndProject are metadata-scale."""
+
+    def pair_counts(batches):
+        import numpy as np
+        import pandas as pd
+
+        totals: dict[int, int] = {}
+        for pdf in batches:
+            sub = pdf[[word_col, weight_col]].dropna()
+            sub = sub[sub[word_col].str.len() > 0]
+            if not len(sub):
+                continue
+            words = sub[word_col].tolist()
+            wts = sub[weight_col].to_numpy(dtype=np.int64)
+            joined = "".join(words)
+            if len(joined) < 2:
+                continue
+            a = np.frombuffer(
+                joined.encode("utf-32-le", errors="surrogatepass"),
+                dtype=np.uint32,
+            )
+            keys = (a[:-1].astype(np.uint64) << np.uint64(32)) | a[1:].astype(
+                np.uint64
+            )
+            lens = np.fromiter(map(len, words), dtype=np.int64)
+            ends = np.cumsum(lens)
+            valid = np.ones(len(a) - 1, dtype=bool)
+            valid[ends[:-1] - 1] = False
+            # pair at position i carries the weight of the word that
+            # contains code points (i, i+1)
+            pair_w = np.repeat(wts, lens)[:-1][valid]
+            keys = keys[valid]
+            uniq, inverse = np.unique(keys, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(sums, inverse, pair_w)
+            for key, n in zip(uniq.tolist(), sums.tolist()):
+                totals[key] = totals.get(key, 0) + n
+        yield pd.DataFrame(
+            {
+                "pair": [chr(key >> 32) + chr(key & 0xFFFFFFFF) for key in totals],
+                "n": list(totals.values()),
+            }
+        )
+
+    partials = vocab.mapInPandas(pair_counts, "pair STRING, n BIGINT")
+    rows = (
+        partials.groupBy("pair")
+        .agg(F.sum("n").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(1)
+        .collect()
+    )
+    return rows[0] if rows else None
+
+
+def bpe_train_merges(
+    docs: DataFrame, n_merges: int = BPE_SEGMENT_MERGES
+) -> list[tuple[str, str]]:
+    """FULL BPE training loop (Sennrich et al. 2016): learn an ordered
+    merge list of ``n_merges`` (pair → marker) rules. The corpus is
+    scanned ONCE into the distinct-word vocab (word, count) — the
+    shuffle is bounded by |V|, never corpus rows — then every round
+    runs on the cached metadata-scale vocab: weighted pair count →
+    1-row collect (the K-row-collect contract of the k-means loop) →
+    literal leftmost-nonoverlapping replace of the winner with the
+    round's private-use marker chr(0xE000+i). Later rounds merge
+    marker-adjacent pairs, exactly how real BPE grows multi-char
+    symbols. At 100 TB the round cost is |V| rows per round; only the
+    vocab build touches the corpus."""
+    words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n")).cache()
+    try:
+        merges: list[tuple[str, str]] = []
+        cur = vocab
+        for i in range(n_merges):
+            top = _weighted_top_pair(cur, "w", "n")
+            if top is None:
+                break
+            marker = chr(BPE_MARKER_BASE + i)
+            merges.append((top["pair"], marker))
+            cur = cur.select(
+                F.replace(F.col("w"), F.lit(top["pair"]), F.lit(marker)).alias(
+                    "w"
+                ),
+                "n",
+            )
+        return merges
+    finally:
+        vocab.unpersist()
+
+
+def bpe_segment_stats(
+    docs: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a trained merge list end-to-end — the missing half of the
+    tokenizer story next to the trainer. The segmentation is an
+    M-deep chain of literal replaces applied IN TRAINING ORDER
+    directly to the text (pairs never contain a space, so whole-text
+    replace equals per-word replace while skipping the explode), all
+    native Catalyst inside one whole-stage-codegen projection: a
+    zero-shuffle narrow map over the corpus, embarrassingly parallel
+    at any scale. Output per doc (all exact integers, hash-gateable):
+    ``n_words``, ``n_units0`` (pre-merge in-word symbols),
+    ``n_units`` (post-merge symbols = real token count under the
+    learned vocab), ``n_merged`` (symbols eliminated)."""
+    seg = F.col("text")
+    for pair, marker in merges:
+        seg = F.replace(seg, F.lit(pair), F.lit(marker))
+    n_words = F.size(tokens(F.col("text"))).cast("long")
+    n_units0 = (F.length("text").cast("long") - (n_words - F.lit(1)))
+    n_units = (F.length(seg).cast("long") - (n_words - F.lit(1)))
+    return docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_units0.alias("n_units0"),
+        n_units.alias("n_units"),
+        (n_units0 - n_units).alias("n_merged"),
+    )
+
+
 def compression_ratio(docs: DataFrame, digits: int = 6) -> DataFrame:
     """zlib compression ratio per document — the classic
     gibberish/boilerplate signal (low ratio = highly repetitive

@@ -229,6 +229,13 @@ def test_bpe_count_and_shuffle_are_narrow_pruned_scans(spark):
     shuf = sp.global_shuffle(docs)
     assert "Exchange" not in plans.explain_str(shuf)
     assert plans.scan_columns(shuf) == ["doc_id"]
+    # the BPE segment APPLY (M-deep literal replace chain) is the same
+    # contract: zero-shuffle codegen projection over (doc_id, text)
+    seg = tx.bpe_segment_stats(
+        docs, [("ab", ""), ("c", "")]
+    )
+    assert "Exchange" not in plans.explain_str(seg)
+    assert set(plans.scan_columns(seg)) == {"doc_id", "text"}
 
 
 def test_global_topk_is_take_ordered_not_full_sort(spark):

@@ -225,6 +225,79 @@ def test_bpe_merges_match_counter_reference(words, k):
 @given(
     st.lists(
         st.lists(
+            st.text(alphabet="abz", min_size=1, max_size=6),
+            min_size=1,
+            max_size=10,
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=10, deadline=None)
+def test_bpe_train_and_segment_match_python_replay(doc_words, m):
+    """Full BPE train (scan-once weighted vocab loop) + segment apply
+    must equal a pure-Python replay for ANY corpus: train with a
+    Counter over word instances, apply the merge list with
+    str.replace (identical leftmost-nonoverlapping semantics to
+    Spark's F.replace)."""
+    from collections import Counter
+
+    from kmeans_mapreduce_spark.operators import textops as tx
+    from kmeans_mapreduce_spark.session import get_spark
+
+    spark = get_spark("prop-tests")
+    texts = [" ".join(ws) for ws in doc_words]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+
+    # pure-Python trainer: instance-weighted pair counts, same
+    # tie-break, same markers
+    vocab = Counter(w for ws in doc_words for w in ws)
+    ref_merges = []
+    for i in range(m):
+        pairs: Counter = Counter()
+        for w, n in vocab.items():
+            for j in range(len(w) - 1):
+                pairs[w[j : j + 2]] += n
+        if not pairs:
+            break
+        pair = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        marker = chr(tx.BPE_MARKER_BASE + i)
+        ref_merges.append((pair, marker))
+        # rebuild the vocab from scratch with all merges so far (same
+        # result as applying the new merge to the current vocab)
+        nv: Counter = Counter()
+        for w, n in Counter(w2 for ws in doc_words for w2 in ws).items():
+            cur = w
+            for p, mk in ref_merges:
+                cur = cur.replace(p, mk)
+            nv[cur] += n
+        vocab = nv
+
+    got = tx.bpe_train_merges(df, m)
+    assert got == ref_merges
+
+    seg_rows = {
+        r["doc_id"]: r for r in tx.bpe_segment_stats(df, got).collect()
+    }
+    for i, t in enumerate(texts):
+        cur = t
+        for p, mk in got:
+            cur = cur.replace(p, mk)
+        n_words = len(t.split(" "))
+        r = seg_rows[i]
+        assert r["n_words"] == n_words
+        assert r["n_units0"] == len(t) - (n_words - 1)
+        assert r["n_units"] == len(cur) - (n_words - 1)
+        assert r["n_merged"] == len(t) - len(cur)
+
+
+@given(
+    st.lists(
+        st.lists(
             st.sampled_from(["a", "b", "c", "d", "e"]),
             min_size=0,
             max_size=12,
