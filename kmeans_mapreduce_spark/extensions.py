@@ -23,6 +23,7 @@ from kmeans_mapreduce_spark.functions.text import (
     n_tokens as tx_n_tokens,
     tokens as tx_tokens,
 )
+from kmeans_mapreduce_spark.functions import urls as urlfn
 from kmeans_mapreduce_spark.operators import dedup as dd
 from kmeans_mapreduce_spark.operators import events as ev
 from kmeans_mapreduce_spark.operators import kmeans_nd as knd
@@ -1665,6 +1666,52 @@ def q_text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pins trainer AND segmenter cross-engine."""
     docs = load_table(spark, sf_dir, "documents")
     return tx.bpe_segment_stats(docs, tx.bpe_train_merges(docs))
+
+
+def _url_synth_expr(spark_dialect: bool) -> str:
+    """Deterministic MESSY url per document — scheme/host case,
+    ``www.``, default and non-default ports, tracking params,
+    unsorted params, trailing slashes, fragments, all keyed off
+    doc_id so every canonicalization rule is exercised. One SQL text
+    modulo dialect (STRING vs VARCHAR, DIV vs //) so Spark and DuckDB
+    synthesize byte-identical inputs; the gate then compares each
+    engine's own canonicalizer."""
+    s = "STRING" if spark_dialect else "VARCHAR"
+    div40 = "doc_id DIV 40" if spark_dialect else "doc_id // 40"
+    return f"""CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END || '://' ||
+CASE doc_id % 4
+  WHEN 0 THEN 'cdn.' || source || '.example.com'
+  WHEN 1 THEN 'WWW.' || source || '.Example.COM'
+  WHEN 2 THEN source || '.example.com' ||
+              CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE ':80' END
+  ELSE 'www.' || source || '.example.com' ||
+       CASE WHEN doc_id % 8 = 7 THEN ':8080' ELSE '' END
+END ||
+'/item' || CAST({div40} AS {s}) ||
+CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END ||
+CASE doc_id % 5
+  WHEN 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 13 AS {s})
+  WHEN 1 THEN '?id=' || CAST(doc_id % 13 AS {s}) || '&utm_campaign=x'
+  WHEN 2 THEN '?b=2&a=1'
+  WHEN 3 THEN ''
+  ELSE '?fbclid=abc123'
+END ||
+CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END"""
+
+
+def q_corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + canonical-key dedup + per-host doc
+    counts (dedup.url_dedup over functions.urls.canonical_url) — the
+    CommonCrawl curation front door that collapses trivially-equal
+    URL spellings before any content dedup and feeds per-origin
+    capping. The messy input urls are synthesized deterministically
+    from doc fields with ONE dialect-pinned SQL text on both engines
+    (_url_synth_expr); duplicates are real — different doc_ids whose
+    spellings canonicalize to the same key."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_url_synth_expr(True)).alias("url")
+    )
+    return dd.url_dedup(docs)
 
 
 def q_dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5070,6 +5117,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges": q_text_bpe_merges,
         "text_bpe_merges2": q_text_bpe_merges2,
         "text_bpe_segment": q_text_bpe_segment,
+        "corpus_url_dedup": q_corpus_url_dedup,
         "corpus_curriculum": q_corpus_curriculum,
         "corpus_sample_fixed": q_corpus_sample_fixed,
         "corpus_datacard": q_corpus_datacard,
@@ -6259,6 +6307,54 @@ p2 AS (SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, i, 2))) 
 c AS (SELECT pair, COUNT(*)::BIGINT AS n FROM p2 GROUP BY pair)
 SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT {tx.BPE_MERGE_TOPK}""",
         "text_bpe_segment": _bpe_segment_sql(),
+        # same messy-url synthesis text (dialect-pinned), DuckDB's own
+        # string ops for the canonicalization rules; regexp_replace
+        # defaults to first-match-only in DuckDB but every pattern here
+        # is anchored, so global/first agree
+        "corpus_url_dedup": f"""
+WITH u AS (SELECT doc_id, ({_url_synth_expr(False)}) AS url FROM documents),
+p AS (
+  SELECT doc_id,
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''),
+                        '#.*$', '') AS rest
+  FROM u),
+q AS (
+  SELECT doc_id, scheme,
+         regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+         regexp_replace(rest, '^[^/?]+', '') AS pathq
+  FROM p),
+r AS (
+  SELECT doc_id, scheme,
+         regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                        '/+$', '') AS path,
+         regexp_extract(pathq, '\\?(.*)$', 1) AS query
+  FROM q),
+k AS (
+  SELECT *, list_sort(list_filter(string_split(query, '&'),
+         x -> x <> '' AND NOT regexp_matches(
+           x, '{urlfn.TRACKING_PARAM_RE}'))) AS kept
+  FROM r),
+c AS (
+  SELECT doc_id,
+         scheme || '://' || host ||
+         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                   OR (scheme = 'http' AND port = '80')
+              THEN '' ELSE ':' || port END ||
+         path ||
+         CASE WHEN len(kept) > 0
+              THEN '?' || array_to_string(kept, '&') ELSE '' END
+           AS canon_url,
+         host
+  FROM k)
+SELECT doc_id, canon_url, host,
+       (ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id))::BIGINT
+         AS url_rank,
+       (COUNT(*) OVER (PARTITION BY host))::BIGINT AS host_docs
+FROM c""",
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         # hybrid fusion: the two retriever twins as subqueries, ranks
         # fused with the identical 1/(C+r) + 1/(C+r) IEEE expression

@@ -1,0 +1,70 @@
+"""URL canonicalization — the CommonCrawl-style curation front door.
+
+A crawl sees the same page under many spellings (scheme/host case,
+``www.``, default ports, tracking params, param order, trailing
+slashes, fragments); canonicalizing BEFORE content dedup collapses the
+trivially-equal variants with pure string ops, no content comparison.
+Everything here is native Catalyst (regexp/split/filter/array_sort/
+concat) restricted to the Java∩RE2 regex subset the repo's
+cross-engine discipline requires, so the DuckDB twin can run the
+byte-identical rules — and at 100 TB the whole pass is one
+zero-shuffle codegen projection.
+
+Rules (applied in order):
+
+1. scheme and host lowercased (path/query case is significant)
+2. fragment stripped
+3. scheme-default port stripped (``https:443`` / ``http:80``); other
+   ports kept
+4. leading ``www.`` stripped from the host
+5. tracking params dropped (``utm_*``, ``fbclid``, ``gclid``),
+   remaining params sorted by full ``k=v`` string (byte order)
+6. trailing slashes stripped from the path
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TRACKING_PARAM_RE = "^(utm_[^=]*|fbclid|gclid)="
+
+
+def canonical_url(url: Column) -> Column:
+    """The canonical form of a messy URL, per the module rules."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z]+)://", 1))
+    rest = F.regexp_replace(url, r"^[A-Za-z]+://", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")  # rule 2
+    hostport = F.regexp_extract(rest, r"^([^/?]+)", 1)
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    host = F.lower(F.regexp_extract(hostport, r"^([^:]+)", 1))
+    host = F.regexp_replace(host, r"^www\.", "")  # rule 4
+    port = F.regexp_extract(hostport, r":([0-9]+)$", 1)
+    default_port = (
+        ((scheme == "https") & (port == F.lit("443")))
+        | ((scheme == "http") & (port == F.lit("80")))
+    )
+    port_part = F.when(
+        (port == "") | default_port, F.lit("")
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")  # rule 6
+    query = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "")
+            & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query_part = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.concat_ws("&", kept))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port_part, path, query_part)
+
+
+def url_host(canon: Column) -> Column:
+    """Host (already lowercased, www/port-stripped) of a CANONICAL
+    url."""
+    rest = F.regexp_replace(canon, r"^[A-Za-z]+://", "")
+    return F.regexp_extract(rest, r"^([^/:?]+)", 1)

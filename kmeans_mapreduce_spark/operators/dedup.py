@@ -1883,3 +1883,45 @@ def substring_dedup(
         ),
         F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
     )
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup — the curation front door that runs BEFORE any
+    content dedup: canonicalize each raw URL
+    (:func:`~kmeans_mapreduce_spark.functions.urls.canonical_url` —
+    case, ``www.``, default ports, tracking params, param order,
+    trailing slashes, fragments), then rank duplicates per canonical
+    key and count documents per host (the input ``corpus_source_cap``
+    -style per-origin capping wants).
+
+    Scale shape: canonicalization is a zero-shuffle codegen
+    projection; ``url_rank`` shuffles on the canonical key, whose
+    groups are bounded by the handful of spelling variants a page has
+    — never skewed. ``host_docs`` deliberately does NOT use a window
+    (a hot host — one domain owning 10% of a crawl — would pin its
+    whole partition in one task): it is a partial-aggregated
+    ``groupBy(host).count()`` joined back on host, the shape AQE's
+    skew-join splitting can handle at 100 TB.
+
+    Output per input row: (id, canon_url, host, url_rank, host_docs);
+    ``url_rank = 1`` marks the kept representative (min id).
+    """
+    from pyspark.sql.window import Window
+
+    from kmeans_mapreduce_spark.functions.urls import canonical_url, url_host
+
+    canon = df.select(
+        id_col, canonical_url(F.col(url_col)).alias("canon_url")
+    ).withColumn("host", url_host(F.col("canon_url")))
+    ranked = canon.withColumn(
+        "url_rank",
+        F.row_number()
+        .over(Window.partitionBy("canon_url").orderBy(id_col))
+        .cast("long"),
+    )
+    host_counts = canon.groupBy("host").agg(
+        F.count(F.lit(1)).alias("host_docs")
+    )
+    return ranked.join(host_counts, "host").select(
+        id_col, "canon_url", "host", "url_rank", "host_docs"
+    )

@@ -2793,3 +2793,44 @@ def test_jpeg_absolute_plane_cap(monkeypatch):
     monkeypatch.setattr(J, "_decode_baseline_jpeg_inner", boom)
     with pytest.raises(MemoryError):
         J.decode_baseline_jpeg(blob)
+
+
+def test_url_canonicalization_rules(spark):
+    """Every canonicalization rule pinned on hand-written URLs:
+    scheme/host case, fragment, default vs non-default port, www,
+    tracking-param drop, param sort, trailing slashes — and the
+    url_dedup ranking keeps the min doc_id per canonical key."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    cases = [
+        # (raw, canonical)
+        ("HTTPS://WWW.Example.COM:443/a/?b=2&a=1#frag",
+         "https://example.com/a?a=1&b=2"),
+        ("http://example.com:80/a", "http://example.com/a"),
+        ("http://example.com:8080/a", "http://example.com:8080/a"),
+        ("https://example.com/a/?utm_source=x&utm_campaign=y&fbclid=z",
+         "https://example.com/a"),
+        ("https://cdn.example.com/a//", "https://cdn.example.com/a"),
+        ("https://example.com", "https://example.com"),
+        ("https://example.com/?gclid=1&id=7&utm_x=2",
+         "https://example.com?id=7"),
+    ]
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _) in enumerate(cases)],
+        "doc_id LONG, url STRING",
+    )
+    got = {r["doc_id"]: r for r in dd.url_dedup(df).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i]["canon_url"] == want, (i, got[i]["canon_url"], want)
+    # dup ranking: two spellings of one page -> min doc_id is rank 1
+    dup = spark.createDataFrame(
+        [(10, "https://WWW.site.com/x/?utm_source=a"),
+         (11, "https://site.com:443/x"),
+         (12, "https://site.com/y")],
+        "doc_id LONG, url STRING",
+    )
+    rows = {r["doc_id"]: r for r in dd.url_dedup(dup).collect()}
+    assert rows[10]["canon_url"] == rows[11]["canon_url"]
+    assert (rows[10]["url_rank"], rows[11]["url_rank"]) == (1, 2)
+    assert all(r["host"] == "site.com" and r["host_docs"] == 3
+               for r in rows.values())
