@@ -636,6 +636,50 @@ def q_events_stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(qname).select("user_id", "step", "step_type", "ts_sec")
 
 
+def q_events_stream_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked TTL-dedup under the gate: the bounded events table
+    replayed through ``stream_dedup_ttl`` (debounce by
+    (user_id, event_type): emit iff no same-key event in the
+    preceding day of event time, every arrival refreshes the clock,
+    EventTimeTimeout evicts expired keys) and the emitted rows
+    drained to a memory sink. Emission happens only on arrival —
+    timeouts are pure state cleanup — so a single-micro-batch replay
+    (pinned via maxFilesPerTrigger, same invariant note as the
+    stream-stream join replay) equals the batch LAG formulation and
+    the DuckDB twin is the plain window query."""
+    import uuid
+
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1000000")  # single-batch replay
+        .parquet(sf_dir)
+    )
+    ded = so.stream_dedup_ttl(stream, watermark_sec=600)
+    qname = f"events_stream_ttl_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        ded.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_ttl_dedup_replay: streaming replay did not "
+            "finish in 300 s — refusing to gate a partially-populated sink"
+        )
+    return spark.table(qname).select(
+        "user_id", "event_type", "event_id", "ts_sec", "gap_sec"
+    )
+
+
 def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM join under the gate: the bounded events table
     replayed through ``stream_stream_range_join`` (purchases of the
@@ -5073,6 +5117,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stream_span_replay": q_corpus_stream_span_replay,
         "events_stream_session_replay": q_events_stream_session_replay,
         "events_stream_funnel_replay": q_events_stream_funnel_replay,
+        "events_stream_ttl_dedup_replay": q_events_stream_ttl_dedup_replay,
         "events_stream_join_replay": q_events_stream_join_replay,
         "events_stream_enrich_replay": q_events_stream_enrich_replay,
         "dedup_exact": q_dedup_exact,
@@ -5375,6 +5420,15 @@ sessions AS (
 """
 
 
+def _ttl_dedup_sec() -> int:
+    """The streaming operator's TTL, imported lazily (extensions never
+    imports streaming at module load) so twin and operator share one
+    constant."""
+    from kmeans_mapreduce_spark.streaming.stream_ops import TTL_DEDUP_SEC
+
+    return TTL_DEDUP_SEC
+
+
 def _bpe_segment_sql(n_merges: int = None) -> str:
     """Replay the full BPE training loop in chained CTEs — round i's
     winner is a scalar subquery over the vocab with rounds 1..i-1
@@ -5575,6 +5629,24 @@ WITH e AS (
 SELECT ((ts_sec // {ev.WINDOW_SEC}) * {ev.WINDOW_SEC})::BIGINT AS window_start,
        event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_sum
 FROM e GROUP BY 1, 2""",
+        # batch twin of the streaming TTL-dedup (debounce): emission is
+        # arrival-only (timeouts are pure state cleanup), so the
+        # single-batch replay equals the plain LAG window — emit iff
+        # first-of-key or gap to the previous same-key event > TTL
+        "events_stream_ttl_dedup_replay": f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+l AS (
+  SELECT *, ts_sec - lag(ts_sec) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts_sec, event_id
+    ) AS gap_sec
+  FROM e
+)
+SELECT user_id, event_type, event_id, ts_sec, gap_sec
+FROM l WHERE gap_sec IS NULL OR gap_sec > {_ttl_dedup_sec()}""",
         # batch twin of the STREAMING inner interval join: an inner
         # stream-stream join emits pairs on arrival (never on watermark
         # timeout), so over bounded input it equals this relational

@@ -389,6 +389,113 @@ def stream_dedup_exact(stream: DataFrame) -> DataFrame:
     )
 
 
+TTL_DEDUP_SEC = 86_400  # suppress same-key repeats within one day
+
+
+def stream_dedup_ttl(
+    stream: DataFrame,
+    ttl_sec: int = TTL_DEDUP_SEC,
+    watermark_sec: int | None = None,
+) -> DataFrame:
+    """Watermarked streaming DEDUP WITH TTL (debounce/suppression
+    semantics): emit an event iff no same-key event arrived in the
+    preceding ``ttl_sec`` of EVENT time; EVERY arrival — emitted or
+    suppressed — refreshes the key's clock. The alert-throttling /
+    repeat-notification shape, keyed here by (user_id, event_type).
+
+    Unlike :func:`stream_dedup_exact` (state per key forever, emit
+    first occurrence only), this state is a single ``last_seen``
+    BIGINT per key whose retention is BOUNDED: with ``watermark_sec``
+    set, ``EventTimeTimeout`` evicts the key at event-time
+    ``last_seen + ttl`` once the watermark passes it — at which point
+    any suppression it could still cause has expired, so eviction is
+    emission-free (a later event would be emitted anyway; its
+    ``gap_sec`` reads NULL because an evicted key is indistinguishable
+    from a fresh one — by design, that's what dropping the state
+    means). That
+    bound is what keeps the state store O(active keys) instead of
+    O(all keys ever) on an unbounded stream — the production dial
+    the batch operator doesn't need.
+
+    Emission happens only on arrival (timeout = pure state cleanup),
+    so a bounded in-order replay equals the batch LAG formulation:
+    emit iff ``prev is NULL or ts - prev > ttl``, ties broken by
+    (ts_sec, event_id) on both sides. ``gap_sec`` is the distance to
+    the previous same-key event (NULL for a key's first).
+
+    Scale shape: each micro-batch shuffles only its own rows on the
+    (user_id, event_type) key — uniform hash; state is 8 bytes per
+    live key, RocksDB-backed in production.
+    """
+    import pandas as pd
+
+    out_schema = (
+        "user_id BIGINT, event_type STRING, event_id BIGINT, "
+        "ts_sec BIGINT, gap_sec BIGINT"
+    )
+    evict = watermark_sec is not None
+
+    def fn(key, pdfs, state):
+        if evict and state.hasTimedOut:
+            # past last_seen + ttl: nothing this key could still
+            # suppress — drop the state, emit nothing
+            state.remove()
+            return
+        last = state.get[0] if state.exists else None
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_sec", "event_id"], kind="mergesort")
+        out = []
+        for ts, eid in zip(batch["ts_sec"], batch["event_id"]):
+            ts = int(ts)
+            gap = None if last is None else ts - last
+            if gap is None or gap > ttl_sec:
+                out.append((key[0], key[1], int(eid), ts, gap))
+            last = ts
+        if last is not None:
+            state.update((last,))
+            if evict:
+                state.setTimeoutTimestamp(
+                    max(
+                        (last + ttl_sec) * 1000,
+                        state.getCurrentWatermarkMs() + 1,
+                    )
+                )
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "user_id",
+                    "event_type",
+                    "event_id",
+                    "ts_sec",
+                    "gap_sec",
+                ],
+            )
+
+    cols = [
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr(floor_div("ts", 1_000_000_000)).alias("ts_sec"),
+    ]
+    if evict:
+        e = (
+            stream.withColumn(
+                "event_time",
+                F.timestamp_seconds(F.expr(floor_div("ts", 1_000_000_000))),
+            )
+            .withWatermark("event_time", f"{watermark_sec} seconds")
+            .select(*cols, "event_time")
+        )
+        timeout = "EventTimeTimeout"
+    else:
+        e = stream.select(*cols)
+        timeout = "NoTimeout"
+    return e.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn, out_schema, "last_seen BIGINT", "update", timeout
+    )
+
+
 def _require_fresh_checkpoint(checkpoint_dir: str, who: str) -> None:
     """Driver-held-model guard: these trainers keep the model in a
     fresh Python object while Spark's checkpoint remembers committed

@@ -1367,3 +1367,93 @@ def test_stream_sessionize_tws_state_survives_restart(spark, tmp_path_factory):
             spark.conf.set(prov, prev)
         else:
             spark.conf.unset(prov)
+
+
+def test_stream_dedup_ttl_suppresses_and_reemits(spark, tmp_path_factory):
+    """TTL dedup fold across batches: a repeat within the TTL is
+    suppressed (but refreshes the clock — the debounce contract), a
+    repeat beyond it re-emits with its gap, and keys are independent."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("ttl_stream"))
+    S = 1_000_000_000
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_type": [r[1] for r in rows],
+                "event_id": [r[2] for r in rows],
+                "ts": [r[3] * S for r in rows],
+            }
+        ).to_parquet(f"{out}/{name}.parquet")
+
+    # ttl=100. u1/click: 1000 emit, 1050 suppressed (refreshes clock),
+    # 1140 suppressed (90 after 1050 — only the refresh makes this
+    # suppressed, distinguishing debounce from since-last-EMIT), 1300
+    # re-emits (gap 160). u1/error at 1060: independent key, emits.
+    write("00", [(1, "click", 0, 1000), (1, "click", 1, 1050)])
+    write("01", [(1, "click", 2, 1140), (1, "error", 3, 1060)])
+    write("02", [(1, "click", 4, 1300)])
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, event_type STRING, event_id LONG, ts LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    ded = so.stream_dedup_ttl(stream, ttl_sec=100)
+    so.run_stream_to_memory(ded, "ttl_dedup", mode="update")
+    got = sorted(
+        (r["event_id"], r["gap_sec"]) for r in spark.table("ttl_dedup").collect()
+    )
+    assert got == [(0, None), (3, None), (4, 160)]
+
+
+def test_stream_dedup_ttl_eviction_bounds_state(spark, tmp_path_factory):
+    """EventTimeTimeout eviction: once the watermark passes
+    last_seen + ttl the key's state is dropped — emission-free by
+    construction (anything it could still suppress has expired), and
+    the key's next event emits with gap_sec NULL exactly like a fresh
+    key (that is what dropping the state means)."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("ttl_evict"))
+    S = 1_000_000_000
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_type": [r[1] for r in rows],
+                "event_id": [r[2] for r in rows],
+                "ts": [r[3] * S for r in rows],
+            }
+        ).to_parquet(f"{out}/{name}.parquet")
+
+    # ttl=100, watermark=10. b0: u1 at 1000 (timeout arms at 1100).
+    # b1: u2 at 5000 advances the watermark to 4990. b2: u3 at 5010 —
+    # u1 has NO data this batch, so its expired timer fires: state
+    # removed, nothing emitted (a key with data in the same batch is
+    # processed as data instead — API semantics). b3: u1 again at
+    # 6000 → emitted as a FRESH key (gap NULL), though the true gap
+    # (5000) would also have emitted.
+    write("00", [(1, "click", 0, 1000)])
+    write("01", [(2, "click", 1, 5000)])
+    write("02", [(3, "click", 2, 5010)])
+    write("03", [(1, "click", 3, 6000)])
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, event_type STRING, event_id LONG, ts LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    ded = so.stream_dedup_ttl(stream, ttl_sec=100, watermark_sec=10)
+    so.run_stream_to_memory(ded, "ttl_evict", mode="update")
+    got = sorted(
+        (r["event_id"], r["gap_sec"]) for r in spark.table("ttl_evict").collect()
+    )
+    assert got == [(0, None), (1, None), (2, None), (3, None)]
