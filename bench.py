@@ -134,6 +134,32 @@ def main() -> int:
     # the queries, not session startup
     timed("warmup_count", lambda: pts.count(), repeat=1)
 
+    # Mid-run repeated canary (r11 verdict task 4): the SAME fixed
+    # code-independent workload (a JVM-only parquet count) measured at
+    # intervals through the run. If late-run queries drift while the
+    # canary stays flat, the drift is in the queries (a real plan
+    # regression); if the canary drifts with them, it is
+    # position-dependent pressure (eviction/box load) — the r10
+    # localCheckpoint-eviction precedent, now self-adjudicating.
+    # Canary entries live in extra["canary"], NOT in timings, so the
+    # headline total stays comparable across rounds.
+    canaries: list[dict] = []
+
+    def run_canary() -> None:
+        durs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            pts.count()
+            durs.append(time.perf_counter() - t0)
+        canaries.append(
+            {
+                "offset_sec": round(time.time() - bench_t0, 3),
+                "reps": [round(d, 4) for d in durs],
+            }
+        )
+
+    run_canary()  # position-0 baseline
+
     # ALSO warm the Python worker pool: the session's first
     # mapInPandas spawns one interpreter per core (~3 s on 32 cores),
     # a one-time cost that was previously billed to whatever Arrow
@@ -206,12 +232,27 @@ def main() -> int:
     from kmeans_mapreduce_spark import queries as Q
 
     registry = {**Q.core_queries(), **Q.extension_queries()}
-    for name in [n for n in registry if n in Q.BENCH_EXTENSION_QUERIES]:
+    # A/B support (r11 verdict task 4): SPARK_GRAFT_BENCH_ONLY
+    # restricts the tracked set to a comma-separated allowlist so an
+    # old round's subset can be re-measured at current HEAD on the
+    # same box (set-growth vs code-regression adjudication).
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    allow = {s for s in only.split(",") if s} if only else None
+    tracked = [
+        n
+        for n in registry
+        if n in Q.BENCH_EXTENSION_QUERIES
+        and (allow is None or n in allow)
+    ]
+    for i, name in enumerate(tracked):
         fn = registry[name]
         timed(
             name,
             lambda fn=fn: fn(spark, sf_dir).write.format("noop").mode("overwrite").save(),
         )
+        if (i + 1) % 15 == 0:
+            run_canary()
+    run_canary()  # end-of-run position
 
     try:
         extra["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
@@ -242,6 +283,9 @@ def main() -> int:
         "unit": "sec",
         "sf": sf,
         **extra,
+        # full artifact only (kept off the budgeted stdout line): the
+        # position-indexed canary series for drift adjudication
+        "canary": canaries,
         "spread": spread,
         "queries": timings,
         "reps": reps,

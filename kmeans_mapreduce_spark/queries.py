@@ -623,6 +623,17 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_split",            # broadcast component map, shuffle-free scan
     "similarity_graph_triangles",  # k-NN graph triangle count (heaviest
     # graph op; its 4x probe records output growth to self-adjudicate)
+    # round-12 growth queries (r11 verdict task 5): tracked from birth
+    "text_bpe_segment",
+    "corpus_url_dedup",
+    # round-12 (r11 verdict task 6): the judge asked for tracked cost
+    # on the gated streaming replays — medians+spread recorded with
+    # the standing caveat that a replay wall is trigger cadence +
+    # state-store setup more than operator cost (the reason the rest
+    # of the *_replay family stays excluded)
+    "events_stream_join_replay",
+    "events_stream_enrich_replay",
+    "events_stream_ttl_dedup_replay",
 }
 # Every registered query is either benched or named in
 # BENCH_EXCLUDED_REASONS below — tests/test_registry_smoke.py enforces
@@ -660,8 +671,6 @@ _R_TEXTSCAN = (
 BENCH_EXCLUDED_REASONS: dict[str, str] = {
     "corpus_stream_dedup_replay": _R_STREAM,
     "corpus_stream_span_replay": _R_STREAM,
-    "events_stream_enrich_replay": _R_STREAM,
-    "events_stream_join_replay": _R_STREAM,
     "events_stream_funnel_replay": _R_STREAM,
     "events_stream_hll_replay": _R_STREAM,
     "events_stream_m4_replay": _R_STREAM,
@@ -799,17 +808,20 @@ BENCH_EXCLUDED_REASONS: dict[str, str] = {
 # (tools/oracle_sweep_r*.log) and the pytest suite; next rounds keep
 # rotating until the never-verified set is exhausted.
 #
-# ROUND-11 ROTATION (live below): round 10's window gated green
-# (CORRECTNESS_r10: 48/50 hash + 2 declared rows-only, cumulative
-# 166/184 twins), so this round rotates in the FINAL 19 never-gated
-# queries (18 twins + rows-only embeddings_pca), closing the
-# verification debt at 184/184 twins cumulatively hash-gated. The
-# remaining 21 slots return previously-green queries as regression
-# canaries, chosen to (a) cover every operator family and (b) re-gate
-# the heaviest regimes: dedup_substring (the r10 `weak` probe-slope
-# flag — its correctness stays independently pinned while the probe is
-# adjudicated), kmeans_nd_fit_large (Arrow large-K assignment), and
-# multimodal_mjpeg (full encode→AVI→JPEG-decode roundtrip).
+# ROUND-12 ROTATION (live below): round 11 closed the cumulative
+# verification debt at 188/191 twins hash-gated; the only red row was
+# embeddings_pca (harness canonicalizer vs its ARRAY<DOUBLE> column —
+# the query now emits exploded scalar rows, retried this round), and
+# only three queries had never seen a window (landed after r11
+# locked). This window therefore: (a) retries embeddings_pca in its
+# gate-compatible shape, (b) executes the staged swap for the three
+# never-gated queries, (c) gates the three ROUND-12 growth queries
+# FROM BIRTH (text_bpe_segment / corpus_url_dedup /
+# events_stream_ttl_dedup_replay — the standing policy now debt is
+# closed), and (d) fills the rest with previously-green regression
+# canaries across every operator family, re-gating the heaviest
+# regimes (dedup_substring, kmeans_nd_fit_large, multimodal_mjpeg,
+# dedup_cross_snapshot's versioned-log path).
 DRIVER_WINDOW_QUERIES: list[str] = [
     # -- anchors: previously driver-green, one per family --
     "points_source",        # core source
@@ -822,60 +834,52 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "multimodal_meta",      # multimodal
     "events_stream_replay",  # streaming
     "table_time_travel",    # versioned tables
-    # -- final never-gated tranche (r10 verdict task 1; staged in r10) --
-    "sql_revenue_by_nation",
-    "events_users_intersect",
-    "events_users_except",
-    "events_funnel",
-    "events_rolling_zscore",
-    "events_session_paths",
-    "text_chunks_fast",
-    "embeddings_pca",        # no twin → rows-only
-    "quality_report_orders",
-    "events_first_touch",
-    "text_surprisal",
-    "orders_running_window",
-    "corpus_sample_weighted",
-    "events_quantile_sketch_error",
-    "pipeline_series_similarity",
-    "corpus_rule_filter",
-    "events_key_skew",
-    "corpus_dsir_weights",
-    "events_day_digest",
-    # ROUND-12 STAGING: three queries landed after this window locked
-    # and have never been driver-gated (builder-gated at 3 scales):
-    # multimodal_audio, events_stream_hll_replay,
-    # events_stream_funnel_replay. Round 12 swaps them in for three
-    # canaries below, same gated-from-birth policy as this round.
-    #
-    # -- gated FROM BIRTH (debt is closed, so new queries take window
-    # slots the round they land): the round-11 growth pair and the two
-    # streaming-join replays, none ever driver-gated before --
-    "dedup_cross_snapshot",
-    "similarity_rebuild_crossover",
-    "events_stream_join_replay",
-    "events_stream_enrich_replay",
-    # -- regression canaries: previously driver-green, family spread
-    # (kmeans_assign / dedup_exact / similarity_topk / text_langid
-    # rotated out for the four above; their families keep richer
-    # representatives below) --
+    # -- the r11 red row, retried in its exploded gate-compatible
+    # shape (rows-only by contract: eigh is numerical) --
+    "embeddings_pca",
+    # -- the staged r12 swap: landed after the r11 window locked,
+    # never driver-gated, builder-gated green at 3 scales --
+    "multimodal_audio",
+    "events_stream_hll_replay",
+    "events_stream_funnel_replay",
+    # -- round-12 growth, gated FROM BIRTH --
+    "text_bpe_segment",
+    "corpus_url_dedup",
+    "events_stream_ttl_dedup_replay",
+    # -- regression canaries: previously driver-green, family spread --
     "kmeans_wssse",
+    "kmeans_kmpp_round2",
     "kmeans_nd_fit_large",
+    "dedup_exact",
     "dedup_keep_best",
-    "dedup_simhash",
+    "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
+    "dedup_fuzzy_prefix",
     "dedup_incremental",
+    "dedup_cross_snapshot",
     "dedup_substring",
     "dedup_semantic",
+    "similarity_topk",
     "similarity_ann_pq_trained",
     "similarity_ann_recall_trained",
+    "similarity_rebuild_crossover",
+    "embeddings_int8_quant",
+    "text_langid",
     "text_tfidf",
     "text_bm25",
+    "text_bpe_merges2",
+    "text_normalize",
     "corpus_sample_stratified",
-    "embeddings_int8_quant",
+    "corpus_source_cap",
+    "corpus_split",
+    "corpus_token_shards",
     "events_sessionize",
     "events_retention",
+    "events_funnel",
+    "events_stream_join_replay",
     "multimodal_mjpeg",
+    "sql_revenue_by_nation",
+    "embeddings_pca_suffstats",
 ]
 
 

@@ -2834,3 +2834,42 @@ def test_url_canonicalization_rules(spark):
     assert (rows[10]["url_rank"], rows[11]["url_rank"]) == (1, 2)
     assert all(r["host"] == "site.com" and r["host_docs"] == 3
                for r in rows.values())
+
+
+def test_jpeg_decode_peak_allocation_within_budget():
+    """The _decode_scan allocation cap claims the decoder's END-TO-END
+    peak working set (decode planes + upsample/RGB conversion tail)
+    stays within planes + 12x(color)/2x(gray) full padded planes.
+    Prove it with tracemalloc (numpy routes data allocations through
+    PyTraceMalloc_Track): measured decode peak must stay under the
+    same formula the guard enforces, on a 4:2:0 color image large
+    enough that interpreter noise is negligible."""
+    import tracemalloc
+
+    import numpy as np
+
+    from kmeans_mapreduce_spark.functions import jpeg as J
+
+    w, h = 256, 192
+    rng = np.random.default_rng(7)
+    flat = rng.integers(0, 256, 3 * w * h, dtype=np.uint8).tobytes()
+    blob = J.encode_baseline_jpeg(w, h, flat, subsample=True)
+
+    # the guard's own formula for 4:2:0 color at this geometry
+    hmax = vmax = 2
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    full_plane = (mcuy * vmax * 8) * (mcux * hmax * 8) * 8
+    plane_bytes = full_plane + 2 * ((mcuy * 8) * (mcux * 8) * 8)
+    budget = plane_bytes + 12 * full_plane
+
+    tracemalloc.start()
+    tracemalloc.reset_peak()
+    dw, dh, nc, out = J.decode_baseline_jpeg(blob)
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert (dw, dh, nc) == (w, h, 3)
+    # the output RGB bytes (3wh) are live at return and counted in the
+    # peak alongside the working set; grant them plus 10% slack for
+    # interpreter small objects
+    assert peak <= budget + 3 * w * h + budget // 10, (peak, budget)

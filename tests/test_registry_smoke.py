@@ -81,9 +81,9 @@ def test_driver_window_samples_every_family():
     first50 = list(q)[:50]
     assert first50 == DRIVER_WINDOW_QUERIES
 
-    # round-11 rotation: representatives follow the rotated window —
-    # anchors where the family keeps one, a final-tranche or canary
-    # pick otherwise
+    # round-12 rotation: representatives follow the rotated window —
+    # anchors where the family keeps one, a growth or canary pick
+    # otherwise
     families = {
         "core-loop": "kmeans_fit_fixed",
         "minhash-lsh": "dedup_minhash_pairs",
@@ -94,13 +94,15 @@ def test_driver_window_samples_every_family():
         "hybrid-rrf": "similarity_hybrid_rrf",
         "multimodal": "multimodal_meta",
         "multimodal-video": "multimodal_mjpeg",
-        "text": "text_surprisal",
-        "sampling": "corpus_sample_weighted",
+        "multimodal-audio": "multimodal_audio",
+        "text": "text_bpe_segment",
+        "url-dedup": "corpus_url_dedup",
+        "sampling": "corpus_sample_stratified",
         "embeddings-quant": "embeddings_int8_quant",
         "events": "events_funnel",
-        "pipelines": "pipeline_series_similarity",
         "time-travel": "table_time_travel",
         "streaming": "events_stream_replay",
+        "streaming-stateful": "events_stream_ttl_dedup_replay",
     }
     for fam, name in families.items():
         assert name in first50, f"family {fam} missing from driver window"
