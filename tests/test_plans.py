@@ -566,3 +566,23 @@ def test_radius_join_is_broadcast_equi_no_bnlj(spark):
     plan = plans.explain_str(df)
     assert "BroadcastHashJoin" in plan
     assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_url_dedup_prunes_scan_and_avoids_cartesian(spark):
+    """corpus_url_dedup's plan contract: the synth+canonicalize stage
+    prunes the documents scan to exactly (doc_id, source) — the synth
+    expression's only inputs — and the rank/host-count stages join on
+    keys (no cartesian / nested-loop fallback). The host count is a
+    partial-aggregated groupBy joined back (not a window over host),
+    the shape AQE skew-split can handle on a hot host."""
+    from kmeans_mapreduce_spark.extensions import q_corpus_url_dedup
+
+    df = q_corpus_url_dedup(spark, SF)
+    s = plans.explain_str(df)
+    assert set(plans.scan_columns(df)) == {"doc_id", "source"}
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    # exactly one window operator (url_rank over canon_url) in the
+    # physical plan; host_docs must NOT be a second window
+    simple = plans.explain_str(df, "simple")
+    assert simple.count("Window") == 1, simple

@@ -710,6 +710,62 @@ def main() -> int:
                 3,
             )
 
+    # Round 12: the BPE trainer+segmenter and the URL canonicalizer at
+    # 1x / 4x / 16x docs. BPE replicas shift doc_id only (text
+    # unchanged), so the DISTINCT-WORD VOCAB is constant while the
+    # corpus grows — the scan-once design means wall should grow far
+    # slower than the corpus (the merge rounds run on the constant
+    # vocab; only the vocab-build scan and the apply projection are
+    # corpus-linear). URL replicas shift doc_id, which changes the
+    # synthesized spellings/groups — both stages are corpus-linear by
+    # design (narrow canonicalize projection + two keyed aggregates).
+    from kmeans_mapreduce_spark import extensions as exx
+    from kmeans_mapreduce_spark.operators import textops as txx
+
+    d0 = load_table(spark, sf_dir, "documents")
+    ndoc0 = d0.count()
+    for factor in (1, 4, 16):
+        d = d0
+        for i in range(factor - 1):
+            d = d.unionByName(
+                d0.select(
+                    (F.col("doc_id") + F.lit(1_000_000 * (i + 1))).alias(
+                        "doc_id"
+                    ),
+                    *[c for c in d0.columns if c != "doc_id"],
+                )
+            )
+        d = d.cache()
+        d.count()
+
+        def bpe_run(d=d):
+            merges = txx.bpe_train_merges(d)
+            txx.bpe_segment_stats(d, merges).write.format("noop").mode(
+                "overwrite"
+            ).save()
+
+        def url_run(d=d):
+            urls = d.select(
+                "doc_id", F.expr(exx._url_synth_expr(True)).alias("url")
+            )
+            dd.url_dedup(urls).write.format("noop").mode("overwrite").save()
+
+        for probe, fn in (("bpe_segment", bpe_run), ("url_dedup", url_run)):
+            fn()  # warm
+            durs = []
+            for _ in range(3):
+                t = time.time()
+                fn()
+                durs.append(time.time() - t)
+            durs.sort()
+            out[f"{probe}_sec_{factor}x"] = round(durs[1], 3)
+        out[f"bpe_docs_{factor}x"] = ndoc0 * factor
+        d.unpersist()
+    for probe in ("bpe_segment", "url_dedup"):
+        out[f"{probe}_16x_slope"] = round(
+            out[f"{probe}_sec_16x"] / out[f"{probe}_sec_1x"] / 16.0, 3
+        )
+
     print(json.dumps(out))
     return 0
 
