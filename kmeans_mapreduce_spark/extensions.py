@@ -13,6 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from kmeans_mapreduce_spark.functions.distance import sq_dist_nd
 from kmeans_mapreduce_spark.functions.hashing import MINHASH_P, h64_sql, hash_family
@@ -1741,6 +1742,73 @@ CASE doc_id % 5
   ELSE '?fbclid=abc123'
 END ||
 CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END"""
+
+
+# hosts that actually occur in the synthesized spellings (source is
+# correlated with doc_id%20, so cdn.* hosts exist only for sources
+# whose ids are ≡ 0 mod 4)
+FRONTDOOR_BLOCKLIST = ("cdn.src0.example.com", "src1.example.com")
+FRONTDOOR_MIN_CHARS = 150
+FRONTDOOR_HOST_CAP = 10
+
+
+def q_pipeline_crawl_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAGSHIP composition of the crawl-curation entry pipeline:
+    canonicalize → domain blocklist → URL dedup → quality screen →
+    per-host cap, with the whole funnel computed in ONE corpus scan.
+    Stage survival is expressed as cascading flags instead of chained
+    filters-with-counts (which would rescan per stage): the dedup rank
+    orders blocked rows last inside each canonical-url group so a
+    surviving row's rank counts only unblocked rows, and the host-cap
+    rank orders non-survivors last inside each host likewise — two
+    window shuffles plus one final conditional aggregate, no matter
+    how many stages the funnel reports. Output: one row of exact
+    per-stage survivor counts (the datacard a curation run publishes).
+    At 100 TB: one scan, two keyed exchanges (canonical key groups are
+    variant-bounded; the host window is rank-only so a hot host costs
+    a sort, and the blocklist is a literal predicate, not a join)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr(_url_synth_expr(True)).alias("url")
+    )
+    c = docs.select(
+        "doc_id",
+        "n_chars",
+        urlfn.canonical_url(F.col("url")).alias("canon_url"),
+    ).withColumn("host", urlfn.url_host(F.col("canon_url")))
+    blocked = F.col("host").isin(*FRONTDOOR_BLOCKLIST)
+    w_url = Window.partitionBy("canon_url").orderBy(
+        blocked.cast("int"), "doc_id"
+    )
+    f1 = c.select(
+        "doc_id",
+        "n_chars",
+        "host",
+        blocked.alias("blocked"),
+        F.row_number().over(w_url).alias("url_rk"),
+    )
+    survived_dedup = ~F.col("blocked") & (F.col("url_rk") == 1)
+    survived_quality = survived_dedup & (
+        F.col("n_chars") >= FRONTDOOR_MIN_CHARS
+    )
+    w_host = Window.partitionBy("host").orderBy(
+        (~survived_quality).cast("int"), "doc_id"
+    )
+    f2 = f1.select(
+        "blocked",
+        survived_dedup.alias("s_dedup"),
+        survived_quality.alias("s_quality"),
+        F.row_number().over(w_host).alias("host_rk"),
+    )
+    return f2.agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum((~F.col("blocked")).cast("long")).alias("n_after_blocklist"),
+        F.sum(F.col("s_dedup").cast("long")).alias("n_after_dedup"),
+        F.sum(F.col("s_quality").cast("long")).alias("n_after_quality"),
+        F.sum(
+            (F.col("s_quality") & (F.col("host_rk") <= FRONTDOOR_HOST_CAP))
+            .cast("long")
+        ).alias("n_after_cap"),
+    )
 
 
 def q_corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5163,6 +5231,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_merges2": q_text_bpe_merges2,
         "text_bpe_segment": q_text_bpe_segment,
         "corpus_url_dedup": q_corpus_url_dedup,
+        "pipeline_crawl_frontdoor": q_pipeline_crawl_frontdoor,
         "corpus_curriculum": q_corpus_curriculum,
         "corpus_sample_fixed": q_corpus_sample_fixed,
         "corpus_datacard": q_corpus_datacard,
@@ -5418,6 +5487,53 @@ sessions AS (
   FROM flagged
 )
 """
+
+
+def _url_canon_cte(extra: str = "") -> str:
+    """The DuckDB canonicalization chain shared by the url_dedup and
+    crawl-frontdoor twins: synthesize the messy url (dialect-pinned
+    text), apply DuckDB's own string ops for the rules, end in
+    ``c(doc_id{extra}, canon_url, host)``. regexp_replace defaults to
+    first-match-only in DuckDB but every pattern is anchored, so
+    global/first agree."""
+    return f"""u AS (SELECT doc_id{extra}, ({_url_synth_expr(False)}) AS url FROM documents),
+p AS (
+  SELECT doc_id{extra},
+         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+         regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''),
+                        '#.*$', '') AS rest
+  FROM u),
+q AS (
+  SELECT doc_id{extra}, scheme,
+         regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
+         regexp_replace(rest, '^[^/?]+', '') AS pathq
+  FROM p),
+r AS (
+  SELECT doc_id{extra}, scheme,
+         regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)),
+                        '^www\\.', '') AS host,
+         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
+                        '/+$', '') AS path,
+         regexp_extract(pathq, '\\?(.*)$', 1) AS query
+  FROM q),
+k AS (
+  SELECT *, list_sort(list_filter(string_split(query, '&'),
+         x -> x <> '' AND NOT regexp_matches(
+           x, '{urlfn.TRACKING_PARAM_RE}'))) AS kept
+  FROM r),
+c AS (
+  SELECT doc_id{extra},
+         scheme || '://' || host ||
+         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                   OR (scheme = 'http' AND port = '80')
+              THEN '' ELSE ':' || port END ||
+         path ||
+         CASE WHEN len(kept) > 0
+              THEN '?' || array_to_string(kept, '&') ELSE '' END
+           AS canon_url,
+         host
+  FROM k)"""
 
 
 def _ttl_dedup_sec() -> int:
@@ -6380,53 +6496,47 @@ c AS (SELECT pair, COUNT(*)::BIGINT AS n FROM p2 GROUP BY pair)
 SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT {tx.BPE_MERGE_TOPK}""",
         "text_bpe_segment": _bpe_segment_sql(),
         # same messy-url synthesis text (dialect-pinned), DuckDB's own
-        # string ops for the canonicalization rules; regexp_replace
-        # defaults to first-match-only in DuckDB but every pattern here
-        # is anchored, so global/first agree
+        # string ops for the canonicalization rules (_url_canon_cte)
         "corpus_url_dedup": f"""
-WITH u AS (SELECT doc_id, ({_url_synth_expr(False)}) AS url FROM documents),
-p AS (
-  SELECT doc_id,
-         lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
-         regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''),
-                        '#.*$', '') AS rest
-  FROM u),
-q AS (
-  SELECT doc_id, scheme,
-         regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
-         regexp_replace(rest, '^[^/?]+', '') AS pathq
-  FROM p),
-r AS (
-  SELECT doc_id, scheme,
-         regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)),
-                        '^www\\.', '') AS host,
-         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
-         regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
-                        '/+$', '') AS path,
-         regexp_extract(pathq, '\\?(.*)$', 1) AS query
-  FROM q),
-k AS (
-  SELECT *, list_sort(list_filter(string_split(query, '&'),
-         x -> x <> '' AND NOT regexp_matches(
-           x, '{urlfn.TRACKING_PARAM_RE}'))) AS kept
-  FROM r),
-c AS (
-  SELECT doc_id,
-         scheme || '://' || host ||
-         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
-                   OR (scheme = 'http' AND port = '80')
-              THEN '' ELSE ':' || port END ||
-         path ||
-         CASE WHEN len(kept) > 0
-              THEN '?' || array_to_string(kept, '&') ELSE '' END
-           AS canon_url,
-         host
-  FROM k)
+WITH {_url_canon_cte()}
 SELECT doc_id, canon_url, host,
        (ROW_NUMBER() OVER (PARTITION BY canon_url ORDER BY doc_id))::BIGINT
          AS url_rank,
        (COUNT(*) OVER (PARTITION BY host))::BIGINT AS host_docs
 FROM c""",
+        # the one-scan funnel: same cascading-flag construction as the
+        # Spark side (blocked rows sort last in the dedup window,
+        # non-survivors last in the host-cap window)
+        "pipeline_crawl_frontdoor": f"""
+WITH {_url_canon_cte(", n_chars")},
+f1 AS (
+  SELECT doc_id, n_chars, host,
+         host IN ({", ".join("'" + h + "'" for h in FRONTDOOR_BLOCKLIST)})
+           AS blocked,
+         ROW_NUMBER() OVER (
+           PARTITION BY canon_url
+           ORDER BY (host IN ({", ".join("'" + h + "'" for h in FRONTDOOR_BLOCKLIST)}))::INT, doc_id
+         ) AS url_rk
+  FROM c),
+f2 AS (
+  SELECT blocked,
+         (NOT blocked AND url_rk = 1) AS s_dedup,
+         (NOT blocked AND url_rk = 1
+          AND n_chars >= {FRONTDOOR_MIN_CHARS}) AS s_quality,
+         ROW_NUMBER() OVER (
+           PARTITION BY host
+           ORDER BY (NOT (NOT blocked AND url_rk = 1
+                          AND n_chars >= {FRONTDOOR_MIN_CHARS}))::INT,
+                    doc_id
+         ) AS host_rk
+  FROM f1)
+SELECT COUNT(*)::BIGINT AS n_total,
+       SUM((NOT blocked)::INT)::BIGINT AS n_after_blocklist,
+       SUM(s_dedup::INT)::BIGINT AS n_after_dedup,
+       SUM(s_quality::INT)::BIGINT AS n_after_quality,
+       SUM((s_quality AND host_rk <= {FRONTDOOR_HOST_CAP})::INT)::BIGINT
+         AS n_after_cap
+FROM f2""",
         "similarity_topk": _topk_sql(TOPK_K, bucketed=False),
         # hybrid fusion: the two retriever twins as subqueries, ranks
         # fused with the identical 1/(C+r) + 1/(C+r) IEEE expression

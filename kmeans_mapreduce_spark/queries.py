@@ -626,6 +626,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     # round-12 growth queries (r11 verdict task 5): tracked from birth
     "text_bpe_segment",
     "corpus_url_dedup",
+    "pipeline_crawl_frontdoor",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with
     # the standing caveat that a replay wall is trigger cadence +
@@ -879,7 +880,7 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "events_stream_join_replay",
     "multimodal_mjpeg",
     "sql_revenue_by_nation",
-    "embeddings_pca_suffstats",
+    "pipeline_crawl_frontdoor",
 ]
 
 
