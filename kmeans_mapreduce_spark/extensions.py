@@ -1811,6 +1811,66 @@ def q_pipeline_crawl_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered incremental dedup (dedup.bloom_prefilter_dedup):
+    the nightly increment membership-tested against a KB-scale
+    portable bloom of the historical fingerprints before any join;
+    only hits reach the exact verify join. The twin computes is_dup
+    with an unconditional exact join, so the hash gate PROVES the
+    no-false-negative bloom property cross-engine; false_positive
+    marks the rows the verify join rescued (real at sf0.1 by
+    deliberate filter undersizing)."""
+    return dd.bloom_prefilter_dedup(load_table(spark, sf_dir, "documents"))
+
+
+def _bloom_prefilter_sql() -> str:
+    from kmeans_mapreduce_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_WORD_BITS,
+    )
+
+    words = dd.BLOOM_PREFILTER_WORDS
+    bits = words * BLOOM_WORD_BITS
+    fp = h64_sql("lower(trim(text))")
+    pos_defs = ", ".join(
+        f"((h >> {20 * j}) % {1 << 20}) % {bits} AS pos{j}"
+        for j in range(BLOOM_K)
+    )
+    member = " AND ".join(
+        f"((arr[CAST(pos{j} // {BLOOM_WORD_BITS} AS INT) + 1]"
+        f" >> CAST(pos{j} % {BLOOM_WORD_BITS} AS INT)) & 1) = 1"
+        for j in range(BLOOM_K)
+    )
+    reg_rows = " UNION ALL ".join(
+        f"SELECT (({h64_sql('CAST(fp AS VARCHAR)')} >> {20 * j})"
+        f" % {1 << 20}) % {bits} AS pos FROM hfp"
+        for j in range(BLOOM_K)
+    )
+    return f"""
+WITH hfp AS (
+  SELECT DISTINCT {fp} AS fp FROM documents WHERE doc_id % 5 <> 0),
+bloom_pos AS ({reg_rows}),
+bloom_registers AS (
+  SELECT pos // {BLOOM_WORD_BITS} AS word,
+         bit_or(1::BIGINT << CAST(pos % {BLOOM_WORD_BITS} AS INT)) AS bits
+  FROM bloom_pos GROUP BY 1),
+dense AS (
+  SELECT r.range AS word, COALESCE(b.bits, 0::BIGINT) AS bits
+  FROM range({words}) r LEFT JOIN bloom_registers b ON b.word = r.range),
+bmap AS (SELECT list(bits ORDER BY word) AS arr FROM dense),
+inc AS (
+  SELECT doc_id, {fp} AS fp FROM documents WHERE doc_id % 5 = 0),
+pp AS (
+  SELECT doc_id, fp, {pos_defs}
+  FROM (SELECT doc_id, fp, {h64_sql('CAST(fp AS VARCHAR)')} AS h FROM inc)),
+probe AS (
+  SELECT doc_id, fp, ({member}) AS bloom_hit FROM pp, bmap)
+SELECT p.doc_id, p.fp, p.bloom_hit,
+       (h.fp IS NOT NULL) AS is_dup,
+       (p.bloom_hit AND h.fp IS NULL) AS false_positive
+FROM probe p LEFT JOIN hfp h ON p.fp = h.fp"""
+
+
 def q_corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + canonical-key dedup + per-host doc
     counts (dedup.url_dedup over functions.urls.canonical_url) — the
@@ -5232,6 +5292,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_bpe_segment": q_text_bpe_segment,
         "corpus_url_dedup": q_corpus_url_dedup,
         "pipeline_crawl_frontdoor": q_pipeline_crawl_frontdoor,
+        "dedup_bloom_prefilter": q_dedup_bloom_prefilter,
         "corpus_curriculum": q_corpus_curriculum,
         "corpus_sample_fixed": q_corpus_sample_fixed,
         "corpus_datacard": q_corpus_datacard,
@@ -6497,6 +6558,7 @@ SELECT pair, n FROM c ORDER BY n DESC, pair LIMIT {tx.BPE_MERGE_TOPK}""",
         "text_bpe_segment": _bpe_segment_sql(),
         # same messy-url synthesis text (dialect-pinned), DuckDB's own
         # string ops for the canonicalization rules (_url_canon_cte)
+        "dedup_bloom_prefilter": _bloom_prefilter_sql(),
         "corpus_url_dedup": f"""
 WITH {_url_canon_cte()}
 SELECT doc_id, canon_url, host,

@@ -1925,3 +1925,73 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     return ranked.join(host_counts, "host").select(
         id_col, "canon_url", "host", "url_rank", "host_docs"
     )
+
+
+BLOOM_PREFILTER_WORDS = 256  # 15,872 bits: deliberately modest so the
+# sf0.1 history (~4k distinct fps) produces REAL false positives and
+# the verify-join path is exercised, while sf0.001 stays near-exact
+
+
+def bloom_prefilter_dedup(
+    docs: DataFrame, split_mod: int = 5, words: int = BLOOM_PREFILTER_WORDS
+) -> DataFrame:
+    """Bloom-PREFILTERED incremental dedup — the 100 TB accelerator in
+    front of :func:`incremental` joins: the nightly increment
+    (``doc_id % split_mod == 0``) is membership-tested against a
+    KB-scale bloom bitmap of the historical content fingerprints
+    BEFORE any join, so the exact verify join only sees bloom hits
+    (at production sizing ~1% of a mostly-novel increment) and the
+    history is never shuffled against the full increment.
+
+    Built from the PORTABLE (md5) bloom machinery
+    (operators/sketches.py): registers collapse to ≤``words`` rows via
+    map-side combined bit_or — constant exchange however large the
+    history — then ride a broadcast 1-row bitmap onto a narrow probe
+    filter. Output per increment doc: (doc_id, fp, bloom_hit, is_dup,
+    false_positive). Bloom guarantees NO FALSE NEGATIVES, and the gate
+    VERIFIES that cross-engine: this side computes ``is_dup`` only for
+    bloom hits (the cheap path — a miss is definitionally novel),
+    while the DuckDB twin computes it with an unconditional exact
+    join; a false negative would make the two disagree and fail the
+    hash. ``false_positive`` rows are the ones the verify join
+    rescued — real at sf0.1 by deliberate undersizing (see
+    BLOOM_PREFILTER_WORDS)."""
+    from kmeans_mapreduce_spark.operators import sketches as sk
+
+    hist = docs.filter(F.col("doc_id") % split_mod != 0)
+    inc = docs.filter(F.col("doc_id") % split_mod == 0)
+    hfp = hist.select(content_fp(F.col("text")).alias("fp")).distinct()
+    bitmap = sk.bloom_filter_words(
+        sk.bloom_registers(hfp, "fp", words, native=False), words
+    )
+    bitmap_df = docs.sparkSession.createDataFrame(
+        [([int(w) for w in bitmap],)], "_bloom array<bigint>"
+    )
+    probe = inc.select("doc_id", content_fp(F.col("text")).alias("fp"))
+    flagged = (
+        probe.crossJoin(F.broadcast(bitmap_df))
+        .withColumn(
+            "bloom_hit",
+            sk._bloom_cond(
+                F.col("fp").cast("string"), F.col("_bloom"), words, False
+            ),
+        )
+        .drop("_bloom")
+    )
+    dup_ids = (
+        flagged.filter(F.col("bloom_hit"))
+        .join(hfp, "fp", "left_semi")
+        .select("doc_id", F.lit(True).alias("is_dup"))
+    )
+    return (
+        flagged.join(dup_ids, "doc_id", "left")
+        .select(
+            "doc_id",
+            "fp",
+            "bloom_hit",
+            F.coalesce(F.col("is_dup"), F.lit(False)).alias("is_dup"),
+        )
+        .withColumn(
+            "false_positive", F.col("bloom_hit") & ~F.col("is_dup")
+        )
+    )

@@ -627,6 +627,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "text_bpe_segment",
     "corpus_url_dedup",
     "pipeline_crawl_frontdoor",
+    "dedup_bloom_prefilter",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with
     # the standing caveat that a replay wall is trigger cadence +
@@ -855,7 +856,7 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "dedup_keep_best",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
-    "dedup_fuzzy_prefix",
+    "dedup_bloom_prefilter",
     "dedup_incremental",
     "dedup_cross_snapshot",
     "dedup_substring",

@@ -2873,3 +2873,25 @@ def test_jpeg_decode_peak_allocation_within_budget():
     # peak alongside the working set; grant them plus 10% slack for
     # interpreter small objects
     assert peak <= budget + 3 * w * h + budget // 10, (peak, budget)
+
+
+def test_bloom_prefilter_dedup_planted(spark):
+    """bloom_prefilter_dedup over planted cross-split duplicates: a
+    true dup (same content as a history doc) must be bloom_hit AND
+    is_dup (no false negatives, ever); a novel doc must be is_dup
+    False; false_positive only where hit but not dup."""
+    from kmeans_mapreduce_spark.operators import dedup as dd
+
+    rows = []
+    # history: doc_ids not ≡ 0 mod 5
+    for i, t in [(1, "alpha beta"), (2, "gamma delta"), (3, "epsilon")]:
+        rows.append((i, t))
+    # increment: ≡ 0 mod 5; doc 5 duplicates history doc 1, 10 is novel
+    rows += [(5, "alpha beta"), (10, "totally novel text")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: r for r in dd.bloom_prefilter_dedup(df).collect()}
+    assert set(got) == {5, 10}
+    assert got[5]["bloom_hit"] and got[5]["is_dup"]
+    assert not got[5]["false_positive"]
+    assert not got[10]["is_dup"]
+    assert got[10]["false_positive"] == (got[10]["bloom_hit"] is True)
