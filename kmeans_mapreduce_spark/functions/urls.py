@@ -4,6 +4,9 @@ A crawl sees the same page under many spellings (scheme/host case,
 ``www.``, default ports, tracking params, param order, trailing
 slashes, fragments); canonicalizing BEFORE content dedup collapses the
 trivially-equal variants with pure string ops, no content comparison.
+Rules follow RFC 3986 §6 syntax-based normalization (case, default
+port, empty-path) plus the scheme-based extras every crawl pipeline
+adds (www/fragment/tracking-param stripping, query-param sort).
 Everything here is native Catalyst (regexp/split/filter/array_sort/
 concat) restricted to the Java∩RE2 regex subset the repo's
 cross-engine discipline requires, so the DuckDB twin can run the

@@ -676,23 +676,71 @@ def _weighted_top_pair(vocab: DataFrame, word_col: str, weight_col: str):
     return rows[0] if rows else None
 
 
+BPE_DRIVER_VOCAB_MAX = 100_000  # ≤ this many distinct words → run the
+# merge rounds in-process on the collected (word, n) table instead of
+# launching a Spark job per round (same threshold-guarded fast-path
+# pattern as dedup.connected_components' small-graph union-find); the
+# distributed loop remains the 100 TB path and a test pins the two
+# paths byte-identical
+
+
+def _driver_merge_loop(
+    vocab_rows: list[tuple[str, int]], n_merges: int
+) -> list[tuple[str, str]]:
+    """The merge loop on a driver-held vocab — EXACTLY the distributed
+    rounds' semantics (instance-weighted pair counts, (count DESC,
+    pair ASC) tie-break, leftmost-nonoverlapping str.replace — Python
+    and Java replace agree) with zero job-scheduling overhead."""
+    from collections import Counter
+
+    vocab = Counter()
+    for w, n in vocab_rows:
+        vocab[w] += n
+    merges: list[tuple[str, str]] = []
+    for i in range(n_merges):
+        pairs: Counter = Counter()
+        for w, n in vocab.items():
+            for j in range(len(w) - 1):
+                pairs[w[j : j + 2]] += n
+        if not pairs:
+            break
+        pair = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        marker = chr(BPE_MARKER_BASE + i)
+        merges.append((pair, marker))
+        nv: Counter = Counter()
+        for w, n in vocab.items():
+            nv[w.replace(pair, marker)] += n
+        vocab = nv
+    return merges
+
+
 def bpe_train_merges(
-    docs: DataFrame, n_merges: int = BPE_SEGMENT_MERGES
+    docs: DataFrame,
+    n_merges: int = BPE_SEGMENT_MERGES,
+    driver_vocab_max: int = BPE_DRIVER_VOCAB_MAX,
 ) -> list[tuple[str, str]]:
     """FULL BPE training loop (Sennrich et al. 2016): learn an ordered
     merge list of ``n_merges`` (pair → marker) rules. The corpus is
     scanned ONCE into the distinct-word vocab (word, count) — the
-    shuffle is bounded by |V|, never corpus rows — then every round
-    runs on the cached metadata-scale vocab: weighted pair count →
-    1-row collect (the K-row-collect contract of the k-means loop) →
-    literal leftmost-nonoverlapping replace of the winner with the
-    round's private-use marker chr(0xE000+i). Later rounds merge
-    marker-adjacent pairs, exactly how real BPE grows multi-char
-    symbols. At 100 TB the round cost is |V| rows per round; only the
+    shuffle is bounded by |V|, never corpus rows — then the merge
+    rounds run on the metadata-scale vocab. Small vocabs
+    (≤ ``driver_vocab_max``) take the threshold-guarded driver path
+    (one |V|-row collect, in-process rounds — job overhead would
+    dominate otherwise); larger vocabs run each round distributed:
+    weighted pair count → 1-row collect (the K-row-collect contract
+    of the k-means loop) → literal leftmost-nonoverlapping replace of
+    the winner with the round's private-use marker chr(0xE000+i).
+    Later rounds merge marker-adjacent pairs, exactly how real BPE
+    grows multi-char symbols; both paths are pinned byte-identical by
+    tests. At 100 TB the round cost is |V| rows per round; only the
     vocab build touches the corpus."""
     words = docs.select(F.explode(tokens(F.col("text"))).alias("w"))
     vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("n")).cache()
     try:
+        if vocab.count() <= driver_vocab_max:
+            return _driver_merge_loop(
+                [(r["w"], r["n"]) for r in vocab.collect()], n_merges
+            )
         merges: list[tuple[str, str]] = []
         cur = vocab
         for i in range(n_merges):

@@ -277,8 +277,13 @@ def test_bpe_train_and_segment_match_python_replay(doc_words, m):
             nv[cur] += n
         vocab = nv
 
+    # the driver fast path (default at this vocab size) AND the
+    # distributed rounds (forced via driver_vocab_max=0) must both
+    # equal the reference replay — the two paths can never drift
     got = tx.bpe_train_merges(df, m)
     assert got == ref_merges
+    got_dist = tx.bpe_train_merges(df, m, driver_vocab_max=0)
+    assert got_dist == ref_merges
 
     seg_rows = {
         r["doc_id"]: r for r in tx.bpe_segment_stats(df, got).collect()
