@@ -2895,3 +2895,38 @@ def test_bloom_prefilter_dedup_planted(spark):
     assert not got[5]["false_positive"]
     assert not got[10]["is_dup"]
     assert got[10]["false_positive"] == (got[10]["bloom_hit"] is True)
+
+
+def test_url_canonicalization_idempotent(spark):
+    """canonical_url is a projection onto its own fixed points:
+    re-canonicalizing any canonical form is a no-op (256-combination
+    grid of scheme/host/port/path/query/fragment mess in one job),
+    and no canonical form retains a fragment or tracking param."""
+    from itertools import product
+
+    from pyspark.sql import functions as F
+
+    from kmeans_mapreduce_spark.functions.urls import canonical_url
+
+    urls = [
+        f"{s}://{h}{p}{q}{f}"
+        for s, h, p, q, f in product(
+            ["https", "HTTP"],
+            ["WWW.Ex.COM", "cdn.ex.com", "ex.com:8080", "Ex.com:443"],
+            ["", "/a", "/a/", "//"],
+            ["", "?b=2&a=1", "?utm_source=x", "?id=1&utm_x=2&fbclid=3"],
+            ["", "#frag"],
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url STRING")
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+    ).select(
+        "c1", canonical_url(F.col("c1")).alias("c2")
+    )
+    rows = out.collect()
+    assert len(rows) == 256
+    for r in rows:
+        assert r["c1"] == r["c2"], (r["c1"], r["c2"])
+        assert "#" not in r["c1"] and "utm_" not in r["c1"]
+        assert "fbclid" not in r["c1"]
