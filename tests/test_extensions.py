@@ -2930,3 +2930,50 @@ def test_url_canonicalization_idempotent(spark):
         assert r["c1"] == r["c2"], (r["c1"], r["c2"])
         assert "#" not in r["c1"] and "utm_" not in r["c1"]
         assert "fbclid" not in r["c1"]
+
+
+def test_crawl_frontdoor_funnel_hand_computed(spark, tmp_path):
+    """pipeline_crawl_frontdoor's cascading-flag funnel against a
+    hand-computed fixture: doc_ids chosen so the blocklist, dedup,
+    quality and cap stages each eliminate KNOWN rows. Uses the real
+    synth+canonicalize chain over a tiny documents table written to
+    parquet (the query loads by sf_dir)."""
+    import pandas as pd
+
+    from kmeans_mapreduce_spark import extensions as X
+
+    # source is free-form here; pick one blocked host family (src1 with
+    # doc_id%4 in {1,2,3} -> host src1.example.com, IN the blocklist)
+    # and one clean family (src2). n_chars drives the quality stage.
+    rows = [
+        # blocked: src1 + doc_id%4==1 -> 'WWW.src1.Example.COM' ->
+        # canon host src1.example.com (blocklisted)
+        (1, "t", "en", "src1", 500),
+        # clean host (src2), big n_chars, unique canon -> survives all
+        (2, "t", "en", "src2", 500),
+        # true canonical dup pair: 123 (%4=3 -> www.src2... -> plain
+        # host, %8=3 no port, %2=1 http, //40=3, %5=3 no query) and
+        # 133 (%4=1 -> WWW.src2.Example.COM -> same plain host, %8=5
+        # no port, %2=1 http, //40=3, %5=3 no query) both canonicalize
+        # to http://src2.example.com/item3
+        (123, "t", "en", "src2", 500),
+        (133, "t", "en", "src2", 500),
+        # low quality: clean host, unique canon, tiny n_chars
+        (6, "t", "en", "src2", 10),
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    d = tmp_path / "sfx"
+    d.mkdir()
+    pdf.to_parquet(str(d / "documents.parquet"))
+    got = X.q_pipeline_crawl_frontdoor(spark, str(d)).collect()[0]
+    # total 5; blocked: doc 1 -> 4; dup: 133 (123 keeps rank 1) -> 3;
+    # quality: doc 6 (<150 chars) -> 2; cap (10/host) doesn't bite -> 2
+    assert (
+        got["n_total"],
+        got["n_after_blocklist"],
+        got["n_after_dedup"],
+        got["n_after_quality"],
+        got["n_after_cap"],
+    ) == (5, 4, 3, 2, 2)

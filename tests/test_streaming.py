@@ -1457,3 +1457,61 @@ def test_stream_dedup_ttl_eviction_bounds_state(spark, tmp_path_factory):
         (r["event_id"], r["gap_sec"]) for r in spark.table("ttl_evict").collect()
     )
     assert got == [(0, None), (1, None), (2, None), (3, None)]
+
+
+def test_stream_dedup_ttl_ordered_split_equals_batch_lag(spark, tmp_path_factory):
+    """The replay-gate invariant stated on stream_dedup_ttl: an
+    EVENT-TIME-ORDERED multi-batch split (no row behind the watermark
+    at any batch boundary, no eviction between a key's events) equals
+    the batch LAG formulation row-for-row — pinned here over ~60
+    pseudo-random events in 3 ordered batches with the watermark on."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("ttl_split"))
+    S = 1_000_000_000
+    ttl = 50
+
+    # deterministic pseudo-random events: 4 users x 2 types, times
+    # spread so some gaps are < ttl (suppressed) and some > (re-emit)
+    evs = []
+    for i in range(60):
+        u = (i * 7) % 4
+        et = "click" if (i * 5) % 3 else "error"
+        ts = 1000 + i * 17 + ((i * 13) % 29)
+        evs.append((u, et, i, ts))
+    evs.sort(key=lambda e: e[3])
+    thirds = [evs[:20], evs[20:40], evs[40:]]
+    for b, rows in enumerate(thirds):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_type": [r[1] for r in rows],
+                "event_id": [r[2] for r in rows],
+                "ts": [r[3] * S for r in rows],
+            }
+        ).to_parquet(f"{out}/{b:02d}.parquet")
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, event_type STRING, event_id LONG, ts LONG"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    ded = so.stream_dedup_ttl(stream, ttl_sec=ttl, watermark_sec=5)
+    so.run_stream_to_memory(ded, "ttl_split", mode="update")
+    got = sorted(
+        (r["event_id"], r["gap_sec"])
+        for r in spark.table("ttl_split").collect()
+    )
+
+    # batch LAG reference in pure python
+    last: dict = {}
+    want = []
+    for u, et, eid, ts in sorted(evs, key=lambda e: (e[3], e[2])):
+        prev = last.get((u, et))
+        gap = None if prev is None else ts - prev
+        if gap is None or gap > ttl:
+            want.append((eid, gap))
+        last[(u, et)] = ts
+    assert got == sorted(want) and len(got) > 5
