@@ -5550,14 +5550,16 @@ sessions AS (
 """
 
 
-def _url_canon_cte(extra: str = "") -> str:
+def _url_canon_cte(extra: str = "", url_expr: str | None = None) -> str:
     """The DuckDB canonicalization chain shared by the url_dedup and
     crawl-frontdoor twins: synthesize the messy url (dialect-pinned
-    text), apply DuckDB's own string ops for the rules, end in
+    text; ``url_expr`` overrides the synth for tests driving hostile
+    spellings), apply DuckDB's own string ops for the rules, end in
     ``c(doc_id{extra}, canon_url, host)``. regexp_replace defaults to
     first-match-only in DuckDB but every pattern is anchored, so
     global/first agree."""
-    return f"""u AS (SELECT doc_id{extra}, ({_url_synth_expr(False)}) AS url FROM documents),
+    synth = url_expr if url_expr is not None else _url_synth_expr(False)
+    return f"""u AS (SELECT doc_id{extra}, ({synth}) AS url FROM documents),
 p AS (
   SELECT doc_id{extra},
          lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
@@ -5571,9 +5573,11 @@ q AS (
   FROM p),
 r AS (
   SELECT doc_id{extra}, scheme,
-         regexp_replace(lower(regexp_extract(hostport, '^([^:]+)', 1)),
-                        '^www\\.', '') AS host,
-         regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+         regexp_replace(lower(regexp_extract(
+           regexp_replace(hostport, '^[^@]*@', ''),
+           '^(\\[[^\\]]*\\]|[^:]+)', 1)), '^www\\.', '') AS host,
+         regexp_extract(regexp_replace(hostport, '^[^@]*@', ''),
+                        ':([0-9]+)$', 1) AS port,
          regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
                         '/+$', '') AS path,
          regexp_extract(pathq, '\\?(.*)$', 1) AS query
@@ -5628,15 +5632,21 @@ def _bpe_segment_sql(n_merges: int = None) -> str:
     FROM {prev}) GROUP BY pair)
   ORDER BY c DESC, pair LIMIT 1)"""
         )
+        # COALESCE: when the vocab exhausts before n_merges the
+        # scalar subquery is NULL and replace(w, NULL, ...) would
+        # NULL-propagate every word; replace with '' is a no-op in
+        # DuckDB, so the twin degrades to fewer effective merges
+        # exactly like the engine trainer's early break
         if i < m:
             ctes.append(
-                f"v{i} AS (SELECT replace(w, (SELECT pair FROM m{i}), "
+                f"v{i} AS (SELECT replace(w, "
+                f"COALESCE((SELECT pair FROM m{i}), ''), "
                 f"chr({marker})) AS w, n FROM {prev})"
             )
     seg = "text"
     for i in range(1, m + 1):
         seg = (
-            f"replace({seg}, (SELECT pair FROM m{i}), "
+            f"replace({seg}, COALESCE((SELECT pair FROM m{i}), ''), "
             f"chr({tx.BPE_MARKER_BASE + (i - 1)}))"
         )
     ctes.append(

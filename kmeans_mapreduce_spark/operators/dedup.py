@@ -1904,8 +1904,13 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     skew-join splitting can handle at 100 TB.
 
     Output per input row: (id, canon_url, host, url_rank, host_docs);
-    ``url_rank = 1`` marks the kept representative (min id).
-    """
+    ``url_rank = 1`` marks the kept representative (min id). NULL
+    urls (and hence NULL canon/host) are KEPT and counted as their
+    own host group — the join is null-safe, matching the window
+    formulation ``COUNT(*) OVER (PARTITION BY host)`` that groups
+    NULLs together, so output row count always equals input row count
+    (round-12 advisor finding: a plain equi-join silently dropped
+    NULL-url rows)."""
     from pyspark.sql.window import Window
 
     from kmeans_mapreduce_spark.functions.urls import canonical_url, url_host
@@ -1922,9 +1927,11 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     host_counts = canon.groupBy("host").agg(
         F.count(F.lit(1)).alias("host_docs")
     )
-    return ranked.join(host_counts, "host").select(
-        id_col, "canon_url", "host", "url_rank", "host_docs"
-    )
+    # eqNullSafe (<=>) keeps NULL-host rows and still hash-joins
+    return ranked.join(
+        host_counts.withColumnRenamed("host", "_hc_host"),
+        ranked["host"].eqNullSafe(F.col("_hc_host")),
+    ).select(id_col, "canon_url", "host", "url_rank", "host_docs")
 
 
 BLOOM_PREFILTER_WORDS = 256  # 15,872 bits: deliberately modest so the
@@ -1960,7 +1967,14 @@ def bloom_prefilter_dedup(
 
     hist = docs.filter(F.col("doc_id") % split_mod != 0)
     inc = docs.filter(F.col("doc_id") % split_mod == 0)
-    hfp = hist.select(content_fp(F.col("text")).alias("fp")).distinct()
+    # materialized once: the distinct fingerprints feed BOTH the
+    # bitmap build (collected here) and the verify join below —
+    # without the barrier the full history scan+distinct ran twice
+    hfp = (
+        hist.select(content_fp(F.col("text")).alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     bitmap = sk.bloom_filter_words(
         sk.bloom_registers(hfp, "fp", words, native=False), words
     )
