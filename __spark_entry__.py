@@ -16,9 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full Lloyd's fit (seeded init → iterate → converge) on
     the sf0.001 lineitem-derived point set; returns final centroids."""
-    from kmeans_mapreduce_spark.queries import q_kmeans_fit
+    from kmeans_mapreduce_spark.queries import q_kmeans_fit_centers
 
-    return q_kmeans_fit(spark, "/root/testdata/sf0.001")
+    return q_kmeans_fit_centers(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

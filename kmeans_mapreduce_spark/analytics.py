@@ -106,23 +106,64 @@ def q_text_chunks_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embeddings_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distributed PCA of the embeddings table (operators/pca.py):
-    one Arrow partial-aggregation pass for the sufficient statistics,
-    driver eigh, narrow projection map. Rows-only by declared contract
-    (numerical eigendecomposition, like kmeans_fit); numpy-parity and
-    orthonormality tests pin correctness.
+    """Distributed PCA under the hash gate (r12 verdict task 3 —
+    previously rows-only): one Arrow suffstats pass, driver eigh,
+    narrow projection map — with the eigh half gated NUMERICALLY. The
+    eigendecomposition itself is out of SQL reach, but its result
+    obeys engine-independent identities the engine verifies honestly
+    from a fresh distributed pass over the PROJECTED data: the sample
+    variance of the scores along component k equals eigenvalue λ_k
+    (the defining PCA identity), eigenvalues come out descending, and
+    the top-k explained variance cannot exceed the total covariance
+    trace. ``trace_cov`` is the real cross-engine value — the twin
+    recomputes Σ_i var(dim_i) from the raw embeddings in SQL with the
+    identical per-dim op sequence and the pinned IEEE rounding.
+    Callers wanting the projection itself use ``pca.pca_pipeline``;
+    the distributed suffstats stay independently hash-gated as
+    ``embeddings_pca_suffstats``."""
+    import math
 
-    Gate shape: the projection's ``pc ARRAY<DOUBLE>`` is posexploded to
-    one scalar ``(vec_id, k, component_value)`` row per dimension — the
-    same flattening q_embeddings_pca_suffstats uses — because the
-    driver's rows-only canonicalizer sorts the pandas frame and
-    list-typed cells are unhashable (the r11 red row). Callers wanting
-    the array form use pca.pca_pipeline directly."""
     from kmeans_mapreduce_spark.operators import pca
 
-    out = pca.pca_pipeline(load_table(spark, sf_dir, "embeddings"))
-    return out.select(
-        "vec_id", F.posexplode("pc").alias("k", "component_value")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n, s, g = pca._suffstats(emb, "embedding")
+    mean, comps, evs = pca.fit_from_suffstats(n, s, g)
+    kc = len(comps)
+    proj = pca.pca_project(emb, mean, comps)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k in range(kc):
+        pc_k = F.col("pc")[k]
+        aggs.append(F.sum(pc_k).alias(f"s{k}"))
+        aggs.append(F.sum(pc_k * pc_k).alias(f"q{k}"))
+    row = proj.agg(*aggs).collect()[0]
+    nn = row["n"]
+    score_vars = [
+        (row[f"q{k}"] - row[f"s{k}"] * row[f"s{k}"] / nn) / (nn - 1)
+        for k in range(kc)
+    ]
+    # the projection rounds scores to 6 digits, so the variance
+    # identity holds to ~1e-5 absolute; 1e-4·max(1, λ) is far above
+    # that and 4+ orders below any eigh/projection mismatch
+    vars_match = all(
+        abs(score_vars[k] - evs[k]) <= 1e-4 * max(1.0, abs(evs[k]))
+        for k in range(kc)
+    )
+    descending = all(evs[i + 1] <= evs[i] + 1e-12 for i in range(kc - 1))
+    d = len(s)
+    trace = 0.0
+    for i in range(d):
+        trace += (g[i][i] - s[i] * s[i] / n) / (n - 1)
+    trace_r = math.floor(trace * 1e6 + 0.5) / 1e6
+    explained_le = sum(evs) <= trace + 1e-9 * abs(trace)
+    rows = [(
+        int(n), int(d), int(kc), float(trace_r),
+        bool(vars_match), bool(descending), bool(explained_le),
+    )]
+    return spark.createDataFrame(
+        rows,
+        "n_vecs BIGINT, d INT, k_components INT, trace_cov DOUBLE, "
+        "vars_match_eigvals BOOLEAN, vars_descending BOOLEAN, "
+        "explained_le_trace BOOLEAN",
     )
 
 
@@ -184,6 +225,41 @@ SELECT p.i, p.j,
              + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) AS gram_ij
 FROM e0 CROSS JOIN p
 GROUP BY p.i, p.j"""
+
+
+def _pca_gate_oracle() -> str:
+    """Twin of the gated ``embeddings_pca``: recomputes the covariance
+    trace Σ_i var(dim_i) from the raw embeddings with the engine's
+    exact per-dim op sequence ((Σv² − Σv·Σv/n)/(n−1), summed over
+    dims, IEEE floor-rounded to 6), and pins the eigh identities the
+    engine verifies honestly (score variance = eigenvalue, descending
+    order, explained ≤ trace) as the booleans they must be."""
+    from kmeans_mapreduce_spark.operators.pca import PCA_K
+
+    return f"""
+WITH e0 AS (
+  SELECT list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+),
+d AS (
+  SELECT t.i::INTEGER AS i, v[t.i] AS val
+  FROM e0 CROSS JOIN range(1, {PCA_EMB_DIM + 1}) t(i)
+),
+pv AS (
+  SELECT i,
+         (SUM(val * val) - SUM(val) * SUM(val) / COUNT(*))
+           / (COUNT(*) - 1) AS var_i,
+         COUNT(*)::BIGINT AS n
+  FROM d GROUP BY i
+)
+SELECT MAX(n)::BIGINT AS n_vecs,
+       CAST({PCA_EMB_DIM} AS INTEGER) AS d,
+       CAST({PCA_K} AS INTEGER) AS k_components,
+       floor(SUM(var_i) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+         / CAST(1000000.0 AS DOUBLE) AS trace_cov,
+       TRUE AS vars_match_eigvals,
+       TRUE AS vars_descending,
+       TRUE AS explained_le_trace
+FROM pv"""
 
 
 ORDER_PRIORITIES = [
@@ -974,6 +1050,7 @@ def analytics_oracle_sql() -> dict[str, str]:
         "lineitem_bloom_prune": _BLOOM_PRUNE_ORACLE,
         "text_chunks": _TEXT_CHUNKS_ORACLE,
         "text_chunks_fast": _TEXT_CHUNKS_ORACLE,
+        "embeddings_pca": _pca_gate_oracle(),
         "embeddings_pca_suffstats": _PCA_SUFFSTATS_ORACLE,
         "quality_report_orders": _QUALITY_REPORT_ORACLE,
         "events_first_touch": _FIRST_TOUCH_ORACLE,

@@ -79,10 +79,19 @@ def pca_fit(emb: DataFrame, vec_col: str = "embedding", k: int = PCA_K):
     import numpy as np
 
     n, s, g = _suffstats(emb, vec_col)
+    return fit_from_suffstats(n, s, g, k)
+
+
+def fit_from_suffstats(n: int, s, g, k: int = PCA_K):
+    """The driver-side eigh half of :func:`pca_fit`, factored so the
+    gated ``embeddings_pca`` query can fit and compute its
+    verification trace from ONE suffstats pass."""
+    import numpy as np
+
     if n < 2:
         raise ValueError("pca_fit: needs at least 2 rows (covariance divides by n-1)")
-    mean = s / n
-    cov = (g - n * np.outer(mean, mean)) / (n - 1)
+    mean = np.asarray(s) / n
+    cov = (np.asarray(g) - n * np.outer(mean, mean)) / (n - 1)
     w, v = np.linalg.eigh(cov)  # ascending
     order = np.argsort(w)[::-1][:k]
     comps = []

@@ -452,12 +452,12 @@ def q_kmeans_fit_kmpp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O11+O13 — full engine fit (seeded init, repair, convergence).
-
-    Seeded randomness is driver-side → not SQL-expressible; rows-only
-    check (driver records the weaker gate; property tests in tests/
-    cover the invariants)."""
+def q_kmeans_fit_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw free-form fit surface (final centroids + convergence
+    bookkeeping) — what ``entry()`` returns as the flagship. Not in
+    the gated registry: the gated ``kmeans_fit`` runs the SAME fit
+    and emits its numerically-verified invariants instead (the
+    seeded trajectory itself has no SQL twin)."""
     res = km.fit(points_2d(spark, sf_dir), k=8, max_iter=10, tol=0.5, seed=42)
     rows = [
         (cid, float(cx), float(cy), len(res.wssse_history), res.converged)
@@ -465,6 +465,68 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "cid INT, cx DOUBLE, cy DOUBLE, iterations INT, converged BOOLEAN"
+    )
+
+
+def _lloyd_slack(h: float) -> float:
+    """Reassociation allowance for cross-plan WSSSE comparisons: the
+    fit loop's aggregate, the verification pass's aggregate, and (n-D)
+    the matmul partials all sum the same per-point terms in different
+    orders; 1e-9 relative is ~100× above the measured float64
+    reassociation noise and ~9 orders below any real Lloyd-descent
+    violation."""
+    return abs(h) * 1e-9 + 1e-6
+
+
+def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11+O13 under the hash gate — the FREE-FORM engine fit (seeded
+    init, reseed repair, |ΔWSSSE| convergence), gated NUMERICALLY (r12
+    verdict task 3). The seeded trajectory itself is driver-side
+    randomness no SQL can replay, but its RESULT obeys
+    engine-independent invariants: Lloyd descent is monotone
+    (mean-update + reseed repair can only lower the objective), an
+    independent assignment pass at the RETURNED centers can't score
+    worse than the last recorded WSSSE, and a k=8 converged fit must
+    beat the fixed K4 one-shot assignment (``kmeans_wssse``'s config).
+    The query emits those verdicts computed honestly from fresh
+    verification passes, plus the twin-computable K4 reference WSSSE
+    as a real cross-engine value — so the gate fails if the free fit
+    ever returns non-Lloyd output while the trajectory stays free.
+    Users wanting the raw centers call ``operators.kmeans.fit`` (the
+    exact call below; ``entry()`` returns that shape)."""
+    pts = points_2d(spark, sf_dir)
+    res = km.fit(pts, k=8, max_iter=10, tol=0.5, seed=42)
+    ver = (
+        km.assign(pts, res.centers)
+        .agg(
+            F.sum("min_d2").alias("w_ret"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .collect()[0]
+    )
+    w_k4 = (
+        km.assign(pts, K4_CENTERS)
+        .agg(F.round(F.sum("min_d2"), SUM_DIGITS).alias("w"))
+        .collect()[0]["w"]
+    )
+    hist = res.wssse_history
+    monotone = all(
+        hist[i + 1] <= hist[i] + _lloyd_slack(hist[i])
+        for i in range(len(hist) - 1)
+    )
+    fixpoint = ver["w_ret"] <= hist[-1] + _lloyd_slack(hist[-1])
+    rows = [(
+        len(res.centers),
+        int(ver["n_points"]),
+        float(w_k4),
+        bool(monotone),
+        bool(fixpoint),
+        bool(ver["w_ret"] <= w_k4),
+    )]
+    return spark.createDataFrame(
+        rows,
+        "k_centers BIGINT, n_points BIGINT, wssse_k4 DOUBLE, "
+        "monotone BOOLEAN, fixpoint BOOLEAN, improves_on_k4 BOOLEAN",
     )
 
 
@@ -836,21 +898,23 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "multimodal_meta",      # multimodal
     "events_stream_replay",  # streaming
     "table_time_travel",    # versioned tables
-    # -- the r11 red row, retried in its exploded gate-compatible
-    # shape (rows-only by contract: eigh is numerical) --
+    # -- round-13 promotions: HASH-gated from this round (r12 verdict
+    # task 3 — were rows-only; the free trajectories stay numerical,
+    # their results now gate via Lloyd-fixpoint / eigh-identity
+    # invariants + twin-recomputed reference values) --
     "embeddings_pca",
-    # -- the staged r12 swap: landed after the r11 window locked,
-    # never driver-gated, builder-gated green at 3 scales --
+    "kmeans_fit",
+    "kmeans_nd_fit",
+    # -- r12 entrants kept one more round (first driver-gate was r12) --
     "multimodal_audio",
     "events_stream_hll_replay",
     "events_stream_funnel_replay",
-    # -- round-12 growth, gated FROM BIRTH --
     "text_bpe_segment",
     "corpus_url_dedup",
     "events_stream_ttl_dedup_replay",
-    # -- regression canaries: previously driver-green, family spread --
-    "kmeans_wssse",
-    "kmeans_kmpp_round2",
+    # -- regression canaries: previously driver-green, family spread
+    # (kmeans_wssse / kmeans_kmpp_round2 rotated out for the two fit
+    # promotions; the kmeans family keeps 4 in-window reps) --
     "kmeans_nd_fit_large",
     "dedup_exact",
     "dedup_keep_best",
@@ -951,7 +1015,17 @@ WHERE c.cid NOT IN (SELECT DISTINCT cid FROM assigned)""",
         "kmeans_fit_fixed": _unrolled_loop_sql(3),
         "kmeans_kmpp_round1": _kmpp_round1_sql(),
         "kmeans_kmpp_round2": _kmpp_round2_sql(),
-        # kmeans_fit / kmeans_fit_kmpp: seeded randomness → rows-only.
+        # kmeans_fit: the free trajectory is seeded driver randomness,
+        # but its RESULT is gated — the twin recomputes the K4
+        # reference WSSSE for real and pins the Lloyd invariants the
+        # engine verifies honestly (r12 verdict task 3).
+        "kmeans_fit": a4
+        + f"""SELECT CAST(8 AS BIGINT) AS k_centers,
+       COUNT(*)::BIGINT AS n_points,
+       ROUND(SUM(min_d2), {SUM_DIGITS}) AS wssse_k4,
+       TRUE AS monotone, TRUE AS fixpoint, TRUE AS improves_on_k4
+FROM assigned""",
+        # kmeans_fit_kmpp: distributed seeded sampling → rows-only.
     }
 
 
