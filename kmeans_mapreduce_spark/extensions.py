@@ -637,6 +637,39 @@ def q_events_stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.table(qname).select("user_id", "step", "step_type", "ts_sec")
 
 
+# Setup-vs-compute accounting for the bench-tracked streaming replays
+# (r12 verdict task 2): a replay's wall is stream-start + state-store
+# setup + trigger scheduling PLUS the actual micro-batch processing;
+# only the latter is operator cost. Each tracked replay records its
+# last run's per-batch progress here; bench.py reads it after timing
+# the query and derives setup ≈ wall − batch-processing, so cross-round
+# comparisons can separate trigger-cadence drift from plan regressions.
+REPLAY_PROGRESS: dict[str, dict] = {}
+
+
+def _record_replay_progress(name: str, q) -> None:
+    """Fold a finished StreamingQuery's recentProgress into
+    REPLAY_PROGRESS[name]: micro-batch count, summed triggerExecution
+    (the whole per-batch wall Spark attributes to processing) and
+    summed addBatch (the sink/exec slice). Best-effort — progress
+    introspection must never fail a gated query."""
+    try:
+        prog = [p for p in (q.recentProgress or []) if p]
+        dur = [p.get("durationMs") or {} for p in prog]
+        REPLAY_PROGRESS[name] = {
+            "n_batches": len(prog),
+            "n_data_batches": sum(
+                1 for p in prog if (p.get("numInputRows") or 0) > 0
+            ),
+            "trigger_exec_ms": int(
+                sum(d.get("triggerExecution", 0) for d in dur)
+            ),
+            "add_batch_ms": int(sum(d.get("addBatch", 0) for d in dur)),
+        }
+    except Exception:  # noqa: BLE001 — accounting only, never gate-fatal
+        pass
+
+
 def q_events_stream_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked TTL-dedup under the gate: the bounded events table
     replayed through ``stream_dedup_ttl`` (debounce by
@@ -676,6 +709,7 @@ def q_events_stream_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFr
             "events_stream_ttl_dedup_replay: streaming replay did not "
             "finish in 300 s — refusing to gate a partially-populated sink"
         )
+    _record_replay_progress("events_stream_ttl_dedup_replay", q)
     return spark.table(qname).select(
         "user_id", "event_type", "event_id", "ts_sec", "gap_sec"
     )
@@ -728,6 +762,7 @@ def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events_stream_join_replay: streaming replay did not finish "
             "in 300 s — refusing to gate a partially-populated sink"
         )
+    _record_replay_progress("events_stream_join_replay", q)
     return spark.table(qname).select(
         "user_id", "event_id", "l_ts_sec", "r_ts_sec", "r_value"
     )
@@ -785,6 +820,7 @@ def q_events_stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             "events_stream_enrich_replay: streaming replay did not finish "
             "in 300 s — refusing to gate a partially-populated sink"
         )
+    _record_replay_progress("events_stream_enrich_replay", q)
     return spark.table(qname).select("user_id", "event_id", "ts_sec", "segment")
 
 

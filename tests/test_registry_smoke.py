@@ -109,6 +109,47 @@ def test_driver_window_samples_every_family():
         assert name in o, f"family {fam} representative lost its oracle"
 
 
+def test_tracked_replays_record_progress_split():
+    """Every bench-TRACKED streaming replay must record its micro-batch
+    progress into extensions.REPLAY_PROGRESS (r12 verdict task 2: the
+    bench derives the setup-vs-compute split from it — a new tracked
+    replay that skips the instrumentation would silently re-distort the
+    headline total with setup wall)."""
+    import inspect
+
+    from kmeans_mapreduce_spark import extensions as X
+    from kmeans_mapreduce_spark.queries import BENCH_EXTENSION_QUERIES
+
+    tracked = [
+        n
+        for n in BENCH_EXTENSION_QUERIES
+        if "_stream_" in n and n.endswith("_replay")
+    ]
+    assert tracked, "replay split exists because replays are benched"
+    src = inspect.getsource(X)
+    for n in tracked:
+        assert f'_record_replay_progress("{n}"' in src, (
+            f"{n} is bench-tracked but never records its replay progress"
+        )
+
+
+def test_replay_progress_populated_by_cheapest_tracked_replay(spark):
+    """Runtime half of the split contract: running a tracked replay
+    leaves a well-formed progress record behind."""
+    from kmeans_mapreduce_spark import extensions as X
+
+    X.REPLAY_PROGRESS.pop("events_stream_enrich_replay", None)
+    df = X.q_events_stream_enrich_replay(spark, SF)
+    assert df.count() >= 0
+    p = X.REPLAY_PROGRESS["events_stream_enrich_replay"]
+    assert set(p) == {
+        "n_batches", "n_data_batches", "trigger_exec_ms", "add_batch_ms",
+    }
+    assert p["n_batches"] >= 1
+    assert p["n_data_batches"] >= 1
+    assert p["trigger_exec_ms"] > 0
+
+
 @pytest.mark.parametrize("name", _registry())
 def test_query_executes(spark, name):
     import __spark_entry__ as entry
