@@ -367,8 +367,50 @@ def _decode_stub(kind: str, payload: bytes):
     stream=stream)`` + decode-next instead of decoding every frame.
     The Spark-side plumbing is unchanged: this function already runs
     inside the Arrow-batched ``mapInPandas`` decode pass, so the swap
-    is these ~6 lines plus shipping the ``av`` wheel to executors."""
-    raise NotImplementedError(f"no stdlib decoder for kind={kind!r}")
+    is these ~6 lines plus shipping the ``av`` wheel to executors.
+
+    The swap is WIRED as an optional extra (r12 verdict task 7):
+    when the ``av`` wheel is importable the pinned calls above run via
+    :func:`_decode_av`; when it is absent (this container) the stub
+    raises exactly as before. A skipped-unless-available test
+    exercises the live path so the stub closes the day the wheel
+    exists."""
+    try:
+        import av  # noqa: F401 — optional extra, absent in this container
+    except ImportError:
+        raise NotImplementedError(f"no stdlib decoder for kind={kind!r}")
+    return _decode_av(kind, payload)
+
+
+def _decode_av(kind: str, payload: bytes):
+    """The live pyav path behind :func:`_decode_stub`'s guard — the
+    docstring's pinned public API, verbatim. Same return contract as
+    the stdlib decoders ((content, w, h, n_frames)); malformed or
+    stream-less payloads raise ValueError like every other decoder
+    here (degrade-don't-die at the callers)."""
+    import io
+
+    import av
+
+    try:
+        with av.open(io.BytesIO(payload)) as container:
+            if not container.streams.video:
+                raise ValueError(
+                    f"av: no video stream in kind={kind!r} payload"
+                )
+            stream = container.streams.video[0]
+            stream.thread_type = "AUTO"  # frame+slice threads
+            frames = []
+            w = h = None
+            for frame in container.decode(stream):  # av.VideoFrame
+                rgb = frame.to_ndarray(format="rgb24")  # H×W×3 uint8
+                h, w = rgb.shape[:2]
+                frames.append(rgb.tobytes())
+    except av.error.FFmpegError as exc:
+        raise ValueError(f"av could not decode kind={kind!r}: {exc}") from exc
+    if not frames:
+        raise ValueError(f"av decoded zero frames for kind={kind!r}")
+    return b"".join(frames), w, h, len(frames)
 
 
 def decode_media(kind: str, payload: bytes) -> tuple[bytes, int | None, int | None, int | None]:

@@ -571,6 +571,59 @@ def test_avi_roundtrip_and_codec_stub():
         mm._decode_stub("hologram", b"\x00")
 
 
+def test_decode_stub_message_unchanged_without_pyav():
+    """When the optional ``av`` wheel is absent (this container), the
+    inter-frame stub must raise exactly the declared message — the
+    guarded-import wiring (r12 verdict task 7) must not change the
+    stub contract."""
+    import importlib.util
+
+    if importlib.util.find_spec("av") is not None:
+        pytest.skip("av installed: the stub is live, not a stub")
+    with pytest.raises(
+        NotImplementedError, match=r"no stdlib decoder for kind='h264'"
+    ):
+        mm._decode_stub("h264", b"\x00" * 32)
+
+
+def test_pyav_swap_decodes_interframe_video_when_available():
+    """Skipped unless the optional ``av`` wheel exists: encode a tiny
+    2-frame inter-frame video with pyav itself, then decode it through
+    the SAME _decode_stub entry the engine's Arrow pass calls — the
+    day the wheel ships, the stub closes and this proves it."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    w, h = 32, 16
+    buf = io.BytesIO()
+    with av.open(buf, mode="w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = w, h
+        stream.pix_fmt = "yuv420p"
+        for shade in (0, 255):
+            img = np.full((h, w, 3), shade, dtype=np.uint8)
+            frame = av.VideoFrame.from_ndarray(img, format="rgb24")
+            for packet in stream.encode(frame):
+                container.mux(packet)
+        for packet in stream.encode():
+            container.mux(packet)
+    payload = buf.getvalue()
+
+    content, dw, dh, n_frames = mm._decode_stub("h264", payload)
+    assert (dw, dh) == (w, h)
+    assert n_frames == 2
+    assert len(content) == n_frames * w * h * 3
+    # lossy codec: assert shades, not bytes
+    f0 = np.frombuffer(content[: w * h * 3], np.uint8)
+    f1 = np.frombuffer(content[w * h * 3 :], np.uint8)
+    assert f0.mean() < 64 and f1.mean() > 192
+    # malformed payloads keep the ValueError degrade contract
+    with pytest.raises(ValueError):
+        mm._decode_stub("h264", b"\x00" * 64)
+
+
 def test_avi_walker_nested_lists_never_recursion_error():
     """Hostile nesting: LIST-in-LIST costs 12 bytes per level, so a
     ~60 KB payload nests ~5000 deep — the old recursive walk escaped
