@@ -9,6 +9,7 @@ to 6 (small magnitudes) or 2 (big sums) on both sides.
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -713,6 +714,105 @@ def q_events_stream_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.table(qname).select(
         "user_id", "event_type", "event_id", "ts_sec", "gap_sec"
     )
+
+
+def _activate_pbshim(spark: SparkSession) -> None:
+    """Make the protobuf runtime reachable by the TWS protocol in ANY
+    process (r12 verdict task 6 — this closes the 'TWS executes only
+    under the test PYTHONPATH' split). Two halves:
+
+    - DRIVER: if no real ``google.protobuf`` runtime is importable,
+      execute ``tools/pbshim/sitecustomize.py`` directly (it purges
+      half-resolved namespace portions, appends the google-cloud-sdk
+      copy to sys.path and relaxes the one-minor-behind gencode
+      check; no-op when a real runtime exists or the SDK is absent).
+    - TWS WORKERS: the JVM spawns them with the envVars each UDF
+      captured from ``sc.environment`` at plan-build time — NOT the
+      JVM's own launch env — so prepending the shim dir to
+      ``sc.environment['PYTHONPATH']`` BEFORE building the TWS plan
+      puts ``sitecustomize`` on every worker's import path (measured:
+      without it the 'TransformWithStateInPySpark driver worker'
+      crashes in a no-PYTHONPATH gate process; with it the query
+      drains green)."""
+    import importlib.util
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    shim = os.path.join(root, "tools", "pbshim")
+    try:
+        from google.protobuf import descriptor  # noqa: F401 — real runtime
+    except ImportError:
+        spec = importlib.util.spec_from_file_location(
+            "_pbshim_sitecustomize", os.path.join(shim, "sitecustomize.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)  # runs _activate() at import
+    env = spark.sparkContext.environment
+    cur = env.get("PYTHONPATH", "")
+    if shim not in cur.split(os.pathsep):
+        env["PYTHONPATH"] = shim + (os.pathsep + cur if cur else "")
+
+
+def q_events_stream_ttl_dedup_tws_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The TWS TTL-dedup under the gate (r12 verdict task 6): the same
+    bounded single-batch replay as ``events_stream_ttl_dedup_replay``
+    but through ``stream_dedup_ttl_tws`` — transformWithStateInPandas,
+    named ValueState, per-key event-time timers, the RocksDB provider
+    the API requires, and the protobuf state-server protocol — so the
+    hash gate pins the state-v2 execution path itself, not just the
+    v1 API. The fold is shared (``_ttl_fold_batch``), emission is
+    arrival-only on both APIs, hence the twin is the identical batch
+    LAG formulation. ``_activate_pbshim`` makes the protocol's
+    protobuf runtime available in driver AND the JVM-spawned TWS
+    workers regardless of the calling process's env."""
+    import uuid
+
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    _activate_pbshim(spark)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    prov_before = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        stream = normalize_events_ts(
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .option("maxFilesPerTrigger", "1000000")  # single-batch replay
+            .parquet(sf_dir)
+        )
+        ded = so.stream_dedup_ttl_tws(stream, watermark_sec=600)
+        qname = f"events_stream_ttl_tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            ded.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                "events_stream_ttl_dedup_tws_replay: streaming replay did "
+                "not finish in 300 s — refusing to gate a "
+                "partially-populated sink"
+            )
+        _record_replay_progress("events_stream_ttl_dedup_tws_replay", q)
+        return spark.table(qname).select(
+            "user_id", "event_type", "event_id", "ts_sec", "gap_sec"
+        )
+    finally:
+        if prov_before is None:
+            spark.conf.unset(prov)
+        else:
+            spark.conf.set(prov, prov_before)
 
 
 def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5323,6 +5423,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_session_replay": q_events_stream_session_replay,
         "events_stream_funnel_replay": q_events_stream_funnel_replay,
         "events_stream_ttl_dedup_replay": q_events_stream_ttl_dedup_replay,
+        "events_stream_ttl_dedup_tws_replay": q_events_stream_ttl_dedup_tws_replay,
         "events_stream_join_replay": q_events_stream_join_replay,
         "events_stream_enrich_replay": q_events_stream_enrich_replay,
         "dedup_exact": q_dedup_exact,
@@ -5687,6 +5788,26 @@ def _ttl_dedup_sec() -> int:
     return TTL_DEDUP_SEC
 
 
+def _ttl_dedup_replay_sql() -> str:
+    """The batch-LAG twin shared by the v1 and TWS TTL-dedup replays:
+    emission is arrival-only on both APIs, so a single-micro-batch
+    in-order replay equals this window formulation exactly."""
+    return f"""
+WITH e AS (
+  SELECT user_id, event_type, event_id,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+l AS (
+  SELECT *, ts_sec - lag(ts_sec) OVER (
+      PARTITION BY user_id, event_type ORDER BY ts_sec, event_id
+    ) AS gap_sec
+  FROM e
+)
+SELECT user_id, event_type, event_id, ts_sec, gap_sec
+FROM l WHERE gap_sec IS NULL OR gap_sec > {_ttl_dedup_sec()}"""
+
+
 def _bpe_segment_sql(n_merges: int = None) -> str:
     """Replay the full BPE training loop in chained CTEs — round i's
     winner is a scalar subquery over the vocab with rounds 1..i-1
@@ -5897,20 +6018,12 @@ FROM e GROUP BY 1, 2""",
         # arrival-only (timeouts are pure state cleanup), so the
         # single-batch replay equals the plain LAG window — emit iff
         # first-of-key or gap to the previous same-key event > TTL
-        "events_stream_ttl_dedup_replay": f"""
-WITH e AS (
-  SELECT user_id, event_type, event_id,
-         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
-  FROM events
-),
-l AS (
-  SELECT *, ts_sec - lag(ts_sec) OVER (
-      PARTITION BY user_id, event_type ORDER BY ts_sec, event_id
-    ) AS gap_sec
-  FROM e
-)
-SELECT user_id, event_type, event_id, ts_sec, gap_sec
-FROM l WHERE gap_sec IS NULL OR gap_sec > {_ttl_dedup_sec()}""",
+        "events_stream_ttl_dedup_replay": _ttl_dedup_replay_sql(),
+        # the TWS variant shares the v1 fold (one _ttl_fold_batch),
+        # so its bounded single-batch replay has the SAME batch-LAG
+        # twin — gating it pins the transformWithStateInPandas
+        # protocol path itself (state server, timers, pbshim runtime)
+        "events_stream_ttl_dedup_tws_replay": _ttl_dedup_replay_sql(),
         # batch twin of the STREAMING inner interval join: an inner
         # stream-stream join emits pairs on arrival (never on watermark
         # timeout), so over bounded input it equals this relational

@@ -698,6 +698,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "events_stream_join_replay",
     "events_stream_enrich_replay",
     "events_stream_ttl_dedup_replay",
+    "events_stream_ttl_dedup_tws_replay",
 }
 # Every registered query is either benched or named in
 # BENCH_EXCLUDED_REASONS below — tests/test_registry_smoke.py enforces
@@ -905,6 +906,9 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "embeddings_pca",
     "kmeans_fit",
     "kmeans_nd_fit",
+    # -- round-13 growth: the TWS TTL-dedup (r12 verdict task 6 —
+    # transformWithStateInPandas + pbshim runtime), gated from birth --
+    "events_stream_ttl_dedup_tws_replay",
     # -- r12 entrants kept one more round (first driver-gate was r12) --
     "multimodal_audio",
     "events_stream_hll_replay",
@@ -913,10 +917,10 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "corpus_url_dedup",
     "events_stream_ttl_dedup_replay",
     # -- regression canaries: previously driver-green, family spread
-    # (kmeans_wssse / kmeans_kmpp_round2 rotated out for the two fit
-    # promotions; the kmeans family keeps 4 in-window reps) --
+    # (kmeans_wssse / kmeans_kmpp_round2 / dedup_exact rotated out for
+    # the round-13 promotions+growth; the kmeans family keeps 4
+    # in-window reps, the dedup family 8) --
     "kmeans_nd_fit_large",
-    "dedup_exact",
     "dedup_keep_best",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",

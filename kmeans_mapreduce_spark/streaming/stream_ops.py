@@ -392,6 +392,23 @@ def stream_dedup_exact(stream: DataFrame) -> DataFrame:
 TTL_DEDUP_SEC = 86_400  # suppress same-key repeats within one day
 
 
+def _ttl_fold_batch(key, last, batch, ttl_sec: int):
+    """The per-key TTL-dedup fold SHARED by the v1
+    (``applyInPandasWithState``) and TWS (``transformWithStateInPandas``)
+    operators so the two APIs cannot drift: events in (ts_sec,
+    event_id) order, emit iff no same-key event within ``ttl_sec``,
+    EVERY arrival refreshes the clock. Returns (out_rows, new_last)."""
+    batch = batch.sort_values(["ts_sec", "event_id"], kind="mergesort")
+    out = []
+    for ts, eid in zip(batch["ts_sec"], batch["event_id"]):
+        ts = int(ts)
+        gap = None if last is None else ts - last
+        if gap is None or gap > ttl_sec:
+            out.append((key[0], key[1], int(eid), ts, gap))
+        last = ts
+    return out, last
+
+
 def stream_dedup_ttl(
     stream: DataFrame,
     ttl_sec: int = TTL_DEDUP_SEC,
@@ -443,14 +460,7 @@ def stream_dedup_ttl(
             return
         last = state.get[0] if state.exists else None
         batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_sec", "event_id"], kind="mergesort")
-        out = []
-        for ts, eid in zip(batch["ts_sec"], batch["event_id"]):
-            ts = int(ts)
-            gap = None if last is None else ts - last
-            if gap is None or gap > ttl_sec:
-                out.append((key[0], key[1], int(eid), ts, gap))
-            last = ts
+        out, last = _ttl_fold_batch(key, last, batch, ttl_sec)
         if last is not None:
             state.update((last,))
             if evict:
@@ -493,6 +503,105 @@ def stream_dedup_ttl(
         timeout = "NoTimeout"
     return e.groupBy("user_id", "event_type").applyInPandasWithState(
         fn, out_schema, "last_seen BIGINT", "update", timeout
+    )
+
+
+def stream_dedup_ttl_tws(
+    stream: DataFrame,
+    ttl_sec: int = TTL_DEDUP_SEC,
+    watermark_sec: int | None = None,
+) -> DataFrame:
+    """:func:`stream_dedup_ttl` on Spark 4's
+    ``transformWithStateInPandas`` (r12 verdict task 6 — the TWS
+    variant promoted to a first-class operator): same debounce
+    semantics, same output schema, and the per-key fold is the SAME
+    function (``_ttl_fold_batch``) so the two APIs cannot drift.
+    ``EventTimeTimeout`` becomes an explicit per-key event-time timer
+    at ``last_seen + ttl`` (re-armed on every update under the
+    sessionizer's round-trip budget: ``get()`` alone, armed-timer
+    timestamp carried IN the state row so stale-timer eviction is a
+    direct ``deleteTimer(stored)``, re-registration skipped when the
+    deadline is unchanged); ``handleExpiredTimer`` clears the state
+    and emits nothing — eviction is emission-free by the operator's
+    contract. Same RocksDB/protobuf dependencies as
+    :func:`stream_dedup_exact_tws`; the gated replay query activates
+    the pbshim runtime for driver AND the JVM-spawned TWS workers, so
+    it executes in any process (real clusters ship protobuf)."""
+    import pandas as pd
+
+    from pyspark.sql.streaming import StatefulProcessor
+
+    evict = watermark_sec is not None
+    out_schema = (
+        "user_id BIGINT, event_type STRING, event_id BIGINT, "
+        "ts_sec BIGINT, gap_sec BIGINT"
+    )
+    out_cols = ["user_id", "event_type", "event_id", "ts_sec", "gap_sec"]
+
+    class _TtlProcessor(StatefulProcessor):
+        def init(self, handle) -> None:
+            self._handle = handle
+            # 2nd field: the armed timer's timestamp (ms; 0 = none) —
+            # in state so stale-timer eviction needs no listTimers
+            self._st = handle.getValueState(
+                "ttl", "last_seen BIGINT, timer_ms BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            row = self._st.get()  # None ⇔ absent: no exists() call
+            last = None if row is None else int(row[0])
+            prev_timer = 0 if row is None else int(row[1])
+            batch = pd.concat(list(rows), ignore_index=True)
+            out, last = _ttl_fold_batch(key, last, batch, ttl_sec)
+            if last is not None:
+                t = 0
+                if evict:
+                    t = max(
+                        (last + ttl_sec) * 1000,
+                        timerValues.getCurrentWatermarkInMs() + 1,
+                    )
+                self._st.update((last, t))
+                if evict and t != prev_timer:
+                    if prev_timer:
+                        self._handle.deleteTimer(prev_timer)
+                    self._handle.registerTimer(t)
+            if out:
+                yield pd.DataFrame(out, columns=out_cols)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # past last_seen + ttl: nothing this key could still
+            # suppress — drop the state, emit nothing (parity with the
+            # v1 hasTimedOut branch)
+            self._st.clear()
+            return iter(())
+
+        def close(self) -> None:
+            pass
+
+    cols = [
+        "user_id",
+        "event_type",
+        "event_id",
+        F.expr(floor_div("ts", 1_000_000_000)).alias("ts_sec"),
+    ]
+    if evict:
+        e = (
+            stream.withColumn(
+                "event_time",
+                F.timestamp_seconds(F.expr(floor_div("ts", 1_000_000_000))),
+            )
+            .withWatermark("event_time", f"{watermark_sec} seconds")
+            .select(*cols, "event_time")
+        )
+        time_mode = "EventTime"
+    else:
+        e = stream.select(*cols)
+        time_mode = "None"
+    return e.groupBy("user_id", "event_type").transformWithStateInPandas(
+        statefulProcessor=_TtlProcessor(),
+        outputStructType=out_schema,
+        outputMode="Update",
+        timeMode=time_mode,
     )
 
 

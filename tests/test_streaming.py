@@ -1459,6 +1459,90 @@ def test_stream_dedup_ttl_eviction_bounds_state(spark, tmp_path_factory):
     assert got == [(0, None), (1, None), (2, None), (3, None)]
 
 
+def test_stream_dedup_ttl_tws_matches_v1_api(spark, tmp_path_factory):
+    """The TWS TTL-dedup (transformWithStateInPandas + per-key
+    event-time timers) emits IDENTICAL rows to the v1
+    applyInPandasWithState form on the same multi-batch input —
+    including the timer-driven eviction (a key with no data whose
+    watermark passed last_seen+ttl is dropped emission-free, so its
+    next event reads gap NULL like a fresh key). The fold is one
+    shared function (_ttl_fold_batch); only the timer/state plumbing
+    differs, and this pins it."""
+    import importlib.util as _ilu
+
+    if _ilu.find_spec("google") is None or _ilu.find_spec("google.protobuf") is None:
+        import runpy
+
+        runpy.run_path(str(PBSHIM_DIR / "sitecustomize.py"), run_name="pbshim")
+    pytest.importorskip(
+        "google.protobuf",
+        reason="missing wheel: protobuf (TWS driver/worker protocol)",
+    )
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("ttl_tws"))
+    S = 1_000_000_000
+
+    def write(name, rows):
+        pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "event_type": [r[1] for r in rows],
+                "event_id": [r[2] for r in rows],
+                "ts": [r[3] * S for r in rows],
+            }
+        ).to_parquet(f"{out}/{name}.parquet")
+
+    # same shape as the v1 eviction fixture: suppression + refresh in
+    # batch 0, watermark advance in batch 1, data-free timer fire for
+    # u1 in batch 2, fresh re-emission in batch 3
+    write("00", [(1, "click", 0, 1000), (1, "click", 1, 1050)])
+    write("01", [(2, "click", 2, 5000)])
+    write("02", [(3, "click", 3, 5010)])
+    write("03", [(1, "click", 4, 6000), (1, "click", 5, 6010)])
+
+    def drain(build, name):
+        stream = (
+            spark.readStream.schema(
+                "user_id LONG, event_type STRING, event_id LONG, ts LONG"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(out)
+        )
+        so.run_stream_to_memory(
+            build(stream, ttl_sec=100, watermark_sec=10), name, "update"
+        )
+        return sorted(
+            (r["user_id"], r["event_type"], r["event_id"], r["ts_sec"],
+             r["gap_sec"])
+            for r in spark.table(name).collect()
+        )
+
+    prov = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(prov, None)
+    spark.conf.set(
+        prov,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        tws = drain(so.stream_dedup_ttl_tws, "ttl_tws")
+        v1 = drain(so.stream_dedup_ttl, "ttl_tws_v1")
+    finally:
+        if prev is not None:
+            spark.conf.set(prov, prev)
+        else:
+            spark.conf.unset(prov)
+    assert tws == v1
+    # sorted by (user_id, ...): u1's events first, then u2, u3
+    assert [(e, g) for _, _, e, _, g in tws] == [
+        (0, None),   # u1: first arrival emits (1050 suppressed)
+        (4, None),   # u1: evicted by the timer → fresh again
+        # u1 event 5 at 6010 suppressed (gap 10 ≤ ttl 100)
+        (2, None),   # u2: fresh key
+        (3, None),   # u3: fresh key
+    ]
+
+
 def test_stream_dedup_ttl_ordered_split_equals_batch_lag(spark, tmp_path_factory):
     """The replay-gate invariant stated on stream_dedup_ttl: an
     EVENT-TIME-ORDERED multi-batch split (no row behind the watermark
