@@ -1891,18 +1891,26 @@ FRONTDOOR_HOST_CAP = 10
 def q_pipeline_crawl_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP composition of the crawl-curation entry pipeline:
     canonicalize → domain blocklist → URL dedup → quality screen →
-    per-host cap, with the whole funnel computed in ONE corpus scan.
-    Stage survival is expressed as cascading flags instead of chained
-    filters-with-counts (which would rescan per stage): the dedup rank
-    orders blocked rows last inside each canonical-url group so a
-    surviving row's rank counts only unblocked rows, and the host-cap
-    rank orders non-survivors last inside each host likewise — two
-    window shuffles plus one final conditional aggregate, no matter
-    how many stages the funnel reports. Output: one row of exact
-    per-stage survivor counts (the datacard a curation run publishes).
-    At 100 TB: one scan, two keyed exchanges (canonical key groups are
-    variant-bounded; the host window is rank-only so a hot host costs
-    a sort, and the blocklist is a literal predicate, not a join)."""
+    per-host cap, with the whole funnel computed in ONE corpus scan
+    and NO window anywhere (r12 verdict task 5). The funnel publishes
+    COUNTS, so every stage folds into partial-aggregable groupBys:
+    per canonical-url group one aggregate carries the row count, the
+    unblocked count, and the kept representative (min-doc_id unblocked
+    row as a struct MIN — blocked rows excluded by a CASE, exactly the
+    blocked-last rank-1 row of the old window formulation); the
+    per-host cap is then ``Σ_host LEAST(cap, quality_survivors)`` over
+    GROUP-level rows. Why no window: a window over ``host`` pins a hot
+    host's every row in ONE task and AQE's skew handling cannot split
+    window partitions — the previous formulation's documented 'a hot
+    host costs a sort' was a real serialization point at 100 TB (a
+    domain owning 10% of a crawl = 10 TB through one task). In this
+    shape the hot host is absorbed twice over: map-side partial
+    aggregation collapses it to one row per partition before either
+    exchange, and the host-level groupBy runs over canonical-url GROUP
+    rows, not raw docs. Plan contract (test-asserted): zero Window
+    operators, the only corpus-keyed exchange is
+    hashpartitioning(canon_url). Output: one row of exact per-stage
+    survivor counts (the datacard a curation run publishes)."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "n_chars", F.expr(_url_synth_expr(True)).alias("url")
     )
@@ -1912,37 +1920,37 @@ def q_pipeline_crawl_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
         urlfn.canonical_url(F.col("url")).alias("canon_url"),
     ).withColumn("host", urlfn.url_host(F.col("canon_url")))
     blocked = F.col("host").isin(*FRONTDOOR_BLOCKLIST)
-    w_url = Window.partitionBy("canon_url").orderBy(
-        blocked.cast("int"), "doc_id"
+    g = c.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum((~blocked).cast("long")).alias("n_unblocked"),
+        # struct MIN = lexicographic by field order ⇒ the min-doc_id
+        # unblocked row; NULL (ignored by MIN) when the row is blocked
+        F.min(
+            F.when(~blocked, F.struct("doc_id", "n_chars", "host"))
+        ).alias("rep"),
     )
-    f1 = c.select(
-        "doc_id",
-        "n_chars",
-        "host",
-        blocked.alias("blocked"),
-        F.row_number().over(w_url).alias("url_rk"),
+    survived_quality = (F.col("n_unblocked") > 0) & (
+        F.col("rep.n_chars") >= FRONTDOOR_MIN_CHARS
     )
-    survived_dedup = ~F.col("blocked") & (F.col("url_rk") == 1)
-    survived_quality = survived_dedup & (
-        F.col("n_chars") >= FRONTDOOR_MIN_CHARS
+    # ONE linear chain — corpus → canon_url agg → host agg → 1 row —
+    # so the scan and the canon_url exchange happen exactly once (a
+    # totals/cap branch pair over unmaterialized `g` re-ran both; the
+    # rebuild_crossover lesson, caught in PLANS.md). Groups whose
+    # every spelling is blocked have rep = NULL and fold into a
+    # NULL-host group contributing zero to quality/cap.
+    per_host = g.groupBy(F.col("rep.host").alias("host")).agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("n_unblocked").alias("n_unblocked"),
+        F.sum((F.col("n_unblocked") > 0).cast("long")).alias("n_dedup"),
+        F.sum(survived_quality.cast("long")).alias("n_quality"),
     )
-    w_host = Window.partitionBy("host").orderBy(
-        (~survived_quality).cast("int"), "doc_id"
-    )
-    f2 = f1.select(
-        "blocked",
-        survived_dedup.alias("s_dedup"),
-        survived_quality.alias("s_quality"),
-        F.row_number().over(w_host).alias("host_rk"),
-    )
-    return f2.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.sum((~F.col("blocked")).cast("long")).alias("n_after_blocklist"),
-        F.sum(F.col("s_dedup").cast("long")).alias("n_after_dedup"),
-        F.sum(F.col("s_quality").cast("long")).alias("n_after_quality"),
+    return per_host.agg(
+        F.sum("n_rows").alias("n_total"),
+        F.sum("n_unblocked").alias("n_after_blocklist"),
+        F.sum("n_dedup").alias("n_after_dedup"),
+        F.sum("n_quality").alias("n_after_quality"),
         F.sum(
-            (F.col("s_quality") & (F.col("host_rk") <= FRONTDOOR_HOST_CAP))
-            .cast("long")
+            F.least(F.lit(FRONTDOOR_HOST_CAP), F.col("n_quality"))
         ).alias("n_after_cap"),
     )
 

@@ -586,3 +586,29 @@ def test_url_dedup_prunes_scan_and_avoids_cartesian(spark):
     # physical plan; host_docs must NOT be a second window
     simple = plans.explain_str(df, "simple")
     assert simple.count("Window") == 1, simple
+
+
+def test_frontdoor_funnel_has_no_window_one_corpus_exchange(spark):
+    """pipeline_crawl_frontdoor's hot-host contract (r12 verdict task
+    5): the funnel must contain ZERO Window operators — a window over
+    host pins a hot host's every row in one task and AQE cannot split
+    window partitions — and the only corpus-keyed exchange is
+    hashpartitioning(canon_url); the host-level aggregate runs over
+    canonical-url GROUP rows with map-side partial aggregation."""
+    import re
+
+    from kmeans_mapreduce_spark.extensions import q_pipeline_crawl_frontdoor
+
+    df = q_pipeline_crawl_frontdoor(spark, SF)
+    simple = plans.explain_str(df, "simple")
+    assert "Window" not in simple, simple
+    # corpus-keyed exchanges: hashpartitioning on canon_url only —
+    # every other exchange is over group/host-level aggregate rows or
+    # the final single-row cross join
+    hashes = re.findall(r"hashpartitioning\(([^),]+)", simple)
+    keys = {h.split("#")[0].strip() for h in hashes}
+    assert "canon_url" in keys, simple
+    assert "doc_id" not in keys and "url" not in keys, keys
+    # partial aggregation is present (map-side combine absorbs a hot
+    # host before any exchange)
+    assert "partial_count" in plans.explain_str(df) or "HashAggregate" in simple

@@ -108,6 +108,8 @@ REPORT_QUERIES = [
     # is pinned by the cell_assign scale-probe entries and the fit_nd
     # tests instead.
     ("multimodal_mjpeg", "MJPEG encode→decode roundtrip inside one mapInPandas; (doc_id, text) pruned scan"),
+    ("corpus_url_dedup", "canonicalize = zero-shuffle codegen projection; variant-bounded canon_url rank window; host count = partial-agg groupBy joined back (null-safe) — a hot host combines map-side, never a host window"),
+    ("pipeline_crawl_frontdoor", "window-free funnel (r13): one corpus-keyed exchange (canon_url partial agg with struct-MIN representative), host cap = LEAST(cap, n) over GROUP rows — a 50%-hot host measured at-or-below uniform wall (tools/scale_probe_r13.json)"),
 ]
 
 
