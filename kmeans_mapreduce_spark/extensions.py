@@ -2030,6 +2030,63 @@ def q_corpus_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.url_dedup(docs)
 
 
+LINE_WORDS = 8  # synthesized "line" = 8-token chunk of the doc text
+LINE_NAV_PREFIX = "nav menu "  # per-source header every doc of a source shares
+LINE_FOOTER = "copyright footer example"  # global footer every doc shares
+
+
+def _line_synth_spark():
+    """Deterministic multi-line document synthesis for the line-dedup
+    gate (the corpus text is single-line word soup, so 'lines' are
+    synthesized the way the url gate synthesizes messy urls): the
+    text's 8-token chunks bracketed by a per-source nav header and a
+    global footer — real cross-document duplicated lines at every
+    scale (the footer always crosses BOILER_MIN_DF; the nav crosses it
+    wherever a source has ≥ min_df docs). Twin: :func:`_line_synth_sql`
+    builds the same lines from the same constants."""
+    toks = F.split(F.col("text"), " ")
+    nch = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(float(LINE_WORDS))).cast("int")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * F.lit(LINE_WORDS) + 1, LINE_WORDS), " "
+        ),
+    )
+    return F.concat(
+        F.array(F.concat(F.lit(LINE_NAV_PREFIX), F.col("source"))),
+        chunks,
+        F.array(F.lit(LINE_FOOTER)),
+    )
+
+
+def _line_synth_sql() -> str:
+    w = LINE_WORDS
+    return f"""list_concat(list_concat(
+  ['{LINE_NAV_PREFIX}' || source],
+  list_transform(
+    range(0, greatest(1, cast(ceil(len(string_split(text, ' ')) / {w}.0) AS INT))),
+    i -> array_to_string(string_split(text, ' ')[i*{w}+1 : i*{w}+{w}], ' '))),
+  ['{LINE_FOOTER}'])"""
+
+
+def q_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINE-level boilerplate removal (dedup.line_boilerplate_dedup —
+    CCNet/RefinedWeb line-wise filtering): drop lines occurring in ≥
+    BOILER_MIN_DF distinct docs corpus-wide, reassemble each doc, and
+    emit per-doc (n_lines, n_boiler, cleaned_fp). Lines are
+    synthesized deterministically from doc fields with shared
+    constants on both engines (_line_synth_spark / _line_synth_sql);
+    the injected footer is boilerplate at every scale and the
+    per-source nav header crosses the threshold wherever a source has
+    enough docs, so the removal path bites everywhere."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", _line_synth_spark().alias("lines")
+    )
+    return dd.line_boilerplate_dedup(docs)
+
+
 def q_dedup_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style span dedup WITH reassembly: repeated 10-word spans
     removed except their globally-first occurrence, cleaned text
@@ -5432,6 +5489,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_funnel_replay": q_events_stream_funnel_replay,
         "events_stream_ttl_dedup_replay": q_events_stream_ttl_dedup_replay,
         "events_stream_ttl_dedup_tws_replay": q_events_stream_ttl_dedup_tws_replay,
+        "corpus_line_dedup": q_corpus_line_dedup,
         "events_stream_join_replay": q_events_stream_join_replay,
         "events_stream_enrich_replay": q_events_stream_enrich_replay,
         "dedup_exact": q_dedup_exact,
@@ -6026,6 +6084,25 @@ FROM e GROUP BY 1, 2""",
         # arrival-only (timeouts are pure state cleanup), so the
         # single-batch replay equals the plain LAG window — emit iff
         # first-of-key or gap to the previous same-key event > TTL
+        "corpus_line_dedup": f"""
+WITH d AS (SELECT doc_id, {_line_synth_sql()} AS lines FROM documents),
+x AS (SELECT doc_id, unnest(lines) AS line,
+             unnest(range(1, len(lines) + 1)) AS idx
+      FROM d),
+xf AS (SELECT doc_id, idx, line, {h64_sql('line')} AS lfp FROM x),
+bo AS (SELECT lfp FROM (SELECT DISTINCT doc_id, lfp FROM xf)
+       GROUP BY lfp HAVING COUNT(*) >= {dd.BOILER_MIN_DF}),
+m AS (SELECT xf.doc_id, xf.idx, xf.line,
+             (bo.lfp IS NOT NULL) AS is_boiler
+      FROM xf LEFT JOIN bo ON xf.lfp = bo.lfp)
+SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
+       SUM(CASE WHEN is_boiler THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+       {h64_sql(
+           "lower(trim(COALESCE(string_agg("
+           "CASE WHEN NOT is_boiler THEN line END, chr(10) ORDER BY idx"
+           "), '')))"
+       )} AS cleaned_fp
+FROM m GROUP BY doc_id""",
         "events_stream_ttl_dedup_replay": _ttl_dedup_replay_sql(),
         # the TWS variant shares the v1 fold (one _ttl_fold_batch),
         # so its bounded single-batch replay has the SAME batch-LAG

@@ -2009,3 +2009,87 @@ def bloom_prefilter_dedup(
             "false_positive", F.col("bloom_hit") & ~F.col("is_dup")
         )
     )
+
+
+BOILER_MIN_DF = 5  # a line occurring in ≥ this many distinct docs is
+# boilerplate (CCNet drops lines above an absolute df; RefinedWeb uses
+# relative — absolute keeps the rule scale-pinnable cross-engine)
+
+
+def line_boilerplate_dedup(
+    docs: DataFrame,
+    lines_col: str = "lines",
+    id_col: str = "doc_id",
+    min_df: int = BOILER_MIN_DF,
+) -> DataFrame:
+    """LINE-level boilerplate removal (CCNet §3.1 / RefinedWeb line-wise
+    filtering): drop every line that occurs in ≥ ``min_df`` distinct
+    documents corpus-wide — navigation menus, footers, cookie banners —
+    and reassemble each document from its surviving lines in order.
+    This is the curation pass between URL dedup and document-level
+    dedup: boilerplate inflates document similarity and survives exact
+    dedup because the surrounding content differs.
+
+    Input: (id, lines ARRAY<STRING>). Output per input doc: (id,
+    n_lines, n_boiler, cleaned_fp) where cleaned_fp is the 60-bit
+    content fingerprint of the newline-joined surviving lines (ready
+    for the exact-dedup pass that follows in a real pipeline; '' when
+    everything was boilerplate).
+
+    Scale shape: one posexplode (narrow); line document-frequency via
+    a distinct-(doc, line-fp) + map-side-combined count — the shuffle
+    carries distinct (doc, line) pairs, never raw occurrences; the
+    boilerplate SET (df ≥ min_df) is tiny by definition (boilerplate
+    means 'repeated across the corpus', so its distinct count is
+    corpus-sublinear) and rides a broadcast LEFT join back onto the
+    exploded lines; reassembly is one doc-keyed aggregate (struct
+    collect sorted by position, the span_dedup pattern). Two
+    corpus-keyed exchanges total, both partial-combined; a hot
+    boilerplate line never skews anything — it is counted map-side
+    and joined broadcast."""
+    lfp = h64(F.col("line")).alias("lfp")
+    exploded = docs.select(
+        id_col, F.posexplode(lines_col).alias("idx", "line")
+    ).select(id_col, "idx", "line", lfp)
+    boiler = (
+        exploded.select(id_col, "lfp")
+        .distinct()
+        .groupBy("lfp")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_df)
+        .select("lfp", F.lit(True).alias("is_boiler"))
+    )
+    marked = exploded.join(F.broadcast(boiler), "lfp", "left").select(
+        id_col,
+        "idx",
+        "line",
+        F.coalesce(F.col("is_boiler"), F.lit(False)).alias("is_boiler"),
+    )
+    kept_struct = F.when(
+        ~F.col("is_boiler"), F.struct("idx", "line")
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.filter(
+                            F.collect_list(kept_struct),
+                            lambda s: s.isNotNull(),
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("cleaned"),
+        )
+        .select(
+            id_col,
+            "n_lines",
+            "n_boiler",
+            content_fp(F.col("cleaned")).alias("cleaned_fp"),
+        )
+    )

@@ -690,6 +690,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_url_dedup",
     "pipeline_crawl_frontdoor",
     "dedup_bloom_prefilter",
+    # round-13 growth: tracked from birth
+    "corpus_line_dedup",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with
     # the standing caveat that a replay wall is trigger cadence +
@@ -906,9 +908,11 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "embeddings_pca",
     "kmeans_fit",
     "kmeans_nd_fit",
-    # -- round-13 growth: the TWS TTL-dedup (r12 verdict task 6 —
-    # transformWithStateInPandas + pbshim runtime), gated from birth --
+    # -- round-13 growth, gated from birth: the TWS TTL-dedup (r12
+    # verdict task 6 — transformWithStateInPandas + pbshim runtime)
+    # and CCNet-style line-level boilerplate removal --
     "events_stream_ttl_dedup_tws_replay",
+    "corpus_line_dedup",
     # -- r12 entrants kept one more round (first driver-gate was r12) --
     "multimodal_audio",
     "events_stream_hll_replay",
@@ -917,11 +921,10 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "corpus_url_dedup",
     "events_stream_ttl_dedup_replay",
     # -- regression canaries: previously driver-green, family spread
-    # (kmeans_wssse / kmeans_kmpp_round2 / dedup_exact rotated out for
-    # the round-13 promotions+growth; the kmeans family keeps 4
-    # in-window reps, the dedup family 8) --
+    # (kmeans_wssse / kmeans_kmpp_round2 / dedup_exact / dedup_keep_best
+    # rotated out for the round-13 promotions+growth; the kmeans family
+    # keeps 4 in-window reps, the dedup family 8) --
     "kmeans_nd_fit_large",
-    "dedup_keep_best",
     "dedup_simhash_pairs",
     "dedup_ngram_jaccard",
     "dedup_bloom_prefilter",

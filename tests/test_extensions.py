@@ -3154,3 +3154,44 @@ def test_crawl_frontdoor_funnel_hand_computed(spark, tmp_path):
         got["n_after_quality"],
         got["n_after_cap"],
     ) == (5, 4, 3, 2, 2)
+
+
+def test_line_boilerplate_dedup_planted(spark):
+    """line_boilerplate_dedup over a hand-built corpus: a line shared
+    by >= min_df docs is removed everywhere, rarer lines survive in
+    order, an all-boilerplate doc cleans to '' (fp of the empty
+    string), and counts are exact."""
+    import hashlib
+
+    rows = [
+        (1, ["FOOTER", "alpha one", "beta two"]),
+        (2, ["FOOTER", "gamma three"]),
+        (3, ["FOOTER", "alpha one"]),
+        (4, ["FOOTER"]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, lines ARRAY<STRING>")
+    out = {
+        r["doc_id"]: r
+        for r in dd.line_boilerplate_dedup(df, min_df=3).collect()
+    }
+
+    def fp(text):
+        return int(hashlib.md5(text.lower().strip().encode()).hexdigest()[:15], 16)
+
+    # FOOTER in 4 docs >= 3 -> boiler; "alpha one" in 2 docs < 3 -> kept
+    assert (out[1]["n_lines"], out[1]["n_boiler"]) == (3, 1)
+    assert out[1]["cleaned_fp"] == fp("alpha one\nbeta two")
+    assert (out[2]["n_lines"], out[2]["n_boiler"]) == (2, 1)
+    assert out[2]["cleaned_fp"] == fp("gamma three")
+    assert out[3]["cleaned_fp"] == fp("alpha one")
+    # all-boilerplate doc: cleaned == '' exactly
+    assert (out[4]["n_lines"], out[4]["n_boiler"]) == (1, 1)
+    assert out[4]["cleaned_fp"] == fp("")
+    # lowering min_df to 2 also removes "alpha one" from docs 1 and 3
+    out2 = {
+        r["doc_id"]: r
+        for r in dd.line_boilerplate_dedup(df, min_df=2).collect()
+    }
+    assert out2[1]["n_boiler"] == 2
+    assert out2[1]["cleaned_fp"] == fp("beta two")
+    assert out2[3]["cleaned_fp"] == fp("")
