@@ -1020,6 +1020,31 @@ def q_join_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MIN_COST_REGION = "EUROPE"  # Q2-shape region filter (4 suppliers even
+# at sf0.001, so the argmin genuinely competes at every tested scale)
+MIN_COST_TOP_N = 100
+
+
+def q_join_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the minimum-cost supplier per part within one
+    region — the correlated MIN subquery decorrelated into a
+    (part, supplier) aggregate + per-part struct argmin, dims
+    broadcast, region predicate pruning suppliers before the fact
+    join, cents-pinned unit cost so the argmin can never flip
+    cross-engine (operators/relational.min_cost_supplier)."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.min_cost_supplier(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+        region_name=MIN_COST_REGION,
+        top_n=MIN_COST_TOP_N,
+    )
+
+
 HEAPS_PREFIXES = [64, 128, 256, 512, 1024, 4096]
 
 
@@ -5471,6 +5496,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_priority_check": q_join_priority_check,
         "join_promo_share": q_join_promo_share,
         "join_small_quantity": q_join_small_quantity,
+        "join_min_cost_supplier": q_join_min_cost_supplier,
         "join_idle_customers": q_join_idle_customers,
         "points_radius_join": q_points_radius_join,
         "text_heaps_law": q_text_heaps_law,
@@ -6362,6 +6388,33 @@ JOIN s ON s.l_partkey = l.l_partkey
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.n_q < s.s_q
 GROUP BY 1""",
+        # Q2 shape: decorrelated per-(part, supplier) min unit cost,
+        # per-part argmin with (cost, suppkey) tie-break, region-pruned
+        # supplier dim; unit price pinned to cents with the shared
+        # IEEE floor expression
+        "join_min_cost_supplier": f"""
+WITH sup AS (
+  SELECT s.s_suppkey, s.s_name, n.n_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  WHERE r.r_name = '{MIN_COST_REGION}'),
+supply AS (
+  SELECT l.l_partkey, sup.s_suppkey, sup.s_name, sup.n_name,
+         MIN(CAST(floor(l.l_extendedprice / l.l_quantity * 100 + 0.5)
+                  AS BIGINT)) AS cost_cents
+  FROM lineitem l JOIN sup ON l.l_suppkey = sup.s_suppkey
+  GROUP BY 1, 2, 3, 4),
+best AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_partkey ORDER BY cost_cents, s_suppkey) AS rn
+  FROM supply)
+SELECT p.p_partkey, p.p_brand, b.cost_cents,
+       b.s_suppkey, b.s_name, b.n_name
+FROM best b JOIN part p ON p.p_partkey = b.l_partkey
+WHERE b.rn = 1
+ORDER BY b.cost_cents, p.p_partkey
+LIMIT {MIN_COST_TOP_N}""",
         # spatial radius join: 3x3 grid-neighborhood blocking, exact
         # IEEE d2 <= r2 residual, pinned min rounding
         "points_radius_join": _radius_join_sql(),

@@ -509,3 +509,87 @@ def radius_join_counts(
         F.count(F.lit(1)).alias("n_within"),
         ieee_round_pos(F.min("d2"), digits).alias("min_d2"),
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    region_name: str,
+    top_n: int,
+) -> DataFrame:
+    """TPC-H Q2 shape — "the minimum-cost supplier for each part within
+    a region" — with the correlated MIN-subquery DECORRELATED into an
+    aggregate chain (the testdata has no partsupp table, so supply
+    cost derives from the lineitem facts: a (part, supplier)'s cost is
+    its cheapest observed unit price).
+
+    Scale shape: the ONLY corpus-scale exchange is the
+    (l_partkey, l_suppkey) aggregate (map-side combined); the per-part
+    argmin then runs over aggregate rows via one struct MIN — never a
+    correlated rescan, never a self-join. Supplier/nation/region/part
+    are broadcast dimensions; the region predicate prunes suppliers
+    BEFORE the fact join so non-region supply rows die at the join.
+    Final answer is top-``top_n`` by (cost, partkey) via
+    TakeOrderedAndProject — no global sort.
+
+    Exactness: unit price is pinned to cents with the IEEE
+    floor(x·100 + ½) expression (identical op sequence both engines),
+    so MIN and the struct tie-break (cost, then s_suppkey) can never
+    disagree cross-engine.
+
+    Output: (p_partkey, p_brand, cost_cents, s_suppkey, s_name, n_name).
+    """
+    unit_cents = F.expr(
+        "cast(floor(l_extendedprice / l_quantity * 100 + 0.5) as bigint)"
+    )
+    sup_dim = (
+        supplier.join(
+            F.broadcast(nation),
+            supplier["s_nationkey"] == nation["n_nationkey"],
+        )
+        .join(
+            F.broadcast(region),
+            (nation["n_regionkey"] == region["r_regionkey"])
+            & (region["r_name"] == region_name),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    supply = (
+        lineitem.select(
+            "l_partkey", "l_suppkey", unit_cents.alias("unit_cents")
+        )
+        .join(
+            F.broadcast(sup_dim),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("l_partkey", "s_suppkey", "s_name", "n_name")
+        .agg(F.min("unit_cents").alias("cost_cents"))
+    )
+    best = (
+        supply.groupBy("l_partkey")
+        .agg(
+            F.min(
+                F.struct("cost_cents", "s_suppkey", "s_name", "n_name")
+            ).alias("b")
+        )
+        .select(
+            "l_partkey",
+            F.col("b.cost_cents").alias("cost_cents"),
+            F.col("b.s_suppkey").alias("s_suppkey"),
+            F.col("b.s_name").alias("s_name"),
+            F.col("b.n_name").alias("n_name"),
+        )
+    )
+    dim = part.select("p_partkey", "p_brand")
+    return (
+        best.join(F.broadcast(dim), best["l_partkey"] == dim["p_partkey"])
+        .select(
+            "p_partkey", "p_brand", "cost_cents",
+            "s_suppkey", "s_name", "n_name",
+        )
+        .orderBy("cost_cents", "p_partkey")
+        .limit(top_n)
+    )

@@ -692,6 +692,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "dedup_bloom_prefilter",
     # round-13 growth: tracked from birth
     "corpus_line_dedup",
+    "join_min_cost_supplier",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with
     # the standing caveat that a replay wall is trigger cadence +
@@ -913,6 +914,7 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     # and CCNet-style line-level boilerplate removal --
     "events_stream_ttl_dedup_tws_replay",
     "corpus_line_dedup",
+    "join_min_cost_supplier",
     # -- r12 entrants kept one more round (first driver-gate was r12) --
     "multimodal_audio",
     "events_stream_hll_replay",
@@ -947,7 +949,6 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "corpus_split",
     "corpus_token_shards",
     "events_sessionize",
-    "events_retention",
     "events_funnel",
     "events_stream_join_replay",
     "multimodal_mjpeg",

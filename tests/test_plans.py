@@ -612,3 +612,18 @@ def test_frontdoor_funnel_has_no_window_one_corpus_exchange(spark):
     # partial aggregation is present (map-side combine absorbs a hot
     # host before any exchange)
     assert "partial_count" in plans.explain_str(df) or "HashAggregate" in simple
+
+
+def test_min_cost_supplier_broadcasts_dims_no_cartesian(spark):
+    """Q2 shape: the decorrelated min-cost chain must broadcast every
+    dimension (supplier/nation/region/part), never cartesian or
+    nested-loop over the fact, and take the final top-N as
+    TakeOrderedAndProject, not a global sort."""
+    from kmeans_mapreduce_spark.extensions import q_join_min_cost_supplier
+
+    df = q_join_min_cost_supplier(spark, SF)
+    s = plans.explain_str(df)
+    assert "BroadcastHashJoin" in s
+    assert "CartesianProduct" not in s
+    assert "BroadcastNestedLoopJoin" not in s
+    assert "TakeOrderedAndProject" in s
