@@ -1243,6 +1243,15 @@ def q_events_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.exact_quantiles(load_table(spark, sf_dir, "events"))
 
 
+def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type anomaly detection over the hourly rollup
+    (events.anomaly_mad): nearest-rank median + MAD in exact int64
+    cents, hours beyond k·MAD flagged — the monitoring pass whose
+    median/MAD a single spike cannot corrupt (unlike mean/stddev
+    z-scores)."""
+    return ev.anomaly_mad(load_table(spark, sf_dir, "events"))
+
+
 def q_corpus_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Mann-Whitney AUC of the gated LR classifier — the eval
     number that goes next to the calibration table. Ranks come from
@@ -5553,6 +5562,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lr_scores": q_corpus_lr_scores,
         "corpus_lr_auc": q_corpus_lr_auc,
         "events_exact_quantiles": q_events_exact_quantiles,
+        "events_anomaly_mad": q_events_anomaly_mad,
         "events_rolling_active": q_events_rolling_active,
         "events_trend": q_events_trend,
         "pipeline_events_dashboard": q_pipeline_events_dashboard,
@@ -6755,6 +6765,40 @@ GROUP BY 1""",
         # exact nearest-rank quantiles: pure integer rank math over
         # exact cents — no float interpolation on either engine
         "events_exact_quantiles": _EXACT_QUANTILES_SQL,
+        # MAD anomaly flags: all-integer rollup + nearest-rank medians
+        # (the exact_quantiles rank discipline), k·MAD compare exact
+        "events_anomaly_mad": f"""
+WITH roll AS (
+  SELECT event_type, (epoch_ns(ts) // 1000000000) // 3600 AS hr,
+         SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))::BIGINT AS v
+  FROM events GROUP BY 1, 2),
+r1 AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY v) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM roll),
+med AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN v END)::BIGINT AS med_cents
+  FROM r1 GROUP BY 1),
+dev AS (
+  SELECT roll.event_type, abs(v - med_cents)::BIGINT AS d, med_cents
+  FROM roll JOIN med USING (event_type)),
+r2 AS (
+  SELECT event_type, d,
+         row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM dev),
+mad AS (
+  SELECT event_type,
+         MAX(CASE WHEN rn = (n + 1) // 2 THEN d END)::BIGINT AS mad_cents
+  FROM r2 GROUP BY 1)
+SELECT dev.event_type, COUNT(*)::BIGINT AS n_hours,
+       MAX(dev.med_cents)::BIGINT AS med_cents,
+       MAX(mad.mad_cents)::BIGINT AS mad_cents,
+       SUM(CASE WHEN dev.d > {ev.MAD_K} * mad.mad_cents
+                THEN 1 ELSE 0 END)::BIGINT AS n_anomalous
+FROM dev JOIN mad USING (event_type) GROUP BY 1""",
         # the rule verdicts compose the ONE rule-filter twin (same
         # reuse as the curation funnel) — no second hand-maintained
         # rendering of the five Gopher/C4 rules

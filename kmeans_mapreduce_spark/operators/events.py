@@ -824,3 +824,77 @@ def value_trend(events: DataFrame, digits: int = 6) -> DataFrame:
         F.col("n").cast("long").alias("n_events"),
         F.when(den > 0, slope).alias("slope"),
     )
+
+
+MAD_K = 4  # anomaly threshold: |v - median| > K * MAD
+
+
+def anomaly_mad(events: DataFrame, k: int = MAD_K) -> DataFrame:
+    """Robust per-type anomaly detection over the hourly rollup —
+    median absolute deviation (the monitoring alternative to
+    mean/stddev z-scores, which a single spike corrupts because both
+    moments chase the outlier; the median and MAD don't). Per
+    (type, hour): exact int64 cents totals; per type: nearest-rank
+    median of the hourly totals, MAD = nearest-rank median of
+    |v − median|, and an hour is anomalous when |v − median| > k·MAD.
+
+    Exactness: every number here is integer — cents totals, value-at-
+    nearest-rank medians (the ``exact_quantiles`` discipline: rank =
+    ceil(n/2) in pure integer math, the value AT a rank is tie-order
+    independent), the k·MAD comparison — so the DuckDB twin is
+    bit-exact with zero rounding negotiation.
+
+    Scale shape: the ONLY corpus-scale work is the (type, hour)
+    rollup, one map-side-combined exchange; both median windows sort
+    O(types × hours) AGGREGATE rows, and the per-type medians ride a
+    broadcast join back. Output per type: (event_type, n_hours,
+    med_cents, mad_cents, n_anomalous).
+    """
+    hour = F.expr(floor_div(floor_div("ts", 1_000_000_000), 3600))
+    roll = events.groupBy(
+        F.col("event_type"), hour.alias("hr")
+    ).agg(F.sum(value_cents()).alias("v"))
+
+    def rank_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col)
+        wp = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        r = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wp).alias("n"),
+        )
+        rk = F.expr("(n + 1) div 2")  # ceil(n/2) for n >= 1
+        return r.groupBy("event_type").agg(
+            F.max(F.when(F.col("rn") == rk, F.col(col))).alias(f"med_{col}")
+        )
+
+    med = rank_median(roll, "v").withColumnRenamed("med_v", "med_cents")
+    dev = roll.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "v",
+        F.abs(F.col("v") - F.col("med_cents")).alias("d"),
+        "med_cents",
+    )
+    mad = rank_median(
+        dev.select("event_type", "d"), "d"
+    ).withColumnRenamed("med_d", "mad_cents")
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type", "med_cents", "mad_cents")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.sum(
+                (F.col("d") > F.lit(k) * F.col("mad_cents")).cast("long")
+            ).alias("n_anomalous"),
+        )
+        .select(
+            "event_type", "n_hours", "med_cents", "mad_cents", "n_anomalous"
+        )
+    )

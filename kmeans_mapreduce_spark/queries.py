@@ -693,6 +693,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     # round-13 growth: tracked from birth
     "corpus_line_dedup",
     "join_min_cost_supplier",
+    "events_anomaly_mad",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with
     # the standing caveat that a replay wall is trigger cadence +
@@ -915,6 +916,7 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "events_stream_ttl_dedup_tws_replay",
     "corpus_line_dedup",
     "join_min_cost_supplier",
+    "events_anomaly_mad",
     # -- r12 entrants kept one more round (first driver-gate was r12) --
     "multimodal_audio",
     "events_stream_hll_replay",
@@ -946,7 +948,6 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "text_normalize",
     "corpus_sample_stratified",
     "corpus_source_cap",
-    "corpus_split",
     "corpus_token_shards",
     "events_sessionize",
     "events_funnel",

@@ -3195,3 +3195,41 @@ def test_line_boilerplate_dedup_planted(spark):
     assert out2[1]["n_boiler"] == 2
     assert out2[1]["cleaned_fp"] == fp("beta two")
     assert out2[3]["cleaned_fp"] == fp("")
+
+
+def test_anomaly_mad_planted_spike(spark):
+    """MAD anomaly detection over hand-built hourly totals: a single
+    huge spike is flagged while the median/MAD stay at the baseline
+    (the robustness property that mean/stddev z-scores lack), and a
+    flat series (MAD 0) flags any deviation at all."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    S = 1_000_000_000
+    rows = []
+    # type A: hours 0..8 with value 10.00 (+/- 1 alternating), hour 9
+    # a 100x spike. Hourly totals (one event per hour): cents
+    # [1000, 1100, 900, 1100, 900, 1100, 900, 1100, 900, 100000]
+    vals = [10.0, 11.0, 9.0, 11.0, 9.0, 11.0, 9.0, 11.0, 9.0, 1000.0]
+    for h, v in enumerate(vals):
+        rows.append((h, h * 3600 * S, 1, "A", v))
+    # type B: perfectly flat -> MAD 0; one slightly-off hour is
+    # anomalous because |d| > k*0 for any d > 0
+    for h in range(4):
+        rows.append((100 + h, h * 3600 * S, 2, "B", 5.0))
+    rows.append((104, 4 * 3600 * S, 2, "B", 5.01))
+    e = spark.createDataFrame(
+        [(i, ts, u, t, v, "") for i, ts, u, t, v in rows],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING",
+    )
+    got = {
+        r["event_type"]: (
+            r["n_hours"], r["med_cents"], r["mad_cents"], r["n_anomalous"]
+        )
+        for r in ev.anomaly_mad(e).collect()
+    }
+    # A: sorted totals [900x4, 1000, 1100x4, 100000], n=10, rank
+    # ceil(10/2)=5 -> med 1000; |d| sorted [0, 100x8, 99000], rank 5
+    # -> MAD 100; only the spike exceeds 4*100
+    assert got["A"] == (10, 1000, 100, 1)
+    # B: med 500, MAD 0, the 5.01 hour (d=1 > 0) is the one anomaly
+    assert got["B"] == (5, 500, 0, 1)
