@@ -1252,6 +1252,43 @@ def q_events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.anomaly_mad(load_table(spark, sf_dir, "events"))
 
 
+def q_events_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``Dataset.observe`` surface (CollectMetrics): pipeline
+    counters — input rows, null-props rows, negative-value rows —
+    collected DURING the main aggregation's own scan, not by a second
+    pass. At 100 TB this is the difference between free per-batch
+    data-quality counters and doubling the read: the metrics ride the
+    observed plan node and materialize with the action. The query runs
+    a per-type count (the 'real' output), harvests the observation,
+    and emits one row of exact-integer counters + the group count; the
+    twin recomputes all four relationally — so the gate pins that the
+    in-flight counters equal the ground truth."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    e = load_table(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
+        F.sum((cents < 0).cast("long")).alias("n_neg_cents"),
+    )
+    out = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    n_groups = out.count()  # one action: scan + agg + metrics together
+    m = obs.get
+    rows = [(
+        int(m["n_rows"]),
+        int(m["n_null_props"]),
+        int(m["n_neg_cents"]),
+        int(n_groups),
+    )]
+    return spark.createDataFrame(
+        rows,
+        "n_rows BIGINT, n_null_props BIGINT, n_neg_cents BIGINT, "
+        "n_groups BIGINT",
+    )
+
+
 def q_corpus_lr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Mann-Whitney AUC of the gated LR classifier — the eval
     number that goes next to the calibration table. Ranks come from
@@ -5563,6 +5600,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_lr_auc": q_corpus_lr_auc,
         "events_exact_quantiles": q_events_exact_quantiles,
         "events_anomaly_mad": q_events_anomaly_mad,
+        "events_observed_metrics": q_events_observed_metrics,
         "events_rolling_active": q_events_rolling_active,
         "events_trend": q_events_trend,
         "pipeline_events_dashboard": q_pipeline_events_dashboard,
@@ -6765,6 +6803,16 @@ GROUP BY 1""",
         # exact nearest-rank quantiles: pure integer rank math over
         # exact cents — no float interpolation on either engine
         "events_exact_quantiles": _EXACT_QUANTILES_SQL,
+        # in-flight CollectMetrics counters vs the relational ground
+        # truth (the observe() zero-extra-scan contract)
+        "events_observed_metrics": """
+SELECT COUNT(*)::BIGINT AS n_rows,
+       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_null_props,
+       SUM(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) < 0
+                THEN 1 ELSE 0 END)::BIGINT AS n_neg_cents,
+       COUNT(DISTINCT event_type)::BIGINT AS n_groups
+FROM events""",
         # MAD anomaly flags: all-integer rollup + nearest-rank medians
         # (the exact_quantiles rank discipline), k·MAD compare exact
         "events_anomaly_mad": f"""

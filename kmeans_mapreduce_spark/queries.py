@@ -694,6 +694,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_line_dedup",
     "join_min_cost_supplier",
     "events_anomaly_mad",
+    "events_observed_metrics",
+    "events_observed_metrics",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with
     # the standing caveat that a replay wall is trigger cadence +
@@ -917,6 +919,7 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "corpus_line_dedup",
     "join_min_cost_supplier",
     "events_anomaly_mad",
+    "events_observed_metrics",
     # -- r12 entrants kept one more round (first driver-gate was r12) --
     "multimodal_audio",
     "events_stream_hll_replay",
@@ -941,7 +944,6 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "similarity_ann_recall_trained",
     "similarity_rebuild_crossover",
     "embeddings_int8_quant",
-    "text_langid",
     "text_tfidf",
     "text_bm25",
     "text_bpe_merges2",
