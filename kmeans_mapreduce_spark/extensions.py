@@ -815,6 +815,57 @@ def q_events_stream_ttl_dedup_tws_replay(
             spark.conf.set(prov, prov_before)
 
 
+def q_events_stream_native_dedup_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spark's NATIVE streaming dedup under the gate:
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+, the built-in
+    bounded-state dedup — state per key evicted once the watermark
+    passes, the production alternative to keep-all-keys
+    ``dropDuplicates``). The engine's custom processors cover the
+    debounce/TTL semantics the built-in lacks; this pins the built-in
+    operator class itself. WHICH duplicate row survives is
+    engine-arbitrary, so the replay projects the KEY COLUMNS only —
+    over a single-batch bounded replay every key emits exactly once
+    and the drained sink equals the batch DISTINCT row-for-row."""
+    import uuid
+
+    from kmeans_mapreduce_spark.operators.events import floor_div
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_events_ts(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", "1000000")  # single-batch replay
+        .parquet(sf_dir)
+    )
+    e = stream.withColumn(
+        "event_time",
+        F.timestamp_seconds(F.expr(floor_div("ts", 1_000_000_000))),
+    ).withWatermark("event_time", "600 seconds")
+    ded = e.dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    ).select("user_id", "event_type")
+    qname = f"events_stream_native_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        ded.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise TimeoutError(
+            "events_stream_native_dedup_replay: streaming replay did not "
+            "finish in 300 s — refusing to gate a partially-populated sink"
+        )
+    _record_replay_progress("events_stream_native_dedup_replay", q)
+    return spark.table(qname)
+
+
 def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STREAM-STREAM join under the gate: the bounded events table
     replayed through ``stream_stream_range_join`` (purchases of the
@@ -5561,6 +5612,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_funnel_replay": q_events_stream_funnel_replay,
         "events_stream_ttl_dedup_replay": q_events_stream_ttl_dedup_replay,
         "events_stream_ttl_dedup_tws_replay": q_events_stream_ttl_dedup_tws_replay,
+        "events_stream_native_dedup_replay": q_events_stream_native_dedup_replay,
         "corpus_line_dedup": q_corpus_line_dedup,
         "events_stream_join_replay": q_events_stream_join_replay,
         "events_stream_enrich_replay": q_events_stream_enrich_replay,
@@ -6177,6 +6229,12 @@ SELECT doc_id, COUNT(*)::BIGINT AS n_lines,
            "), '')))"
        )} AS cleaned_fp
 FROM m GROUP BY doc_id""",
+        # native dropDuplicatesWithinWatermark: key columns only (which
+        # duplicate row survives is engine-arbitrary); single-batch
+        # bounded replay ≡ batch DISTINCT
+        "events_stream_native_dedup_replay": (
+            "SELECT DISTINCT user_id, event_type FROM events"
+        ),
         "events_stream_ttl_dedup_replay": _ttl_dedup_replay_sql(),
         # the TWS variant shares the v1 fold (one _ttl_fold_batch),
         # so its bounded single-batch replay has the SAME batch-LAG
