@@ -103,6 +103,16 @@ def test_driver_window_samples_every_family():
         "time-travel": "table_time_travel",
         "streaming": "events_stream_replay",
         "streaming-stateful": "events_stream_ttl_dedup_replay",
+        # round-13 promotions + growth (gated from this round)
+        "free-fit-gate": "kmeans_fit",
+        "nd-free-fit-gate": "kmeans_nd_fit",
+        "pca-gate": "embeddings_pca",
+        "streaming-tws": "events_stream_ttl_dedup_tws_replay",
+        "streaming-native-dedup": "events_stream_native_dedup_replay",
+        "line-dedup": "corpus_line_dedup",
+        "q2-join": "join_min_cost_supplier",
+        "anomaly": "events_anomaly_mad",
+        "observe": "events_observed_metrics",
     }
     for fam, name in families.items():
         assert name in first50, f"family {fam} missing from driver window"
