@@ -2048,9 +2048,16 @@ def line_boilerplate_dedup(
     boilerplate line never skews anything — it is counted map-side
     and joined broadcast."""
     lfp = h64(F.col("line")).alias("lfp")
-    exploded = docs.select(
-        id_col, F.posexplode(lines_col).alias("idx", "line")
-    ).select(id_col, "idx", "line", lfp)
+    # materialized ONCE: the exploded line relation feeds BOTH the
+    # df-count branch and the mark join — without the barrier each
+    # consumer re-runs the scan + synth + explode (the
+    # shingle_fingerprints / frontdoor multi-consumer lesson; on a
+    # cluster, persist or write the line table instead)
+    exploded = (
+        docs.select(id_col, F.posexplode(lines_col).alias("idx", "line"))
+        .select(id_col, "idx", "line", lfp)
+        .localCheckpoint(eager=False)
+    )
     boiler = (
         exploded.select(id_col, "lfp")
         .distinct()
