@@ -269,8 +269,13 @@ def main() -> int:
             p = dict(X.REPLAY_PROGRESS.get(n) or {})
             if "trigger_exec_ms" in p:
                 p["batch_processing_sec"] = round(p["trigger_exec_ms"] / 1000.0, 3)
+                # the recorded progress is the LAST rep's, so subtract
+                # from that rep's wall (not the median across reps —
+                # mixing runs could clamp to 0 or overstate setup)
+                last_wall = reps[n][-1] if reps.get(n) else timings[n]
+                p["last_rep_wall_sec"] = round(last_wall, 3)
                 p["setup_sec_est"] = round(
-                    max(0.0, timings[n] - p["batch_processing_sec"]), 3
+                    max(0.0, last_wall - p["batch_processing_sec"]), 3
                 )
             replay_split[n] = p
         # headline-adjacent scalars ride the budgeted stdout line; the

@@ -384,7 +384,6 @@ def q_corpus_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     After a full replay the state collapses to one row per distinct
     fingerprint — keeper = lowest doc_id, n_copies = duplicate count —
     which is exactly the batch GROUP BY the DuckDB twin runs."""
-    import uuid
 
     from kmeans_mapreduce_spark.streaming import stream_ops as so
 
@@ -395,20 +394,9 @@ def q_corpus_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     out = so.stream_dedup_exact(stream)
-    qname = f"corpus_stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    sink = _drain_bounded_replay(
+        spark, out, "corpus_stream_dedup_replay", "update"
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "corpus_stream_dedup_replay: streaming replay did not finish "
-            "in 300 s — refusing to gate a partially-populated sink"
-        )
     # update mode emits one row per fp per batch it appeared in; fold
     # to the FINAL state so the result is batching-invariant —
     # availableNow may split the input into several micro-batches on
@@ -416,8 +404,7 @@ def q_corpus_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (not its first-wins keeper, which is arrival-order-dependent) is
     # what equals the oracle's global MIN(doc_id).
     return (
-        spark.table(qname)
-        .groupBy("fp")
+        sink.groupBy("fp")
         .agg(
             F.min("min_doc_id").alias("keep_doc_id"),
             F.max("n_copies").alias("n_copies"),
@@ -514,7 +501,6 @@ def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     state. By replay parity this equals the batch window aggregate —
     exactly what the DuckDB twin computes — so the driver's oracle row
     certifies the streaming operator's semantics, not just pytest."""
-    import uuid
 
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
     from kmeans_mapreduce_spark.streaming import stream_ops as so
@@ -529,21 +515,9 @@ def q_events_stream_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     agg = so.stream_window_counts(stream, watermark_sec=None)
-    qname = f"events_stream_replay_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "events_stream_replay: streaming replay did not finish in "
-            "300 s — refusing to gate a partially-populated sink"
-        )
-    return spark.table(qname).select(
+    return _drain_bounded_replay(
+        spark, agg, "events_stream_replay", "complete"
+    ).select(
         F.unix_seconds(F.col("w.start")).alias("window_start"),
         "event_type",
         "n_events",
@@ -560,7 +534,6 @@ def q_events_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFram
     how availableNow splits micro-batches (the closing event fires in
     whichever batch it lands), hence SQL-expressible: the batch
     sessionize twin minus each user's last session."""
-    import uuid
 
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
     from kmeans_mapreduce_spark.streaming import stream_ops as so
@@ -573,21 +546,9 @@ def q_events_stream_session_replay(spark: SparkSession, sf_dir: str) -> DataFram
         .parquet(sf_dir)
     )
     sess = so.stream_sessionize(stream, watermark_sec=None)
-    qname = f"events_stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sess.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "events_stream_session_replay: streaming replay did not finish "
-            "in 300 s — refusing to gate a partially-populated sink"
-        )
-    return spark.table(qname).select(
+    return _drain_bounded_replay(
+        spark, sess, "events_stream_session_replay", "update"
+    ).select(
         "user_id",
         "session_start",
         "session_end",
@@ -608,7 +569,6 @@ def q_events_stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     formulation row-for-row: step k's timestamp is the first
     step-k-typed event at-or-after step k−1 completed, ties broken by
     (ts_sec, event_id) on both sides."""
-    import uuid
 
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
     from kmeans_mapreduce_spark.streaming import stream_ops as so
@@ -621,21 +581,9 @@ def q_events_stream_funnel_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         .parquet(sf_dir)
     )
     fun = so.stream_funnel(stream)
-    qname = f"events_stream_funnel_{uuid.uuid4().hex[:8]}"
-    q = (
-        fun.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "events_stream_funnel_replay: streaming replay did not finish "
-            "in 300 s — refusing to gate a partially-populated sink"
-        )
-    return spark.table(qname).select("user_id", "step", "step_type", "ts_sec")
+    return _drain_bounded_replay(
+        spark, fun, "events_stream_funnel_replay", "update"
+    ).select("user_id", "step", "step_type", "ts_sec")
 
 
 # Setup-vs-compute accounting for the bench-tracked streaming replays
@@ -671,6 +619,36 @@ def _record_replay_progress(name: str, q) -> None:
         pass
 
 
+def _drain_bounded_replay(
+    spark: SparkSession, out: DataFrame, name: str, mode: str,
+    timeout_sec: int = 300,
+) -> DataFrame:
+    """Shared bounded-replay scaffold for every gated streaming replay
+    (was copied ~10x and had already drifted once): memory sink under
+    a unique query name, availableNow trigger, a drain guard that
+    refuses to gate a partially-populated sink, and micro-batch
+    progress recording for the bench's setup-vs-compute split.
+    Returns the drained sink as a DataFrame."""
+    import uuid
+
+    qname = f"{name}_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError(
+            f"{name}: streaming replay did not finish in {timeout_sec} s"
+            " — refusing to gate a partially-populated sink"
+        )
+    _record_replay_progress(name, q)
+    return spark.table(qname)
+
+
 def q_events_stream_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked TTL-dedup under the gate: the bounded events table
     replayed through ``stream_dedup_ttl`` (debounce by
@@ -682,7 +660,6 @@ def q_events_stream_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFr
     (pinned via maxFilesPerTrigger, same invariant note as the
     stream-stream join replay) equals the batch LAG formulation and
     the DuckDB twin is the plain window query."""
-    import uuid
 
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
     from kmeans_mapreduce_spark.streaming import stream_ops as so
@@ -696,22 +673,9 @@ def q_events_stream_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFr
         .parquet(sf_dir)
     )
     ded = so.stream_dedup_ttl(stream, watermark_sec=600)
-    qname = f"events_stream_ttl_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        ded.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "events_stream_ttl_dedup_replay: streaming replay did not "
-            "finish in 300 s — refusing to gate a partially-populated sink"
-        )
-    _record_replay_progress("events_stream_ttl_dedup_replay", q)
-    return spark.table(qname).select(
+    return _drain_bounded_replay(
+        spark, ded, "events_stream_ttl_dedup_replay", "update"
+    ).select(
         "user_id", "event_type", "event_id", "ts_sec", "gap_sec"
     )
 
@@ -733,7 +697,14 @@ def _activate_pbshim(spark: SparkSession) -> None:
       puts ``sitecustomize`` on every worker's import path (measured:
       without it the 'TransformWithStateInPySpark driver worker'
       crashes in a no-PYTHONPATH gate process; with it the query
-      drains green)."""
+      drains green).
+
+    Returns a RESTORE callable: the ``sc.environment`` mutation is
+    captured into every UDF plan built while it is in place, so the
+    caller restores the prior value once its stream has drained —
+    otherwise every later, unrelated Python worker in the session
+    would auto-import the shim at interpreter start (a session-global
+    side effect the bench would bill to other queries)."""
     import importlib.util
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -747,9 +718,18 @@ def _activate_pbshim(spark: SparkSession) -> None:
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)  # runs _activate() at import
     env = spark.sparkContext.environment
-    cur = env.get("PYTHONPATH", "")
-    if shim not in cur.split(os.pathsep):
-        env["PYTHONPATH"] = shim + (os.pathsep + cur if cur else "")
+    had = "PYTHONPATH" in env
+    prev = env.get("PYTHONPATH", "")
+    if shim not in prev.split(os.pathsep):
+        env["PYTHONPATH"] = shim + (os.pathsep + prev if prev else "")
+
+    def restore() -> None:
+        if had:
+            env["PYTHONPATH"] = prev
+        else:
+            env.pop("PYTHONPATH", None)
+
+    return restore
 
 
 def q_events_stream_ttl_dedup_tws_replay(
@@ -766,12 +746,11 @@ def q_events_stream_ttl_dedup_tws_replay(
     LAG formulation. ``_activate_pbshim`` makes the protocol's
     protobuf runtime available in driver AND the JVM-spawned TWS
     workers regardless of the calling process's env."""
-    import uuid
 
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
     from kmeans_mapreduce_spark.streaming import stream_ops as so
 
-    _activate_pbshim(spark)
+    restore_env = _activate_pbshim(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     prov = "spark.sql.streaming.stateStore.providerClass"
     prov_before = spark.conf.get(prov, None)
@@ -789,26 +768,11 @@ def q_events_stream_ttl_dedup_tws_replay(
             .parquet(sf_dir)
         )
         ded = so.stream_dedup_ttl_tws(stream, watermark_sec=600)
-        qname = f"events_stream_ttl_tws_{uuid.uuid4().hex[:8]}"
-        q = (
-            ded.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise TimeoutError(
-                "events_stream_ttl_dedup_tws_replay: streaming replay did "
-                "not finish in 300 s — refusing to gate a "
-                "partially-populated sink"
-            )
-        _record_replay_progress("events_stream_ttl_dedup_tws_replay", q)
-        return spark.table(qname).select(
-            "user_id", "event_type", "event_id", "ts_sec", "gap_sec"
-        )
+        return _drain_bounded_replay(
+            spark, ded, "events_stream_ttl_dedup_tws_replay", "update"
+        ).select("user_id", "event_type", "event_id", "ts_sec", "gap_sec")
     finally:
+        restore_env()
         if prov_before is None:
             spark.conf.unset(prov)
         else:
@@ -828,7 +792,6 @@ def q_events_stream_native_dedup_replay(
     engine-arbitrary, so the replay projects the KEY COLUMNS only —
     over a single-batch bounded replay every key emits exactly once
     and the drained sink equals the batch DISTINCT row-for-row."""
-    import uuid
 
     from kmeans_mapreduce_spark.operators.events import floor_div
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
@@ -848,22 +811,9 @@ def q_events_stream_native_dedup_replay(
     ded = e.dropDuplicatesWithinWatermark(
         ["user_id", "event_type"]
     ).select("user_id", "event_type")
-    qname = f"events_stream_native_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        ded.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
+    return _drain_bounded_replay(
+        spark, ded, "events_stream_native_dedup_replay", "append"
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "events_stream_native_dedup_replay: streaming replay did not "
-            "finish in 300 s — refusing to gate a partially-populated sink"
-        )
-    _record_replay_progress("events_stream_native_dedup_replay", q)
-    return spark.table(qname)
 
 
 def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -883,7 +833,6 @@ def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-outer variant's deferred-null emission IS watermark-dependent
     even single-batch and stays pinned by tests/test_streaming.py
     instead.)"""
-    import uuid
 
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
     from kmeans_mapreduce_spark.streaming import stream_ops as so
@@ -899,22 +848,9 @@ def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = so.stream_stream_range_join(
         stream, ASOF_LEFT_TYPE, ASOF_RIGHT_TYPE, horizon_sec=RANGE_HORIZON_SEC
     )
-    qname = f"events_stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "events_stream_join_replay: streaming replay did not finish "
-            "in 300 s — refusing to gate a partially-populated sink"
-        )
-    _record_replay_progress("events_stream_join_replay", q)
-    return spark.table(qname).select(
+    return _drain_bounded_replay(
+        spark, joined, "events_stream_join_replay", "append"
+    ).select(
         "user_id", "event_id", "l_ts_sec", "r_ts_sec", "r_value"
     )
 
@@ -928,7 +864,6 @@ def q_events_stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     exercise the no-match null path the left join exists for. A
     stateless per-batch join over bounded input equals the batch left
     join row-for-row, so the DuckDB twin is exact."""
-    import uuid
 
     from kmeans_mapreduce_spark.operators.events import floor_div
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
@@ -956,23 +891,10 @@ def q_events_stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("c_mktsegment").alias("segment"),
         )
     )
-    qname = f"events_stream_enrich_{uuid.uuid4().hex[:8]}"
-    q = (
-        so.stream_static_enrich(purchases, dim, key="user_id")
-        .writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "events_stream_enrich_replay: streaming replay did not finish "
-            "in 300 s — refusing to gate a partially-populated sink"
-        )
-    _record_replay_progress("events_stream_enrich_replay", q)
-    return spark.table(qname).select("user_id", "event_id", "ts_sec", "segment")
+    return _drain_bounded_replay(
+        spark, so.stream_static_enrich(purchases, dim, key="user_id")
+        , "events_stream_enrich_replay", "append"
+    ).select("user_id", "event_id", "ts_sec", "segment")
 
 
 def q_lineitem_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1842,7 +1764,6 @@ def q_corpus_stream_span_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded final state — lexicographic-min (doc_id, pos) owner and
     occurrence count per span fingerprint — equals the batch window's
     rn=1 winners, which is exactly what the DuckDB twin computes."""
-    import uuid
 
     from kmeans_mapreduce_spark.streaming import stream_ops as so
 
@@ -1853,25 +1774,13 @@ def q_corpus_stream_span_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(sf_dir)
     )
     out = so.stream_span_first_seen(stream, dd.SPAN_WORDS)
-    qname = f"corpus_stream_span_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
+    sink = _drain_bounded_replay(
+        spark, out, "corpus_stream_span_replay", "update"
     )
-    if not q.awaitTermination(300):
-        q.stop()
-        raise TimeoutError(
-            "corpus_stream_span_replay: streaming replay did not finish "
-            "in 300 s — refusing to gate a partially-populated sink"
-        )
     # fold update-mode rows to the batching-invariant final state:
     # lexicographic min over (first_doc_id, first_pos), max count
     return (
-        spark.table(qname)
-        .groupBy("span_fp")
+        sink.groupBy("span_fp")
         .agg(
             F.min(
                 F.struct(
@@ -6061,6 +5970,7 @@ FROM s"""
 
 def extension_oracle_sql() -> dict[str, str]:
     from kmeans_mapreduce_spark.analytics import _rule_filter_oracle as _rf_oracle
+    from kmeans_mapreduce_spark.queries import SUM_DIGITS as _SUM_DIGITS
 
     quality_sql = _quality_sql()
     return {
@@ -6863,13 +6773,18 @@ GROUP BY 1""",
         "events_exact_quantiles": _EXACT_QUANTILES_SQL,
         # in-flight CollectMetrics counters vs the relational ground
         # truth (the observe() zero-extra-scan contract)
+        # n_groups counts the NULL group iff present (Spark's groupBy
+        # makes NULL a group; COUNT(DISTINCT) alone would ignore it —
+        # latent off-by-one on a NULL-bearing vintage)
         "events_observed_metrics": """
 SELECT COUNT(*)::BIGINT AS n_rows,
        SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT
          AS n_null_props,
        SUM(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) < 0
                 THEN 1 ELSE 0 END)::BIGINT AS n_neg_cents,
-       COUNT(DISTINCT event_type)::BIGINT AS n_groups
+       (COUNT(DISTINCT event_type)
+        + CASE WHEN COUNT(*) > COUNT(event_type) THEN 1 ELSE 0 END
+       )::BIGINT AS n_groups
 FROM events""",
         # MAD anomaly flags: all-integer rollup + nearest-rank medians
         # (the exact_quantiles rank discipline), k·MAD compare exact
@@ -7584,7 +7499,7 @@ scored AS (
              i -> (e.v[i] - c.v[i]) * (e.v[i] - c.v[i])))) AS md2
   FROM e CROSS JOIN c GROUP BY e.vec_id)
 SELECT CAST(4 AS BIGINT) AS k_centers, COUNT(*)::BIGINT AS n_vecs,
-       ROUND(SUM(md2), 2) AS wssse_init,
+       ROUND(SUM(md2), {_SUM_DIGITS}) AS wssse_init,
        TRUE AS monotone, TRUE AS fixpoint, TRUE AS improves_on_init
 FROM scored""",
         "pipeline_media_cluster": _media_cluster_sql(),

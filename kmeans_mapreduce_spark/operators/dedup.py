@@ -2082,12 +2082,8 @@ def line_boilerplate_dedup(
             F.sum(F.col("is_boiler").cast("long")).alias("n_boiler"),
             F.array_join(
                 F.transform(
-                    F.array_sort(
-                        F.filter(
-                            F.collect_list(kept_struct),
-                            lambda s: s.isNotNull(),
-                        )
-                    ),
+                    # collect_list drops the NULL (boilerplate) structs
+                    F.array_sort(F.collect_list(kept_struct)),
                     lambda s: s["line"],
                 ),
                 "\n",

@@ -404,7 +404,19 @@ def _decode_av(kind: str, payload: bytes):
             w = h = None
             for frame in container.decode(stream):  # av.VideoFrame
                 rgb = frame.to_ndarray(format="rgb24")  # H×W×3 uint8
-                h, w = rgb.shape[:2]
+                if w is None:
+                    h, w = rgb.shape[:2]
+                elif rgb.shape[:2] != (h, w):
+                    # mid-stream resolution change (legal in ffmpeg)
+                    # would break the fixed-size frame-grid contract
+                    # (len(content) == n_frames·w·h·3) the stdlib
+                    # decoders guarantee — refuse like any malformed
+                    # payload rather than emit misaligned pixels
+                    raise ValueError(
+                        f"av: variable frame geometry "
+                        f"{rgb.shape[1]}x{rgb.shape[0]} != {w}x{h} "
+                        f"in kind={kind!r}"
+                    )
                 frames.append(rgb.tobytes())
     except av.error.FFmpegError as exc:
         raise ValueError(f"av could not decode kind={kind!r}: {exc}") from exc

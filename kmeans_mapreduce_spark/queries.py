@@ -690,12 +690,11 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "corpus_url_dedup",
     "pipeline_crawl_frontdoor",
     "dedup_bloom_prefilter",
-    # round-13 growth: tracked from birth
+    # round-13 growth: tracked from birth (the streaming entrants are
+    # listed with the replay block below)
     "corpus_line_dedup",
     "join_min_cost_supplier",
     "events_anomaly_mad",
-    "events_observed_metrics",
-    "events_stream_native_dedup_replay",
     "events_observed_metrics",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with

@@ -136,11 +136,16 @@ def test_tracked_replays_record_progress_split():
         if "_stream_" in n and n.endswith("_replay")
     ]
     assert tracked, "replay split exists because replays are benched"
-    src = inspect.getsource(X)
+    reg = X.extension_queries()
     for n in tracked:
-        assert f'_record_replay_progress("{n}"' in src, (
-            f"{n} is bench-tracked but never records its replay progress"
-        )
+        fn_src = inspect.getsource(reg[n])
+        assert (
+            "_drain_bounded_replay(" in fn_src
+            or f'_record_replay_progress("{n}"' in fn_src
+        ), f"{n} is bench-tracked but never records its replay progress"
+        # the helper keys progress by the registry name — the literal
+        # must appear in the function, not a diverging alias
+        assert f'"{n}"' in fn_src, n
 
 
 def test_replay_progress_populated_by_cheapest_tracked_replay(spark):
