@@ -851,9 +851,16 @@ def anomaly_mad(events: DataFrame, k: int = MAD_K) -> DataFrame:
     med_cents, mad_cents, n_anomalous).
     """
     hour = F.expr(floor_div(floor_div("ts", 1_000_000_000), 3600))
-    roll = events.groupBy(
-        F.col("event_type"), hour.alias("hr")
-    ).agg(F.sum(value_cents()).alias("v"))
+    # materialized: the O(types × hours) rollup feeds the median rank
+    # AND the deviation join — without the barrier each consumer
+    # re-runs the corpus scan + rollup (and `dev` likewise feeds the
+    # MAD rank and the final aggregate); with both checkpointed the
+    # corpus is scanned exactly once
+    roll = (
+        events.groupBy(F.col("event_type"), hour.alias("hr"))
+        .agg(F.sum(value_cents()).alias("v"))
+        .localCheckpoint(eager=False)
+    )
 
     def rank_median(df: DataFrame, col: str) -> DataFrame:
         w = Window.partitionBy("event_type").orderBy(col)
@@ -876,11 +883,15 @@ def anomaly_mad(events: DataFrame, k: int = MAD_K) -> DataFrame:
         )
 
     med = rank_median(roll, "v").withColumnRenamed("med_v", "med_cents")
-    dev = roll.join(F.broadcast(med), "event_type").select(
-        "event_type",
-        "v",
-        F.abs(F.col("v") - F.col("med_cents")).alias("d"),
-        "med_cents",
+    dev = (
+        roll.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            "v",
+            F.abs(F.col("v") - F.col("med_cents")).alias("d"),
+            "med_cents",
+        )
+        .localCheckpoint(eager=False)
     )
     mad = rank_median(
         dev.select("event_type", "d"), "d"

@@ -109,6 +109,9 @@ REPORT_QUERIES = [
     # tests instead.
     ("multimodal_mjpeg", "MJPEG encode→decode roundtrip inside one mapInPandas; (doc_id, text) pruned scan"),
     ("corpus_url_dedup", "canonicalize = zero-shuffle codegen projection; variant-bounded canon_url rank window; host count = partial-agg groupBy joined back (null-safe) — a hot host combines map-side, never a host window"),
+    ("corpus_line_dedup", "one materialized posexplode feeds df-count and mark join; boiler set broadcast; distinct-(doc,line) shuffle carries pairs, never occurrences; one doc-keyed reassembly"),
+    ("join_min_cost_supplier", "Q2 decorrelated: one map-side-combined (part,supplier) aggregate, per-part struct argmin, broadcast dims, TakeOrderedAndProject top-N"),
+    ("events_anomaly_mad", "one map-side-combined (type,hour) rollup materialized once (feeds median rank + deviation join; dev likewise checkpointed) — corpus scanned exactly once; median/MAD windows sort O(types×hours) aggregate rows; per-type stats broadcast back"),
     ("pipeline_crawl_frontdoor", "window-free funnel (r13): one corpus-keyed exchange (canon_url partial agg with struct-MIN representative), host cap = LEAST(cap, n) over GROUP rows — a 50%-hot host measured at-or-below uniform wall (tools/scale_probe_r13.json)"),
 ]
 
