@@ -436,19 +436,51 @@ def q_kmeans_kmpp_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_fit_kmpp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O11 variant — k-means|| (Bahmani) D²-sampling init + Lloyd loop.
-
-    Sampling uses distributed seeded rand → rows-only check (like
-    kmeans_fit); the property test asserts it beats random init."""
-    res = km.fit(
-        points_2d(spark, sf_dir), k=8, max_iter=5, tol=0.5, seed=42, init="k-means||"
+    """O11 variant under the hash gate — k-means|| (Bahmani)
+    D²-sampling init + Lloyd loop, gated with the same
+    result-invariant recipe as the free-form ``kmeans_fit`` (the
+    distributed seeded sampling keeps the trajectory out of SQL
+    reach; its result still obeys Lloyd descent): monotone WSSSE
+    history, an independent assignment pass at the returned centers
+    scoring no worse than the last recorded WSSSE, and improvement
+    over the fixed-K4 one-shot assignment whose WSSSE the twin
+    recomputes for real. The D²-init's deterministic scoring math is
+    separately hash-gated (kmpp_round1/round2); the it-beats-random
+    property stays in pytest. Raw centers: ``operators.kmeans.fit``
+    with ``init='k-means||'``."""
+    pts = points_2d(spark, sf_dir)
+    res = km.fit(pts, k=8, max_iter=5, tol=0.5, seed=42, init="k-means||")
+    ver = (
+        km.assign(pts, res.centers)
+        .agg(
+            F.sum("min_d2").alias("w_ret"),
+            F.count(F.lit(1)).alias("n_points"),
+        )
+        .collect()[0]
     )
-    rows = [
-        (cid, float(cx), float(cy), len(res.wssse_history), res.converged)
-        for cid, cx, cy in res.centers
-    ]
+    w_k4 = (
+        km.assign(pts, K4_CENTERS)
+        .agg(F.round(F.sum("min_d2"), SUM_DIGITS).alias("w"))
+        .collect()[0]["w"]
+    )
+    hist = res.wssse_history
+    monotone = all(
+        hist[i + 1] <= hist[i] + _lloyd_slack(hist[i])
+        for i in range(len(hist) - 1)
+    )
+    fixpoint = ver["w_ret"] <= hist[-1] + _lloyd_slack(hist[-1])
+    rows = [(
+        len(res.centers),
+        int(ver["n_points"]),
+        float(w_k4),
+        bool(monotone),
+        bool(fixpoint),
+        bool(ver["w_ret"] <= w_k4),
+    )]
     return spark.createDataFrame(
-        rows, "cid INT, cx DOUBLE, cy DOUBLE, iterations INT, converged BOOLEAN"
+        rows,
+        "k_centers BIGINT, n_points BIGINT, wssse_k4 DOUBLE, "
+        "monotone BOOLEAN, fixpoint BOOLEAN, improves_on_k4 BOOLEAN",
     )
 
 
@@ -1037,7 +1069,14 @@ WHERE c.cid NOT IN (SELECT DISTINCT cid FROM assigned)""",
        ROUND(SUM(min_d2), {SUM_DIGITS}) AS wssse_k4,
        TRUE AS monotone, TRUE AS fixpoint, TRUE AS improves_on_k4
 FROM assigned""",
-        # kmeans_fit_kmpp: distributed seeded sampling → rows-only.
+        # kmeans_fit_kmpp: same result-invariant gate (the D² sampling
+        # itself stays numerical; kmpp_round1/2 pin its scoring math)
+        "kmeans_fit_kmpp": a4
+        + f"""SELECT CAST(8 AS BIGINT) AS k_centers,
+       COUNT(*)::BIGINT AS n_points,
+       ROUND(SUM(min_d2), {SUM_DIGITS}) AS wssse_k4,
+       TRUE AS monotone, TRUE AS fixpoint, TRUE AS improves_on_k4
+FROM assigned""",
     }
 
 
