@@ -435,21 +435,14 @@ def q_kmeans_kmpp_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("point_id", "d2", "prob")
 
 
-def q_kmeans_fit_kmpp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """O11 variant under the hash gate — k-means|| (Bahmani)
-    D²-sampling init + Lloyd loop, gated with the same
-    result-invariant recipe as the free-form ``kmeans_fit`` (the
-    distributed seeded sampling keeps the trajectory out of SQL
-    reach; its result still obeys Lloyd descent): monotone WSSSE
-    history, an independent assignment pass at the returned centers
-    scoring no worse than the last recorded WSSSE, and improvement
-    over the fixed-K4 one-shot assignment whose WSSSE the twin
-    recomputes for real. The D²-init's deterministic scoring math is
-    separately hash-gated (kmpp_round1/round2); the it-beats-random
-    property stays in pytest. Raw centers: ``operators.kmeans.fit``
-    with ``init='k-means||'``."""
-    pts = points_2d(spark, sf_dir)
-    res = km.fit(pts, k=8, max_iter=5, tol=0.5, seed=42, init="k-means||")
+def _fit_gate_row(spark: SparkSession, pts: DataFrame, res) -> DataFrame:
+    """The shared verification row behind the gated free-form fits
+    (``kmeans_fit``, ``kmeans_fit_kmpp``): honest Lloyd invariants
+    from fresh passes — monotone WSSSE history, an independent
+    assignment at the RETURNED centers scoring no worse than the last
+    recorded WSSSE — plus the twin-recomputable fixed-K4 reference
+    WSSSE and the improvement verdict against it. One implementation
+    so the two gates cannot drift."""
     ver = (
         km.assign(pts, res.centers)
         .agg(
@@ -482,6 +475,24 @@ def q_kmeans_fit_kmpp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k_centers BIGINT, n_points BIGINT, wssse_k4 DOUBLE, "
         "monotone BOOLEAN, fixpoint BOOLEAN, improves_on_k4 BOOLEAN",
     )
+
+
+def q_kmeans_fit_kmpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O11 variant under the hash gate — k-means|| (Bahmani)
+    D²-sampling init + Lloyd loop, gated with the same
+    result-invariant recipe as the free-form ``kmeans_fit`` (the
+    distributed seeded sampling keeps the trajectory out of SQL
+    reach; its result still obeys Lloyd descent): monotone WSSSE
+    history, an independent assignment pass at the returned centers
+    scoring no worse than the last recorded WSSSE, and improvement
+    over the fixed-K4 one-shot assignment whose WSSSE the twin
+    recomputes for real. The D²-init's deterministic scoring math is
+    separately hash-gated (kmpp_round1/round2); the it-beats-random
+    property stays in pytest. Raw centers: ``operators.kmeans.fit``
+    with ``init='k-means||'``."""
+    pts = points_2d(spark, sf_dir)
+    res = km.fit(pts, k=8, max_iter=5, tol=0.5, seed=42, init="k-means||")
+    return _fit_gate_row(spark, pts, res)
 
 
 def q_kmeans_fit_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -528,38 +539,7 @@ def q_kmeans_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact call below; ``entry()`` returns that shape)."""
     pts = points_2d(spark, sf_dir)
     res = km.fit(pts, k=8, max_iter=10, tol=0.5, seed=42)
-    ver = (
-        km.assign(pts, res.centers)
-        .agg(
-            F.sum("min_d2").alias("w_ret"),
-            F.count(F.lit(1)).alias("n_points"),
-        )
-        .collect()[0]
-    )
-    w_k4 = (
-        km.assign(pts, K4_CENTERS)
-        .agg(F.round(F.sum("min_d2"), SUM_DIGITS).alias("w"))
-        .collect()[0]["w"]
-    )
-    hist = res.wssse_history
-    monotone = all(
-        hist[i + 1] <= hist[i] + _lloyd_slack(hist[i])
-        for i in range(len(hist) - 1)
-    )
-    fixpoint = ver["w_ret"] <= hist[-1] + _lloyd_slack(hist[-1])
-    rows = [(
-        len(res.centers),
-        int(ver["n_points"]),
-        float(w_k4),
-        bool(monotone),
-        bool(fixpoint),
-        bool(ver["w_ret"] <= w_k4),
-    )]
-    return spark.createDataFrame(
-        rows,
-        "k_centers BIGINT, n_points BIGINT, wssse_k4 DOUBLE, "
-        "monotone BOOLEAN, fixpoint BOOLEAN, improves_on_k4 BOOLEAN",
-    )
+    return _fit_gate_row(spark, pts, res)
 
 
 # ---------------------------------------------------------------------------
