@@ -5840,22 +5840,22 @@ def _url_canon_cte(extra: str = "", url_expr: str | None = None) -> str:
     synth = url_expr if url_expr is not None else _url_synth_expr(False)
     return f"""u AS (SELECT doc_id{extra}, ({synth}) AS url FROM documents),
 p AS (
-  SELECT doc_id{extra},
+  SELECT doc_id{extra}, url,
          lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
          regexp_replace(regexp_replace(url, '^[A-Za-z]+://', ''),
                         '#.*$', '') AS rest
   FROM u),
 q AS (
-  SELECT doc_id{extra}, scheme,
+  SELECT doc_id{extra}, url, scheme,
          regexp_extract(rest, '^([^/?]+)', 1) AS hostport,
          regexp_replace(rest, '^[^/?]+', '') AS pathq
   FROM p),
 r AS (
-  SELECT doc_id{extra}, scheme,
+  SELECT doc_id{extra}, url, scheme,
          regexp_replace(lower(regexp_extract(
-           regexp_replace(hostport, '^[^@]*@', ''),
+           regexp_replace(hostport, '^.*@', ''),
            '^(\\[[^\\]]*\\]|[^:]+)', 1)), '^www\\.', '') AS host,
-         regexp_extract(regexp_replace(hostport, '^[^@]*@', ''),
+         regexp_extract(regexp_replace(hostport, '^.*@', ''),
                         ':([0-9]+)$', 1) AS port,
          regexp_replace(regexp_extract(pathq, '^([^?]*)', 1),
                         '/+$', '') AS path,
@@ -5868,14 +5868,15 @@ k AS (
   FROM r),
 c AS (
   SELECT doc_id{extra},
-         scheme || '://' || host ||
-         CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
-                   OR (scheme = 'http' AND port = '80')
-              THEN '' ELSE ':' || port END ||
-         path ||
-         CASE WHEN len(kept) > 0
-              THEN '?' || array_to_string(kept, '&') ELSE '' END
-           AS canon_url,
+         CASE WHEN regexp_matches(url, '^[A-Za-z]+://')
+              THEN scheme || '://' || host ||
+                   CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                             OR (scheme = 'http' AND port = '80')
+                        THEN '' ELSE ':' || port END ||
+                   path ||
+                   CASE WHEN len(kept) > 0
+                        THEN '?' || array_to_string(kept, '&') ELSE '' END
+              ELSE url END AS canon_url,
          host
   FROM k)"""
 

@@ -3044,6 +3044,60 @@ def test_url_canonicalization_userinfo_and_ipv6(spark, tmp_path):
         assert twin[i] == (want_c, want_h), (i, twin[i])
 
 
+def test_url_canonicalization_total_and_idempotent_on_garbage(spark, tmp_path):
+    """r13 hardening: canonical_url is TOTAL and idempotent on every
+    input — scheme-less strings (relative hrefs, fragments, junk) pass
+    through unchanged instead of being mangled into '://'-prefixed
+    garbage, userinfo stripping is greedy to the last @ (RFC 3986
+    §3.2, also what makes multi-@ garbage idempotent), and no hostile
+    spelling throws. The DuckDB twin must produce the identical
+    canon_url for every case."""
+    import duckdb
+    import pandas as pd
+
+    from kmeans_mapreduce_spark import extensions as X
+    from kmeans_mapreduce_spark.functions.urls import canonical_url
+
+    cases = [
+        "", "no-scheme.com/x", "://", "https://", "https://@",
+        "https://[", "https://[::1", "https://h:99999x/p", "#only",
+        "https://h/p?", "https://@@/x", "https://a@b@c/x",
+        "https://h/p??a=1&&b=2", "HTTPS://ünï.example/π?z=1",
+        "https://h:443:8080/x", "https:///x", "https://h:/x",
+        "https://h#f#g", "https://h/p?=&=",
+    ]
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "doc_id LONG, url STRING"
+    )
+    out = {
+        r["doc_id"]: (r["c1"], r["c2"])
+        for r in df.select(
+            "doc_id", canonical_url(F.col("url")).alias("c1")
+        ).withColumn("c2", canonical_url(F.col("c1"))).collect()
+    }
+    for i, raw in enumerate(cases):
+        c1, c2 = out[i]
+        assert c1 == c2, (raw, c1, c2)  # idempotent on every input
+        if "://" not in raw or not raw.split("://")[0].isalpha():
+            if not __import__("re").match(r"^[A-Za-z]+://", raw):
+                assert c1 == raw, (raw, c1)  # scheme-less passthrough
+    pd.DataFrame(
+        {"doc_id": range(len(cases)), "url": cases}
+    ).to_parquet(f"{tmp_path}/docs.parquet")
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/docs.parquet'")
+    twin = {
+        r[0]: r[1]
+        for r in con.sql(
+            "WITH "
+            + X._url_canon_cte(url_expr="url")
+            + " SELECT doc_id, canon_url FROM c"
+        ).fetchall()
+    }
+    for i, raw in enumerate(cases):
+        assert twin[i] == out[i][0], (raw, twin[i], out[i][0])
+
+
 def test_url_dedup_null_urls_kept(spark):
     """NULL urls must not be silently dropped by the host join
     (round-12 advisor finding): output row count equals input row
