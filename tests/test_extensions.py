@@ -3287,3 +3287,58 @@ def test_anomaly_mad_planted_spike(spark):
     assert got["A"] == (10, 1000, 100, 1)
     # B: med 500, MAD 0, the 5.01 hour (d=1 > 0) is the one anomaly
     assert got["B"] == (5, 500, 0, 1)
+
+
+def test_wav_decoder_fuzz_bounded_and_degradable():
+    """The WAV path's fuzz discipline (completing the jpeg/avi set):
+    arbitrary mutations of a valid RIFF/WAVE payload — truncation,
+    byte flips (which corrupt the fmt chunk, declared sizes, nframes),
+    garbage u32 sizes — must either decode with NO output
+    amplification (returned frame bytes bounded by the payload, so a
+    hostile nframes header cannot allocate beyond the input) or raise
+    an ordinary exception the degrade-don't-die callers catch; never
+    a hang, SystemExit, or MemoryError-scale allocation."""
+    import io
+    import struct
+    import wave as wv
+
+    from hypothesis import given, settings, strategies as st
+
+    buf = io.BytesIO()
+    with wv.open(buf, "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(8000)
+        f.writeframes(bytes(range(64)) * 4)
+    base = buf.getvalue()
+
+    @given(st.integers(min_value=0, max_value=3), st.data())
+    @settings(max_examples=60, deadline=None)
+    def run(mode, data):
+        blob = bytearray(base)
+        if mode == 0:  # truncate
+            cut = data.draw(st.integers(min_value=0, max_value=len(blob)))
+            blob = blob[:cut]
+        elif mode == 1:  # flip bytes anywhere
+            for _ in range(data.draw(st.integers(min_value=1, max_value=8))):
+                i = data.draw(
+                    st.integers(min_value=0, max_value=len(blob) - 1)
+                )
+                blob[i] = data.draw(st.integers(min_value=0, max_value=255))
+        elif mode == 2:  # garbage declared size / nframes field
+            i = data.draw(st.integers(min_value=4, max_value=len(blob) - 4))
+            blob[i : i + 4] = struct.pack(
+                "<I", data.draw(st.integers(min_value=0, max_value=2**32 - 1))
+            )
+        # mode 3: control arm (valid payload)
+        try:
+            n, rate, frames = mm._decode_wav(bytes(blob))
+        except (SystemExit, KeyboardInterrupt):  # pragma: no cover
+            raise
+        except Exception:
+            return  # ordinary failure: the callers' degrade path
+        # no amplification: wave reads from the in-memory payload, so
+        # the decoded frame bytes can never exceed the input length
+        assert len(frames) <= len(blob)
+
+    run()
