@@ -675,7 +675,7 @@ def _weighted_sample_oracle() -> str:
     bucket = f"{h64_sql(key_expr)} % {SAMPLE_BUCKETS}"
     thr = (
         "CAST(floor(LEAST(1.0::DOUBLE, GREATEST(0.0::DOUBLE, quality_score))"
-        f" * {float(SAMPLE_BUCKETS)!r}::DOUBLE) AS BIGINT)"
+        f" * {float(SAMPLE_BUCKETS)!r}::DOUBLE + 0.5::DOUBLE) AS BIGINT)"
     )
     return f"""
 WITH q AS ({_quality_sql()})

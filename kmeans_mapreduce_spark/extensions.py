@@ -6338,7 +6338,7 @@ SELECT o_custkey, valid_from,
        o_orderstatus
 FROM s
 WINDOW w AS (PARTITION BY o_custkey ORDER BY valid_from)""",
-        "corpus_snapshot_diff": """
+        "corpus_snapshot_diff": f"""
 WITH a AS (SELECT doc_id, md5(text) AS fp_a, TRUE AS in_a FROM documents),
 b AS (
   SELECT doc_id,
@@ -6346,7 +6346,7 @@ b AS (
          TRUE AS in_b
   FROM documents WHERE doc_id % 13 != 0
   UNION ALL
-  SELECT doc_id + 1000000 AS doc_id, md5(text) AS fp_b, TRUE AS in_b
+  SELECT doc_id + {sp.SNAPSHOT_ADD_SHIFT} AS doc_id, md5(text) AS fp_b, TRUE AS in_b
   FROM documents WHERE doc_id % 17 = 0
 )
 SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
@@ -7648,9 +7648,9 @@ per_user AS (
   FROM s2 GROUP BY user_id
 ),
 counts AS (
-  SELECT CAST(SUM(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-         CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-         CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+  SELECT CAST(COALESCE(SUM(CASE WHEN r0 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n0,
+         CAST(COALESCE(SUM(CASE WHEN r1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n1,
+         CAST(COALESCE(SUM(CASE WHEN r2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n2
   FROM per_user
 )
 SELECT 1 AS step, '{ev.FUNNEL_STEPS[0]}' AS step_type, n0 AS n_users FROM counts

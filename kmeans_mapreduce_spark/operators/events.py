@@ -279,9 +279,12 @@ def funnel(events: DataFrame, steps=FUNNEL_STEPS) -> DataFrame:
     per_user = e.groupBy("user_id").agg(
         *[F.max(F.col(q).isNotNull()).alias(f"r{i}") for i, q in enumerate(quals)]
     )
+    # COALESCE: a global SUM over zero rows is NULL; an empty (or
+    # fully filtered) corpus must report step counts of 0, not NULL
     counts = per_user.agg(
         *[
-            F.sum(F.col(f"r{i}").cast("long")).alias(f"n{i}")
+            F.coalesce(F.sum(F.col(f"r{i}").cast("long")), F.lit(0))
+            .alias(f"n{i}")
             for i in range(len(steps))
         ]
     )

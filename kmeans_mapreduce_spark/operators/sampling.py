@@ -27,7 +27,10 @@ SAMPLE_SALT = "sample"  # decorrelates the sample hash from other h64 uses
 def sample_bucket(doc_id: Column, salt: str = SAMPLE_SALT) -> Column:
     """Uniform bucket in [0, SAMPLE_BUCKETS) from the salted row key."""
     return F.pmod(
-        h64(F.concat_ws(":", F.lit(salt), doc_id.cast("string"))),
+        # NULL-propagating concat (NOT concat_ws, which skips null
+        # operands: every NULL id would hash to the bare salt and be
+        # kept/dropped as one block) — also matches the twins' '||'
+        h64(F.concat(F.lit(salt), F.lit(":"), doc_id.cast("string"))),
         F.lit(SAMPLE_BUCKETS),
     )
 
@@ -125,7 +128,7 @@ def global_shuffle(
     DIFFERENT epoch). A new salt per epoch gives an independent
     permutation. Plan shape: pure narrow map; the sort happens in the
     sharded write, range-partitioned per shard."""
-    key = h64(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string")))
+    key = h64(F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string")))
     return docs.select(
         "doc_id",
         key.alias("shuffle_key"),
@@ -148,14 +151,20 @@ def weighted_sample(
     the same retry-stable, shuffle-free properties as the stratified
     form (membership is a pure function of the row key).
 
-    The keep threshold is ``floor(weight * SAMPLE_BUCKETS)`` compared
-    against the salted hash bucket — integer vs integer, so the DuckDB
-    oracle reproduces membership exactly (the float multiply is one
-    shared op; floor of an identical double is identical).
+    The keep threshold is ``floor(weight * SAMPLE_BUCKETS + 0.5)``
+    compared against the salted hash bucket — integer vs integer, so
+    the DuckDB oracle reproduces membership exactly (the float
+    multiply and the +0.5 are shared IEEE ops; floor of an identical
+    double is identical). Half-up, not truncation: the stratified
+    sampler's "round, don't truncate" rule — bare floor under-keeps
+    every rate whose binary double rounds down (0.3·10000 =
+    2999.999…), making the two samplers disagree at the same nominal
+    rate.
     """
     threshold = F.floor(
         F.least(F.lit(1.0), F.greatest(F.lit(0.0), weight))
         * F.lit(float(SAMPLE_BUCKETS))
+        + F.lit(0.5)
     ).cast("long")
     return docs.filter(sample_bucket(F.col("doc_id"), salt) < threshold)
 
@@ -266,8 +275,8 @@ def leakage_safe_split(
     cc = connected_components(dup_pairs)
     bucket = F.pmod(
         h64(
-            F.concat_ws(
-                ":", F.lit(salt), F.col("canonical_id").cast("string")
+            F.concat(
+                F.lit(salt), F.lit(":"), F.col("canonical_id").cast("string")
             )
         ),
         F.lit(100),
@@ -320,11 +329,18 @@ def snapshot_diff(snap_a: DataFrame, snap_b: DataFrame) -> DataFrame:
     )
 
 
+SNAPSHOT_ADD_SHIFT = 1 << 40  # re-key offset for simulated 'added'
+# docs: far above any real doc_id vintage (and any packed id), so a
+# shifted id can never collide with a kept row — a +1e6 shift silently
+# duplicated ids once the corpus contained doc_id >= 1e6
+
+
 def simulate_next_snapshot(docs: DataFrame) -> DataFrame:
     """Deterministic 'next crawl' twin of the documents table for the
     snapshot-diff query (the testdata ships one snapshot): drops
     doc_id % 13 == 0, edits the text of doc_id % 11 == 0, and adds a
-    re-keyed copy of doc_id % 17 == 0 — pure column expressions, so
+    re-keyed copy of doc_id % 17 == 0 (shifted by SNAPSHOT_ADD_SHIFT,
+    collision-free by construction) — pure column expressions, so
     the DuckDB oracle regenerates the identical snapshot."""
     kept = docs.filter(F.col("doc_id") % 13 != 0).select(
         "doc_id",
@@ -335,7 +351,8 @@ def simulate_next_snapshot(docs: DataFrame) -> DataFrame:
         .alias("text"),
     )
     added = docs.filter(F.col("doc_id") % 17 == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        (F.col("doc_id") + F.lit(SNAPSHOT_ADD_SHIFT)).alias("doc_id"),
+        "text",
     )
     return kept.unionByName(added)
 
@@ -492,19 +509,28 @@ def token_shard_plan(
     """
     from pyspark.sql.window import Window
 
-    key = h64(F.concat_ws(":", F.lit(salt), F.col("doc_id").cast("string")))
-    base = docs.select(
-        "doc_id",
-        key.alias("shuffle_key"),
-        n_tokens(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
-            "n_tok"
-        ),
-    ).withColumn(
-        # `div` = exact int64 division: float `/` rounds 60-bit keys
-        # through a 53-bit mantissa and could mis-bucket boundary keys,
-        # silently breaking the order-preservation the scan relies on
-        "_bucket",
-        F.expr(f"shuffle_key div {HASH_SPACE // n_buckets}"),
+    key = h64(F.concat(F.lit(salt), F.lit(":"), F.col("doc_id").cast("string")))
+    base = (
+        docs.select(
+            "doc_id",
+            key.alias("shuffle_key"),
+            n_tokens(F.coalesce(F.col("text"), F.lit(""))).cast("long").alias(
+                "n_tok"
+            ),
+        )
+        .withColumn(
+            # `div` = exact int64 division: float `/` rounds 60-bit keys
+            # through a 53-bit mantissa and could mis-bucket boundary
+            # keys, silently breaking the order-preservation the scan
+            # relies on
+            "_bucket",
+            F.expr(f"shuffle_key div {HASH_SPACE // n_buckets}"),
+        )
+        # materialized ONCE: base feeds the within-bucket prefix window
+        # AND the per-bucket totals — without the barrier each consumer
+        # re-runs the corpus scan + md5 + tokenization (the anomaly_mad
+        # multi-consumer lesson; on a cluster, persist instead)
+        .localCheckpoint(eager=False)
     )
     in_bucket = Window.partitionBy("_bucket").orderBy(
         F.col("shuffle_key").asc(), F.col("doc_id").asc()

@@ -131,23 +131,33 @@ def read_points_csv_quarantine(spark: SparkSession, path: str):
         F.lit(","),
         F.coalesce(F.col("y").cast("string"), F.lit("")),
     )
-    bad = raw.filter(
-        F.col("_corrupt_record").isNotNull()
-        | F.col("x").isNull()
-        | F.col("y").isNull()
-    ).select(
-        F.coalesce(F.col("_corrupt_record"), rebuilt).alias("raw")
-    )
-    good = (
-        raw.filter(
-            F.col("_corrupt_record").isNull()
-            & F.col("x").isNotNull()
-            & F.col("y").isNotNull()
+    # release the cached parse before returning (the JSONL quarantine's
+    # discipline): per-path sweep callers must not accumulate one
+    # pinned copy of every dirty input in storage memory for the
+    # session's lifetime
+    try:
+        bad = (
+            raw.filter(
+                F.col("_corrupt_record").isNotNull()
+                | F.col("x").isNull()
+                | F.col("y").isNull()
+            )
+            .select(F.coalesce(F.col("_corrupt_record"), rebuilt).alias("raw"))
+            .localCheckpoint(eager=True)
         )
-        .select(
-            F.monotonically_increasing_id().alias("point_id"), "x", "y"
+        good = (
+            raw.filter(
+                F.col("_corrupt_record").isNull()
+                & F.col("x").isNotNull()
+                & F.col("y").isNotNull()
+            )
+            .select(
+                F.monotonically_increasing_id().alias("point_id"), "x", "y"
+            )
+            .localCheckpoint(eager=True)
         )
-    )
+    finally:
+        raw.unpersist()
     return good, bad
 
 
@@ -1107,7 +1117,19 @@ def read_version_delta(
     m = _read_manifest(table_path, version)
     prev_dirs: set[str] = set()
     if version > 0:
-        prev_dirs = set(_read_manifest(table_path, version - 1)["dirs"])
+        try:
+            prev_dirs = set(_read_manifest(table_path, version - 1)["dirs"])
+        except FileNotFoundError:
+            # the predecessor was vacuumed: the delta of this version
+            # is undefined (we cannot know which dirs it added) even
+            # though the version itself stays fully time-travelable —
+            # refuse loudly instead of crashing with a raw open() error
+            # or silently returning the whole snapshot
+            raise ValueError(
+                f"read_version_delta: manifest {version - 1} was vacuumed, "
+                f"so version {version}'s increment cannot be derived; "
+                "read_version() still serves the full snapshot"
+            ) from None
     delta = [d for d in m["dirs"] if d not in prev_dirs]
     if not delta:
         # legal (an empty append); keep the pinned schema with 0 rows
@@ -1173,7 +1195,14 @@ def vacuum_versions(
     keep_floor = max(0, latest - int(keep_last) + 1)
     keep_dirs: set[str] = set()
     for v in range(keep_floor, latest + 1):
-        keep_dirs.update(_read_manifest(table_path, v)["dirs"])
+        try:
+            keep_dirs.update(_read_manifest(table_path, v)["dirs"])
+        except FileNotFoundError:
+            # a previous vacuum with a smaller retention already
+            # removed this manifest; tolerate the gap like
+            # table_history does (a larger keep_last later must not
+            # abort vacuuming forever)
+            continue
     removed_dirs = 0
     data_root = os.path.join(table_path, "data")
     if os.path.isdir(data_root):

@@ -3342,3 +3342,18 @@ def test_wav_decoder_fuzz_bounded_and_degradable():
         assert len(frames) <= len(blob)
 
     run()
+
+
+def test_funnel_empty_input_reports_zero_not_null(spark):
+    """r13 review finding: a funnel over zero events must report step
+    counts of 0 (the dashboard contract), not NULL from a global SUM
+    over no rows."""
+    from kmeans_mapreduce_spark.operators import events as ev
+
+    e = spark.createDataFrame(
+        [],
+        "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    got = {(r["step"], r["n_users"]) for r in ev.funnel(e).collect()}
+    assert got == {(1, 0), (2, 0), (3, 0)}

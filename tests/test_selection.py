@@ -577,3 +577,52 @@ def test_bpe_pair_counts_nul_in_word_and_boundaries(spark):
     want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert got == want
     assert ("a\x00", 2) in got  # the NUL pair is real, not a boundary
+
+
+def test_samplers_agree_at_same_nominal_rate_and_propagate_null_ids(spark):
+    """r13 review findings: (a) weighted_sample at a constant weight w
+    must keep exactly the rows hash_sample_stratified keeps at rate w —
+    same salt family aside, the THRESHOLD rule is now half-up on both
+    (bare floor under-kept 0.3 by one bucket); (b) a NULL doc_id must
+    hash to NULL (propagating concat) and be dropped by the `< thr`
+    filter on every sampler, never block-kept under the bare-salt
+    bucket."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    rows = [(i, "en") for i in range(2000)] + [(None, "en")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, lang STRING")
+    # (a) threshold agreement: same salt forced so membership compares
+    strat = {
+        r["doc_id"]
+        for r in sp.hash_sample_stratified(docs, {}, 0.3).collect()
+    }
+    wtd = {
+        r["doc_id"]
+        for r in sp.weighted_sample(
+            docs, F.lit(0.3), salt=sp.SAMPLE_SALT
+        ).collect()
+    }
+    assert strat == wtd
+    assert abs(len(strat) - 600) < 80  # ~30% of 2000
+    # (b) NULL ids never sampled, never shuffled into one shard block
+    assert None not in strat and None not in wtd
+    shuf = sp.global_shuffle(docs)
+    null_rows = shuf.filter(F.col("doc_id").isNull()).collect()
+    assert len(null_rows) == 1 and null_rows[0]["shuffle_key"] is None
+
+
+def test_snapshot_rekey_shift_is_collision_free(spark):
+    """r13 review finding: the simulated next snapshot re-keys 'added'
+    docs; with ids at and above the old 1e6 shift the re-keyed rows
+    must still be unique (the +1e6 shift collided with real ids)."""
+    from kmeans_mapreduce_spark.operators import sampling as sp
+
+    # 17 and 1_000_017: under the old +1e6 rule the added copy of 17
+    # collided with the real kept doc 1_000_017
+    rows = [(17, "a"), (1_000_017, "b"), (5, "c")]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    snap = sp.simulate_next_snapshot(docs)
+    ids = [r["doc_id"] for r in snap.collect()]
+    assert len(ids) == len(set(ids)), ids
+    assert 17 + sp.SNAPSHOT_ADD_SHIFT in ids
+    assert 1_000_017 in ids  # the real doc the old +1e6 shift collided with

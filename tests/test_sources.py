@@ -1182,3 +1182,66 @@ def test_versioned_log_schema_evolution_additive(spark, tmp_path):
             spark, t, df([("c", 3, 1.0)], "v STRING, k INT, score DOUBLE"),
             mode="append", evolve=True,
         )
+
+
+def test_vacuum_survives_prior_smaller_retention(spark, tmp_path):
+    """r13 review finding: a second vacuum whose keep_last reaches back
+    past manifests a PREVIOUS vacuum already deleted must tolerate the
+    gap (like table_history does), not abort with FileNotFoundError —
+    otherwise one aggressive vacuum bricks garbage collection for the
+    table forever. And read_version_delta of a retained version whose
+    predecessor manifest was vacuumed must refuse LOUDLY (the
+    increment is underivable) while read_version still serves it."""
+    from kmeans_mapreduce_spark.sources.loaders import (
+        commit_version,
+        read_version,
+        read_version_delta,
+        vacuum_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = lambda rows: spark.createDataFrame(rows, "k LONG, v STRING")
+    for i in range(5):                                   # v0..v4
+        commit_version(spark, t, df([(i, f"v{i}")]))
+    vacuum_versions(t, keep_last=2, orphan_min_age_sec=0)  # drops m0..m2
+    commit_version(spark, t, df([(9, "v5")]))              # v5
+    # keep_last=5 reaches back to v1 whose manifest is gone: must not
+    # crash, and must still collect v3's now-unreferenced dir later on
+    stats = vacuum_versions(t, keep_last=5, orphan_min_age_sec=0)
+    assert stats["removed_manifests"] >= 0  # completed without raising
+    # retained versions still read
+    assert [r["k"] for r in read_version(spark, t, 5).collect()] == [9]
+    # delta of the oldest retained version (predecessor vacuumed):
+    # loud ValueError, not FileNotFoundError
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="vacuumed"):
+        read_version_delta(spark, t, 3)  # m2 was vacuumed
+    # delta of a version whose predecessor survives still works
+    assert [r["k"] for r in read_version_delta(spark, t, 5).collect()] == [9]
+
+
+def test_points_csv_quarantine_releases_cache(spark, tmp_path):
+    """r13 review finding: the CSV quarantine must unpersist its parse
+    cache before returning (the JSONL twin's discipline) — per-path
+    sweeps must not pin one copy of every dirty input forever."""
+    from kmeans_mapreduce_spark.sources.loaders import (
+        read_points_csv_quarantine,
+    )
+
+    p = str(tmp_path / "pts.csv")
+    with open(p, "w") as f:
+        f.write("1.0,2.0\nbad,line,here\n3.0,\n4.0,5.0\n")
+    good, bad = read_points_csv_quarantine(spark, p)
+    assert good.count() == 2
+    assert sorted(r["raw"] for r in bad.collect()) == [
+        "3.0,", "bad,line,here",
+    ]
+    # the returned frames are checkpointed copies; the cached PARSE
+    # (whose storage entry carries its 'Scan csv' plan string) must be
+    # unpersisted — only bare checkpoint RDDs may remain
+    names = [
+        r.name()
+        for r in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    ]
+    assert not any("csv" in (n or "") for n in names), names
