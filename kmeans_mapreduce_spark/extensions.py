@@ -680,7 +680,7 @@ def q_events_stream_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
-def _activate_pbshim(spark: SparkSession) -> None:
+def _activate_pbshim(spark: SparkSession) -> Callable[[], None]:
     """Make the protobuf runtime reachable by the TWS protocol in ANY
     process (r12 verdict task 6 — this closes the 'TWS executes only
     under the test PYTHONPATH' split). Two halves:
@@ -750,16 +750,23 @@ def q_events_stream_ttl_dedup_tws_replay(
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
     from kmeans_mapreduce_spark.streaming import stream_ops as so
 
-    restore_env = _activate_pbshim(spark)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # every session-global mutation (the pbshim env edit and both
+    # conf.set calls) sits inside the try so an exception anywhere
+    # after the first mutation still restores env + provider
+    restore_env = None
     prov = "spark.sql.streaming.stateStore.providerClass"
-    prov_before = spark.conf.get(prov, None)
-    spark.conf.set(
-        prov,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
-    )
+    prov_before = None
+    prov_set = False
     try:
+        restore_env = _activate_pbshim(spark)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        prov_before = spark.conf.get(prov, None)
+        spark.conf.set(
+            prov,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        prov_set = True
         raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
         stream = normalize_events_ts(
             spark.readStream.schema(raw_schema)
@@ -772,11 +779,13 @@ def q_events_stream_ttl_dedup_tws_replay(
             spark, ded, "events_stream_ttl_dedup_tws_replay", "update"
         ).select("user_id", "event_type", "event_id", "ts_sec", "gap_sec")
     finally:
-        restore_env()
-        if prov_before is None:
-            spark.conf.unset(prov)
-        else:
-            spark.conf.set(prov, prov_before)
+        if restore_env is not None:
+            restore_env()
+        if prov_set:
+            if prov_before is None:
+                spark.conf.unset(prov)
+            else:
+                spark.conf.set(prov, prov_before)
 
 
 def q_events_stream_native_dedup_replay(
@@ -1240,11 +1249,18 @@ def q_events_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     obs = Observation()
     cents = F.expr("cast(floor(value * 100 + 0.5) as bigint)")
+    # COALESCE the sums: over a zero-row (or all-NULL-value) events
+    # vintage SUM observes NULL and int(None) would crash the query
+    # instead of gating a 0 row like the twin
     e = load_table(spark, sf_dir, "events").observe(
         obs,
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(F.col("props").isNull().cast("long")).alias("n_null_props"),
-        F.sum((cents < 0).cast("long")).alias("n_neg_cents"),
+        F.coalesce(
+            F.sum(F.col("props").isNull().cast("long")), F.lit(0)
+        ).alias("n_null_props"),
+        F.coalesce(F.sum((cents < 0).cast("long")), F.lit(0)).alias(
+            "n_neg_cents"
+        ),
     )
     out = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     n_groups = out.count()  # one action: scan + agg + metrics together
@@ -5694,13 +5710,20 @@ FROM a GROUP BY cid"""
 def _sample_sql() -> str:
     """Twin of sampling.hash_sample_stratified — same salted h64 bucket,
     same integer thresholds, generated from the same rate constants."""
-    from kmeans_mapreduce_spark.operators.sampling import SAMPLE_BUCKETS, SAMPLE_SALT
+    from kmeans_mapreduce_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        SAMPLE_SALT,
+        round_half_up,
+    )
 
     whens = " ".join(
-        f"WHEN '{stratum}' THEN {round(rate * SAMPLE_BUCKETS)}"
+        f"WHEN '{stratum}' THEN {round_half_up(rate * SAMPLE_BUCKETS)}"
         for stratum, rate in sorted(SAMPLE_RATES.items())
     )
-    case = f"CASE lang {whens} ELSE {round(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END"
+    case = (
+        f"CASE lang {whens} "
+        f"ELSE {round_half_up(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END"
+    )
     bucket = h64_sql(f"'{SAMPLE_SALT}:' || doc_id::VARCHAR")
     return f"""
 SELECT doc_id, lang FROM documents
@@ -5722,13 +5745,20 @@ def _training_mix_sql() -> str:
     """Twin of q_corpus_training_mix: quality CTE + the sample
     predicate + a per-lang running-sum window for bin assignment —
     generated from the same constants (threshold, rates, budget)."""
-    from kmeans_mapreduce_spark.operators.sampling import SAMPLE_BUCKETS, SAMPLE_SALT
+    from kmeans_mapreduce_spark.operators.sampling import (
+        SAMPLE_BUCKETS,
+        SAMPLE_SALT,
+        round_half_up,
+    )
 
     whens = " ".join(
-        f"WHEN '{stratum}' THEN {round(rate * SAMPLE_BUCKETS)}"
+        f"WHEN '{stratum}' THEN {round_half_up(rate * SAMPLE_BUCKETS)}"
         for stratum, rate in sorted(SAMPLE_RATES.items())
     )
-    case = f"CASE lang {whens} ELSE {round(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END"
+    case = (
+        f"CASE lang {whens} "
+        f"ELSE {round_half_up(SAMPLE_DEFAULT_RATE * SAMPLE_BUCKETS)} END"
+    )
     bucket = h64_sql(f"'{SAMPLE_SALT}:' || doc_id::VARCHAR")
     return f"""
 WITH q AS ({_quality_sql()}),
@@ -5877,7 +5907,14 @@ c AS (
                    CASE WHEN len(kept) > 0
                         THEN '?' || array_to_string(kept, '&') ELSE '' END
               ELSE url END AS canon_url,
-         host
+         CASE WHEN regexp_matches(url, '^[A-Za-z]+://')
+              THEN host
+              -- scheme-less passthrough: mirror url_host() on the RAW
+              -- string (no lowercase, no @/www strip, fragment kept),
+              -- exactly like the Spark side derives host from the
+              -- unchanged passthrough canon_url
+              ELSE regexp_extract(url, '^(\\[[^\\]]*\\]|[^/:?]+)', 1)
+         END AS host
   FROM k)"""
 
 
@@ -6779,10 +6816,10 @@ GROUP BY 1""",
         # latent off-by-one on a NULL-bearing vintage)
         "events_observed_metrics": """
 SELECT COUNT(*)::BIGINT AS n_rows,
-       SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END)::BIGINT
+       COALESCE(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END), 0)::BIGINT
          AS n_null_props,
-       SUM(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) < 0
-                THEN 1 ELSE 0 END)::BIGINT AS n_neg_cents,
+       COALESCE(SUM(CASE WHEN CAST(floor(value * 100 + 0.5) AS BIGINT) < 0
+                THEN 1 ELSE 0 END), 0)::BIGINT AS n_neg_cents,
        (COUNT(DISTINCT event_type)
         + CASE WHEN COUNT(*) > COUNT(event_type) THEN 1 ELSE 0 END
        )::BIGINT AS n_groups

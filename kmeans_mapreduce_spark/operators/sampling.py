@@ -24,6 +24,18 @@ SAMPLE_BUCKETS = 10_000  # rate resolution: 1 bucket = 0.01%
 SAMPLE_SALT = "sample"  # decorrelates the sample hash from other h64 uses
 
 
+def round_half_up(x: float) -> int:
+    """The ONE rate→threshold rule every sampler (and every DuckDB twin
+    generator) shares: floor(x + 0.5). Python ``round()`` is banker's
+    half-even, ``weighted_sample``'s SQL expression is floor(+0.5) —
+    mixing the two makes the samplers disagree at any rate whose
+    w·SAMPLE_BUCKETS lands exactly on .5 (e.g. 0.00025 → 2.5: round
+    gives 2, half-up gives 3)."""
+    import math
+
+    return int(math.floor(x + 0.5))
+
+
 def sample_bucket(doc_id: Column, salt: str = SAMPLE_SALT) -> Column:
     """Uniform bucket in [0, SAMPLE_BUCKETS) from the salted row key."""
     return F.pmod(
@@ -50,13 +62,16 @@ def hash_sample_stratified(
     state; re-running on the same data always returns the same rows
     (what a training-data pipeline needs for auditable subsampling).
     """
-    # round, don't truncate: 0.1 * 10000 is 999.999... in binary —
-    # int() would keep 999 buckets for a requested 10% (off by one
-    # bucket for many exact decimal rates)
-    threshold = F.lit(round(default_rate * SAMPLE_BUCKETS))
+    # round (half-up), don't truncate: 0.1 * 10000 is 999.999... in
+    # binary — int() would keep 999 buckets for a requested 10% (off
+    # by one bucket for many exact decimal rates). Half-up rather than
+    # Python round()'s half-even so this sampler and weighted_sample's
+    # floor(w*B + 0.5) expression agree at every representable rate.
+    threshold = F.lit(round_half_up(default_rate * SAMPLE_BUCKETS))
     for stratum, rate in sorted(rates.items()):
         threshold = F.when(
-            F.col(stratum_col) == stratum, F.lit(round(rate * SAMPLE_BUCKETS))
+            F.col(stratum_col) == stratum,
+            F.lit(round_half_up(rate * SAMPLE_BUCKETS)),
         ).otherwise(threshold)
     return docs.filter(sample_bucket(F.col("doc_id")) < threshold)
 

@@ -468,7 +468,11 @@ def _fit_gate_row(spark: SparkSession, pts: DataFrame, res) -> DataFrame:
         float(w_k4),
         bool(monotone),
         bool(fixpoint),
-        bool(ver["w_ret"] <= w_k4),
+        # same slack allowance as the monotone/fixpoint invariants:
+        # w_ret is unrounded while w_k4 is SUM_DIGITS-rounded, so a
+        # fit converging within rounding distance of the K4 reference
+        # must not flap the boolean across runs/scales
+        bool(ver["w_ret"] <= w_k4 + _lloyd_slack(w_k4)),
     )]
     return spark.createDataFrame(
         rows,

@@ -3087,15 +3087,32 @@ def test_url_canonicalization_total_and_idempotent_on_garbage(spark, tmp_path):
     con = duckdb.connect()
     con.sql(f"CREATE VIEW documents AS FROM '{tmp_path}/docs.parquet'")
     twin = {
-        r[0]: r[1]
+        r[0]: (r[1], r[2])
         for r in con.sql(
             "WITH "
             + X._url_canon_cte(url_expr="url")
-            + " SELECT doc_id, canon_url FROM c"
+            + " SELECT doc_id, canon_url, host FROM c"
         ).fetchall()
     }
     for i, raw in enumerate(cases):
-        assert twin[i] == out[i][0], (raw, twin[i], out[i][0])
+        assert twin[i][0] == out[i][0], (raw, twin[i][0], out[i][0])
+    # host parity too (r14 advisor finding): for scheme-less
+    # passthroughs the twin must mirror url_host() on the RAW string
+    # — no lowercase, no @/www strip — not the scheme-ful pipeline's
+    # host column
+    from kmeans_mapreduce_spark.functions.urls import url_host
+
+    hosts = {
+        r["doc_id"]: r["h"]
+        for r in df.select(
+            "doc_id",
+            url_host(canonical_url(F.col("url"))).alias("h"),
+        ).collect()
+    }
+    for i, raw in enumerate(cases):
+        assert (twin[i][1] or "") == (hosts[i] or ""), (
+            raw, twin[i][1], hosts[i],
+        )
 
 
 def test_url_dedup_null_urls_kept(spark):
