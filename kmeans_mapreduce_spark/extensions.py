@@ -619,32 +619,63 @@ def _record_replay_progress(name: str, q) -> None:
         pass
 
 
+REPLAY_SHUFFLE_PARTITIONS = int(
+    os.environ.get("SPARK_GRAFT_REPLAY_PARTITIONS", "8")
+)
+"""Shuffle-partition count pinned for the bounded replays (r13 verdict
+task 1). Stateful streaming instantiates one state store PER shuffle
+partition (several per partition for a stream-stream join) and AQE is
+disabled for stateful workloads, so the replays were paying 32-way
+state-store init/commit for ≤120k keys — 11+ s of the clean bench on
+the join replay alone, and the entire steal-amplification surface on
+loaded boxes. The drained row-SET is partition-invariant (the gate
+sorts before hashing), so a small fixed count only changes overhead,
+never results. This bounds the gated REPLAY harness, not the
+production operators — a real cluster job sizes shuffle partitions to
+its key cardinality as usual."""
+
+
 def _drain_bounded_replay(
     spark: SparkSession, out: DataFrame, name: str, mode: str,
     timeout_sec: int = 300,
+    shuffle_partitions: int = REPLAY_SHUFFLE_PARTITIONS,
 ) -> DataFrame:
     """Shared bounded-replay scaffold for every gated streaming replay
     (was copied ~10x and had already drifted once): memory sink under
-    a unique query name, availableNow trigger, a drain guard that
-    refuses to gate a partially-populated sink, and micro-batch
-    progress recording for the bench's setup-vs-compute split.
-    Returns the drained sink as a DataFrame."""
+    a unique query name, availableNow trigger, a bounded
+    shuffle-partition scope (state-store count — see
+    REPLAY_SHUFFLE_PARTITIONS), a drain guard that refuses to gate a
+    partially-populated sink, and micro-batch progress recording for
+    the bench's setup-vs-compute split. Returns the drained sink as a
+    DataFrame."""
     import uuid
 
     qname = f"{name}_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(timeout_sec):
-        q.stop()
-        raise TimeoutError(
-            f"{name}: streaming replay did not finish in {timeout_sec} s"
-            " — refusing to gate a partially-populated sink"
+    # scoped + restored like the RocksDB provider pin: the streaming
+    # query captures the conf at start(), and availableNow has fully
+    # drained by the time awaitTermination returns true
+    sp_key = "spark.sql.shuffle.partitions"
+    sp_before = spark.conf.get(sp_key, None)
+    spark.conf.set(sp_key, str(shuffle_partitions))
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
         )
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"{name}: streaming replay did not finish in {timeout_sec} s"
+                " — refusing to gate a partially-populated sink"
+            )
+    finally:
+        if sp_before is None:
+            spark.conf.unset(sp_key)
+        else:
+            spark.conf.set(sp_key, sp_before)
     _record_replay_progress(name, q)
     return spark.table(qname)
 
