@@ -12,6 +12,19 @@ map carries max−min per query, so cross-round comparisons
 self-adjudicate — a delta smaller than the spread is run noise, not a
 code regression (round 5's driver run showed 2–4× phantom regressions
 in untouched code that re-measured clean warm).
+
+Health protocol (round 14, r13 verdict task 6): the box-condition
+stamps (loadavg, CPU steal, DRAM stream rate, mid-run canary) had to
+be adjudicated in judge prose three rounds running; the bench now
+computes the verdict itself. ``health`` in the artifact and on the
+stdout line is ``degraded`` when window steal > 1%, the slower
+mem-stream probe < 9.5 GB/s, or the mid-run canary drifts > 2× off
+its position-0 baseline — with the tripped reasons listed. When the
+START-stamp is already degraded (the box is bad before any query
+runs), the bench re-measures ONCE after a cooldown and reports the
+second pass, keeping the first pass's summary under
+``attempts`` so the retry is auditable. ``SPARK_GRAFT_BENCH_NO_RERUN=1``
+disables the retry (A/B harnesses that want exactly one pass).
 """
 
 from __future__ import annotations
@@ -23,17 +36,95 @@ import statistics
 import sys
 import time
 
+HEALTH_MAX_STEAL_PCT = 1.0
+HEALTH_MIN_GBPS = 9.5
+HEALTH_MAX_CANARY_DRIFT = 2.0
+RERUN_COOLDOWN_SEC = 60.0
 
-def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
 
-    from kmeans_mapreduce_spark.session import get_spark
+def _cpu_ticks() -> tuple[int, int] | None:
+    """(steal_ticks, total_ticks) from /proc/stat — r11: loadavg cannot
+    see co-tenant CPU steal, which produced 2–3× phantom totals."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        steal = vals[7] if len(vals) > 7 else 0
+        # sum user..steal only (fields 0-7): guest/guest_nice are
+        # already accounted inside user/nice, so including them
+        # double-counts guest time and understates the steal pct
+        return steal, sum(vals[:8])
+    except (OSError, ValueError, IndexError):
+        return None
+
+
+def _steal_pct(a: tuple[int, int] | None, b: tuple[int, int] | None) -> float | None:
+    if a and b and b[1] > a[1]:
+        return round(100.0 * (b[0] - a[0]) / (b[1] - a[1]), 2)
+    return None
+
+
+def _mem_stream_gbps() -> float:
+    """Effective DRAM bandwidth (round 11): the co-tenant episode that
+    inflated totals 2-3x showed ~full CPU speed (cache-resident loops
+    unaffected) but in-place numpy streaming collapsed from multi-GB/s
+    to ~0.3 GB/s — memory-bandwidth contention is the one signal
+    neither loadavg nor steal exposes. One 64 MB in-place triad
+    (<0.5 s when healthy)."""
+    import numpy as _np
+
+    buf = _np.random.rand(8_000_000)  # 64 MB
+    out = _np.empty_like(buf)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _np.multiply(buf, 2.0, out=out)
+        best = min(best, time.perf_counter() - t0)
+    return round(0.128 / best, 2)  # 64 MB read + 64 MB write
+
+
+def _start_stamp(window_sec: float = 1.0) -> dict:
+    """Pre-measurement box stamp: steal over a short window + DRAM
+    stream rate + loadavg. Cheap (~1.5 s) and code-independent."""
+    stamp: dict = {}
+    try:
+        stamp["loadavg"] = [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        pass
+    a = _cpu_ticks()
+    time.sleep(window_sec)
+    stamp["steal_pct"] = _steal_pct(a, _cpu_ticks())
+    stamp["mem_stream_gbps"] = _mem_stream_gbps()
+    return stamp
+
+
+def _health_verdict(
+    steal_pct: float | None,
+    gbps_min: float | None,
+    canary_drift: float | None,
+) -> dict:
+    """The computed box-health adjudication (thresholds from three
+    rounds of manual judge adjudication: clean boxes measure steal
+    ≈0.02% and 10.9–11.1 GB/s; the degraded episodes measured 7–35%
+    steal and sub-GB/s streaming)."""
+    reasons: list[str] = []
+    if steal_pct is not None and steal_pct > HEALTH_MAX_STEAL_PCT:
+        reasons.append(f"cpu_steal {steal_pct}% > {HEALTH_MAX_STEAL_PCT}%")
+    if gbps_min is not None and gbps_min < HEALTH_MIN_GBPS:
+        reasons.append(f"mem_stream {gbps_min} GB/s < {HEALTH_MIN_GBPS}")
+    if canary_drift is not None and canary_drift > HEALTH_MAX_CANARY_DRIFT:
+        reasons.append(
+            f"canary drift {canary_drift}x > {HEALTH_MAX_CANARY_DRIFT}x"
+        )
+    return {"verdict": "degraded" if reasons else "clean", "reasons": reasons}
+
+
+def _measure(spark, sf_dir: str) -> dict:
+    """One full measurement pass; returns the raw result maps."""
     from kmeans_mapreduce_spark.operators import kmeans as km
     from kmeans_mapreduce_spark.operators.mllib import fit_mllib_2d
     from kmeans_mapreduce_spark.sources.derive import points_2d
 
-    spark = get_spark("bench")
     timings: dict[str, float] = {}
     spread: dict[str, float] = {}
     reps: dict[str, list[float]] = {}
@@ -49,46 +140,7 @@ def main() -> int:
     except OSError:
         pass
 
-    # CPU-steal context (round 11): three identical-code runs measured
-    # 195/195/243 s totals with DISJOINT outlier query sets while
-    # loadavg sat near zero — live vmstat showed 10–35% steal (noisy
-    # co-tenant on the host). Loadavg cannot see steal, so the bench
-    # records the /proc/stat steal fraction over its own window; a
-    # judge comparing totals across rounds reads this first.
-    def _cpu_ticks() -> tuple[int, int] | None:
-        try:
-            with open("/proc/stat") as f:
-                parts = f.readline().split()
-            vals = [int(x) for x in parts[1:]]
-            steal = vals[7] if len(vals) > 7 else 0
-            # sum user..steal only (fields 0-7): guest/guest_nice are
-            # already accounted inside user/nice, so including them
-            # double-counts guest time and understates the steal pct
-            return steal, sum(vals[:8])
-        except (OSError, ValueError, IndexError):
-            return None
-
     ticks_start = _cpu_ticks()
-
-    # Effective DRAM bandwidth stamp (round 11): the co-tenant episode
-    # that inflated totals 2-3x showed ~full CPU speed (cache-resident
-    # loops unaffected) but in-place numpy streaming collapsed from
-    # multi-GB/s to ~0.3 GB/s — memory-bandwidth contention is the one
-    # signal neither loadavg nor steal exposes. One 64 MB in-place
-    # triad at start and end (<0.5 s when healthy) makes cross-round
-    # total comparisons divisible by the box's actual streaming rate.
-    def _mem_stream_gbps() -> float:
-        import numpy as _np
-
-        buf = _np.random.rand(8_000_000)  # 64 MB
-        out = _np.empty_like(buf)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            _np.multiply(buf, 2.0, out=out)
-            best = min(best, time.perf_counter() - t0)
-        return round(0.128 / best, 2)  # 64 MB read + 64 MB write
-
     extra["mem_stream_gbps_start"] = _mem_stream_gbps()
 
     def timed(name: str, fn, repeat: int = 3):
@@ -291,16 +343,100 @@ def main() -> int:
     except OSError:
         pass
     extra["mem_stream_gbps_end"] = _mem_stream_gbps()
-    ticks_end = _cpu_ticks()
-    if ticks_start and ticks_end and ticks_end[1] > ticks_start[1]:
-        extra["cpu_steal_pct"] = round(
-            100.0
-            * (ticks_end[0] - ticks_start[0])
-            / (ticks_end[1] - ticks_start[1]),
-            2,
-        )
+    steal = _steal_pct(ticks_start, _cpu_ticks())
+    if steal is not None:
+        extra["cpu_steal_pct"] = steal
 
-    total = round(sum(timings.values()), 3)
+    # the computed health verdict over THIS pass's own window (r13
+    # verdict task 6 — the stamps existed, the adjudication happened
+    # in judge prose each round; now the artifact carries it)
+    gbps = [
+        v
+        for v in (
+            extra.get("mem_stream_gbps_start"),
+            extra.get("mem_stream_gbps_end"),
+        )
+        if isinstance(v, (int, float))
+    ]
+    drift = None
+    if canaries and canaries[0].get("reps"):
+        base = statistics.median(canaries[0]["reps"])
+        # sub-50ms canary bases (tiny SFs) are scheduler noise, not a
+        # drift signal — record the ratio but keep it out of the verdict
+        if base > 0:
+            drift = round(
+                max(statistics.median(c["reps"]) for c in canaries) / base, 2
+            )
+        drift_for_verdict = drift if base >= 0.05 else None
+    else:
+        drift_for_verdict = None
+    extra["canary_drift"] = drift
+    extra["health"] = _health_verdict(
+        steal, min(gbps) if gbps else None, drift_for_verdict
+    )
+
+    return {
+        "extra": extra,
+        "timings": timings,
+        "spread": spread,
+        "reps": reps,
+        "starts": starts,
+        "canaries": canaries,
+        "replay_split": replay_split,
+        "total": round(sum(timings.values()), 3),
+    }
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+
+    from kmeans_mapreduce_spark.session import get_spark
+
+    spark = get_spark("bench")
+
+    # Pre-measurement stamp + bounded auto-retry (r13 verdict task 6):
+    # when the box is ALREADY degraded before any query runs, one
+    # measurement pass is noise by construction — re-measure once
+    # after a cooldown and report the better-conditioned pass. Both
+    # passes' summaries stay in the artifact under "attempts".
+    no_rerun = os.environ.get("SPARK_GRAFT_BENCH_NO_RERUN") == "1"
+    stamp0 = _start_stamp()
+    start_health = _health_verdict(
+        stamp0.get("steal_pct"), stamp0.get("mem_stream_gbps"), None
+    )
+    attempts: list[dict] = []
+    m = _measure(spark, sf_dir)
+    run_health = m["extra"]["health"]
+    if (
+        not no_rerun
+        and start_health["verdict"] == "degraded"
+        and run_health["verdict"] == "degraded"
+    ):
+        attempts.append(
+            {
+                "total": m["total"],
+                "health": run_health,
+                "n_queries": len(m["timings"]),
+            }
+        )
+        print(
+            f"[bench] start-stamp degraded ({start_health['reasons']}) and "
+            f"pass 1 degraded ({run_health['reasons']}) — cooling down "
+            f"{RERUN_COOLDOWN_SEC:.0f}s and re-measuring once",
+            file=sys.stderr,
+        )
+        time.sleep(RERUN_COOLDOWN_SEC)
+        m = _measure(spark, sf_dir)
+
+    total = m["total"]
+    extra = m["extra"]
+    timings = m["timings"]
+    extra["start_stamp"] = stamp0
+    extra["start_health"] = start_health
+    if attempts:
+        extra["auto_rerun"] = True
+
     # Evidence contract (round-8 fix): the driver keeps only the LAST
     # 2000 chars of stdout and json-parses the final line — r06/r07
     # both recorded "parsed": null because the full ~100-query map
@@ -315,15 +451,16 @@ def main() -> int:
         "unit": "sec",
         "sf": sf,
         **extra,
+        "attempts": attempts,
         # full artifact only (kept off the budgeted stdout line): the
         # position-indexed canary series for drift adjudication, and
         # the per-replay setup/compute split
-        "canary": canaries,
-        "replay_split": replay_split,
-        "spread": spread,
+        "canary": m["canaries"],
+        "replay_split": m["replay_split"],
+        "spread": m["spread"],
         "queries": timings,
-        "reps": reps,
-        "start_offset_sec": starts,
+        "reps": m["reps"],
+        "start_offset_sec": m["starts"],
     }
 
     STDOUT_BUDGET = 1900  # driver keeps 2000 chars; leave margin
@@ -333,7 +470,7 @@ def main() -> int:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
-        **extra,
+        **{k: v for k, v in extra.items() if k != "start_stamp"},
     }
     ranked = sorted(timings.items(), key=lambda kv: -kv[1])
     shown: dict[str, float] = {}
