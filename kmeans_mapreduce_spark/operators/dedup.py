@@ -789,32 +789,57 @@ def simhash_pairs(
     population the minhash path caps), and AQE skew-split applies to
     the join itself.
     """
+    sh = simhash(docs, bits)
+    return hamming_banded_pairs(
+        sh, "simhash", bits, max_hamming, id_col="doc_id", out_prefix="doc"
+    )
+
+
+def hamming_banded_pairs(
+    sketches: DataFrame,
+    hash_col: str,
+    bits: int,
+    max_hamming: int,
+    id_col: str = "doc_id",
+    out_prefix: str = "doc",
+) -> DataFrame:
+    """The banded Hamming self-join shared by every bit-sketch
+    near-dup family (SimHash over text, pHash over images): pairs of
+    rows whose ``hash_col`` int64 sketches differ in at most
+    ``max_hamming`` bits, found via pigeonhole band blocking — never
+    all-pairs. Input is the (id, sketch) table; output columns are
+    ``{out_prefix}_a``, ``{out_prefix}_b``, ``hamming``.
+
+    Scale shape (see ``simhash_pairs``): candidates are an equi-join
+    on (band_idx, band_value); the Hamming verify AND a
+    first-matching-band emit rule live INSIDE the join condition so
+    each qualifying pair leaves exactly once and failing candidates
+    die inside the join operator — no post-join distinct, no shuffle
+    of candidate volume. The sketch is localCheckpointed so the
+    self-join never re-executes its producing subtree on both sides
+    (r6 verdict task 6)."""
     nb = max_hamming + 1
     if bits % nb:
-        raise ValueError("simhash_pairs: bits must divide into max_hamming+1 bands")
+        raise ValueError(
+            "hamming_banded_pairs: bits must divide into max_hamming+1 bands"
+        )
     w = bits // nb
-    # materialize the sketch ONCE: a self-join re-executes its whole
-    # subtree (tokenize + explode + 64-counter groupBy over every
-    # token) on BOTH sides otherwise — the sketch table is O(docs)
-    # rows of (id, int64), exactly what a production pipeline persists
-    # before the banded lookup (r6 verdict task 6: this was most of
-    # the small-scale wall)
-    sh = simhash(docs, bits).localCheckpoint(eager=False)
+    sh = sketches.select(id_col, hash_col).localCheckpoint(eager=False)
     banded = (
         sh.select(
-            "doc_id",
-            "simhash",
+            id_col,
+            hash_col,
             F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("b"),
         )
         .withColumn(
             "bv",
-            F.expr(f"shiftright(simhash, b * {w})").bitwiseAND(
+            F.expr(f"shiftright({hash_col}, b * {w})").bitwiseAND(
                 F.lit((1 << w) - 1)
             ),
         )
     )
     x, y = banded.alias("x"), banded.alias("y")
-    xor = F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+    xor = F.col(f"x.{hash_col}").bitwiseXOR(F.col(f"y.{hash_col}"))
     # lowest band index whose w bits of the XOR are all zero — the one
     # band allowed to emit this pair (dedup without a distinct()).
     # The fallback arm is unreachable: bv equality guarantees band x.b
@@ -830,13 +855,13 @@ def simhash_pairs(
             y,
             (F.col("x.b") == F.col("y.b"))
             & (F.col("x.bv") == F.col("y.bv"))
-            & (F.col("x.doc_id") < F.col("y.doc_id"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
             & (F.bit_count(xor) <= max_hamming)
             & (F.col("x.b") == first_match),
         )
         .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
+            F.col(f"x.{id_col}").alias(f"{out_prefix}_a"),
+            F.col(f"y.{id_col}").alias(f"{out_prefix}_b"),
             F.bit_count(xor).cast("long").alias("hamming"),
         )
     )

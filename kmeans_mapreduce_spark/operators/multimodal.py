@@ -750,3 +750,159 @@ def mjpeg_roundtrip_stats(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(
         fn, schema=MJPEG_STATS_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup (r13 verdict task 3 — the one LLM-pipeline
+# family with zero image coverage while text near-dup had nine gated
+# variants). pHash, integer-exact end to end so the DuckDB twin can
+# replay the hash arithmetically from the generator's cycled digests:
+#
+#   decode PPM → integer luma ((299r + 587g + 114b) // 1000)
+#   → 32×32 nearest-neighbor resample (floor(i·dim/32) index grid, the
+#     resize_images corner-based mapping)
+#   → 2-D DCT-II via a SCALED-INTEGER cosine table (round(cos·2¹⁴) —
+#     the float cosines live only in generating the shared constant
+#     table, so the transform itself is exact int64: |coef| ≤ 2¹⁴,
+#     row pass ≤ 255·2¹⁴·32 < 2²⁷, column pass < 2⁴⁶)
+#   → keep the top-left 8×8 block minus DC = 63 coefficients
+#   → threshold each against the block median (63 values → the exact
+#     middle element, no averaging) → 63-bit hash (fits signed int64).
+#
+# 63 bits deliberately: band blocking splits into max_hamming+1 = 3
+# bands of 21 bits (pigeonhole — see dedup.simhash_pairs), and bit 63
+# never sets so the hash stays non-negative in both engines.
+# ---------------------------------------------------------------------------
+
+PHASH_SIZE = 32  # resample grid
+PHASH_DCT_N = 8  # retained low-frequency block
+PHASH_SCALE = 1 << 14  # integer-cosine scaling
+PHASH_BITS = PHASH_DCT_N * PHASH_DCT_N - 1  # 63: 8x8 minus DC
+PHASH_MAX_HAMMING = 2  # 3 bands of 21 bits
+# planted near-dup: a copy of every image with one low pixel bit
+# nudged every PHASH_NOISE_EVERY payload bytes — the re-encoded-copy
+# perturbation profile, fully digest-replayable in SQL
+PHASH_COPY_OFFSET = 1_000_000_000
+PHASH_NOISE_EVERY = 499
+PHASH_NOISE_XOR = 2
+
+PHASH_SCHEMA = "media_id LONG, width INT, height INT, phash LONG"
+
+
+def _phash_coef() -> list[list[int]]:
+    """The shared scaled-integer DCT-II table: C[u][x] =
+    round(cos(π·(2x+1)·u / (2·32)) · 2¹⁴) for u in 0..7, x in 0..31.
+    Float cosine appears ONLY here; both the Spark kernel and the
+    DuckDB twin embed these exact integers, so libm variance cannot
+    split the engines."""
+    import math
+
+    return [
+        [
+            round(
+                math.cos(math.pi * (2 * x + 1) * u / (2 * PHASH_SIZE))
+                * PHASH_SCALE
+            )
+            for x in range(PHASH_SIZE)
+        ]
+        for u in range(PHASH_DCT_N)
+    ]
+
+
+PHASH_COEF = _phash_coef()
+
+
+def images_with_planted_copies(docs: DataFrame) -> DataFrame:
+    """Image media table with one planted near-duplicate per image:
+    for every image-kind document (doc_id % 3 == 0) emit the original
+    digest-cycled PPM (media_id = doc_id) AND a noisy copy
+    (media_id = doc_id + PHASH_COPY_OFFSET) whose payload pixel byte
+    ``p`` is XORed with PHASH_NOISE_XOR whenever
+    ``p % PHASH_NOISE_EVERY == 0`` — the small-perturbation profile of
+    a re-encoded copy, kept arithmetic so the oracle can rebuild both
+    variants from md5(text). Narrow mapInPandas synth, no shuffle."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 3 != 0:
+                    continue
+                digest = hashlib.md5((text or "").encode()).digest()
+                w, h = _media_dims(did)
+                header = f"P6\n{w} {h}\n255\n".encode("ascii")
+                pixels = bytearray(_repeat_trunc(digest, 3 * w * h))
+                rows.append((did, "image", bytes(header + pixels)))
+                for p in range(0, len(pixels), PHASH_NOISE_EVERY):
+                    pixels[p] ^= PHASH_NOISE_XOR
+                rows.append(
+                    (
+                        did + PHASH_COPY_OFFSET,
+                        "image",
+                        bytes(header + pixels),
+                    )
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "payload"]
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fn, schema="media_id LONG, kind STRING, payload BINARY"
+    )
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """64-ish-bit (63) perceptual hash per image — the module-header
+    integer pipeline, one narrow Arrow pass (decode + resample + two
+    int64 matmuls per image, no shuffle; at 100 TB this runs inside
+    the scan stage and only the (id, int64) sketch ever moves).
+    Malformed payloads are skipped (degrade-don't-die, same contract
+    as resize_images)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        C = np.array(PHASH_COEF, dtype=np.int64)  # 8 x 32
+        s = PHASH_SIZE
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, pixels = _decode_ppm(bytes(p))
+                except ValueError:
+                    continue
+                img = (
+                    np.frombuffer(pixels, dtype=np.uint8)
+                    .reshape(h, w, 3)
+                    .astype(np.int64)
+                )
+                yi = (np.arange(s) * h) // s
+                xi = (np.arange(s) * w) // s
+                g = img[yi][:, xi]
+                lum = (
+                    299 * g[..., 0] + 587 * g[..., 1] + 114 * g[..., 2]
+                ) // 1000
+                dct = C @ lum @ C.T  # exact int64, |val| < 2^46
+                vals = dct.reshape(-1)[1:]  # drop DC → 63 coefficients
+                med = int(np.sort(vals)[(PHASH_BITS - 1) // 2])
+                bits = 0
+                for i, v in enumerate(vals):
+                    if int(v) > med:
+                        bits |= 1 << i
+                rows.append((int(mid), w, h, bits))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "width", "height", "phash"]
+                )
+
+    return (
+        media.filter(F.col("kind") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(fn, schema=PHASH_SCHEMA)
+    )

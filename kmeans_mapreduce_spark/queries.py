@@ -712,6 +712,9 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "join_min_cost_supplier",
     "events_anomaly_mad",
     "events_observed_metrics",
+    # round-14 growth: tracked from birth
+    "multimodal_phash",
+    "multimodal_phash_pairs",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with
     # the standing caveat that a replay wall is trigger cadence +

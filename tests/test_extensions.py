@@ -3374,3 +3374,123 @@ def test_funnel_empty_input_reports_zero_not_null(spark):
     )
     got = {(r["step"], r["n_users"]) for r in ev.funnel(e).collect()}
     assert got == {(1, 0), (2, 0), (3, 0)}
+
+
+def _smooth_ppm(w, h, seed=7):
+    """Bilinear-upsampled coarse random RGB — rich, well-separated
+    low-frequency energy across the whole 8x8 DCT block, the content
+    class perceptual hashing is designed for. (A pure linear gradient
+    is ADVERSARIAL: all but the first-order coefficients are ~0, so
+    their median bits are noise; digest-cycled synth images are
+    white noise, which pHash legitimately cannot match across
+    resampling.)"""
+    import numpy as np
+
+    rs = np.random.RandomState(seed)
+    coarse = rs.randint(0, 256, size=(6, 8, 3)).astype(np.float64)
+    ys = np.linspace(0, coarse.shape[0] - 1, h)
+    xs = np.linspace(0, coarse.shape[1] - 1, w)
+    y0 = np.floor(ys).astype(int).clip(0, coarse.shape[0] - 2)
+    x0 = np.floor(xs).astype(int).clip(0, coarse.shape[1] - 2)
+    fy = (ys - y0)[:, None, None]
+    fx = (xs - x0)[None, :, None]
+    img = (
+        coarse[y0][:, x0] * (1 - fy) * (1 - fx)
+        + coarse[y0 + 1][:, x0] * fy * (1 - fx)
+        + coarse[y0][:, x0 + 1] * (1 - fy) * fx
+        + coarse[y0 + 1][:, x0 + 1] * fy * fx
+    ).astype(np.uint8)
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes(), img
+
+
+def test_image_phash_robust_to_reencode_and_resize(spark):
+    """The perceptual contract: a JPEG-re-encoded copy and a real
+    resized copy of a structured image hash within PHASH_MAX_HAMMING
+    of the original, while an unrelated image is far — and the banded
+    pair join surfaces exactly the near pairs."""
+    import numpy as np
+
+    from kmeans_mapreduce_spark.functions.jpeg import (
+        decode_baseline_jpeg,
+        encode_baseline_jpeg,
+    )
+    from kmeans_mapreduce_spark.operators import multimodal as mm
+
+    w, h = 64, 48
+    orig, img = _smooth_ppm(w, h)
+    # re-encoded copy: real JPEG roundtrip (4:2:0 — the lossy layout)
+    jw, jh, _, rgb = decode_baseline_jpeg(
+        encode_baseline_jpeg(w, h, img.tobytes(), subsample=True)
+    )
+    reenc = f"P6\n{jw} {jh}\n255\n".encode() + rgb
+    # resized copy: real nearest-neighbor resample to other dims
+    yi = (np.arange(36) * h) // 36
+    xi = (np.arange(52) * w) // 52
+    resized_img = img[yi][:, xi]
+    resized = b"P6\n52 36\n255\n" + resized_img.tobytes()
+    # unrelated: reversed gradient
+    far = (
+        f"P6\n{w} {h}\n255\n".encode() + img[::-1, ::-1, ::-1].tobytes()
+    )
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(orig)),
+            (1, "image", bytearray(reenc)),
+            (2, "image", bytearray(resized)),
+            (3, "image", bytearray(far)),
+        ],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    hashes = {
+        r["media_id"]: r["phash"] for r in mm.image_phash(media).collect()
+    }
+    d = lambda a, b: bin(hashes[a] ^ hashes[b]).count("1")  # noqa: E731
+    # re-encode (pixel-level noise) sits inside the tight gate radius;
+    # a real resample shifts phases, so its radius is wider (measured
+    # 4 here) — the banding helper supports both via the band count
+    # (7 bands of 9 bits for radius 6)
+    resize_radius = 6
+    assert d(0, 1) <= mm.PHASH_MAX_HAMMING, d(0, 1)
+    assert d(0, 2) <= resize_radius, d(0, 2)
+    assert d(0, 3) > resize_radius, d(0, 3)
+    pairs = {
+        (r["media_a"], r["media_b"])
+        for r in dd.hamming_banded_pairs(
+            mm.image_phash(media),
+            "phash",
+            bits=mm.PHASH_BITS,
+            max_hamming=resize_radius,
+            id_col="media_id",
+            out_prefix="media",
+        ).collect()
+    }
+    assert (0, 1) in pairs and (0, 2) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_phash_banded_pairs_match_brute_force(docs):
+    """Pigeonhole completeness on the gated shape: banded pairs over
+    the planted-copy image table == all unordered pairs within
+    PHASH_MAX_HAMMING of each other (and the planted distance-0/1/2
+    copies are found)."""
+    from kmeans_mapreduce_spark.operators import multimodal as mm
+
+    sk = mm.image_phash(mm.images_with_planted_copies(docs))
+    hashes = {r["media_id"]: r["phash"] for r in sk.collect()}
+    got = {
+        (r["media_a"], r["media_b"], r["hamming"])
+        for r in dd.hamming_banded_pairs(
+            sk, "phash", bits=mm.PHASH_BITS,
+            max_hamming=mm.PHASH_MAX_HAMMING,
+            id_col="media_id", out_prefix="media",
+        ).collect()
+    }
+    ids = sorted(hashes)
+    want = {
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(hashes[a] ^ hashes[b]).count("1") <= mm.PHASH_MAX_HAMMING
+    }
+    assert got == want
+    assert got, "no planted near-dup surfaced"

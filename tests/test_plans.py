@@ -627,3 +627,21 @@ def test_min_cost_supplier_broadcasts_dims_no_cartesian(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "TakeOrderedAndProject" in s
+
+
+def test_phash_pairs_join_is_not_cartesian(spark):
+    """The pHash near-dup self-join must be the banded equi-join
+    (candidates keyed on (band, value)), never a cartesian — the same
+    contract as simhash/minhash."""
+    from kmeans_mapreduce_spark.operators import multimodal as mm
+
+    docs = load_table(spark, SF, "documents")
+    pairs = dd.hamming_banded_pairs(
+        mm.image_phash(mm.images_with_planted_copies(docs)),
+        "phash",
+        bits=mm.PHASH_BITS,
+        max_hamming=mm.PHASH_MAX_HAMMING,
+        id_col="media_id",
+        out_prefix="media",
+    )
+    assert not plans.has_cartesian(pairs)
