@@ -10,6 +10,7 @@ to 6 (small magnitudes) or 2 (big sums) on both sides.
 from __future__ import annotations
 
 import os
+import zlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +64,7 @@ CLEAN_MIN_QUALITY = 0.5
 ASOF_LEFT_TYPE = "click"
 ASOF_RIGHT_TYPE = "purchase"
 RANGE_HORIZON_SEC = 3600
+STREAM_WATERMARK_SEC = 600  # shared by the join replays and their twins
 ENRICH_DIM_CUTOFF = 100  # stream-static enrich dim truncation: users at or
 # above this custkey exercise the left join's no-match null path
 SETOP_VALUE_THRESHOLD = 150.0
@@ -871,8 +873,9 @@ def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     availableNow drain everything in ONE micro-batch where the
     watermark (computed at batch end) can drop nothing. (The
     left-outer variant's deferred-null emission IS watermark-dependent
-    even single-batch and stays pinned by tests/test_streaming.py
-    instead.)"""
+    even single-batch — it is gated separately as
+    ``events_stream_join_outer_replay`` over the pinned ordered split,
+    with the final-watermark null rule in its twin.)"""
 
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
     from kmeans_mapreduce_spark.streaming import stream_ops as so
@@ -893,6 +896,115 @@ def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "user_id", "event_id", "l_ts_sec", "r_ts_sec", "r_value"
     )
+
+
+def _write_event_time_ordered_split(
+    spark: SparkSession, sf_dir: str, n_files: int = 2
+) -> str:
+    """Pinned EVENT-TIME-ORDERED n-file split of the events table for
+    the outer-join replay (r13 verdict task 5): rows sorted by
+    (ts, event_id), cut into equal runs, one parquet FILE per run with
+    strictly increasing mtimes so FileStreamSource's
+    modification-time ordering replays them as ordered micro-batches
+    under maxFilesPerTrigger=1. Ordered batches mean no row is ever
+    behind the watermark and no left row can expire before its
+    horizon's matches arrive — which is exactly what makes the
+    deferred-null set deterministic (= the final-watermark rule the
+    twin computes). Deterministic + idempotent: same input -> same
+    files, rebuilt on every call.
+
+    Replay-harness scope: the global sort is one bounded exchange over
+    the replayed vintage; a production job replays from an already
+    time-ordered log instead."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_outer_split_%08x"
+        % (zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF),
+    )
+    from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # normalize ts to epoch-nanos BIGINT BEFORE writing: the replay
+    # reads the split with a fixed LONG schema, and a TIMESTAMP-micros
+    # vintage written as-is would be silently reinterpreted as LONG
+    # micros (1000x off — every event lands inside every horizon)
+    e = normalize_events_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).select("user_id", "event_type", "event_id", "ts", "value")
+    n = e.count()
+    ranked = e.withColumn(
+        "_rn",
+        F.row_number().over(
+            Window.orderBy(F.asc("ts"), F.asc("event_id"))
+        ),
+    )
+    per = (n + n_files - 1) // n_files
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    for i in range(n_files):
+        tmp = os.path.join(out, f"_stage{i}")
+        (
+            ranked.filter(
+                (F.col("_rn") > i * per) & (F.col("_rn") <= (i + 1) * per)
+            )
+            .drop("_rn")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        part = _glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(out, f"{i:02d}.parquet")
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+        # strictly increasing, deterministic mtimes: the file-source
+        # ordering must never depend on write-latency luck
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    return out
+
+
+def q_events_stream_join_outer_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAM-STREAM LEFT OUTER join under the gate (r13 verdict task
+    5): the same attribution range join as events_stream_join_replay
+    but emitting unmatched clicks with null right columns — the
+    deferred-null emission that only fires once the watermark proves
+    no match can still arrive. Replayed over the pinned TWO-FILE
+    event-time-ordered split (the TTL-dedup split-invariance recipe)
+    so the null set is invariant: a left row emits nulls iff it is
+    unmatched AND its horizon closes at or before the FINAL
+    watermark, W = min(max click ts, max purchase ts) - delay (the
+    min-combined two-branch watermark after the last batch; eviction
+    strictness pinned by test_streaming's boundary case). The DuckDB
+    twin is the batch left join with that exact horizon predicate."""
+
+    from kmeans_mapreduce_spark.streaming import stream_ops as so
+
+    split_dir = _write_event_time_ordered_split(spark, sf_dir, n_files=2)
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, event_type STRING, event_id LONG, "
+            "ts LONG, value DOUBLE"
+        )
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+    )
+    joined = so.stream_stream_range_join(
+        stream,
+        ASOF_LEFT_TYPE,
+        ASOF_RIGHT_TYPE,
+        horizon_sec=RANGE_HORIZON_SEC,
+        watermark_sec=STREAM_WATERMARK_SEC,
+        join_type="left_outer",
+    )
+    return _drain_bounded_replay(
+        spark, joined, "events_stream_join_outer_replay", "append"
+    ).select("user_id", "event_id", "l_ts_sec", "r_ts_sec", "r_value")
 
 
 def q_events_stream_enrich_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1028,6 +1140,38 @@ def q_join_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kmeans_mapreduce_spark.operators import relational as rel
 
     return rel.small_quantity_revenue(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "part"),
+    )
+
+
+def q_join_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (r13 verdict task 4 — the relational suite's
+    hard tail): only-late supplier per multi-supplier finished order.
+    The EXISTS + NOT-EXISTS double-correlated self-join runs as LEFT
+    SEMI + LEFT ANTI hash joins on l_orderkey with the supplier
+    inequality as join residual — no correlated rescans, exact
+    timestamp lateness predicate shared verbatim with the twin."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.waiting_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
+def q_join_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers shipping more than half of a
+    prefix-matched part's yearly quantity. The nested
+    IN-with-correlated-aggregate decorrelates into one pair aggregate
+    + a window total over the aggregate (never a second fact scan) +
+    the exact-integer dominance test 2*sum_sp > sum_p."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.excess_stock_suppliers(
+        load_table(spark, sf_dir, "supplier"),
         load_table(spark, sf_dir, "lineitem"),
         load_table(spark, sf_dir, "part"),
     )
@@ -5586,6 +5730,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_promo_share": q_join_promo_share,
         "join_small_quantity": q_join_small_quantity,
         "join_min_cost_supplier": q_join_min_cost_supplier,
+        "join_waiting_suppliers": q_join_waiting_suppliers,
+        "join_excess_stock": q_join_excess_stock,
         "join_idle_customers": q_join_idle_customers,
         "points_radius_join": q_points_radius_join,
         "text_heaps_law": q_text_heaps_law,
@@ -5607,6 +5753,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_stream_native_dedup_replay": q_events_stream_native_dedup_replay,
         "corpus_line_dedup": q_corpus_line_dedup,
         "events_stream_join_replay": q_events_stream_join_replay,
+        "events_stream_join_outer_replay": q_events_stream_join_outer_replay,
         "events_stream_enrich_replay": q_events_stream_enrich_replay,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_dedup_minhash_sig,
@@ -6155,6 +6302,7 @@ FROM s"""
 
 def extension_oracle_sql() -> dict[str, str]:
     from kmeans_mapreduce_spark.analytics import _rule_filter_oracle as _rf_oracle
+    from kmeans_mapreduce_spark.operators import relational as rel
     from kmeans_mapreduce_spark.queries import SUM_DIGITS as _SUM_DIGITS
 
     quality_sql = _quality_sql()
@@ -6359,6 +6507,45 @@ FROM l JOIN r
   ON r.r_user = l.user_id
  AND r.r_ts_sec >= l.l_ts_sec
  AND r.r_ts_sec < l.l_ts_sec + {RANGE_HORIZON_SEC}""",
+        # batch twin of the LEFT OUTER stream-stream join over the
+        # pinned ordered split: matched pairs emit on arrival exactly
+        # like the inner join; an unmatched left row emits nulls iff
+        # its horizon closes AT or before the FINAL watermark (the
+        # eviction boundary is inclusive — pinned by the strictness test)
+        # W = min(max l ts, max r ts) - delay (two per-branch
+        # watermarks, min-combined; rows still inside their horizon at
+        # end-of-stream never emit)
+        "events_stream_join_outer_replay": f"""
+WITH e AS (
+  SELECT user_id, event_id, event_type, value,
+         (epoch_ns(ts) // 1000000000)::BIGINT AS ts_sec
+  FROM events
+),
+l AS (
+  SELECT user_id, event_id, ts_sec AS l_ts_sec
+  FROM e WHERE event_type = '{ASOF_LEFT_TYPE}'
+),
+r AS (
+  SELECT user_id AS r_user, ts_sec AS r_ts_sec, value AS r_value
+  FROM e WHERE event_type = '{ASOF_RIGHT_TYPE}'
+),
+wm AS (
+  SELECT LEAST(
+           (SELECT MAX(ts_sec) FROM e WHERE event_type = '{ASOF_LEFT_TYPE}'),
+           (SELECT MAX(ts_sec) FROM e WHERE event_type = '{ASOF_RIGHT_TYPE}')
+         ) - {STREAM_WATERMARK_SEC} AS w
+),
+j AS (
+  SELECT l.user_id, l.event_id, l.l_ts_sec, r.r_ts_sec, r.r_value
+  FROM l LEFT JOIN r
+    ON r.r_user = l.user_id
+   AND r.r_ts_sec >= l.l_ts_sec
+   AND r.r_ts_sec < l.l_ts_sec + {RANGE_HORIZON_SEC}
+)
+SELECT j.user_id, j.event_id, j.l_ts_sec, j.r_ts_sec, j.r_value
+FROM j, wm
+WHERE j.r_ts_sec IS NOT NULL
+   OR j.l_ts_sec + {RANGE_HORIZON_SEC} <= wm.w""",
         # batch twin of the STREAM-STATIC broadcast enrich: stateless
         # per-batch join over bounded input = the batch left join
         "events_stream_enrich_replay": f"""
@@ -6539,6 +6726,49 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
             WHEN fp_a IS DISTINCT FROM fp_b THEN 'changed'
             ELSE 'unchanged' END AS status
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id""",
+        # Q21 shape: EXISTS/NOT-EXISTS over the status-pruned fact;
+        # lateness is the exact timestamp predicate both engines share
+        "join_waiting_suppliers": f"""
+WITH o AS (SELECT o_orderkey, o_orderdate FROM orders
+           WHERE o_orderstatus = 'F'),
+ll AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         (l.l_shipdate > o.o_orderdate
+            + INTERVAL {rel.LATE_SHIP_DAYS} DAY) AS late
+  FROM lineitem l JOIN o ON l.l_orderkey = o.o_orderkey
+),
+w AS (
+  SELECT l1.l_orderkey, l1.l_suppkey
+  FROM ll l1
+  WHERE l1.late
+    AND EXISTS (SELECT 1 FROM ll l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM ll l3
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+)
+SELECT s.s_suppkey, s.s_name, n.n_name, COUNT(*)::BIGINT AS numwait
+FROM w
+JOIN supplier s ON w.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2, 3""",
+        # Q20 shape: pair aggregate + window total + exact-integer
+        # dominance (2*sum_sp > sum_p), IN resolved as a key join
+        "join_excess_stock": f"""
+WITH p AS (SELECT p_partkey FROM part
+           WHERE p_name LIKE '{rel.EXCESS_PART_PREFIX}%'),
+l AS (SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{rel.EXCESS_YEAR}-01-01'
+        AND l_shipdate < TIMESTAMP '{rel.EXCESS_YEAR + 1}-01-01'),
+pr AS (SELECT l.l_partkey, l.l_suppkey, SUM(qty)::BIGINT AS s_sp
+       FROM l JOIN p ON l.l_partkey = p.p_partkey GROUP BY 1, 2),
+d AS (SELECT *, SUM(s_sp) OVER (PARTITION BY l_partkey) AS s_p FROM pr)
+SELECT s.s_suppkey, s.s_name, COUNT(*)::BIGINT AS n_parts
+FROM d JOIN supplier s ON d.l_suppkey = s.s_suppkey
+WHERE 2 * s_sp > s_p
+GROUP BY 1, 2""",
         "join_shipping_priority": """
 SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

@@ -20,9 +20,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-REVENUE = (F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias(
-    "rev"
-)
+def _revenue():
+    """Discounted revenue column, built lazily — constructing a Column
+    requires an active SparkContext, and this module must stay
+    importable sessionless (the oracle-SQL generators read its plain
+    constants before any session exists)."""
+    return (
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ).alias("rev")
 
 
 def revenue_by_nation(
@@ -37,7 +42,7 @@ def revenue_by_nation(
     Join order: fact → orders (fact-fact equi-join on orderkey) →
     broadcast customer → broadcast nation. The grouped sum is
     partial-aggregated map-side; the only wide shuffle is orderkey."""
-    li = lineitem.select("l_orderkey", REVENUE)
+    li = lineitem.select("l_orderkey", _revenue())
     o = orders.select("o_orderkey", "o_custkey")
     c = customer.select("c_custkey", "c_nationkey")
     n = nation.select("n_nationkey", "n_name")
@@ -67,7 +72,7 @@ def top_customers_per_nation(
     from |lineitem| to |customers|), then rank within nation. Revenue
     is rounded before ranking so order is reproducible across engines;
     ties break by c_custkey."""
-    li = lineitem.select("l_orderkey", REVENUE)
+    li = lineitem.select("l_orderkey", _revenue())
     o = orders.select("o_orderkey", "o_custkey")
     c = customer.select("c_custkey", "c_nationkey")
     n = nation.select("n_nationkey", "n_name")
@@ -334,7 +339,7 @@ def promo_revenue_share(
     ts1 = F.lit(end).cast("timestamp")
     l = lineitem.filter(
         (F.col("l_shipdate") >= ts0) & (F.col("l_shipdate") < ts1)
-    ).select("l_partkey", REVENUE)
+    ).select("l_partkey", _revenue())
     p = part.select("p_partkey", "p_type")
     agg = (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
@@ -593,3 +598,136 @@ def min_cost_supplier(
         .orderBy("cost_cents", "p_partkey")
         .limit(top_n)
     )
+
+
+LATE_SHIP_DAYS = 90  # "late" = shipped > 90 days after the order date
+# (the synthetic schema's stand-in for Q21's receiptdate > commitdate)
+
+
+def waiting_suppliers(
+    supplier: DataFrame,
+    nation: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = LATE_SHIP_DAYS,
+    status: str = "F",
+) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: for each
+    finished-status order, the late lineitems of suppliers who were
+    the ONLY late supplier in a multi-supplier order. The double
+    correlated subquery (EXISTS another supplier in the order, NOT
+    EXISTS another LATE supplier in the order) runs as one LEFT SEMI
+    and one LEFT ANTI hash join on ``l_orderkey`` with the
+    supplier-inequality as the join residual — never a per-row
+    correlated rescan, never a cartesian.
+
+    Scale shape: the status predicate prunes orders before the fact
+    join; the lateness flag is computed once on the joined fact and
+    only the 3-column (orderkey, suppkey, late) projection feeds the
+    semi/anti sides, so the three uses of the fact shuffle narrow
+    rows on the same key. Supplier and nation broadcast. Output:
+    (s_suppkey, s_name, n_name, numwait) — one row per supplier with
+    numwait = count of qualifying late lineitems (Q21's COUNT(*),
+    no LIMIT so the gate compares the full set).
+    """
+    o = orders.filter(F.col("o_orderstatus") == status).select(
+        "o_orderkey", "o_orderdate"
+    )
+    ll = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
+            ).alias("late"),
+        )
+    )
+    l1 = ll.filter(F.col("late")).select("l_orderkey", "l_suppkey")
+    l2 = ll.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = ll.filter(F.col("late")).select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = l1.join(
+        l2,
+        (F.col("l_orderkey") == F.col("k2"))
+        & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("l_orderkey") == F.col("k3"))
+        & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti",
+    )
+    s = supplier.select("s_suppkey", "s_name", "s_nationkey")
+    n = nation.select("n_nationkey", "n_name")
+    return (
+        waiting.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name", "numwait")
+    )
+
+
+EXCESS_PART_PREFIX = "large"  # Q20's p_name LIKE 'forest%' analog
+EXCESS_YEAR = 1998
+
+
+def excess_stock_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    name_prefix: str = EXCESS_PART_PREFIX,
+    year: int = EXCESS_YEAR,
+) -> DataFrame:
+    """TPC-H Q20 shape — suppliers with excess share of a part class:
+    suppliers who shipped MORE THAN HALF of some matching part's total
+    quantity in one year. The nested IN-with-correlated-aggregate
+    (supplier IN (... HAVING qty > 0.5 * (correlated per-part SUM)))
+    decorrelates into: one (partkey, suppkey) aggregate over the
+    prefix-filtered year of lineitem, the per-part total as a window
+    sum OVER the already-aggregated pair table (O(distinct pairs)
+    rows, never a second fact scan), the exact-integer dominance test
+    ``2·Σqty_sp > Σqty_p`` (quantities are integral — no float-half
+    ulp can flip a row), and finally one broadcast hash join into
+    supplier — the IN membership, resolved as a key join against the
+    deduplicated qualifying set (per_supp is one row per suppkey, so
+    this is semi-join semantics that also carries n_parts out) —
+    never a correlated rescan.
+
+    Output: (s_suppkey, s_name, n_parts) with n_parts = how many
+    matching parts that supplier dominates.
+    """
+    from pyspark.sql.window import Window
+
+    ts0 = F.lit(f"{year}-01-01").cast("timestamp")
+    ts1 = F.lit(f"{year + 1}-01-01").cast("timestamp")
+    p = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    l = lineitem.filter(
+        (F.col("l_shipdate") >= ts0) & (F.col("l_shipdate") < ts1)
+    ).select(
+        "l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    pairs = (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("s_sp"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = pairs.withColumn("s_p", F.sum("s_sp").over(w)).filter(
+        F.lit(2) * F.col("s_sp") > F.col("s_p")
+    )
+    per_supp = dominant.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_parts")
+    )
+    s = supplier.select("s_suppkey", "s_name")
+    return per_supp.join(
+        F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
+    ).select("s_suppkey", "s_name", "n_parts")

@@ -715,12 +715,15 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     # round-14 growth: tracked from birth
     "multimodal_phash",
     "multimodal_phash_pairs",
+    "join_waiting_suppliers",
+    "join_excess_stock",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with
     # the standing caveat that a replay wall is trigger cadence +
     # state-store setup more than operator cost (the reason the rest
     # of the *_replay family stays excluded)
     "events_stream_join_replay",
+    "events_stream_join_outer_replay",
     "events_stream_enrich_replay",
     "events_stream_ttl_dedup_replay",
     "events_stream_ttl_dedup_tws_replay",

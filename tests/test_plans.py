@@ -645,3 +645,42 @@ def test_phash_pairs_join_is_not_cartesian(spark):
         out_prefix="media",
     )
     assert not plans.has_cartesian(pairs)
+
+
+def test_waiting_suppliers_semi_anti_no_rescan(spark):
+    """Q21 shape contract: the EXISTS/NOT-EXISTS pair must plan as
+    LEFT SEMI + LEFT ANTI hash joins on the order key (residual
+    supplier inequality inside the join), never a cartesian and never
+    a correlated per-row rescan; supplier and nation broadcast."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    df = rel.waiting_suppliers(
+        load_table(spark, SF, "supplier"),
+        load_table(spark, SF, "nation"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "lineitem"),
+    )
+    plan = plans.explain_str(df)
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert not plans.has_cartesian(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation
+
+
+def test_excess_stock_single_fact_scan_window_total(spark):
+    """Q20 shape contract: the correlated per-part aggregate is a
+    window SUM over the already-aggregated pair table — exactly one
+    lineitem scan in the whole plan — with part broadcast and no
+    cartesian."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    df = rel.excess_stock_suppliers(
+        load_table(spark, SF, "supplier"),
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "part"),
+    )
+    plan = plans.explain_str(df)
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan
+    assert not plans.has_cartesian(df)
+    assert plan.count("BroadcastHashJoin") >= 2  # part + supplier

@@ -1599,3 +1599,105 @@ def test_stream_dedup_ttl_ordered_split_equals_batch_lag(spark, tmp_path_factory
             want.append((eid, gap))
         last[(u, et)] = ts
     assert got == sorted(want) and len(got) > 5
+
+
+def test_stream_join_outer_replay_split_invariant(spark, tmp_path_factory):
+    """The gate's determinism claim (r13 verdict task 5): the drained
+    left-outer row SET is invariant to the ordered-split file count —
+    2-file and 3-file event-time-ordered splits produce identical
+    (matched + deferred-null) sets, because ordered batches keep every
+    row ahead of the watermark and the null set is fixed by the FINAL
+    watermark only."""
+    from kmeans_mapreduce_spark import extensions as X
+
+    sf = "/root/testdata/sf0.001"
+    got = {}
+    for n_files in (2, 3):
+        split = X._write_event_time_ordered_split(spark, sf, n_files=n_files)
+        stream = (
+            spark.readStream.schema(
+                "user_id LONG, event_type STRING, event_id LONG, "
+                "ts LONG, value DOUBLE"
+            )
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(split)
+        )
+        joined = so.stream_stream_range_join(
+            stream, "click", "purchase",
+            horizon_sec=X.RANGE_HORIZON_SEC,
+            watermark_sec=X.STREAM_WATERMARK_SEC,
+            join_type="left_outer",
+        )
+        name = f"outer_split_{n_files}"
+        so.run_stream_to_memory(joined, name, "append")
+        got[n_files] = {
+            tuple(r) for r in spark.table(name).select(
+                "user_id", "event_id", "l_ts_sec", "r_ts_sec", "r_value"
+            ).collect()
+        }
+    assert got[2] == got[3]
+    assert any(r[3] is None for r in got[2])  # deferred nulls present
+    assert any(r[3] is not None for r in got[2])  # and matches
+
+
+def test_stream_join_outer_eviction_boundary_is_strict(
+    spark, tmp_path_factory
+):
+    """Pin the eviction boundary the twin encodes (INCLUSIVE): a left
+    row whose horizon closes EXACTLY at the final watermark (l_ts +
+    horizon == min-branch max ts - delay) DOES emit nulls; one second
+    past the watermark does not. Crafted two-batch ordered split,
+    integral seconds."""
+    import pandas as pd
+
+    out = str(tmp_path_factory.mktemp("ss_outer_boundary"))
+    sec = 1_000_000_000
+    horizon, delay = 1800, 600
+    base = 10_000
+    # final watermark will be min(max click, max purchase) - delay;
+    # far-future click+purchase at base+10_000 set both branch maxima
+    wm_final = base + 10_000 - delay
+    # click A: expiry exactly AT the watermark (must emit nulls)
+    ts_a = wm_final - horizon
+    # click B: expiry one second PAST the watermark (must NOT emit)
+    ts_b = ts_a + 1
+    pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": [ts_a * sec, ts_b * sec],
+            "user_id": [1, 2],
+            "event_type": ["click", "click"],
+            "value": [0.0, 0.0],
+        }
+    ).to_parquet(f"{out}/00.parquet")
+    pd.DataFrame(
+        {
+            "event_id": [2, 3],
+            "ts": [(base + 10_000) * sec, (base + 10_000) * sec],
+            "user_id": [9, 9],
+            "event_type": ["click", "purchase"],
+            "value": [0.0, 0.0],
+        }
+    ).to_parquet(f"{out}/01.parquet")
+    stream = (
+        spark.readStream.schema(
+            "event_id LONG, ts LONG, user_id LONG, "
+            "event_type STRING, value DOUBLE"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(out)
+    )
+    joined = so.stream_stream_range_join(
+        stream, "click", "purchase",
+        horizon_sec=horizon, watermark_sec=delay,
+        join_type="left_outer",
+    )
+    so.run_stream_to_memory(joined, "ss_outer_boundary", "append")
+    nulls = {
+        r["user_id"]
+        for r in spark.table("ss_outer_boundary").collect()
+        if r["r_ts_sec"] is None
+    }
+    assert 1 in nulls, "expiry AT the watermark must emit (inclusive)"
+    assert 2 not in nulls, "expiry past the watermark must not emit"
