@@ -902,7 +902,14 @@ BENCH_EXCLUDED_REASONS: dict[str, str] = {
 # (tools/oracle_sweep_r*.log) and the pytest suite; next rounds keep
 # rotating until the never-verified set is exhausted.
 #
-# ROUND-12 ROTATION (live below): round 11 closed the cumulative
+# ROUND-14 ROTATION (live below): anchors unchanged; the five
+# round-14 growth queries (pHash near-dup x2, Q21/Q20 shapes,
+# left-outer join replay) gate from birth; r13 entrants keep one more
+# round; the canary block swaps members within each family so repeat
+# gating keeps touching different plans. Prior rotations for the
+# record:
+#
+# ROUND-12 ROTATION: round 11 closed the cumulative
 # verification debt at 188/191 twins hash-gated; the only red row was
 # embeddings_pca (harness canonicalizer vs its ARRAY<DOUBLE> column —
 # the query now emits exploded scalar rows, retried this round), and
@@ -928,59 +935,57 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "multimodal_meta",      # multimodal
     "events_stream_replay",  # streaming
     "table_time_travel",    # versioned tables
-    # -- round-13 promotions: HASH-gated from this round (r12 verdict
-    # task 3 — were rows-only; the free trajectories stay numerical,
-    # their results now gate via Lloyd-fixpoint / eigh-identity
-    # invariants + twin-recomputed reference values) --
+    # -- round-14 growth, gated from birth (standing policy): image
+    # perceptual-hash near-dup, the Q21/Q20 relational hard tail, and
+    # the deferred-null left-outer stream-stream join replay --
+    "multimodal_phash",
+    "multimodal_phash_pairs",
+    "join_waiting_suppliers",
+    "join_excess_stock",
+    "events_stream_join_outer_replay",
+    # -- r13 entrants kept one more round (first driver-gate was r13) --
     "embeddings_pca",
     "kmeans_fit",
     "kmeans_nd_fit",
-    # -- round-13 growth, gated from birth: the TWS TTL-dedup (r12
-    # verdict task 6 — transformWithStateInPandas + pbshim runtime)
-    # and CCNet-style line-level boilerplate removal --
     "events_stream_ttl_dedup_tws_replay",
     "corpus_line_dedup",
     "join_min_cost_supplier",
     "events_anomaly_mad",
     "events_observed_metrics",
     "events_stream_native_dedup_replay",
-    # -- r12 entrants kept one more round (first driver-gate was r12) --
-    "multimodal_audio",
-    "events_stream_hll_replay",
-    "events_stream_funnel_replay",
-    "text_bpe_segment",
-    "corpus_url_dedup",
-    "events_stream_ttl_dedup_replay",
     # -- regression canaries: previously driver-green, family spread
-    # (kmeans_wssse / kmeans_kmpp_round2 / dedup_exact / dedup_keep_best
-    # rotated out for the round-13 promotions+growth; the kmeans family
-    # keeps 4 in-window reps, the dedup family 8) --
+    # (r12 entrants text_bpe_segment / events_stream_hll_replay /
+    # events_stream_funnel_replay / events_stream_ttl_dedup_replay and
+    # the r13 canary set rotate out; members within each family swap
+    # so repeat-gating keeps touching different plans) --
+    "kmeans_wssse",
+    "kmeans_kmpp_round2",
+    "kmeans_elbow_sweep",
     "kmeans_nd_fit_large",
-    "dedup_simhash_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_bloom_prefilter",
-    "dedup_incremental",
-    "dedup_cross_snapshot",
-    "dedup_substring",
-    "dedup_semantic",
-    "similarity_ann_pq_trained",
-    "similarity_ann_recall_trained",
-    "similarity_rebuild_crossover",
-    "embeddings_int8_quant",
-    "text_tfidf",
-    "text_bm25",
-    "text_bpe_merges2",
-    "text_normalize",
-    "corpus_sample_stratified",
-    "corpus_source_cap",
-    "corpus_token_shards",
-    "events_sessionize",
-    "events_funnel",
-    "events_stream_join_replay",
+    "dedup_exact",
+    "dedup_keep_best",
+    "dedup_fuzzy_prefix",
+    "dedup_span_clean",
+    "dedup_semantic_trained",
+    "dedup_embedding",
+    "similarity_ann_ivf_trained",
+    "similarity_ann_pq_rerank_trained",
+    "similarity_knn_graph",
+    "similarity_int8_recall",
+    "embeddings_binary_quant",
+    "text_quality",
+    "text_langid_eval",
+    "corpus_temperature_mix",
+    "corpus_dsir_weights",
+    "corpus_url_dedup",
+    "events_exact_quantiles",
+    "events_gapfill",
+    "join_small_quantity",
+    "lineitem_pricing_summary",
+    "multimodal_audio",
     "multimodal_mjpeg",
-    "sql_revenue_by_nation",
-    "pipeline_crawl_frontdoor",
 ]
+
 
 
 def driver_ordered(

@@ -87,32 +87,36 @@ def test_driver_window_samples_every_family():
     families = {
         "core-loop": "kmeans_fit_fixed",
         "minhash-lsh": "dedup_minhash_pairs",
-        "semantic-dedup": "dedup_semantic",
+        "semantic-dedup": "dedup_semantic_trained",
         "ivf-ann": "similarity_ann_ivf",
-        "pq-ann": "similarity_ann_pq_trained",
-        "trained-serving": "similarity_ann_recall_trained",
+        "pq-ann": "similarity_ann_pq_rerank_trained",
+        "trained-serving": "similarity_ann_ivf_trained",
         "hybrid-rrf": "similarity_hybrid_rrf",
         "multimodal": "multimodal_meta",
         "multimodal-video": "multimodal_mjpeg",
         "multimodal-audio": "multimodal_audio",
-        "text": "text_bpe_segment",
+        "text": "text_quality",
         "url-dedup": "corpus_url_dedup",
-        "sampling": "corpus_sample_stratified",
-        "embeddings-quant": "embeddings_int8_quant",
-        "events": "events_funnel",
+        "sampling": "corpus_temperature_mix",
+        "embeddings-quant": "embeddings_binary_quant",
+        "events": "events_exact_quantiles",
         "time-travel": "table_time_travel",
         "streaming": "events_stream_replay",
-        "streaming-stateful": "events_stream_ttl_dedup_replay",
-        # round-13 promotions + growth (gated from this round)
+        "streaming-stateful": "events_stream_native_dedup_replay",
+        # round-13 promotions + growth (kept one more round)
         "free-fit-gate": "kmeans_fit",
         "nd-free-fit-gate": "kmeans_nd_fit",
         "pca-gate": "embeddings_pca",
         "streaming-tws": "events_stream_ttl_dedup_tws_replay",
-        "streaming-native-dedup": "events_stream_native_dedup_replay",
         "line-dedup": "corpus_line_dedup",
         "q2-join": "join_min_cost_supplier",
         "anomaly": "events_anomaly_mad",
         "observe": "events_observed_metrics",
+        # round-14 growth (gated from this round)
+        "image-near-dup": "multimodal_phash_pairs",
+        "q21-join": "join_waiting_suppliers",
+        "q20-join": "join_excess_stock",
+        "streaming-outer-join": "events_stream_join_outer_replay",
     }
     for fam, name in families.items():
         assert name in first50, f"family {fam} missing from driver window"
