@@ -526,7 +526,21 @@ def stream_dedup_ttl_tws(
     contract. Same RocksDB/protobuf dependencies as
     :func:`stream_dedup_exact_tws`; the gated replay query activates
     the pbshim runtime for driver AND the JVM-spawned TWS workers, so
-    it executes in any process (real clusters ship protobuf)."""
+    it executes in any process (real clusters ship protobuf).
+
+    Cost note (r14 decomposition, tools/tws_emission_probe_r14.json):
+    TWS carries a CONSTANT ~1.2-1.35x factor over the v1 API at fixed
+    keys/input on this shape — ~105 us/key, the 3-4 semantically
+    required state-server round trips per key per batch plus the TWS
+    serializer's per-input-row materialization (both upstream
+    protocol paths; the r11 budget already removed every avoidable
+    call). The r13 "gap tracks emission volume" hypothesis is
+    REFUTED: ratios at 100%/25%/6% emission over identical input are
+    non-monotone, and between-window box variance of the state-store
+    class exceeds the gap itself. Choose :func:`stream_dedup_ttl`
+    (in-process state) for heavy-emission bounded replays; this API
+    buys timers / multiple state vars / RocksDB at that constant
+    factor."""
     import pandas as pd
 
     from pyspark.sql.streaming import StatefulProcessor
