@@ -113,6 +113,10 @@ REPORT_QUERIES = [
     ("join_min_cost_supplier", "Q2 decorrelated: one map-side-combined (part,supplier) aggregate, per-part struct argmin, broadcast dims, TakeOrderedAndProject top-N"),
     ("events_anomaly_mad", "one map-side-combined (type,hour) rollup materialized once (feeds median rank + deviation join; dev likewise checkpointed) — corpus scanned exactly once; median/MAD windows sort O(types×hours) aggregate rows; per-type stats broadcast back"),
     ("pipeline_crawl_frontdoor", "window-free funnel (r13): one corpus-keyed exchange (canon_url partial agg with struct-MIN representative), host cap = LEAST(cap, n) over GROUP rows — a 50%-hot host measured at-or-below uniform wall (tools/scale_probe_r13.json)"),
+    ("multimodal_phash", "decode + 32x32 resample + two int64 DCT matmuls inside one mapInPandas; (doc_id, text) pruned scan, no shuffle"),
+    ("multimodal_phash_pairs", "pHash sketches banded 3x21-bit; pigeonhole equi self-join with popcount verify inside the join — never all-pairs"),
+    ("join_waiting_suppliers", "Q21: status-pruned fact; EXISTS/NOT-EXISTS as LEFT SEMI + LEFT ANTI hash joins on orderkey (supplier inequality as residual); supplier+nation broadcast"),
+    ("join_excess_stock", "Q20: one lineitem scan -> (part,supplier) aggregate; per-part total as a window over the AGGREGATE; exact-int dominance; part+supplier broadcast"),
 ]
 
 
