@@ -1177,6 +1177,33 @@ def q_join_excess_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count histogram with the
+    order-class predicate INSIDE the left-outer join condition (a
+    WHERE would drop the 0-bucket customers the histogram exists to
+    count). One outer hash join + two map-side-combined aggregates."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.customer_order_histogram(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
+def q_join_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) whose quarter revenue equals the
+    global maximum — the correlated-MAX view decorrelated into one
+    materialized revenue aggregate + a broadcast 1-row max; revenue is
+    cents-rounded BEFORE the equality so the argmax can't flip on
+    summation order."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.top_revenue_suppliers(
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "lineitem"),
+    )
+
+
 MIN_COST_REGION = "EUROPE"  # Q2-shape region filter (4 suppliers even
 # at sf0.001, so the argmin genuinely competes at every tested scale)
 MIN_COST_TOP_N = 100
@@ -5732,6 +5759,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_min_cost_supplier": q_join_min_cost_supplier,
         "join_waiting_suppliers": q_join_waiting_suppliers,
         "join_excess_stock": q_join_excess_stock,
+        "join_custdist": q_join_custdist,
+        "join_top_revenue_supplier": q_join_top_revenue_supplier,
         "join_idle_customers": q_join_idle_customers,
         "points_radius_join": q_points_radius_join,
         "text_heaps_law": q_text_heaps_law,
@@ -6769,6 +6798,32 @@ SELECT s.s_suppkey, s.s_name, COUNT(*)::BIGINT AS n_parts
 FROM d JOIN supplier s ON d.l_suppkey = s.s_suppkey
 WHERE 2 * s_sp > s_p
 GROUP BY 1, 2""",
+        # Q13 shape: predicate inside the OUTER join condition — the
+        # 0-bucket must survive
+        "join_custdist": f"""
+WITH per_cust AS (
+  SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+  FROM customer c
+  LEFT OUTER JOIN orders o
+    ON c.c_custkey = o.o_custkey
+   AND o.o_orderpriority <> '{rel.CUSTDIST_EXCLUDED_PRIORITY}'
+  GROUP BY c.c_custkey
+)
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM per_cust GROUP BY c_count""",
+        # Q15 shape: cents-rounded revenue view + 1-row MAX equality
+        "join_top_revenue_supplier": f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '{rel.TOP_REVENUE_START}'
+    AND l_shipdate < TIMESTAMP '{rel.TOP_REVENUE_END}'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, r.total_revenue
+FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
         "join_shipping_priority": """
 SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

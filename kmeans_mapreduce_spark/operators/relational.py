@@ -731,3 +731,86 @@ def excess_stock_suppliers(
     return per_supp.join(
         F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey")
     ).select("s_suppkey", "s_name", "n_parts")
+
+
+CUSTDIST_EXCLUDED_PRIORITY = "1-URGENT"  # Q13's NOT LIKE '%special%' analog
+
+
+def customer_order_histogram(
+    customer: DataFrame,
+    orders: DataFrame,
+    excluded_priority: str = CUSTDIST_EXCLUDED_PRIORITY,
+) -> DataFrame:
+    """TPC-H Q13 shape — customer order-count distribution: how many
+    customers placed 0, 1, 2, ... qualifying orders. The classic trap
+    this shape exists to pin: the order-class predicate lives INSIDE
+    the LEFT OUTER join condition, not in a WHERE — filtering after
+    the join would silently drop the zero-order customers the
+    histogram's 0-bucket exists to count (a customer whose every
+    order is excluded must still appear with c_count = 0).
+
+    Scale shape: one outer hash join on custkey (orders pre-projected
+    to 2 columns), the per-customer COUNT partial-aggregates map-side
+    on the join's own key partitioning, and the final histogram is an
+    O(distinct counts) aggregate. No window, no driver state.
+    Output: (c_count, custdist) — counts are exact integers.
+    """
+    c = customer.select("c_custkey")
+    o = orders.filter(F.col("o_orderpriority") != excluded_priority).select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+TOP_REVENUE_START = "1998-01-01"  # Q15's quarter
+TOP_REVENUE_END = "1998-04-01"
+
+
+def top_revenue_suppliers(
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    start: str = TOP_REVENUE_START,
+    end: str = TOP_REVENUE_END,
+    digits: int = 2,
+) -> DataFrame:
+    """TPC-H Q15 shape — top supplier(s) by one quarter's revenue: the
+    revenue "view" (per-supplier Σ price·(1−discount)), then the
+    suppliers whose revenue EQUALS the global maximum — the
+    argmax-with-ties shape Q15's correlated MAX subquery expresses.
+
+    Decorrelated: the revenue aggregate materializes once; the global
+    MAX is a 1-row aggregate of it, broadcast back as a cross join
+    (never a correlated rescan, never a window over the fact).
+    Float discipline: revenue rounds to cents BEFORE the max/equality
+    — both engines compare identical pinned doubles, so a last-ulp
+    summation-order wobble can never flip the argmax.
+
+    Output: (s_suppkey, s_name, total_revenue), one row per tied
+    maximum.
+    """
+    ts0 = F.lit(start).cast("timestamp")
+    ts1 = F.lit(end).cast("timestamp")
+    revenue = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= ts0) & (F.col("l_shipdate") < ts1)
+        )
+        .select("l_suppkey", _revenue())
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("rev"), digits).alias("total_revenue"))
+    )
+    revenue = revenue.localCheckpoint(eager=False)  # materialize once
+    mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    s = supplier.select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )

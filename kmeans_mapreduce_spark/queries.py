@@ -717,6 +717,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "multimodal_phash_pairs",
     "join_waiting_suppliers",
     "join_excess_stock",
+    "join_custdist",
+    "join_top_revenue_supplier",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with
     # the standing caveat that a replay wall is trigger cadence +

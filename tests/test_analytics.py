@@ -510,3 +510,59 @@ def test_table_digest_detects_each_divergence_class(spark):
     assert dup["digest_xor"] == without["digest_xor"]  # the xor blind spot
     assert dup["n_rows"] == base["n_rows"] + 1
     assert dup["digest_sum"] != base["digest_sum"]
+
+
+def test_custdist_zero_bucket_survives_join_condition_filter(spark):
+    """Q13's defining trap: the order-class predicate lives INSIDE the
+    left-outer join condition — a customer whose every order is
+    excluded must still appear in the 0-bucket (a WHERE after the join
+    would silently drop them)."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    customer = spark.createDataFrame(
+        [(1,), (2,), (3,)], "c_custkey LONG"
+    )
+    orders = spark.createDataFrame(
+        [
+            (10, 1, "2-HIGH"),
+            (11, 1, "1-URGENT"),   # excluded
+            (12, 2, "1-URGENT"),   # customer 2's ONLY order is excluded
+        ],
+        "o_orderkey LONG, o_custkey LONG, o_orderpriority STRING",
+    )
+    got = {
+        r["c_count"]: r["custdist"]
+        for r in rel.customer_order_histogram(customer, orders).collect()
+    }
+    # customer 1 -> 1 qualifying order; customers 2 (all excluded) and
+    # 3 (no orders) -> the 0-bucket
+    assert got == {1: 1, 0: 2}, got
+
+
+def test_top_revenue_suppliers_emits_all_ties(spark):
+    """Q15's argmax-with-ties contract: every supplier whose
+    cents-rounded revenue equals the maximum is returned."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    supplier = spark.createDataFrame(
+        [(1, "s1"), (2, "s2"), (3, "s3")], "s_suppkey LONG, s_name STRING"
+    )
+    rows = [
+        # suppliers 1 and 2 tie at 100.00 revenue; supplier 3 lower
+        (1, 100.0, 0.0, "1998-02-01"),
+        (2, 50.0, 0.0, "1998-02-01"),
+        (2, 50.0, 0.0, "1998-03-01"),
+        (3, 10.0, 0.0, "1998-02-01"),
+        (1, 999.0, 0.0, "1997-06-01"),  # outside the quarter
+    ]
+    lineitem = spark.createDataFrame(
+        [(s, p, d, __import__("datetime").datetime.fromisoformat(ts))
+         for s, p, d, ts in rows],
+        "l_suppkey LONG, l_extendedprice DOUBLE, l_discount DOUBLE, "
+        "l_shipdate TIMESTAMP",
+    )
+    got = {
+        (r["s_suppkey"], r["total_revenue"])
+        for r in rel.top_revenue_suppliers(supplier, lineitem).collect()
+    }
+    assert got == {(1, 100.0), (2, 100.0)}, got

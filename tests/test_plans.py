@@ -684,3 +684,26 @@ def test_excess_stock_single_fact_scan_window_total(spark):
     assert "Window" in plan
     assert not plans.has_cartesian(df)
     assert plan.count("BroadcastHashJoin") >= 2  # part + supplier
+
+
+def test_custdist_and_top_revenue_plan_shapes(spark):
+    """Q13: one outer hash join + two aggregates, no cartesian.
+    Q15: broadcast 1-row max + broadcast supplier, no cartesian, no
+    window over the fact."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    q13 = rel.customer_order_histogram(
+        load_table(spark, SF, "customer"), load_table(spark, SF, "orders")
+    )
+    p13 = plans.explain_str(q13)
+    assert not plans.has_cartesian(q13)
+    assert "LeftOuter" in p13
+    assert p13.count("HashAggregate") >= 4  # partial+final x two levels
+
+    q15 = rel.top_revenue_suppliers(
+        load_table(spark, SF, "supplier"), load_table(spark, SF, "lineitem")
+    )
+    p15 = plans.explain_str(q15)
+    assert not plans.has_cartesian(q15)
+    assert p15.count("BroadcastHashJoin") >= 1  # supplier lookup
+    assert "Window" not in p15
