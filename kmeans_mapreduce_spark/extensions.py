@@ -1204,6 +1204,20 @@ def q_join_top_revenue_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per qualifying part class,
+    excluding the low-acctbal "complaints" blacklist — part predicates
+    prune before the broadcast, NOT IN runs as a broadcast LEFT ANTI
+    (non-null keys make them equivalent), COUNT(DISTINCT) two-phase."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    return rel.supplier_count_by_part_class(
+        load_table(spark, sf_dir, "part"),
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "supplier"),
+    )
+
+
 MIN_COST_REGION = "EUROPE"  # Q2-shape region filter (4 suppliers even
 # at sf0.001, so the argmin genuinely competes at every tested scale)
 MIN_COST_TOP_N = 100
@@ -5761,6 +5775,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_excess_stock": q_join_excess_stock,
         "join_custdist": q_join_custdist,
         "join_top_revenue_supplier": q_join_top_revenue_supplier,
+        "join_supplier_cnt": q_join_supplier_cnt,
         "join_idle_customers": q_join_idle_customers,
         "points_radius_join": q_points_radius_join,
         "text_heaps_law": q_text_heaps_law,
@@ -6824,6 +6839,21 @@ WITH revenue AS (
 SELECT s.s_suppkey, s.s_name, r.total_revenue
 FROM revenue r JOIN supplier s ON r.l_suppkey = s.s_suppkey
 WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)""",
+        # Q16 shape: pruned part dim, NOT IN as anti (keys non-null),
+        # exact two-phase COUNT(DISTINCT)
+        "join_supplier_cnt": f"""
+SELECT p.p_brand, p.p_type, p.p_size,
+       COUNT(DISTINCT l.l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand <> '{rel.SUPPLIER_CNT_EXCL_BRAND}'
+  AND p.p_type NOT LIKE '{rel.SUPPLIER_CNT_EXCL_TYPE}%'
+  AND p.p_size IN {rel.SUPPLIER_CNT_SIZES}
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier
+    WHERE s_acctbal < {rel.COMPLAINT_ACCTBAL_MAX}
+  )
+GROUP BY 1, 2, 3""",
         "join_shipping_priority": """
 SELECT l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
        ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue

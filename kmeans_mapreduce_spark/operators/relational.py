@@ -814,3 +814,55 @@ def top_revenue_suppliers(
         .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
+
+
+SUPPLIER_CNT_EXCL_BRAND = "Brand#13"
+SUPPLIER_CNT_EXCL_TYPE = "MEDIUM"
+SUPPLIER_CNT_SIZES = (1, 4, 7, 10, 13, 16, 19, 22)
+COMPLAINT_ACCTBAL_MAX = 2500.0  # the "customer complaints" analog
+
+
+def supplier_count_by_part_class(
+    part: DataFrame,
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    excl_brand: str = SUPPLIER_CNT_EXCL_BRAND,
+    excl_type: str = SUPPLIER_CNT_EXCL_TYPE,
+    sizes: tuple[int, ...] = SUPPLIER_CNT_SIZES,
+    complaint_max: float = COMPLAINT_ACCTBAL_MAX,
+) -> DataFrame:
+    """TPC-H Q16 shape — parts/supplier relationship: how many DISTINCT
+    suppliers can supply each qualifying (brand, type, size) part
+    class, excluding blacklisted suppliers. The reference schema has
+    no partsupp, so lineitem is the part↔supplier relation and the
+    "customer complaints" blacklist is the low-acctbal supplier set.
+
+    Scale shape: the three part predicates (≠ brand, NOT LIKE type
+    prefix, size IN list) prune the part dim BEFORE its broadcast; the
+    NOT IN becomes a LEFT ANTI join against the broadcast blacklist
+    (suppkey is non-null, so NOT-IN NULL traps don't apply — the anti
+    join is exactly NOT IN here); COUNT(DISTINCT) runs as Spark's
+    two-phase distinct aggregate on the (brand, type, size) grouping —
+    partial distinct map-side, never a row-level distinct shuffle of
+    the whole fact.
+
+    Output: (p_brand, p_type, p_size, supplier_cnt).
+    """
+    p = part.filter(
+        (F.col("p_brand") != excl_brand)
+        & ~F.col("p_type").startswith(excl_type)
+        & F.col("p_size").isin(*sizes)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < complaint_max).select(
+        F.col("s_suppkey").alias("bad_suppkey")
+    )
+    l = lineitem.select("l_partkey", "l_suppkey").join(
+        F.broadcast(bad),
+        F.col("l_suppkey") == F.col("bad_suppkey"),
+        "left_anti",
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )

@@ -719,6 +719,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "join_excess_stock",
     "join_custdist",
     "join_top_revenue_supplier",
+    "join_supplier_cnt",
     # round-12 (r11 verdict task 6): the judge asked for tracked cost
     # on the gated streaming replays — medians+spread recorded with
     # the standing caveat that a replay wall is trigger cadence +

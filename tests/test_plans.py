@@ -707,3 +707,21 @@ def test_custdist_and_top_revenue_plan_shapes(spark):
     assert not plans.has_cartesian(q15)
     assert p15.count("BroadcastHashJoin") >= 1  # supplier lookup
     assert "Window" not in p15
+
+
+def test_supplier_cnt_anti_broadcast_distinct(spark):
+    """Q16 shape contract: blacklist NOT-IN as a broadcast LEFT ANTI,
+    part dim pruned then broadcast, two-phase COUNT(DISTINCT) — no
+    cartesian, fact scanned once."""
+    from kmeans_mapreduce_spark.operators import relational as rel
+
+    df = rel.supplier_count_by_part_class(
+        load_table(spark, SF, "part"),
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "supplier"),
+    )
+    plan = plans.explain_str(df)
+    assert not plans.has_cartesian(df)
+    assert "LeftAnti" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # blacklist + part dim
+    assert plan.count("lineitem.parquet") == 1, "fact scanned once"
