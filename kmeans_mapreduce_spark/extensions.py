@@ -3772,6 +3772,20 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual hash through the REAL video container
+    path: synthesize the uncompressed-DIB AVI per video doc, walk its
+    RIFF chunks with the real parser, pHash every decoded frame with
+    the same integer kernel as images (shared _phash_of_pixels). The
+    twin replays one frame's hash arithmetically from the cycled
+    digest (frames are digest-identical by construction) and
+    replicates it over range(n_frames) — so the gate pins container
+    walk + per-frame decode + hash in one row-count- and
+    value-exact check."""
+    media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
+    return mm.video_frame_phash(media)
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
     return mm.media_meta(media)
@@ -5907,6 +5921,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_mjpeg": q_multimodal_mjpeg,
         "multimodal_phash": q_multimodal_phash,
         "multimodal_phash_pairs": q_multimodal_phash_pairs,
+        "multimodal_video_phash": q_multimodal_video_phash,
         "pipeline_media_cluster": q_pipeline_media_cluster,
         "pipeline_topic_clusters": q_pipeline_topic_clusters,
         "events_window_agg": q_events_window_agg,
@@ -6043,7 +6058,7 @@ SELECT lang, COUNT(DISTINCT bin_id) AS n_bins, COUNT(*) AS n_docs,
 FROM packed GROUP BY lang"""
 
 
-def _phash_cte() -> str:
+def _phash_cte(kind: str = "image") -> str:
     """Twin of multimodal.image_phash over images_with_planted_copies
     — the full integer pHash pipeline replayed relationally from the
     md5 hex (digest byte j = 16*hex[2j] + hex[2j+1], pixel byte p =
@@ -6052,7 +6067,14 @@ def _phash_cte() -> str:
     scaled-integer DCT passes against the SAME generated coefficient
     table the Spark kernel embeds (mm.PHASH_COEF — float cosine never
     runs in either engine), median threshold, 63-bit hash. Everything
-    is exact integer arithmetic, so the hashes are bit-identical."""
+    is exact integer arithmetic, so the hashes are bit-identical.
+
+    ``kind="video"``: the same pipeline over the video docs
+    (doc_id % 3 == 2, fixed 16x12 digest-cycled frames, no planted
+    variant) — the twin of multimodal.video_frame_phash, with the
+    per-frame rows produced by replicating each video's (identical)
+    frame hash over range(n_frames) exactly as the decoder walks
+    identical chunks."""
     cf = "[" + ", ".join(
         str(c) for row in mm.PHASH_COEF for c in row
     ) + "]"
@@ -6061,17 +6083,28 @@ def _phash_cte() -> str:
 
     def px(q: str) -> str:
         b = f"db[({q}) % 16 + 1]"
+        if kind == "video":
+            return b  # no planted variant on the video side
         return (
             f"CASE WHEN variant = 1 AND ({q}) % {ne} = 0 "
             f"THEN xor({b}, {nx}) ELSE {b} END"
         )
 
-    return f"""cfl AS (SELECT {cf} AS cf),
-pm AS (
+    if kind == "video":
+        pm = f"""pm AS (
+  SELECT doc_id, CAST({mm.VID_W} AS BIGINT) AS w,
+         CAST({mm.VID_H} AS BIGINT) AS h, md5(text) AS hx
+  FROM documents WHERE doc_id % 3 = 2
+),"""
+    else:
+        pm = """pm AS (
   SELECT doc_id, (doc_id % 64 + 64)::BIGINT AS w,
          (doc_id % 48 + 48)::BIGINT AS h, md5(text) AS hx
   FROM documents WHERE doc_id % 3 = 0
-),
+),"""
+
+    return f"""cfl AS (SELECT {cf} AS cf),
+{pm}
 pd AS (
   SELECT doc_id, w, h,
          list_transform(range(0, 16),
@@ -6079,7 +6112,9 @@ pd AS (
               + (strpos('0123456789abcdef', substr(hx, 2 * CAST(j AS INTEGER) + 2, 1)) - 1)) AS db
   FROM pm
 ),
-pv AS (SELECT doc_id, w, h, db, unnest([0, 1]) AS variant FROM pd),
+pv AS (SELECT doc_id, w, h, db,
+             unnest({'[0]' if kind == 'video' else '[0, 1]'}) AS variant
+      FROM pd),
 pg AS (
   SELECT doc_id, variant, w, h,
          list_transform(range(0, 1024), i ->
@@ -8252,6 +8287,15 @@ WHERE doc_id % 3 = 2""",
         "multimodal_phash": f"""
 WITH {_phash_cte()}
 SELECT media_id, width, height, phash FROM ph""",
+        # per-frame video twin: frames are digest-identical, so one
+        # arithmetic hash replicated over range(n_frames)
+        "multimodal_video_phash": f"""
+WITH {_phash_cte("video")}
+SELECT v.media_id,
+       unnest(range(0, v.media_id % 4 + 2))::INTEGER AS frame_idx,
+       (v.media_id % 4 + 2)::INTEGER AS n_frames,
+       v.phash
+FROM ph v""",
         # exact distance-<=2 join: banding is LOSSLESS at the
         # threshold by pigeonhole, so the banded Spark set equals this
         "multimodal_phash_pairs": f"""

@@ -855,6 +855,30 @@ def images_with_planted_copies(docs: DataFrame) -> DataFrame:
     )
 
 
+def _phash_of_pixels(img) -> int:
+    """The shared integer pHash of one decoded H×W×3 uint8 array —
+    the module-header pipeline from the luma step down (used by the
+    PPM image kernel and the per-frame video kernel so the two can
+    never drift)."""
+    import numpy as np
+
+    C = np.array(PHASH_COEF, dtype=np.int64)
+    h, w = img.shape[0], img.shape[1]
+    s = PHASH_SIZE
+    yi = (np.arange(s) * h) // s
+    xi = (np.arange(s) * w) // s
+    g = img[yi][:, xi].astype(np.int64)
+    lum = (299 * g[..., 0] + 587 * g[..., 1] + 114 * g[..., 2]) // 1000
+    dct = C @ lum @ C.T  # exact int64, |val| < 2^46
+    vals = dct.reshape(-1)[1:]  # drop DC -> 63 coefficients
+    med = int(np.sort(vals)[(PHASH_BITS - 1) // 2])
+    bits = 0
+    for i, v in enumerate(vals):
+        if int(v) > med:
+            bits |= 1 << i
+    return bits
+
+
 def image_phash(media: DataFrame) -> DataFrame:
     """64-ish-bit (63) perceptual hash per image — the module-header
     integer pipeline, one narrow Arrow pass (decode + resample + two
@@ -866,8 +890,6 @@ def image_phash(media: DataFrame) -> DataFrame:
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        C = np.array(PHASH_COEF, dtype=np.int64)  # 8 x 32
-        s = PHASH_SIZE
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -877,25 +899,8 @@ def image_phash(media: DataFrame) -> DataFrame:
                     w, h, pixels = _decode_ppm(bytes(p))
                 except ValueError:
                     continue
-                img = (
-                    np.frombuffer(pixels, dtype=np.uint8)
-                    .reshape(h, w, 3)
-                    .astype(np.int64)
-                )
-                yi = (np.arange(s) * h) // s
-                xi = (np.arange(s) * w) // s
-                g = img[yi][:, xi]
-                lum = (
-                    299 * g[..., 0] + 587 * g[..., 1] + 114 * g[..., 2]
-                ) // 1000
-                dct = C @ lum @ C.T  # exact int64, |val| < 2^46
-                vals = dct.reshape(-1)[1:]  # drop DC → 63 coefficients
-                med = int(np.sort(vals)[(PHASH_BITS - 1) // 2])
-                bits = 0
-                for i, v in enumerate(vals):
-                    if int(v) > med:
-                        bits |= 1 << i
-                rows.append((int(mid), w, h, bits))
+                img = np.frombuffer(pixels, dtype=np.uint8).reshape(h, w, 3)
+                rows.append((int(mid), w, h, _phash_of_pixels(img)))
             if rows:
                 yield pd.DataFrame(
                     rows, columns=["media_id", "width", "height", "phash"]
@@ -905,4 +910,51 @@ def image_phash(media: DataFrame) -> DataFrame:
         media.filter(F.col("kind") == "image")
         .select("media_id", "payload")
         .mapInPandas(fn, schema=PHASH_SCHEMA)
+    )
+
+
+VIDEO_PHASH_SCHEMA = (
+    "media_id LONG, frame_idx INT, n_frames INT, phash LONG"
+)
+
+
+def video_frame_phash(media: DataFrame) -> DataFrame:
+    """Per-FRAME perceptual hash over real decoded video: walk the AVI
+    container (:func:`_decode_avi` — real RIFF headers, DIB raw-RGB24
+    or MJPG entropy+DCT frames), hash every frame with the SAME
+    integer pipeline as :func:`image_phash` (shared
+    :func:`_phash_of_pixels`, so image and video hashing cannot
+    drift). One row per frame — the sketch a video near-dup pass
+    bands on (two videos are near-dups when their frame-hash sets
+    overlap; the banded join is ``dedup.hamming_banded_pairs`` over
+    this table, same as images). Narrow Arrow pass; malformed
+    containers are skipped (degrade-don't-die)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    w, h, frames = _decode_avi(bytes(p))
+                except ValueError:
+                    continue
+                for i, fr in enumerate(frames):
+                    img = np.frombuffer(fr, dtype=np.uint8).reshape(h, w, 3)
+                    rows.append(
+                        (int(mid), i, len(frames), _phash_of_pixels(img))
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["media_id", "frame_idx", "n_frames", "phash"],
+                )
+
+    return (
+        media.filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+        .mapInPandas(fn, schema=VIDEO_PHASH_SCHEMA)
     )

@@ -715,6 +715,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     # round-14 growth: tracked from birth
     "multimodal_phash",
     "multimodal_phash_pairs",
+    "multimodal_video_phash",
     "join_waiting_suppliers",
     "join_excess_stock",
     "join_custdist",

@@ -3494,3 +3494,43 @@ def test_phash_banded_pairs_match_brute_force(docs):
     }
     assert got == want
     assert got, "no planted near-dup surfaced"
+
+
+def test_video_frame_phash_matches_image_phash(spark):
+    """Image/video hashing cannot drift: an AVI whose frames carry
+    exactly a PPM's pixels frame-hashes to that PPM's image pHash —
+    per frame, through the real container walk — and an MJPEG (lossy
+    4:4:4 near-lossless) re-encode of the same frames stays within the
+    tight radius."""
+    from kmeans_mapreduce_spark.functions.jpeg import encode_baseline_jpeg
+    from kmeans_mapreduce_spark.operators import multimodal as mm
+
+    w, h = 64, 48
+    ppm, img = _smooth_ppm(w, h)
+    raw = img.tobytes()
+    avi_dib = mm._encode_avi(w, h, [raw] * 3)
+    jf = encode_baseline_jpeg(w, h, raw)
+    avi_mjpg = mm._encode_avi(w, h, [jf] * 2, codec=b"MJPG")
+    media = spark.createDataFrame(
+        [
+            (0, "image", bytearray(ppm)),
+            (1, "video", bytearray(avi_dib)),
+            (2, "video", bytearray(avi_mjpg)),
+        ],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    img_hash = {
+        r["media_id"]: r["phash"] for r in mm.image_phash(media).collect()
+    }[0]
+    frames = [
+        (r["media_id"], r["frame_idx"], r["n_frames"], r["phash"])
+        for r in mm.video_frame_phash(media).collect()
+    ]
+    dib = [f for f in frames if f[0] == 1]
+    mjpg = [f for f in frames if f[0] == 2]
+    assert len(dib) == 3 and all(f[2] == 3 for f in dib)
+    assert all(f[3] == img_hash for f in dib), "DIB frames == image hash"
+    assert len(mjpg) == 2
+    for f in mjpg:
+        d = bin(f[3] ^ img_hash).count("1")
+        assert d <= mm.PHASH_MAX_HAMMING, d
