@@ -3786,6 +3786,45 @@ def q_multimodal_video_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.video_frame_phash(media)
 
 
+def q_pipeline_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END image dedup funnel — the pipeline composition of the
+    round's pHash family: decode -> integer pHash sketch -> banded
+    Hamming pair join -> greedy keeper selection (every media id that
+    appears as the HIGHER side of a near-dup pair is removed; lowest
+    id survives each edge — the deterministic single-pass rule, same
+    keeper convention as the exact-dedup family; transitive chains
+    collapse to their minimum over repeated edges by construction of
+    the planted-copy pairs). One exact-integer funnel row the twin
+    recomputes end to end: media count, near-dup edges, removed,
+    kept.
+
+    Scale shape: sketch = one narrow Arrow pass; pairs = the banded
+    equi-join (never all-pairs); removal = one distinct on the pair
+    output (O(edges)) anti-joined back onto the O(media) sketch
+    table. Nothing rescans pixels after the sketch."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketches = mm.image_phash(
+        mm.images_with_planted_copies(docs)
+    ).localCheckpoint(eager=False)
+    pairs = dd.hamming_banded_pairs(
+        sketches,
+        "phash",
+        bits=mm.PHASH_BITS,
+        max_hamming=mm.PHASH_MAX_HAMMING,
+        id_col="media_id",
+        out_prefix="media",
+    ).localCheckpoint(eager=False)
+    removed = pairs.select(F.col("media_b").alias("media_id")).distinct()
+    kept = sketches.join(removed, "media_id", "left_anti")
+    counts = (
+        sketches.agg(F.count(F.lit(1)).alias("n_media"))
+        .join(pairs.agg(F.count(F.lit(1)).alias("n_dup_edges")))
+        .join(removed.agg(F.count(F.lit(1)).alias("n_removed")))
+        .join(kept.agg(F.count(F.lit(1)).alias("n_kept")))
+    )
+    return counts.select("n_media", "n_dup_edges", "n_removed", "n_kept")
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
     return mm.media_meta(media)
@@ -5922,6 +5961,7 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash": q_multimodal_phash,
         "multimodal_phash_pairs": q_multimodal_phash_pairs,
         "multimodal_video_phash": q_multimodal_video_phash,
+        "pipeline_image_dedup": q_pipeline_image_dedup,
         "pipeline_media_cluster": q_pipeline_media_cluster,
         "pipeline_topic_clusters": q_pipeline_topic_clusters,
         "events_window_agg": q_events_window_agg,
@@ -8287,6 +8327,22 @@ WHERE doc_id % 3 = 2""",
         "multimodal_phash": f"""
 WITH {_phash_cte()}
 SELECT media_id, width, height, phash FROM ph""",
+        # the image-dedup funnel twin: hashes from the shared CTE, the
+        # exact distance-<=2 pair join, removed = distinct higher side
+        "pipeline_image_dedup": f"""
+WITH {_phash_cte()},
+pp AS (
+  SELECT a.media_id AS media_a, b.media_id AS media_b
+  FROM ph a JOIN ph b
+    ON a.media_id < b.media_id
+   AND bit_count(xor(a.phash, b.phash)) <= {mm.PHASH_MAX_HAMMING}
+),
+rm AS (SELECT DISTINCT media_b FROM pp)
+SELECT (SELECT COUNT(*) FROM ph)::BIGINT AS n_media,
+       (SELECT COUNT(*) FROM pp)::BIGINT AS n_dup_edges,
+       (SELECT COUNT(*) FROM rm)::BIGINT AS n_removed,
+       ((SELECT COUNT(*) FROM ph) - (SELECT COUNT(*) FROM rm))::BIGINT
+         AS n_kept""",
         # per-frame video twin: frames are digest-identical, so one
         # arithmetic hash replicated over range(n_frames)
         "multimodal_video_phash": f"""

@@ -716,6 +716,7 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "multimodal_phash",
     "multimodal_phash_pairs",
     "multimodal_video_phash",
+    "pipeline_image_dedup",
     "join_waiting_suppliers",
     "join_excess_stock",
     "join_custdist",
