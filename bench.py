@@ -413,13 +413,6 @@ def main() -> int:
         and start_health["verdict"] == "degraded"
         and run_health["verdict"] == "degraded"
     ):
-        attempts.append(
-            {
-                "total": m["total"],
-                "health": run_health,
-                "n_queries": len(m["timings"]),
-            }
-        )
         print(
             f"[bench] start-stamp degraded ({start_health['reasons']}) and "
             f"pass 1 degraded ({run_health['reasons']}) — cooling down "
@@ -427,7 +420,38 @@ def main() -> int:
             file=sys.stderr,
         )
         time.sleep(RERUN_COOLDOWN_SEC)
-        m = _measure(spark, sf_dir)
+        m2 = _measure(spark, sf_dir)
+
+        # report the BETTER-CONDITIONED pass, not unconditionally the
+        # retry (the cooldown may not have helped): clean verdict wins;
+        # both degraded → lower window steal wins. The loser's summary
+        # stays under "attempts" so the retry is auditable either way.
+        def _badness(mm: dict) -> tuple:
+            h = mm["extra"]["health"]
+            return (
+                h["verdict"] == "degraded",
+                float(mm["extra"].get("cpu_steal_pct") or 0.0),
+            )
+
+        chosen, other, chosen_idx = (
+            (m2, m, 2) if _badness(m2) < _badness(m) else (m, m2, 1)
+        )
+        attempts.append(
+            {
+                "pass": 2 if chosen_idx == 1 else 1,
+                "total": other["total"],
+                "health": other["extra"]["health"],
+                "cpu_steal_pct": other["extra"].get("cpu_steal_pct"),
+                "n_queries": len(other["timings"]),
+            }
+        )
+        m = chosen
+        # pass 2 runs WARM in the same session (JVM/codegen/footer
+        # caches hot) — flag it so cross-round total comparisons
+        # against single cold passes can discount the bias
+        m["extra"]["reported_pass"] = chosen_idx
+        if chosen_idx == 2:
+            m["extra"]["warm_rerun"] = True
 
     total = m["total"]
     extra = m["extra"]

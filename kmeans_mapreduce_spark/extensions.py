@@ -6649,10 +6649,18 @@ r AS (
   FROM e WHERE event_type = '{ASOF_RIGHT_TYPE}'
 ),
 wm AS (
-  SELECT LEAST(
-           (SELECT MAX(ts_sec) FROM e WHERE event_type = '{ASOF_LEFT_TYPE}'),
-           (SELECT MAX(ts_sec) FROM e WHERE event_type = '{ASOF_RIGHT_TYPE}')
-         ) - {STREAM_WATERMARK_SEC} AS w
+  -- NULL when EITHER branch has no rows: a branch whose event type
+  -- never appears keeps the min-combined Spark watermark at its
+  -- initial value, so no left row ever evicts and no nulls emit —
+  -- DuckDB's LEAST skips NULL (LEAST(NULL, x) = x), which would
+  -- wrongly advance the twin's watermark on single-type vintages
+  SELECT CASE WHEN ml.v IS NULL OR mr.v IS NULL
+              THEN NULL ELSE LEAST(ml.v, mr.v) - {STREAM_WATERMARK_SEC}
+         END AS w
+  FROM (SELECT MAX(ts_sec) AS v FROM e
+        WHERE event_type = '{ASOF_LEFT_TYPE}') ml,
+       (SELECT MAX(ts_sec) AS v FROM e
+        WHERE event_type = '{ASOF_RIGHT_TYPE}') mr
 ),
 j AS (
   SELECT l.user_id, l.event_id, l.l_ts_sec, r.r_ts_sec, r.r_value

@@ -622,10 +622,10 @@ def waiting_suppliers(
     correlated rescan, never a cartesian.
 
     Scale shape: the status predicate prunes orders before the fact
-    join; the lateness flag is computed once on the joined fact and
-    only the 3-column (orderkey, suppkey, late) projection feeds the
-    semi/anti sides, so the three uses of the fact shuffle narrow
-    rows on the same key. Supplier and nation broadcast. Output:
+    join; the lateness flag is computed once on the joined fact,
+    which is localCheckpointed so its three uses (l1/l2/l3) never
+    re-execute the join — only the 3-column (orderkey, suppkey, late)
+    projection feeds the semi/anti sides. Supplier and nation broadcast. Output:
     (s_suppkey, s_name, n_name, numwait) — one row per supplier with
     numwait = count of qualifying late lineitems (Q21's COUNT(*),
     no LIMIT so the gate compares the full set).
@@ -644,6 +644,11 @@ def waiting_suppliers(
                 > F.col("o_orderdate") + F.expr(f"INTERVAL {late_days} DAYS")
             ).alias("late"),
         )
+        # materialize ONCE: ll feeds l1/l2/l3 — without this the
+        # orders⋈lineitem join re-executes for every side and the
+        # fact is scanned three times (r14 review finding; the same
+        # r6 self-join discipline as hamming_banded_pairs)
+        .localCheckpoint(eager=False)
     )
     l1 = ll.filter(F.col("late")).select("l_orderkey", "l_suppkey")
     l2 = ll.select(
@@ -703,8 +708,6 @@ def excess_stock_suppliers(
     Output: (s_suppkey, s_name, n_parts) with n_parts = how many
     matching parts that supplier dominates.
     """
-    from pyspark.sql.window import Window
-
     ts0 = F.lit(f"{year}-01-01").cast("timestamp")
     ts1 = F.lit(f"{year + 1}-01-01").cast("timestamp")
     p = part.filter(F.col("p_name").startswith(name_prefix)).select(

@@ -940,13 +940,19 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "multimodal_meta",      # multimodal
     "events_stream_replay",  # streaming
     "table_time_travel",    # versioned tables
-    # -- round-14 growth, gated from birth (standing policy): image
-    # perceptual-hash near-dup, the Q21/Q20 relational hard tail, and
-    # the deferred-null left-outer stream-stream join replay --
+    # -- round-14 growth, gated from birth (standing policy): the
+    # pHash image/video near-dup family + its funnel composition, the
+    # Q13/Q15/Q16/Q20/Q21 relational tail, and the deferred-null
+    # left-outer stream-stream join replay --
     "multimodal_phash",
     "multimodal_phash_pairs",
+    "multimodal_video_phash",
+    "pipeline_image_dedup",
     "join_waiting_suppliers",
     "join_excess_stock",
+    "join_custdist",
+    "join_top_revenue_supplier",
+    "join_supplier_cnt",
     "events_stream_join_outer_replay",
     # -- r13 entrants kept one more round (first driver-gate was r13) --
     "embeddings_pca",
@@ -965,23 +971,18 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     # so repeat-gating keeps touching different plans) --
     "kmeans_wssse",
     "kmeans_kmpp_round2",
-    "kmeans_elbow_sweep",
     "kmeans_nd_fit_large",
     "dedup_exact",
     "dedup_keep_best",
     "dedup_fuzzy_prefix",
     "dedup_span_clean",
     "dedup_semantic_trained",
-    "dedup_embedding",
     "similarity_ann_ivf_trained",
     "similarity_ann_pq_rerank_trained",
     "similarity_knn_graph",
-    "similarity_int8_recall",
     "embeddings_binary_quant",
     "text_quality",
-    "text_langid_eval",
     "corpus_temperature_mix",
-    "corpus_dsir_weights",
     "corpus_url_dedup",
     "events_exact_quantiles",
     "events_gapfill",

@@ -665,6 +665,10 @@ def test_waiting_suppliers_semi_anti_no_rescan(spark):
     assert "LeftAnti" in plan
     assert not plans.has_cartesian(df)
     assert plan.count("BroadcastHashJoin") >= 2  # supplier + nation
+    # the joined fact is localCheckpointed (r14 review finding): its
+    # three uses must NOT re-execute the orders⋈lineitem join — after
+    # the checkpoint the visible plan contains no parquet fact scans
+    assert plan.count("lineitem.parquet") == 0, "fact join re-executed"
 
 
 def test_excess_stock_single_fact_scan_window_total(spark):

@@ -114,8 +114,13 @@ def test_driver_window_samples_every_family():
         "observe": "events_observed_metrics",
         # round-14 growth (gated from this round)
         "image-near-dup": "multimodal_phash_pairs",
+        "video-near-dup": "multimodal_video_phash",
+        "image-dedup-funnel": "pipeline_image_dedup",
         "q21-join": "join_waiting_suppliers",
         "q20-join": "join_excess_stock",
+        "q13-join": "join_custdist",
+        "q15-join": "join_top_revenue_supplier",
+        "q16-join": "join_supplier_cnt",
         "streaming-outer-join": "events_stream_join_outer_replay",
     }
     for fam, name in families.items():

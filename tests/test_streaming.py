@@ -1701,3 +1701,37 @@ def test_stream_join_outer_eviction_boundary_is_strict(
     }
     assert 1 in nulls, "expiry AT the watermark must emit (inclusive)"
     assert 2 not in nulls, "expiry past the watermark must not emit"
+
+
+def test_stream_join_outer_single_type_vintage_emits_nothing(
+    spark, tmp_path_factory
+):
+    """The watermark-edge the twin must mirror (r14 review finding): a
+    vintage with clicks but NO purchases keeps the purchase branch's
+    watermark at its initial value, so the min-combined watermark never
+    advances, no left row evicts, and NOTHING emits — while DuckDB's
+    LEAST(NULL, x) = x would wrongly advance the twin's watermark and
+    emit every expired click. Both engines must return zero rows."""
+    import duckdb
+    import pandas as pd
+
+    from kmeans_mapreduce_spark import extensions as X
+
+    out = str(tmp_path_factory.mktemp("ss_outer_single"))
+    pd.DataFrame(
+        {
+            "event_id": [0, 1],
+            "ts": pd.to_datetime([10_000, 90_000], unit="s"),
+            "user_id": [1, 2],
+            "event_type": ["click", "click"],
+            "value": [0.0, 0.0],
+        }
+    ).to_parquet(f"{out}/events.parquet")
+    got = X.q_events_stream_join_outer_replay(spark, out).collect()
+    assert got == [], got
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW events AS FROM '{out}/events.parquet'")
+    twin = con.sql(
+        X.extension_oracle_sql()["events_stream_join_outer_replay"]
+    ).fetchall()
+    assert twin == [], twin

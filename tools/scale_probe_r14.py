@@ -136,7 +136,7 @@ def main() -> int:
             .mode("overwrite")
             .save()
         )
-        del l
+        del l, o
         gc.collect()
     out["join_waiting_suppliers"] = {
         "walls": walls,

@@ -84,7 +84,9 @@ def run_once(spark, src: str, api: str, ttl: int, wm: int, name: str):
                 out.writeStream.format("memory").queryName(name)
                 .outputMode("update").trigger(availableNow=True).start()
             )
-            q.awaitTermination(600)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError(f"{name}: drain did not finish in 600 s")
             wall = time.time() - t0
         finally:
             restore()
@@ -99,7 +101,9 @@ def run_once(spark, src: str, api: str, ttl: int, wm: int, name: str):
             out.writeStream.format("memory").queryName(name)
             .outputMode("update").trigger(availableNow=True).start()
         )
-        q.awaitTermination(600)
+        if not q.awaitTermination(600):
+            q.stop()
+            raise TimeoutError(f"{name}: drain did not finish in 600 s")
         wall = time.time() - t0
     n = spark.table(name).count()
     spark.catalog.dropTempView(name) if name in [
