@@ -3825,6 +3825,35 @@ def q_pipeline_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.select("n_media", "n_dup_edges", "n_removed", "n_kept")
 
 
+def q_multimodal_afp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio envelope fingerprint + planted near-dup copy — the
+    fourth modality's near-dup sketch (text/image/video families
+    already gated): real stdlib WAV decode, 64 integer chunk energies,
+    63 adjacent-order bits (amplitude-scale invariant by
+    construction). The DuckDB twin rebuilds both variants' samples
+    from the cycled digest and replays the fingerprint exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.audio_fingerprint(mm.audio_with_planted_copies(docs))
+
+
+def q_multimodal_afp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio NEAR-DUP pairs over the envelope fingerprints — the same
+    banded Hamming self-join as SimHash/pHash (3 pigeonhole bands of
+    21 bits, popcount verify inside the join, never all-pairs); the
+    planted noisy copies surface at small distances, the twin runs
+    the exact distance-<=2 join (banding lossless at the threshold)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketches = mm.audio_fingerprint(mm.audio_with_planted_copies(docs))
+    return dd.hamming_banded_pairs(
+        sketches,
+        "afp",
+        bits=mm.AFP_BITS,
+        max_hamming=mm.AFP_MAX_HAMMING,
+        id_col="media_id",
+        out_prefix="media",
+    )
+
+
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = mm.media_from_documents(load_table(spark, sf_dir, "documents"))
     return mm.media_meta(media)
@@ -5962,6 +5991,8 @@ def extension_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_phash_pairs": q_multimodal_phash_pairs,
         "multimodal_video_phash": q_multimodal_video_phash,
         "pipeline_image_dedup": q_pipeline_image_dedup,
+        "multimodal_afp": q_multimodal_afp,
+        "multimodal_afp_pairs": q_multimodal_afp_pairs,
         "pipeline_media_cluster": q_pipeline_media_cluster,
         "pipeline_topic_clusters": q_pipeline_topic_clusters,
         "events_window_agg": q_events_window_agg,
@@ -6193,6 +6224,66 @@ ph AS (
                 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0::BIGINT END))
               AS BIGINT) AS phash
   FROM ps
+)"""
+
+
+def _afp_cte() -> str:
+    """Twin of multimodal.audio_fingerprint over
+    audio_with_planted_copies — the int16 sample list rebuilt
+    arithmetically from the md5 digest (the multimodal_audio recipe),
+    the planted copy XORs bit 0 of every AFP_NOISE_EVERY-th PCM byte,
+    then 64 integer chunk energies (sum of |sample|) and the 63
+    adjacent-order bits. All exact integers — bit-identical engines."""
+    ne = mm.AFP_NOISE_EVERY
+
+    def byte(q: str) -> str:
+        b = f"db[({q}) % 16 + 1]"
+        return (
+            f"CASE WHEN variant = 1 AND ({q}) % {ne} = 0 "
+            f"THEN xor({b}, 1) ELSE {b} END"
+        )
+
+    return f"""am AS (
+  SELECT doc_id, (doc_id % 500 + 100)::BIGINT AS ns, md5(text) AS hx
+  FROM documents WHERE doc_id % 3 = 1
+),
+ad AS (
+  SELECT doc_id, ns,
+         list_transform(range(0, 16),
+           j -> (strpos('0123456789abcdef', substr(hx, 2 * CAST(j AS INTEGER) + 1, 1)) - 1) * 16
+              + (strpos('0123456789abcdef', substr(hx, 2 * CAST(j AS INTEGER) + 2, 1)) - 1)) AS db
+  FROM am
+),
+av AS (SELECT doc_id, ns, db, unnest([0, 1]) AS variant FROM ad),
+au AS (
+  SELECT doc_id, ns, variant,
+         list_transform(range(0, ns), i ->
+           ({byte("2 * i")}) + 256 * ({byte("2 * i + 1")})) AS uraw
+  FROM av
+),
+asg AS (
+  SELECT doc_id, ns, variant,
+         list_transform(uraw,
+           v -> CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS sm
+  FROM au
+),
+aen AS (
+  SELECT doc_id, ns, variant,
+         list_transform(range(0, {mm.AFP_CHUNKS}), c ->
+           list_sum(list_transform(
+             range((c * ns) // {mm.AFP_CHUNKS},
+                   ((c + 1) * ns) // {mm.AFP_CHUNKS}),
+             i -> abs(sm[CAST(i AS INTEGER) + 1])))) AS e
+  FROM asg
+),
+af AS (
+  SELECT (doc_id + variant * {mm.AFP_COPY_OFFSET})::BIGINT AS media_id,
+         ns::BIGINT AS n_samples,
+         CAST(list_sum(list_transform(range(0, {mm.AFP_BITS}), i ->
+           CASE WHEN e[CAST(i AS INTEGER) + 1] > e[CAST(i AS INTEGER) + 2]
+                THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0::BIGINT END))
+              AS BIGINT) AS afp
+  FROM aen
 )"""
 
 
@@ -8351,6 +8442,17 @@ SELECT (SELECT COUNT(*) FROM ph)::BIGINT AS n_media,
        (SELECT COUNT(*) FROM rm)::BIGINT AS n_removed,
        ((SELECT COUNT(*) FROM ph) - (SELECT COUNT(*) FROM rm))::BIGINT
          AS n_kept""",
+        "multimodal_afp": f"""
+WITH {_afp_cte()}
+SELECT media_id, n_samples, afp FROM af""",
+        # exact distance join — banding lossless at the threshold
+        "multimodal_afp_pairs": f"""
+WITH {_afp_cte()}
+SELECT a.media_id AS media_a, b.media_id AS media_b,
+       bit_count(xor(a.afp, b.afp))::BIGINT AS hamming
+FROM af a JOIN af b
+  ON a.media_id < b.media_id
+ AND bit_count(xor(a.afp, b.afp)) <= {mm.AFP_MAX_HAMMING}""",
         # per-frame video twin: frames are digest-identical, so one
         # arithmetic hash replicated over range(n_frames)
         "multimodal_video_phash": f"""

@@ -958,3 +958,120 @@ def video_frame_phash(media: DataFrame) -> DataFrame:
         .select("media_id", "payload")
         .mapInPandas(fn, schema=VIDEO_PHASH_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup — the fourth and last modality (text/image/
+# video near-dup all have gated families; this closes audio). Envelope
+# dHash: split the PCM clip into AFP_CHUNKS equal windows, integer
+# energy per window (Σ|sample|, exact int64), bit i = e_i > e_{i+1} —
+# 63 bits from 64 windows. Comparing ADJACENT energies (not a median
+# threshold) makes the fingerprint invariant to amplitude scaling
+# (any monotone gain preserves every pairwise order), the property a
+# re-encoded/level-normalized copy needs. Same banding as pHash:
+# 3 pigeonhole bands of 21 bits via dedup.hamming_banded_pairs.
+# ---------------------------------------------------------------------------
+
+AFP_CHUNKS = 64
+AFP_BITS = AFP_CHUNKS - 1  # 63: fits signed int64, 3 bands of 21
+AFP_MAX_HAMMING = 2
+AFP_COPY_OFFSET = 1_000_000_000  # audio ids are doc_id%3==1 — disjoint
+AFP_NOISE_EVERY = 257  # XOR bit 0 of every 257th PCM byte in the copy
+AFP_SCHEMA = "media_id LONG, n_samples LONG, afp LONG"
+
+
+def _afp_of_samples(sm) -> int:
+    """The shared integer envelope fingerprint of one int16 sample
+    array (numpy) — used by the kernel and mirrored arithmetically by
+    the DuckDB twin."""
+    import numpy as np
+
+    n = len(sm)
+    e = []
+    for c in range(AFP_CHUNKS):
+        lo, hi = (c * n) // AFP_CHUNKS, ((c + 1) * n) // AFP_CHUNKS
+        e.append(int(np.abs(sm[lo:hi].astype(np.int64)).sum()))
+    bits = 0
+    for i in range(AFP_BITS):
+        if e[i] > e[i + 1]:
+            bits |= 1 << i
+    return bits
+
+
+def audio_with_planted_copies(docs: DataFrame) -> DataFrame:
+    """Audio media table with one planted near-duplicate per clip:
+    the original digest-cycled PCM WAV (media_id = doc_id) AND a noisy
+    copy (media_id = doc_id + AFP_COPY_OFFSET) whose PCM byte ``p`` is
+    XORed with 1 whenever ``p % AFP_NOISE_EVERY == 0`` — the
+    re-encode-noise profile, digest-replayable in SQL."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                if did % 3 != 1:
+                    continue
+                digest = hashlib.md5((text or "").encode()).digest()
+                pcm = bytearray(
+                    _repeat_trunc(digest, 2 * _wav_samples(did))
+                )
+
+                def wav(frames: bytes) -> bytes:
+                    buf = io.BytesIO()
+                    with wave.open(buf, "wb") as wv:
+                        wv.setnchannels(1)
+                        wv.setsampwidth(2)
+                        wv.setframerate(WAV_RATE)
+                        wv.writeframes(frames)
+                    return buf.getvalue()
+
+                rows.append((did, "audio", wav(bytes(pcm))))
+                for p in range(0, len(pcm), AFP_NOISE_EVERY):
+                    pcm[p] ^= 1
+                rows.append(
+                    (did + AFP_COPY_OFFSET, "audio", wav(bytes(pcm)))
+                )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "kind", "payload"]
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        fn, schema="media_id LONG, kind STRING, payload BINARY"
+    )
+
+
+def audio_fingerprint(media: DataFrame) -> DataFrame:
+    """63-bit envelope fingerprint per audio clip — real stdlib WAV
+    decode, then the module-header integer pipeline. Narrow Arrow
+    pass; malformed payloads skipped (degrade-don't-die)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    n, _rate, frames = _decode_wav(bytes(p))
+                except (ValueError, EOFError, wave.Error):
+                    continue
+                sm = np.frombuffer(frames, dtype="<i2")
+                if len(sm) < AFP_CHUNKS:
+                    continue  # too short to fingerprint
+                rows.append((int(mid), len(sm), _afp_of_samples(sm)))
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "n_samples", "afp"]
+                )
+
+    return (
+        media.filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(fn, schema=AFP_SCHEMA)
+    )

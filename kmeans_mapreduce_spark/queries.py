@@ -717,6 +717,8 @@ BENCH_EXTENSION_QUERIES: set[str] = {
     "multimodal_phash_pairs",
     "multimodal_video_phash",
     "pipeline_image_dedup",
+    "multimodal_afp",
+    "multimodal_afp_pairs",
     "join_waiting_suppliers",
     "join_excess_stock",
     "join_custdist",

@@ -3534,3 +3534,52 @@ def test_video_frame_phash_matches_image_phash(spark):
     for f in mjpg:
         d = bin(f[3] ^ img_hash).count("1")
         assert d <= mm.PHASH_MAX_HAMMING, d
+
+
+def test_audio_fingerprint_scale_invariant_and_noise_robust(spark):
+    """The envelope dHash contract: adjacent-energy ORDER bits make
+    the fingerprint invariant to amplitude scaling (a gained/
+    normalized re-encode), robust to small additive noise, and far
+    for unrelated audio."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    from kmeans_mapreduce_spark.operators import multimodal as mm
+
+    def wav(sm):
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(2)
+            wv.setframerate(8000)
+            wv.writeframes(sm.astype("<i2").tobytes())
+        return buf.getvalue()
+
+    rs = np.random.RandomState(11)
+    n = 4096
+    # structured signal: tone with a slowly wandering envelope
+    t = np.arange(n)
+    env = 3000 + 2500 * np.sin(2 * np.pi * t / 900.0)
+    sig = (env * np.sin(2 * np.pi * t / 37.0)).astype(np.int64)
+    scaled = sig // 2                      # gain change
+    noisy = sig + rs.randint(-80, 81, n)   # small additive noise
+    other = (env[::-1] * np.sin(2 * np.pi * t / 11.0)).astype(np.int64)
+    media = spark.createDataFrame(
+        [
+            (0, "audio", bytearray(wav(sig))),
+            (1, "audio", bytearray(wav(scaled))),
+            (2, "audio", bytearray(wav(noisy))),
+            (3, "audio", bytearray(wav(other))),
+        ],
+        "media_id LONG, kind STRING, payload BINARY",
+    )
+    fp = {
+        r["media_id"]: r["afp"]
+        for r in mm.audio_fingerprint(media).collect()
+    }
+    d = lambda a, b: bin(fp[a] ^ fp[b]).count("1")  # noqa: E731
+    assert d(0, 1) <= mm.AFP_MAX_HAMMING, d(0, 1)  # gain-invariant
+    assert d(0, 2) <= mm.AFP_MAX_HAMMING, d(0, 2)  # noise-robust
+    assert d(0, 3) > mm.AFP_MAX_HAMMING, d(0, 3)   # unrelated is far
