@@ -955,6 +955,8 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     "join_custdist",
     "join_top_revenue_supplier",
     "join_supplier_cnt",
+    "multimodal_afp",
+    "multimodal_afp_pairs",
     "events_stream_join_outer_replay",
     # -- r13 entrants kept one more round (first driver-gate was r13) --
     "embeddings_pca",
@@ -972,12 +974,10 @@ DRIVER_WINDOW_QUERIES: list[str] = [
     # the r13 canary set rotate out; members within each family swap
     # so repeat-gating keeps touching different plans) --
     "kmeans_wssse",
-    "kmeans_kmpp_round2",
     "kmeans_nd_fit_large",
     "dedup_exact",
     "dedup_keep_best",
     "dedup_fuzzy_prefix",
-    "dedup_span_clean",
     "dedup_semantic_trained",
     "similarity_ann_ivf_trained",
     "similarity_ann_pq_rerank_trained",

@@ -114,6 +114,7 @@ def test_driver_window_samples_every_family():
         "observe": "events_observed_metrics",
         # round-14 growth (gated from this round)
         "image-near-dup": "multimodal_phash_pairs",
+        "audio-near-dup": "multimodal_afp_pairs",
         "video-near-dup": "multimodal_video_phash",
         "image-dedup-funnel": "pipeline_image_dedup",
         "q21-join": "join_waiting_suppliers",
