@@ -1459,10 +1459,19 @@ def knn_graph(
         .applyInPandas(group_topk, "src long, dst long, dot double")
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), F.asc("dst"))
+    # GRAPH BUILD BARRIER: the ranked edge set feeds BOTH sides of the
+    # mutual self-join below. Left as lineage, column pruning
+    # specializes the two subtrees so exchange reuse never fires and
+    # the tiled GEMM executes TWICE per call (confirmed in the
+    # post-AQE executedPlan: 2 FlatMapGroupsInPandas, 0
+    # ReusedExchange). localCheckpoint materializes the O(N·k) ranked
+    # rows once — the narrow 4-column payload keeps the barrier cost
+    # trivial next to one GEMM pass.
     edges = (
         local.select("src", "dst", F.round(F.col("dot"), digits).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
+        .localCheckpoint(eager=False)
     )
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("mutual")
@@ -1970,6 +1979,9 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Output: (vec_id, n_triangles), nodes with ≥1 triangle.
     """
+    # the undirected edge set feeds FOUR consumers (both degree-union
+    # branches, the orientation join, the closure probe); materialize
+    # it once so the upstream graph build never re-executes per branch
     und = (
         edges.select(
             F.least("src", "dst").alias("a"),
@@ -1977,6 +1989,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("v"))
