@@ -2183,25 +2183,38 @@ def q_pipeline_crawl_frontdoor(spark: SparkSession, sf_dir: str) -> DataFrame:
         urlfn.canonical_url(F.col("url")).alias("canon_url"),
     ).withColumn("host", urlfn.url_host(F.col("canon_url")))
     blocked = F.col("host").isin(*FRONTDOOR_BLOCKLIST)
+    # the kept representative is the min-doc_id unblocked row; its
+    # n_chars comes out as min_by(n_chars, doc_id-when-unblocked) —
+    # deterministic because doc_id is unique, NULL orderings (blocked
+    # rows / all-blocked groups) are skipped by min_by. The r14 form
+    # carried the whole row as a struct MIN, whose immutable buffer
+    # forced SortAggregate — a FULL-CORPUS sort before the partial
+    # aggregate (the exact skew-free plan this operator exists to
+    # have, lost to a buffer-type detail). With scalar long buffers
+    # both aggregates are hash-based again. The rep row's host needs
+    # no argmin at all: host is a pure function of canon_url, so it is
+    # constant within the group (NULL-host when every spelling is
+    # blocked, exactly the old rep.host NULL fold).
     g = c.groupBy("canon_url").agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.sum((~blocked).cast("long")).alias("n_unblocked"),
-        # struct MIN = lexicographic by field order ⇒ the min-doc_id
-        # unblocked row; NULL (ignored by MIN) when the row is blocked
-        F.min(
-            F.when(~blocked, F.struct("doc_id", "n_chars", "host"))
-        ).alias("rep"),
+        F.min_by(
+            F.col("n_chars"), F.when(~blocked, F.col("doc_id"))
+        ).alias("rep_n_chars"),
     )
     survived_quality = (F.col("n_unblocked") > 0) & (
-        F.col("rep.n_chars") >= FRONTDOOR_MIN_CHARS
+        F.col("rep_n_chars") >= FRONTDOOR_MIN_CHARS
     )
     # ONE linear chain — corpus → canon_url agg → host agg → 1 row —
     # so the scan and the canon_url exchange happen exactly once (a
     # totals/cap branch pair over unmaterialized `g` re-ran both; the
     # rebuild_crossover lesson, caught in PLANS.md). Groups whose
-    # every spelling is blocked have rep = NULL and fold into a
-    # NULL-host group contributing zero to quality/cap.
-    per_host = g.groupBy(F.col("rep.host").alias("host")).agg(
+    # every spelling is blocked fold into a NULL-host group
+    # contributing zero to quality/cap.
+    rep_host = F.when(
+        F.col("n_unblocked") > 0, urlfn.url_host(F.col("canon_url"))
+    )
+    per_host = g.groupBy(rep_host.alias("host")).agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("n_unblocked").alias("n_unblocked"),
         F.sum((F.col("n_unblocked") > 0).cast("long")).alias("n_dedup"),

@@ -532,18 +532,29 @@ def min_cost_supplier(
     its cheapest observed unit price).
 
     Scale shape: the ONLY corpus-scale exchange is the
-    (l_partkey, l_suppkey) aggregate (map-side combined); the per-part
-    argmin then runs over aggregate rows via one struct MIN — never a
-    correlated rescan, never a self-join. Supplier/nation/region/part
-    are broadcast dimensions; the region predicate prunes suppliers
-    BEFORE the fact join so non-region supply rows die at the join.
-    Final answer is top-``top_n`` by (cost, partkey) via
-    TakeOrderedAndProject — no global sort.
+    (l_partkey, l_suppkey) aggregate (HashAggregate, map-side
+    combined, integer-only payload — the supplier name strings never
+    ride the fact exchange); the per-part argmin is one window
+    ``row_number() OVER (PARTITION BY l_partkey ORDER BY cost_cents,
+    s_suppkey)`` over the aggregate rows — exactly the oracle twin's
+    formulation — never a correlated rescan, never a self-join. The
+    r14 struct-MIN form forced ``SortAggregate`` (immutable struct
+    buffer: Sort + Exchange + Sort, the one sort-based aggregate in
+    the suite — r14 verdict item 3); the window form keeps both
+    aggregates hash-based and sorts only the already-aggregated pair
+    rows once. Supplier/nation/region/part are broadcast dimensions;
+    the region predicate prunes suppliers BEFORE the fact join so
+    non-region supply rows die at the join; the winner's
+    (s_name, n_name) re-attach from the same broadcast dimension
+    AFTER the argmin. Final answer is top-``top_n`` by
+    (cost, partkey) via TakeOrderedAndProject — no global sort.
 
     Exactness: unit price is pinned to cents with the IEEE
-    floor(x·100 + ½) expression (identical op sequence both engines),
-    so MIN and the struct tie-break (cost, then s_suppkey) can never
-    disagree cross-engine.
+    floor(x·100 + ½) expression (identical op sequence both engines);
+    the tie-break (cost_cents, then s_suppkey) is total because
+    s_suppkey is the supplier primary key, so the argmin row — and
+    hence the re-attached name columns — can never disagree
+    cross-engine.
 
     Output: (p_partkey, p_brand, cost_cents, s_suppkey, s_name, n_name).
     """
@@ -567,30 +578,22 @@ def min_cost_supplier(
             "l_partkey", "l_suppkey", unit_cents.alias("unit_cents")
         )
         .join(
-            F.broadcast(sup_dim),
+            F.broadcast(sup_dim.select("s_suppkey")),
             F.col("l_suppkey") == F.col("s_suppkey"),
         )
-        .groupBy("l_partkey", "s_suppkey", "s_name", "n_name")
+        .groupBy("l_partkey", "s_suppkey")
         .agg(F.min("unit_cents").alias("cost_cents"))
     )
+    w = Window.partitionBy("l_partkey").orderBy("cost_cents", "s_suppkey")
     best = (
-        supply.groupBy("l_partkey")
-        .agg(
-            F.min(
-                F.struct("cost_cents", "s_suppkey", "s_name", "n_name")
-            ).alias("b")
-        )
-        .select(
-            "l_partkey",
-            F.col("b.cost_cents").alias("cost_cents"),
-            F.col("b.s_suppkey").alias("s_suppkey"),
-            F.col("b.s_name").alias("s_name"),
-            F.col("b.n_name").alias("n_name"),
-        )
+        supply.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_partkey", "cost_cents", "s_suppkey")
     )
     dim = part.select("p_partkey", "p_brand")
     return (
-        best.join(F.broadcast(dim), best["l_partkey"] == dim["p_partkey"])
+        best.join(F.broadcast(sup_dim), "s_suppkey")
+        .join(F.broadcast(dim), best["l_partkey"] == dim["p_partkey"])
         .select(
             "p_partkey", "p_brand", "cost_cents",
             "s_suppkey", "s_name", "n_name",

@@ -612,6 +612,10 @@ def test_frontdoor_funnel_has_no_window_one_corpus_exchange(spark):
     # partial aggregation is present (map-side combine absorbs a hot
     # host before any exchange)
     assert "partial_count" in plans.explain_str(df) or "HashAggregate" in simple
+    # r15: every aggregate must be hash-based — the r14 struct-MIN rep
+    # forced SortAggregate, i.e. a full-corpus sort before the partial
+    # aggregate (min_by over scalar longs restores mutable buffers)
+    assert "SortAggregate" not in simple, simple
 
 
 def test_min_cost_supplier_broadcasts_dims_no_cartesian(spark):
@@ -627,6 +631,11 @@ def test_min_cost_supplier_broadcasts_dims_no_cartesian(spark):
     assert "CartesianProduct" not in s
     assert "BroadcastNestedLoopJoin" not in s
     assert "TakeOrderedAndProject" in s
+    # r15: the per-part argmin is a window over hash-aggregated pair
+    # rows — the r14 struct-MIN forced SortAggregate (Sort + Exchange
+    # + Sort); keep every aggregate in this plan hash-based
+    assert "SortAggregate" not in s, s
+    assert "HashAggregate" in s
 
 
 def test_phash_pairs_join_is_not_cartesian(spark):
