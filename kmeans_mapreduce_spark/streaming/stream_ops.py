@@ -392,21 +392,61 @@ def stream_dedup_exact(stream: DataFrame) -> DataFrame:
 TTL_DEDUP_SEC = 86_400  # suppress same-key repeats within one day
 
 
-def _ttl_fold_batch(key, last, batch, ttl_sec: int):
+def _ttl_fold_batch(key, last, chunks, ttl_sec: int):
     """The per-key TTL-dedup fold SHARED by the v1
     (``applyInPandasWithState``) and TWS (``transformWithStateInPandas``)
     operators so the two APIs cannot drift: events in (ts_sec,
     event_id) order, emit iff no same-key event within ``ttl_sec``,
-    EVERY arrival refreshes the clock. Returns (out_rows, new_last)."""
-    batch = batch.sort_values(["ts_sec", "event_id"], kind="mergesort")
-    out = []
-    for ts, eid in zip(batch["ts_sec"], batch["event_id"]):
-        ts = int(ts)
-        gap = None if last is None else ts - last
-        if gap is None or gap > ttl_sec:
-            out.append((key[0], key[1], int(eid), ts, gap))
-        last = ts
-    return out, last
+    EVERY arrival refreshes the clock. Takes the API's chunk iterator;
+    returns (out_df_or_None, new_last) with out columns in the shared
+    output-schema order.
+
+    Vectorized (r15): the fold is a shifted-diff — prev[i] = ts[i-1]
+    (state ``last`` for row 0), emit iff prev is absent or
+    ts − prev > ttl — so it runs as four numpy ops instead of a
+    per-row Python loop. The per-key pandas machinery (concat +
+    mergesort + DataFrame-from-tuples) was the measured batch cost:
+    ~7.5 s of addBatch for 7,500 keys at sf0.1, ~1 ms/key of pure
+    interpreter overhead for ~13 rows/key."""
+    import numpy as np
+    import pandas as pd
+
+    parts = [c for c in chunks if len(c)]
+    if not parts:
+        return None, last
+    if len(parts) == 1:
+        ts = parts[0]["ts_sec"].to_numpy(dtype="int64")
+        eid = parts[0]["event_id"].to_numpy(dtype="int64")
+    else:
+        ts = np.concatenate([c["ts_sec"].to_numpy(dtype="int64") for c in parts])
+        eid = np.concatenate([c["event_id"].to_numpy(dtype="int64") for c in parts])
+    order = np.lexsort((eid, ts))
+    ts, eid = ts[order], eid[order]
+    prev = np.empty_like(ts)
+    prev[1:] = ts[:-1]
+    first_null = last is None
+    # sentinel forces row-0 emission when the key has no state (the
+    # first-ever event always emits, with gap_sec NULL)
+    prev[0] = (ts[0] - ttl_sec - 1) if first_null else last
+    gap = ts - prev
+    keep = gap > ttl_sec
+    new_last = int(ts[-1])
+    if not keep.any():
+        return None, new_last
+    out_gap = gap[keep].astype(object)
+    if first_null:
+        out_gap[0] = None
+    n = len(out_gap)
+    out = pd.DataFrame(
+        {
+            "user_id": np.full(n, key[0], dtype="int64"),
+            "event_type": np.full(n, key[1], dtype=object),
+            "event_id": eid[keep],
+            "ts_sec": ts[keep],
+            "gap_sec": out_gap,
+        }
+    )
+    return out, new_last
 
 
 def stream_dedup_ttl(
@@ -459,8 +499,7 @@ def stream_dedup_ttl(
             state.remove()
             return
         last = state.get[0] if state.exists else None
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        out, last = _ttl_fold_batch(key, last, batch, ttl_sec)
+        out, last = _ttl_fold_batch(key, last, pdfs, ttl_sec)
         if last is not None:
             state.update((last,))
             if evict:
@@ -470,17 +509,8 @@ def stream_dedup_ttl(
                         state.getCurrentWatermarkMs() + 1,
                     )
                 )
-        if out:
-            yield pd.DataFrame(
-                out,
-                columns=[
-                    "user_id",
-                    "event_type",
-                    "event_id",
-                    "ts_sec",
-                    "gap_sec",
-                ],
-            )
+        if out is not None:
+            yield out
 
     cols = [
         "user_id",
@@ -550,7 +580,6 @@ def stream_dedup_ttl_tws(
         "user_id BIGINT, event_type STRING, event_id BIGINT, "
         "ts_sec BIGINT, gap_sec BIGINT"
     )
-    out_cols = ["user_id", "event_type", "event_id", "ts_sec", "gap_sec"]
 
     class _TtlProcessor(StatefulProcessor):
         def init(self, handle) -> None:
@@ -565,8 +594,7 @@ def stream_dedup_ttl_tws(
             row = self._st.get()  # None ⇔ absent: no exists() call
             last = None if row is None else int(row[0])
             prev_timer = 0 if row is None else int(row[1])
-            batch = pd.concat(list(rows), ignore_index=True)
-            out, last = _ttl_fold_batch(key, last, batch, ttl_sec)
+            out, last = _ttl_fold_batch(key, last, rows, ttl_sec)
             if last is not None:
                 t = 0
                 if evict:
@@ -579,8 +607,8 @@ def stream_dedup_ttl_tws(
                     if prev_timer:
                         self._handle.deleteTimer(prev_timer)
                     self._handle.registerTimer(t)
-            if out:
-                yield pd.DataFrame(out, columns=out_cols)
+            if out is not None:
+                yield out
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
             # past last_seen + ttl: nothing this key could still
