@@ -387,6 +387,32 @@ def _measure(spark, sf_dir: str) -> dict:
     }
 
 
+def _divert_if_clobbering_clean(out_path: str, result: dict) -> str:
+    """Never overwrite a CLEAN bench artifact with a DEGRADED run
+    (r14 verdict task 2: the r13 round-close replaced the builder's
+    clean 153.99 s artifact with a 7.13%-steal rerun, corrupting the
+    cross-round baseline). When the existing artifact's recorded
+    health is clean and this run's is degraded, divert the write to
+    ``<name>_degraded.json`` so the rerun stays auditable without
+    displacing the canonical number."""
+    try:
+        with open(out_path) as f:
+            prior = json.load(f)
+    except (OSError, ValueError):
+        return out_path  # no prior artifact (or unreadable): write through
+    prior_clean = (prior.get("health") or {}).get("verdict") == "clean"
+    new_degraded = (result.get("health") or {}).get("verdict") == "degraded"
+    if prior_clean and new_degraded:
+        diverted = out_path[: -len(".json")] + "_degraded.json"
+        print(
+            f"[bench] refusing to overwrite clean artifact {out_path} "
+            f"with a degraded run — writing {diverted} instead",
+            file=sys.stderr,
+        )
+        return diverted
+    return out_path
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
@@ -428,9 +454,22 @@ def main() -> int:
         # stays under "attempts" so the retry is auditable either way.
         def _badness(mm: dict) -> tuple:
             h = mm["extra"]["health"]
+            steal = mm["extra"].get("cpu_steal_pct")
+            gbps = [
+                v
+                for v in (
+                    mm["extra"].get("mem_stream_gbps_start"),
+                    mm["extra"].get("mem_stream_gbps_end"),
+                )
+                if isinstance(v, (int, float))
+            ]
             return (
                 h["verdict"] == "degraded",
-                float(mm["extra"].get("cpu_steal_pct") or 0.0),
+                # a missing steal sample is UNKNOWN, not zero — sort it
+                # worst; and break remaining ties on the slower DRAM
+                # stream rate (negated: higher is better) — ADVICE r14
+                float("inf") if steal is None else float(steal),
+                -min(gbps) if gbps else float("inf"),
             )
 
         chosen, other, chosen_idx = (
@@ -520,6 +559,7 @@ def main() -> int:
             ]
             rnd = f"{(max(nums) + 1) if nums else 1:02d}"
         out_path = os.path.join(here, "tools", f"bench_r{rnd}.json")
+        out_path = _divert_if_clobbering_clean(out_path, result)
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1)
         print(f"[bench] full result written to {out_path}", file=sys.stderr)

@@ -920,10 +920,14 @@ def _write_event_time_ordered_split(
     import shutil
     import tempfile
 
+    # keyed by (sf_dir, PID): two concurrent sessions on the same
+    # sf_dir (parallel pytest workers, a sweep overlapping a bench)
+    # must never rmtree/rewrite the split while the other's
+    # FileStreamSource is mid-replay (ADVICE r14)
     out = os.path.join(
         tempfile.gettempdir(),
-        "spark_graft_outer_split_%08x"
-        % (zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF),
+        "spark_graft_outer_split_%08x_%d"
+        % (zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF, os.getpid()),
     )
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
 
@@ -6989,7 +6993,8 @@ GROUP BY 1, 2, 3""",
         "join_excess_stock": f"""
 WITH p AS (SELECT p_partkey FROM part
            WHERE p_name LIKE '{rel.EXCESS_PART_PREFIX}%'),
-l AS (SELECT l_partkey, l_suppkey, CAST(l_quantity AS BIGINT) AS qty
+l AS (SELECT l_partkey, l_suppkey,
+             CAST(floor(l_quantity + 0.5) AS BIGINT) AS qty
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '{rel.EXCESS_YEAR}-01-01'
         AND l_shipdate < TIMESTAMP '{rel.EXCESS_YEAR + 1}-01-01'),
@@ -7082,14 +7087,14 @@ FROM agg""",
         "join_small_quantity": """
 WITH s AS (
   SELECT l_partkey, COUNT(*)::BIGINT AS n_q,
-         SUM(CAST(l_quantity AS BIGINT))::BIGINT AS s_q
+         SUM(CAST(floor(l_quantity + 0.5) AS BIGINT))::BIGINT AS s_q
   FROM lineitem GROUP BY 1)
 SELECT p.p_brand, COUNT(*)::BIGINT AS n_small,
        ROUND(SUM(l.l_extendedprice), 2) AS revenue
 FROM lineitem l
 JOIN s ON s.l_partkey = l.l_partkey
 JOIN part p ON p.p_partkey = l.l_partkey
-WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.n_q < s.s_q
+WHERE 5 * CAST(floor(l.l_quantity + 0.5) AS BIGINT) * s.n_q < s.s_q
 GROUP BY 1""",
         # Q2 shape: decorrelated per-(part, supplier) min unit cost,
         # per-part argmin with (cost, suppkey) tie-break, region-pruned

@@ -382,7 +382,13 @@ def small_quantity_revenue(
 
     Output: (p_brand, n_small, revenue).
     """
-    q = F.col("l_quantity").cast("bigint")
+    # floor(x + ½) instead of a bare cast: Spark cast(double AS bigint)
+    # truncates while DuckDB CAST rounds — a latent engine split if
+    # l_quantity ever became non-integral (ADVICE r14). The explicit
+    # IEEE op sequence is shared verbatim with the oracle twin, so the
+    # two engines stay bit-identical by construction, not by the
+    # integrality accident.
+    q = F.expr("cast(floor(l_quantity + 0.5) as bigint)")
     stats = lineitem.groupBy("l_partkey").agg(
         F.count(F.lit(1)).alias("n_q"),
         F.sum(q).alias("s_q"),
@@ -719,7 +725,11 @@ def excess_stock_suppliers(
     l = lineitem.filter(
         (F.col("l_shipdate") >= ts0) & (F.col("l_shipdate") < ts1)
     ).select(
-        "l_partkey", "l_suppkey", F.col("l_quantity").cast("bigint").alias("qty")
+        "l_partkey",
+        "l_suppkey",
+        # shared floor(x+½) pin, not a truncating cast — see
+        # small_quantity_revenue (ADVICE r14)
+        F.expr("cast(floor(l_quantity + 0.5) as bigint)").alias("qty"),
     )
     pairs = (
         l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))

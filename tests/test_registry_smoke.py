@@ -38,6 +38,84 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q), sorted(set(o) - set(q))
 
 
+def test_bench_never_clobbers_clean_artifact_with_degraded(tmp_path):
+    """r14 verdict task 2: a degraded round-close rerun must never
+    overwrite a clean bench artifact (r13's 153.99 s clean baseline
+    was replaced by a 7.13%-steal rerun). The divert rule: clean→any
+    writes through, clean-prior + degraded-new diverts to
+    *_degraded.json; degraded-prior is always replaceable."""
+    import json
+
+    from bench import _divert_if_clobbering_clean
+
+    p = tmp_path / "bench_r99.json"
+
+    def run(health):
+        return {"health": {"verdict": health, "reasons": []}}
+
+    # no prior artifact: write through
+    assert _divert_if_clobbering_clean(str(p), run("degraded")) == str(p)
+    p.write_text(json.dumps(run("clean")))
+    # clean prior + degraded new: divert
+    assert _divert_if_clobbering_clean(str(p), run("degraded")) == str(
+        tmp_path / "bench_r99_degraded.json"
+    )
+    # clean prior + clean new: write through (fresher clean run wins)
+    assert _divert_if_clobbering_clean(str(p), run("clean")) == str(p)
+    p.write_text(json.dumps(run("degraded")))
+    # degraded prior: anything may replace it
+    assert _divert_if_clobbering_clean(str(p), run("degraded")) == str(p)
+    assert _divert_if_clobbering_clean(str(p), run("clean")) == str(p)
+
+
+def test_bench_badness_orders_unknown_steal_worst():
+    """ADVICE r14: a pass with no steal sample is UNKNOWN, not
+    0%-steal — in the both-degraded tie-break it must lose to any
+    measured steal, and the DRAM stream rate breaks remaining ties."""
+    import importlib
+
+    bench = importlib.import_module("bench")
+
+    def mm(steal, gbps, verdict="degraded"):
+        extra = {"health": {"verdict": verdict, "reasons": []}}
+        if steal is not None:
+            extra["cpu_steal_pct"] = steal
+        if gbps is not None:
+            extra["mem_stream_gbps_start"] = gbps
+            extra["mem_stream_gbps_end"] = gbps
+        return {"extra": extra}
+
+    # reproduce main()'s local _badness via the same ordering rules:
+    # degraded flag, then steal (None sorts worst), then -min(gbps)
+    def badness(m):
+        h = m["extra"]["health"]
+        steal = m["extra"].get("cpu_steal_pct")
+        gbps = [
+            v
+            for v in (
+                m["extra"].get("mem_stream_gbps_start"),
+                m["extra"].get("mem_stream_gbps_end"),
+            )
+            if isinstance(v, (int, float))
+        ]
+        return (
+            h["verdict"] == "degraded",
+            float("inf") if steal is None else float(steal),
+            -min(gbps) if gbps else float("inf"),
+        )
+
+    assert badness(mm(5.0, 10.0)) < badness(mm(None, 10.0))
+    assert badness(mm(2.0, 11.0)) < badness(mm(2.0, 3.0))
+    assert badness(mm(0.1, 11.0, "clean")) < badness(mm(0.0, 11.0))
+    # the source must actually implement this ordering (guard against
+    # silent drift back to `or 0.0`)
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    assert "float(\"inf\") if steal is None" in src
+    assert "-min(gbps)" in src
+
+
 def test_bench_accounting_is_a_partition():
     """No query silently falls through the bench: every registry entry
     is either tracked by bench.py (BENCH_EXTENSION_QUERIES or a core
