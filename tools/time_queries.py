@@ -51,8 +51,10 @@ def main() -> int:
         fn = registry[name]
         spark.sparkContext.setJobDescription(f"time: {name}")
         durs = []
-        gc.collect()
         for _ in range(reps):
+            # release the previous rep's checkpoint blocks before
+            # timing (same rationale as bench.py's timed())
+            gc.collect()
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             durs.append(round(time.time() - t0, 3))
