@@ -387,30 +387,102 @@ def _measure(spark, sf_dir: str) -> dict:
     }
 
 
-def _divert_if_clobbering_clean(out_path: str, result: dict) -> str:
-    """Never overwrite a CLEAN bench artifact with a DEGRADED run
-    (r14 verdict task 2: the r13 round-close replaced the builder's
-    clean 153.99 s artifact with a 7.13%-steal rerun, corrupting the
-    cross-round baseline). When the existing artifact's recorded
-    health is clean and this run's is degraded, divert the write to
-    ``<name>_degraded.json`` so the rerun stays auditable without
-    displacing the canonical number."""
+def _badness(stamped: dict) -> tuple:
+    """Box-condition ordering for choosing between two measurement
+    passes or artifacts — smaller is better-conditioned: (degraded?,
+    window steal [missing sample = UNKNOWN = worst], −min DRAM stream
+    rate). Takes any flat mapping carrying ``health`` /
+    ``cpu_steal_pct`` / ``mem_stream_gbps_start``/``_end`` — both a
+    pass's ``extra`` and a persisted artifact have that shape. An
+    artifact with NO health key (pre-r13 legacy) is unknown-conditioned
+    and sorts worst, i.e. stays replaceable — decided explicitly per
+    ADVICE r15."""
+    h = stamped.get("health") or {}
+    steal = stamped.get("cpu_steal_pct")
+    gbps = [
+        v
+        for v in (
+            stamped.get("mem_stream_gbps_start"),
+            stamped.get("mem_stream_gbps_end"),
+        )
+        if isinstance(v, (int, float))
+    ]
+    return (
+        h.get("verdict") != "clean",
+        float("inf") if steal is None else float(steal),
+        -min(gbps) if gbps else float("inf"),
+    )
+
+
+def _divert_if_worse_conditioned(out_path: str, result: dict) -> str:
+    """Never displace a better-conditioned bench artifact with a
+    worse-conditioned run. r14 closed the clean-vs-degraded case (the
+    r13 round-close replaced a clean 153.99 s artifact with a
+    7.13%-steal rerun); r15's verdict found the remaining hole — a
+    2.73%-steal driver rerun displaced the builder's 1.76%-steal
+    artifact because degraded-over-degraded was allowed. The rule is
+    now: a CLEAN run always writes through (fresher clean HEAD wins);
+    a DEGRADED run diverts to ``<name>_degraded[N].json`` whenever it
+    is strictly worse-conditioned than the prior under ``_badness``
+    (clean prior, or degraded prior with lower steal / faster DRAM
+    stream). Diverted filenames take an attempt counter so a second
+    diverted rerun cannot silently overwrite the first (ADVICE r15)."""
     try:
         with open(out_path) as f:
             prior = json.load(f)
     except (OSError, ValueError):
         return out_path  # no prior artifact (or unreadable): write through
-    prior_clean = (prior.get("health") or {}).get("verdict") == "clean"
     new_degraded = (result.get("health") or {}).get("verdict") == "degraded"
-    if prior_clean and new_degraded:
-        diverted = out_path[: -len(".json")] + "_degraded.json"
+    if new_degraded and _badness(result) > _badness(prior):
+        base = out_path[: -len(".json")] + "_degraded"
+        diverted = base + ".json"
+        attempt = 2
+        while os.path.exists(diverted):
+            diverted = f"{base}{attempt}.json"
+            attempt += 1
         print(
-            f"[bench] refusing to overwrite clean artifact {out_path} "
-            f"with a degraded run — writing {diverted} instead",
+            f"[bench] refusing to overwrite better-conditioned artifact "
+            f"{out_path} with a worse-conditioned degraded run — "
+            f"writing {diverted} instead",
             file=sys.stderr,
         )
         return diverted
     return out_path
+
+
+def _prev_round_stdout_queries(here: str, rnd: str) -> set[str]:
+    """The cross-round comparison anchor set: the per-query names that
+    made it onto the PREVIOUS round's budgeted stdout line
+    (``BENCH_r{N-1}.json`` → ``parsed.queries`` at the repo root — the
+    driver's own record of what its comparison will read). Best-effort:
+    any parse problem returns an empty set and the line degrades to
+    plain slowest-first."""
+    import glob
+    import re
+
+    try:
+        cur = int(rnd)
+    except (TypeError, ValueError):
+        cur = None
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(p))
+        if not m:
+            continue
+        n = int(m.group(1))
+        if cur is not None and n >= cur:
+            continue
+        if best is None or n > best[0]:
+            best = (n, p)
+    if best is None:
+        return set()
+    try:
+        with open(best[1]) as f:
+            prev = json.load(f)
+        parsed = prev.get("parsed") or {}
+        return set((parsed.get("queries") or {}).keys())
+    except (OSError, ValueError, AttributeError):
+        return set()
 
 
 def main() -> int:
@@ -452,28 +524,13 @@ def main() -> int:
         # retry (the cooldown may not have helped): clean verdict wins;
         # both degraded → lower window steal wins. The loser's summary
         # stays under "attempts" so the retry is auditable either way.
-        def _badness(mm: dict) -> tuple:
-            h = mm["extra"]["health"]
-            steal = mm["extra"].get("cpu_steal_pct")
-            gbps = [
-                v
-                for v in (
-                    mm["extra"].get("mem_stream_gbps_start"),
-                    mm["extra"].get("mem_stream_gbps_end"),
-                )
-                if isinstance(v, (int, float))
-            ]
-            return (
-                h["verdict"] == "degraded",
-                # a missing steal sample is UNKNOWN, not zero — sort it
-                # worst; and break remaining ties on the slower DRAM
-                # stream rate (negated: higher is better) — ADVICE r14
-                float("inf") if steal is None else float(steal),
-                -min(gbps) if gbps else float("inf"),
-            )
-
+        # module-level _badness (ADVICE r15: hoisted so tests exercise
+        # the real ordering): degraded flag, then window steal (missing
+        # sample = UNKNOWN sorts worst), then the slower DRAM rate
         chosen, other, chosen_idx = (
-            (m2, m, 2) if _badness(m2) < _badness(m) else (m, m2, 1)
+            (m2, m, 2)
+            if _badness(m2["extra"]) < _badness(m["extra"])
+            else (m, m2, 1)
         )
         attempts.append(
             {
@@ -526,6 +583,19 @@ def main() -> int:
         "start_offset_sec": m["starts"],
     }
 
+    here = os.path.dirname(os.path.abspath(__file__))
+    rnd = os.environ.get("SPARK_GRAFT_ROUND")
+    if not rnd:
+        import glob
+
+        prior = glob.glob(os.path.join(here, "BENCH_r*.json"))
+        nums = [
+            int(os.path.basename(p)[7:-5])
+            for p in prior
+            if os.path.basename(p)[7:-5].isdigit()
+        ]
+        rnd = f"{(max(nums) + 1) if nums else 1:02d}"
+
     STDOUT_BUDGET = 1900  # driver keeps 2000 chars; leave margin
     compact = {
         "metric": "headline_total_wall",
@@ -535,31 +605,30 @@ def main() -> int:
         "n_queries": len(timings),
         **{k: v for k, v in extra.items() if k != "start_stamp"},
     }
-    ranked = sorted(timings.items(), key=lambda kv: -kv[1])
+    # Anchor-first fill (r15 verdict task 3b): slowest-first alone made
+    # the line a MOVING subset — a query that got FASTER fell off it
+    # and the driver's comparison filed the speedup as
+    # "dropped_from_bench" (r15: 12 phantom drops, the 2.4× Q2 win
+    # invisible). The cross-round comparison set — the names on the
+    # PREVIOUS round's line — now prints first (each at its current
+    # median), and the remaining budget slowest-fills as before. An
+    # entry that does not fit is skipped, not a hard stop, so smaller
+    # anchors still land.
+    anchors = _prev_round_stdout_queries(here, rnd)
+    ranked = sorted(
+        timings.items(), key=lambda kv: (kv[0] not in anchors, -kv[1])
+    )
     shown: dict[str, float] = {}
     for name, dur in ranked:
         trial = dict(compact)
         trial["queries"] = {**shown, name: dur}
-        if len(json.dumps(trial)) > STDOUT_BUDGET:
-            break
-        shown[name] = dur
+        if len(json.dumps(trial)) <= STDOUT_BUDGET:
+            shown[name] = dur
     compact["queries"] = shown
     line = json.dumps(compact)
     try:
-        here = os.path.dirname(os.path.abspath(__file__))
-        rnd = os.environ.get("SPARK_GRAFT_ROUND")
-        if not rnd:
-            import glob
-
-            prior = glob.glob(os.path.join(here, "BENCH_r*.json"))
-            nums = [
-                int(os.path.basename(p)[7:-5])
-                for p in prior
-                if os.path.basename(p)[7:-5].isdigit()
-            ]
-            rnd = f"{(max(nums) + 1) if nums else 1:02d}"
         out_path = os.path.join(here, "tools", f"bench_r{rnd}.json")
-        out_path = _divert_if_clobbering_clean(out_path, result)
+        out_path = _divert_if_worse_conditioned(out_path, result)
         with open(out_path, "w") as f:
             json.dump(result, f, indent=1)
         print(f"[bench] full result written to {out_path}", file=sys.stderr)

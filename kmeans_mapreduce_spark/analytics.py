@@ -24,6 +24,7 @@ from kmeans_mapreduce_spark.operators import selection as sel
 from kmeans_mapreduce_spark.operators import sketches as sk
 from kmeans_mapreduce_spark.operators import textops as tx
 from kmeans_mapreduce_spark.sources.loaders import load_table
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
@@ -948,7 +949,7 @@ def q_events_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = (
         e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     stats = counts.agg(
         F.count(F.lit(1)).alias("n_keys"),

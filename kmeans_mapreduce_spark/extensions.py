@@ -36,6 +36,7 @@ from kmeans_mapreduce_spark.operators import selection as _sel
 from kmeans_mapreduce_spark.operators import similarity as sim
 from kmeans_mapreduce_spark.operators import textops as tx
 from kmeans_mapreduce_spark.sources.loaders import load_table
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 # thresholds / params shared by both engines (calibrated against the
 # corpus: shingle-Jaccard between unrelated docs ≈ 0.002, planted
@@ -898,6 +899,47 @@ def q_events_stream_join_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _reap_orphaned_split_dirs(live: str) -> None:
+    """Prune sibling PID-keyed split dirs whose owning process is gone
+    (ADVICE r15): each dir holds a full parquet copy of the events
+    table, so crashed/exited sessions would otherwise accumulate them
+    unboundedly across repeated runs and parallel pytest workers. A
+    dir is reaped only when its embedded PID no longer exists — a
+    LIVE process's split is never touched (the r14 concurrency fix
+    stands). This process also registers an atexit removal of its own
+    dir. Best-effort: cleanup must never fail a gated query."""
+    import atexit
+    import glob as _glob
+    import re
+    import shutil
+    import tempfile
+
+    try:
+        pat = os.path.join(
+            tempfile.gettempdir(), "spark_graft_outer_split_*_*"
+        )
+        for d in _glob.glob(pat):
+            if d == live:
+                continue
+            m = re.search(r"_(\d+)$", d)
+            if not m:
+                continue
+            try:
+                os.kill(int(m.group(1)), 0)
+            except ProcessLookupError:
+                shutil.rmtree(d, ignore_errors=True)
+            except (PermissionError, OSError):
+                pass  # PID exists (or unknowable): leave it alone
+        if live not in _SPLIT_DIRS_ATEXIT:
+            _SPLIT_DIRS_ATEXIT.add(live)
+            atexit.register(shutil.rmtree, live, ignore_errors=True)
+    except Exception:  # noqa: BLE001 — cleanup is advisory only
+        pass
+
+
+_SPLIT_DIRS_ATEXIT: set[str] = set()
+
+
 def _write_event_time_ordered_split(
     spark: SparkSession, sf_dir: str, n_files: int = 2
 ) -> str:
@@ -929,6 +971,7 @@ def _write_event_time_ordered_split(
         "spark_graft_outer_split_%08x_%d"
         % (zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF, os.getpid()),
     )
+    _reap_orphaned_split_dirs(live=out)
     from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -1408,7 +1451,19 @@ def q_pipeline_events_dashboard(
     corpus-scale shuffles beyond what each operator already does —
     the whole dashboard is four map-side-combined aggregations wide.
     """
-    e = load_table(spark, sf_dir, "events")
+    # r16 (r15 verdict task 4): the four composed operators plus
+    # gapfill's internal metadata job each re-scanned the events table
+    # — FIVE corpus scans per dashboard. Every branch consumes only
+    # (event_type, ts, event_id, value), so one NARROW barrier
+    # materializes that projection exactly once and all five reads hit
+    # the materialized rows — the knn/triangles discipline (guide
+    # §2.4). Each operator's own aggregation shape is untouched. At
+    # 100 TB this is one events scan instead of five.
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "ts", "event_id", "value")
+        .transform(narrow_barrier)
+    )
     from pyspark.sql.window import Window
 
     q = ev.exact_quantiles(e).select("event_type", "n_events", "p50", "p99")
@@ -1931,7 +1986,7 @@ def q_pipeline_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") == 1)
         .select("doc_id", "n_tok")
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     # the training corpus drops BOTH the contaminated docs and the
     # benchmark members themselves (an eval doc must never train,
@@ -2595,7 +2650,7 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     lsh_n = dd.minhash_lsh_dedup(docs, JACCARD_LSH_THRESHOLD).agg(
         F.count(F.lit(1)).alias("n_lsh")
     )
-    toksets = dd.shingle_sets(docs).localCheckpoint(eager=False)
+    toksets = dd.shingle_sets(docs).transform(narrow_barrier)
     post = toksets.select("doc_id", F.explode("s").alias("sh"))
     cand = (
         post.alias("a")
@@ -2946,7 +3001,7 @@ def q_similarity_rebuild_crossover(
     # of incremental_minhash_pairs' band build)
     per = assigned.groupBy(
         "cell", (F.col("vec_id") % 10).cast("int").alias("bkt")
-    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=False)
+    ).agg(F.count(F.lit(1)).alias("n")).transform(narrow_barrier)
     fr = spark.createDataFrame([(1,), (2,), (5,)], "inc_tenths INT")
     ci = (
         per.crossJoin(F.broadcast(fr))
@@ -3474,7 +3529,7 @@ def q_similarity_dim_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = (
         sim.cosine_topk(emb, TOPK_QUERY_IDS, TOPK_K)
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     denom = float(len(set(TOPK_QUERY_IDS)) * TOPK_K)
     out = None
@@ -3527,11 +3582,11 @@ def q_similarity_ann_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("vec_id").isin(sorted(set(TOPK_QUERY_IDS)))
         ).collect()
     }
-    idx = sim.build_ivf_index(emb, centers).localCheckpoint(eager=False)
+    idx = sim.build_ivf_index(emb, centers).transform(narrow_barrier)
     brute = (
         sim.cosine_topk(emb, TOPK_QUERY_IDS, ANN_K)
         .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     denom = float(len(set(TOPK_QUERY_IDS)) * ANN_K)
     out = None
@@ -3822,7 +3877,7 @@ def q_pipeline_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sketches = mm.image_phash(
         mm.images_with_planted_copies(docs)
-    ).localCheckpoint(eager=False)
+    ).transform(narrow_barrier)
     pairs = dd.hamming_banded_pairs(
         sketches,
         "phash",
@@ -3830,7 +3885,7 @@ def q_pipeline_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_hamming=mm.PHASH_MAX_HAMMING,
         id_col="media_id",
         out_prefix="media",
-    ).localCheckpoint(eager=False)
+    ).transform(narrow_barrier)
     removed = pairs.select(F.col("media_b").alias("media_id")).distinct()
     kept = sketches.join(removed, "media_id", "left_anti")
     counts = (

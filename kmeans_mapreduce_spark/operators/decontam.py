@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.hashing import h64
 from kmeans_mapreduce_spark.operators.dedup import shingle_sets
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 BENCH_MOD = 97  # doc_id % BENCH_MOD == 0 -> benchmark split
 CONTAM_THRESHOLD = 0.05  # flagged when >= 5% of shingles are eval shingles
@@ -53,7 +54,7 @@ def shingle_fingerprints(docs: DataFrame) -> DataFrame:
         F.size("s").alias("n_shingles"),
         F.explode("s").alias("tok"),
     ).select("doc_id", "n_shingles", h64(F.col("tok")).alias("fp"))
-    return fp.localCheckpoint(eager=False)
+    return fp.transform(narrow_barrier)
 
 
 def decontaminate(

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.hashing import MINHASH_P, h64, hash_family
 from kmeans_mapreduce_spark.functions.text import shingles, tokens
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 NUM_HASHES = 12  # minhash signature length
 BANDS = 4  # LSH bands (rows per band = NUM_HASHES // BANDS = 3)
@@ -370,14 +371,14 @@ def jaccard_pairs(
     # a full-corpus set build costs O(corpus) when collisions touch a
     # small fraction of it (the broadcast semi-join is the same prune
     # incremental dedup uses)
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.transform(narrow_barrier)
     touched = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     pruned = docs.join(F.broadcast(touched), "doc_id", "left_semi")
-    toksets = shingle_sets(pruned).localCheckpoint(eager=False)
+    toksets = shingle_sets(pruned).transform(narrow_barrier)
     j = (
         pairs.join(toksets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("s", "sa"), "doc_a")
         .join(toksets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("s", "sb"), "doc_b")
@@ -403,8 +404,8 @@ def minhash_lsh_dedup(
     build-once-query-many barrier as ``ngram_jaccard_pairs``'s posting
     index (measured at sf0.1: 2.3 → 2.0 s warm; at cluster scale the
     index would be persisted instead)."""
-    bands = lsh_bands_from_array(minhash_signature_array(docs)).localCheckpoint(
-        eager=False
+    bands = lsh_bands_from_array(minhash_signature_array(docs)).transform(
+        narrow_barrier
     )
     return jaccard_pairs(docs, candidate_pairs(bands), threshold)
 
@@ -488,7 +489,7 @@ def ngram_jaccard_pairs(
     # once — the same build-once-query-many shape as
     # similarity.ivf_ann_topk; at cluster scale the index would be
     # persisted (parquet bucketed by shingle) instead.
-    post = shingle_postings(docs).localCheckpoint(eager=False)
+    post = shingle_postings(docs).transform(narrow_barrier)
     # |set| per doc = its posting count (shingle sets are distinct) —
     # derived from the materialized index, not another shingle pass
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -587,7 +588,7 @@ def connected_components(
         pairs.select(F.col("doc_a").alias("s"), F.col("doc_b").alias("t"))
         .union(pairs.select(F.col("doc_b").alias("s"), F.col("doc_a").alias("t")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     if small_graph_threshold and edges.count() <= small_graph_threshold:
         parent: dict[int, int] = {}
@@ -618,7 +619,7 @@ def connected_components(
         edges.select(F.col("s").alias("id"))
         .distinct()
         .select("id", F.col("id").alias("label"))
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -634,7 +635,7 @@ def connected_components(
                     F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
+            .transform(narrow_barrier)
         )
         changed = (
             new_labels.alias("n")
@@ -824,7 +825,7 @@ def hamming_banded_pairs(
             "hamming_banded_pairs: bits must divide into max_hamming+1 bands"
         )
     w = bits // nb
-    sh = sketches.select(id_col, hash_col).localCheckpoint(eager=False)
+    sh = sketches.select(id_col, hash_col).transform(narrow_barrier)
     banded = (
         sh.select(
             id_col,
@@ -1249,7 +1250,7 @@ def duplicated_span_stats(docs: DataFrame, digits: int = 6) -> DataFrame:
     Output: (doc_id, n_shingles, n_dup, dup_fraction).
     """
     post = (
-        shingle_postings(docs).select("doc_id", "sh").localCheckpoint(eager=False)
+        shingle_postings(docs).select("doc_id", "sh").transform(narrow_barrier)
     )
     df = post.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     per = (
@@ -1339,14 +1340,14 @@ def fuzzy_prefix_pairs(
     k = max_dist + 1
     docpre = docs.select(
         "doc_id", F.substring("text", 1, prefix_len).alias("p")
-    ).localCheckpoint(eager=False)
+    ).transform(narrow_barrier)
     # the distinct-prefix working set: all candidate generation and
     # all levenshtein verification happen at this granularity
     pre = (
         docpre.select("p")
         .distinct()
         .withColumn("plen", F.length("p").cast("int"))
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
 
     idx = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
@@ -1513,7 +1514,7 @@ def incremental_minhash_pairs(
     # materialize once: the new/old branches would otherwise each
     # recompute the full signature scan (same multi-consumer barrier
     # as jaccard_pairs' shingle sets)
-    flagged = bands.crossJoin(F.broadcast(boundary)).localCheckpoint(eager=False)
+    flagged = bands.crossJoin(F.broadcast(boundary)).transform(narrow_barrier)
     new_bands = flagged.filter(F.col("doc_id") >= F.col("split_id")).select(
         "doc_id", "band_id", "band_hash"
     )
@@ -1998,7 +1999,7 @@ def bloom_prefilter_dedup(
     hfp = (
         hist.select(content_fp(F.col("text")).alias("fp"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     bitmap = sk.bloom_filter_words(
         sk.bloom_registers(hfp, "fp", words, native=False), words
@@ -2081,7 +2082,7 @@ def line_boilerplate_dedup(
     exploded = (
         docs.select(id_col, F.posexplode(lines_col).alias("idx", "line"))
         .select(id_col, "idx", "line", lfp)
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     boiler = (
         exploded.select(id_col, "lfp")

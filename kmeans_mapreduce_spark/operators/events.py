@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 WINDOW_SEC = 300  # 5-minute tumbling windows
 SESSION_GAP_SEC = 1800  # 30-minute session gap
@@ -862,7 +863,7 @@ def anomaly_mad(events: DataFrame, k: int = MAD_K) -> DataFrame:
     roll = (
         events.groupBy(F.col("event_type"), hour.alias("hr"))
         .agg(F.sum(value_cents()).alias("v"))
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
 
     def rank_median(df: DataFrame, col: str) -> DataFrame:
@@ -894,7 +895,7 @@ def anomaly_mad(events: DataFrame, k: int = MAD_K) -> DataFrame:
             F.abs(F.col("v") - F.col("med_cents")).alias("d"),
             "med_cents",
         )
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     mad = rank_median(
         dev.select("event_type", "d"), "d"

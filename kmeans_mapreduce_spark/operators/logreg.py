@@ -35,6 +35,7 @@ from kmeans_mapreduce_spark.functions.text import (
     type_token_ratio,
 )
 from kmeans_mapreduce_spark.operators.selection import DSIR_QUALITY_TAU
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 LR_BUCKETS = 1024
 LR_RATE = 0.5  # loop2 gate rate (power of two: the step multiply is exact)
@@ -154,7 +155,7 @@ def fit_logreg(
     def r6(x: float) -> float:
         return math.floor(float(x) * scale + 0.5) / scale
 
-    feats = feats.localCheckpoint(eager=False)
+    feats = feats.transform(narrow_barrier)
     w = np.zeros(buckets + n_extra)
     b = 0.0
     for _ in range(iters):

@@ -22,6 +22,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 
 def not_null(col: str) -> tuple[str, Column]:
@@ -71,7 +72,7 @@ def row_checks(df: DataFrame, checks: Sequence[tuple[str, Column]]) -> DataFrame
     ]
     # materialize the 1-row aggregate ONCE: each union branch below
     # re-projects it; left as lineage they would each rescan the table
-    row = df.agg(*aggs).localCheckpoint(eager=False)
+    row = df.agg(*aggs).transform(narrow_barrier)
     out = None
     for i, (name, _) in enumerate(checks):
         one = row.select(

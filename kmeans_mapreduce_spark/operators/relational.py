@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 def _revenue():
     """Discounted revenue column, built lazily — constructing a Column
@@ -657,7 +658,7 @@ def waiting_suppliers(
         # orders⋈lineitem join re-executes for every side and the
         # fact is scanned three times (r14 review finding; the same
         # r6 self-join discipline as hamming_banded_pairs)
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     l1 = ll.filter(F.col("late")).select("l_orderkey", "l_suppkey")
     l2 = ll.select(
@@ -821,7 +822,7 @@ def top_revenue_suppliers(
         .groupBy("l_suppkey")
         .agg(F.round(F.sum("rev"), digits).alias("total_revenue"))
     )
-    revenue = revenue.localCheckpoint(eager=False)  # materialize once
+    revenue = revenue.transform(narrow_barrier)  # materialize once
     mx = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     s = supplier.select("s_suppkey", "s_name")
     return (

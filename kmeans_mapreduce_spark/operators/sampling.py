@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.hashing import HASH_SPACE, h64
 from kmeans_mapreduce_spark.functions.text import n_tokens
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 SAMPLE_BUCKETS = 10_000  # rate resolution: 1 bucket = 0.01%
 SAMPLE_SALT = "sample"  # decorrelates the sample hash from other h64 uses
@@ -396,8 +397,8 @@ def curriculum_phases(
     unchanged."""
     from kmeans_mapreduce_spark.operators.textops import quality
 
-    q = quality(docs).select("doc_id", "quality_score").localCheckpoint(
-        eager=False
+    q = quality(docs).select("doc_id", "quality_score").transform(
+        narrow_barrier
     )  # threshold agg AND the projection both consume it: one scoring pass
     th = q.agg(
         F.percentile(
@@ -545,7 +546,7 @@ def token_shard_plan(
         # AND the per-bucket totals — without the barrier each consumer
         # re-runs the corpus scan + md5 + tokenization (the anomaly_mad
         # multi-consumer lesson; on a cluster, persist instead)
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     in_bucket = Window.partitionBy("_bucket").orderBy(
         F.col("shuffle_key").asc(), F.col("doc_id").asc()

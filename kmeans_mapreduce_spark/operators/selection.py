@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.hashing import h64
 from kmeans_mapreduce_spark.functions.text import STOPWORDS, tokens
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 # Gopher-style rule bounds (Rae et al. 2021, adapted to this corpus's
 # 10-99-token documents; word-count max kept at the paper's scale so
@@ -105,7 +106,7 @@ def dsir_logweights(
     feat = (
         docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
         .select("doc_id", F.pmod(h64(F.col("term")), F.lit(buckets)).alias("b"))
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     target_ids = (
         quality(docs)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.distance import cosine_sim, dot_nd, norm_nd
 from kmeans_mapreduce_spark.functions.text import ieee_round_pos, ieee_round_signed
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 NUM_PLANES = 8
 DIM = 64
@@ -240,7 +241,7 @@ def ivf_ann_topk_filtered(
         "vec_id", "cell", "nv"
     )
     return probe_ivf_index(
-        filtered.localCheckpoint(eager=False), centers, qvecs,
+        filtered.transform(narrow_barrier), centers, qvecs,
         k=k, nprobe=nprobe, digits=digits,
     )
 
@@ -283,7 +284,7 @@ def ivf_ann_topk_centers(
     # BUILT once and persisted (at cluster scale:
     # :func:`persist_ivf_index` — parquet bucketed by cell), then
     # queried via :func:`probe_ivf_index`.
-    df = build_ivf_index(emb, centers).localCheckpoint(eager=False)
+    df = build_ivf_index(emb, centers).transform(narrow_barrier)
     return probe_ivf_index(
         df, centers, _qvecs, k=k, nprobe=nprobe, digits=digits
     )
@@ -841,7 +842,7 @@ def ivf_pq_ann_topk_quantizers(
             ).collect()
         }
 
-    df = build_pq_index(emb, centers, CBm).localCheckpoint(eager=False)
+    df = build_pq_index(emb, centers, CBm).transform(narrow_barrier)
     return probe_pq_index(
         df, centers, CBm, _qvecs, k=k, nprobe=nprobe, digits=digits
     )
@@ -942,7 +943,7 @@ def ivf_pq_residual_ann_topk_quantizers(
             ).collect()
         }
     idx = build_pq_index(emb, centers, codebooks, residual=True)
-    idx = idx.localCheckpoint(eager=False)
+    idx = idx.transform(narrow_barrier)
     return probe_pq_index(
         idx, centers, codebooks, _qvecs,
         k=k, nprobe=nprobe, digits=digits, residual=True,
@@ -1471,7 +1472,7 @@ def knn_graph(
         local.select("src", "dst", F.round(F.col("dot"), digits).alias("cosine"))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), F.lit(True).alias("mutual")
@@ -1585,7 +1586,7 @@ def pagerank_loop2(
         knn_graph(emb, centers, k)
         .filter(F.col("mutual"))
         .select("src", "dst")
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = emb.select("vec_id")
@@ -1669,7 +1670,7 @@ def embedding_outliers(
     a = (
         assign_cells(emb, centers, out="cell", keep_d2="d2")
         .select("vec_id", "cell", F.round("d2", digits).alias("d2"))
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     stats = a.groupBy("cell").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1947,7 +1948,7 @@ def ivf_incremental_topk(
     index = (
         build_ivf_index(history, centers)
         .unionByName(build_ivf_index(delta, centers))
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     return probe_ivf_index(
         index, centers, qvecs, k=k, nprobe=nprobe, digits=digits
@@ -1989,7 +1990,7 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(narrow_barrier)
     )
     deg = (
         und.select(F.col("a").alias("v"))

@@ -45,6 +45,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kmeans_mapreduce_spark.functions.hashing import h64, h64_sql
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 HLL_P = 8  # bucket bits
 HLL_M = 1 << HLL_P  # 256 registers
@@ -518,7 +519,7 @@ def bloom_semi_join(
     internal here; only the md5 register QUERY needs cross-engine
     replay)."""
     keys = build.select(F.col(build_key).alias(fact_key)).distinct()
-    keys = keys.localCheckpoint(eager=False)
+    keys = keys.transform(narrow_barrier)
     n = keys.count()
     need = max(BLOOM_WORDS, (n * bits_per_key + BLOOM_WORD_BITS - 1) // BLOOM_WORD_BITS)
     words_n = min(BLOOM_MAX_WORDS, 1 << (need - 1).bit_length())

@@ -26,6 +26,7 @@ from kmeans_mapreduce_spark.functions.text import (
     tokens,
     type_token_ratio,
 )
+from kmeans_mapreduce_spark.barrier import narrow_barrier
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -467,7 +468,7 @@ def lm_surprisal(docs: DataFrame, digits: int = 4) -> DataFrame:
 
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("term")
-    ).localCheckpoint(eager=False)
+    ).transform(narrow_barrier)
     tf = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     total = tf.agg(F.sum("c").alias("n"))
     probs = tf.crossJoin(F.broadcast(total)).select(
@@ -1038,7 +1039,7 @@ def bm25_topk(
             .alias(f"tf{i}")
             for i, t in enumerate(terms)
         ],
-    ).localCheckpoint(eager=False)
+    ).transform(narrow_barrier)
     stats = proj.agg(
         F.count(F.lit(1)).cast("double").alias("__n"),
         (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
@@ -1133,7 +1134,7 @@ def lm_surprisal_bigram(docs: DataFrame, digits: int = 4) -> DataFrame:
             )
         ).alias("bg"),
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
-    pairs = pairs.localCheckpoint(eager=False)
+    pairs = pairs.transform(narrow_barrier)
     toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     cu = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c1"))
     vocab = cu.agg(F.count(F.lit(1)).alias("v"))

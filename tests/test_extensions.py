@@ -3583,3 +3583,46 @@ def test_audio_fingerprint_scale_invariant_and_noise_robust(spark):
     assert d(0, 1) <= mm.AFP_MAX_HAMMING, d(0, 1)  # gain-invariant
     assert d(0, 2) <= mm.AFP_MAX_HAMMING, d(0, 2)  # noise-robust
     assert d(0, 3) > mm.AFP_MAX_HAMMING, d(0, 3)   # unrelated is far
+
+
+def test_barrier_paths_survive_reliable_checkpointing(
+    spark, tmp_path, monkeypatch
+):
+    """r15 verdict task 5 (checkpoint-at-scale policy): every
+    materialize-once barrier routes through ``narrow_barrier``, whose
+    default is ``localCheckpoint`` (non-fault-tolerant: executor loss
+    makes the blocks unrecoverable — fine single-node, a failure class
+    on a 100 TB cluster). ``SPARK_GRAFT_RELIABLE_CHECKPOINT=1`` must
+    switch every barrier to a reliable ``checkpoint`` into
+    ``SPARK_GRAFT_CHECKPOINT_DIR`` with IDENTICAL results — the barrier
+    pins where materialization happens, never what is computed. Two
+    barrier-bearing queries from different operator families prove the
+    switch end-to-end (and the dir must actually receive checkpoint
+    data, so the reliable path demonstrably executed)."""
+    import os
+
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    names = ["similarity_knn_graph", "dedup_ngram_jaccard"]
+
+    def rows(name):
+        df = qs[name](spark, sf)
+        return sorted(
+            tuple(r) for r in df.collect()
+        )
+
+    baseline = {n: rows(n) for n in names}
+    ckpt = tmp_path / "reliable-ckpt"
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CHECKPOINT", "1")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(ckpt))
+    for n in names:
+        assert rows(n) == baseline[n], (
+            f"{n}: reliable-checkpoint run diverged from localCheckpoint run"
+        )
+    # the reliable path must have actually written checkpoint data
+    assert ckpt.exists() and any(ckpt.rglob("*")), (
+        "reliable checkpoint dir never received data — narrow_barrier "
+        "did not take the reliable path"
+    )

@@ -38,43 +38,96 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q), sorted(set(o) - set(q))
 
 
-def test_bench_never_clobbers_clean_artifact_with_degraded(tmp_path):
-    """r14 verdict task 2: a degraded round-close rerun must never
-    overwrite a clean bench artifact (r13's 153.99 s clean baseline
-    was replaced by a 7.13%-steal rerun). The divert rule: clean→any
-    writes through, clean-prior + degraded-new diverts to
-    *_degraded.json; degraded-prior is always replaceable."""
+def test_bench_never_clobbers_better_conditioned_artifact(tmp_path):
+    """r14 verdict task 2 + r15 verdict task 3a: a worse-conditioned
+    degraded rerun must never overwrite a better-conditioned artifact —
+    neither a clean one (r13's 153.99 s baseline replaced by a
+    7.13%-steal rerun) nor a better degraded one (r15: the driver's
+    2.73%-steal run displaced the builder's committed 1.76%-steal
+    artifact). Clean runs always write through; diverted filenames
+    take an attempt counter (ADVICE r15)."""
     import json
 
-    from bench import _divert_if_clobbering_clean
+    from bench import _divert_if_worse_conditioned
 
     p = tmp_path / "bench_r99.json"
 
-    def run(health):
-        return {"health": {"verdict": health, "reasons": []}}
+    def run(health, steal=None, gbps=None):
+        d = {"health": {"verdict": health, "reasons": []}}
+        if steal is not None:
+            d["cpu_steal_pct"] = steal
+        if gbps is not None:
+            d["mem_stream_gbps_start"] = gbps
+            d["mem_stream_gbps_end"] = gbps
+        return d
 
     # no prior artifact: write through
-    assert _divert_if_clobbering_clean(str(p), run("degraded")) == str(p)
-    p.write_text(json.dumps(run("clean")))
+    assert _divert_if_worse_conditioned(str(p), run("degraded")) == str(p)
+    p.write_text(json.dumps(run("clean", 0.1, 11.0)))
     # clean prior + degraded new: divert
-    assert _divert_if_clobbering_clean(str(p), run("degraded")) == str(
-        tmp_path / "bench_r99_degraded.json"
-    )
+    assert _divert_if_worse_conditioned(
+        str(p), run("degraded", 2.0, 10.0)
+    ) == str(tmp_path / "bench_r99_degraded.json")
+    # a SECOND diverted rerun takes an attempt counter, never silently
+    # overwriting the first diverted artifact (ADVICE r15)
+    (tmp_path / "bench_r99_degraded.json").write_text("{}")
+    assert _divert_if_worse_conditioned(
+        str(p), run("degraded", 2.0, 10.0)
+    ) == str(tmp_path / "bench_r99_degraded2.json")
     # clean prior + clean new: write through (fresher clean run wins)
-    assert _divert_if_clobbering_clean(str(p), run("clean")) == str(p)
-    p.write_text(json.dumps(run("degraded")))
-    # degraded prior: anything may replace it
-    assert _divert_if_clobbering_clean(str(p), run("degraded")) == str(p)
-    assert _divert_if_clobbering_clean(str(p), run("clean")) == str(p)
+    assert _divert_if_worse_conditioned(str(p), run("clean", 0.5)) == str(p)
+    # degraded prior 1.76% steal: a WORSE degraded run (2.73%) diverts,
+    # a better one (0.5%) and a clean one write through (counter skips
+    # only files that EXIST — _degraded2 was returned but never written)
+    p.write_text(json.dumps(run("degraded", 1.76, 10.0)))
+    assert _divert_if_worse_conditioned(
+        str(p), run("degraded", 2.73, 10.0)
+    ) == str(tmp_path / "bench_r99_degraded2.json")
+    assert _divert_if_worse_conditioned(
+        str(p), run("degraded", 0.5, 10.0)
+    ) == str(p)
+    assert _divert_if_worse_conditioned(str(p), run("clean", 0.2)) == str(p)
+    # legacy prior with NO health key = unknown-conditioned: stays
+    # replaceable even by a degraded run (explicit ADVICE r15 decision)
+    p.write_text(json.dumps({"value": 1.0}))
+    assert _divert_if_worse_conditioned(
+        str(p), run("degraded", 2.0, 10.0)
+    ) == str(p)
+
+
+def test_bench_stdout_line_anchors_prev_round_queries(tmp_path):
+    """r15 verdict task 3b: the budgeted stdout line's slowest-first
+    fill made PERF blind to wins — a query that sped up fell off the
+    line and was filed "dropped_from_bench" (12 phantom drops in r15).
+    The anchor helper must return exactly the PREVIOUS round's
+    parsed-line names so they print first."""
+    import json
+
+    from bench import _prev_round_stdout_queries
+
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"parsed": {"queries": {"old_q": 1.0}}})
+    )
+    (tmp_path / "BENCH_r15.json").write_text(
+        json.dumps({"parsed": {"queries": {"q_a": 2.0, "q_b": 0.5}}})
+    )
+    # latest round BELOW the current one wins
+    assert _prev_round_stdout_queries(str(tmp_path), "16") == {"q_a", "q_b"}
+    # current-or-later artifacts are ignored (never anchor on self)
+    (tmp_path / "BENCH_r16.json").write_text(
+        json.dumps({"parsed": {"queries": {"self_q": 1.0}}})
+    )
+    assert _prev_round_stdout_queries(str(tmp_path), "16") == {"q_a", "q_b"}
+    # unparseable prev degrades to no anchors, never raises
+    (tmp_path / "BENCH_r15.json").write_text("not json")
+    assert _prev_round_stdout_queries(str(tmp_path), "16") == set()
 
 
 def test_bench_badness_orders_unknown_steal_worst():
     """ADVICE r14: a pass with no steal sample is UNKNOWN, not
     0%-steal — in the both-degraded tie-break it must lose to any
     measured steal, and the DRAM stream rate breaks remaining ties."""
-    import importlib
-
-    bench = importlib.import_module("bench")
+    from bench import _badness
 
     def mm(steal, gbps, verdict="degraded"):
         extra = {"health": {"verdict": verdict, "reasons": []}}
@@ -83,37 +136,18 @@ def test_bench_badness_orders_unknown_steal_worst():
         if gbps is not None:
             extra["mem_stream_gbps_start"] = gbps
             extra["mem_stream_gbps_end"] = gbps
-        return {"extra": extra}
+        return extra
 
-    # reproduce main()'s local _badness via the same ordering rules:
-    # degraded flag, then steal (None sorts worst), then -min(gbps)
-    def badness(m):
-        h = m["extra"]["health"]
-        steal = m["extra"].get("cpu_steal_pct")
-        gbps = [
-            v
-            for v in (
-                m["extra"].get("mem_stream_gbps_start"),
-                m["extra"].get("mem_stream_gbps_end"),
-            )
-            if isinstance(v, (int, float))
-        ]
-        return (
-            h["verdict"] == "degraded",
-            float("inf") if steal is None else float(steal),
-            -min(gbps) if gbps else float("inf"),
-        )
-
-    assert badness(mm(5.0, 10.0)) < badness(mm(None, 10.0))
-    assert badness(mm(2.0, 11.0)) < badness(mm(2.0, 3.0))
-    assert badness(mm(0.1, 11.0, "clean")) < badness(mm(0.0, 11.0))
-    # the source must actually implement this ordering (guard against
-    # silent drift back to `or 0.0`)
-    import inspect
-
-    src = inspect.getsource(bench.main)
-    assert "float(\"inf\") if steal is None" in src
-    assert "-min(gbps)" in src
+    # the REAL module-level function (ADVICE r15: no source-grep pins,
+    # no re-implementation): degraded flag, then steal (None sorts
+    # worst), then -min(gbps)
+    assert _badness(mm(5.0, 10.0)) < _badness(mm(None, 10.0))
+    assert _badness(mm(2.0, 11.0)) < _badness(mm(2.0, 3.0))
+    assert _badness(mm(0.1, 11.0, "clean")) < _badness(mm(0.0, 11.0))
+    # no-health-key legacy artifact = unknown: loses to any measured
+    # run, clean or degraded-with-samples
+    assert _badness(mm(0.1, 11.0, "clean")) < _badness({})
+    assert _badness(mm(2.0, 10.0)) < _badness({})
 
 
 def test_bench_accounting_is_a_partition():
