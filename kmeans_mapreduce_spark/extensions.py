@@ -625,6 +625,23 @@ def _record_replay_progress(name: str, q) -> None:
 REPLAY_SHUFFLE_PARTITIONS = int(
     os.environ.get("SPARK_GRAFT_REPLAY_PARTITIONS", "8")
 )
+REPLAY_KEYED_PARTITIONS = int(
+    os.environ.get(
+        "SPARK_GRAFT_REPLAY_KEYED_PARTITIONS",
+        os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 8),
+    )
+)
+"""Partition count for the replays whose wall is PER-KEY PYTHON work
+(the TTL dedups: one Arrow batch + state protocol round-trips per key
+inside the stateful stage). r13's fixed 8 was sized for store-INIT-
+bound replays (the stream-stream join instantiates several stores per
+partition); for the key-bound replays it left 24 of 32 cores idle —
+measured r16 (tools/replay_partitions_ab.py, two windows): v1 TTL
+7.4→5.4 s and TWS 8.4→6.9 s at 32 partitions vs 8. Scale-adaptively
+sized to the core count (the driver's 8-core scaling run gets 8, same
+as before; a real cluster sizes via the env override) — guide §2.2.
+The drained row-SET is partition-invariant (the gate sorts before
+hashing), re-verified against the oracle at this count."""
 """Shuffle-partition count pinned for the bounded replays (r13 verdict
 task 1). Stateful streaming instantiates one state store PER shuffle
 partition (several per partition for a stream-stream join) and AQE is
@@ -708,7 +725,8 @@ def q_events_stream_ttl_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFr
     )
     ded = so.stream_dedup_ttl(stream, watermark_sec=600)
     return _drain_bounded_replay(
-        spark, ded, "events_stream_ttl_dedup_replay", "update"
+        spark, ded, "events_stream_ttl_dedup_replay", "update",
+        shuffle_partitions=REPLAY_KEYED_PARTITIONS,  # per-key-bound: r16
     ).select(
         "user_id", "event_type", "event_id", "ts_sec", "gap_sec"
     )
@@ -810,7 +828,8 @@ def q_events_stream_ttl_dedup_tws_replay(
         )
         ded = so.stream_dedup_ttl_tws(stream, watermark_sec=600)
         return _drain_bounded_replay(
-            spark, ded, "events_stream_ttl_dedup_tws_replay", "update"
+            spark, ded, "events_stream_ttl_dedup_tws_replay", "update",
+            shuffle_partitions=REPLAY_KEYED_PARTITIONS,  # per-key-bound: r16
         ).select("user_id", "event_type", "event_id", "ts_sec", "gap_sec")
     finally:
         if restore_env is not None:

@@ -692,6 +692,13 @@ def keep_best_per_cluster(
     cc = connected_components(pairs)
     canon = (
         docs.select("doc_id")
+        # SMJ deliberately kept (r16 adjudication of the r15 deferred
+        # SHUFFLE_HASH flip): the stash-toggle A/B (6 reps × 3 runs,
+        # health-stamped) read SHJ at 4.21/4.49 s vs SMJ 3.80 s medians
+        # — not beyond spread in EITHER direction, with SHJ slightly
+        # behind. SMJ additionally spills gracefully if a pathological
+        # corpus makes the clustered subset large. Numbers in
+        # OPTIMIZATION_r16.md.
         .join(cc, "doc_id", "left")
         .select(
             "doc_id",

@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 from kmeans_mapreduce_spark.session import get_spark
 from kmeans_mapreduce_spark.sources.loaders import normalize_events_ts
 from kmeans_mapreduce_spark.streaming import stream_ops as so
-from kmeans_mapreduce_spark.extensions import _drain_bounded_replay
+from kmeans_mapreduce_spark.extensions import (
+    REPLAY_KEYED_PARTITIONS,
+    _drain_bounded_replay,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -47,9 +50,12 @@ def main() -> int:
         print(f"[probe] {name}: {sorted(durs)[len(durs)//2]}s {durs}", file=sys.stderr)
 
     # 1. the real operator through the replay harness
+    # r16: probe at the keyed-partition count the gated TTL replays
+    # now use (per-key Python work parallelizes; 8 left 24 cores idle)
     timed("full_ttl_replay", lambda: _drain_bounded_replay(
         spark, so.stream_dedup_ttl(stream(), watermark_sec=600),
-        "probe_full", "update").count())
+        "probe_full", "update",
+        shuffle_partitions=REPLAY_KEYED_PARTITIONS).count())
 
     # 2. a no-op state fold over the same key groups (emit nothing,
     # touch no state): the state API's per-key floor
@@ -69,7 +75,9 @@ def main() -> int:
             "user_id BIGINT, event_type STRING, event_id BIGINT, "
             "ts_sec BIGINT, gap_sec BIGINT",
             "last_seen BIGINT", "update", "NoTimeout")
-        _drain_bounded_replay(spark, out, "probe_noop", "update").count()
+        _drain_bounded_replay(
+            spark, out, "probe_noop", "update",
+            shuffle_partitions=REPLAY_KEYED_PARTITIONS).count()
 
     timed("noop_state_fold", noop_replay)
 
