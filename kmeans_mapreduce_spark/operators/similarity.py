@@ -1539,6 +1539,9 @@ PAGERANK_D_NUM = 85  # damping d = 85/100
 PAGERANK_D_DEN = 100
 
 
+PAGERANK_BARRIER_AFTER = 3  # lineage-vs-barrier crossover (r16 probe)
+
+
 def pagerank_loop2(
     emb: DataFrame,
     centers: list[tuple[int, list[float]]],
@@ -1546,6 +1549,8 @@ def pagerank_loop2(
     scale: int = PAGERANK_SCALE,
     d_num: int = PAGERANK_D_NUM,
     d_den: int = PAGERANK_D_DEN,
+    n_iter: int = 2,
+    iter_barrier: bool | None = None,
 ) -> DataFrame:
     """Two PageRank power iterations over the MUTUAL k-NN graph —
     graph centrality as a data-curation signal (central nodes sit in
@@ -1572,7 +1577,19 @@ def pagerank_loop2(
     the textbook distributed PageRank step; everything downstream of
     :func:`knn_graph` (already cell-blocked) is O(N·k).
 
-    Output: (vec_id, degree, pr_units) after 2 iterations.
+    Output: (vec_id, degree, pr_units) after ``n_iter`` (default 2)
+    iterations.
+
+    Iteration-scaling policy (r16, verdict task 7): each iteration
+    references ranks(i−1) twice (contrib join + the outer re-attach),
+    so the UNBARRIERED plan re-executes ranks(i−1) twice per iteration
+    — fine at 2 iterations (measured: a per-iteration barrier is
+    SLOWER there, materialization > the bounded 2× recompute), but the
+    recompute and the plan both grow geometrically with the loop
+    length. ``iter_barrier=None`` auto-enables a per-iteration
+    ``narrow_barrier`` once ``n_iter > PAGERANK_BARRIER_AFTER`` (the
+    measured crossover; tools/pagerank_scale_probe.py). The gated
+    loop2 query keeps its exact r15 plan.
     """
     n = emb.count()
     if n == 0:
@@ -1598,7 +1615,9 @@ def pagerank_loop2(
         F.coalesce(F.col("deg"), F.lit(0)).alias("deg"),
         F.lit(r0).cast("long").alias("pr"),
     )
-    for _ in range(2):
+    if iter_barrier is None:
+        iter_barrier = n_iter > PAGERANK_BARRIER_AFTER
+    for _ in range(n_iter):
         contrib = (
             edges.join(
                 ranks.filter(F.col("deg") > 0).select(
@@ -1625,6 +1644,8 @@ def pagerank_loop2(
                 ).cast("long").alias("pr"),
             )
         )
+        if iter_barrier:
+            ranks = narrow_barrier(ranks)
     return ranks.select(
         "vec_id", F.col("deg").cast("int").alias("degree"),
         F.col("pr").alias("pr_units"),
